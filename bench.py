@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes end-to-end into Spark's no-op sink (full plan runs,
+nothing collected to the driver). One warmup of the flagship query
+amortizes JVM/codegen startup, mirroring BASELINE.md's 1-warmup
+protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q10_join_broadcast_star",
+    "q15_star_revenue_by_region",
+    "q17_asof_join",
+    "q20_window_topk_per_group",
+    "q33_sessionize",
+    "q50_dedup_exact",
+    "q52_minhash_lsh",
+    "q60_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from columnar_format_spark.session import get_spark
+    import columnar_format_spark.queries  # noqa: F401
+    from columnar_format_spark.registry import QUERIES
+
+    spark = get_spark(app_name="bench")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run(HEADLINE[0])  # warmup
+    times = {name: round(run(name), 4) for name in HEADLINE}
+    total = round(sum(times.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,260 @@
+"""Deduplication operators over `documents`: exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Design for 100 TB:
+- Exact dedup groups on a 128-bit md5 fingerprint, never on the full
+  text — the shuffle carries 16 bytes + doc_id per row.
+- MinHash/LSH: signatures are built by exploding shingles and taking
+  MIN per (doc, seed) — Spark plans partial (map-side) MIN so the
+  shuffle carries ncols×nseeds rows per task, not per shingle. Band
+  buckets then self-join only within equal band keys: candidate pairs,
+  not the quadratic cross product.
+- All hashes derive from md5 (stable across engines and runs) rather
+  than Spark's Murmur `hash()` so the DuckDB oracle can reproduce the
+  results bit-for-bit.
+
+The reference format has no dedup surface (SURVEY.md §2.2); these are
+engine extensions mandated by BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register, table
+
+N_HASHES = 8          # minhash signature length
+BAND_ROWS = 2         # rows per LSH band → 4 bands
+SHINGLE_K = 3         # character shingle width (on ws-normalized text)
+
+
+def normalized(c: Column) -> Column:
+    return F.lower(F.regexp_replace(c, "\\s+", " "))
+
+
+def shingles(c: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct character k-shingles of a string column (JVM-side:
+    sequence + transform + array_distinct — no Python)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+            lambda i: c.substr(i, F.lit(k)),
+        )
+    )
+
+
+SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(length({t}) - 2, 1) + 1),"
+    " i -> substr({t}, i, 3)))"
+)
+
+
+@register(
+    "q50_dedup_exact",
+    oracle="""
+    SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by md5 fingerprint of normalized text, keep
+    the lowest doc_id (deterministic keeper, unlike dropDuplicates)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(normalized(F.col("text")).alias("norm"), "doc_id")
+        .select(F.md5("norm").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+SQL_NORM_TEXT = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+_SQL_SHINGLES_NORM = SQL_SHINGLES.format(t=SQL_NORM_TEXT)
+
+_JACCARD_SQL = f"""
+    WITH docs AS (
+      SELECT doc_id, {_SQL_SHINGLES_NORM} AS sh
+      FROM documents WHERE doc_id < 40),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      FROM (SELECT doc_id, unnest(sh) AS s FROM docs) a
+      JOIN (SELECT doc_id, unnest(sh) AS s FROM docs) b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT d1, d2,
+           (CAST(inter AS DOUBLE) / (s1.n + s2.n - inter)) AS jaccard
+    FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE inter * 2 > (s1.n + s2.n - inter)
+"""
+
+
+@register("q51_ngram_jaccard", oracle=_JACCARD_SQL)
+def q51_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise character-3-gram Jaccard similarity (docs 0-39, pairs
+    above 0.5). Explode-join-count: |A∩B| via equi-join on shingle,
+    |A∪B| = |A|+|B|−|A∩B|. The doc_id<40 cap bounds the demo; the
+    scale path for all-pairs similarity is q52's LSH candidates."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", shingles(normalized(F.col("text"))).alias("sh"))
+    )
+    sizes = d.select("doc_id", F.size("sh").alias("n"))
+    ex = d.select("doc_id", F.explode("sh").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (
+        inter.join(s1, "d1").join(s2, "d2")
+        .withColumn("union_n", F.col("n1") + F.col("n2") - F.col("inter"))
+        .filter(F.col("inter") * 2 > F.col("union_n"))
+        .select("d1", "d2",
+                (F.col("inter").cast("double") / F.col("union_n")).alias("jaccard"))
+    )
+
+
+def _minhash_sig_df(d: DataFrame) -> DataFrame:
+    """(doc_id, seed, mh): per-doc minhash for N_HASHES md5-keyed
+    'permutations' — mh = MIN(md5(seed||shingle)), a string-valued
+    MinHash that is engine-portable."""
+    ex = d.select("doc_id", F.explode(shingles(normalized(F.col("text")))).alias("s"))
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed")
+    return (
+        ex.select("doc_id", "s", seeds)
+        .select("doc_id", "seed",
+                F.md5(F.concat_ws("|", F.col("seed"), F.col("s"))).alias("h"))
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+_MINHASH_SQL = f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES_NORM}) AS s
+      FROM documents),
+    hashed AS (
+      SELECT doc_id, seed, md5(concat(seed, '|', s)) AS h
+      FROM ex, range(0, {N_HASHES}) t(seed)),
+    sig AS (SELECT doc_id, seed, MIN(h) AS mh FROM hashed GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // {BAND_ROWS} AS band,
+             string_agg(mh, ',' ORDER BY seed) AS band_key
+      FROM sig GROUP BY doc_id, seed // {BAND_ROWS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+    SELECT d1, d2 FROM cand
+"""
+
+
+@register("q52_minhash_lsh", oracle=_MINHASH_SQL)
+def q52_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH candidate pairs: 8-hash signature, 4 bands × 2
+    rows; pairs agreeing on any full band are candidates.
+
+    Scale: the band self-join only touches equal (band, band_key)
+    buckets, so cost is Σ bucket², not n² — the standard fuzzy-dedup
+    pipeline shape for 100 TB corpora. Downstream, verify candidates
+    with q51's exact Jaccard.
+    """
+    d = table(spark, sf_dir, "documents")
+    sig = _minhash_sig_df(d)
+    bands = (
+        sig.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("parts"))
+        .select(
+            "doc_id", "band",
+            F.concat_ws(",", F.transform(F.col("parts"), lambda p: p["mh"])).alias("band_key"),
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+# 16-bit token hash = last 4 hex digits of md5, decoded arithmetically
+# (strpos-based nibble lookup — identical construct in Spark below, no
+# engine-specific hex/bit casts involved).
+_SQL_H16 = ("((strpos('0123456789abcdef', substr(md5(tok), 32, 1)) - 1)"
+            " + 16 * (strpos('0123456789abcdef', substr(md5(tok), 31, 1)) - 1)"
+            " + 256 * (strpos('0123456789abcdef', substr(md5(tok), 30, 1)) - 1)"
+            " + 4096 * (strpos('0123456789abcdef', substr(md5(tok), 29, 1)) - 1))")
+
+_SIMHASH_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS tok
+      FROM documents),
+    bits AS (
+      SELECT doc_id, b.bit,
+             CASE WHEN ({_SQL_H16} >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS v
+      FROM toks, range(0, 16) b(bit)),
+    agg AS (SELECT doc_id, bit, CAST(SUM(v) AS BIGINT) AS s FROM bits GROUP BY doc_id, bit)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM agg GROUP BY doc_id
+"""
+
+
+@register("q53_simhash", oracle=_SIMHASH_SQL)
+def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document from md5-derived token hashes: each
+    distinct token votes ±1 per bit position; the sign becomes the bit.
+    Near-dup docs differ in few bits (Hamming distance). Integer
+    arithmetic only → engine-identical.
+
+    Scale: one explode + one groupBy(doc, bit) with map-side partial
+    sums; signature comparison downstream is a cheap bigint XOR.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower(F.col("text")), "\\s+"))).alias("tok"),
+    )
+
+    # 16-bit token hash: last 4 hex digits of md5, nibble-decoded (same
+    # arithmetic as _SQL_H16; F.expr because instr's needle is dynamic)
+    def nib(pos: int) -> Column:
+        return F.expr(f"instr('0123456789abcdef', substring(md5(tok), {pos}, 1)) - 1")
+
+    h16 = nib(32) + 16 * nib(31) + 256 * nib(30) + 4096 * nib(29)
+    bits = (
+        toks.select("doc_id", h16.alias("h"))
+        .select("doc_id", "h",
+                F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"))
+        .select(
+            "doc_id", "bit",
+            # (h >> bit) & 1, via exact power-of-two arithmetic (pyspark's
+            # shiftright wants a literal bit count)
+            F.when(F.floor(F.col("h") / F.pow(F.lit(2), F.col("bit"))) % 2 == 1, 1)
+            .otherwise(-1).alias("v"),
+        )
+    )
+    agg = bits.groupBy("doc_id", "bit").agg(F.sum("v").alias("s"))
+    return agg.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("bit")).cast("bigint")).otherwise(0)
+        ).cast("bigint").alias("simhash")
+    )

@@ -1,0 +1,208 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-d).
+
+- q60: brute-force cosine top-k — the exactness baseline. Dot products
+  are computed in exact DECIMAL arithmetic (each float32 element cast
+  to DECIMAL(12,6) first) so the score is bit-identical in Spark and
+  DuckDB regardless of summation order; ranking is therefore
+  deterministic (ties broken by vec_id).
+- q61: per-label embedding stats (order-independent aggregates only).
+- q62: LSH-bucketed ANN — sign-random-projection buckets derived from
+  md5 (engine-stable), probe only within bucket. Rows-only oracle
+  (the bucketing decision rule is the operator under test; recall is
+  checked against q60 in tests/test_similarity.py).
+
+Scale: brute-force is O(n·q) dot products — fine for reranking a
+candidate set, wrong as the primary index at 100 TB. The LSH variant
+is the scale path: bucket once (one shuffle), then search within
+buckets; multi-probe by flipping the weakest projection bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register, table
+
+N_QUERIES = 10   # first N vec_ids act as the query set
+TOP_K = 5
+N_PROJ = 8       # LSH hyperplanes
+
+
+def dec_dot(a: Column, b: Column) -> Column:
+    """Exact decimal dot product of two float arrays: cast elements to
+    DECIMAL(8,6) (|x| < 100 — embeddings are unit-scale), multiply
+    (exact → DECIMAL(17,12)), and fold with a scale-preserving cast
+    back to DECIMAL(16,12) so the accumulator type is closed under
+    addition (Spark's aggregate() requires merge type == zero type;
+    the cast never rounds because the scale is unchanged and |dot| <
+    10^4). Exact in any evaluation order → engine-identical."""
+    # float → double first: Spark's float→decimal cast rounds the
+    # float's 8-digit shortest representation, DuckDB rounds the exact
+    # binary value — they disagree near 6dp ties. double→decimal is
+    # tie-free at 6dp in practice and identical in both engines.
+    prods = F.zip_with(
+        a, b,
+        lambda x, y: (x.cast("double").cast("decimal(8,6)")
+                      * y.cast("double").cast("decimal(8,6)")).cast("decimal(16,12)"),
+    )
+    return F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(16,12)"),
+        lambda acc, v: (acc + v).cast("decimal(16,12)"),
+    )
+
+
+SQL_DOT = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "CAST(CAST(CAST({a}[i] AS DOUBLE) AS DECIMAL(8,6))"
+    " * CAST(CAST({b}[i] AS DOUBLE) AS DECIMAL(8,6)) AS DECIMAL(16,12))))"
+)
+
+
+def dec_norm(a: Column) -> Column:
+    return F.sqrt(dec_dot(a, a).cast("double"))
+
+
+_COSINE_SQL = f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.qid, c.vec_id AS cid,
+             (CAST({SQL_DOT.format(a='q.qe', b='c.embedding')} AS DOUBLE)
+              / (sqrt(CAST({SQL_DOT.format(a='q.qe', b='q.qe')} AS DOUBLE))
+                 * sqrt(CAST({SQL_DOT.format(a='c.embedding', b='c.embedding')} AS DOUBLE)))) AS cosine
+      FROM q CROSS JOIN embeddings c
+      WHERE c.vec_id <> q.qid),
+    ranked AS (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rnk
+      FROM scored)
+    SELECT qid, cid, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register("q60_cosine_topk", oracle=_COSINE_SQL)
+def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 10 vectors.
+
+    Scale: query side broadcast; candidates never shuffle. The window
+    top-k collapses to per-partition heaps under WindowGroupLimit.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    )
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    from pyspark.sql import Window
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid", "cid",
+            (
+                dec_dot(F.col("qe"), F.col("ce")).cast("double")
+                / (dec_norm(F.col("qe")) * dec_norm(F.col("ce")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+@register(
+    "q61_embedding_stats",
+    oracle=f"""
+    SELECT label, COUNT(*) AS n_vectors,
+           MIN(sqrt(CAST({SQL_DOT.format(a='embedding', b='embedding')} AS DOUBLE))) AS min_norm,
+           MAX(sqrt(CAST({SQL_DOT.format(a='embedding', b='embedding')} AS DOUBLE))) AS max_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def q61_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector stats using only order-independent aggregates
+    (MIN/MAX/COUNT) over exact-decimal-derived norms."""
+    e = table(spark, sf_dir, "embeddings")
+    norm = dec_norm(F.col("embedding"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min(norm).alias("min_norm"),
+        F.max(norm).alias("max_norm"),
+    )
+
+
+def _projection_matrix() -> list[list[float]]:
+    """N_PROJ deterministic pseudo-random 64-d hyperplanes derived from
+    md5 — reproducible across runs/engines without RNG state."""
+    import hashlib
+
+    mat = []
+    for p in range(N_PROJ):
+        row = []
+        for d in range(64):
+            h = hashlib.md5(f"proj|{p}|{d}".encode()).hexdigest()
+            # map first 8 hex digits to [-1, 1)
+            row.append(int(h[:8], 16) / float(1 << 31) - 1.0)
+        mat.append(row)
+    return mat
+
+
+@register("q62_ann_lsh", oracle=None)  # bucketing-policy op → rows-only
+def q62_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-random-projection LSH: 8 fixed hyperplanes → a
+    256-bucket code; neighbor search runs only within the query's
+    bucket. Returns (qid, cid, cosine, rnk) like q60 — recall vs the
+    exact baseline is asserted in tests.
+
+    Scale: bucketing is a map-only pass; the join is an equi-join on
+    bucket code (shuffle on a low-cardinality key — salt by code+range
+    at extreme scale or raise N_PROJ so buckets stay balanced).
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    mat = F.array(*[F.array(*[F.lit(v) for v in row]) for row in _projection_matrix()])
+    # bucket code: bit p set iff dot(embedding, plane_p) >= 0
+    code = F.aggregate(
+        F.transform(
+            mat,
+            lambda row, p: F.when(
+                F.aggregate(
+                    F.zip_with(F.col("embedding"), row, lambda x, y: x.cast("double") * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ) >= 0,
+                F.pow(F.lit(2), p.cast("int")).cast("int"),
+            ).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    coded = e.withColumn("bucket", code)
+    q = (
+        coded.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+                F.col("bucket").alias("qbucket"))
+    )
+    c = coded.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+                     "bucket")
+    scored = (
+        c.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col("cid") != F.col("qid")))
+        .select(
+            "qid", "cid",
+            (
+                dec_dot(F.col("qe"), F.col("ce")).cast("double")
+                / (dec_norm(F.col("qe")) * dec_norm(F.col("ce")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )

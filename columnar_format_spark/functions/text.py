@@ -1,0 +1,170 @@
+"""Text-analysis operators over the `documents` table: token counting,
+quality scoring, language-ID heuristics, document fingerprinting.
+
+All hot-path expressions are JVM built-ins (split/regexp/md5/length) —
+no Python UDFs — so they stay inside whole-stage codegen and scale
+linearly with executors. Formulas are chosen to be expressible
+identically in DuckDB for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register, table
+
+# Small English stopword list shared by quality scoring and lang-ID.
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "for", "on", "with"]
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def ws_tokens(c: Column) -> Column:
+    return F.split(c, "\\s+")
+
+
+@register(
+    "q40_token_count",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           (CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS DOUBLE)
+              / COUNT(*)) AS avg_ws_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q40_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex pre-tokenizer,
+    aggregated per source. Integer sums are exact → engine-identical."""
+    d = table(spark, sf_dir, "documents")
+    n_ws = F.size(ws_tokens(F.col("text")))
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_ws).alias("total_ws_tokens"),
+        F.sum(n_bpe).alias("total_bpe_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum(n_ws).cast("double") / F.count(F.lit(1))).alias("avg_ws_tokens"),
+    )
+
+
+@register(
+    "q41_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+           (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+              / length(text)) AS punct_ratio,
+           (CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
+              / len(regexp_split_to_array(text, '\\s+'))) AS stopword_ratio,
+           (CAST(length(text) AS DOUBLE)
+              / len(regexp_split_to_array(text, '\\s+'))) AS chars_per_token
+    FROM documents
+    """,
+)
+def q41_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: punctuation ratio, stopword ratio,
+    chars-per-token. Per-row double divisions of exact ints —
+    deterministic across engines. This is the quality-filter front end
+    of a training-data pipeline; at 100 TB it is a pure map stage."""
+    d = table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_chars = F.length(text)
+    toks = ws_tokens(text)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
+    sw = F.array([F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(ws_tokens(F.lower(text)), lambda x: F.array_contains(sw, x)))
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        (n_chars.cast("double") / n_tokens).alias("chars_per_token"),
+    )
+
+
+@register(
+    "q42_lang_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                              x -> list_contains({_SW_SQL}, x))) * 10
+                          > len(regexp_split_to_array(text, '\\s+'))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_englishy,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q42_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: a doc is 'englishy' when >10% of its
+    tokens are English stopwords; distribution per labeled lang."""
+    d = table(spark, sf_dir, "documents")
+    sw = F.array([F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(ws_tokens(F.lower(F.col("text"))), lambda x: F.array_contains(sw, x)))
+    n_tok = F.size(ws_tokens(F.col("text")))
+    englishy = F.when(n_stop * 10 > n_tok, 1).otherwise(0)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(englishy).cast("bigint").alias("n_englishy"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "q43_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+           substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 8) AS fp_prefix
+    FROM documents
+    """,
+)
+def q43_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized lowercased
+    text — the exact-dedup key at scale (hash once, group by the
+    128-bit digest instead of shuffling full documents)."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), "\\s+", " ")))
+    return d.select("doc_id", fp.alias("fingerprint"),
+                    F.substring(fp, 1, 8).alias("fp_prefix"))
+
+
+@register(
+    "q44_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(unhex(md5(text))) AS blob_len,
+           upper(substr(md5(text), 1, 8)) AS blob_head_hex,
+           octet_length(encode(text)) AS payload_bytes
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def q44_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: a deterministic fake binary payload
+    (unhex(md5)) standing in for image/audio bytes, with typed metadata
+    (lengths, head bytes) computed JVM-side. The real decode path is
+    functions/multimodal.py (mapInPandas with a stubbed codec)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    blob = F.unhex(F.md5(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).alias("blob_len"),
+        F.upper(F.substring(F.hex(blob), 1, 8)).alias("blob_head_hex"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("payload_bytes"),
+    )

@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-aware defaults.
+
+Tested on local[N]; the config choices are the ones that matter on a
+real cluster too:
+
+- AQE on (runtime coalescing of shuffle partitions, skew-join
+  splitting, dynamic join-strategy switching).
+- Arrow on for every Python<->JVM exchange (pandas UDFs, toPandas,
+  Python DataSource Arrow batches).
+- shuffle.partitions sized for the local test harness; on a 1000-
+  executor cluster this would be ~2-3x total cores — AQE coalesces
+  down from a high initial number, so erring high is the safe side.
+- maxPartitionBytes left at default 128m: at 100 TB that yields
+  ~800k input splits, which Spark handles; raising it only helps when
+  tasks are launch-bound.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "columnar-format-spark",
+              cpus: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS, then 32 (the test box).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 32)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
+    """Load every testdata table in ``sf_dir`` as a DataFrame dict and
+    register each as a temp view (so spark.sql can be used too)."""
+    names = ["region", "nation", "customer", "supplier", "part",
+             "orders", "lineitem", "events", "documents", "embeddings"]
+    out = {}
+    for n in names:
+        path = os.path.join(sf_dir, f"{n}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(n)
+            out[n] = df
+    return out
