@@ -1,0 +1,232 @@
+"""PySpark Python DataSource exposing COLF as ``spark.read.format("colf")``
+/ ``df.write.format("colf")``.
+
+A COLF *dataset* is either a single ``.colf`` file or a directory of
+``part-*.colf`` files (the format has one block per column and no row
+groups — reader.py:184-188 semantics — so a single file is not
+splittable; the directory convention is what makes the format usable
+at scale: one InputPartition per file, one file per Spark write task).
+
+Read path:
+- ``schema()`` parses the header of the first file (O(header), no
+  column blocks touched).
+- ``read(partition)`` yields ONE pyarrow RecordBatch per file —
+  Arrow-vectorized decode, zero-copy into the JVM.
+- Option ``columns`` ("a,b,c") performs the reference's selective
+  read at the I/O layer: only those blocks are seeked + decompressed
+  (reader.py:165-192). Spark's ColumnPruning handles the logical
+  projection either way; this option additionally avoids the disk
+  reads, which is the format's whole point. (The 4.1 Python DataSource
+  API has no column-pruning pushdown hook — SURVEY.md §4.3.)
+
+Write path:
+- one ``part-NNNNN-<uuid>.colf`` per Spark partition, byte-compatible
+  with the reference reader (cross-implementation round-trip tested in
+  tests/test_colf_reference_compat.py).
+- ``mode("overwrite")`` clears previous dataset files on commit.
+
+Spark type mapping (SURVEY.md §1.2): IntegerType↔int32,
+DoubleType↔float64, StringType↔utf8. Writes of other types require an
+explicit cast upstream — rejected with a clear error, mirroring the
+format's 3-type domain (writer.py:17-19).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .format import (
+    ColfColumn,
+    ColfFormatError,
+    ColfSchema,
+    read_columns,
+    read_schema,
+    write_colf,
+)
+
+SPARK_TO_COLF = {"int": "int32", "double": "float64", "string": "utf8"}
+COLF_TO_SPARK = {"int32": IntegerType(), "float64": DoubleType(), "utf8": StringType()}
+
+
+def dataset_files(path: str) -> list[str]:
+    """List the .colf files of a dataset path (file or directory)."""
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".colf")
+        )
+    return [path]
+
+
+def colf_to_spark_schema(schema: ColfSchema) -> StructType:
+    return StructType([
+        StructField(c.name, COLF_TO_SPARK[c.type], c.nullable) for c in schema.columns
+    ])
+
+
+def spark_to_colf_columns(schema: StructType) -> list[ColfColumn]:
+    cols = []
+    for f in schema.fields:
+        t = SPARK_TO_COLF.get(f.dataType.simpleString())
+        if t is None:
+            raise ColfFormatError(
+                f"COLF supports int32/float64/utf8 only; cast column "
+                f"'{f.name}' ({f.dataType.simpleString()}) to int/double/string first")
+        cols.append(ColfColumn(f.name, t, f.nullable))
+    return cols
+
+
+@dataclass
+class ColfInputPartition(InputPartition):
+    file: str
+
+
+class ColfReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ColfFormatError("colf reader requires a path")
+        cols_opt = options.get("columns")
+        self.columns = [c.strip() for c in cols_opt.split(",") if c.strip()] if cols_opt else None
+        self.schema = schema
+
+    def partitions(self):
+        return [ColfInputPartition(f) for f in dataset_files(self.path)]
+
+    def read(self, partition: ColfInputPartition):
+        import pyarrow as pa
+
+        file_schema = read_schema(partition.file)
+        wanted = self.columns or [f.name for f in self.schema.fields]
+        data = read_columns(partition.file, wanted)
+        arrays, names = [], []
+        types = {c.name: c.type for c in file_schema.columns}
+        pa_types = {"int32": pa.int32(), "float64": pa.float64(), "utf8": pa.string()}
+        for name in wanted:
+            arrays.append(pa.array(data[name], type=pa_types[types[name]]))
+            names.append(name)
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+@dataclass
+class ColfCommitMessage(WriterCommitMessage):
+    file: str | None
+
+
+class ColfWriter(DataSourceArrowWriter):
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ColfFormatError("colf writer requires a path")
+        self.schema = schema
+        self.overwrite = overwrite
+        self.colf_columns = spark_to_colf_columns(schema)  # validate types early
+
+    def write(self, iterator):
+        """Executor-side: drain this partition's Arrow batches into one
+        .colf file (columnar all the way — no row pivot)."""
+        from pyspark import TaskContext
+
+        batches = list(iterator)
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        num_rows = sum(b.num_rows for b in batches)
+        if num_rows == 0:
+            return ColfCommitMessage(file=None)  # no empty part files
+        columns: dict[str, list] = {}
+        for i, col in enumerate(self.colf_columns):
+            chunks = []
+            for b in batches:
+                chunks.extend(b.column(i).to_pylist())
+            columns[col.name] = chunks
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.colf"
+        target = os.path.join(self.path, fname)
+        tmp = target + ".tmp"
+        write_colf(tmp, ColfSchema(num_rows, self.colf_columns), columns)
+        os.rename(tmp, target)
+        return ColfCommitMessage(file=target)
+
+    def commit(self, messages):
+        written = {m.file for m in messages if m and m.file}
+        if self.overwrite and os.path.isdir(self.path):
+            for f in os.listdir(self.path):
+                full = os.path.join(self.path, f)
+                if full not in written and (f.endswith(".colf") or f.endswith(".tmp")):
+                    os.remove(full)
+        existing = dataset_files(self.path) if os.path.isdir(self.path) else []
+        if not written and not existing:
+            # all partitions were empty: materialize a valid 0-row file
+            # (engine-defined 0-row behavior, SURVEY.md §7 M3b)
+            os.makedirs(self.path, exist_ok=True)
+            target = os.path.join(self.path, "part-00000-empty.colf")
+            write_colf(target, ColfSchema(0, self.colf_columns),
+                       {c.name: [] for c in self.colf_columns})
+
+    def abort(self, messages):
+        for m in messages:
+            if m and m.file and os.path.exists(m.file):
+                os.remove(m.file)
+
+
+class ColfDataSource(DataSource):
+    """``spark.dataSource.register(ColfDataSource)`` then
+    ``spark.read.format("colf").load(path)`` /
+    ``df.write.format("colf").save(path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "colf"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ColfFormatError("colf source requires a path")
+        files = dataset_files(path)
+        if not files:
+            raise ColfFormatError(f"No .colf files found at {path}")
+        file_schema = read_schema(files[0])
+        cols_opt = self.options.get("columns")
+        if cols_opt:
+            wanted = [c.strip() for c in cols_opt.split(",") if c.strip()]
+            index = {c.name: c for c in file_schema.columns}
+            missing = [c for c in wanted if c not in index]
+            if missing:
+                raise KeyError(f"Column not found: {missing[0]}")
+            file_schema = ColfSchema(file_schema.num_rows,
+                                     [index[c] for c in wanted])
+        return colf_to_spark_schema(file_schema)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return ColfReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return ColfWriter(self.options, schema, overwrite)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(ColfDataSource)
+
+
+def read_colf(spark, path: str, columns: list[str] | None = None):
+    """Helper mirroring the reference's selective read entry point
+    (reader.py:165): only the named blocks are read from disk."""
+    r = spark.read.format("colf")
+    if columns:
+        r = r.option("columns", ",".join(columns))
+    return r.load(path)

@@ -1,0 +1,311 @@
+"""COLF codec: pure-Python, numpy-vectorized encoder/decoder for the
+reference single-file columnar format.
+
+Layout (from /root/reference/SPEC.md; behavior cross-checked against
+/root/reference/writer.py and reader.py — reimplemented, not copied):
+
+  preamble : magic b"COLF" | version u8 (=1) | endianness u8 (=1, LE)
+             | HeaderSize u32
+  header   : SchemaLength u32 | schema JSON (UTF-8)
+             | per-column metadata, 25 B each:
+               Offset u64 (absolute) | CompressedSize u64
+               | UncompressedSize u64 | HasNulls u8
+  body     : one zlib-compressed block per column, sequential
+
+Column payload (uncompressed):
+  DataType u8 (1=int32, 2=float64, 3=utf8) | HasNulls u8
+  | [NullBitmap ceil(n/8) B, LSB-first — only when HasNulls]
+  | int32/float64: contiguous LE values, 0/0.0 placeholders for nulls
+  | utf8: n u32 LE start offsets (0 for null rows;
+    /root/reference/writer.py:131) + concatenated UTF-8 bytes
+
+Divergences from the reference implementation (deliberate, SURVEY.md §7):
+- string decode is O(n) via the next-non-null-offset diff, not the
+  reference's O(n²) forward scan (reader.py:142-153) — byte-identical
+  results on any file the reference writer can produce;
+- int32 overflow raises ColfFormatError instead of an opaque
+  struct.error (writer.py:111);
+- 0-row files are valid (the reference writer crashes on empty input,
+  writer.py:153-154, while its reader supports 0 rows, reader.py:239-251).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+MAGIC = b"COLF"
+VERSION = 1
+ENDIAN_LE = 1
+
+DT_INT32 = 1
+DT_FLOAT64 = 2
+DT_UTF8 = 3
+
+TYPE_TAGS = {"int32": DT_INT32, "float64": DT_FLOAT64, "utf8": DT_UTF8}
+META_ENTRY_SIZE = 8 + 8 + 8 + 1  # Offset + CompSize + UncompSize + HasNulls
+
+INT32_MIN, INT32_MAX = -(2**31), 2**31 - 1
+
+
+class ColfFormatError(ValueError):
+    """Malformed COLF data or values outside the format's domain."""
+
+
+@dataclass
+class ColfColumn:
+    name: str
+    type: str  # int32 | float64 | utf8
+    nullable: bool
+
+    def to_json(self) -> dict:
+        return {"name": self.name, "type": self.type, "nullable": self.nullable}
+
+
+@dataclass
+class ColfSchema:
+    num_rows: int
+    columns: list[ColfColumn] = field(default_factory=list)
+
+    def to_json_bytes(self) -> bytes:
+        doc = {"num_rows": self.num_rows,
+               "columns": [c.to_json() for c in self.columns]}
+        return json.dumps(doc, separators=(",", ":")).encode("utf-8")
+
+    @classmethod
+    def from_json(cls, doc: dict) -> "ColfSchema":
+        cols = [ColfColumn(c["name"], c["type"], bool(c.get("nullable", False)))
+                for c in doc.get("columns", [])]
+        return cls(num_rows=int(doc.get("num_rows", 0)), columns=cols)
+
+
+@dataclass
+class ColumnMeta:
+    offset: int
+    comp_size: int
+    uncomp_size: int
+    has_nulls: bool
+
+
+# ---------------------------------------------------------------------------
+# encode
+
+
+def _null_bitmap(nulls: np.ndarray) -> bytes:
+    """LSB-first 1-bit-per-row bitmap (bit set ⇒ NULL)."""
+    return np.packbits(nulls.astype(np.uint8), bitorder="little").tobytes()
+
+
+def encode_column(values: list, dtype: str) -> tuple[bytes, bool]:
+    """Encode Python values (None ⇒ NULL) into an uncompressed COLF
+    column payload. Returns (payload, has_nulls)."""
+    if dtype not in TYPE_TAGS:
+        raise ColfFormatError(f"Unknown COLF type: {dtype}")
+    n = len(values)
+    nulls = np.fromiter((v is None for v in values), dtype=bool, count=n)
+    has_nulls = bool(nulls.any())
+
+    parts = [struct.pack("<BB", TYPE_TAGS[dtype], 1 if has_nulls else 0)]
+    if has_nulls:
+        parts.append(_null_bitmap(nulls))
+
+    if dtype == "int32":
+        arr = np.zeros(n, dtype="<i4")
+        if n:
+            filled = [0 if v is None else v for v in values]
+            lo, hi = (min(filled), max(filled)) if filled else (0, 0)
+            if lo < INT32_MIN or hi > INT32_MAX:
+                bad = next(v for v in filled if not (INT32_MIN <= v <= INT32_MAX))
+                raise ColfFormatError(
+                    f"int32 overflow: value {bad} outside [{INT32_MIN}, {INT32_MAX}]")
+            arr[:] = filled
+        parts.append(arr.tobytes())
+    elif dtype == "float64":
+        arr = np.zeros(n, dtype="<f8")
+        if n:
+            arr[:] = [0.0 if v is None else v for v in values]
+        parts.append(arr.tobytes())
+    else:  # utf8
+        offsets = np.zeros(n, dtype="<u4")
+        blobs = []
+        pos = 0
+        for i, v in enumerate(values):
+            if v is None:
+                continue  # offset stays 0, like the reference writer
+            b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            offsets[i] = pos
+            blobs.append(b)
+            pos += len(b)
+        if pos > 0xFFFFFFFF:
+            raise ColfFormatError("utf8 blob exceeds u32 offset space")
+        parts.append(offsets.tobytes())
+        parts.append(b"".join(blobs))
+    return b"".join(parts), has_nulls
+
+
+def write_colf(path: str, schema: ColfSchema, columns: dict[str, list]) -> None:
+    """Write one .colf file. ``columns`` maps name -> value list (None
+    for NULL); every column must have schema.num_rows values."""
+    blocks: list[tuple[bytes, int, bool]] = []
+    for col in schema.columns:
+        values = columns[col.name]
+        if len(values) != schema.num_rows:
+            raise ColfFormatError(
+                f"column '{col.name}' has {len(values)} rows, schema says {schema.num_rows}")
+        payload, has_nulls = encode_column(values, col.type)
+        comp = zlib.compress(payload)
+        blocks.append((comp, len(payload), has_nulls))
+
+    schema_json = schema.to_json_bytes()
+    meta_size = META_ENTRY_SIZE * len(schema.columns)
+    header_size = 4 + len(schema_json) + meta_size
+    # preamble(10) + SchemaLength(4) + schema + metadata, then blocks
+    first_block_offset = 10 + 4 + len(schema_json) + meta_size
+
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<BBI", VERSION, ENDIAN_LE, header_size))
+        f.write(struct.pack("<I", len(schema_json)))
+        f.write(schema_json)
+        offset = first_block_offset
+        for comp, uncomp_size, has_nulls in blocks:
+            f.write(struct.pack("<QQQB", offset, len(comp), uncomp_size,
+                                1 if has_nulls else 0))
+            offset += len(comp)
+        for comp, _, _ in blocks:
+            f.write(comp)
+
+
+# ---------------------------------------------------------------------------
+# decode
+
+
+def read_header(f) -> tuple[ColfSchema, list[ColumnMeta], int]:
+    """Parse and validate preamble + header from an open binary file.
+    Returns (schema, metas, header_size)."""
+    f.seek(0)
+    magic = f.read(4)
+    if magic != MAGIC:
+        raise ColfFormatError(f"Bad magic: expected {MAGIC!r}, got {magic!r}")
+    version, endianness, header_size = struct.unpack("<BBI", f.read(6))
+    if version != VERSION:
+        raise ColfFormatError(f"Unsupported version: {version} (expected {VERSION})")
+    if endianness != ENDIAN_LE:
+        raise ColfFormatError(
+            f"Unsupported endianness: {endianness} (only little-endian=1)")
+    (schema_len,) = struct.unpack("<I", f.read(4))
+    if schema_len <= 0 or schema_len > 10_000_000:
+        raise ColfFormatError(f"Suspicious schema length: {schema_len}")
+    try:
+        doc = json.loads(f.read(schema_len).decode("utf-8"))
+    except Exception as e:
+        raise ColfFormatError("Failed to parse schema JSON") from e
+    schema = ColfSchema.from_json(doc)
+    metas = []
+    for _ in schema.columns:
+        raw = f.read(META_ENTRY_SIZE)
+        if len(raw) < META_ENTRY_SIZE:
+            raise ColfFormatError("Truncated column metadata")
+        off, comp, uncomp, has_nulls = struct.unpack("<QQQB", raw)
+        metas.append(ColumnMeta(off, comp, uncomp, bool(has_nulls)))
+    return schema, metas, header_size
+
+
+def decode_nulls(payload: memoryview, num_rows: int, has_nulls: bool) -> tuple[np.ndarray, int]:
+    """Returns (null mask, offset of data section within payload)."""
+    if not has_nulls:
+        return np.zeros(num_rows, dtype=bool), 2
+    nbytes = (num_rows + 7) // 8
+    bitmap = np.frombuffer(payload[2:2 + nbytes], dtype=np.uint8)
+    mask = np.unpackbits(bitmap, bitorder="little")[:num_rows].astype(bool)
+    return mask, 2 + nbytes
+
+
+def decode_column(payload: bytes, dtype: str, num_rows: int, has_nulls: bool) -> list:
+    """Decode an uncompressed payload to a Python list (None for NULL).
+
+    utf8 string ends come from the next non-null row's start offset
+    (else blob end) — O(n), equivalent on reference-writer output to
+    reader.py:142-153's quadratic scan."""
+    mv = memoryview(payload)
+    if len(mv) < 2:
+        raise ColfFormatError("Payload shorter than 2-byte header")
+    nulls, data_off = decode_nulls(mv, num_rows, has_nulls)
+
+    if dtype == "int32":
+        arr = np.frombuffer(mv[data_off:data_off + 4 * num_rows], dtype="<i4")
+        if arr.size < num_rows:
+            raise ColfFormatError("Unexpected end of int32 data")
+        out = arr.tolist()
+    elif dtype == "float64":
+        arr = np.frombuffer(mv[data_off:data_off + 8 * num_rows], dtype="<f8")
+        if arr.size < num_rows:
+            raise ColfFormatError("Unexpected end of float64 data")
+        out = arr.tolist()
+    elif dtype == "utf8":
+        offs = np.frombuffer(mv[data_off:data_off + 4 * num_rows], dtype="<u4")
+        if offs.size < num_rows:
+            raise ColfFormatError("Unexpected end of offsets array")
+        blob = mv[data_off + 4 * num_rows:]
+        valid_idx = np.flatnonzero(~nulls)
+        out = [None] * num_rows
+        starts = offs[valid_idx]
+        ends = np.empty_like(starts)
+        ends[:-1] = starts[1:]
+        if starts.size:
+            ends[-1] = len(blob)
+        for i, s, e in zip(valid_idx.tolist(), starts.tolist(), ends.tolist()):
+            chunk = bytes(blob[s:e])
+            try:
+                out[i] = chunk.decode("utf-8")
+            except UnicodeDecodeError:
+                out[i] = chunk  # reference fallback (reader.py:155-159)
+    else:
+        raise ColfFormatError(f"Unknown dtype: {dtype}")
+
+    if has_nulls:
+        for i in np.flatnonzero(nulls).tolist():
+            out[i] = None
+    return out
+
+
+def read_columns(path: str, columns: list[str]) -> dict[str, list]:
+    """Selective read: seek to and decode ONLY the requested column
+    blocks (the format's raison d'être — reader.py:165-192 semantics:
+    KeyError on unknown column, comp_size==0 ⇒ all-NULL)."""
+    with open(path, "rb") as f:
+        schema, metas, _ = read_header(f)
+        index = {c.name: i for i, c in enumerate(schema.columns)}
+        out: dict[str, list] = {}
+        for name in columns:
+            if name not in index:
+                raise KeyError(f"Column not found: {name}")
+            i = index[name]
+            meta = metas[i]
+            if meta.comp_size == 0:
+                out[name] = [None] * schema.num_rows
+                continue
+            f.seek(meta.offset)
+            comp = f.read(meta.comp_size)
+            if len(comp) != meta.comp_size:
+                raise ColfFormatError("Failed to read full compressed column block")
+            payload = zlib.decompress(comp)
+            out[name] = decode_column(payload, schema.columns[i].type,
+                                      schema.num_rows, meta.has_nulls)
+        return out
+
+
+def read_all(path: str) -> dict[str, list]:
+    with open(path, "rb") as f:
+        schema, _, _ = read_header(f)
+    return read_columns(path, [c.name for c in schema.columns])
+
+
+def read_schema(path: str) -> ColfSchema:
+    with open(path, "rb") as f:
+        schema, _, _ = read_header(f)
+    return schema

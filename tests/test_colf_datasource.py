@@ -1,0 +1,109 @@
+"""spark.read/write.format("colf") — the DataSource integration."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, IntegerType, StringType, StructField, StructType,
+)
+
+
+@pytest.fixture(scope="module")
+def colf_spark(spark):
+    from columnar_format_spark.colf.datasource import register
+
+    register(spark)
+    return spark
+
+
+def test_write_read_roundtrip(colf_spark, tmp_path):
+    df = colf_spark.createDataFrame(
+        [(1, 1.5, "a"), (2, 2.5, None), (3, None, "c")],
+        StructType([
+            StructField("i", IntegerType(), False),
+            StructField("f", DoubleType(), True),
+            StructField("s", StringType(), True),
+        ]),
+    )
+    path = str(tmp_path / "ds")
+    df.coalesce(2).write.format("colf").mode("append").save(path)
+    back = colf_spark.read.format("colf").load(path)
+    assert back.schema == df.schema or [f.dataType for f in back.schema] == [
+        f.dataType for f in df.schema]
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_selective_read_option(colf_spark, tmp_path):
+    from columnar_format_spark.colf.datasource import read_colf
+
+    df = colf_spark.range(100).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") * 2.0).alias("dbl"),
+        F.concat(F.lit("row"), F.col("id")).alias("name"),
+    )
+    path = str(tmp_path / "sel")
+    df.coalesce(1).write.format("colf").mode("append").save(path)
+    two = read_colf(colf_spark, path, ["name", "id"])
+    assert two.columns == ["name", "id"]
+    rows = {r["id"]: r["name"] for r in two.collect()}
+    assert rows[7] == "row7"
+    assert len(rows) == 100
+
+
+def test_overwrite_mode(colf_spark, tmp_path):
+    path = str(tmp_path / "ow")
+    a = colf_spark.range(10).select(F.col("id").cast("int").alias("x"))
+    b = colf_spark.range(5).select((F.col("id") + 100).cast("int").alias("x"))
+    a.write.format("colf").mode("append").save(path)
+    b.write.format("colf").mode("overwrite").save(path)
+    back = colf_spark.read.format("colf").load(path)
+    vals = sorted(r["x"] for r in back.collect())
+    assert vals == [100, 101, 102, 103, 104]
+
+
+def test_append_mode(colf_spark, tmp_path):
+    path = str(tmp_path / "ap")
+    a = colf_spark.range(3).select(F.col("id").cast("int").alias("x"))
+    a.write.format("colf").mode("append").save(path)
+    a.write.format("colf").mode("append").save(path)
+    back = colf_spark.read.format("colf").load(path)
+    assert back.count() == 6
+
+
+def test_unsupported_type_rejected(colf_spark, tmp_path):
+    df = colf_spark.range(3)  # LongType — outside the 3-type domain
+    with pytest.raises(Exception, match="int32/float64/utf8"):
+        df.write.format("colf").mode("append").save(str(tmp_path / "bad"))
+
+
+def test_multifile_dataset_partitions(colf_spark, tmp_path):
+    df = colf_spark.range(1000).select(F.col("id").cast("int").alias("id"))
+    path = str(tmp_path / "multi")
+    df.repartition(8).write.format("colf").mode("append").save(path)
+    import glob
+
+    files = glob.glob(f"{path}/part-*.colf")
+    assert len(files) == 8
+    back = colf_spark.read.format("colf").load(path)
+    assert back.count() == 1000
+    # one input partition per file
+    assert back.rdd.getNumPartitions() == 8
+
+
+def test_query_over_colf(colf_spark, tmp_path):
+    """Full engine path: parquet → colf → DataFrame query."""
+    li = colf_spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    small = li.select(
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    path = str(tmp_path / "li")
+    small.write.format("colf").mode("append").save(path)
+    back = colf_spark.read.format("colf").load(path)
+    got = (back.groupBy("flag").agg(F.sum(F.col("qty").cast("decimal(18,2)"))
+                                    .cast("double").alias("s"))
+           .orderBy("flag").collect())
+    want = (small.groupBy("flag").agg(F.sum(F.col("qty").cast("decimal(18,2)"))
+                                      .cast("double").alias("s"))
+            .orderBy("flag").collect())
+    assert got == want
