@@ -1,0 +1,61 @@
+"""COLF round-trip as a registered, oracle-checked query: write a
+lineitem projection through the COLF connector, read it back, and
+aggregate. The DuckDB oracle runs the same aggregation on the original
+parquet — they match iff the COLF write→read path is lossless
+(int32/float64 bit-exact, utf8 byte-exact, SPEC.md layout)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register, table
+
+
+@register(
+    "q70_colf_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(l_linenumber) AS BIGINT) AS sum_line,
+           MIN(l_orderkey) AS min_key,
+           MAX(l_orderkey) AS max_key
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q70_colf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → COLF dataset (one part file per partition) → read →
+    aggregate. Exercises the whole connector: Arrow write path, per-
+    file partitions, schema from header, typed decode.
+
+    Scale: the write is embarrassingly parallel (one .colf per task);
+    the read plans one InputPartition per file. The format itself is
+    the scale limiter (no intra-file splitting — SURVEY.md §4.3), which
+    is why file count == parallelism is part of the dataset convention.
+    """
+    from .datasource import register as register_ds
+
+    register_ds(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("int").alias("l_orderkey"),
+        F.col("l_linenumber").alias("l_linenumber"),
+        F.col("l_quantity").alias("l_quantity"),
+        F.col("l_extendedprice").alias("l_extendedprice"),
+        F.col("l_returnflag").alias("l_returnflag"),
+    )
+    path = tempfile.mkdtemp(prefix="colf_rt_")
+    li.write.format("colf").mode("overwrite").save(path)
+    back = spark.read.format("colf").load(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.sum("l_linenumber").cast("bigint").alias("sum_line"),
+        F.min(F.col("l_orderkey").cast("bigint")).alias("min_key"),
+        F.max(F.col("l_orderkey").cast("bigint")).alias("max_key"),
+    )

@@ -24,9 +24,13 @@ from pyspark.sql import functions as F
 
 from ..registry import register, table
 
+# 8 hashes in 2 bands of 4: pair-collision probability j^4-ish per
+# band — a 0.9-Jaccard near-dup collides with p≈0.93, a 0.5-Jaccard
+# unrelated doc with p≈0.12. (3-char shingles with 2-row bands made
+# ~half of all pairs candidates on word-soup corpora — useless.)
 N_HASHES = 8          # minhash signature length
-BAND_ROWS = 2         # rows per LSH band → 4 bands
-SHINGLE_K = 3         # character shingle width (on ws-normalized text)
+BAND_ROWS = 4         # rows per LSH band → 2 bands
+SHINGLE_K = 5         # character shingle width (on ws-normalized text)
 
 
 def normalized(c: Column) -> Column:
@@ -45,8 +49,8 @@ def shingles(c: Column, k: int = SHINGLE_K) -> Column:
 
 
 SQL_SHINGLES = (
-    "list_distinct(list_transform(range(1, greatest(length({t}) - 2, 1) + 1),"
-    " i -> substr({t}, i, 3)))"
+    f"list_distinct(list_transform(range(1, greatest(length({{t}}) - {SHINGLE_K - 1}, 1) + 1),"
+    f" i -> substr({{t}}, i, {SHINGLE_K})))"
 )
 
 
@@ -96,8 +100,8 @@ _JACCARD_SQL = f"""
 
 @register("q51_ngram_jaccard", oracle=_JACCARD_SQL)
 def q51_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise character-3-gram Jaccard similarity (docs 0-39, pairs
-    above 0.5). Explode-join-count: |A∩B| via equi-join on shingle,
+    """Pairwise character-SHINGLE_K-gram Jaccard similarity (docs 0-39,
+    pairs above 0.5). Explode-join-count: |A∩B| via equi-join on shingle,
     |A∪B| = |A|+|B|−|A∩B|. The doc_id<40 cap bounds the demo; the
     scale path for all-pairs similarity is q52's LSH candidates."""
     d = (

@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: image/audio/video as opaque BinaryType
+columns with typed metadata, processed via Arrow-batched mapInPandas.
+
+The actual media codecs (PIL/ffmpeg/torchaudio) are NOT in this
+container, so the decode step is stubbed two ways:
+- ``decode_image_stub``: raises NotImplementedError — the honest
+  production hook where a real codec plugs in;
+- ``fake_decode``: a deterministic pure-Python "decoder" (derives
+  width/height/format from the blob bytes) so the Spark-side plumbing
+  — schema, batch iteration, partitioning, UDF signature — is fully
+  exercised by tests.
+
+Scale: mapInPandas streams Arrow batches, so peak memory per task is
+one batch (spark.sql.execution.arrow.maxRecordsPerBatch), not one
+partition — the only safe shape for 100 MB+ media blobs. Feature
+extraction keyed per asset is a pure map stage: no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOB_SCHEMA = ("doc_id long, modality string, blob binary, "
+               "source string")
+FEATURE_SCHEMA = ("doc_id long, modality string, byte_len int, "
+                  "width int, height int, checksum string")
+
+
+def synthesize_blobs(documents: DataFrame) -> DataFrame:
+    """Deterministic fake media blobs from document text (md5-derived
+    bytes repeated to a content-dependent length) — same shape a real
+    pipeline has after fetching bytes from object storage."""
+    blob = F.unhex(
+        F.concat(F.md5(F.col("text")), F.md5(F.concat(F.lit("b|"), F.col("text"))))
+    )
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return documents.select(
+        "doc_id", modality.alias("modality"), blob.alias("blob"), "source"
+    )
+
+
+def decode_image_stub(blob: bytes) -> tuple[int, int]:
+    """Production decode hook — a real deployment plugs PIL/cv2 in
+    here. Unavailable in this environment by design."""
+    raise NotImplementedError(
+        "media codecs are not installed in this environment; "
+        "use fake_decode for tests or plug a real codec in here")
+
+
+def fake_decode(blob: bytes) -> tuple[int, int]:
+    """Deterministic stand-in decoder: dimensions derived from blob
+    bytes (stable across runs/engines)."""
+    w = 16 + blob[0] % 64
+    h = 16 + blob[1] % 64
+    return w, h
+
+
+def extract_features(blobs: DataFrame, decode=fake_decode) -> DataFrame:
+    """Arrow-batched feature extraction over binary media columns.
+
+    The pandas iterator shape (Iterator[pd.DataFrame] ->
+    Iterator[pd.DataFrame]) keeps per-task memory bounded by batch
+    size regardless of partition size.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [decode(b) for b in pdf["blob"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "modality": pdf["modality"],
+                "byte_len": [len(b) for b in pdf["blob"]],
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+                "checksum": [hashlib.md5(b).hexdigest() for b in pdf["blob"]],
+            })
+
+    return blobs.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(blobs: DataFrame, every_nth: int = 4) -> DataFrame:
+    """Video 'frame sampling' over the fake blobs: split each blob into
+    8-byte frames, keep every nth — exercises the explode/posexplode
+    shape a real frame sampler has (one output row per kept frame)."""
+    frames = F.transform(
+        F.sequence(
+            F.lit(0),
+            (F.octet_length("blob") / 8).cast("int") - 1,
+        ),
+        lambda i: F.substring(F.col("blob"), (i * 8 + 1).cast("int"), 8),
+    )
+    return (
+        blobs.filter(F.col("modality") == "video")
+        .select("doc_id", F.posexplode(frames).alias("frame_no", "frame"))
+        .filter(F.col("frame_no") % every_nth == 0)
+        .select("doc_id", "frame_no", F.md5(F.col("frame")).alias("frame_digest"))
+    )

@@ -1,0 +1,53 @@
+"""Multimodal plumbing: binary columns, mapInPandas feature extraction
+with the stubbed codec, frame sampling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    from columnar_format_spark.functions.multimodal import synthesize_blobs
+    from columnar_format_spark.registry import table
+
+    return synthesize_blobs(table(spark, SF_SMALL, "documents")).cache()
+
+
+def test_blob_schema_and_determinism(blobs):
+    assert dict(blobs.dtypes)["blob"] == "binary"
+    a = {r["doc_id"]: r["blob"] for r in blobs.collect()}
+    b = {r["doc_id"]: r["blob"] for r in blobs.collect()}
+    assert a == b
+    assert all(len(v) == 32 for v in a.values())  # two md5 halves
+
+
+def test_extract_features_fake_codec(blobs):
+    from columnar_format_spark.functions.multimodal import extract_features
+
+    feats = extract_features(blobs)
+    rows = feats.collect()
+    assert len(rows) == blobs.count()
+    for r in rows[:20]:
+        assert r["byte_len"] == 32
+        assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
+        assert len(r["checksum"]) == 32
+
+
+def test_decode_stub_raises():
+    from columnar_format_spark.functions.multimodal import decode_image_stub
+
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x00\x01")
+
+
+def test_frame_sample(blobs):
+    from columnar_format_spark.functions.multimodal import frame_sample
+
+    frames = frame_sample(blobs, every_nth=2)
+    n_video = blobs.filter(F.col("modality") == "video").count()
+    rows = frames.collect()
+    # 32-byte blobs → 4 frames of 8 bytes → keep frames 0 and 2
+    assert len(rows) == 2 * n_video
+    assert set(r["frame_no"] for r in rows) == {0, 2}

@@ -1,0 +1,32 @@
+"""Similarity-search quality checks beyond the oracle gate."""
+
+import columnar_format_spark.queries  # noqa: F401  (registers queries)
+
+from tests.conftest import SF_SMALL
+
+
+def test_ann_recall_vs_exact(spark):
+    """LSH-bucketed ANN must recover a reasonable share of the exact
+    top-k pairs (8 hyperplanes / 256 buckets on 500 vectors is a
+    coarse index; recall is traded for a 256x candidate reduction)."""
+    from columnar_format_spark.registry import QUERIES
+
+    exact = QUERIES["q60_cosine_topk"].fn(spark, SF_SMALL).collect()
+    approx = QUERIES["q62_ann_lsh"].fn(spark, SF_SMALL).collect()
+    exact_pairs = {(r["qid"], r["cid"]) for r in exact}
+    approx_pairs = {(r["qid"], r["cid"]) for r in approx}
+    assert exact_pairs, "exact baseline empty"
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.2, f"ANN recall collapsed: {recall}"
+    # every ANN hit must be a genuine neighbor score (cosine in [-1,1])
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in approx)
+
+
+def test_minhash_candidates_are_sparse(spark):
+    """LSH candidates must prune the pair space, not reproduce it."""
+    from columnar_format_spark.registry import QUERIES, table
+
+    n_docs = table(spark, SF_SMALL, "documents").count()
+    n_pairs = n_docs * (n_docs - 1) // 2
+    cands = QUERIES["q52_minhash_lsh"].fn(spark, SF_SMALL).count()
+    assert cands < 0.2 * n_pairs, (cands, n_pairs)
