@@ -129,11 +129,30 @@ def q51_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def word_bigrams(c: Column) -> Column:
+    """Distinct word-bigram shingles (the standard unit for document-
+    level MinHash: ~#tokens shingles per doc, 5x fewer than char
+    k-grams — that ratio is the q52 hashing cost at 100 TB)."""
+    toks = F.split(c, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return F.array_distinct(F.when(F.size(toks) < 2, F.array(c)).otherwise(grams))
+
+
+SQL_WORD_BIGRAMS = (
+    "list_distinct(CASE WHEN len(regexp_split_to_array({t}, ' ')) < 2 THEN [{t}] "
+    "ELSE list_transform(range(1, len(regexp_split_to_array({t}, ' '))), "
+    "i -> regexp_split_to_array({t}, ' ')[i] || ' ' || regexp_split_to_array({t}, ' ')[i+1]) END)"
+)
+
+
 def _minhash_sig_df(d: DataFrame) -> DataFrame:
     """(doc_id, seed, mh): per-doc minhash for N_HASHES md5-keyed
     'permutations' — mh = MIN(md5(seed||shingle)), a string-valued
     MinHash that is engine-portable."""
-    ex = d.select("doc_id", F.explode(shingles(normalized(F.col("text")))).alias("s"))
+    ex = d.select("doc_id", F.explode(word_bigrams(normalized(F.col("text")))).alias("s"))
     seeds = F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed")
     return (
         ex.select("doc_id", "s", seeds)
@@ -146,7 +165,7 @@ def _minhash_sig_df(d: DataFrame) -> DataFrame:
 
 _MINHASH_SQL = f"""
     WITH ex AS (
-      SELECT doc_id, unnest({_SQL_SHINGLES_NORM}) AS s
+      SELECT doc_id, unnest({SQL_WORD_BIGRAMS.format(t=SQL_NORM_TEXT)}) AS s
       FROM documents),
     hashed AS (
       SELECT doc_id, seed, md5(concat(seed, '|', s)) AS h

@@ -95,11 +95,16 @@ def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k collapses to per-partition heaps under WindowGroupLimit.
     """
     e = table(spark, sf_dir, "embeddings")
+    # norms once per vector BEFORE the pair join (not per pair — at n
+    # candidates × q queries that's the difference between n+q and
+    # 2·n·q norm computations)
     q = (
         e.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+                dec_norm(F.col("embedding")).alias("qnorm"))
     )
-    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+                 dec_norm(F.col("embedding")).alias("cnorm"))
     from pyspark.sql import Window
 
     scored = (
@@ -107,10 +112,8 @@ def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cid") != F.col("qid"))
         .select(
             "qid", "cid",
-            (
-                dec_dot(F.col("qe"), F.col("ce")).cast("double")
-                / (dec_norm(F.col("qe")) * dec_norm(F.col("ce")))
-            ).alias("cosine"),
+            (dec_dot(F.col("qe"), F.col("ce")).cast("double")
+             / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
@@ -202,30 +205,29 @@ def q62_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = table(spark, sf_dir, "embeddings")
-    coded = e.withColumn("codes", _lsh_codes())
+    coded = e.withColumn("codes", _lsh_codes()).withColumn(
+        "norm", dec_norm(F.col("embedding")))  # norm once per vector
     ex = coded.select(
-        "vec_id", "embedding",
+        "vec_id", "embedding", "norm",
         F.posexplode("codes").alias("tbl", "code"),
     )
     q = (
         ex.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
-                "tbl", "code")
+                F.col("norm").alias("qnorm"), "tbl", "code")
     )
     c = ex.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
-                  "tbl", "code")
+                  F.col("norm").alias("cnorm"), "tbl", "code")
     candidates = (
         c.join(F.broadcast(q), ["tbl", "code"])
         .filter(F.col("cid") != F.col("qid"))
-        .select("qid", "qe", "cid", "ce")
+        .select("qid", "qe", "qnorm", "cid", "ce", "cnorm")
         .dropDuplicates(["qid", "cid"])
     )
     scored = candidates.select(
         "qid", "cid",
-        (
-            dec_dot(F.col("qe"), F.col("ce")).cast("double")
-            / (dec_norm(F.col("qe")) * dec_norm(F.col("ce")))
-        ).alias("cosine"),
+        (dec_dot(F.col("qe"), F.col("ce")).cast("double")
+         / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (
