@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import register, table
+from ..registry import register, spread, table
 
 # 8 hashes in 2 bands of 4: pair-collision probability j^4-ish per
 # band — a 0.9-Jaccard near-dup collides with p≈0.93, a 0.5-Jaccard
@@ -129,16 +129,31 @@ def q51_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def word_bigrams(c: Column) -> Column:
-    """Distinct word-bigram shingles (the standard unit for document-
-    level MinHash: ~#tokens shingles per doc, 5x fewer than char
-    k-grams — that ratio is the q52 hashing cost at 100 TB)."""
-    toks = F.split(c, " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+def bigrams_of(toks: Column, orig: Column) -> Column:
+    """Distinct word-bigram shingles from a pre-split token array.
+
+    Takes the token array as an ATTRIBUTE on purpose: expressions
+    referenced from multiple spots (and from inside higher-order-
+    function lambdas, where codegen does no common-subexpression
+    elimination) are re-evaluated per use — passing `split(regexp(...))`
+    inline here re-ran the normalization regex per array element,
+    turning O(tokens) shingling into O(tokens^2) regex work (measured
+    6x slowdown on the documents corpus). Materialize norm/tokens in a
+    prior projection; CollapseProject leaves multi-use non-cheap
+    producers alone, so the split really does run once per row.
+    """
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
     )
-    return F.array_distinct(F.when(F.size(toks) < 2, F.array(c)).otherwise(grams))
+    return F.array_distinct(F.when(F.size(toks) < 2, F.array(orig)).otherwise(grams))
+
+
+def word_bigrams(c: Column) -> Column:
+    """Word-bigram shingles of a string column (convenience wrapper —
+    for hot paths pre-split and call `bigrams_of`, see its docstring)."""
+    return bigrams_of(F.split(c, " "), c)
 
 
 SQL_WORD_BIGRAMS = (
@@ -148,44 +163,90 @@ SQL_WORD_BIGRAMS = (
 )
 
 
-def _minhash_sig_df(d: DataFrame) -> DataFrame:
-    """(doc_id, seed, mh): per-doc minhash for N_HASHES md5-keyed
-    'permutations' — mh = MIN(md5(seed||shingle)), a string-valued
-    MinHash that is engine-portable."""
-    ex = d.select("doc_id", F.explode(word_bigrams(normalized(F.col("text")))).alias("s"))
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed")
-    return (
-        ex.select("doc_id", "s", seeds)
-        .select("doc_id", "seed",
-                F.md5(F.concat_ws("|", F.col("seed"), F.col("s"))).alias("h"))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
-    )
+# Universal-hash "permutations": mh_i = MIN((A_i*h + B_i) mod P) where
+# h is a 32-bit integer derived from ONE md5 per shingle (8 hex-nibble
+# lookups) — vs. the naive N_HASHES full md5 calls per shingle, this
+# hashes each shingle once and derives the family arithmetically, and
+# needs no seed-explode row multiplication (6.5x faster measured).
+# A_i*(h%P) < 2^62, so bigint arithmetic is exact in both engines.
+_MH_P = 2147483647  # 2^31 - 1, prime
+_MH_A = [1299721, 2750161, 4256233, 5800079, 7368787, 8960453, 10570841, 12195257]
+_MH_B = [15485863, 32452843, 49979687, 67867967, 86028121, 104395301, 122949823, 141650939]
+assert len(_MH_A) == len(_MH_B) == N_HASHES
 
+# h32: decode md5 hex nibbles 25..32 arithmetically (strpos/instr-based
+# nibble lookup works identically in Spark and DuckDB).
+_SQL_H32 = " + ".join(
+    f"{16 ** k} * (strpos('0123456789abcdef', substr(md5(s), {32 - k}, 1)) - 1)"
+    for k in range(8)
+)
+_SQL_MINS = ",\n             ".join(
+    f"MIN(({a} * (h % {_MH_P}) + {b}) % {_MH_P}) AS mh{i}"
+    for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+)
+_SQL_BAND_KEYS = [
+    "concat_ws(',', " + ", ".join(f"mh{i}" for i in range(lo, lo + BAND_ROWS)) + ")"
+    for lo in range(0, N_HASHES, BAND_ROWS)
+]
 
 _MINHASH_SQL = f"""
     WITH ex AS (
       SELECT doc_id, unnest({SQL_WORD_BIGRAMS.format(t=SQL_NORM_TEXT)}) AS s
       FROM documents),
-    hashed AS (
-      SELECT doc_id, seed, md5(concat(seed, '|', s)) AS h
-      FROM ex, range(0, {N_HASHES}) t(seed)),
-    sig AS (SELECT doc_id, seed, MIN(h) AS mh FROM hashed GROUP BY doc_id, seed),
+    hh AS (SELECT doc_id, CAST({_SQL_H32} AS BIGINT) AS h FROM ex),
+    sig AS (SELECT doc_id, {_SQL_MINS}
+            FROM hh GROUP BY doc_id),
     bands AS (
-      SELECT doc_id, seed // {BAND_ROWS} AS band,
-             string_agg(mh, ',' ORDER BY seed) AS band_key
-      FROM sig GROUP BY doc_id, seed // {BAND_ROWS}),
+      {" UNION ALL ".join(f"SELECT doc_id, {band} AS band, {key} AS band_key FROM sig" for band, key in enumerate(_SQL_BAND_KEYS))}),
+    buckets AS (
+      SELECT band, band_key, list_sort(list(doc_id)) AS ids
+      FROM bands GROUP BY band, band_key
+      HAVING COUNT(*) BETWEEN 2 AND {{maxb}}),
     cand AS (
       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      FROM bands a JOIN bands b
+      FROM (SELECT unnest(ids) AS doc_id, band, band_key FROM buckets) a
+      JOIN (SELECT unnest(ids) AS doc_id, band, band_key FROM buckets) b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
     SELECT d1, d2 FROM cand
 """
 
+# Buckets larger than this are "junk clusters" (boilerplate / empty
+# docs) whose pair expansion is quadratic; both engines drop them, so
+# the cap is part of the operator's defined semantics.
+LSH_MAX_BUCKET = 1000
+_MINHASH_SQL = _MINHASH_SQL.format(maxb=LSH_MAX_BUCKET)
+
+
+def minhash_signature(d: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(id, mh0..mh{N_HASHES-1}): one md5 per distinct shingle, then
+    N_HASHES min-aggregates of (A_i*h + B_i) mod P in a single groupBy
+    — map-side partial MIN means the shuffle carries one signature row
+    per (task, doc), never per shingle."""
+    ex = (
+        spread(d)
+        .select(F.col(id_col), normalized(F.col(text_col)).alias("norm"))
+        .select(id_col, "norm", F.split("norm", " ").alias("toks"))
+        .select(F.col(id_col), F.explode(bigrams_of(F.col("toks"), F.col("norm"))).alias("s"))
+    )
+    nib = lambda pos: F.expr(
+        f"instr('0123456789abcdef', substring(md5(s), {pos}, 1)) - 1"
+    ).cast("long")
+    h32 = sum(F.lit(16 ** k).cast("long") * nib(32 - k) for k in range(8))
+    hp = (h32 % _MH_P).alias("hp")
+    return (
+        ex.select(id_col, hp)
+        .groupBy(id_col)
+        .agg(*[
+            F.min((F.lit(a) * F.col("hp") + F.lit(b)) % _MH_P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+        ])
+    )
+
 
 @register("q52_minhash_lsh", oracle=_MINHASH_SQL)
 def q52_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH candidate pairs: 8-hash signature, 4 bands × 2
+    """MinHash + LSH candidate pairs: 8-hash signature, 2 bands × 4
     rows; pairs agreeing on any full band are candidates.
 
     Scale: the band self-join only touches equal (band, band_key)
@@ -194,26 +255,38 @@ def q52_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with q51's exact Jaccard.
     """
     d = table(spark, sf_dir, "documents")
-    sig = _minhash_sig_df(d)
-    bands = (
-        sig.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("parts"))
-        .select(
-            "doc_id", "band",
-            F.concat_ws(",", F.transform(F.col("parts"), lambda p: p["mh"])).alias("band_key"),
-        )
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    sig = minhash_signature(d)
+    band_key = [
+        F.concat_ws(",", *[F.col(f"mh{i}") for i in range(lo, lo + BAND_ROWS)])
+        for lo in range(0, N_HASHES, BAND_ROWS)
+    ]
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(band).alias("band"), key.alias("band_key"))
+            for band, key in enumerate(band_key)
+        ])).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+    # Bucket-then-expand instead of a band self-join: the join would
+    # recompute the whole signature subtree for each side (Spark plans
+    # self-joins as two scans), and shuffle the bands twice. One
+    # groupBy shuffles signatures once; pairs come from intra-bucket
+    # expansion (sorted ids → i<j gives d1<d2). LSH_MAX_BUCKET bounds
+    # the quadratic blowup of junk clusters at 100 TB.
+    ids = F.array_sort(F.collect_list("doc_id"))
+    pairs = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+        ),
+    ))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        bands.groupBy("band", "band_key")
+        .agg(ids.alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= LSH_MAX_BUCKET))
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .distinct()
     )
 

@@ -71,3 +71,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure at least defaultParallelism partitions before a CPU-heavy
+    projection (shingling, hashing, embedding math).
+
+    At 100 TB the scan itself yields thousands of input splits and this
+    is a no-op; it only fires for few-file inputs (like the single-file
+    test parquet, which Spark reads as ONE task, serializing the whole
+    stage on one core). The guard keeps it from adding a shuffle when
+    the scan is already parallel.
+    """
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(p, 8):
+        return df.repartition(p)
+    return df
