@@ -56,9 +56,10 @@ from .format import (
     ColfColumn,
     ColfFormatError,
     ColfSchema,
-    read_columns,
+    read_columns_arrow,
     read_schema,
     write_colf,
+    write_colf_arrow,
 )
 
 SPARK_TO_COLF = {"int": "int32", "double": "float64", "string": "utf8"}
@@ -112,16 +113,9 @@ class ColfReader(DataSourceReader):
     def read(self, partition: ColfInputPartition):
         import pyarrow as pa
 
-        file_schema = read_schema(partition.file)
         wanted = self.columns or [f.name for f in self.schema.fields]
-        data = read_columns(partition.file, wanted)
-        arrays, names = [], []
-        types = {c.name: c.type for c in file_schema.columns}
-        pa_types = {"int32": pa.int32(), "float64": pa.float64(), "utf8": pa.string()}
-        for name in wanted:
-            arrays.append(pa.array(data[name], type=pa_types[types[name]]))
-            names.append(name)
-        yield pa.RecordBatch.from_arrays(arrays, names=names)
+        data = read_columns_arrow(partition.file, wanted)
+        yield pa.RecordBatch.from_arrays([data[n] for n in wanted], names=wanted)
 
 
 @dataclass
@@ -148,17 +142,15 @@ class ColfWriter(DataSourceArrowWriter):
         num_rows = sum(b.num_rows for b in batches)
         if num_rows == 0:
             return ColfCommitMessage(file=None)  # no empty part files
-        columns: dict[str, list] = {}
-        for i, col in enumerate(self.colf_columns):
-            chunks = []
-            for b in batches:
-                chunks.extend(b.column(i).to_pylist())
-            columns[col.name] = chunks
+        chunks = {
+            col.name: [b.column(i) for b in batches]
+            for i, col in enumerate(self.colf_columns)
+        }
         os.makedirs(self.path, exist_ok=True)
         fname = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.colf"
         target = os.path.join(self.path, fname)
         tmp = target + ".tmp"
-        write_colf(tmp, ColfSchema(num_rows, self.colf_columns), columns)
+        write_colf_arrow(tmp, ColfSchema(num_rows, self.colf_columns), chunks)
         os.rename(tmp, target)
         return ColfCommitMessage(file=target)
 

@@ -27,6 +27,13 @@ Divergences from the reference implementation (deliberate, SURVEY.md §7):
   struct.error (writer.py:111);
 - 0-row files are valid (the reference writer crashes on empty input,
   writer.py:153-154, while its reader supports 0 rows, reader.py:239-251).
+- valid EMPTY strings round-trip through OUR reader but are outside the
+  reference's value domain (its CSV ingest maps ""⇒NULL, writer.py:47-50,
+  so its writer never emits one); the reference reader's end-scan
+  (reader.py:142-153) cannot distinguish a valid "" from the next
+  string's start and misreads such files. Engine-written files
+  containing "" are spec-layout-valid but only faithfully readable by
+  this codec.
 """
 
 from __future__ import annotations
@@ -147,19 +154,8 @@ def encode_column(values: list, dtype: str) -> tuple[bytes, bool]:
     return b"".join(parts), has_nulls
 
 
-def write_colf(path: str, schema: ColfSchema, columns: dict[str, list]) -> None:
-    """Write one .colf file. ``columns`` maps name -> value list (None
-    for NULL); every column must have schema.num_rows values."""
-    blocks: list[tuple[bytes, int, bool]] = []
-    for col in schema.columns:
-        values = columns[col.name]
-        if len(values) != schema.num_rows:
-            raise ColfFormatError(
-                f"column '{col.name}' has {len(values)} rows, schema says {schema.num_rows}")
-        payload, has_nulls = encode_column(values, col.type)
-        comp = zlib.compress(payload)
-        blocks.append((comp, len(payload), has_nulls))
-
+def _write_blocks(path: str, schema: ColfSchema,
+                  blocks: list[tuple[bytes, int, bool]]) -> None:
     schema_json = schema.to_json_bytes()
     meta_size = META_ENTRY_SIZE * len(schema.columns)
     header_size = 4 + len(schema_json) + meta_size
@@ -178,6 +174,98 @@ def write_colf(path: str, schema: ColfSchema, columns: dict[str, list]) -> None:
             offset += len(comp)
         for comp, _, _ in blocks:
             f.write(comp)
+
+
+def write_colf(path: str, schema: ColfSchema, columns: dict[str, list]) -> None:
+    """Write one .colf file. ``columns`` maps name -> value list (None
+    for NULL); every column must have schema.num_rows values."""
+    blocks: list[tuple[bytes, int, bool]] = []
+    for col in schema.columns:
+        values = columns[col.name]
+        if len(values) != schema.num_rows:
+            raise ColfFormatError(
+                f"column '{col.name}' has {len(values)} rows, schema says {schema.num_rows}")
+        payload, has_nulls = encode_column(values, col.type)
+        blocks.append((zlib.compress(payload), len(payload), has_nulls))
+    _write_blocks(path, schema, blocks)
+
+
+def write_colf_arrow(path: str, schema: ColfSchema,
+                     columns: dict[str, list]) -> None:
+    """Write one .colf file from pyarrow chunks: ``columns`` maps name
+    -> list of pa.Array chunks. Same bytes as write_colf, no per-value
+    Python (the Spark DataSourceArrowWriter hot path)."""
+    blocks: list[tuple[bytes, int, bool]] = []
+    for col in schema.columns:
+        chunks = columns[col.name]
+        n = sum(len(c) for c in chunks)
+        if n != schema.num_rows:
+            raise ColfFormatError(
+                f"column '{col.name}' has {n} rows, schema says {schema.num_rows}")
+        payload, has_nulls = encode_column_arrow(chunks, col.type)
+        blocks.append((zlib.compress(payload), len(payload), has_nulls))
+    _write_blocks(path, schema, blocks)
+
+
+def encode_column_arrow(chunks: list, dtype: str) -> tuple[bytes, bool]:
+    """Encode a column given as a list of pyarrow Arrays (the Spark
+    Arrow write path) without materializing Python objects: null mask,
+    numeric data, and string offsets/blob all come straight from Arrow
+    buffers via numpy. Byte-identical output to encode_column
+    (null rows keep offset 0, like /root/reference/writer.py:131)."""
+    import pyarrow as pa
+
+    if dtype not in TYPE_TAGS:
+        raise ColfFormatError(f"Unknown COLF type: {dtype}")
+    n = sum(len(c) for c in chunks)
+    if n == 0:
+        return encode_column([], dtype)
+    null_np = np.concatenate([
+        c.is_null().to_numpy(zero_copy_only=False) for c in chunks])
+    has_nulls = bool(null_np.any())
+
+    parts = [struct.pack("<BB", TYPE_TAGS[dtype], 1 if has_nulls else 0)]
+    if has_nulls:
+        parts.append(_null_bitmap(null_np))
+
+    if dtype in ("int32", "float64"):
+        import pyarrow.compute as pc
+
+        np_dtype = "<i4" if dtype == "int32" else "<f8"
+        fill = 0 if dtype == "int32" else 0.0
+        vals = np.concatenate([
+            pc.fill_null(c, fill).to_numpy(zero_copy_only=False) for c in chunks])
+        parts.append(np.ascontiguousarray(vals, dtype=np_dtype).tobytes())
+    else:  # utf8
+        offsets_out = np.zeros(n, dtype="<u4")
+        blob_parts: list[bytes] = []
+        pos = 0
+        row0 = 0
+        for c in chunks:
+            c = c.cast(pa.string())
+            m = len(c)
+            offs = np.frombuffer(c.buffers()[1], dtype="<i4",
+                                 count=m + 1, offset=c.offset * 4)
+            valid = ~c.is_null().to_numpy(zero_copy_only=False)
+            if (~valid).any() and (offs[1:][~valid] != offs[:-1][~valid]).any():
+                # Arrow allows null slots with nonzero extent (garbage
+                # bytes); rare — take the value-at-a-time path instead
+                all_values = [v for ch in chunks for v in ch.to_pylist()]
+                return encode_column(all_values, dtype)
+            rel = (offs[:-1] - offs[0] + pos).astype("<u4")
+            out_slice = offsets_out[row0:row0 + m]
+            out_slice[valid] = rel[valid]
+            nbytes = int(offs[-1] - offs[0])
+            if nbytes:
+                data = c.buffers()[2]
+                blob_parts.append(data.to_pybytes()[offs[0]:offs[-1]])
+            pos += nbytes
+            row0 += m
+        if pos > 0xFFFFFFFF:
+            raise ColfFormatError("utf8 blob exceeds u32 offset space")
+        parts.append(offsets_out.tobytes())
+        parts.extend(blob_parts)
+    return b"".join(parts), has_nulls
 
 
 # ---------------------------------------------------------------------------
@@ -271,6 +359,96 @@ def decode_column(payload: bytes, dtype: str, num_rows: int, has_nulls: bool) ->
         for i in np.flatnonzero(nulls).tolist():
             out[i] = None
     return out
+
+
+def decode_column_arrow(payload: bytes, dtype: str, num_rows: int,
+                        has_nulls: bool):
+    """Decode an uncompressed payload straight to a pyarrow Array —
+    numpy views over the payload buffers, no per-value Python. Falls
+    back to the list decoder for non-UTF8 string blocks (the reference
+    bytes-fallback, reader.py:155-159, has no Arrow representation)."""
+    import pyarrow as pa
+
+    mv = memoryview(payload)
+    if len(mv) < 2:
+        raise ColfFormatError("Payload shorter than 2-byte header")
+    nulls, data_off = decode_nulls(mv, num_rows, has_nulls)
+    mask = nulls if has_nulls else None
+
+    if dtype == "int32":
+        arr = np.frombuffer(mv[data_off:data_off + 4 * num_rows], dtype="<i4")
+        if arr.size < num_rows:
+            raise ColfFormatError("Unexpected end of int32 data")
+        return pa.array(arr, type=pa.int32(), mask=mask)
+    if dtype == "float64":
+        arr = np.frombuffer(mv[data_off:data_off + 8 * num_rows], dtype="<f8")
+        if arr.size < num_rows:
+            raise ColfFormatError("Unexpected end of float64 data")
+        return pa.array(arr, type=pa.float64(), mask=mask)
+    if dtype != "utf8":
+        raise ColfFormatError(f"Unknown dtype: {dtype}")
+
+    offs = np.frombuffer(mv[data_off:data_off + 4 * num_rows], dtype="<u4")
+    if offs.size < num_rows:
+        raise ColfFormatError("Unexpected end of offsets array")
+    blob = mv[data_off + 4 * num_rows:]
+    # rebuild n+1 Arrow offsets: valid rows get [start, end) from the
+    # next valid row's start (else blob end); null rows get 0 extent
+    lens = np.zeros(num_rows, dtype=np.int64)
+    valid_idx = np.flatnonzero(~nulls)
+    if valid_idx.size:
+        starts = offs[valid_idx].astype(np.int64)
+        ends = np.empty_like(starts)
+        ends[:-1] = starts[1:]
+        ends[-1] = len(blob)
+        lens[valid_idx] = ends - starts
+    arrow_offs = np.zeros(num_rows + 1, dtype="<i4")
+    np.cumsum(lens, out=arrow_offs[1:])
+    data = blob[int(offs[valid_idx[0]]) if valid_idx.size else 0:]
+    buffers = [
+        pa.py_buffer(np.packbits(~nulls, bitorder="little").tobytes())
+        if has_nulls else None,
+        pa.py_buffer(arrow_offs.tobytes()),
+        pa.py_buffer(bytes(data[:int(arrow_offs[-1])])),
+    ]
+    arr = pa.Array.from_buffers(pa.string(), num_rows, buffers,
+                                null_count=int(nulls.sum()) if has_nulls else 0)
+    try:
+        arr.validate(full=True)  # rejects non-UTF8 (reference fallback case)
+        return arr
+    except pa.lib.ArrowInvalid:
+        return pa.array(decode_column(payload, dtype, num_rows, has_nulls),
+                        type=pa.string())
+
+
+def read_columns_arrow(path: str, columns: list[str]) -> dict[str, "object"]:
+    """Selective read returning pyarrow Arrays (same I/O discipline as
+    read_columns: seek + read only the requested blocks)."""
+    import pyarrow as pa
+
+    with open(path, "rb") as f:
+        schema, metas, _ = read_header(f)
+        index = {c.name: i for i, c in enumerate(schema.columns)}
+        out: dict[str, object] = {}
+        for name in columns:
+            if name not in index:
+                raise KeyError(f"Column not found: {name}")
+            i = index[name]
+            meta = metas[i]
+            col = schema.columns[i]
+            if meta.comp_size == 0:
+                pa_t = {"int32": pa.int32(), "float64": pa.float64(),
+                        "utf8": pa.string()}[col.type]
+                out[name] = pa.nulls(schema.num_rows, type=pa_t)
+                continue
+            f.seek(meta.offset)
+            comp = f.read(meta.comp_size)
+            if len(comp) != meta.comp_size:
+                raise ColfFormatError("Failed to read full compressed column block")
+            payload = zlib.decompress(comp)
+            out[name] = decode_column_arrow(payload, col.type,
+                                            schema.num_rows, meta.has_nulls)
+        return out
 
 
 def read_columns(path: str, columns: list[str]) -> dict[str, list]:

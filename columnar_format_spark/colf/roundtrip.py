@@ -11,7 +11,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import register, table
+from ..registry import register, spread, table
 
 
 @register(
@@ -41,7 +41,7 @@ def q70_colf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datasource import register as register_ds
 
     register_ds(spark)
-    li = table(spark, sf_dir, "lineitem").select(
+    li = spread(table(spark, sf_dir, "lineitem")).select(
         F.col("l_orderkey").cast("int").alias("l_orderkey"),
         F.col("l_linenumber").alias("l_linenumber"),
         F.col("l_quantity").alias("l_quantity"),
