@@ -41,7 +41,16 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -98,6 +107,76 @@ class ColfInputPartition(InputPartition):
     file: str
 
 
+MANIFEST_NAME = "_manifest.json"
+
+
+def manifest_path(dataset_dir: str) -> str:
+    return os.path.join(dataset_dir, MANIFEST_NAME)
+
+
+def load_manifest(path: str) -> dict:
+    """{file basename: {"num_rows": n, "columns": {name: {"min","max",
+    "null_count"}}}} — empty when the sidecar is absent (e.g. files
+    written by the reference writer dropped into the dataset dir)."""
+    import json
+
+    if not os.path.isdir(path):
+        return {}
+    mp = manifest_path(path)
+    if not os.path.exists(mp):
+        return {}
+    try:
+        with open(mp) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}  # corrupt manifest → prune nothing, stay correct
+
+
+def _file_may_match(stats: dict, flt: Filter) -> bool:
+    """Conservative zone-map check: False only when NO row in the file
+    can satisfy `flt`. Row-level filtering stays with Spark (pushFilters
+    returns every filter as still-needed), so pruning can only skip
+    whole files — a wrong True costs I/O, a wrong False loses rows,
+    hence every unknown case returns True."""
+    attr = getattr(flt, "attribute", None)
+    if not attr or len(attr) != 1:
+        return True
+    col = stats.get("columns", {}).get(attr[0])
+    if col is None:
+        return True
+    mn, mx = col.get("min"), col.get("max")
+    nulls = col.get("null_count")
+    nrows = stats.get("num_rows")
+    if isinstance(flt, IsNull):
+        return nulls is None or nulls > 0
+    if isinstance(flt, IsNotNull):
+        return nulls is None or nrows is None or nulls < nrows
+    if mn is None or mx is None:  # all-null column: no comparison matches
+        return isinstance(flt, (IsNull,))
+    v = getattr(flt, "value", None)
+
+    def cmp_ok(a, b) -> bool:
+        return isinstance(a, (int, float)) == isinstance(b, (int, float)) and not (
+            isinstance(a, bool) or isinstance(b, bool))
+
+    if isinstance(flt, In):
+        vals = [x for x in flt.value if x is not None and cmp_ok(x, mn)]
+        return any(mn <= x <= mx for x in vals) if vals else True
+    if v is None or not cmp_ok(v, mn):
+        return True
+    if isinstance(flt, EqualTo):
+        return mn <= v <= mx
+    if isinstance(flt, GreaterThan):
+        return mx > v
+    if isinstance(flt, GreaterThanOrEqual):
+        return mx >= v
+    if isinstance(flt, LessThan):
+        return mn < v
+    if isinstance(flt, LessThanOrEqual):
+        return mn <= v
+    return True
+
+
 class ColfReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
         self.path = options.get("path")
@@ -106,9 +185,36 @@ class ColfReader(DataSourceReader):
         cols_opt = options.get("columns")
         self.columns = [c.strip() for c in cols_opt.split(",") if c.strip()] if cols_opt else None
         self.schema = schema
+        self.pushed: list[Filter] = []
+
+    def pushFilters(self, filters):
+        """Record conjuncts usable for manifest file-skipping. ALL
+        filters are returned (Spark re-applies them row-level): the
+        format has no row groups, so pushdown here means skipping
+        whole files via the _manifest.json zone maps — the same
+        design as parquet footer min/max, kept format-compatible by
+        living in a sidecar (SURVEY.md §4.3/M6)."""
+        self.pushed = [
+            f for f in filters
+            if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
+                              LessThan, LessThanOrEqual, In, IsNull, IsNotNull))
+        ]
+        return filters
 
     def partitions(self):
-        return [ColfInputPartition(f) for f in dataset_files(self.path)]
+        files = dataset_files(self.path)
+        if self.pushed:
+            manifest = load_manifest(self.path)
+            if manifest:
+                kept = []
+                for f in files:
+                    stats = manifest.get(os.path.basename(f))
+                    if stats is None or all(
+                        _file_may_match(stats, flt) for flt in self.pushed
+                    ):
+                        kept.append(f)
+                files = kept
+        return [ColfInputPartition(f) for f in files]
 
     def read(self, partition: ColfInputPartition):
         import pyarrow as pa
@@ -121,6 +227,26 @@ class ColfReader(DataSourceReader):
 @dataclass
 class ColfCommitMessage(WriterCommitMessage):
     file: str | None
+    stats: dict | None = None
+
+
+def _chunk_stats(chunks: list, num_rows: int) -> dict:
+    """Per-column min/max/null_count zone maps for the manifest."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = {}
+    for name, chunk_list in chunks.items():
+        arr = pa.chunked_array(chunk_list)
+        entry = {"null_count": int(arr.null_count)}
+        if arr.null_count < len(arr):
+            mm = pc.min_max(arr)
+            entry["min"] = mm["min"].as_py()
+            entry["max"] = mm["max"].as_py()
+        else:
+            entry["min"] = entry["max"] = None
+        cols[name] = entry
+    return {"num_rows": num_rows, "columns": cols}
 
 
 class ColfWriter(DataSourceArrowWriter):
@@ -152,14 +278,17 @@ class ColfWriter(DataSourceArrowWriter):
         tmp = target + ".tmp"
         write_colf_arrow(tmp, ColfSchema(num_rows, self.colf_columns), chunks)
         os.rename(tmp, target)
-        return ColfCommitMessage(file=target)
+        return ColfCommitMessage(file=target, stats=_chunk_stats(chunks, num_rows))
 
     def commit(self, messages):
+        import json
+
         written = {m.file for m in messages if m and m.file}
         if self.overwrite and os.path.isdir(self.path):
             for f in os.listdir(self.path):
                 full = os.path.join(self.path, f)
-                if full not in written and (f.endswith(".colf") or f.endswith(".tmp")):
+                if full not in written and (f.endswith(".colf") or f.endswith(".tmp")
+                                            or f == MANIFEST_NAME):
                     os.remove(full)
         existing = dataset_files(self.path) if os.path.isdir(self.path) else []
         if not written and not existing:
@@ -169,6 +298,17 @@ class ColfWriter(DataSourceArrowWriter):
             target = os.path.join(self.path, "part-00000-empty.colf")
             write_colf(target, ColfSchema(0, self.colf_columns),
                        {c.name: [] for c in self.colf_columns})
+        # sidecar zone-map manifest for reader-side file skipping
+        # (format-compatible: extra file, not a format change — M6)
+        manifest = {} if self.overwrite else load_manifest(self.path)
+        for m in messages:
+            if m and m.file and m.stats:
+                manifest[os.path.basename(m.file)] = m.stats
+        if manifest:
+            tmp = manifest_path(self.path) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.rename(tmp, manifest_path(self.path))
 
     def abort(self, messages):
         for m in messages:

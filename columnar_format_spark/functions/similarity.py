@@ -152,6 +152,60 @@ def q61_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_CAP = 500        # pair-scored subset for the exact-oracle demo
+NEARDUP_THRESHOLD = 0.4  # this corpus is near-orthogonal (max ~0.51)
+
+_NEARDUP_SQL = f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt(CAST({SQL_DOT.format(a='embedding', b='embedding')} AS DOUBLE)) AS nrm
+      FROM embeddings WHERE vec_id < {NEARDUP_CAP}),
+    pairs AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+             (CAST({SQL_DOT.format(a='a.embedding', b='b.embedding')} AS DOUBLE)
+              / (a.nrm * b.nrm)) AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE a.nrm > 0 AND b.nrm > 0)
+    SELECT v1, v2, cosine FROM pairs WHERE cosine >= {NEARDUP_THRESHOLD}
+"""
+
+
+@register("q54_embedding_neardup", oracle=_NEARDUP_SQL)
+def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all pairs in a capped
+    subset whose exact-decimal cosine clears the threshold — the
+    similarity-based member of the dedup family (exact q50, MinHash
+    q52, SimHash q53).
+
+    Scale: the all-pairs form is the oracle-checkable demo; at corpus
+    scale the identical scorer runs on q62's LSH candidate pairs
+    instead of the cross product (bucket join → threshold → connected
+    components for cluster dedup).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    v = (
+        e.filter(F.col("vec_id") < NEARDUP_CAP)
+        .select("vec_id", "embedding", dec_norm(F.col("embedding")).alias("nrm"))
+        .filter(F.col("nrm") > 0)
+    )
+    # left side drives the pair-scoring parallelism: the nested-loop
+    # join output inherits its partitioning (the filtered subset is one
+    # scan task otherwise, serializing 125k decimal dot products)
+    a = spread(v).select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"),
+                         F.col("nrm").alias("n1"))
+    b = v.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"),
+                 F.col("nrm").alias("n2"))
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .select(
+            "v1", "v2",
+            (dec_dot(F.col("e1"), F.col("e2")).cast("double")
+             / (F.col("n1") * F.col("n2"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+    )
+
+
 def _projection_matrix(n_planes: int) -> list[list[float]]:
     """Deterministic pseudo-random 64-d hyperplanes derived from md5 —
     reproducible across runs/engines without RNG state."""

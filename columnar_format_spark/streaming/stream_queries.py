@@ -1,0 +1,167 @@
+"""Structured Streaming pipelines as oracle-checked registry queries.
+
+Each entry stages the events table as a parquet file stream, runs the
+pipeline with ``trigger(availableNow=True)`` into a memory sink, and
+returns the drained table. The stream is bounded, so the final state
+equals the batch answer and an exact DuckDB oracle applies — the same
+pipelines are exercised with multi-batch triggers (where watermarks
+actually drop late data) in tests/test_streaming.py.
+
+Determinism: the oracle entries run the whole stage as ONE micro-batch
+(no maxFilesPerTrigger); with multiple batches the file arrival order
+would decide which events fall behind the watermark — real streaming
+behavior, but not reproducible in an engine-vs-oracle hash compare.
+
+The reference has no streaming surface (SURVEY.md §2.2); these define
+the engine's streaming semantics per BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register, table
+from .pipelines import (
+    dedup_within_watermark,
+    session_windows,
+    tumbling_counts,
+)
+
+# staged stream-input dirs, keyed by (sf_dir, variant) — staging writes
+# the (micros-timestamp) events table once per session as an 8-file
+# parquet directory the file source can tail
+_STAGED: dict[tuple[str, str], str] = {}
+
+
+def _stage_events(spark: SparkSession, sf_dir: str, variant: str = "plain") -> str:
+    key = (sf_dir, variant)
+    if key in _STAGED:
+        return _STAGED[key]
+    ev = table(spark, sf_dir, "events")
+    if variant == "doubled":
+        ev = ev.unionAll(ev)  # exact duplicate of every row
+    d = tempfile.mkdtemp(prefix=f"stream_{variant}_")
+    ev.repartition(8).write.mode("overwrite").parquet(d)
+    _STAGED[key] = d
+    return d
+
+
+def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a bounded stream to completion into a memory table."""
+    name = "q_" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def _events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    from .pipelines import EVENT_SCHEMA
+
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(src_dir)
+
+
+@register(
+    "q80_stream_tumbling",
+    oracle="""
+    SELECT strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q80_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling-window counts/sums per event_type, computed by
+    Structured Streaming (watermark + window aggregation, memory sink,
+    availableNow). Bounded input ⇒ final state == batch groupBy, which
+    is what the oracle checks.
+
+    Scale: stateful agg keyed by (window, type); state is bounded by
+    the watermark horizon, so an unbounded stream holds ~horizon/hour
+    windows per type regardless of total volume.
+    """
+    src = _stage_events(spark, sf_dir)
+    out = _drain(tumbling_counts(_events_stream(spark, src)), "complete")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+@register(
+    "q81_stream_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800
+                  OR LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked)
+    SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           user_id, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def q81_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min gap) via native streaming
+    session_window. Oracle is the gaps-and-islands formulation; Spark
+    merges events whose half-open [t, t+gap) windows overlap, so a gap
+    of exactly 30:00 starts a NEW session (>= in the oracle, unlike
+    batch q33's >).
+
+    Scale: session state is per live (user, session) and closes at the
+    watermark — the canonical unbounded-stream sessionization.
+    """
+    src = _stage_events(spark, sf_dir)
+    out = _drain(session_windows(_events_stream(spark, src)), "complete")
+    return out.select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "user_id", "n_events",
+    )
+
+
+@register(
+    "q82_stream_dedup",
+    oracle="""
+    SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           user_id, event_type, value
+    FROM events
+    """,
+)
+def q82_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup: the stream carries every
+    event TWICE (staged doubled); dropDuplicatesWithinWatermark keeps
+    one row per event_id, so the output equals the original table —
+    exactly what the oracle asserts. Duplicate rows are byte-identical,
+    so the surviving-row choice is immaterial.
+
+    Scale: state holds only ids within the watermark horizon — the
+    bounded-memory form of exact dedup on an unbounded stream.
+    """
+    src = _stage_events(spark, sf_dir, variant="doubled")
+    out = _drain(dedup_within_watermark(_events_stream(spark, src)), "append")
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "user_id", "event_type", "value",
+    )

@@ -1,0 +1,122 @@
+"""Zone-map file skipping: the writer's _manifest.json sidecar + the
+reader's pushFilters let a filtered scan open only the files whose
+min/max ranges can match (the COLF format itself has no row groups or
+stats — SPEC has offsets+sizes only — so pruning lives beside it)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    IsNull,
+    LessThanOrEqual,
+)
+
+from columnar_format_spark.colf.datasource import (
+    ColfReader,
+    MANIFEST_NAME,
+    load_manifest,
+    register,
+)
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def ranged_dataset(spark, tmp_path_factory):
+    """orders keyed into 8 disjoint o_orderkey ranges, one file each."""
+    register(spark)
+    d = str(tmp_path_factory.mktemp("colf_zonemap"))
+    (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            F.col("o_totalprice").alias("o_totalprice"),
+            F.col("o_orderpriority").alias("o_orderpriority"),
+        )
+        .repartitionByRange(8, "o_orderkey")
+        .write.format("colf").mode("overwrite").save(d)
+    )
+    return d
+
+
+def _reader(d, pushed):
+    r = ColfReader({"path": d}, None)
+    r.pushFilters(pushed)
+    return r
+
+
+def test_manifest_written(ranged_dataset):
+    m = load_manifest(ranged_dataset)
+    files = [f for f in os.listdir(ranged_dataset) if f.endswith(".colf")]
+    assert set(m) == set(files) and len(files) == 8
+    for stats in m.values():
+        assert stats["num_rows"] > 0
+        assert stats["columns"]["o_orderkey"]["min"] <= stats["columns"]["o_orderkey"]["max"]
+
+
+def test_point_lookup_scans_one_file(spark, ranged_dataset):
+    m = load_manifest(ranged_dataset)
+    some_key = min(s["columns"]["o_orderkey"]["min"] for s in m.values())
+    parts = _reader(ranged_dataset, [EqualTo(("o_orderkey",), some_key)]).partitions()
+    assert len(parts) == 1
+    # and the query result through Spark is still exact
+    got = (
+        spark.read.format("colf").load(ranged_dataset)
+        .filter(F.col("o_orderkey") == some_key).count()
+    )
+    want = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .filter(F.col("o_orderkey") == some_key).count()
+    )
+    assert got == want > 0
+
+
+def test_range_filter_prunes(spark, ranged_dataset):
+    m = load_manifest(ranged_dataset)
+    cut = sorted(s["columns"]["o_orderkey"]["min"] for s in m.values())[6]
+    parts = _reader(ranged_dataset, [GreaterThan(("o_orderkey",), cut)]).partitions()
+    assert 1 <= len(parts) <= 2  # only the top range files remain
+    got = (
+        spark.read.format("colf").load(ranged_dataset)
+        .filter(F.col("o_orderkey") > cut)
+        .agg(F.sum(F.col("o_orderkey").cast("bigint"))).first()[0]
+    )
+    want = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .filter(F.col("o_orderkey") > cut)
+        .agg(F.sum(F.col("o_orderkey").cast("bigint"))).first()[0]
+    )
+    assert got == want
+
+
+def test_unprunable_cases_keep_all_files(ranged_dataset):
+    # string column spans all files; IsNull on a non-null column prunes
+    # everything; unknown column prunes nothing
+    all_parts = _reader(ranged_dataset, []).partitions()
+    assert len(all_parts) == 8
+    assert len(_reader(ranged_dataset,
+                       [LessThanOrEqual(("o_totalprice",), 1e12)]).partitions()) == 8
+    assert len(_reader(ranged_dataset, [IsNull(("o_orderkey",))]).partitions()) == 0
+    assert len(_reader(ranged_dataset, [EqualTo(("nope",), 1)]).partitions()) == 8
+
+
+def test_files_without_manifest_entry_survive(ranged_dataset):
+    # simulate a foreign .colf dropped into the dataset (e.g. written by
+    # the reference writer): absent from the manifest → never pruned
+    m = load_manifest(ranged_dataset)
+    victim = sorted(m)[0]
+    stats = m.pop(victim)
+    with open(os.path.join(ranged_dataset, MANIFEST_NAME), "w") as f:
+        json.dump(m, f)
+    try:
+        parts = _reader(ranged_dataset,
+                        [EqualTo(("o_orderkey",), -999999)]).partitions()
+        assert [os.path.basename(p.file) for p in parts] == [victim]
+    finally:
+        m[victim] = stats
+        with open(os.path.join(ranged_dataset, MANIFEST_NAME), "w") as f:
+            json.dump(m, f)
