@@ -87,6 +87,48 @@ def dedup_within_watermark(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (event count, value total in cents) kept in explicit
+    group state — the shape any bespoke accumulator (fraud score,
+    rate limiter, session model) takes when window/dedup built-ins
+    don't fit.
+
+    Values aggregate as integer cents (np.rint(value*100)): exact and
+    order-independent, so results are identical however the shuffle
+    delivers rows — double addition here would make output depend on
+    arrival order.
+
+    Scale: state is one small tuple per live user, partitioned by the
+    groupBy key; Arrow batches stream through the Python worker, so a
+    hot key never materializes more than one batch.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(np.rint(pdf["value"].to_numpy() * 100).astype(np.int64).sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]})
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, n_events long, sum_cents long",
+            stateStructType="n long, cents long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "append"):
     """Drain a bounded file stream into an in-memory table; returns the

@@ -28,6 +28,7 @@ from ..registry import register, table
 from .pipelines import (
     dedup_within_watermark,
     session_windows,
+    stateful_user_totals,
     tumbling_counts,
 )
 
@@ -165,3 +166,23 @@ def q82_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         "user_id", "event_type", "value",
     )
+
+
+@register(
+    "q83_stream_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def q83_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals in explicit group state. Single bounded
+    batch ⇒ the update-mode output is one final row per user, equal to
+    the batch aggregation (integer-cents arithmetic makes the total
+    order-independent, hence oracle-exact).
+    """
+    src = _stage_events(spark, sf_dir)
+    out = _drain(stateful_user_totals(_events_stream(spark, src)), "update")
+    return out.select("user_id", "n_events", "sum_cents")

@@ -1,0 +1,86 @@
+"""Physical-plan regression tests: the scale properties that make
+these queries viable at 100 TB are plan shapes, not outputs — broadcast
+joins for small dims, filter/column pushdown into the parquet scan,
+whole-stage codegen on the hot paths, rank-limit pushdown for top-k.
+A refactor that silently turns a broadcast join into a sort-merge join
+or drops a pushed filter passes the value tests but fails here."""
+
+import contextlib
+import io
+
+import pytest
+
+import columnar_format_spark.queries  # noqa: F401  (registers)
+from columnar_format_spark.registry import QUERIES
+
+from tests.conftest import SF_SMALL
+
+
+def plan_of(spark, name: str, mode: str = "formatted",
+            executed: bool = False) -> str:
+    df = QUERIES[name].fn(spark, SF_SMALL)
+    if executed:
+        # AQE only annotates codegen ids in the final plan, and only
+        # for THIS DataFrame's own execution (count() would plan a
+        # different query)
+        df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    """q15 joins lineitem against orders/customer/nation/region: every
+    dimension side must broadcast — a shuffle join on region (5 rows)
+    would add four needless exchanges of the fact table."""
+    plan = plan_of(spark, "q15_star_revenue_by_region")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_broadcast_star_plan(spark):
+    plan = plan_of(spark, "q10_join_broadcast_star")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_reaches_parquet_scan(spark):
+    """q02's shipdate predicate must appear in PushedFilters, and the
+    scan schema must carry only the projected columns."""
+    plan = plan_of(spark, "q02_filter_project")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_shipdate" in pushed, pushed
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_comment" not in read_schema  # untouched wide column pruned
+
+
+def test_aggregation_is_partial_then_final(spark):
+    """q01 must plan map-side partial aggregation: two HashAggregate
+    nodes around one Exchange, so the shuffle carries one row per
+    (task, group), not per input row."""
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_topk_window_uses_group_limit(spark):
+    """q20's row_number()<=k must plan a WindowGroupLimit (per-partition
+    top-k heaps) instead of fully sorting every group."""
+    plan = plan_of(spark, "q20_window_topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+@pytest.mark.parametrize("name", [
+    "q01_pricing_summary", "q10_join_broadcast_star",
+    "q15_star_revenue_by_region", "q20_window_topk_per_group",
+    "q33_sessionize", "q50_dedup_exact",
+])
+def test_relational_hot_paths_stay_jvm_side(spark, name):
+    """No Python evaluation nodes in the relational/dedup hot paths:
+    everything stays inside whole-stage codegen. (Pandas-UDF queries
+    like q62 are exempt by design — vectorized Python is their point.)"""
+    plan = plan_of(spark, name, executed=True)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "codegen id" in plan
