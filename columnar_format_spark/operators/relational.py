@@ -852,3 +852,87 @@ def q33_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str(F.min("ts")).alias("session_start"),
         ts_str(F.max("ts")).alias("session_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew handling & time-series rollups
+
+SALT_BUCKETS = 8
+
+
+@register(
+    "q18_salted_skew_join",
+    oracle=f"""
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_rows,
+           {sql_dsum('l.l_extendedprice')} AS sum_price,
+           {sql_dsum('o.o_totalprice')} AS sum_order_total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_returnflag
+    """,
+)
+def q18_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact-fact join, provably result-identical to the
+    plain join (the oracle IS the unsalted join): the probe side gets a
+    deterministic salt (l_linenumber % SALT_BUCKETS), the build side is
+    replicated once per salt value, and the join key becomes
+    (orderkey, salt) — a hot orderkey's rows now spread over
+    SALT_BUCKETS reducers instead of one.
+
+    Scale: this is the manual fallback when AQE's skew-join splitting
+    can't help (e.g. a single key beyond any split threshold, or
+    aggregation-after-join pinned to the same partitioning). The cost
+    is SALT_BUCKETS× replication of the build side — pick the smallest
+    salt that caps the hottest reducer. Salt must be DERIVED (not
+    random): retries/speculative tasks must salt identically.
+    """
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_linenumber") % SALT_BUCKETS).cast("int"))
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1))))
+    joined = li.join(
+        orders,
+        (li["l_orderkey"] == orders["o_orderkey"]) & (li["salt"] == orders["salt"]),
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+        dsum(F.col("o_totalprice")).alias("sum_order_total"),
+    )
+
+
+@register(
+    "q36_time_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day_bucket,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 1 THEN NULL
+                ELSE strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') END AS hour_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
+                            (date_trunc('day', ts)))
+    """,
+)
+def q36_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hourly and daily
+    continuous-aggregate rows produced in ONE pass via grouping sets
+    (the hour level reuses the day grouping's shuffle; a real
+    deployment materializes this incrementally per arriving partition).
+
+    Scale: one shuffle keyed by the finest bucket; coarser levels are
+    merged map-side by the grouping-sets expansion rather than
+    rescanning the fact table per resolution.
+    """
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_rollup_src")
+    return spark.sql(f"""
+        SELECT date_format(date_trunc('day', ts), 'yyyy-MM-dd HH:mm:ss') AS day_bucket,
+               CASE WHEN grouping(date_trunc('hour', ts)) = 1 THEN NULL
+                    ELSE date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss') END AS hour_bucket,
+               COUNT(1) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events_rollup_src
+        GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
+                                (date_trunc('day', ts)))
+    """)

@@ -120,3 +120,24 @@ def test_files_without_manifest_entry_survive(ranged_dataset):
         m[victim] = stats
         with open(os.path.join(ranged_dataset, MANIFEST_NAME), "w") as f:
             json.dump(m, f)
+
+
+def test_compaction_preserves_data_and_manifest(spark, ranged_dataset, tmp_path):
+    import shutil
+
+    from columnar_format_spark.colf.maintenance import compact
+
+    d = str(tmp_path / "ds")
+    shutil.copytree(ranged_dataset, d)
+    before = spark.read.format("colf").load(d)
+    want_rows = before.count()
+    want_sum = before.agg(F.sum(F.col("o_orderkey").cast("bigint"))).first()[0]
+
+    assert compact(spark, d, 2) == 2
+    after = spark.read.format("colf").load(d)
+    assert after.count() == want_rows
+    assert after.agg(F.sum(F.col("o_orderkey").cast("bigint"))).first()[0] == want_sum
+    m = load_manifest(d)
+    assert len(m) == 2  # zone maps rebuilt for the compacted files
+    files = {f for f in os.listdir(d) if f.endswith(".colf")}
+    assert set(m) == files
