@@ -273,6 +273,76 @@ def _vec_udfs():
     return _UDFS
 
 
+IVF_K = 16       # coarse-quantizer centroids
+IVF_NPROBE = 4   # clusters probed per query
+
+
+@register("q63_ann_ivf", oracle=None)  # iterative fit + probe policy → rows-only
+def q63_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted file) coarse quantization: fit KMeans
+    (IVF_K centroids, fixed seed) over the embeddings, assign every
+    vector to its nearest centroid, probe the IVF_NPROBE nearest
+    centroids per query, score exactly within probed clusters, top-k.
+    The iterative KMeans fit is the genuinely non-SQL-expressible part
+    (driver records rows-only); recall vs exact q60 is asserted in
+    tests/test_similarity.py.
+
+    Scale: the fit runs on a sample/subset in production (centroids
+    are a k×dim driver-side array — tiny); assignment is one map pass;
+    the probe join is an equi-join on cluster id touching nprobe/k of
+    the corpus per query — the standard first tier of FAISS-style
+    IVF indexes, with the recall dial (nprobe) explicit.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    u = _vec_udfs()
+    e = (
+        spread(table(spark, sf_dir, "embeddings"))
+        .select("vec_id", "embedding", u["norm"]("embedding").alias("norm"))
+        .filter(F.col("norm") > 0)
+        .withColumn("vec", array_to_vector(F.col("embedding").cast("array<double>")))
+    )
+    # fit on a deterministic ~20% subset: centroid quality converges
+    # long before the full corpus is seen (the production pattern — at
+    # 100 TB the quantizer trains on a sample, never the corpus)
+    km = KMeans(k=IVF_K, seed=7, maxIter=8, featuresCol="vec",
+                predictionCol="cluster").fit(e.filter(F.col("vec_id") % 5 == 0))
+    centers = np.vstack(km.clusterCenters())  # k × 64, driver-side
+
+    @F.pandas_udf("array<int>")
+    def probe_clusters(emb):
+        import pandas as pd
+
+        X = _stack(emb)
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, :IVF_NPROBE]
+        return pd.Series(order.tolist())
+
+    assigned = km.transform(e).select("vec_id", "embedding", "norm", "cluster")
+    q = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+                F.col("norm").alias("qnorm"),
+                F.explode(probe_clusters("embedding")).alias("cluster"))
+    )
+    c = assigned.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+                        F.col("norm").alias("cnorm"), "cluster")
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid",
+                (u["dot"]("qe", "ce") / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
 @register("q62_ann_lsh", oracle=None)  # bucketing-policy op → rows-only
 def q62_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table sign-random-projection LSH: LSH_TABLES hash

@@ -30,3 +30,18 @@ def test_minhash_candidates_are_sparse(spark):
     n_pairs = n_docs * (n_docs - 1) // 2
     cands = QUERIES["q52_minhash_lsh"].fn(spark, SF_SMALL).count()
     assert cands < 0.2 * n_pairs, (cands, n_pairs)
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF-probed ANN must recover most exact top-k pairs (nprobe=4 of
+    16 clusters probes ~25% of the corpus; near neighbors concentrate
+    in the query's own and adjacent clusters)."""
+    from columnar_format_spark.registry import QUERIES
+
+    exact = QUERIES["q60_cosine_topk"].fn(spark, SF_SMALL).collect()
+    approx = QUERIES["q63_ann_ivf"].fn(spark, SF_SMALL).collect()
+    exact_pairs = {(r["qid"], r["cid"]) for r in exact}
+    approx_pairs = {(r["qid"], r["cid"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in approx)
