@@ -34,6 +34,7 @@ HEADLINE = [
     "q62_ann_lsh",
     "q70_colf_roundtrip",
     "q80_stream_tumbling",
+    "q90_training_pipeline",
 ]
 
 

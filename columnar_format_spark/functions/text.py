@@ -168,3 +168,73 @@ def q44_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.substring(F.hex(blob), 1, 8)).alias("blob_head_hex"),
         F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("payload_bytes"),
     )
+
+
+@register(
+    "q90_training_pipeline",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id, source, lang, text,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+             (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                / length(text)) AS punct_ratio,
+             CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                       x -> list_contains({_SW_SQL}, x))) * 10
+                       > len(regexp_split_to_array(text, '\\s+'))
+                  THEN 1 ELSE 0 END AS is_english,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents),
+    filtered AS (
+      SELECT * FROM enriched WHERE n_tokens >= 10 AND punct_ratio <= 0.3),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        FROM filtered) WHERE rn = 1)
+    SELECT source, lang,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           (CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*)) AS avg_tokens,
+           CAST(SUM(is_english) AS BIGINT) AS n_englishy
+    FROM deduped
+    GROUP BY source, lang
+    """,
+)
+def q90_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite LLM-corpus pipeline, end to end in one plan:
+    quality filter (length + punctuation) → language-ID heuristic →
+    exact dedup (keep lowest doc_id per fingerprint) → per-(source,
+    lang) corpus stats. This is the query a training-data user actually
+    runs; q40-q43/q50-q54 are its unit pieces.
+
+    Scale: enrichment and filtering are pure map stages; dedup is one
+    shuffle on the 128-bit fingerprint (16 bytes/row, not the text);
+    the final rollup reuses nothing heavier than the deduped rows.
+    Catalyst pipelines the whole chain into two shuffle boundaries.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_chars = F.length(text)
+    n_tokens = F.size(ws_tokens(text))
+    punct_ratio = (
+        (n_chars - F.length(F.regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
+         ).cast("double") / n_chars)
+    sw = F.array([F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(ws_tokens(F.lower(text)), lambda x: F.array_contains(sw, x)))
+    enriched = d.select(
+        "doc_id", "source", "lang",
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        F.when(n_stop * 10 > n_tokens, 1).otherwise(0).alias("is_english"),
+        F.md5(F.lower(F.regexp_replace(text, "\\s+", " "))).alias("fingerprint"),
+    )
+    filtered = enriched.filter((F.col("n_tokens") >= 10) & (F.col("punct_ratio") <= 0.3))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = filtered.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.sum("is_english").cast("bigint").alias("n_englishy"),
+    )
