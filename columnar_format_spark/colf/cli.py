@@ -1,0 +1,97 @@
+"""CLI parity with the reference's entry points, so a user of
+satyakalla890/columnar-format can switch repos and keep their commands:
+
+  reference                                      this engine
+  python writer.py csv_to_custom in.csv out.colf  -> python -m columnar_format_spark.colf.cli csv_to_custom in.csv out.colf
+  python reader.py custom_to_csv in.colf out.csv  -> python -m columnar_format_spark.colf.cli custom_to_csv in.colf out.csv
+  python reader.py read_columns in.colf a,b       -> python -m columnar_format_spark.colf.cli read_columns in.colf a,b
+  (README-promised, missing in reference)         -> python -m columnar_format_spark.colf.cli inspect_header in.colf
+
+Argument order/shape mirrors /root/reference/writer.py:215-228 and
+reader.py:223-274. These run on the pure-Python codec (no Spark
+session): the reference's CLIs are single-file single-process tools and
+starting a JVM to convert one CSV would be the wrong trade. The Spark
+path for datasets is spark.read/write.format("colf").
+
+`inspect_header` exists here although the reference repo only promises
+it (README.md:56-57 references inspect_header.py; the file is absent).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import sys
+
+from . import csv_ingest_pure
+from .format import read_all, read_columns, read_schema
+
+
+def cli_csv_to_custom(argv: list[str]) -> int:
+    if len(argv) != 2:
+        print("usage: ... csv_to_custom <in.csv> <out.colf>", file=sys.stderr)
+        return 2
+    csv_ingest_pure.csv_file_to_colf(argv[0], argv[1])
+    return 0
+
+
+def cli_custom_to_csv(argv: list[str]) -> int:
+    if len(argv) != 2:
+        print("usage: ... custom_to_csv <in.colf> <out.csv>", file=sys.stderr)
+        return 2
+    schema = read_schema(argv[0])
+    names = [c.name for c in schema.columns]
+    data = read_all(argv[0])
+    with open(argv[1], "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(names)
+        for i in range(schema.num_rows):
+            w.writerow(["" if data[n][i] is None else data[n][i] for n in names])
+    return 0
+
+
+def cli_read_columns(argv: list[str]) -> int:
+    if len(argv) != 2:
+        print("usage: ... read_columns <in.colf> <col1,col2>", file=sys.stderr)
+        return 2
+    cols = [c for c in argv[1].split(",") if c]
+    data = read_columns(argv[0], cols)
+    n = len(next(iter(data.values()))) if data else 0
+    w = csv.writer(sys.stdout)
+    w.writerow(cols)
+    for i in range(n):
+        w.writerow(["" if data[c][i] is None else data[c][i] for c in cols])
+    return 0
+
+
+def cli_inspect_header(argv: list[str]) -> int:
+    if len(argv) != 1:
+        print("usage: ... inspect_header <in.colf>", file=sys.stderr)
+        return 2
+    schema = read_schema(argv[0])
+    print(json.dumps({
+        "num_rows": schema.num_rows,
+        "columns": [c.to_json() for c in schema.columns],
+    }, indent=2))
+    return 0
+
+
+COMMANDS = {
+    "csv_to_custom": cli_csv_to_custom,
+    "custom_to_csv": cli_custom_to_csv,
+    "read_columns": cli_read_columns,
+    "inspect_header": cli_inspect_header,
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] not in COMMANDS:
+        print(f"usage: python -m columnar_format_spark.colf.cli "
+              f"{{{'|'.join(COMMANDS)}}} ...", file=sys.stderr)
+        return 2
+    return COMMANDS[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

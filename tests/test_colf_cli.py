@@ -1,0 +1,106 @@
+"""CLI parity: our command surface mirrors the reference's writer.py /
+reader.py entry points, and our pure-Python ingest path produces files
+the REFERENCE reader decodes identically (and vice versa)."""
+
+import csv
+import json
+import subprocess
+import sys
+
+REF = "/root/reference"
+CLI = [sys.executable, "-m", "columnar_format_spark.colf.cli"]
+
+
+def write_csv(path, header, rows):
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(rows)
+
+
+SAMPLE = (["id", "price", "name", "note"],
+          [[1, 1.5, "alice", "x"],
+           [2, "", "böb  ", ""],            # blank price/note -> NULL
+           ["", 3.25, "日本語", "keep"]])    # blank id -> NULL
+
+
+def run(cmd, **kw):
+    return subprocess.run(cmd, capture_output=True, text=True, **kw)
+
+
+def test_roundtrip_through_our_cli(tmp_path):
+    csv_in = str(tmp_path / "in.csv")
+    colf = str(tmp_path / "t.colf")
+    csv_out = str(tmp_path / "out.csv")
+    write_csv(csv_in, *SAMPLE)
+    assert run(CLI + ["csv_to_custom", csv_in, colf], cwd="/root/repo").returncode == 0
+    assert run(CLI + ["custom_to_csv", colf, csv_out], cwd="/root/repo").returncode == 0
+    got = list(csv.reader(open(csv_out)))
+    assert got[0] == SAMPLE[0]
+    assert got[1] == ["1", "1.5", "alice", "x"]
+    assert got[2] == ["2", "", "böb  ", ""]       # whitespace kept, nulls -> ""
+    assert got[3] == ["", "3.25", "日本語", "keep"]
+
+
+def test_our_writer_reference_reader(tmp_path):
+    csv_in = str(tmp_path / "in.csv")
+    colf = str(tmp_path / "t.colf")
+    ref_out = str(tmp_path / "ref.csv")
+    write_csv(csv_in, *SAMPLE)
+    assert run(CLI + ["csv_to_custom", csv_in, colf], cwd="/root/repo").returncode == 0
+    r = run([sys.executable, f"{REF}/reader.py", "custom_to_csv", colf, ref_out], cwd=REF)
+    assert r.returncode == 0, r.stderr
+    got = list(csv.reader(open(ref_out)))
+    assert got[1] == ["1", "1.5", "alice", "x"]
+    assert got[3] == ["", "3.25", "日本語", "keep"]
+
+
+def test_reference_writer_our_cli_reader(tmp_path):
+    csv_in = str(tmp_path / "in.csv")
+    colf = str(tmp_path / "t.colf")
+    write_csv(csv_in, *SAMPLE)
+    r = run([sys.executable, f"{REF}/writer.py", "csv_to_custom", csv_in, colf], cwd=REF)
+    assert r.returncode == 0, r.stderr
+    out = run(CLI + ["read_columns", colf, "name,price"], cwd="/root/repo")
+    assert out.returncode == 0, out.stderr
+    got = list(csv.reader(out.stdout.splitlines()))
+    assert got[0] == ["name", "price"]
+    assert [row[0] for row in got[1:]] == ["alice", "böb  ", "日本語"]
+    assert [row[1] for row in got[1:]] == ["1.5", "", "3.25"]
+
+
+def test_inspect_header_and_missing_column(tmp_path):
+    csv_in = str(tmp_path / "in.csv")
+    colf = str(tmp_path / "t.colf")
+    write_csv(csv_in, *SAMPLE)
+    run(CLI + ["csv_to_custom", csv_in, colf], cwd="/root/repo")
+    out = run(CLI + ["inspect_header", colf], cwd="/root/repo")
+    doc = json.loads(out.stdout)
+    assert doc["num_rows"] == 3
+    assert [c["type"] for c in doc["columns"]] == ["int32", "float64", "utf8", "utf8"]
+    assert [c["nullable"] for c in doc["columns"]] == [True, True, False, True]
+    bad = run(CLI + ["read_columns", colf, "nope"], cwd="/root/repo")
+    assert bad.returncode != 0  # KeyError, like reader.py:176-177
+
+
+def test_header_only_csv_is_defined(tmp_path):
+    csv_in = str(tmp_path / "empty.csv")
+    colf = str(tmp_path / "t.colf")
+    csv_out = str(tmp_path / "out.csv")
+    write_csv(csv_in, ["a", "b"], [])
+    # reference writer raises here (SURVEY.md §5); engine defines it
+    assert run(CLI + ["csv_to_custom", csv_in, colf], cwd="/root/repo").returncode == 0
+    assert run(CLI + ["custom_to_csv", colf, csv_out], cwd="/root/repo").returncode == 0
+    assert list(csv.reader(open(csv_out))) == [["a", "b"]]
+    # and the reference READER accepts our 0-row file (its 0-row path
+    # is dead code in the reference repo, reader.py:239-251)
+    ref_out = str(tmp_path / "ref.csv")
+    r = run([sys.executable, f"{REF}/reader.py", "custom_to_csv", colf, ref_out], cwd=REF)
+    assert r.returncode == 0, r.stderr
+    assert list(csv.reader(open(ref_out))) == [["a", "b"]]
+
+
+def test_usage_errors():
+    assert run(CLI, cwd="/root/repo").returncode == 2
+    assert run(CLI + ["csv_to_custom", "onlyone"], cwd="/root/repo").returncode == 2
+    assert run(CLI + ["nonsense"], cwd="/root/repo").returncode == 2
