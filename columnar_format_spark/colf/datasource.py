@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -51,6 +52,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -65,6 +67,7 @@ from .format import (
     ColfColumn,
     ColfFormatError,
     ColfSchema,
+    read_columns,
     read_columns_arrow,
     read_schema,
     write_colf,
@@ -316,6 +319,106 @@ class ColfWriter(DataSourceArrowWriter):
                 os.remove(m.file)
 
 
+class ColfStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch source tailing a COLF dataset directory: each batch
+    reads the .colf files that appeared since the last offset (the same
+    append-only contract as Spark's file source). Offsets are the sorted
+    list of consumed file basenames — replayable, so a failed batch
+    re-reads exactly its files (readBetweenOffsets)."""
+
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ColfFormatError("colf stream reader requires a path")
+        self.schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def _rows_of(self, files: list[str]):
+        # materialized list, not a generator: Spark's prefetch cache
+        # copy.copy()s the returned iterator, which generators can't.
+        # Driver-side materialization is the documented trade of the
+        # Simple reader API (use DataSourceStreamReader for partition-
+        # level reads); per-batch volume = newly arrived files only.
+        names = [f.name for f in self.schema.fields]
+        rows = []
+        for fname in files:
+            full = os.path.join(self.path, fname)
+            data = read_columns(full, names)
+            n = len(data[names[0]]) if names else 0
+            rows.extend(tuple(data[c][i] for c in names) for i in range(n))
+        return iter(rows)
+
+    def read(self, start: dict):
+        seen = set(start.get("files", []))
+        now = [os.path.basename(f) for f in dataset_files(self.path)]
+        new = sorted(n for n in now if n not in seen)
+        end = {"files": sorted(seen | set(new))}
+        return self._rows_of(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        prev = set(start.get("files", []))
+        return self._rows_of(sorted(n for n in end.get("files", []) if n not in prev))
+
+    def commit(self, end: dict) -> None:
+        pass  # source files are immutable; nothing to clean up
+
+
+class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
+    """Micro-batch sink: one .colf part file per task per batch (the
+    batch writer's layout, applied incrementally), zone-map manifest
+    extended on every commit. abort() removes the batch's files, so a
+    retried micro-batch cannot double-append."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ColfFormatError("colf stream writer requires a path")
+        self.schema = schema
+        self.colf_columns = spark_to_colf_columns(schema)
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        batches = list(iterator)
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        num_rows = sum(b.num_rows for b in batches)
+        if num_rows == 0:
+            return ColfCommitMessage(file=None)
+        chunks = {
+            col.name: [b.column(i) for b in batches]
+            for i, col in enumerate(self.colf_columns)
+        }
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"part-s{pid:05d}-{uuid.uuid4().hex[:8]}.colf"
+        target = os.path.join(self.path, fname)
+        tmp = target + ".tmp"
+        write_colf_arrow(tmp, ColfSchema(num_rows, self.colf_columns), chunks)
+        os.rename(tmp, target)
+        return ColfCommitMessage(file=target, stats=_chunk_stats(chunks, num_rows))
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+
+        manifest = load_manifest(self.path)
+        changed = False
+        for m in messages:
+            if m and m.file and m.stats:
+                manifest[os.path.basename(m.file)] = m.stats
+                changed = True
+        if changed:
+            tmp = manifest_path(self.path) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.rename(tmp, manifest_path(self.path))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m and m.file and os.path.exists(m.file):
+                os.remove(m.file)
+
+
 class ColfDataSource(DataSource):
     """``spark.dataSource.register(ColfDataSource)`` then
     ``spark.read.format("colf").load(path)`` /
@@ -349,6 +452,12 @@ class ColfDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool):
         return ColfWriter(self.options, schema, overwrite)
+
+    def simpleStreamReader(self, schema: StructType):
+        return ColfStreamReader(self.options, schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return ColfStreamArrowWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:
