@@ -113,3 +113,47 @@ def q35_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT t.out_doc_id AS doc_id, t.token, t.pos
         FROM udtf_docs, LATERAL colf_tokenize(doc_id, text) t
     """)
+
+
+@register(
+    "q37_grouped_agg_pandas",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT) * user_id) AS BIGINT)
+             AS weighted_cents,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q37_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-AGGREGATE pandas UDF (one scalar out per group) — the
+    third pandas UDF flavor after scalar (q62) and grouped-map (q34).
+    The payload is a user_id-weighted cents total: integer arithmetic
+    inside numpy, so any accumulation order gives the oracle's exact
+    value. Spark refuses to mix grouped-agg pandas UDFs with built-in
+    aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
+    row count is a second pandas UDF.
+
+    Scale: the Python worker receives each group's column slices
+    (Arrow-batched), not per-row calls; one shuffle on the group key.
+    """
+    import numpy as np
+
+    # functionType passed explicitly: `from __future__ import
+    # annotations` stringifies type hints, which breaks pandas_udf's
+    # signature-based GROUPED_AGG inference
+    @F.pandas_udf("bigint", F.PandasUDFType.GROUPED_AGG)
+    def weighted_cents(value, user_id):
+        cents = np.rint(value.to_numpy() * 100).astype(np.int64)
+        return int((cents * user_id.to_numpy()).sum())
+
+    @F.pandas_udf("bigint", F.PandasUDFType.GROUPED_AGG)
+    def n_rows(value):
+        return len(value)
+
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        weighted_cents("value", "user_id").alias("weighted_cents"),
+        n_rows("value").alias("n"),
+    )

@@ -936,3 +936,44 @@ def q36_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
                                 (date_trunc('day', ts)))
     """)
+
+
+@register(
+    "q29_window_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           CAST(FIRST_VALUE(o_orderkey) OVER w AS BIGINT) AS first_key,
+           CAST(LAST_VALUE(o_orderkey) OVER
+                (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS BIGINT) AS last_key
+    FROM orders
+    WHERE o_orderkey < 5000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q29_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist (exact
+    rationals — identical in any engine) + first/last value over an
+    unbounded frame. Completes the window family beyond ranking (q20/
+    q24) and offsets (q22).
+
+    Scale: one shuffle on the partition key; the unbounded-following
+    frame for last_value requires the full partition, which is why the
+    key (priority) must be low-cardinality-safe or pre-bucketed.
+    """
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w).cast("bigint").alias("first_key"),
+        F.last("o_orderkey").over(w_full).cast("bigint").alias("last_key"),
+    )
