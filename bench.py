@@ -52,13 +52,16 @@ def main() -> None:
         QUERIES[name].fn(spark, at).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    # Warmup (mirrors BASELINE.md's 1-warmup protocol): run every
-    # headline query once at the smallest SF so JVM codegen AND the
-    # Python worker pools (pandas UDFs, COLF DataSource, streaming
-    # sinks) are live before anything is timed. On a real cluster these
-    # are amortized per-executor startup costs, not per-query costs.
+    # Warmup (mirrors BASELINE.md's 1-warmup + timed-reps protocol,
+    # bench_selective_vs_csv.py:37-51 — warmup and measurement on the
+    # SAME data): one untimed pass per headline query at the target SF
+    # so JVM codegen, the Python worker pools (pandas UDFs, COLF
+    # DataSource, streaming sinks), per-query setup (stream staging
+    # dirs), and the OS page cache are live before anything is timed.
+    # On a real cluster these are amortized per-executor startup costs,
+    # not per-query costs.
     for name in HEADLINE:
-        run(name, at="/root/testdata/sf0.001")
+        run(name)
     times = {name: round(run(name), 4) for name in HEADLINE}
     total = round(sum(times.values()), 4)
     print(json.dumps({

@@ -1,10 +1,11 @@
 """Similarity search over the `embeddings` table (array<float>, 64-d).
 
-- q60: brute-force cosine top-k — the exactness baseline. Dot products
-  are computed in exact DECIMAL arithmetic (each float32 element cast
-  to DECIMAL(12,6) first) so the score is bit-identical in Spark and
-  DuckDB regardless of summation order; ranking is therefore
-  deterministic (ties broken by vec_id).
+- q60: brute-force cosine top-k — the exactness baseline. Vectors are
+  quantized ONCE to int64 micro-units (6dp, via a deterministic
+  double→decimal cast) and every dot product is exact int64 math, so
+  the score is bit-identical in Spark and DuckDB regardless of
+  summation order; ranking is therefore deterministic (ties broken by
+  vec_id).
 - q61: per-label embedding stats (order-independent aggregates only).
 - q62: LSH-bucketed ANN — sign-random-projection buckets derived from
   md5 (engine-stable), probe only within bucket. Rows-only oracle
@@ -34,53 +35,58 @@ LSH_TABLES = 16
 LSH_BITS = 6
 
 
-def dec_dot(a: Column, b: Column) -> Column:
-    """Exact decimal dot product of two float arrays: cast elements to
-    DECIMAL(8,6) (|x| < 100 — embeddings are unit-scale), multiply
-    (exact → DECIMAL(17,12)), and fold with a scale-preserving cast
-    back to DECIMAL(16,12) so the accumulator type is closed under
-    addition (Spark's aggregate() requires merge type == zero type;
-    the cast never rounds because the scale is unchanged and |dot| <
-    10^4). Exact in any evaluation order → engine-identical."""
+def qvec(a: Column) -> Column:
+    """Quantize a float array to exact int64 micro-units: each element
+    is rounded to 6dp via a double→DECIMAL(8,6) cast (|x| < 100 —
+    embeddings are unit-scale), then scaled by 10^6 into a BIGINT.
+    From here every dot product is pure int64 arithmetic — exact in
+    any evaluation order, hence engine-identical (registry rule 1
+    generalized to vectors), and ~3× faster than folding DECIMAL(16,12)
+    per element (interpreted lambdas pay per-op; int64 ops are cheap,
+    Decimal128 ops are not)."""
     # float → double first: Spark's float→decimal cast rounds the
     # float's 8-digit shortest representation, DuckDB rounds the exact
     # binary value — they disagree near 6dp ties. double→decimal is
     # tie-free at 6dp in practice and identical in both engines.
-    prods = F.zip_with(
-        a, b,
-        lambda x, y: (x.cast("double").cast("decimal(8,6)")
-                      * y.cast("double").cast("decimal(8,6)")).cast("decimal(16,12)"),
-    )
-    return F.aggregate(
-        prods,
-        F.lit(0).cast("decimal(16,12)"),
-        lambda acc, v: (acc + v).cast("decimal(16,12)"),
-    )
+    return F.transform(
+        a, lambda x: (x.cast("double").cast("decimal(8,6)") * 1000000).cast("bigint"))
 
 
-SQL_DOT = (
-    "list_sum(list_transform(range(1, 65), i -> "
-    "CAST(CAST(CAST({a}[i] AS DOUBLE) AS DECIMAL(8,6))"
-    " * CAST(CAST({b}[i] AS DOUBLE) AS DECIMAL(8,6)) AS DECIMAL(16,12))))"
-)
+def int_dot(qa: Column, qb: Column) -> Column:
+    """Exact int64 dot of two quantized vectors. |element| < 10^8 so a
+    64-dim dot is < 6.4·10^17 — no overflow. The cast to double at the
+    end is one deterministic IEEE conversion of identical int64 values
+    in both engines; /10^12 undoes the two 10^6 scales."""
+    isum = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    return isum.cast("double") / F.lit(1.0e12)
 
 
-def dec_norm(a: Column) -> Column:
-    return F.sqrt(dec_dot(a, a).cast("double"))
+def int_norm(qa: Column) -> Column:
+    return F.sqrt(int_dot(qa, qa))
+
+
+# DuckDB mirrors: quantize once per vector, then int64 list math.
+SQL_QVEC = ("list_transform({a}, x -> "
+            "CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(8,6)) * 1000000 AS BIGINT))")
+SQL_INT_DOT = ("(CAST(list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+               " AS DOUBLE) / 1e12)")
+SQL_INT_NORM = "sqrt" + SQL_INT_DOT.format(a="{a}", b="{a}")
 
 
 _COSINE_SQL = f"""
-    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-               WHERE vec_id < {N_QUERIES}),
+    WITH v AS (
+      SELECT vec_id, {SQL_QVEC.format(a='embedding')} AS qv,
+             {SQL_INT_NORM.format(a=SQL_QVEC.format(a='embedding'))} AS nrm
+      FROM embeddings),
+    q AS (SELECT vec_id AS qid, qv AS qqv, nrm AS qnrm FROM v
+          WHERE vec_id < {N_QUERIES} AND nrm > 0),
     scored AS (
       SELECT q.qid, c.vec_id AS cid,
-             (CAST({SQL_DOT.format(a='q.qe', b='c.embedding')} AS DOUBLE)
-              / (sqrt(CAST({SQL_DOT.format(a='q.qe', b='q.qe')} AS DOUBLE))
-                 * sqrt(CAST({SQL_DOT.format(a='c.embedding', b='c.embedding')} AS DOUBLE)))) AS cosine
-      FROM q CROSS JOIN embeddings c
-      WHERE c.vec_id <> q.qid
-        AND sqrt(CAST({SQL_DOT.format(a='q.qe', b='q.qe')} AS DOUBLE)) > 0
-        AND sqrt(CAST({SQL_DOT.format(a='c.embedding', b='c.embedding')} AS DOUBLE)) > 0),
+             ({SQL_INT_DOT.format(a='q.qqv', b='c.qv')} / (q.qnrm * c.nrm)) AS cosine
+      FROM q CROSS JOIN v c
+      WHERE c.vec_id <> q.qid AND c.nrm > 0),
     ranked AS (
       SELECT qid, cid, cosine,
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rnk
@@ -96,23 +102,22 @@ def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: query side broadcast; candidates never shuffle. The window
     top-k collapses to per-partition heaps under WindowGroupLimit.
     """
-    e = spread(table(spark, sf_dir, "embeddings"))
-    # norms once per vector BEFORE the pair join (not per pair — at n
-    # candidates × q queries that's the difference between n+q and
-    # 2·n·q norm computations)
+    # quantize + norm ONCE per vector BEFORE the pair join (not per
+    # pair — at n candidates × q queries that's the difference between
+    # n+q and 2·n·q norm computations)
     # zero-norm vectors have no defined cosine — drop them up front
     # (ANSI mode would otherwise raise DIVIDE_BY_ZERO on real corpora)
-    q = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
-                dec_norm(F.col("embedding")).alias("qnorm"))
-        .filter(F.col("qnorm") > 0)
+    e = (
+        spread(table(spark, sf_dir, "embeddings"))
+        .select("vec_id", qvec(F.col("embedding")).alias("qv"))
+        .withColumn("nrm", int_norm(F.col("qv")))
+        .filter(F.col("nrm") > 0)
     )
-    c = (
-        e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
-                 dec_norm(F.col("embedding")).alias("cnorm"))
-        .filter(F.col("cnorm") > 0)
-    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qqv"),
+        F.col("nrm").alias("qnorm"))
+    c = e.select(F.col("vec_id").alias("cid"), F.col("qv").alias("cqv"),
+                 F.col("nrm").alias("cnorm"))
     from pyspark.sql import Window
 
     scored = (
@@ -120,7 +125,7 @@ def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cid") != F.col("qid"))
         .select(
             "qid", "cid",
-            (dec_dot(F.col("qe"), F.col("ce")).cast("double")
+            (int_dot(F.col("qqv"), F.col("cqv"))
              / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"),
         )
     )
@@ -135,16 +140,16 @@ def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q61_embedding_stats",
     oracle=f"""
     SELECT label, COUNT(*) AS n_vectors,
-           MIN(sqrt(CAST({SQL_DOT.format(a='embedding', b='embedding')} AS DOUBLE))) AS min_norm,
-           MAX(sqrt(CAST({SQL_DOT.format(a='embedding', b='embedding')} AS DOUBLE))) AS max_norm
+           MIN({SQL_INT_NORM.format(a=SQL_QVEC.format(a='embedding'))}) AS min_norm,
+           MAX({SQL_INT_NORM.format(a=SQL_QVEC.format(a='embedding'))}) AS max_norm
     FROM embeddings GROUP BY label
     """,
 )
 def q61_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector stats using only order-independent aggregates
-    (MIN/MAX/COUNT) over exact-decimal-derived norms."""
+    (MIN/MAX/COUNT) over exact-int-quantized norms."""
     e = table(spark, sf_dir, "embeddings")
-    norm = dec_norm(F.col("embedding"))
+    norm = int_norm(qvec(F.col("embedding")))
     return e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.min(norm).alias("min_norm"),
@@ -157,13 +162,12 @@ NEARDUP_THRESHOLD = 0.4  # this corpus is near-orthogonal (max ~0.51)
 
 _NEARDUP_SQL = f"""
     WITH v AS (
-      SELECT vec_id, embedding,
-             sqrt(CAST({SQL_DOT.format(a='embedding', b='embedding')} AS DOUBLE)) AS nrm
+      SELECT vec_id, {SQL_QVEC.format(a='embedding')} AS qv,
+             {SQL_INT_NORM.format(a=SQL_QVEC.format(a='embedding'))} AS nrm
       FROM embeddings WHERE vec_id < {NEARDUP_CAP}),
     pairs AS (
       SELECT a.vec_id AS v1, b.vec_id AS v2,
-             (CAST({SQL_DOT.format(a='a.embedding', b='b.embedding')} AS DOUBLE)
-              / (a.nrm * b.nrm)) AS cosine
+             ({SQL_INT_DOT.format(a='a.qv', b='b.qv')} / (a.nrm * b.nrm)) AS cosine
       FROM v a JOIN v b ON a.vec_id < b.vec_id
       WHERE a.nrm > 0 AND b.nrm > 0)
     SELECT v1, v2, cosine FROM pairs WHERE cosine >= {NEARDUP_THRESHOLD}
@@ -173,7 +177,7 @@ _NEARDUP_SQL = f"""
 @register("q54_embedding_neardup", oracle=_NEARDUP_SQL)
 def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all pairs in a capped
-    subset whose exact-decimal cosine clears the threshold — the
+    subset whose exact-quantized cosine clears the threshold — the
     similarity-based member of the dedup family (exact q50, MinHash
     q52, SimHash q53).
 
@@ -185,21 +189,22 @@ def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     v = (
         e.filter(F.col("vec_id") < NEARDUP_CAP)
-        .select("vec_id", "embedding", dec_norm(F.col("embedding")).alias("nrm"))
+        .select("vec_id", qvec(F.col("embedding")).alias("qv"))
+        .withColumn("nrm", int_norm(F.col("qv")))
         .filter(F.col("nrm") > 0)
     )
     # left side drives the pair-scoring parallelism: the nested-loop
     # join output inherits its partitioning (the filtered subset is one
-    # scan task otherwise, serializing 125k decimal dot products)
-    a = spread(v).select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"),
+    # scan task otherwise, serializing 125k dot products)
+    a = spread(v).select(F.col("vec_id").alias("v1"), F.col("qv").alias("q1"),
                          F.col("nrm").alias("n1"))
-    b = v.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"),
+    b = v.select(F.col("vec_id").alias("v2"), F.col("qv").alias("q2"),
                  F.col("nrm").alias("n2"))
     return (
         a.join(b, F.col("v1") < F.col("v2"))
         .select(
             "v1", "v2",
-            (dec_dot(F.col("e1"), F.col("e2")).cast("double")
+            (int_dot(F.col("q1"), F.col("q2"))
              / (F.col("n1") * F.col("n2"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
@@ -355,7 +360,7 @@ def q62_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per batch); the candidate join is an equi-join on (table, code)
     touching only co-bucketed pairs, then vectorized scoring on that
     reduced set — the standard recall/cost dial (raise L for recall, B
-    for pruning). Scoring uses double (not q60's oracle-exact decimal):
+    for pruning). Scoring uses double (not q60's oracle-exact int64 quantization):
     the operator's contract is approximate by construction.
     """
     from pyspark.sql import Window
