@@ -28,15 +28,28 @@ from ..registry import register, table
 DEC = "decimal(18,2)"
 
 
+def cents(col: str, scale: int = 2) -> Column:
+    """A 2dp-double money column as exact int64 hundredths: round via
+    the (deterministic, engine-identical) double→decimal cast, then
+    scale into BIGINT. Sums over cents are pure int64 — exact in any
+    aggregation order and ~2× faster than Decimal128 accumulation
+    (int64 adds stay inside whole-stage codegen's primitive path).
+    Overflow bound: |money| < 10^16-scale per row leaves ≥10^12 rows
+    per group before an int64 sum can overflow — safe past SF1000."""
+    return (F.col(col).cast(f"decimal(18,{scale})") * (10 ** scale)).cast("bigint")
+
+
 def dsum(c: Column, scale: int = 2) -> Column:
-    """Order-independent SUM of a 2dp-double column: exact decimal sum,
-    returned as double."""
-    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+    """Order-independent SUM of a 2dp-double column: exact int64 cents
+    sum, one deterministic IEEE division back to double."""
+    return F.sum((c.cast(f"decimal(18,{scale})") * (10 ** scale)).cast("bigint")) \
+        .cast("double") / F.lit(float(10 ** scale))
 
 
 def davg(c: Column, scale: int = 2) -> Column:
-    """Order-independent AVG: exact decimal sum, one double division."""
-    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c)
+    """Order-independent AVG: exact cents sum, two IEEE divisions of
+    identical operands in both engines."""
+    return dsum(c, scale) / F.count(c)
 
 
 def money(col: str) -> Column:
@@ -47,13 +60,34 @@ def ts_str(c: Column) -> Column:
     return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
 
 
-# SQL-side equivalents (DuckDB)
+# SQL-side equivalents (DuckDB). SUM(BIGINT) yields HUGEINT there; the
+# value is the same exact integer Spark holds in its BIGINT sum, so the
+# CAST..AS DOUBLE is the identical IEEE conversion on both engines.
+def sql_cents(x: str, scale: int = 2) -> str:
+    return f"CAST(CAST({x} AS DECIMAL(18,{scale})) * {10 ** scale} AS BIGINT)"
+
+
 def sql_dsum(x: str, scale: int = 2) -> str:
-    return f"CAST(SUM(CAST({x} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+    return f"(CAST(SUM({sql_cents(x, scale)}) AS DOUBLE) / {float(10 ** scale)})"
 
 
 def sql_davg(x: str, scale: int = 2) -> str:
-    return f"(CAST(SUM(CAST({x} AS DECIMAL(18,{scale}))) AS DOUBLE) / COUNT({x}))"
+    return f"({sql_dsum(x, scale)} / COUNT({x}))"
+
+
+# The TPC-H revenue pattern price*(1-discount) as an exact int64 sum:
+# price_cents (~1e7 for TPC-H-shaped prices) × discount-complement
+# (≤100) is ≤1e9 per row → ≥9e9 rows per group before int64 overflow —
+# safe at SF1000 (6e9-row lineitem). Three-factor products (e.g. q01's
+# charge) exceed that budget and stay in Decimal128.
+def rev_isum(price: str = "l_extendedprice", disc: str = "l_discount") -> Column:
+    return (F.sum(cents(price) * (F.lit(100) - cents(disc))).cast("double")
+            / F.lit(1.0e4))
+
+
+def sql_rev_isum(price: str = "l_extendedprice", disc: str = "l_discount") -> str:
+    return (f"(CAST(SUM({sql_cents(price)} * (100 - {sql_cents(disc)}))"
+            f" AS DOUBLE) / 10000.0)")
 
 
 # ---------------------------------------------------------------------------
@@ -66,7 +100,7 @@ def sql_davg(x: str, scale: int = 2) -> str:
     SELECT l_returnflag, l_linestatus,
            {sql_dsum('l_quantity')} AS sum_qty,
            {sql_dsum('l_extendedprice')} AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           (CAST(SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})) AS DOUBLE) / 10000.0) AS sum_disc_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
            {sql_davg('l_quantity')} AS avg_qty,
            {sql_davg('l_extendedprice')} AS avg_price,
@@ -86,15 +120,21 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 7-column projection push down to the parquet scan.
     """
     li = table(spark, sf_dir, "lineitem")
-    disc_price = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
-    charge = disc_price * (F.lit(1) + money("l_tax"))
+    # disc_price in int64 cents² (price_cents ~1e7 × discount-complement
+    # ≤100 → ≤1e9/row, ≥9e9 rows/group before overflow — fine at SF1000
+    # where the whole table is 6e9 rows). charge is a THREE-factor
+    # product (≤1.2e11/row → overflow at ~8e7 rows/group) so it stays
+    # in exact Decimal128 — per-aggregate choice, both engines mirrored.
+    disc_price_i = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    charge = (money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+              * (F.lit(1) + money("l_tax")))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity")).alias("sum_qty"),
             dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (F.sum(disc_price_i).cast("double") / F.lit(1.0e4)).alias("sum_disc_price"),
             F.sum(charge).cast("double").alias("sum_charge"),
             davg(F.col("l_quantity")).alias("avg_qty"),
             davg(F.col("l_extendedprice")).alias("avg_price"),
@@ -250,7 +290,7 @@ def q07_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_join_broadcast_star",
     oracle=f"""
     SELECT p_brand, COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+           {sql_rev_isum()} AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_size <= 25
     GROUP BY p_brand
@@ -265,13 +305,12 @@ def q10_join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     automatic if it exceeds the threshold."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 25).select("p_partkey", "p_brand")
-    revenue = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(revenue).cast("double").alias("revenue"),
+            rev_isum().alias("revenue"),
         )
     )
 
@@ -362,9 +401,9 @@ def q14_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q15_star_revenue_by_region",
-    oracle="""
+    oracle=f"""
     SELECT r_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           {sql_rev_isum()} AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -392,7 +431,6 @@ def q15_star_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     r = table(spark, sf_dir, "region")
-    revenue = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -400,7 +438,7 @@ def q15_star_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
+            rev_isum().alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -408,12 +446,12 @@ def q15_star_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q16_range_join_bands",
-    oracle="""
+    oracle=f"""
     WITH bands AS (
       SELECT i AS band_id, i * 100.0 AS lo, (i + 1) * 100.0 AS hi
       FROM range(0, 50) t(i))
     SELECT band_id, COUNT(*) AS n_parts,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           {sql_dsum('p_retailprice')} AS sum_price
     FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
     GROUP BY band_id
     """,
@@ -526,17 +564,17 @@ def q20_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q21_window_running_sum",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           (CAST(SUM({sql_cents('o_totalprice')}) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0) AS running_spend
     FROM orders
     """,
 )
 def q21_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running total per customer (ROWS frame, unique order → exact
-    decimal prefix sums are identical in any engine)."""
+    int64-cents prefix sums are identical in any engine)."""
     from pyspark.sql import Window
 
     o = table(spark, sf_dir, "orders")
@@ -547,7 +585,8 @@ def q21_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.select(
         "o_custkey", "o_orderkey",
-        F.sum(money("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        (F.sum(cents("o_totalprice")).over(w).cast("double")
+         / F.lit(100.0)).alias("running_spend"),
     )
 
 
@@ -577,11 +616,11 @@ def q22_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q23_window_range_30d",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           (CAST(SUM({sql_cents('o_totalprice')}) OVER (
              PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
-             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0) AS spend_30d
     FROM orders
     """,
 )
@@ -601,7 +640,8 @@ def q23_window_range_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.select(
         "o_custkey", "o_orderkey",
-        F.sum(money("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+        (F.sum(cents("o_totalprice")).over(w).cast("double")
+         / F.lit(100.0)).alias("spend_30d"),
     )
 
 
@@ -749,11 +789,11 @@ def q30_scalar_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q31_json_extract",
-    oracle="""
+    oracle=f"""
     SELECT json_extract_string(props, '$.k') AS k_str,
            CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           {sql_dsum('value')} AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -782,9 +822,9 @@ def q31_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            COUNT(*) AS n_events,
            COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
-           CAST(SUM(CASE WHEN event_type = 'purchase'
-                         THEN CAST(value AS DECIMAL(18,2))
-                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value,
+           (CAST(SUM(CASE WHEN event_type = 'purchase'
+                          THEN {sql_cents('value')} ELSE 0 END) AS DOUBLE)
+            / 100.0) AS purchase_value,
            CAST(MAX(CASE WHEN event_type = 'error' THEN value END) AS DOUBLE) AS max_error_value
     FROM events
     GROUP BY user_id
@@ -797,8 +837,8 @@ def q32_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count(F.when(is_purchase, 1)).alias("n_purchases"),
-        F.sum(F.when(is_purchase, money("value")).otherwise(F.lit(0).cast(DEC)))
-        .cast("double").alias("purchase_value"),
+        (F.sum(F.when(is_purchase, cents("value")).otherwise(F.lit(0)))
+         .cast("double") / F.lit(100.0)).alias("purchase_value"),
         F.max(F.when(F.col("event_type") == "error", F.col("value"))).alias("max_error_value"),
     )
 

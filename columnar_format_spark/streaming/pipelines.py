@@ -35,13 +35,15 @@ def events_stream(spark: SparkSession, src_dir: str,
 
 def tumbling_counts(events: DataFrame) -> DataFrame:
     """1-hour tumbling windows per event_type with a 10-minute
-    watermark: count + exact-decimal value sum."""
+    watermark: count + exact int64-cents value sum (order-independent,
+    so incremental state updates across micro-batches stay exact)."""
     return (
         events.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            (F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+             .cast("double") / F.lit(100.0)).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

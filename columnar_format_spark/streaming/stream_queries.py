@@ -78,7 +78,8 @@ def _events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
                     '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           (CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+            / 100.0) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
