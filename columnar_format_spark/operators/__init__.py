@@ -1,1 +1,2 @@
 from . import relational  # noqa: F401  (registers queries on import)
+from . import extended  # noqa: F401

@@ -1,0 +1,257 @@
+"""Extended relational surface: exact percentiles, pivot, correlated
+subqueries (EXISTS / IN / scalar), higher-order array functions,
+unpivot (melt), and regex text functions.
+
+Like everything in operators/, the reference
+(satyakalla890/columnar-format) has no query surface (SURVEY.md §2.2);
+these queries widen the engine's native Spark coverage with the DuckDB
+oracle as the correctness gate. Determinism rules: registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register, table
+from .relational import sql_dsum, dsum
+
+# ---------------------------------------------------------------------------
+# Exact percentiles / quantiles
+
+
+@register(
+    "q08_exact_quartiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(CAST(l_quantity AS BIGINT), 0.00) AS q0,
+           quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS q25,
+           quantile_cont(CAST(l_quantity AS BIGINT), 0.50) AS q50,
+           quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS q75,
+           quantile_cont(CAST(l_quantity AS BIGINT), 1.00) AS q100
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q08_exact_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quartiles of l_quantity per flag.
+
+    Determinism: l_quantity is integer-valued; at quarter fractions
+    the interpolation a + (b-a)·k/4 is exact in IEEE double for any
+    algebraically equivalent formula, so Spark's percentile and
+    DuckDB's quantile_cont agree bit-for-bit.
+
+    Scale: exact percentile needs the full sorted multiset per group —
+    Spark aggregates a count-map per group (map-side partial), fine for
+    bounded value domains like quantities; for unbounded domains the
+    scale path is approx_percentile (t-digest sketch, mergeable).
+    """
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "qty_i", F.col("l_quantity").cast("bigint"))
+    pct = F.percentile(F.col("qty_i"),
+                       F.lit([0.0, 0.25, 0.5, 0.75, 1.0])).alias("p")
+    return (
+        li.groupBy("l_returnflag").agg(pct)
+        .select(
+            "l_returnflag",
+            F.col("p")[0].alias("q0"), F.col("p")[1].alias("q25"),
+            F.col("p")[2].alias("q50"), F.col("p")[3].alias("q75"),
+            F.col("p")[4].alias("q100"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIO_ALIAS = ["urgent", "high", "medium", "not_specified", "low"]
+
+
+@register(
+    "q09_pivot_status_priority",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+           COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+           COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+           COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+           COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low,
+           COUNT(*) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q09_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts, status rows × priority columns.
+
+    The explicit pivot-value list matters at scale: without it Spark
+    runs an extra distinct-collect job over the pivot column to
+    discover values (a full pass over the fact table).
+    """
+    o = table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(a)
+          for v, a in zip(PRIORITIES, _PRIO_ALIAS)],
+    )
+    total = sum(F.col(a) for a in _PRIO_ALIAS)
+    return renamed.withColumn("total", total)
+
+
+@register(
+    "q39_unpivot_metrics",
+    oracle=f"""
+    WITH long AS (
+      SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+    SELECT metric, COUNT(*) AS n_rows, {sql_dsum('val')} AS sum_val,
+           MIN(val) AS min_val, MAX(val) AS max_val
+    FROM long GROUP BY metric
+    """,
+)
+def q39_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) four measure columns into (metric, val) rows,
+    then profile each metric — the wide→long reshape operator.
+
+    Scale: unpivot is a flatMap (no shuffle); the single groupBy on the
+    4-value metric key aggregates map-side first.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[], values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric", valueColumnName="val",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("val")).alias("sum_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries
+
+_SUBQ_SQL = """
+    SELECT 'exists_ship_after' AS variant, o_orderpriority,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1995-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'in_high_quantity', o_orderpriority, COUNT(*)
+    FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'key_below_max_li', o_orderpriority, COUNT(*)
+    FROM orders
+    WHERE o_orderkey <= (SELECT MAX(l_orderkey) FROM lineitem)
+    GROUP BY o_orderpriority
+"""
+
+
+@register("q19_subqueries", oracle=_SUBQ_SQL)
+def q19_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H-Q4-shaped), uncorrelated IN, and a
+    scalar subquery — one variant column per subquery form, identical
+    SQL text on both engines.
+
+    Scale: Catalyst rewrites EXISTS/IN to left-semi joins (shuffle or
+    broadcast by size) and the scalar subquery to a one-row broadcast
+    — no per-row re-execution anywhere.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SUBQ_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions (over int64-quantized embeddings: exact)
+
+
+@register(
+    "q38_higher_order_arrays",
+    oracle="""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(8,6)) * 1000000 AS BIGINT)) AS q
+      FROM embeddings WHERE vec_id < 1000)
+    SELECT vec_id,
+           len(list_filter(q, x -> x > 0)) AS n_pos,
+           CAST(list_sum(q) AS BIGINT) AS sum_q,
+           CAST(list_max(q) AS BIGINT) AS max_q,
+           CAST(list_min(q) AS BIGINT) AS min_q,
+           (len(list_filter(q, x -> abs(x) > 2000000)) > 0) AS any_big,
+           list_slice(list_reverse_sort(q), 1, 3) AS top3
+    FROM qv
+    """,
+)
+def q38_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function sampler — transform / filter /
+    exists / aggregate / sort+slice — over int64-quantized embeddings
+    so every result is exact integer math (engine-identical).
+
+    Scale: all lambdas evaluate per-row inside the scan stage — no
+    shuffle, no UDF; the quantized array column prunes to a single
+    parquet field read.
+    """
+    from ..functions.similarity import qvec
+
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 1000)
+        .select("vec_id", qvec(F.col("embedding")).alias("q"))
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.filter("q", lambda x: x > 0)).alias("n_pos"),
+        F.aggregate("q", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("sum_q"),
+        F.array_max("q").alias("max_q"),
+        F.array_min("q").alias("min_q"),
+        F.exists("q", lambda x: F.abs(x) > 2000000).alias("any_big"),
+        F.slice(F.sort_array("q", asc=False), 1, 3).alias("top3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex text functions
+
+
+@register(
+    "q45_regex_text",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_words,
+           regexp_extract(text, '(s[a-z]+)', 1) AS first_s_word,
+           regexp_matches(text, 'spark') AS has_spark,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def q45_regex_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar functions over documents: extract-all count, first
+    capture-group match, boolean match, global replace. Patterns stick
+    to character classes + literals, where Java and RE2 semantics
+    coincide.
+
+    Scale: pure per-row JVM built-ins inside codegen — no shuffle.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("n_words"),
+        F.regexp_extract("text", "(s[a-z]+)", 1).alias("first_s_word"),
+        F.col("text").rlike("spark").alias("has_spark"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("novowel_len"),
+    )
