@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import register, spread, table
+from ..registry import QUERIES, register, spread, table
 
 # 8 hashes in 2 bands of 4: pair-collision probability j^4-ish per
 # band — a 0.9-Jaccard near-dup collides with p≈0.93, a 0.5-Jaccard
@@ -354,3 +354,111 @@ def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("bit")).cast("bigint")).otherwise(0)
         ).cast("bigint").alias("simhash")
     )
+
+
+# ---------------------------------------------------------------------------
+# Survivor selection + cluster dedup
+
+
+@register(
+    "q55_dedup_survivors",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents)
+    SELECT doc_id, fingerprint,
+           MIN(doc_id) OVER (PARTITION BY fingerprint) AS survivor_id,
+           (doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint)) AS is_survivor,
+           COUNT(*) OVER (PARTITION BY fingerprint) AS cluster_size
+    FROM fp
+    """,
+)
+def q55_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level survivor selection: every document annotated with its
+    exact-dup cluster's keeper (lowest doc_id per fingerprint) — the
+    form a pipeline actually consumes (filter is_survivor, or remap
+    references to survivor_id), complementing q50's per-cluster view.
+
+    Scale: one shuffle on the 128-bit fingerprint; the window runs
+    inside each fingerprint partition (tiny groups), no second pass.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint")
+    return (
+        d.select("doc_id", F.md5(normalized(F.col("text"))).alias("fingerprint"))
+        .select(
+            "doc_id", "fingerprint",
+            F.min("doc_id").over(w).alias("survivor_id"),
+            (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_survivor"),
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+        )
+    )
+
+
+_COMPONENTS_SQL = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT d1, d2 FROM ({_MINHASH_SQL}) mh),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION SELECT d2, d1 FROM pairs),
+    reach(src, dst) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component_id
+             FROM reach GROUP BY src)
+    SELECT doc_id, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS component_size
+    FROM comp
+"""
+
+
+@register("q56_dedup_components", oracle=_COMPONENTS_SQL)
+def q56_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash candidate-pair graph
+    (q52's edges): iterative min-label propagation until fixpoint, so
+    transitively-linked near-dups share one cluster id (min doc_id in
+    the component) — the fuzzy-dedup clustering stage. The oracle is
+    a recursive-CTE transitive closure: an ITERATIVE Spark algorithm
+    still checked exactly against SQL.
+
+    Scale: each round is one join + groupBy(MIN) keyed by doc —
+    O(diameter) rounds (near-dup clusters are shallow; capped at 15);
+    localCheckpoint truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1. The label-propagation loop is the
+    standard large-graph CC under hash partitioning (GraphX-free).
+    """
+    pairs = QUERIES["q52_minhash_lsh"].fn(spark, sf_dir)
+    edges = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b")).unionAll(
+        pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b"))).distinct()
+    edges = edges.localCheckpoint(eager=True)  # reuse across rounds
+    labels = edges.groupBy("a").agg(F.min("b").alias("nbr_min")).select(
+        F.col("a").alias("doc_id"),
+        F.least("a", "nbr_min").alias("label"))
+    for _ in range(15):
+        # label <- min(label, min over neighbors' labels)
+        prop = (
+            edges.join(labels.withColumnRenamed("doc_id", "b"), "b")
+            .groupBy("a").agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(prop.withColumnRenamed("a", "doc_id"), "doc_id", "left")
+            .select("doc_id",
+                    F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component_id")
+    return labels.select(
+        "doc_id", F.col("label").alias("component_id")
+    ).withColumn("component_size", F.count(F.lit(1)).over(w))

@@ -255,3 +255,38 @@ def q45_regex_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").rlike("spark").alias("has_spark"),
         F.length(F.regexp_replace("text", "[aeiou]", "")).alias("novowel_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema-enforced JSON parsing (from_json, vs q31's path extraction)
+
+
+@register(
+    "q46_from_json_typed",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS k_mod,
+           COUNT(*) AS n_events,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           COUNT(*) FILTER (WHERE json_extract(props, '$.missing') IS NULL) AS n_no_extra
+    FROM events GROUP BY 1
+    """,
+)
+def q46_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-enforced JSON parsing: from_json with an explicit struct
+    schema (typed columns, absent keys → NULL) — the production path
+    for semi-structured columns, vs q31's per-path string extraction.
+
+    Scale: from_json parses each document ONCE per row for all fields;
+    N get_json_object calls parse N times. Inside codegen either way,
+    but single-parse wins when the struct is wide.
+    """
+    e = table(spark, sf_dir, "events")
+    parsed = e.select(
+        F.from_json("props", "k bigint, missing string").alias("p"))
+    return parsed.groupBy((F.col("p.k") % 5).alias("k_mod")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+        F.count(F.when(F.col("p.missing").isNull(), 1)).alias("n_no_extra"),
+    )

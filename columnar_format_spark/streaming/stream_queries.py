@@ -187,3 +187,58 @@ def q83_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _stage_events(spark, sf_dir)
     out = _drain(stateful_user_totals(_events_stream(spark, src)), "update")
     return out.select("user_id", "n_events", "sum_cents")
+
+
+@register(
+    "q84_stream_stream_join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+    """,
+)
+def q84_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks in the preceding 30 minutes. Both sides carry
+    watermarks and the join has an explicit event-time range, so Spark
+    can bound the buffered state on each side; with one bounded
+    availableNow batch, every in-range pair emits and the append-mode
+    output equals the batch join — which is what the oracle checks.
+
+    Scale: the join keys on user_id so both streams co-partition; the
+    time-range condition caps state to the watermark horizon per side
+    — without it, stream-stream state grows unboundedly.
+    """
+    src = _stage_events(spark, sf_dir)
+    purchases = (
+        _events_stream(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id"), F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        _events_stream(spark, src)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id"), F.col("event_id").alias("click_id"),
+                F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(purchases.user_id, "purchase_id", "click_id", "p_ts", "c_ts")
+    out = _drain(joined, "append")
+    return out.select(
+        "user_id", "purchase_id", "click_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
