@@ -290,3 +290,136 @@ def q46_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("p.k").alias("max_k"),
         F.count(F.when(F.col("p.missing").isNull(), 1)).alias("n_no_extra"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Datetime function family
+
+
+@register(
+    "q47_datetime_sampler",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d %H:%M:%S') AS due_ts,
+           CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch_start
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+)
+def q47_datetime_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function family: truncation, month boundaries, calendar
+    fields, interval arithmetic, date difference. DuckDB's dayofweek is
+    0-based Sunday; Spark's dayofweek is 1-based Sunday — bridged with
+    an explicit -1 so both report the same convention.
+
+    Scale: per-row codegen built-ins, no shuffle.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                      "yyyy-MM-dd HH:mm:ss").alias("due_ts"),
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1992-01-01").cast("date")).cast("bigint")
+        .alias("days_since_epoch_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map functions
+
+
+@register(
+    "q48_map_functions",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_linestatus)
+    SELECT l_returnflag,
+           CAST(cardinality(map_from_entries(list((l_linestatus, n)))) AS INTEGER) AS n_statuses,
+           list_sort(map_keys(map_from_entries(list((l_linestatus, n))))) AS statuses,
+           CAST(list_sum(map_values(map_from_entries(list((l_linestatus, n))))) AS BIGINT) AS total
+    FROM m GROUP BY l_returnflag
+    """,
+)
+def q48_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map column family: build a status→count map per flag
+    (map_from_entries over collected pairs), then interrogate it with
+    map_keys / map_values / size. Maps have no defined entry order, so
+    every output is order-canonicalized (sorted keys, summed values).
+
+    Scale: the map is per-group metadata (≤ a few entries), built after
+    the aggregation — never a per-row map of unbounded size.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+    mp = F.map_from_entries(F.collect_list(F.struct("l_linestatus", "n")))
+    return (
+        m.groupBy("l_returnflag")
+        .agg(mp.alias("mp"))
+        .select(
+            "l_returnflag",
+            F.size("mp").alias("n_statuses"),
+            F.sort_array(F.map_keys("mp")).alias("statuses"),
+            F.aggregate(F.map_values("mp"), F.lit(0).cast("bigint"),
+                        lambda a, x: a + x).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null semantics
+
+
+@register(
+    "q49_null_semantics",
+    oracle="""
+    WITH src AS (
+      SELECT event_id,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE user_id END AS u
+      FROM events WHERE event_id % 10 = 0)
+    SELECT event_id,
+           COALESCE(v, -1.0) AS v_filled,
+           NULLIF(u, 42) AS u_not42,
+           (v IS NOT DISTINCT FROM NULL) AS v_is_null,
+           (u IS NOT DISTINCT FROM u) AS selfsame,
+           CASE WHEN v IS NULL AND u IS NULL THEN 'both'
+                WHEN v IS NULL THEN 'v_only'
+                WHEN u IS NULL THEN 'u_only' ELSE 'neither' END AS null_shape
+    FROM src
+    """,
+)
+def q49_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling family: coalesce, nullif, null-safe equality
+    (Spark <=> / SQL IS NOT DISTINCT FROM), and CASE-based null
+    classification over synthesized null patterns.
+
+    Scale: per-row built-ins; null bitmaps ride the columnar batches.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    src = e.select(
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("value")).alias("v"),
+        F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("user_id")).alias("u"),
+    )
+    return src.select(
+        "event_id",
+        F.coalesce("v", F.lit(-1.0)).alias("v_filled"),
+        F.nullif("u", F.lit(42)).alias("u_not42"),
+        F.col("v").eqNullSafe(F.lit(None).cast("double")).alias("v_is_null"),
+        F.col("u").eqNullSafe(F.col("u")).alias("selfsame"),
+        F.when(F.col("v").isNull() & F.col("u").isNull(), "both")
+        .when(F.col("v").isNull(), "v_only")
+        .when(F.col("u").isNull(), "u_only")
+        .otherwise("neither").alias("null_shape"),
+    )
