@@ -84,3 +84,41 @@ def test_relational_hot_paths_stay_jvm_side(spark, name):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "codegen id" in plan
+
+
+def test_subqueries_become_semi_joins(spark):
+    """q19's EXISTS and IN must be rewritten to (broadcast) semi joins
+    — per-row subquery re-execution would be quadratic at scale."""
+    plan = plan_of(spark, "q19_subqueries")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_unpivot_plans_expand_not_union(spark):
+    """q39's unpivot must plan a single Expand over one scan — a
+    4-way UNION ALL would scan lineitem four times."""
+    plan = plan_of(spark, "q39_unpivot_metrics")
+    assert "Expand" in plan
+    # one Location line per distinct scan node in the formatted detail
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_percentile_aggregates_partially(spark):
+    """q08's exact percentile still plans partial+final aggregation
+    (mergeable count-map state) around one exchange."""
+    plan = plan_of(spark, "q08_exact_quartiles")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+@pytest.mark.parametrize("name", [
+    "q09_pivot_status_priority", "q19_subqueries", "q38_higher_order_arrays",
+    "q45_regex_text", "q46_from_json_typed", "q47_datetime_sampler",
+    "q48_map_functions", "q49_null_semantics", "q55_dedup_survivors",
+])
+def test_new_queries_stay_jvm_side(spark, name):
+    """The extended families evaluate entirely JVM-side — no Python
+    nodes in any of their plans."""
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
