@@ -157,3 +157,56 @@ def q37_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted_cents("value", "user_id").alias("weighted_cents"),
         n_rows("value").alias("n"),
     )
+
+
+@register(
+    "q57_mapinarrow_tokenstats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique
+    FROM documents
+    """,
+)
+def q57_mapinarrow_tokenstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics via mapInArrow: batches arrive as
+    raw pyarrow RecordBatches (no pandas conversion at all) and leave
+    the same way — the lowest-overhead Python extension point, the
+    shape a tokenizer/codec integration takes (the Arrow buffers can be
+    handed zero-copy to a native library). Exact integer outputs from a
+    deterministic single-space split → oracle-exact.
+
+    Scale: map-only (no shuffle); Arrow batch size bounds peak memory
+    per worker regardless of partition size.
+    """
+    def stats(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def distinct_len(toks: "pa.ListArray") -> "pa.Array":
+            # distinct-per-list isn't in pyarrow.compute; a small pass
+            # over the list offsets does it without per-row pandas
+            offs = toks.offsets.to_numpy(zero_copy_only=False)
+            vals = toks.values.to_pylist()
+            out = np.empty(len(toks), dtype=np.int64)
+            for i in range(len(toks)):
+                out[i] = len(set(vals[offs[i]:offs[i + 1]]))
+            return pa.array(out, type=pa.int64())
+
+        for batch in batches:
+            toks = pc.split_pattern(batch.column("text"), " ")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.list_value_length(toks), pa.int64()),
+                    pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+                    distinct_len(toks),
+                ],
+                names=["doc_id", "n_tokens", "n_chars", "n_unique"],
+            )
+
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    return d.mapInArrow(
+        stats, "doc_id long, n_tokens long, n_chars long, n_unique long")
