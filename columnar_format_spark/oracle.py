@@ -19,11 +19,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def duckdb_conn(sf_dir: str):
+    """Register every table present in sf_dir as a view (crafted probe
+    dirs carry only the tables a query touches)."""
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
     return con
 
 
