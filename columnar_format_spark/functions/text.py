@@ -238,3 +238,84 @@ def q90_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
         F.sum("is_english").cast("bigint").alias("n_englishy"),
     )
+
+
+@register(
+    "q58_ngram_vocabulary",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+      FROM documents),
+    grams AS (
+      SELECT lang, tok, COUNT(*) AS freq FROM toks
+      WHERE tok <> '' GROUP BY lang, tok),
+    ranked AS (
+      SELECT lang, tok, freq,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, tok) AS rnk
+      FROM grams)
+    SELECT lang, tok, freq, rnk FROM ranked WHERE rnk <= 10
+    """,
+)
+def q58_ngram_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary table: top-10 tokens by frequency per
+    language — the frequency-table op every tokenizer-training /
+    vocab-pruning pipeline starts with.
+
+    Scale: explode → groupBy(lang, token) with map-side partial counts
+    (the shuffle carries one row per distinct token per task, not per
+    occurrence); the top-k window collapses to per-partition heaps
+    under WindowGroupLimit. At web scale add a mincount filter before
+    the window so singleton typos never shuffle twice.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok"))
+    grams = (
+        toks.filter(F.col("tok") != "")
+        .groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("tok"))
+    return (
+        grams.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+@register(
+    "q59_length_histogram",
+    oracle="""
+    WITH lens AS (
+      SELECT len(string_split(text, ' ')) AS n_tokens FROM documents)
+    SELECT CAST(LEAST(FLOOR(n_tokens / 8), 7) AS BIGINT) AS bucket,
+           CAST(LEAST(FLOOR(n_tokens / 8), 7) * 8 AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM lens GROUP BY 1, 2
+    """,
+)
+def q59_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (8-wide buckets, top-coded at 56+) — the
+    corpus-profiling op behind truncation/packing decisions in a
+    training-data pipeline.
+
+    Scale: fixed bucketing is a map-only expression + an 8-group
+    aggregate; no sort, no sketch, no second pass (unlike quantile-
+    based histograms).
+    """
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    bucket = F.least(F.floor(n_tokens / 8), F.lit(7)).cast("bigint")
+    return (
+        d.select(n_tokens.alias("n_tokens"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+        .withColumn("bucket_lo", (F.col("bucket") * 8).cast("bigint"))
+        .select("bucket", "bucket_lo", "n_docs", "min_tokens", "max_tokens")
+    )

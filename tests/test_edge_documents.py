@@ -27,6 +27,8 @@ TEXT_QUERIES = [
     "q53_simhash",
     "q55_dedup_survivors",
     "q57_mapinarrow_tokenstats",
+    "q58_ngram_vocabulary",
+    "q59_length_histogram",
 ]
 
 
