@@ -423,3 +423,113 @@ def q49_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("u").isNull(), "u_only")
         .otherwise("neither").alias("null_shape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: crossmodal join, schema evolution, redaction
+
+
+@register(
+    "q64_crossmodal_join",
+    oracle="""
+    WITH txt AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    vec AS (
+      SELECT vec_id, label,
+             sqrt(CAST(list_sum(list_transform(range(1, 65), i ->
+               CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(8,6)) * 1000000 AS BIGINT)
+               * CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(8,6)) * 1000000 AS BIGINT)))
+               AS DOUBLE) / 1e12) AS nrm
+      FROM embeddings)
+    SELECT lang, label, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+    FROM txt JOIN vec ON doc_id = vec_id
+    GROUP BY lang, label
+    """,
+)
+def q64_crossmodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crossmodal join: text stats ⋈ embedding norms on the shared id —
+    the shape of any doc↔vector pairing (retrieval training, filtering
+    docs by embedding properties, joining captions to image vectors).
+
+    Scale: both sides shuffle on the id (or co-bucket by it when the
+    corpus is written bucketed); the per-side feature computation is
+    map-only BEFORE the join so the shuffle carries scalars, not text
+    or vectors.
+    """
+    from ..functions.similarity import int_norm, qvec
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens"))
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", int_norm(qvec(F.col("embedding"))).alias("nrm"))
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )
+
+
+@register(
+    "q65_union_schema_evolution",
+    oracle="""
+    SELECT doc_id, source, n_chars, lang
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, source, NULL AS n_chars, lang
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def q65_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two corpus snapshots with different
+    column sets combined via unionByName(allowMissingColumns=True) —
+    the absent column padded with NULL, matched BY NAME not position
+    (positional unionAll would silently misalign evolved schemas).
+
+    Scale: union is plan-level (no shuffle, no data movement); each
+    side keeps its own scan + pushdown.
+    """
+    d = table(spark, sf_dir, "documents")
+    old_snapshot = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "source", "n_chars", "lang")
+    new_snapshot = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "source")  # n_chars dropped, order shuffled
+    return old_snapshot.unionByName(new_snapshot, allowMissingColumns=True)
+
+
+@register(
+    "q66_redaction",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
+                          '[a-z0-9.]+@[a-z0-9.]+', '<email>', 'g') AS redacted,
+           (length(text) <> length(regexp_replace(text, '[0-9]+', '', 'g'))) AS had_digits,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def q66_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern redaction: digit runs and email-shaped spans replaced by
+    placeholder tokens, with per-doc flags — the scrubbing pass every
+    training corpus goes through before tokenization.
+
+    Scale: per-row regex inside codegen, map-only; at 100 TB this is
+    scan-bound, which is exactly the ceiling you want for a scrub.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    digits_gone = F.regexp_replace("text", "[0-9]+", "<num>")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(digits_gone, "[a-z0-9.]+@[a-z0-9.]+", "<email>")
+        .alias("redacted"),
+        (F.length("text")
+         != F.length(F.regexp_replace("text", "[0-9]+", ""))).alias("had_digits"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias("n_digit_runs"),
+    )
