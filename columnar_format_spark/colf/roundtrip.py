@@ -11,7 +11,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import register, spread, table
+from ..registry import register, table
 
 
 @register(
@@ -38,16 +38,27 @@ def q70_colf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale limiter (no intra-file splitting — SURVEY.md §4.3), which
     is why file count == parallelism is part of the dataset convention.
     """
+    import os
+
     from .datasource import register as register_ds
 
     register_ds(spark)
-    li = spread(table(spark, sf_dir, "lineitem")).select(
+    # Size write parallelism by input bytes (the maxPartitionBytes idea
+    # applied to the write side): ~1 MB of parquet per .colf part file.
+    # Blindly using full parallelism makes each Python write task pay
+    # its fixed Arrow/worker overhead on a sliver of data; one giant
+    # file serializes the encode. On a 100 TB input this saturates the
+    # cluster cap; on the bench SFs it picks a balanced handful.
+    src = f"{sf_dir}/lineitem.parquet"
+    p = spark.sparkContext.defaultParallelism
+    n_files = max(2, min(p, os.path.getsize(src) // (1 << 20) + 1))
+    li = table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").cast("int").alias("l_orderkey"),
         F.col("l_linenumber").alias("l_linenumber"),
         F.col("l_quantity").alias("l_quantity"),
         F.col("l_extendedprice").alias("l_extendedprice"),
         F.col("l_returnflag").alias("l_returnflag"),
-    )
+    ).repartition(int(n_files))
     path = tempfile.mkdtemp(prefix="colf_rt_")
     li.write.format("colf").mode("overwrite").save(path)
     back = spark.read.format("colf").load(path)
