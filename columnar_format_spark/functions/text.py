@@ -242,7 +242,7 @@ def q90_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q58_ngram_vocabulary",
-    oracle="""
+    oracle=r"""
     WITH toks AS (
       SELECT lang, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
       FROM documents),
