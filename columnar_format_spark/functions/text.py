@@ -319,3 +319,106 @@ def q59_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket_lo", (F.col("bucket") * 8).cast("bigint"))
         .select("bucket", "bucket_lo", "n_docs", "min_tokens", "max_tokens")
     )
+
+
+# 0..99 bucket from the first 4 hex nibbles of md5(doc_id) — the
+# engine-stable "random" both Spark and DuckDB reproduce bit-for-bit.
+_SQL_DOC_BUCKET = (
+    "(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100)"
+)
+
+
+def doc_bucket(id_col: str = "doc_id") -> Column:
+    """Deterministic 0..99 bucket from md5 of the id — reproducible
+    sampling/splitting without RNG state (same value on any engine,
+    any partitioning, any retry)."""
+    def nib(pos: int) -> Column:
+        return F.expr(
+            f"instr('0123456789abcdef', substring(md5(CAST({id_col} AS STRING)), {pos}, 1)) - 1"
+        ).cast("long")
+
+    h16 = nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
+    return h16 % 100
+
+
+@register(
+    "q67_deterministic_split",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT lang,
+             CASE WHEN {_SQL_DOC_BUCKET} < 80 THEN 'train'
+                  WHEN {_SQL_DOC_BUCKET} < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents)
+    SELECT lang, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM tagged GROUP BY lang, split
+    """,
+)
+def q67_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment from an md5 hash of the doc
+    id — the held-out-split op every training pipeline needs. Hash
+    bucketing (not rand()) makes the split stable across engines,
+    reruns, retries, and incremental corpus growth: a document's split
+    never changes when other documents are added or the job re-runs.
+
+    Scale: map-only tag + one small aggregate; the same bucket column
+    also serves as the stratified down-sampling dial (bucket < k).
+    """
+    d = table(spark, sf_dir, "documents")
+    b = doc_bucket()
+    split = (F.when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+    return (
+        d.select("lang", split.alias("split"),
+                 F.size(F.split("text", " ")).alias("n_tokens"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+    )
+
+
+# per-source sampling rates (percent) for the corpus mixture; sources
+# absent from the table drop out via the inner join
+MIX_RATES = {"src0": 100, "src1": 85, "src2": 70, "src3": 55, "src4": 40,
+             "src5": 25, "src6": 10}
+
+
+@register(
+    "q68_corpus_mixture",
+    oracle=f"""
+    WITH rates(source, rate) AS (VALUES
+      {", ".join(f"('{s}', {r})" for s, r in sorted(MIX_RATES.items()))}),
+    kept AS (
+      SELECT d.source, len(string_split(d.text, ' ')) AS n_tokens
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE {_SQL_DOC_BUCKET} < r.rate)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM kept GROUP BY source
+    """,
+)
+def q68_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: each source down-sampled at its own
+    rate via the deterministic hash bucket (src0 100%, src1 85%, ...) —
+    how a training mix is rebalanced without materializing copies.
+    Sources without a configured rate drop out via the inner join
+    against the rate table.
+
+    Scale: the rate table broadcasts; sampling is a map-only filter, so
+    the mixture costs one scan regardless of how many sources exist.
+    """
+    d = table(spark, sf_dir, "documents")
+    rates = d.sparkSession.createDataFrame(
+        sorted(MIX_RATES.items()), "source string, rate int")
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(doc_bucket() < F.col("rate"))
+        .select("source", F.size(F.split("text", " ")).alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+    )
