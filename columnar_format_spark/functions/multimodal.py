@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..registry import register
+
 BLOB_SCHEMA = ("doc_id long, modality string, blob binary, "
                "source string")
 FEATURE_SCHEMA = ("doc_id long, modality string, byte_len int, "
@@ -104,3 +106,57 @@ def frame_sample(blobs: DataFrame, every_nth: int = 4) -> DataFrame:
         .filter(F.col("frame_no") % every_nth == 0)
         .select("doc_id", "frame_no", F.md5(F.col("frame")).alias("frame_digest"))
     )
+
+
+# 0-based byte of the synthesized blob, decoded from the md5 hex pair
+# (strpos-based nibble arithmetic, same construct as dedup._SQL_H16)
+def _sql_blob_byte(i: int) -> str:
+    hexpos = 2 * i + 1
+    return (f"((strpos('0123456789abcdef', substr(md5(text), {hexpos}, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr(md5(text), {hexpos + 1}, 1)) - 1))")
+
+
+@register(
+    "q69_multimodal_features",
+    oracle=f"""
+    SELECT doc_id,
+           (['image', 'audio', 'video'])[doc_id % 3 + 1] AS modality,
+           CAST(octet_length(unhex(md5(text) || md5('b|' || text))) AS INTEGER) AS byte_len,
+           CAST(16 + {_sql_blob_byte(0)} % 64 AS INTEGER) AS width,
+           CAST(16 + {_sql_blob_byte(1)} % 64 AS INTEGER) AS height,
+           md5(md5(text) || md5('b|' || text)) AS checksum
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q69_multimodal_features(spark, sf_dir: str):
+    """End-to-end multimodal feature extraction as a driver-checked
+    query: synthesize binary media blobs, run the Arrow-batched
+    mapInPandas decoder (the deterministic fake codec — the real one
+    plugs into decode_image_stub), return per-asset typed metadata.
+    The checksum hashes the blob's lowercase hex (DuckDB's md5 takes
+    VARCHAR only), which identifies the bytes just as well.
+
+    Scale: pure map stage — blobs never shuffle; per-task memory is one
+    Arrow batch regardless of blob count (the only safe shape when the
+    binary column holds 100 MB+ media).
+    """
+    from ..registry import table
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    blobs = synthesize_blobs(docs)
+
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [fake_decode(b) for b in pdf["blob"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "modality": pdf["modality"],
+                "byte_len": [len(b) for b in pdf["blob"]],
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+                "checksum": [hashlib.md5(b.hex().encode()).hexdigest()
+                             for b in pdf["blob"]],
+            })
+
+    return blobs.mapInPandas(run, schema=FEATURE_SCHEMA)
