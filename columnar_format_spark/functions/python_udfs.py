@@ -210,3 +210,71 @@ def q57_mapinarrow_tokenstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
     return d.mapInArrow(
         stats, "doc_id long, n_tokens long, n_chars long, n_unique long")
+
+
+PACK_BUDGET = 512     # token budget per packed sequence
+PACK_CHUNK = 100      # docs per packing shard (the parallelism unit)
+
+
+@register(
+    "q71_sequence_packing",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, doc_id // {PACK_CHUNK} AS chunk,
+             len(string_split(text, ' ')) AS n,
+             ROW_NUMBER() OVER (PARTITION BY doc_id // {PACK_CHUNK}
+                                ORDER BY doc_id) AS rn
+      FROM documents),
+    walk(chunk, rn, doc_id, n, seq_no, acc) AS (
+      SELECT chunk, rn, doc_id, n, 0, n FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.chunk, d.rn, d.doc_id, d.n,
+             CASE WHEN w.acc + d.n > {PACK_BUDGET} THEN w.seq_no + 1
+                  ELSE w.seq_no END,
+             CASE WHEN w.acc + d.n > {PACK_BUDGET} THEN d.n
+                  ELSE w.acc + d.n END
+      FROM walk w JOIN d ON d.chunk = w.chunk AND d.rn = w.rn + 1)
+    SELECT doc_id, chunk, seq_no,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(acc - n AS BIGINT) AS seq_offset
+    FROM walk
+    """,
+)
+def q71_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: documents packed in doc_id order into
+    fixed token-budget sequences (per 100-doc shard), emitting each
+    doc's sequence number and token offset — the batch-construction op
+    between tokenization and training. Inherently sequential per shard
+    (each doc's placement depends on the running remainder), so it runs
+    as applyInPandas per chunk; the oracle is the same walk as a
+    recursive CTE — an order-dependent iterative op, still checked
+    exactly.
+
+    Scale: shards pack independently (one shuffle on chunk id); the
+    budget/shard-size dials trade packing efficiency against
+    parallelism, exactly as in production packers.
+    """
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq, acc = 0, 0
+        seqs, offs = [], []
+        for n in pdf["n"]:
+            if acc + n > PACK_BUDGET and acc > 0:
+                seq, acc = seq + 1, 0
+            seqs.append(seq)
+            offs.append(acc)
+            acc += n
+        return pd.DataFrame({
+            "doc_id": pdf["doc_id"], "chunk": pdf["chunk"],
+            "seq_no": seqs, "n_tokens": pdf["n"], "seq_offset": offs,
+        })
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.floor(F.col("doc_id") / PACK_CHUNK).cast("bigint").alias("chunk"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n"),
+    )
+    return d.groupBy("chunk").applyInPandas(
+        pack, "doc_id long, chunk long, seq_no int, n_tokens long, seq_offset long")
