@@ -533,3 +533,57 @@ def q66_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
          != F.length(F.regexp_replace("text", "[0-9]+", ""))).alias("had_digits"),
         F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias("n_digit_runs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-Q14-shaped ratio aggregate
+
+
+@register(
+    "q72_promo_revenue",
+    oracle="""
+    WITH j AS (
+      SELECT p_type,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_i
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00')
+    SELECT (100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_i ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(rev_i) AS DOUBLE)) AS promo_pct,
+           (CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_i ELSE 0 END) AS DOUBLE) / 10000.0)
+             AS promo_revenue,
+           (CAST(SUM(rev_i) AS DOUBLE) / 10000.0) AS total_revenue,
+           COUNT(*) AS n_items
+    FROM j
+    """,
+)
+def q72_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promotion-revenue ratio: one month of lineitem
+    joined to part, promo share of revenue as a percentage. The ratio
+    divides two exact int64 sums — a single IEEE division, identical in
+    both engines.
+
+    Scale: part is broadcast after pruning to (partkey, type); the
+    month filter pushes into the lineitem scan, so the join touches
+    ~1/84th of the fact table.
+    """
+    from .relational import cents
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp")))
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_i = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    promo_i = F.sum(F.when(F.col("p_type") == "PROMO", rev_i).otherwise(F.lit(0)))
+    total_i = F.sum(rev_i)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * promo_i.cast("double") / total_i.cast("double"))
+            .alias("promo_pct"),
+            (promo_i.cast("double") / F.lit(1.0e4)).alias("promo_revenue"),
+            (total_i.cast("double") / F.lit(1.0e4)).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
