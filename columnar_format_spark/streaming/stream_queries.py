@@ -52,17 +52,32 @@ def _stage_events(spark: SparkSession, sf_dir: str, variant: str = "plain") -> s
 
 
 def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
-    """Run a bounded stream to completion into a memory table."""
+    """Run a bounded stream to completion into a memory table.
+
+    State-store sizing: stateful operators create one state store per
+    shuffle partition, each paying init/commit overhead per micro-batch.
+    Size that to the stream's state volume (small here) rather than the
+    batch default — the standard knob on a real deployment too, where
+    you provision state partitions for throughput, not for the
+    cluster-wide batch shuffle width. Restored after the drain so batch
+    queries keep the session default.
+    """
+    spark = stream_df.sparkSession
     name = "q_" + uuid.uuid4().hex[:12]
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def _events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
