@@ -70,3 +70,67 @@ def q70_colf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("l_orderkey").cast("bigint")).alias("min_key"),
         F.max(F.col("l_orderkey").cast("bigint")).alias("max_key"),
     )
+
+
+# staged CSV input dirs, keyed by sf_dir (written once per session)
+_CSV_STAGED: dict[str, str] = {}
+
+
+def _stage_orders_csv(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _CSV_STAGED:
+        return _CSV_STAGED[sf_dir]
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    d = tempfile.mkdtemp(prefix="csv_ingest_")
+    o.repartition(8).write.option("header", True).mode("overwrite").csv(d)
+    _CSV_STAGED[sf_dir] = d
+    return d
+
+
+@register(
+    "q73_csv_ingest",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS DOUBLE) / 100.0) AS sum_price,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses,
+           MAX(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS max_date
+    FROM orders
+    """,
+)
+def q73_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 end-to-end under the correctness gate: orders staged as raw
+    CSV → reference-rules schema inference (int32→float64→utf8 cascade,
+    blank⇒NULL — csv_ingest.py, NOT Spark's inferSchema) → COLF dataset
+    → read back → typed aggregation. Matches the oracle on the original
+    parquet iff inference typed every column correctly AND the
+    CSV→COLF→Spark round-trip is lossless (shortest-repr double text
+    round-trips exactly; int32 keys; utf8 strings byte-exact).
+
+    Scale: the inference pass is one distributed aggregation of regex
+    verdicts (map-side ANDs); ingest itself is a map-only cast.
+    """
+    from .csv_ingest import apply_colf_schema, infer_colf_types, read_csv_raw
+
+    raw = read_csv_raw(spark, _stage_orders_csv(spark, sf_dir))
+    typed = apply_colf_schema(raw, infer_colf_types(raw))
+    from .datasource import register as register_ds
+
+    register_ds(spark)
+    out = tempfile.mkdtemp(prefix="colf_ing_")
+    typed.write.format("colf").mode("overwrite").save(out)
+    back = spark.read.format("colf").load(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.col("o_orderkey").cast("bigint")).alias("min_key"),
+        F.max(F.col("o_orderkey").cast("bigint")).alias("max_key"),
+        (F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+         .cast("double") / F.lit(100.0)).alias("sum_price"),
+        F.count_distinct("o_orderstatus").alias("n_statuses"),
+        F.max("o_orderdate").alias("max_date"),
+    )
