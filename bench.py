@@ -26,14 +26,20 @@ HEADLINE = [
     "q15_star_revenue_by_region",
     "q17_asof_join",
     "q20_window_topk_per_group",
+    "q19_subqueries",
     "q33_sessionize",
     "q50_dedup_exact",
     "q52_minhash_lsh",
+    "q56_dedup_components",
+    "q67_deterministic_split",
+    "q71_sequence_packing",
     "q54_embedding_neardup",
     "q60_cosine_topk",
     "q62_ann_lsh",
     "q70_colf_roundtrip",
+    "q73_csv_ingest",
     "q80_stream_tumbling",
+    "q84_stream_stream_join",
     "q90_training_pipeline",
 ]
 
