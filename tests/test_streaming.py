@@ -98,3 +98,64 @@ def test_dedup_within_watermark(spark, events_dir, tmp_path):
     assert got.select("event_id").distinct().count() == n_unique
     # watermark-bounded dedup may keep late duplicates, but never loses events
     assert got.count() >= n_unique
+
+
+def test_late_data_dropped_behind_watermark(spark, tmp_path):
+    """Watermark semantics with real multi-batch arrival, pinning
+    Spark's one-batch-delayed watermark commit: the watermark computed
+    at the end of batch N becomes ACTIVE in batch N+1, and a late row
+    is dropped only when its window end precedes the active watermark.
+
+    Four single-file micro-batches (maxFilesPerTrigger=1, mtime-ordered):
+      f1: 4 events in [10:00, 10:30]  -> window 10:00 accumulates
+      f2: 1 event at 13:00            -> end-of-batch wm becomes 12:50
+      f3: 1 event at 14:00            -> active wm 12:50 closes window
+                                         [10:00, 11:00), emitting 4
+      f4: 1 LATE event at 10:15       -> active wm 13:50 > window end
+                                         11:00: DROPPED by the operator
+    Final append output: window 10:00 with exactly the 4 on-time rows;
+    13:00/14:00 windows never finalize before end-of-stream.
+    """
+    import os
+    import time
+
+    import pandas as pd
+
+    from columnar_format_spark.streaming import pipelines as P
+
+    src = str(tmp_path / "late_events")
+    os.makedirs(src)
+
+    def write_file(name: str, ts_list, mtime: int):
+        pdf = pd.DataFrame({
+            "event_id": range(len(ts_list)),
+            "ts": pd.to_datetime(ts_list).astype("datetime64[us]"),
+            "user_id": [1] * len(ts_list),
+            "event_type": ["click"] * len(ts_list),
+            "value": [1.0] * len(ts_list),
+            "props": ["{}"] * len(ts_list),
+        })
+        path = os.path.join(src, name)
+        pdf.to_parquet(path)
+        os.utime(path, (mtime, mtime))
+
+    base = int(time.time())
+    write_file("f1.parquet", ["2024-01-01 10:00:00", "2024-01-01 10:10:00",
+                              "2024-01-01 10:20:00", "2024-01-01 10:30:00"], base - 400)
+    write_file("f2.parquet", ["2024-01-01 13:00:00"], base - 300)
+    write_file("f3.parquet", ["2024-01-01 14:00:00"], base - 200)
+    write_file("f4.parquet", ["2024-01-01 10:15:00"], base - 100)  # late
+
+    from columnar_format_spark.streaming.pipelines import run_to_memory
+
+    stream = P.events_stream(spark, src, max_files_per_trigger=1)
+    q = run_to_memory(P.tumbling_counts(stream), "t_late", "append")
+    q.awaitTermination(120)
+    dropped = sum(op.get("numRowsDroppedByWatermark", 0)
+                  for p in q.recentProgress for op in p.get("stateOperators", []))
+    q.stop()
+    got = spark.table("t_late").collect()
+    by_window = {r["window_start"].strftime("%H:%M"): r["n_events"] for r in got}
+    assert by_window.get("10:00") == 4, by_window  # late row NOT counted
+    assert "13:00" not in by_window and "14:00" not in by_window
+    assert dropped == 1  # the operator itself reported the late-row drop
