@@ -278,3 +278,60 @@ def q71_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.groupBy("chunk").applyInPandas(
         pack, "doc_id long, chunk long, seq_no int, n_tokens long, seq_offset long")
+
+
+@register(
+    "q74_cogroup_user_orders",
+    oracle="""
+    WITH e AS (
+      SELECT user_id AS uid, COUNT(*) AS n_events,
+             CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS event_cents
+      FROM events GROUP BY user_id),
+    o AS (
+      SELECT o_custkey AS uid, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS order_cents
+      FROM orders WHERE o_custkey < 150 GROUP BY o_custkey)
+    SELECT COALESCE(e.uid, o.uid) AS user_id,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(event_cents, 0) AS event_cents,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(order_cents, 0) AS order_cents
+    FROM e FULL OUTER JOIN o ON e.uid = o.uid
+    """,
+)
+def q74_cogroup_user_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas — the remaining pandas extension-point
+    flavor: both sides of a key arrive as two pandas DataFrames per
+    group (events and orders for one user), the shape of custom
+    entity-level merges (feature joins, reconciliation, per-user
+    models) when a SQL join can't express the logic. The demo payload
+    is integer-cents totals from both sides, so the oracle is the
+    equivalent FULL OUTER JOIN of two aggregates.
+
+    Scale: one shuffle per side on the key (same as the join Catalyst
+    would plan); each cogroup must fit worker memory — per-entity
+    groups, the same discipline as q34.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def merge(ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+        uid = ev["user_id"].iloc[0] if len(ev) else od["o_custkey"].iloc[0]
+        ev_cents = np.rint(ev["value"].to_numpy() * 100).astype(np.int64).sum() if len(ev) else 0
+        od_cents = od["cents"].to_numpy().sum() if len(od) else 0
+        return pd.DataFrame({
+            "user_id": [uid],
+            "n_events": [len(ev)],
+            "event_cents": [int(ev_cents)],
+            "n_orders": [len(od)],
+            "order_cents": [int(od_cents)],
+        })
+
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    od = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150).select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"))
+    return ev.groupBy("user_id").cogroup(od.groupBy("o_custkey")).applyInPandas(
+        merge,
+        "user_id long, n_events long, event_cents long, n_orders long, order_cents long")
