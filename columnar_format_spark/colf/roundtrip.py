@@ -134,3 +134,90 @@ def q73_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_orderstatus").alias("n_statuses"),
         F.max("o_orderdate").alias("max_date"),
     )
+
+
+# shared COLF dataset staging for the selective-read / zone-map queries
+_COLF_STAGED: dict[str, str] = {}
+
+
+def _stage_lineitem_colf(spark: SparkSession, sf_dir: str) -> str:
+    """lineitem (5 columns, int32-keyed) written once per session as a
+    RANGE-PARTITIONED COLF dataset: repartitionByRange(l_orderkey) gives
+    each part file a disjoint key range, so the _manifest.json zone maps
+    can prune files for key predicates."""
+    if sf_dir in _COLF_STAGED:
+        return _COLF_STAGED[sf_dir]
+    from .datasource import register as register_ds
+
+    register_ds(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("int").alias("l_orderkey"),
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag",
+    ).repartitionByRange(8, "l_orderkey")
+    d = tempfile.mkdtemp(prefix="colf_li_")
+    li.write.format("colf").mode("overwrite").save(d)
+    _COLF_STAGED[sf_dir] = d
+    return d
+
+
+@register(
+    "q75_colf_selective_read",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q75_colf_selective_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The format's raison d'être as a checked query: read ONLY the
+    (l_returnflag, l_quantity) blocks from the staged COLF dataset —
+    the reader seeks those offsets and never touches the other three
+    columns' bytes (reference reader.py:165-192 semantics at the I/O
+    layer, on top of Catalyst's logical pruning).
+
+    Scale: I/O saved is proportional to the unread column bytes — the
+    same 2.5× the reference measures on its 1-of-5-column benchmark.
+    """
+    from .datasource import read_colf
+
+    d = _stage_lineitem_colf(spark, sf_dir)
+    df = read_colf(spark, d, ["l_returnflag", "l_quantity"])
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+    )
+
+
+@register(
+    "q76_colf_zonemap_pruning",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(l_linenumber) AS BIGINT) AS sum_line,
+           MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+    FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
+    """,
+)
+def q76_colf_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping under the correctness gate: a key-range
+    predicate over the range-partitioned COLF dataset reaches
+    ColfReader.pushFilters, which consults the _manifest.json min/max
+    stats and opens only the file(s) whose range can match (1-2 of 8);
+    Spark re-applies the filter row-level, so pruning can only save
+    I/O, never change the result — which is exactly what the oracle
+    verifies.
+
+    Scale: this is the parquet-footer-stats design applied to a format
+    with no row groups — the sidecar manifest makes a whole-file the
+    pruning granule, which is why the dataset convention range-
+    partitions on the layout key.
+    """
+    d = _stage_lineitem_colf(spark, sf_dir)
+    df = spark.read.format("colf").load(d).filter(
+        F.col("l_orderkey").between(1000, 2000))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_linenumber").cast("bigint").alias("sum_line"),
+        F.min(F.col("l_orderkey").cast("bigint")).alias("min_key"),
+        F.max(F.col("l_orderkey").cast("bigint")).alias("max_key"),
+    )
