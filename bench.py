@@ -32,6 +32,7 @@ HEADLINE = [
     "q52_minhash_lsh",
     "q56_dedup_components",
     "q67_deterministic_split",
+    "q77_decontamination",
     "q71_sequence_packing",
     "q54_embedding_neardup",
     "q60_cosine_topk",

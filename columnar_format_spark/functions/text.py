@@ -422,3 +422,135 @@ def q68_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_tokens").cast("bigint").alias("total_tokens"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination + TF-IDF keywords
+# ---------------------------------------------------------------------------
+
+_DECON_N = 5  # word n-gram size for contamination matching
+
+
+@register(
+    "q77_decontamination",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(text), '\s+') AS w,
+             {_SQL_DOC_BUCKET} AS b
+      FROM documents),
+    g AS (
+      SELECT doc_id, b,
+             unnest(list_transform(range(1, len(w) - {_DECON_N - 2}),
+                                   i -> array_to_string(w[i:i+{_DECON_N - 1}], ' '))) AS gram
+      FROM t WHERE len(w) >= {_DECON_N}),
+    bench AS (SELECT DISTINCT gram FROM g WHERE b >= 97),
+    contam AS (
+      SELECT DISTINCT doc_id FROM g
+      WHERE b < 97 AND gram IN (SELECT gram FROM bench)),
+    train AS (SELECT doc_id, source FROM t WHERE b < 97)
+    SELECT source,
+           COUNT(*) AS n_train,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clean
+    FROM train LEFT JOIN contam c ON train.doc_id = c.doc_id
+    GROUP BY source
+    """,
+)
+def q77_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the top-3% hash buckets of `documents`
+    stand in for a held-out eval set; any training document sharing a
+    word 5-gram with that set is flagged contaminated (the standard
+    n-gram-overlap test-set-leakage check for training corpora).
+    Reports kept/flagged counts per source.
+
+    Scale: grams are generated map-side by JVM built-ins
+    (transform/sequence/slice — no Python); the benchmark-gram set is a
+    few percent of the corpus so the semi join broadcasts under AQE,
+    making contamination a map-side probe; the distinct on flagged doc
+    ids is the only shuffle that grows with corpus size.
+    """
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source",
+        F.split(F.lower("text"), r"\s+").alias("w"),
+        doc_bucket().alias("b"))
+    grams = base.filter(F.size("w") >= _DECON_N).select(
+        "doc_id", "b",
+        F.explode(F.expr(
+            f"transform(sequence(1, size(w) - {_DECON_N - 1}),"
+            f" i -> array_join(slice(w, i, {_DECON_N}), ' '))")).alias("gram"))
+    bench_grams = grams.filter(F.col("b") >= 97).select("gram").distinct()
+    contaminated = (
+        grams.filter(F.col("b") < 97)
+        .join(bench_grams, "gram", "leftsemi")
+        .select("doc_id").distinct()
+        .withColumn("is_contam", F.lit(1)))
+    train = base.filter(F.col("b") < 97).select("doc_id", "source")
+    return (
+        train.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_train"),
+             F.sum(F.when(F.col("is_contam").isNotNull(), 1).otherwise(0))
+              .cast("bigint").alias("n_contaminated"),
+             F.sum(F.when(F.col("is_contam").isNull(), 1).otherwise(0))
+              .cast("bigint").alias("n_clean"))
+    )
+
+
+@register(
+    "q78_tfidf_keywords",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+      FROM documents),
+    filt AS (
+      SELECT * FROM toks
+      WHERE len(term) >= 3 AND NOT list_contains({_SW_SQL}, term)),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_corpus FROM documents),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM filt GROUP BY term),
+    tf AS (SELECT source, term, COUNT(*) AS tf FROM filt GROUP BY source, term),
+    scored AS (
+      SELECT tf.source, tf.term, tf.tf, dfreq.df,
+             ROUND(tf.tf * ln((n.n_corpus + 1) / (dfreq.df + 1)), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY tfidf DESC, term) AS rnk
+      FROM scored)
+    SELECT source, term, tf, df, tfidf, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def q78_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-5 terms per source scored
+    tf x ln((N+1)/(df+1)) over the whole corpus (stopwords and <3-char
+    tokens dropped). The cross-document df weighting is what q58's raw
+    frequency ranking can't express.
+
+    Scale: two shuffles (df by term, tf by source+term); the corpus
+    size N is a 1-row broadcast; ranking shuffles only the per-source
+    term aggregates, not documents. The score is rounded to 6dp so the
+    ordering is engine-stable.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", "source",
+                 F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+        .filter((F.length("term") >= 3) & ~F.col("term").isin(STOPWORDS)))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_corpus"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(
+            F.col("tf") * F.log((F.col("n_corpus") + 1) / (F.col("df") + 1)), 6)))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "term", "tf", "df", "tfidf", "rnk"))
