@@ -1,0 +1,87 @@
+"""Repetition-quality / sharding operators: hand-computed expectations
+on crafted corpora, plus oracle-exactness on adversarial inputs (the
+same engine-vs-DuckDB comparison the driver runs)."""
+
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+
+import columnar_format_spark.queries  # noqa: F401  (registers)
+from columnar_format_spark.functions.quality import SHARD_CHARS
+from columnar_format_spark.oracle import compare_query
+from columnar_format_spark.registry import QUERIES
+
+
+def _stage_documents(texts: list[str]) -> str:
+    d = tempfile.mkdtemp(prefix="quality_docs_")
+    pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["probe"] * len(texts),
+        "n_chars": [len(t) for t in texts],
+    }).to_parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_repetition_hand_computed(spark):
+    # doc 0: "a b a b a" — tokens=5, bigrams [a b, b a, a b, b a]:
+    # 4 total / 2 distinct -> dup=0.5; trigrams [a b a, b a b, a b a]:
+    # 3 total / 2 distinct -> dup=1/3; top token 'a' 3/5.
+    # doc 1: all distinct tokens -> zero dup fractions, top 1/4.
+    # doc 2: single token -> no n-grams (guard path), top 1.0.
+    sf = _stage_documents(["a b a b a", "w x y z", "solo"])
+    rows = {r["doc_id"]: r for r in
+            QUERIES["q79_repetition_quality"].fn(spark, sf).collect()}
+    r0, r1, r2 = rows[0], rows[1], rows[2]
+    assert r0["n_tokens"] == 5
+    assert r0["dup_2gram_frac"] == pytest.approx(0.5)
+    assert r0["dup_3gram_frac"] == pytest.approx(1 / 3)
+    assert r0["top_token_frac"] == pytest.approx(3 / 5)
+    assert r1["dup_2gram_frac"] == 0.0 and r1["top_token_frac"] == pytest.approx(0.25)
+    assert r2["n_tokens"] == 1
+    assert r2["dup_2gram_frac"] == 0.0 and r2["dup_3gram_frac"] == 0.0
+    assert r2["top_token_frac"] == pytest.approx(1.0)
+
+
+def test_shingle_dup_hand_computed(spark):
+    # Two docs share their full 8-token text (1 shingle each, duplicated
+    # across docs); a third is unique; a fourth is too short to shingle.
+    eight = "t1 t2 t3 t4 t5 t6 t7 t8"
+    sf = _stage_documents([eight, eight, "u1 u2 u3 u4 u5 u6 u7 u8", "short doc"])
+    [row] = QUERIES["q85_shingle_dup_frac"].fn(spark, sf).collect()
+    assert row["total_shingles"] == 3
+    assert row["dup_shingles"] == 2
+    assert row["dup_frac"] == pytest.approx(2 / 3)
+
+
+def test_corpus_shards_partition_docs_exactly(spark, tmp_path):
+    # Shards partition the corpus: every doc lands in exactly one shard
+    # and per-shard char totals sum to the corpus total. Packing is
+    # greedy, so a shard overflows only by its last doc: the running
+    # sum *before* that doc is < SHARD_CHARS past the shard boundary.
+    sf = "/root/testdata/sf0.001"
+    df = QUERIES["q86_corpus_shards"].fn(spark, sf).collect()
+    import duckdb
+    n_docs, total = duckdb.sql(
+        f"SELECT count(*), sum(n_chars) FROM '{sf}/documents.parquet'"
+    ).fetchone()
+    assert sum(r["n_docs"] for r in df) == n_docs
+    assert sum(r["total_chars"] for r in df) == total
+    for r in df:
+        # every shard starts below the boundary: chars minus its last
+        # doc can't already exceed SHARD_CHARS unless it's one big doc
+        assert r["n_docs"] == 1 or r["total_chars"] < 2 * SHARD_CHARS
+
+
+@pytest.mark.parametrize("texts", [
+    ["", "   ", "x"],                      # empty / whitespace-only docs
+    ["a " * 500, "a"],                     # one maximally repetitive doc
+    ["tok"] * 12,                          # identical flood
+], ids=["blank", "repeat500", "flood"])
+@pytest.mark.parametrize("name", ["q79_repetition_quality", "q85_shingle_dup_frac"])
+def test_quality_oracle_on_adversarial_corpora(spark, name, texts):
+    res = compare_query(spark, _stage_documents(texts), name)
+    assert res["ok"], res["notes"]
