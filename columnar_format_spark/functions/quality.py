@@ -155,6 +155,102 @@ def q85_shingle_dup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 keyword search over the corpus — the sparse-retrieval
+# counterpart to q60's dense cosine top-k. Fixed query-term set (terms
+# from the corpus vocabulary), k1/b at their standard values.
+BM25_TERMS = ["spark", "hash", "window", "merge"]
+BM25_K1 = "1.2"
+BM25_B = "0.75"
+BM25_TOPK = 20
+
+
+def _bm25_sql() -> str:
+    tf_cols = ", ".join(
+        f"SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS))
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_TERMS)))
+    norm = f"({BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+    score = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN ROUND(ln(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * tf{i} * ({BM25_K1} + 1) / (tf{i} + {norm}), 6) ELSE 0 END"
+        for i in range(len(BM25_TERMS)))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+      FROM documents
+    ), perdoc AS (
+      SELECT doc_id, COUNT(*) AS dl, {tf_cols} FROM toks GROUP BY doc_id
+    ), g AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, {df_cols} FROM perdoc
+    ), s AS (
+      SELECT doc_id, CAST(dl AS BIGINT) AS dl, {score} AS score
+      FROM perdoc CROSS JOIN g
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM s WHERE score > 0
+    )
+    SELECT doc_id, dl, score, rnk FROM ranked WHERE rnk <= {BM25_TOPK}
+    """
+
+
+@register("q87_bm25_search", oracle=_bm25_sql())
+def q87_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search: top-20 documents for a fixed query-term
+    set, scored ln-idf x length-normalized tf (k1=1.2, b=0.75). With
+    q60 (dense cosine) this gives the engine both halves of a hybrid
+    retrieval stack.
+
+    Determinism: per-term scores are rounded to 6dp (q78's ln
+    precedent) and added in fixed order; tf/df/dl are exact ints and
+    avgdl is a single division, so Spark and DuckDB agree bit-for-bit.
+
+    Scale: one shuffle to per-doc term counts; corpus stats (N, avgdl,
+    per-term df) reduce to ONE broadcast row, so scoring is a map
+    stage. Top-k is a rank-limit — Spark's TakeOrderedAndProject, no
+    global sort materialization.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("term"))
+    perdoc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf{i}")
+          for i, t in enumerate(BM25_TERMS)])
+    glob = perdoc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+          for i in range(len(BM25_TERMS))])
+    k1, b = F.expr(BM25_K1), F.expr(BM25_B)
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+
+    def term_score(i: int) -> Column:
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(F.lit(1) + (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5)))
+        norm = k1 * (F.lit(1) - b + b * F.col("dl") / avgdl)
+        return F.when(
+            tf > 0, F.round(idf * tf * (k1 + F.lit(1)) / (tf + norm), 6)
+        ).otherwise(F.lit(0))
+
+    score = term_score(0)
+    for i in range(1, len(BM25_TERMS)):
+        score = score + term_score(i)
+    scored = (
+        perdoc.crossJoin(F.broadcast(glob))
+        .select("doc_id", F.col("dl").cast("bigint").alias("dl"),
+                score.alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BM25_TOPK)
+        .select("doc_id", "dl", "score", "rnk")
+    )
+
+
 # Greedy shard packing: documents land in 8 independent hash buckets,
 # each bucket packs in md5 order into ~SHARD_CHARS-char shards. Bucket
 # count bounds the sort width; shard ids are globally unique via the

@@ -1017,3 +1017,50 @@ def q29_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).cast("bigint").alias("first_key"),
         F.last("o_orderkey").over(w_full).cast("bigint").alias("last_key"),
     )
+
+
+@register(
+    "q88_right_cross_join",
+    oracle="""
+    WITH pairs AS (
+      SELECT r.r_name, n.n_name, n.n_nationkey FROM region r CROSS JOIN nation n
+    )
+    SELECT p.r_name, p.n_name,
+           CAST(COUNT(s.s_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COALESCE(SUM(CASE WHEN s.s_acctbal > 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_positive_bal
+    FROM supplier s
+    RIGHT JOIN pairs p
+      ON s.s_nationkey = p.n_nationkey AND p.r_name <> 'AFRICA'
+    GROUP BY p.r_name, p.n_name
+    """,
+)
+def q88_right_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-outer + cross join, completing the join matrix (q10-q18
+    cover inner/left/semi/anti/full/range/as-of/salted): every
+    (region, nation) pair from a cross join is preserved by a right
+    join against suppliers, so nations with zero suppliers — and all
+    AFRICA pairs, excluded by the non-equi join condition — still
+    appear with zero counts. COUNT(col) vs COUNT(*) null semantics
+    under the preserved side is exactly what this pins.
+
+    Scale: both dimension sides are tiny (5 x 25 rows) — the cross
+    join is a broadcast nested loop and the right join broadcasts the
+    125-row pair table, so the only scan that matters is supplier and
+    nothing shuffles.
+    """
+    r = table(spark, sf_dir, "region").select("r_name")
+    n = table(spark, sf_dir, "nation").select("n_name", "n_nationkey")
+    pairs = r.crossJoin(n)
+    s = table(spark, sf_dir, "supplier")
+    joined = s.join(
+        F.broadcast(pairs),
+        (s.s_nationkey == pairs.n_nationkey) & (pairs.r_name != "AFRICA"),
+        "right",
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.count("s_suppkey").cast("bigint").alias("n_suppliers"),
+        F.coalesce(
+            F.sum(F.when(F.col("s_acctbal") > 0, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("n_positive_bal"),
+    )

@@ -85,3 +85,37 @@ def test_corpus_shards_partition_docs_exactly(spark, tmp_path):
 def test_quality_oracle_on_adversarial_corpora(spark, name, texts):
     res = compare_query(spark, _stage_documents(texts), name)
     assert res["ok"], res["notes"]
+
+
+def test_bm25_ranks_matching_docs(spark):
+    # Docs mentioning more query terms more often (relative to length)
+    # must outrank sparse mentions; docs with no query term are absent.
+    sf = _stage_documents([
+        "spark hash window merge",          # all 4 terms, short -> top
+        "spark spark spark",                # one term, repeated
+        "nothing relevant here at all",     # no terms -> excluded
+        "spark " + "filler " * 50,          # term diluted by length
+    ])
+    rows = QUERIES["q87_bm25_search"].fn(spark, sf).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 2 not in ids
+    assert ids[0] == 0
+    scores = {r["doc_id"]: r["score"] for r in rows}
+    assert scores[1] > scores[3]  # length normalization penalizes doc 3
+    assert [r["rnk"] for r in rows] == sorted(r["rnk"] for r in rows)
+
+
+def test_bm25_oracle_on_adversarial_corpus(spark):
+    texts = ["spark"] * 5 + ["", "  ", "spark hash"] + ["merge window"] * 3
+    res = compare_query(spark, _stage_documents(texts), "q87_bm25_search")
+    assert res["ok"], res["notes"]
+
+
+def test_right_cross_join_preserves_empty_nations(spark):
+    # Every non-AFRICA (region, nation) pair appears even with zero
+    # suppliers, and AFRICA pairs appear with zero (join condition
+    # excludes their suppliers, the right side preserves the rows).
+    rows = QUERIES["q88_right_cross_join"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 125
+    africa = [r for r in rows if r["r_name"] == "AFRICA"]
+    assert len(africa) == 25 and all(r["n_suppliers"] == 0 for r in africa)
