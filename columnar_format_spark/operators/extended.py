@@ -587,3 +587,35 @@ def q72_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "q89_grouped_collect",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           list_slice(list_sort(list(o_orderkey)), 1, 5) AS first5_keys,
+           list_sort(list(DISTINCT o_orderpriority)) AS priorities
+    FROM orders
+    WHERE o_custkey < 500
+    GROUP BY o_custkey
+    """,
+)
+def q89_grouped_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type aggregation: per customer, the sorted first-5 order
+    keys and the sorted set of distinct priorities — collect_list/
+    collect_set into array columns, which no other query family
+    exercises on the output side. Sorting the collected arrays is what
+    makes the result engine-comparable: bare collect order is
+    partition-dependent.
+
+    Scale: a hash aggregate whose state is the collected arrays —
+    bounded here by the per-customer order count; for unbounded groups
+    the right tool is a window top-k (q20) instead of collect+slice.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.slice(F.array_sort(F.collect_list("o_orderkey")), 1, 5).alias("first5_keys"),
+        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+    )
