@@ -57,19 +57,30 @@ def main() -> None:
     def run(name: str, at: str = sf_dir) -> float:
         t0 = time.perf_counter()
         QUERIES[name].fn(spark, at).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        # Streaming queries drain into driver-memory sink tables; once
+        # the noop write has consumed a result, drop its view so ~44
+        # runs don't accumulate row arrays in the driver and skew later
+        # timings with GC pressure.
+        for t in spark.catalog.listTables():
+            if t.name.startswith("q_") and t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+        return dt
 
-    # Warmup (mirrors BASELINE.md's 1-warmup + timed-reps protocol,
-    # bench_selective_vs_csv.py:37-51 — warmup and measurement on the
-    # SAME data): one untimed pass per headline query at the target SF
-    # so JVM codegen, the Python worker pools (pandas UDFs, COLF
-    # DataSource, streaming sinks), per-query setup (stream staging
-    # dirs), and the OS page cache are live before anything is timed.
-    # On a real cluster these are amortized per-executor startup costs,
-    # not per-query costs.
+    # Per-query warmup immediately before its timed run (mirrors
+    # BASELINE.md's 1-warmup + timed-reps protocol,
+    # bench_selective_vs_csv.py:37-51 — the reference also warms and
+    # times the SAME operation consecutively). The warmup pays JVM
+    # whole-stage-codegen JIT, Python worker pool spin-up, stream
+    # staging, and page-cache fill for that query. Pairing matters:
+    # the codegen class cache holds ~100 entries, so a warm-ALL-then-
+    # time-ALL loop evicts early queries' compiled stages before their
+    # timed run and re-JITs (~2-3 s/query of pure compiler time, which
+    # on a real cluster is a once-per-executor cost, not a query cost).
+    times = {}
     for name in HEADLINE:
         run(name)
-    times = {name: round(run(name), 4) for name in HEADLINE}
+        times[name] = round(run(name), 4)
     total = round(sum(times.values()), 4)
     print(json.dumps({
         "metric": "headline_queries_total",

@@ -89,6 +89,41 @@ def extract_features(blobs: DataFrame, decode=fake_decode) -> DataFrame:
     return blobs.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_images(blobs: DataFrame, target_w: int = 32, target_h: int = 32,
+                  resize=None) -> DataFrame:
+    """Arrow-batched image resize over binary media columns — the
+    plumbing (schema, batch shape, bounded memory) is real; the pixel
+    work is a deterministic fake unless a real ``resize(blob, w, h) ->
+    bytes`` hook (PIL/cv2) is plugged in, since codecs aren't installed
+    in this environment.
+
+    The fake "resize" truncates-or-tiles the blob to exactly w*h bytes
+    — byte-size scaling with the target area, like a real raw-pixel
+    buffer would, so downstream operators see size-correct binaries.
+    Output keeps one row per input image (map shape, no shuffle).
+    """
+    def fake_resize(b: bytes, w: int, h: int) -> bytes:
+        n = w * h
+        return (b * (n // len(b) + 1))[:n] if b else bytes(n)
+
+    fn = resize or fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [fn(b, target_w, target_h) for b in pdf["blob"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": [target_w] * len(out),
+                "height": [target_h] * len(out),
+                "resized": out,
+            })
+
+    return (
+        blobs.filter(F.col("modality") == "image")
+        .mapInPandas(run, schema="doc_id long, width int, height int, resized binary")
+    )
+
+
 def frame_sample(blobs: DataFrame, every_nth: int = 4) -> DataFrame:
     """Video 'frame sampling' over the fake blobs: split each blob into
     8-byte frames, keep every nth — exercises the explode/posexplode

@@ -51,3 +51,25 @@ def test_frame_sample(blobs):
     # 32-byte blobs → 4 frames of 8 bytes → keep frames 0 and 2
     assert len(rows) == 2 * n_video
     assert set(r["frame_no"] for r in rows) == {0, 2}
+
+
+def test_resize_images(blobs):
+    from columnar_format_spark.functions.multimodal import resize_images
+
+    rows = resize_images(blobs, target_w=8, target_h=4).collect()
+    assert rows, "image-modality blobs expected"
+    for r in rows:
+        assert (r["width"], r["height"]) == (8, 4)
+        assert len(r["resized"]) == 32  # exactly w*h bytes
+    # deterministic: same input -> same bytes
+    again = {r["doc_id"]: bytes(r["resized"])
+             for r in resize_images(blobs, target_w=8, target_h=4).collect()}
+    assert all(bytes(r["resized"]) == again[r["doc_id"]] for r in rows)
+
+
+def test_resize_real_codec_hook_raises(blobs):
+    from columnar_format_spark.functions.multimodal import decode_image_stub
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x00")
