@@ -314,3 +314,68 @@ def q86_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+# Hybrid retrieval: reciprocal-rank fusion of the sparse (BM25, q87)
+# and dense (cosine top-k, q60) rankers, the standard way production
+# search fuses lexical and embedding retrieval. RRF_K = 60 per the
+# original RRF formulation.
+RRF_K = 60
+HYBRID_TOPK = 10
+
+
+def _hybrid_sql() -> str:
+    from .similarity import _COSINE_SQL
+
+    return f"""
+    WITH sparse AS ({_bm25_sql()}),
+    dense AS (SELECT cid, rnk FROM ({_COSINE_SQL}) WHERE qid = 0),
+    fused AS (
+      SELECT COALESCE(s.doc_id, d.cid) AS doc_id,
+             s.rnk AS rnk_sparse, d.rnk AS rnk_dense,
+             COALESCE(1 / CAST({RRF_K} + s.rnk AS DOUBLE), 0)
+               + COALESCE(1 / CAST({RRF_K} + d.rnk AS DOUBLE), 0) AS rrf
+      FROM sparse s FULL JOIN dense d ON s.doc_id = d.cid),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+      FROM fused)
+    SELECT doc_id, rnk_sparse, rnk_dense, rrf, rnk
+    FROM ranked WHERE rnk <= {HYBRID_TOPK}
+    """
+
+
+@register("q91_hybrid_retrieval", oracle=_hybrid_sql())
+def q91_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse BM25 (q87) and dense cosine (q60, query
+    vector 0; doc_id = vec_id as in q64) rankings by reciprocal-rank
+    fusion — rrf = Σ 1/(60+rank) over the rankers that returned the
+    doc. A doc found by only one ranker still scores (full outer
+    join), which is RRF's point.
+
+    Determinism: ranks are exact ints, each contribution is one IEEE
+    division, and the two terms add in fixed order.
+
+    Scale: both inputs are already top-k lists (≤ tens of rows), so
+    the fusion join is a broadcast over driver-sized data; the heavy
+    lifting happened inside the rankers, which is the right layering —
+    fusion cost never grows with corpus size.
+    """
+    from .similarity import q60_cosine_topk
+
+    sparse = q87_bm25_search(spark, sf_dir).select(
+        F.col("doc_id").alias("sdoc"), F.col("rnk").alias("rnk_sparse"))
+    dense = q60_cosine_topk(spark, sf_dir).filter(F.col("qid") == 0).select(
+        F.col("cid").alias("ddoc"), F.col("rnk").alias("rnk_dense"))
+    fused = sparse.join(dense, sparse.sdoc == dense.ddoc, "full").select(
+        F.coalesce(F.col("sdoc"), F.col("ddoc")).alias("doc_id"),
+        "rnk_sparse", "rnk_dense",
+        (F.coalesce(F.lit(1) / (F.lit(RRF_K) + F.col("rnk_sparse")).cast("double"), F.lit(0.0))
+         + F.coalesce(F.lit(1) / (F.lit(RRF_K) + F.col("rnk_dense")).cast("double"), F.lit(0.0))
+         ).alias("rrf"),
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HYBRID_TOPK)
+        .select("doc_id", "rnk_sparse", "rnk_dense", "rrf", "rnk")
+    )

@@ -119,3 +119,19 @@ def test_right_cross_join_preserves_empty_nations(spark):
     assert len(rows) == 125
     africa = [r for r in rows if r["r_name"] == "AFRICA"]
     assert len(africa) == 25 and all(r["n_suppliers"] == 0 for r in africa)
+
+
+def test_hybrid_retrieval_fuses_both_rankers(spark):
+    # RRF output must contain docs from both rankers and score docs
+    # found by both above the tail of either single list.
+    from columnar_format_spark.functions.quality import RRF_K
+
+    rows = QUERIES["q91_hybrid_retrieval"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    assert all(r["rnk_sparse"] is not None or r["rnk_dense"] is not None for r in rows)
+    for r in rows:
+        expect = (1 / (RRF_K + r["rnk_sparse"]) if r["rnk_sparse"] else 0.0) + \
+                 (1 / (RRF_K + r["rnk_dense"]) if r["rnk_dense"] else 0.0)
+        assert r["rrf"] == pytest.approx(expect, abs=0)
+    rrfs = [r["rrf"] for r in rows]
+    assert rrfs == sorted(rrfs, reverse=True)
