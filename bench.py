@@ -33,6 +33,10 @@ HEADLINE = [
     "q56_dedup_components",
     "q67_deterministic_split",
     "q77_decontamination",
+    "q79_repetition_quality",
+    "q85_shingle_dup_frac",
+    "q87_bm25_search",
+    "q91_hybrid_retrieval",
     "q71_sequence_packing",
     "q54_embedding_neardup",
     "q60_cosine_topk",

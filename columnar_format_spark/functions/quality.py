@@ -74,31 +74,49 @@ def q79_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent token. High values flag boilerplate/spam for removal
     before training.
 
-    Scale: pure map stage (no shuffle) — per-row array lambdas run in
-    whole-stage codegen on the JVM; at 100 TB this is scan-bound. The
-    dominant-token count is O(distinct·n) per row, bounded by document
-    length, not data size.
+    Scale: pure map stage (no shuffle), JVM-side array expressions; at
+    100 TB this is scan-bound. The dominant-token count is
+    O(distinct·n) per row, bounded by document length, not data size.
+
+    The staged projections are load-bearing: higher-order-function
+    lambdas get no common-subexpression elimination, so inlining
+    toks/g2/g3 into every consumer re-tokenizes and re-builds the
+    n-gram arrays per use (~19x slower measured at sf0.1 — the same
+    trap SCALING.md §3 documents for q52). CollapseProject keeps the
+    stages separate because each alias is referenced more than once.
     """
-    d = table(spark, sf_dir, "documents")
-    toks = ws_tokens(F.col("text"))
-    n = F.size(toks)
-    g2 = _ngrams(toks, n, 2)
-    g3 = _ngrams(toks, n, 3)
-
-    def dup_frac(g: Column) -> Column:
-        total = F.size(g)
-        dups = total - F.size(F.array_distinct(g))
-        return F.when(total > 0, dups.cast("double") / total).otherwise(F.lit(0.0))
-
-    top = F.array_max(
-        F.transform(F.array_distinct(toks), lambda u: F.size(F.filter(toks, lambda x: x == u)))
+    d = spread(table(spark, sf_dir, "documents"))
+    t1 = d.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+    n = F.size(F.col("toks"))
+    t2 = t1.select(
+        "doc_id", "toks", n.alias("n_tokens"),
+        _ngrams(F.col("toks"), n, 2).alias("g2"),
+        _ngrams(F.col("toks"), n, 3).alias("g3"),
     )
-    return d.select(
+    t3 = t2.select(
+        "doc_id", "n_tokens",
+        F.size("g2").alias("n2"), F.size(F.array_distinct("g2")).alias("d2"),
+        F.size("g3").alias("n3"), F.size(F.array_distinct("g3")).alias("d3"),
+        F.array_max(
+            F.transform(
+                F.array_distinct("toks"),
+                lambda u: F.size(F.filter(F.col("toks"), lambda x: x == u)),
+            )
+        ).alias("topc"),
+    )
+
+    def dup_frac(total: str, distinct: str) -> Column:
+        return F.when(
+            F.col(total) > 0,
+            (F.col(total) - F.col(distinct)).cast("double") / F.col(total),
+        ).otherwise(F.lit(0.0))
+
+    return t3.select(
         "doc_id",
-        n.cast("bigint").alias("n_tokens"),
-        dup_frac(g2).alias("dup_2gram_frac"),
-        dup_frac(g3).alias("dup_3gram_frac"),
-        (top.cast("double") / n).alias("top_token_frac"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        dup_frac("n2", "d2").alias("dup_2gram_frac"),
+        dup_frac("n3", "d3").alias("dup_3gram_frac"),
+        (F.col("topc").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
     )
 
 
