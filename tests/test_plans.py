@@ -122,3 +122,38 @@ def test_new_queries_stay_jvm_side(spark, name):
     plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_bm25_broadcasts_corpus_stats(spark):
+    """q87's one-row corpus-stats side must broadcast (BNLJ over a
+    single row), never shuffle-join the per-doc side against it."""
+    plan = plan_of(spark, "q87_bm25_search")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_grouped_collect_pushes_filter(spark):
+    """q89's o_custkey < 500 must reach the parquet scan, and the scan
+    must not read untouched wide columns."""
+    plan = plan_of(spark, "q89_grouped_collect")
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "o_custkey" in pushed, pushed
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "o_comment" not in read_schema
+
+
+def test_repetition_quality_is_map_only(spark):
+    """q79 must stay shuffle-free apart from spread()'s parallelizing
+    repartition: no aggregation, no join, no window in the plan."""
+    plan = plan_of(spark, "q79_repetition_quality")
+    for node in ("HashAggregate", "SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert node not in plan, node
+
+
+def test_corpus_shards_window_is_bucket_partitioned(spark):
+    """q86's running sum must window over the pack buckets (N-way
+    parallel), never a global single-partition Window.orderBy."""
+    plan = plan_of(spark, "q86_corpus_shards")
+    assert "Window" in plan
+    assert "hashpartitioning(bucket" in plan, plan
+    assert "SinglePartition" not in plan
