@@ -619,3 +619,121 @@ def q89_grouped_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.array_sort(F.collect_list("o_orderkey")), 1, 5).alias("first5_keys"),
         F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
     )
+
+
+@register(
+    "q92_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS view_ts,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS click_ts,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_ts
+      FROM events GROUP BY user_id
+    ), staged AS (
+      SELECT user_id, view_ts, click_ts, purchase_ts,
+             (view_ts IS NOT NULL AND click_ts >= view_ts) AS s2,
+             (view_ts IS NOT NULL AND click_ts >= view_ts
+              AND purchase_ts >= click_ts) AS s3,
+             epoch_us(click_ts) - epoch_us(view_ts) AS v2c_us
+      FROM per_user
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN view_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel,
+           (CAST(SUM(CASE WHEN s2 THEN v2c_us ELSE 0 END) AS DOUBLE)
+             / SUM(CASE WHEN s2 THEN 1 ELSE 0 END) / 1000000.0) AS avg_view_to_click_s
+    FROM staged
+    """,
+)
+def q92_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel view→click→purchase by first occurrence per user:
+    a user advances a stage when their earliest click is not before
+    their earliest view, and their earliest purchase not before that
+    click (the standard first-touch funnel; NULL comparisons fail the
+    stage, matching both engines' three-valued logic). The mean
+    view→click delay sums exact int64 microseconds and divides once.
+
+    Scale: ONE shuffle on user_id into a partial-then-final hash
+    aggregate; the funnel logic is a map over the per-user row. No
+    self-joins per stage — at 100 TB the three-join formulation would
+    shuffle the events table three times instead of once.
+    """
+    ev = table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        first("view").alias("view_ts"),
+        first("click").alias("click_ts"),
+        first("purchase").alias("purchase_ts"),
+    )
+    s2 = F.col("view_ts").isNotNull() & (F.col("click_ts") >= F.col("view_ts"))
+    s3 = s2 & (F.col("purchase_ts") >= F.col("click_ts"))
+    # cast handles both TIMESTAMP and TIMESTAMP_NTZ inputs (parquet
+    # writers differ); session tz is UTC so the instant is unchanged
+    v2c = (F.unix_micros(F.col("click_ts").cast("timestamp"))
+           - F.unix_micros(F.col("view_ts").cast("timestamp")))
+    staged = per_user.select(
+        "view_ts",
+        s2.alias("s2"), s3.alias("s3"), v2c.alias("v2c_us"))
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return staged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        one(F.col("view_ts").isNotNull()).alias("n_view"),
+        one(F.col("s2")).alias("n_view_click"),
+        one(F.col("s3")).alias("n_full_funnel"),
+        (F.sum(F.when(F.col("s2"), F.col("v2c_us")).otherwise(0)).cast("double")
+         / one(F.col("s2")) / F.lit(1000000.0)).alias("avg_view_to_click_s"),
+    )
+
+
+@register(
+    "q93_retention",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0
+      FROM events GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    )
+    SELECT strftime(u.d0, '%Y-%m-%d') AS cohort,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS cohort_size,
+           CAST(COUNT(DISTINCT CASE WHEN a.d = u.d0 + INTERVAL 1 DAY
+                                    THEN a.user_id END) AS BIGINT) AS d1_retained,
+           CAST(COUNT(DISTINCT CASE WHEN a.d = u.d0 + INTERVAL 7 DAY
+                                    THEN a.user_id END) AS BIGINT) AS d7_retained
+    FROM u JOIN a ON u.user_id = a.user_id
+    GROUP BY u.d0
+    """,
+)
+def q93_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users cohorted by first-activity day; D1/D7
+    retention = distinct users from the cohort active exactly 1 / 7
+    days later. The companion to q92 for event analytics — cohort
+    assignment is an aggregation property (MIN), retention a
+    self-comparison of the activity set against it.
+
+    Scale: both sides reduce BEFORE the join — u is one row per user,
+    a is one row per (user, active-day) — so the join shuffles
+    user-day granularity, never raw events; both shuffles key on
+    user_id and Spark reuses the exchange.
+    """
+    ev = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    u = ev.groupBy("user_id").agg(F.min(day.alias("x")).cast("date").alias("d0"))
+    a = ev.select("user_id", day.alias("d")).distinct()
+    j = u.join(a, "user_id")
+    ret = lambda n: F.countDistinct(  # noqa: E731
+        F.when(F.col("d") == F.date_add(F.col("d0"), n), F.col("user_id"))
+    ).cast("bigint")
+    return (
+        j.groupBy("d0")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("cohort_size"),
+            ret(1).alias("d1_retained"),
+            ret(7).alias("d7_retained"),
+        )
+        .select(F.date_format("d0", "yyyy-MM-dd").alias("cohort"),
+                "cohort_size", "d1_retained", "d7_retained")
+    )

@@ -135,3 +135,66 @@ def test_hybrid_retrieval_fuses_both_rankers(spark):
         assert r["rrf"] == pytest.approx(expect, abs=0)
     rrfs = [r["rrf"] for r in rows]
     assert rrfs == sorted(rrfs, reverse=True)
+
+
+def _stage_events(rows) -> str:
+    d = tempfile.mkdtemp(prefix="funnel_events_")
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_funnel_hand_computed(spark):
+    # user 1: full ordered funnel; user 2: click BEFORE first view
+    # (fails stage 2 by first-touch semantics); user 3: view only;
+    # user 4: no view at all (click/purchase don't count).
+    sf = _stage_events([
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01 10:00:30", 1, "click", 0.0, "{}"),
+        (3, "2024-01-01 11:00:00", 1, "purchase", 9.0, "{}"),
+        (4, "2024-01-02 09:00:00", 2, "click", 0.0, "{}"),
+        (5, "2024-01-02 10:00:00", 2, "view", 0.0, "{}"),
+        (6, "2024-01-03 08:00:00", 3, "view", 0.0, "{}"),
+        (7, "2024-01-04 08:00:00", 4, "click", 0.0, "{}"),
+        (8, "2024-01-04 09:00:00", 4, "purchase", 5.0, "{}"),
+    ])
+    [row] = QUERIES["q92_funnel"].fn(spark, sf).collect()
+    assert row["n_users"] == 4
+    assert row["n_view"] == 3
+    assert row["n_view_click"] == 1
+    assert row["n_full_funnel"] == 1
+    assert row["avg_view_to_click_s"] == pytest.approx(30.0)
+
+
+def test_retention_hand_computed(spark):
+    # cohort 01-01: users 1,2; user 1 returns on day 2 (D1) and day 8
+    # (D7); user 2 returns only day 3 (neither D1 nor D7).
+    sf = _stage_events([
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-02 10:00:00", 1, "click", 0.0, "{}"),
+        (3, "2024-01-08 10:00:00", 1, "view", 0.0, "{}"),
+        (4, "2024-01-01 12:00:00", 2, "view", 0.0, "{}"),
+        (5, "2024-01-03 12:00:00", 2, "view", 0.0, "{}"),
+        (6, "2024-01-05 00:00:00", 3, "view", 0.0, "{}"),
+    ])
+    rows = {r["cohort"]: r for r in QUERIES["q93_retention"].fn(spark, sf).collect()}
+    c = rows["2024-01-01"]
+    assert (c["cohort_size"], c["d1_retained"], c["d7_retained"]) == (2, 1, 1)
+    assert rows["2024-01-05"]["cohort_size"] == 1
+    assert rows["2024-01-05"]["d1_retained"] == 0
+
+
+@pytest.mark.parametrize("name", ["q92_funnel", "q93_retention"])
+def test_event_analytics_oracle_on_crafted_events(spark, name):
+    # single-event users, same-second funnel steps, and a user whose
+    # only activity is the cohort day itself
+    sf = _stage_events([
+        (1, "2024-01-01 00:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01 00:00:00", 1, "click", 0.0, "{}"),
+        (3, "2024-01-01 00:00:00", 1, "purchase", 1.0, "{}"),
+        (4, "2024-01-02 23:59:59", 2, "error", 0.0, "{}"),
+        (5, "2024-01-09 00:00:00", 2, "view", 0.0, "{}"),
+    ])
+    res = compare_query(spark, sf, name)
+    assert res["ok"], res["notes"]
