@@ -6,8 +6,9 @@ writer.py contain no expression language, reader.py:165-221 is scan
 only); these extend the engine's LLM-pipeline surface beyond the
 q40-q43 basics with the repetition heuristics used by production
 pretraining filters (duplicate n-gram fractions, dominant-token share),
-corpus-level duplicated-shingle measurement, and deterministic
-fixed-size shard packing for dataloaders.
+corpus-level duplicated-shingle measurement, deterministic fixed-size
+shard packing for dataloaders, and the retrieval stack (BM25 keyword
+search plus reciprocal-rank fusion with the dense cosine ranker).
 
 Determinism: every ratio is one IEEE division of exact integers
 (registry.py rules), every ordering key is an md5 hex string — so Spark
