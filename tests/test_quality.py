@@ -198,3 +198,36 @@ def test_event_analytics_oracle_on_crafted_events(spark, name):
     ])
     res = compare_query(spark, sf, name)
     assert res["ok"], res["notes"]
+
+
+def test_repetition_matches_pure_python_on_random_corpus(spark):
+    # Differential check against an independent pure-Python
+    # implementation on a seeded random corpus (wider coverage than
+    # the hand-computed cases; deterministic, so failures reproduce).
+    import random
+
+    rng = random.Random(20260813)
+    vocab = ["aa", "bb", "cc", "dd", "e"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40)))
+             for _ in range(120)]
+
+    def py_metrics(text):
+        toks = text.split(" ")
+        n = len(toks)
+        g2 = [" ".join(toks[i:i + 2]) for i in range(n - 1)] if n >= 2 else []
+        g3 = [" ".join(toks[i:i + 3]) for i in range(n - 2)] if n >= 3 else []
+        dup = lambda g: (len(g) - len(set(g))) / len(g) if g else 0.0  # noqa: E731
+        top = max(toks.count(u) for u in set(toks)) / n
+        return n, dup(g2), dup(g3), top
+
+    sf = _stage_documents(texts)
+    rows = {r["doc_id"]: r for r in
+            QUERIES["q79_repetition_quality"].fn(spark, sf).collect()}
+    assert len(rows) == len(texts)
+    for i, t in enumerate(texts):
+        n, d2, d3, top = py_metrics(t)
+        r = rows[i]
+        assert r["n_tokens"] == n
+        assert r["dup_2gram_frac"] == pytest.approx(d2, abs=1e-15)
+        assert r["dup_3gram_frac"] == pytest.approx(d3, abs=1e-15)
+        assert r["top_token_frac"] == pytest.approx(top, abs=1e-15)
