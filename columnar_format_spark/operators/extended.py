@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register, table
-from .relational import sql_dsum, dsum
+from .relational import cents, dsum, sql_cents, sql_dsum
 
 # ---------------------------------------------------------------------------
 # Exact percentiles / quantiles
@@ -736,4 +736,74 @@ def q93_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.date_format("d0", "yyyy-MM-dd").alias("cohort"),
                 "cohort_size", "d1_retained", "d7_retained")
+    )
+
+
+@register(
+    "q94_variance_outliers",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, {sql_cents('value')} AS c FROM events
+    ), s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(c) AS sum_c, SUM(c*c) AS sumsq
+      FROM c GROUP BY event_type
+    ), j AS (
+      SELECT c.event_type, c.c, s.n,
+             CAST(s.sum_c AS DOUBLE) / s.n AS mean_c,
+             CAST(s.n * s.sumsq - s.sum_c * s.sum_c AS DOUBLE)
+               / (s.n * s.n) AS var_c2
+      FROM c JOIN s USING (event_type)
+    )
+    SELECT event_type,
+           MIN(n) AS n_events,
+           MIN(mean_c) / 100.0 AS mean_value,
+           MIN(var_c2) / 10000.0 AS var_value,
+           sqrt(MIN(var_c2)) / 100.0 AS stddev_value,
+           CAST(SUM(CASE WHEN abs(c - mean_c) > 3 * sqrt(var_c2)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_3s
+    FROM j GROUP BY event_type
+    """,
+)
+def q94_variance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact population variance / stddev per event type plus 3-sigma
+    outlier counts — the statistical-aggregate family (built-in
+    var_pop/stddev accumulate doubles order-dependently, so this
+    computes variance from exact integer sums instead: var =
+    (n·Σx² − (Σx)²) / n², one IEEE division of exact operands, and
+    IEEE sqrt is correctly rounded, so both engines agree to the bit).
+
+    Scale: one groupBy for the sums (Σx in int64 cents, Σx² in
+    Decimal128 — x²≈1e10/row means int64 would overflow past ~1e9
+    rows/group), then stats broadcast back (5 rows) for the outlier
+    map-pass. n·n stays in int64: revisit past ~3e9 rows per group.
+    """
+    ev = table(spark, sf_dir, "events")
+    c = cents("value")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(c).alias("sum_c"),
+        F.sum((c * c).cast("decimal(38,0)")).alias("sumsq"),
+    )
+    mean_c = F.col("sum_c").cast("double") / F.col("n")
+    var_c2 = (
+        (F.col("n").cast("decimal(38,0)") * F.col("sumsq")
+         - F.col("sum_c").cast("decimal(38,0)") * F.col("sum_c")).cast("double")
+        / (F.col("n") * F.col("n"))
+    )
+    j = (
+        ev.select("event_type", c.alias("c"))
+        .join(F.broadcast(stats), "event_type")
+        .select("event_type", "c", "n",
+                mean_c.alias("mean_c"), var_c2.alias("var_c2"))
+    )
+    return j.groupBy("event_type").agg(
+        F.min("n").alias("n_events"),
+        (F.min("mean_c") / F.lit(100.0)).alias("mean_value"),
+        (F.min("var_c2") / F.lit(10000.0)).alias("var_value"),
+        (F.sqrt(F.min("var_c2")) / F.lit(100.0)).alias("stddev_value"),
+        F.sum(
+            F.when(F.abs(F.col("c") - F.col("mean_c"))
+                   > F.lit(3) * F.sqrt(F.col("var_c2")), 1).otherwise(0)
+        ).cast("bigint").alias("n_outliers_3s"),
     )

@@ -231,3 +231,41 @@ def test_repetition_matches_pure_python_on_random_corpus(spark):
         assert r["dup_2gram_frac"] == pytest.approx(d2, abs=1e-15)
         assert r["dup_3gram_frac"] == pytest.approx(d3, abs=1e-15)
         assert r["top_token_frac"] == pytest.approx(top, abs=1e-15)
+
+
+def test_variance_outliers_hand_computed(spark):
+    # values 1..5 for type A: mean 3, pop-var 2; one 100.0 outlier in
+    # type B shifts its stats but 4 identical values give var from a
+    # known closed form.
+    sf = _stage_events(
+        [(i, f"2024-01-01 00:00:{i:02d}", i, "A", float(v), "{}")
+         for i, v in enumerate([1, 2, 3, 4, 5])]
+        + [(10 + i, f"2024-01-02 00:00:{i:02d}", 50 + i, "B", v, "{}")
+           for i, v in enumerate([10.0, 10.0, 10.0, 10.0, 100.0])]
+    )
+    rows = {r["event_type"]: r for r in
+            QUERIES["q94_variance_outliers"].fn(spark, sf).collect()}
+    a = rows["A"]
+    assert a["n_events"] == 5
+    assert a["mean_value"] == pytest.approx(3.0)
+    assert a["var_value"] == pytest.approx(2.0)
+    assert a["stddev_value"] == pytest.approx(2.0 ** 0.5)
+    assert a["n_outliers_3s"] == 0
+    b = rows["B"]
+    assert b["mean_value"] == pytest.approx(28.0)
+    # var = (4*18² + 72²)/5 = 1296; 100 is 72 > 3*36 cents... check: std=36
+    assert b["var_value"] == pytest.approx(1296.0)
+    assert b["stddev_value"] == pytest.approx(36.0)
+    assert b["n_outliers_3s"] == 0  # |100-28| = 72 < 3*36 = 108
+
+
+def test_variance_oracle_on_crafted_events(spark):
+    # single-event groups (var 0, sqrt(0) path) and extreme spread
+    sf = _stage_events([
+        (1, "2024-01-01 00:00:00", 1, "solo", 42.5, "{}"),
+        (2, "2024-01-01 00:00:01", 2, "wide", 0.01, "{}"),
+        (3, "2024-01-01 00:00:02", 3, "wide", 490.02, "{}"),
+        (4, "2024-01-01 00:00:03", 4, "wide", 0.01, "{}"),
+    ])
+    res = compare_query(spark, sf, "q94_variance_outliers")
+    assert res["ok"], res["notes"]
