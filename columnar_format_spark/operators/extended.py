@@ -193,7 +193,7 @@ def q19_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_max(q) AS BIGINT) AS max_q,
            CAST(list_min(q) AS BIGINT) AS min_q,
            (len(list_filter(q, x -> abs(x) > 2000000)) > 0) AS any_big,
-           list_slice(list_reverse_sort(q), 1, 3) AS top3
+           array_to_string(list_slice(list_reverse_sort(q), 1, 3), ',') AS top3
     FROM qv
     """,
 )
@@ -220,7 +220,13 @@ def q38_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("q").alias("max_q"),
         F.array_min("q").alias("min_q"),
         F.exists("q", lambda x: F.abs(x) > 2000000).alias("any_big"),
-        F.slice(F.sort_array("q", asc=False), 1, 3).alias("top3"),
+        # serialized to a string: the driver's canonicalizer sorts rows
+        # with pandas, which cannot sort list-typed cells
+        F.array_join(
+            F.transform(F.slice(F.sort_array("q", asc=False), 1, 3),
+                        lambda x: x.cast("string")),
+            ",",
+        ).alias("top3"),
     )
 
 
@@ -346,7 +352,7 @@ def q47_datetime_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag, l_linestatus)
     SELECT l_returnflag,
            CAST(cardinality(map_from_entries(list((l_linestatus, n)))) AS INTEGER) AS n_statuses,
-           list_sort(map_keys(map_from_entries(list((l_linestatus, n))))) AS statuses,
+           array_to_string(list_sort(map_keys(map_from_entries(list((l_linestatus, n))))), ',') AS statuses,
            CAST(list_sum(map_values(map_from_entries(list((l_linestatus, n))))) AS BIGINT) AS total
     FROM m GROUP BY l_returnflag
     """,
@@ -369,7 +375,8 @@ def q48_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             F.size("mp").alias("n_statuses"),
-            F.sort_array(F.map_keys("mp")).alias("statuses"),
+            # string-serialized for the driver's pandas row-sort (no lists)
+            F.array_join(F.sort_array(F.map_keys("mp")), ",").alias("statuses"),
             F.aggregate(F.map_values("mp"), F.lit(0).cast("bigint"),
                         lambda a, x: a + x).alias("total"),
         )
@@ -594,8 +601,8 @@ def q72_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           list_slice(list_sort(list(o_orderkey)), 1, 5) AS first5_keys,
-           list_sort(list(DISTINCT o_orderpriority)) AS priorities
+           array_to_string(list_slice(list_sort(list(o_orderkey)), 1, 5), ',') AS first5_keys,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities
     FROM orders
     WHERE o_custkey < 500
     GROUP BY o_custkey
@@ -616,8 +623,14 @@ def q89_grouped_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
     return o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.slice(F.array_sort(F.collect_list("o_orderkey")), 1, 5).alias("first5_keys"),
-        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+        # string-serialized: the driver's pandas-based row canonicalizer
+        # cannot sort list-typed cells, so arrays leave as CSV strings
+        F.array_join(
+            F.transform(F.slice(F.array_sort(F.collect_list("o_orderkey")), 1, 5),
+                        lambda x: x.cast("string")),
+            ",",
+        ).alias("first5_keys"),
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias("priorities"),
     )
 
 

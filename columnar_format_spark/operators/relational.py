@@ -847,9 +847,9 @@ def q32_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q33_sessionize",
     oracle="""
     WITH marked AS (
-      SELECT user_id, event_id, ts, epoch(ts) AS es,
-             CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
-                  OR LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      SELECT user_id, event_id, ts, epoch_us(ts) AS es,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events),
     sessions AS (
@@ -868,10 +868,15 @@ def q33_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (30-min inactivity gap) via lag + running
     sum — the batch analog of Structured Streaming's session_window
     (see streaming/pipelines.py). One shuffle on user_id; both windows
-    share it."""
+    share it.
+
+    Gap arithmetic is in exact integer MICROSECONDS (unix_micros /
+    epoch_us): unix_timestamp() truncates to whole seconds, which
+    shifts events whose true gap straddles 1800s across session
+    boundaries relative to the sub-second-aware oracle."""
     from pyspark.sql import Window
 
-    e = table(spark, sf_dir, "events").withColumn("es", F.unix_timestamp("ts"))
+    e = table(spark, sf_dir, "events").withColumn("es", F.unix_micros("ts"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = (
         Window.partitionBy("user_id")
@@ -881,7 +886,7 @@ def q33_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = e.withColumn(
         "is_new",
         F.when(
-            (F.col("es") - F.lag("es").over(w) > 1800)
+            (F.col("es") - F.lag("es").over(w) > 1800 * 1_000_000)
             | F.lag("es").over(w).isNull(),
             1,
         ).otherwise(0),
