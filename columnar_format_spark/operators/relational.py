@@ -876,7 +876,10 @@ def q33_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries relative to the sub-second-aware oracle."""
     from pyspark.sql import Window
 
-    e = table(spark, sf_dir, "events").withColumn("es", F.unix_micros("ts"))
+    e = table(spark, sf_dir, "events").withColumn(
+        # cast bridges TIMESTAMP_NTZ parquet columns (session tz is UTC,
+        # so NTZ -> LTZ is the identity on the epoch value)
+        "es", F.unix_micros(F.col("ts").cast("timestamp")))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = (
         Window.partitionBy("user_id")
