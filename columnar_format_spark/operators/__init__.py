@@ -1,2 +1,3 @@
 from . import relational  # noqa: F401  (registers queries on import)
 from . import extended  # noqa: F401
+from . import timeseries  # noqa: F401

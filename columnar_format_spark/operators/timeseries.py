@@ -1,0 +1,358 @@
+"""Time-series and fuzzy-matching operators: calendar gap-fill with
+last-observation-carried-forward, median/deterministic-mode
+aggregates, interval-overlap joins, blocked Levenshtein fuzzy
+matching, and batch sliding windows.
+
+Like everything in operators/, the reference
+(satyakalla890/columnar-format) has no query surface (SURVEY.md §2.2);
+these queries widen the engine's native Spark coverage with the DuckDB
+oracle as the correctness gate. Determinism rules: registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register, table
+from .relational import sql_cents
+
+# ---------------------------------------------------------------------------
+# Calendar gap-fill + LOCF
+
+# Sparse-series threshold: daily revenue restricted to high-value
+# events so (event_type, day) cells go empty and the fill path is
+# actually exercised (present cells / calendar cells: 7/~35 at
+# sf0.001, 54/150 at sf0.01, 147/150 at sf0.1).
+GAPFILL_MIN_VALUE = 250
+
+
+@register(
+    "q95_gapfill_locf",
+    oracle=f"""
+    WITH src AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             {sql_cents('value')} AS c
+      FROM events WHERE value > {GAPFILL_MIN_VALUE}),
+    daily AS (
+      SELECT event_type, d, SUM(c) AS rev_c,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM src GROUP BY event_type, d),
+    bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM src),
+    cal AS (
+      SELECT t.event_type, CAST(g.gs AS DATE) AS d
+      FROM (SELECT DISTINCT event_type FROM src) t
+      CROSS JOIN (SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                                (SELECT d1 FROM bounds),
+                                                INTERVAL 1 DAY)) AS gs) g)
+    SELECT event_type, strftime(f.d, '%Y-%m-%d') AS day,
+           (rev_c IS NULL) AS is_gap,
+           CAST(COALESCE(last_value(rev_c IGNORE NULLS) OVER w, 0)
+                AS DOUBLE) / 100.0 AS rev_filled,
+           COALESCE(n_events, 0) AS n_events
+    FROM (SELECT c.event_type, c.d, dl.rev_c, dl.n_events
+          FROM cal c LEFT JOIN daily dl
+            ON c.event_type = dl.event_type AND c.d = dl.d) f
+    WINDOW w AS (PARTITION BY event_type ORDER BY f.d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q95_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-calendar gap-fill with last-observation-carried-forward:
+    daily high-value revenue per event type, densified onto the full
+    min→max day calendar (sequence + explode), missing days filled
+    with the most recent prior observation (last(ignorenulls) over an
+    unbounded-preceding window). The canonical time-series
+    densification every metrics store needs; is_gap keeps the
+    fill observable.
+
+    Determinism: revenue sums exact int64 cents (registry rule 1); the
+    calendar is derived from data bounds, not wall-clock.
+
+    Scale: daily is one shuffle of per-(type, day) partial aggregates;
+    the calendar cross-join is |types| x |days| rows (tiny vs the
+    event count) built from a 1-row broadcast of the bounds; LOCF is
+    one window keyed by event_type — at 100 TB the state per group is
+    the day count, not the event count. Series with high-cardinality
+    keys would swap the global bounds for per-key min/max from the
+    same aggregate.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("value") > GAPFILL_MIN_VALUE)
+    src = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+    )
+    daily = src.groupBy("event_type", "d").agg(
+        F.sum("c").alias("rev_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    bounds = src.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    cal = (
+        src.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1")).alias("d"),
+        )
+    )
+    filled = cal.join(daily, ["event_type", "d"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("rev_c").isNull().alias("is_gap"),
+        (F.coalesce(F.last("rev_c", ignorenulls=True).over(w), F.lit(0))
+         .cast("double") / 100.0).alias("rev_filled"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Median + deterministic mode
+
+@register(
+    "q96_median_mode",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_orderpriority, o_orderstatus,
+             {sql_cents('o_totalprice')} AS pc
+      FROM orders),
+    med AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             quantile_cont(pc, 0.5) / 100.0 AS median_price
+      FROM c GROUP BY o_orderpriority),
+    sc AS (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+      FROM c GROUP BY o_orderpriority, o_orderstatus),
+    md AS (
+      SELECT o_orderpriority, o_orderstatus AS mode_status,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY n DESC, o_orderstatus) AS rk
+      FROM sc)
+    SELECT med.o_orderpriority, med.n_orders, med.median_price,
+           md.mode_status
+    FROM med JOIN md ON med.o_orderpriority = md.o_orderpriority
+    WHERE md.rk = 1
+    """,
+)
+def q96_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median order price and modal order status per priority. Median
+    runs on exact int64 cents so the one interpolation at the 0.5
+    fraction is bit-identical across engines; mode is computed as
+    count + row_number with an explicit (count DESC, status ASC)
+    tie-break because both engines' native mode() leaves ties
+    undefined — unacceptable under the value-hash gate (and under
+    stage retries at scale, registry rule 6).
+
+    Scale: median is Spark's exact percentile aggregate (one shuffle,
+    per-group state); mode adds a (priority, status) pre-aggregate —
+    status cardinality is 3, so the window input is tiny. For
+    high-cardinality mode keys the same shape holds: the heavy
+    reduction happens in the first hash aggregate.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderpriority", "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("pc"),
+    )
+    med = c.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.median("pc") / 100.0).alias("median_price"),
+    )
+    sc = c.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("n").desc(), "o_orderstatus"))
+    md = (
+        sc.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("o_orderpriority", F.col("o_orderstatus").alias("mode_status"))
+    )
+    return med.join(md, "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join
+
+# Promotion windows [start, end) — a tiny dimension defined inline; an
+# order "participates" when its 30-day fulfillment interval
+# [o_orderdate, o_orderdate+30d) overlaps the promo window.
+PROMOS = [
+    ("summer95", "1995-06-01", "1995-09-01"),
+    ("holiday95", "1995-11-15", "1996-01-15"),
+    ("spring96", "1996-03-01", "1996-06-01"),
+    ("relaunch97", "1997-01-01", "1997-07-01"),
+]
+
+
+@register(
+    "q97_interval_overlap",
+    oracle=f"""
+    SELECT p.promo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({sql_cents('o.o_totalprice')}) AS DOUBLE) / 100.0
+             AS revenue
+    FROM orders o
+    JOIN (VALUES {", ".join(f"('{n}', TIMESTAMP '{s} 00:00:00', TIMESTAMP '{e} 00:00:00')" for n, s, e in PROMOS)})
+         p(promo, p_start, p_end)
+      ON o.o_orderdate < p.p_end
+     AND p.p_start < o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY p.promo
+    """,
+)
+def q97_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: orders whose 30-day fulfillment interval
+    [o_orderdate, o_orderdate+30d) overlaps each promotion window
+    [start, end), with order count and exact-cents revenue per promo.
+    The third non-equi join family next to value-in-band (q16) and
+    as-of (q17): overlap is the two-sided strict inequality
+    a_start < b_end AND b_start < a_end.
+
+    Scale: the promo side is a literal 4-row dimension —
+    F.broadcast forces a BroadcastNestedLoopJoin, which is the RIGHT
+    plan when one side is tiny: the fact table never shuffles and each
+    task filters its split against the in-memory promo list. For two
+    LARGE interval sets the rewrite is equi-join on overlapping
+    calendar buckets (bucket = date range chunk) + residual predicate,
+    same shape as q16's banding.
+    """
+    o = table(spark, sf_dir, "orders")
+    promos = spark.createDataFrame(
+        [(n, f"{s} 00:00:00", f"{e} 00:00:00") for n, s, e in PROMOS],
+        "promo string, p_start string, p_end string",
+    ).select(
+        "promo",
+        F.col("p_start").cast("timestamp").alias("p_start"),
+        F.col("p_end").cast("timestamp").alias("p_end"),
+    )
+    j = o.join(
+        F.broadcast(promos),
+        (F.col("o_orderdate") < F.col("p_end"))
+        & (F.col("p_start") < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+    )
+    return j.groupBy("promo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+               .cast("bigint")).cast("double") / 100.0).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked Levenshtein fuzzy match
+
+LEV_MAX = 3
+
+
+@register(
+    "q98_fuzzy_blocked",
+    oracle=f"""
+    WITH names AS (
+      SELECT DISTINCT p_name,
+             split_part(p_name, ' ', 1) AS adj,
+             split_part(p_name, ' ', 2) AS noun
+      FROM part)
+    SELECT a.noun, a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.adj, b.adj) AS INTEGER) AS lev
+    FROM names a JOIN names b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.adj, b.adj) <= {LEV_MAX}
+    """,
+)
+def q98_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: near-identical part names found by
+    exact-blocking on the noun token, then Levenshtein distance on the
+    adjective within each block (edit distance <= 3). The
+    record-linkage primitive for catalog/entity dedup where MinHash
+    (q52) is too coarse: string edit distance, made tractable by
+    blocking.
+
+    Scale: the all-pairs comparison is O(n^2) only WITHIN a block —
+    the blocking key turns it into an equi-join Spark shuffles by
+    noun; skewed blocks split under AQE. Distinct-name reduction
+    happens before the join, so the pair expansion sees unique keys
+    (64 names here, not 2000 rows). levenshtein() is a codegen'd JVM
+    builtin — no Python in the loop.
+    """
+    p = table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct().select(
+        "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("adj"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(b, (F.col("a.noun") == F.col("b.noun"))
+               & (F.col("a.p_name") < F.col("b.p_name")))
+        .withColumn("lev", F.levenshtein(F.col("a.adj"), F.col("b.adj")))
+        .filter(F.col("lev") <= LEV_MAX)
+        .select(
+            F.col("a.noun").alias("noun"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("lev").cast("int").alias("lev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch sliding windows
+
+@register(
+    "q99_sliding_window_batch",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type, {sql_cents('value')} AS c,
+             to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800)
+               AS g30
+      FROM events),
+    e AS (
+      SELECT event_type, c,
+             unnest([g30, g30 - INTERVAL 30 MINUTE]) AS ws
+      FROM t)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(c) AS DOUBLE) / 100.0 AS sum_value
+    FROM e GROUP BY ws, event_type
+    """,
+)
+def q99_sliding_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation in batch: 1-hour windows advancing
+    every 30 minutes over the events table (each event lands in
+    exactly 2 windows), per-type counts and exact-cents value sums.
+    The batch twin of streaming/pipelines.sliding_avg — same F.window
+    call, same results, which is the point: the engine's window
+    semantics are mode-agnostic. The oracle derives each event's two
+    member windows from the 30-minute epoch grid.
+
+    Scale: F.window expands each row to its member windows BEFORE the
+    aggregation, so partial aggregation still combines map-side; the
+    shuffle carries per-(window, type) rows — window count is
+    time-bounded, never data-bounded. Cost grows linearly with
+    length/slide (2x here).
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.sum((F.col("value").cast("decimal(18,2)") * 100)
+                   .cast("bigint")).cast("double") / 100.0).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
