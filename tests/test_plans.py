@@ -157,3 +157,48 @@ def test_corpus_shards_window_is_bucket_partitioned(spark):
     assert "Window" in plan
     assert "hashpartitioning(bucket" in plan, plan
     assert "SinglePartition" not in plan
+
+
+def test_interval_overlap_broadcasts_promos(spark):
+    """q97's 4-row promo dimension must broadcast into a nested-loop
+    join (the right plan for a tiny non-equi side) — the orders fact
+    side must never shuffle for it."""
+    plan = plan_of(spark, "q97_interval_overlap")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sliding_window_aggregates_partially(spark):
+    """q99's sliding windows must plan Expand (each row into its 2
+    member windows) followed by partial-then-final aggregation, so the
+    shuffle carries per-(window,type) rows, not per-event rows."""
+    plan = plan_of(spark, "q99_sliding_window_batch")
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan  # built-in agg, not a window function
+
+
+def test_gapfill_window_is_type_partitioned(spark):
+    """q95's LOCF window must partition by event_type — a global
+    single-partition window would serialize the calendar."""
+    plan = plan_of(spark, "q95_gapfill_locf")
+    assert "Window" in plan
+    assert "hashpartitioning(event_type" in plan, plan
+
+
+def test_mode_uses_window_group_limit(spark):
+    """q96's deterministic mode (row_number = 1) must plan Spark's
+    WindowGroupLimit pushdown: per-partition top-1 heaps, never a full
+    sort of every (priority, status) row before the filter."""
+    plan = plan_of(spark, "q96_median_mode")
+    assert "WindowGroupLimit" in plan
+
+
+def test_fuzzy_match_joins_on_block_key(spark):
+    """q98 must plan an equi-join on the blocking key (hash join), not
+    a cartesian pair expansion with a levenshtein filter."""
+    plan = plan_of(spark, "q98_fuzzy_blocked")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
