@@ -46,6 +46,9 @@ HEADLINE = [
     "q80_stream_tumbling",
     "q84_stream_stream_join",
     "q90_training_pipeline",
+    "q95_gapfill_locf",
+    "q97_interval_overlap",
+    "q99_sliding_window_batch",
 ]
 
 

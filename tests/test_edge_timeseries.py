@@ -1,0 +1,228 @@
+"""Edge-case robustness for the timeseries/fuzzy operator family
+(q95-q99): crafted tables probing empty fill inputs, LOCF across long
+gaps, mode ties, promo-boundary strictness, degenerate names, and
+window-boundary timestamps — each compared against the DuckDB oracle
+on the same crafted parquet.
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import columnar_format_spark.queries  # noqa: F401  (registers)
+from columnar_format_spark.oracle import compare_query
+
+
+def _stage(tables: dict[str, pd.DataFrame]) -> str:
+    d = tempfile.mkdtemp(prefix="edge_ts_")
+    for name, df in tables.items():
+        df.to_parquet(os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+def _events(ts, event_type, value, user_id=None) -> pd.DataFrame:
+    n = len(ts)
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(ts).astype("datetime64[us]"),
+        "user_id": np.asarray(
+            user_id if user_id is not None else np.arange(n) % 3,
+            dtype=np.int64),
+        "event_type": event_type,
+        "value": np.asarray(value, dtype=np.float64),
+        "props": ["{}"] * n,
+    })
+
+
+def _orders(dates, totalprice, status=None, priority=None) -> pd.DataFrame:
+    n = len(dates)
+    return pd.DataFrame({
+        "o_orderkey": np.arange(n, dtype=np.int64),
+        "o_custkey": np.arange(n, dtype=np.int64) % 5,
+        "o_orderstatus": status if status is not None else ["O"] * n,
+        "o_totalprice": np.asarray(totalprice, dtype=np.float64),
+        "o_orderdate": pd.to_datetime(dates).astype("datetime64[us]"),
+        "o_orderpriority": priority if priority is not None
+        else ["1-URGENT"] * n,
+    })
+
+
+def _part(names) -> pd.DataFrame:
+    n = len(names)
+    return pd.DataFrame({
+        "p_partkey": np.arange(n, dtype=np.int64),
+        "p_name": names,
+        "p_brand": ["B1"] * n,
+        "p_type": ["T"] * n,
+        "p_size": np.ones(n, dtype=np.int32),
+        "p_retailprice": np.full(n, 10.0),
+    })
+
+
+# ---------------------------------------------------------------------------
+# q95 gap-fill + LOCF
+
+
+def test_gapfill_no_qualifying_rows(spark):
+    """Every event below the threshold → empty series, empty calendar:
+    both engines must return zero rows, not crash on empty bounds."""
+    d = _stage({"events": _events(
+        ["2024-01-01 10:00:00", "2024-01-05 10:00:00"],
+        ["view", "click"], [10.0, 20.0])})
+    r = compare_query(spark, d, "q95_gapfill_locf")
+    assert r["ok"], r["notes"]
+    assert r["spark_rows"] == 0
+
+
+def test_gapfill_locf_across_long_gap(spark):
+    """One type observed on day 1 and day 20 only: 18 interior gap
+    days must all carry day 1's value; a second type observed only
+    mid-range starts with leading NULL-fill (coalesce → 0)."""
+    d = _stage({"events": _events(
+        ["2024-01-01 09:00:00", "2024-01-20 09:00:00", "2024-01-10 09:00:00"],
+        ["view", "view", "click"],
+        [300.0, 400.0, 350.0])})
+    r = compare_query(spark, d, "q95_gapfill_locf")
+    assert r["ok"], r["notes"]
+    # calendar = 2 types x 20 days
+    assert r["spark_rows"] == 40
+
+
+def test_gapfill_threshold_is_strict(spark):
+    """value == threshold must be excluded (strict >) by both
+    engines."""
+    d = _stage({"events": _events(
+        ["2024-01-01 09:00:00", "2024-01-02 09:00:00"],
+        ["view", "view"], [250.0, 251.0])})
+    r = compare_query(spark, d, "q95_gapfill_locf")
+    assert r["ok"], r["notes"]
+    assert r["spark_rows"] == 1  # only the 251.0 day survives
+
+
+# ---------------------------------------------------------------------------
+# q96 median + deterministic mode
+
+
+def test_mode_tie_breaks_alphabetically(spark):
+    """Two statuses with identical counts: the alphabetically first
+    must win in both engines (the explicit tie-break)."""
+    d = _stage({"orders": _orders(
+        ["1995-01-01"] * 4, [100.0, 200.0, 300.0, 400.0],
+        status=["P", "F", "F", "P"])})
+    r = compare_query(spark, d, "q96_median_mode")
+    assert r["ok"], r["notes"]
+    assert r["spark_rows"] == 1
+
+
+def test_median_even_count_interpolates_identically(spark):
+    """Even row count forces the 0.5-fraction interpolation between
+    two distinct cent values — must agree bit-for-bit."""
+    d = _stage({"orders": _orders(
+        ["1995-01-01"] * 4, [10.01, 10.02, 99999999.97, 0.03])})
+    r = compare_query(spark, d, "q96_median_mode")
+    assert r["ok"], r["notes"]
+
+
+def test_median_single_row_groups(spark):
+    """One order per priority: median == the value, mode == its
+    status."""
+    d = _stage({"orders": _orders(
+        ["1995-01-01"] * 3, [5.55, 6.66, 7.77],
+        status=["O", "F", "P"],
+        priority=["1-URGENT", "2-HIGH", "3-MEDIUM"])})
+    r = compare_query(spark, d, "q96_median_mode")
+    assert r["ok"], r["notes"]
+    assert r["spark_rows"] == 3
+
+
+# ---------------------------------------------------------------------------
+# q97 interval overlap
+
+
+def test_promo_boundaries_are_half_open(spark):
+    """[start, end) x [o_orderdate, +30d) strictness: an order ON the
+    promo end date does not overlap; an order whose 30-day interval
+    ends exactly at promo start does not overlap; one day inside
+    does."""
+    d = _stage({"orders": _orders(
+        ["1995-09-01",   # == summer95 end -> excluded
+         "1995-05-02",   # interval ends 1995-06-01 == start -> excluded
+         "1995-05-03",   # interval ends 1995-06-02 -> overlaps 1 day
+         "1995-08-31"],  # starts inside -> overlaps
+        [10.0, 20.0, 30.0, 40.0])})
+    r = compare_query(spark, d, "q97_interval_overlap")
+    assert r["ok"], r["notes"]
+    assert r["spark_rows"] == 1  # only summer95 gets orders (2 of them)
+
+
+def test_order_spans_multiple_promos(spark):
+    """An order interval bridging holiday95's window boundary into
+    1996 counts once per overlapped promo."""
+    d = _stage({"orders": _orders(
+        ["1996-01-10",  # overlaps holiday95 tail (ends 01-15)
+         "1996-02-25"],  # interval runs to 03-26 -> overlaps spring96
+        [11.0, 22.0])})
+    r = compare_query(spark, d, "q97_interval_overlap")
+    assert r["ok"], r["notes"]
+    assert r["spark_rows"] == 2
+
+
+# ---------------------------------------------------------------------------
+# q98 blocked fuzzy match
+
+
+def test_fuzzy_duplicate_names_collapse(spark):
+    """Repeated identical p_name rows must dedupe before pairing: 3
+    copies of each of two names in one block -> exactly one pair."""
+    d = _stage({"part": _part(
+        ["blue anvil"] * 3 + ["bold anvil"] * 3)})
+    r = compare_query(spark, d, "q98_fuzzy_blocked")
+    assert r["ok"], r["notes"]
+    assert r["spark_rows"] == 1
+
+
+def test_fuzzy_single_word_names(spark):
+    """Names with no second token block on the empty-string noun in
+    both engines (split_part out-of-range -> '' in Spark and DuckDB)."""
+    d = _stage({"part": _part(["anvil", "angle", "blue anvil"])})
+    r = compare_query(spark, d, "q98_fuzzy_blocked")
+    assert r["ok"], r["notes"]
+    assert r["spark_rows"] == 1  # anvil<->angle pair via '' block
+
+
+def test_fuzzy_distance_threshold(spark):
+    """Adjectives beyond edit distance 3 must not pair."""
+    d = _stage({"part": _part(
+        ["blue anvil", "blues anvil", "turquoise anvil"])})
+    r = compare_query(spark, d, "q98_fuzzy_blocked")
+    assert r["ok"], r["notes"]
+    assert r["spark_rows"] == 1  # blue<->blues only
+
+
+# ---------------------------------------------------------------------------
+# q99 batch sliding windows
+
+
+def test_sliding_window_boundary_timestamps(spark):
+    """Events exactly on the 30-min grid and 1 us before it fall into
+    exactly 2 windows each, assigned identically by both engines."""
+    d = _stage({"events": _events(
+        ["2024-01-01 10:00:00.000000", "2024-01-01 10:29:59.999999",
+         "2024-01-01 10:30:00.000000", "2024-01-01 09:59:59.999999"],
+        ["view"] * 4, [1.0, 2.0, 4.0, 8.0])})
+    r = compare_query(spark, d, "q99_sliding_window_batch")
+    assert r["ok"], r["notes"]
+
+
+def test_sliding_window_value_sums_are_exact(spark):
+    """Cent-sum determinism inside sliding windows: many 0.01 values
+    in one window must sum exactly."""
+    ts = pd.date_range("2024-01-01 10:00:00", periods=200, freq="s")
+    d = _stage({"events": _events(
+        ts.astype(str).tolist(), ["click"] * 200, [0.01] * 200)})
+    r = compare_query(spark, d, "q99_sliding_window_batch")
+    assert r["ok"], r["notes"]
+    assert r["spark_rows"] == 2  # all events in the same 2 windows
