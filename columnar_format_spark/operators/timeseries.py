@@ -303,6 +303,81 @@ def q98_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SCD2 upsert (MERGE semantics)
+
+SCD2_EFFECTIVE = "1996-01-01"
+
+
+@register(
+    "q100_scd2_upsert",
+    oracle=f"""
+    WITH cur AS (
+      SELECT c_custkey, c_nationkey, '1995-01-01' AS valid_from
+      FROM customer),
+    upd AS (
+      SELECT c_custkey, CAST((c_nationkey + 1) % 25 AS BIGINT) AS new_nat
+      FROM customer WHERE c_custkey % 10 = 3)
+    SELECT c_custkey, c_nationkey, valid_from,
+           '{SCD2_EFFECTIVE}' AS valid_to, FALSE AS is_current
+    FROM cur JOIN upd USING (c_custkey)
+    UNION ALL
+    SELECT c.c_custkey, u.new_nat AS c_nationkey,
+           '{SCD2_EFFECTIVE}' AS valid_from,
+           NULL AS valid_to, TRUE AS is_current
+    FROM cur c JOIN upd u USING (c_custkey)
+    UNION ALL
+    SELECT c.c_custkey, c.c_nationkey, c.valid_from,
+           NULL AS valid_to, TRUE AS is_current
+    FROM cur c LEFT JOIN upd u USING (c_custkey)
+    WHERE u.c_custkey IS NULL
+    """,
+)
+def q100_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 upsert — MERGE INTO semantics
+    expressed as pure DataFrame ops: a change batch (here: customers
+    with key % 10 = 3 moving to a new nation) closes the current
+    version (valid_to = effective date, is_current = false) and
+    appends a new open version, while untouched rows pass through.
+    The warehouse-maintenance primitive behind every dimension feed;
+    on a table format with native MERGE (Delta/Iceberg) the same plan
+    runs under the hood.
+
+    Scale: ONE shuffle joins dimension against the change batch (both
+    keyed on c_custkey — and when the change batch is small, as
+    change batches are, Spark broadcasts it and the dimension never
+    shuffles); the three output branches are projections of that one
+    join, so the union does not re-scan. Never a row-at-a-time
+    upsert loop.
+    """
+    c = table(spark, sf_dir, "customer")
+    cur = c.select("c_custkey", "c_nationkey",
+                   F.lit("1995-01-01").alias("valid_from"))
+    upd = (
+        c.filter(F.col("c_custkey") % 10 == 3)
+        .select("c_custkey",
+                ((F.col("c_nationkey") + 1) % 25).cast("bigint").alias("new_nat"))
+    )
+    j = cur.join(F.broadcast(upd), "c_custkey", "left")
+    closed = j.filter(F.col("new_nat").isNotNull()).select(
+        "c_custkey", "c_nationkey", "valid_from",
+        F.lit(SCD2_EFFECTIVE).alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = j.filter(F.col("new_nat").isNotNull()).select(
+        "c_custkey", F.col("new_nat").alias("c_nationkey"),
+        F.lit(SCD2_EFFECTIVE).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    untouched = j.filter(F.col("new_nat").isNull()).select(
+        "c_custkey", "c_nationkey", "valid_from",
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionAll(opened).unionAll(untouched)
+
+
+# ---------------------------------------------------------------------------
 # Batch sliding windows
 
 @register(

@@ -202,3 +202,12 @@ def test_fuzzy_match_joins_on_block_key(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_scd2_upsert_is_one_broadcast_join(spark):
+    """q100's three output branches must share ONE broadcast join of
+    the dimension against the change batch — no SortMergeJoin, no
+    per-branch re-shuffle of the dimension."""
+    plan = plan_of(spark, "q100_scd2_upsert")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
