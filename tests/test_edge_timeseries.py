@@ -226,3 +226,51 @@ def test_sliding_window_value_sums_are_exact(spark):
     r = compare_query(spark, d, "q99_sliding_window_batch")
     assert r["ok"], r["notes"]
     assert r["spark_rows"] == 2  # all events in the same 2 windows
+
+
+# ---------------------------------------------------------------------------
+# Seeded-random differential sweep: the whole family on a randomized
+# corpus (wider value coverage than the hand-crafted cases above).
+
+
+def test_family_on_seeded_random_tables(spark):
+    import random
+
+    rng = random.Random(20260813)
+    n_ev, n_ord = 400, 300
+    ev = _events(
+        ts=[f"2024-01-{rng.randint(1, 28):02d} "
+            f"{rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}:"
+            f"{rng.randint(0, 59):02d}.{rng.randint(0, 999999):06d}"
+            for _ in range(n_ev)],
+        event_type=[rng.choice(["view", "click", "purchase"])
+                    for _ in range(n_ev)],
+        value=[round(rng.uniform(0, 500), 2) for _ in range(n_ev)],
+        user_id=[rng.randint(0, 20) for _ in range(n_ev)],
+    )
+    orders = _orders(
+        dates=[f"199{rng.randint(5, 9)}-{rng.randint(1, 12):02d}-"
+               f"{rng.randint(1, 28):02d}" for _ in range(n_ord)],
+        totalprice=[round(rng.uniform(-1000, 100000), 2)
+                    for _ in range(n_ord)],
+        status=[rng.choice(["O", "F", "P"]) for _ in range(n_ord)],
+        priority=[rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM"])
+                  for _ in range(n_ord)],
+    )
+    customer = pd.DataFrame({
+        "c_custkey": np.arange(97, dtype=np.int64),
+        "c_name": [f"Customer#{i:09d}" for i in range(97)],
+        "c_nationkey": np.asarray([rng.randint(0, 24) for _ in range(97)],
+                                  dtype=np.int64),
+        "c_acctbal": np.asarray([round(rng.uniform(-999, 9999), 2)
+                                 for _ in range(97)]),
+    })
+    part = _part([f"{rng.choice(['red', 'rod', 'ride', 'green', 'grain'])} "
+                  f"{rng.choice(['bolt', 'belt'])}" for _ in range(60)])
+    d = _stage({"events": ev, "orders": orders,
+                "customer": customer, "part": part})
+    for name in ["q95_gapfill_locf", "q96_median_mode",
+                 "q97_interval_overlap", "q98_fuzzy_blocked",
+                 "q99_sliding_window_batch", "q100_scd2_upsert"]:
+        r = compare_query(spark, d, name)
+        assert r["ok"], (name, r["notes"])
