@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register, table
-from .relational import sql_cents
+from .relational import cents, dsum, sql_cents
 
 # ---------------------------------------------------------------------------
 # Calendar gap-fill + LOCF
@@ -69,27 +69,33 @@ def q95_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: revenue sums exact int64 cents (registry rule 1); the
     calendar is derived from data bounds, not wall-clock.
 
-    Scale: daily is one shuffle of per-(type, day) partial aggregates;
-    the calendar cross-join is |types| x |days| rows (tiny vs the
-    event count) built from a 1-row broadcast of the bounds; LOCF is
-    one window keyed by event_type — at 100 TB the state per group is
-    the day count, not the event count. Series with high-cardinality
-    keys would swap the global bounds for per-key min/max from the
-    same aggregate.
+    Scale: ONE fact scan and ONE shuffle. bounds and the distinct
+    type list both derive from the per-(type, day) `daily` aggregate
+    (every src row lands in a daily group, so min/max/distinct over
+    daily equal those over src) — and daily is localCheckpoint'ed
+    (q56's pattern) because its three consumers are column-pruned
+    DIFFERENTLY, which defeats Spark's exchange reuse and would
+    otherwise re-scan the fact table three times. The checkpointed
+    relation is |types| x |days| rows — tiny at any SF. The calendar
+    cross-join builds from a 1-row broadcast of the bounds; LOCF is
+    one window keyed by event_type — state per group is the day
+    count, not the event count. Series with high-cardinality keys
+    would swap the global bounds for per-key min/max from the same
+    aggregate.
     """
     ev = table(spark, sf_dir, "events").filter(F.col("value") > GAPFILL_MIN_VALUE)
     src = ev.select(
         "event_type",
         F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
-        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+        cents("value").alias("c"),
     )
     daily = src.groupBy("event_type", "d").agg(
         F.sum("c").alias("rev_c"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-    )
-    bounds = src.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    ).localCheckpoint(eager=True)
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
     cal = (
-        src.select("event_type").distinct()
+        daily.select("event_type").distinct()
         .crossJoin(F.broadcast(bounds))
         .select(
             "event_type",
@@ -158,8 +164,7 @@ def q96_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     c = o.select(
         "o_orderpriority", "o_orderstatus",
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("bigint").alias("pc"),
+        cents("o_totalprice").alias("pc"),
     )
     med = c.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
@@ -239,8 +244,7 @@ def q97_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("promo").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        (F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
-               .cast("bigint")).cast("double") / 100.0).alias("revenue"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
     )
 
 
@@ -352,24 +356,29 @@ def q100_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     cur = c.select("c_custkey", "c_nationkey",
                    F.lit("1995-01-01").alias("valid_from"))
+    # `matched` marks key presence in the change batch — the MERGE
+    # match condition. Discriminating on new_nat itself would silently
+    # reclassify a matched-but-NULL update value as "untouched".
     upd = (
         c.filter(F.col("c_custkey") % 10 == 3)
         .select("c_custkey",
-                ((F.col("c_nationkey") + 1) % 25).cast("bigint").alias("new_nat"))
+                ((F.col("c_nationkey") + 1) % 25).cast("bigint").alias("new_nat"),
+                F.lit(True).alias("matched"))
     )
     j = cur.join(F.broadcast(upd), "c_custkey", "left")
-    closed = j.filter(F.col("new_nat").isNotNull()).select(
+    matched = F.col("matched").isNotNull()
+    closed = j.filter(matched).select(
         "c_custkey", "c_nationkey", "valid_from",
         F.lit(SCD2_EFFECTIVE).alias("valid_to"),
         F.lit(False).alias("is_current"),
     )
-    opened = j.filter(F.col("new_nat").isNotNull()).select(
+    opened = j.filter(matched).select(
         "c_custkey", F.col("new_nat").alias("c_nationkey"),
         F.lit(SCD2_EFFECTIVE).alias("valid_from"),
         F.lit(None).cast("string").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
-    untouched = j.filter(F.col("new_nat").isNull()).select(
+    untouched = j.filter(~matched).select(
         "c_custkey", "c_nationkey", "valid_from",
         F.lit(None).cast("string").alias("valid_to"),
         F.lit(True).alias("is_current"),
@@ -387,7 +396,7 @@ def q100_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, {sql_cents('value')} AS c,
              to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800)
                AS g30
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     e AS (
       SELECT event_type, c,
              unnest([g30, g30 - INTERVAL 30 MINUTE]) AS ws
@@ -422,8 +431,7 @@ def q99_sliding_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            (F.sum((F.col("value").cast("decimal(18,2)") * 100)
-                   .cast("bigint")).cast("double") / 100.0).alias("sum_value"),
+            dsum(F.col("value")).alias("sum_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")

@@ -274,3 +274,32 @@ def test_family_on_seeded_random_tables(spark):
                  "q99_sliding_window_batch", "q100_scd2_upsert"]:
         r = compare_query(spark, d, name)
         assert r["ok"], (name, r["notes"])
+
+
+def test_scd2_null_update_value_still_matches(spark):
+    """A change-batch key whose computed update value is NULL is still
+    a MATCHED row: it must close the old version and open a new one
+    with the NULL value — not silently pass through as untouched."""
+    customer = pd.DataFrame({
+        "c_custkey": np.asarray([3, 13, 7], dtype=np.int64),
+        "c_name": ["a", "b", "c"],
+        "c_nationkey": pd.array([None, 5, 9], dtype="Int64"),
+        "c_acctbal": np.asarray([1.0, 2.0, 3.0]),
+    })
+    d = _stage({"customer": customer})
+    r = compare_query(spark, d, "q100_scd2_upsert")
+    assert r["ok"], r["notes"]
+    # keys 3,13 matched (2 rows each), key 7 untouched (1 row)
+    assert r["spark_rows"] == 5
+
+
+def test_sliding_window_null_timestamps_dropped(spark):
+    """NULL event timestamps belong to no window in either engine."""
+    ev = _events(
+        ["2024-01-01 10:05:00", "2024-01-01 10:05:00"],
+        ["view", "view"], [1.0, 2.0])
+    ev.loc[1, "ts"] = pd.NaT
+    d = _stage({"events": ev})
+    r = compare_query(spark, d, "q99_sliding_window_batch")
+    assert r["ok"], r["notes"]
+    assert r["spark_rows"] == 2  # one event x its 2 windows
