@@ -28,6 +28,7 @@ from ..registry import register, table
 from .pipelines import (
     dedup_within_watermark,
     session_windows,
+    sliding_avg,
     stateful_user_totals,
     tumbling_counts,
 )
@@ -256,4 +257,36 @@ def q84_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "purchase_id", "click_id",
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
+@register(
+    "q101_stream_sliding",
+    oracle="""
+    WITH t AS (
+      SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800)
+               AS g30
+      FROM events WHERE ts IS NOT NULL),
+    e AS (SELECT unnest([g30, g30 - INTERVAL 30 MINUTE]) AS ws FROM t)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events
+    FROM e GROUP BY ws
+    """,
+)
+def q101_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window stream aggregation (1-hour windows every 30
+    minutes, each event in 2 windows) — the streaming twin of batch
+    q99, running the SAME F.window call under a watermark with
+    complete-mode state. Bounded input => final state equals the
+    batch/oracle answer.
+
+    Scale: stateful agg keyed by window only; state is bounded by the
+    watermark horizon x overlap factor (2 here) regardless of stream
+    volume.
+    """
+    src = _stage_events(spark, sf_dir)
+    out = _drain(sliding_avg(_events_stream(spark, src)), "complete")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
     )
