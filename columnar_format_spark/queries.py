@@ -6,6 +6,7 @@ from __future__ import annotations
 from . import operators  # noqa: F401
 from . import functions  # noqa: F401
 from .colf import roundtrip  # noqa: F401
+from . import sources  # noqa: F401
 from .streaming import stream_queries  # noqa: F401
 from .registry import QUERIES, QuerySpec  # noqa: F401
 
