@@ -11,6 +11,7 @@ oracle as the correctness gate. Determinism rules: registry.py.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -72,11 +73,14 @@ def q95_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE fact scan and ONE shuffle. bounds and the distinct
     type list both derive from the per-(type, day) `daily` aggregate
     (every src row lands in a daily group, so min/max/distinct over
-    daily equal those over src) — and daily is localCheckpoint'ed
-    (q56's pattern) because its three consumers are column-pruned
+    daily equal those over src) — and daily is persisted
+    MEMORY_AND_DISK because its three consumers are column-pruned
     DIFFERENTLY, which defeats Spark's exchange reuse and would
-    otherwise re-scan the fact table three times. The checkpointed
-    relation is |types| x |days| rows — tiny at any SF. The calendar
+    otherwise re-scan the fact table three times. Persist (not
+    localCheckpoint) keeps the lineage: lost cache blocks recompute
+    instead of failing the job on executor loss, and the plan stays
+    lazy/inspectable. The cached relation is |types| x |days| rows —
+    tiny at any SF. The calendar
     cross-join builds from a 1-row broadcast of the bounds; LOCF is
     one window keyed by event_type — state per group is the day
     count, not the event count. Series with high-cardinality keys
@@ -92,7 +96,7 @@ def q95_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = src.groupBy("event_type", "d").agg(
         F.sum("c").alias("rev_c"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
     cal = (
         daily.select("event_type").distinct()
