@@ -11,7 +11,6 @@ oracle as the correctness gate. Determinism rules: registry.py.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -70,22 +69,24 @@ def q95_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: revenue sums exact int64 cents (registry rule 1); the
     calendar is derived from data bounds, not wall-clock.
 
-    Scale: ONE fact scan and ONE shuffle. bounds and the distinct
-    type list both derive from the per-(type, day) `daily` aggregate
-    (every src row lands in a daily group, so min/max/distinct over
-    daily equal those over src) — and daily is persisted
-    MEMORY_AND_DISK because its three consumers are column-pruned
-    DIFFERENTLY, which defeats Spark's exchange reuse and would
-    otherwise re-scan the fact table three times. Persist (not
-    localCheckpoint) keeps the lineage: lost cache blocks recompute
-    instead of failing the job on executor loss, and the plan stays
-    lazy/inspectable. The cached relation is |types| x |days| rows —
-    tiny at any SF. The calendar
-    cross-join builds from a 1-row broadcast of the bounds; LOCF is
-    one window keyed by event_type — state per group is the day
-    count, not the event count. Series with high-cardinality keys
-    would swap the global bounds for per-key min/max from the same
-    aggregate.
+    Scale: bounds and the distinct type list derive from the
+    per-(type, day) `daily` aggregate (every src row lands in a daily
+    group, so min/max/distinct over daily equal those over src).
+    Catalyst column-prunes daily's three consumers DIFFERENTLY, which
+    defeats exchange reuse: the executed plan scans the fact table
+    three times, but each scan reads only 2-3 columns under the
+    pushed value filter, so total I/O is about one wide scan's worth.
+    The operator deliberately stays lazy and stateless — persisting
+    daily would collapse it to one scan, but leaks a session-lifetime
+    cache entry per sf_dir and makes repeat runs (bench reps, retries)
+    silently measure cached reads instead of the real cost. A
+    production metrics store materializes the daily rollup as a
+    TABLE (q36's continuous-aggregate pattern), not a query-internal
+    cache. The calendar cross-join builds from a 1-row broadcast of
+    the bounds; LOCF is one window keyed by event_type — state per
+    group is the day count, not the event count. Series with
+    high-cardinality keys would swap the global bounds for per-key
+    min/max from the same aggregate.
     """
     ev = table(spark, sf_dir, "events").filter(F.col("value") > GAPFILL_MIN_VALUE)
     src = ev.select(
@@ -96,7 +97,7 @@ def q95_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = src.groupBy("event_type", "d").agg(
         F.sum("c").alias("rev_c"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
     cal = (
         daily.select("event_type").distinct()
