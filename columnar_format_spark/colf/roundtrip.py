@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register, table
+from ..staging import stage_once
 
 
 @register(
@@ -73,21 +74,17 @@ def q70_colf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # staged CSV input dirs, keyed by sf_dir (written once per session)
-_CSV_STAGED: dict[str, str] = {}
-
-
 def _stage_orders_csv(spark: SparkSession, sf_dir: str) -> str:
-    if sf_dir in _CSV_STAGED:
-        return _CSV_STAGED[sf_dir]
-    o = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
-        "o_orderpriority",
-    )
-    d = tempfile.mkdtemp(prefix="csv_ingest_")
-    o.repartition(8).write.option("header", True).mode("overwrite").csv(d)
-    _CSV_STAGED[sf_dir] = d
-    return d
+    def write(d: str) -> None:
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+            .alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        o.repartition(8).write.option("header", True).mode("overwrite").csv(d)
+
+    return stage_once(("csv", sf_dir), "csv_ingest_", write)
 
 
 @register(
@@ -137,27 +134,22 @@ def q73_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # shared COLF dataset staging for the selective-read / zone-map queries
-_COLF_STAGED: dict[str, str] = {}
-
-
 def _stage_lineitem_colf(spark: SparkSession, sf_dir: str) -> str:
     """lineitem (5 columns, int32-keyed) written once per session as a
     RANGE-PARTITIONED COLF dataset: repartitionByRange(l_orderkey) gives
     each part file a disjoint key range, so the _manifest.json zone maps
     can prune files for key predicates."""
-    if sf_dir in _COLF_STAGED:
-        return _COLF_STAGED[sf_dir]
-    from .datasource import register as register_ds
+    def write(d: str) -> None:
+        from .datasource import register as register_ds
 
-    register_ds(spark)
-    li = table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").cast("int").alias("l_orderkey"),
-        "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag",
-    ).repartitionByRange(8, "l_orderkey")
-    d = tempfile.mkdtemp(prefix="colf_li_")
-    li.write.format("colf").mode("overwrite").save(d)
-    _COLF_STAGED[sf_dir] = d
-    return d
+        register_ds(spark)
+        li = table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").cast("int").alias("l_orderkey"),
+            "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag",
+        ).repartitionByRange(8, "l_orderkey")
+        li.write.format("colf").mode("overwrite").save(d)
+
+    return stage_once(("colf-li", sf_dir), "colf_li_", write)
 
 
 @register(

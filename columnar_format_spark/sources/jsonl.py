@@ -12,8 +12,6 @@ DuckDB oracle as the correctness gate.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -21,6 +19,7 @@ from pyspark.sql.types import (
 )
 
 from ..registry import register, table
+from ..staging import stage_once
 
 DOC_SCHEMA = StructType([
     StructField("doc_id", LongType()),
@@ -30,18 +29,11 @@ DOC_SCHEMA = StructType([
     StructField("n_chars", LongType()),
 ])
 
-# staged JSONL corpus dirs, keyed by sf_dir (written once per session)
-_JSONL_STAGED: dict[str, str] = {}
-
-
 def _stage_documents_jsonl(spark: SparkSession, sf_dir: str) -> str:
-    if sf_dir in _JSONL_STAGED:
-        return _JSONL_STAGED[sf_dir]
-    d = tempfile.mkdtemp(prefix="jsonl_ingest_")
-    table(spark, sf_dir, "documents").repartition(8) \
-        .write.mode("overwrite").json(d)
-    _JSONL_STAGED[sf_dir] = d
-    return d
+    return stage_once(
+        ("jsonl", sf_dir), "jsonl_ingest_",
+        lambda d: table(spark, sf_dir, "documents").repartition(8)
+        .write.mode("overwrite").json(d))
 
 
 @register(

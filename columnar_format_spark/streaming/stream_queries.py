@@ -18,13 +18,13 @@ the engine's streaming semantics per BASELINE.json's north star.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register, table
+from ..staging import stage_once
 from .pipelines import (
     dedup_within_watermark,
     session_windows,
@@ -33,23 +33,16 @@ from .pipelines import (
     tumbling_counts,
 )
 
-# staged stream-input dirs, keyed by (sf_dir, variant) — staging writes
-# the (micros-timestamp) events table once per session as an 8-file
-# parquet directory the file source can tail
-_STAGED: dict[tuple[str, str], str] = {}
-
-
 def _stage_events(spark: SparkSession, sf_dir: str, variant: str = "plain") -> str:
-    key = (sf_dir, variant)
-    if key in _STAGED:
-        return _STAGED[key]
-    ev = table(spark, sf_dir, "events")
-    if variant == "doubled":
-        ev = ev.unionAll(ev)  # exact duplicate of every row
-    d = tempfile.mkdtemp(prefix=f"stream_{variant}_")
-    ev.repartition(8).write.mode("overwrite").parquet(d)
-    _STAGED[key] = d
-    return d
+    """Stage the (micros-timestamp) events table once per session as an
+    8-file parquet directory the file source can tail."""
+    def write(d: str) -> None:
+        ev = table(spark, sf_dir, "events")
+        if variant == "doubled":
+            ev = ev.unionAll(ev)  # exact duplicate of every row
+        ev.repartition(8).write.mode("overwrite").parquet(d)
+
+    return stage_once(("stream", sf_dir, variant), f"stream_{variant}_", write)
 
 
 def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
