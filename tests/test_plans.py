@@ -211,3 +211,19 @@ def test_scd2_upsert_is_one_broadcast_join(spark):
     plan = plan_of(spark, "q100_scd2_upsert")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q7_is_all_broadcast_chain(spark):
+    """q104's 6-way join must be a chain of broadcast hash joins —
+    the fact table streams through with no shuffle before the final
+    aggregate."""
+    plan = plan_of(spark, "q104_tpch_q7")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q3_takes_ordered_topk(spark):
+    """q103's top-10 must plan TakeOrderedAndProject, not a global
+    sort materialization."""
+    plan = plan_of(spark, "q103_tpch_q3")
+    assert "TakeOrderedAndProject" in plan
