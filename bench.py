@@ -49,6 +49,8 @@ HEADLINE = [
     "q95_gapfill_locf",
     "q97_interval_overlap",
     "q99_sliding_window_batch",
+    "q103_tpch_q3",
+    "q104_tpch_q7",
 ]
 
 
