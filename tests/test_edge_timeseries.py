@@ -303,3 +303,111 @@ def test_sliding_window_null_timestamps_dropped(spark):
     r = compare_query(spark, d, "q99_sliding_window_batch")
     assert r["ok"], r["notes"]
     assert r["spark_rows"] == 2  # one event x its 2 windows
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes (q103/q104/q105) on crafted tables
+
+
+def test_q13_zero_order_customers_bucket(spark):
+    """Customers with no orders must land in the c_count=0 bucket —
+    the left-join-count trap q105 exists to pin."""
+    customer = pd.DataFrame({
+        "c_custkey": np.arange(5, dtype=np.int64),
+        "c_name": [f"c{i}" for i in range(5)],
+        "c_nationkey": np.zeros(5, dtype=np.int64),
+        "c_acctbal": np.zeros(5),
+        "c_mktsegment": ["BUILDING"] * 5,
+    })
+    orders = _orders(["1995-01-01"] * 3, [10.0, 20.0, 30.0])
+    orders["o_custkey"] = np.asarray([1, 1, 2], dtype=np.int64)
+    d = _stage({"customer": customer, "orders": orders})
+    r = compare_query(spark, d, "q105_tpch_q13")
+    assert r["ok"], r["notes"]
+    # buckets: 0 orders (3 customers), 1 order (1), 2 orders (1)
+    assert r["spark_rows"] == 3
+
+
+def test_q3_boundary_dates_are_strict(spark):
+    """o_orderdate == cutoff and l_shipdate == cutoff must both be
+    excluded (strict < and > in both engines)."""
+    customer = pd.DataFrame({
+        "c_custkey": np.asarray([0, 1], dtype=np.int64),
+        "c_name": ["a", "b"],
+        "c_nationkey": np.zeros(2, dtype=np.int64),
+        "c_acctbal": np.zeros(2),
+        "c_mktsegment": ["BUILDING", "MACHINERY"],
+    })
+    orders = _orders(
+        ["1996-01-01", "1995-12-31", "1995-12-31"], [1.0, 2.0, 3.0])
+    orders["o_custkey"] = np.asarray([0, 0, 1], dtype=np.int64)
+    lineitem = pd.DataFrame({
+        "l_orderkey": np.asarray([0, 1, 1, 2], dtype=np.int64),
+        "l_partkey": np.zeros(4, dtype=np.int64),
+        "l_suppkey": np.zeros(4, dtype=np.int64),
+        "l_linenumber": np.ones(4, dtype=np.int32),
+        "l_quantity": np.ones(4),
+        "l_extendedprice": np.asarray([100.0, 200.0, 300.0, 400.0]),
+        "l_discount": np.asarray([0.1, 0.0, 0.05, 0.0]),
+        "l_tax": np.zeros(4),
+        "l_returnflag": ["N"] * 4,
+        "l_linestatus": ["O"] * 4,
+        "l_shipdate": pd.to_datetime(
+            ["1996-02-01",   # order 0: o_orderdate==cutoff -> excluded
+             "1996-01-01",   # order 1: shipdate==cutoff -> excluded
+             "1996-03-01",   # order 1: qualifies (BUILDING customer)
+             "1996-03-01"]   # order 2: MACHINERY customer -> excluded
+        ).astype("datetime64[us]"),
+    })
+    d = _stage({"customer": customer, "orders": orders,
+                "lineitem": lineitem})
+    r = compare_query(spark, d, "q103_tpch_q3")
+    assert r["ok"], r["notes"]
+    assert r["spark_rows"] == 1  # only order 1's 1996-03-01 line
+
+
+def test_q7_nation_pair_is_bidirectional(spark):
+    """Trade in both directions must appear as separate
+    (supp_nation, cust_nation) rows; same-nation trade is excluded."""
+    nation = pd.DataFrame({
+        "n_nationkey": np.asarray([18, 19], dtype=np.int64),
+        "n_name": ["NATION_18", "NATION_19"],
+        "n_regionkey": np.zeros(2, dtype=np.int64),
+    })
+    supplier = pd.DataFrame({
+        "s_suppkey": np.asarray([0, 1], dtype=np.int64),
+        "s_name": ["s0", "s1"],
+        "s_nationkey": np.asarray([18, 19], dtype=np.int64),
+        "s_acctbal": np.zeros(2),
+    })
+    customer = pd.DataFrame({
+        "c_custkey": np.asarray([0, 1], dtype=np.int64),
+        "c_name": ["a", "b"],
+        "c_nationkey": np.asarray([19, 18], dtype=np.int64),
+        "c_acctbal": np.zeros(2),
+        "c_mktsegment": ["BUILDING"] * 2,
+    })
+    orders = _orders(["1995-06-01", "1995-06-01"], [1.0, 2.0])
+    orders["o_custkey"] = np.asarray([0, 1], dtype=np.int64)
+    lineitem = pd.DataFrame({
+        "l_orderkey": np.asarray([0, 0, 1], dtype=np.int64),
+        "l_partkey": np.zeros(3, dtype=np.int64),
+        # order 0 (cust nation 19): supp 18 -> 18->19; supp 19 -> same-pair
+        # order 1 (cust nation 18): supp 19 -> 19->18
+        "l_suppkey": np.asarray([0, 1, 1], dtype=np.int64),
+        "l_linenumber": np.ones(3, dtype=np.int32),
+        "l_quantity": np.ones(3),
+        "l_extendedprice": np.asarray([100.0, 200.0, 300.0]),
+        "l_discount": np.zeros(3),
+        "l_tax": np.zeros(3),
+        "l_returnflag": ["N"] * 3,
+        "l_linestatus": ["O"] * 3,
+        "l_shipdate": pd.to_datetime(["1995-07-01"] * 3)
+        .astype("datetime64[us]"),
+    })
+    d = _stage({"nation": nation, "supplier": supplier,
+                "customer": customer, "orders": orders,
+                "lineitem": lineitem})
+    r = compare_query(spark, d, "q104_tpch_q7")
+    assert r["ok"], r["notes"]
+    assert r["spark_rows"] == 2  # 18->19 and 19->18, same-nation dropped
