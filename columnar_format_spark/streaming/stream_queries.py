@@ -59,7 +59,10 @@ def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
     spark = stream_df.sparkSession
     name = "q_" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # measured on q84 (stream-stream join, sf0.1): state partitions
+    # 2/4/8/16 -> 1.7/2.0/2.7/3.9 s — per-partition store init/commit
+    # is the fixed cost, so provision for state volume, not core count
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             stream_df.writeStream.format("memory")
