@@ -1,0 +1,157 @@
+"""Warehouse data-quality tooling: constraint auditing (referential
+integrity, key uniqueness, null rates, domain checks) and incremental
+aggregate maintenance (partial-state merge) — the operational queries
+every production dataset runs next to its analytics.
+
+Like everything in operators/, the reference
+(satyakalla890/columnar-format) has no query surface (SURVEY.md §2.2);
+these queries widen the engine's native Spark coverage with the DuckDB
+oracle as the correctness gate. Determinism rules: registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register, table
+from .relational import cents
+
+
+@register(
+    "q106_data_quality_audit",
+    oracle="""
+    SELECT 'customer_dup_custkey' AS check_name,
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_violations
+    FROM (SELECT c_custkey, COUNT(*) AS n FROM customer
+          GROUP BY c_custkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'events_null_user',
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_negative_total',
+           CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orphan_custkey', CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def q106_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over the star schema: referential integrity
+    (orphaned orders / lineitems via anti joins), key uniqueness
+    (duplicate customer keys), null-rate (events.user_id), and a
+    domain check (negative order totals) — one (check_name,
+    n_violations) row per constraint, the dbt-test / Deequ pattern as
+    a single plan.
+
+    Scale: each integrity check is an anti join that broadcasts the
+    smaller key set; uniqueness is a groupBy on the key (one shuffle
+    of keys only); null/domain checks are map-side conditional sums.
+    The five checks are independent subplans unioned at the end, so
+    they parallelize across the cluster rather than serializing.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ev = table(spark, sf_dir, "events")
+
+    def named(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("check_name"),
+                         F.col("n").cast("bigint").alias("n_violations"))
+
+    dup_cust = named(
+        "customer_dup_custkey",
+        c.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.coalesce(F.sum(F.col("k") - 1), F.lit(0)).alias("n")),
+    )
+    null_user = named(
+        "events_null_user",
+        ev.agg(F.sum(F.when(F.col("user_id").isNull(), 1)
+                     .otherwise(0)).alias("n")),
+    )
+    orphan_li = named(
+        "lineitem_orphan_orderkey",
+        li.select("l_orderkey")
+        .join(F.broadcast(o.select("o_orderkey")),
+              li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    neg_total = named(
+        "orders_negative_total",
+        o.agg(F.sum(F.when(F.col("o_totalprice") < 0, 1)
+                    .otherwise(0)).alias("n")),
+    )
+    orphan_o = named(
+        "orders_orphan_custkey",
+        o.select("o_custkey")
+        .join(F.broadcast(c.select("c_custkey")),
+              o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    return (dup_cust.unionAll(null_user).unionAll(orphan_li)
+            .unionAll(neg_total).unionAll(orphan_o))
+
+
+INCR_CUTOFF = "2024-01-15"
+
+
+@register(
+    "q107_incremental_agg",
+    oracle=f"""
+    WITH old_part AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+      FROM events WHERE ts < TIMESTAMP '{INCR_CUTOFF} 00:00:00'
+      GROUP BY event_type),
+    new_part AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+      FROM events WHERE ts >= TIMESTAMP '{INCR_CUTOFF} 00:00:00'
+      GROUP BY event_type)
+    SELECT event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(c) AS DOUBLE) / 100.0 AS sum_value
+    FROM (SELECT * FROM old_part UNION ALL SELECT * FROM new_part)
+    GROUP BY event_type
+    """,
+)
+def q107_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: per-type counts/sums built by
+    MERGING two independently-computed partial states (history before
+    the cutoff + the fresh slice after it) instead of rescanning
+    everything. The result is provably identical to the full
+    recompute precisely because the state is mergeable — counts and
+    exact int64 cent sums are associative/commutative monoids. (A
+    mean or percentile kept as a final value is NOT mergeable; keep
+    (sum, count) / sketches instead — the same rule that makes
+    Spark's own partial aggregation correct.)
+
+    Scale: this is the nightly-batch pattern — the historical partial
+    is computed once and stored (here: recomputed from the < cutoff
+    slice for the oracle's sake); each increment only scans new data.
+    Both partials push their time filter to the scan.
+    """
+    ev = table(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("value")).alias("c"),
+        )
+
+    old_part = partial(ev.filter(F.col("ts") < INCR_CUTOFF))
+    new_part = partial(ev.filter(F.col("ts") >= INCR_CUTOFF))
+    return (
+        old_part.unionAll(new_part)
+        .groupBy("event_type")
+        .agg(F.sum("n").cast("bigint").alias("n_events"),
+             (F.sum("c").cast("double") / 100.0).alias("sum_value"))
+    )

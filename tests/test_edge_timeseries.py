@@ -411,3 +411,69 @@ def test_q7_nation_pair_is_bidirectional(spark):
     r = compare_query(spark, d, "q104_tpch_q7")
     assert r["ok"], r["notes"]
     assert r["spark_rows"] == 2  # 18->19 and 19->18, same-nation dropped
+
+
+def test_quality_audit_counts_real_violations(spark):
+    """Crafted dirty data: duplicate customer keys, orphaned orders and
+    lineitems, NULL user_ids, negative totals — every check must count
+    its violations, not just agree on zero."""
+    customer = pd.DataFrame({
+        "c_custkey": np.asarray([1, 1, 1, 2], dtype=np.int64),  # 2 dups
+        "c_name": ["a", "a2", "a3", "b"],
+        "c_nationkey": np.zeros(4, dtype=np.int64),
+        "c_acctbal": np.zeros(4),
+        "c_mktsegment": ["BUILDING"] * 4,
+    })
+    orders = _orders(["1995-01-01"] * 4, [10.0, -5.0, -0.01, 20.0])
+    orders["o_custkey"] = np.asarray([1, 2, 9, 9], dtype=np.int64)  # 2 orphans
+    lineitem = pd.DataFrame({
+        "l_orderkey": np.asarray([0, 1, 77], dtype=np.int64),  # 1 orphan
+        "l_partkey": np.zeros(3, dtype=np.int64),
+        "l_suppkey": np.zeros(3, dtype=np.int64),
+        "l_linenumber": np.ones(3, dtype=np.int32),
+        "l_quantity": np.ones(3),
+        "l_extendedprice": np.ones(3),
+        "l_discount": np.zeros(3),
+        "l_tax": np.zeros(3),
+        "l_returnflag": ["N"] * 3,
+        "l_linestatus": ["O"] * 3,
+        "l_shipdate": pd.to_datetime(["1995-02-01"] * 3)
+        .astype("datetime64[us]"),
+    })
+    ev = _events(["2024-01-01 10:00:00"] * 3, ["view"] * 3, [1.0, 2.0, 3.0])
+    ev["user_id"] = pd.array([1, None, None], dtype="Int64")  # 2 nulls
+    d = _stage({"customer": customer, "orders": orders,
+                "lineitem": lineitem, "events": ev})
+    r = compare_query(spark, d, "q106_data_quality_audit")
+    assert r["ok"], r["notes"]
+    got = {row["check_name"]: row["n_violations"]
+           for row in columnar_format_spark_q106(spark, d).collect()}
+    assert got == {
+        "customer_dup_custkey": 2,
+        "events_null_user": 2,
+        "lineitem_orphan_orderkey": 1,
+        "orders_negative_total": 2,
+        "orders_orphan_custkey": 2,
+    }
+
+
+def columnar_format_spark_q106(spark, d):
+    from columnar_format_spark.registry import QUERIES
+    return QUERIES["q106_data_quality_audit"].fn(spark, d)
+
+
+def test_incremental_merge_equals_full_recompute(spark):
+    """The merged partial states must equal a direct full aggregate on
+    the same crafted events — the mergeability property itself."""
+    ev = _events(
+        ["2024-01-10 09:00:00", "2024-01-14 23:59:59",
+         "2024-01-15 00:00:00", "2024-01-20 01:00:00"],
+        ["view", "view", "view", "click"],
+        [1.11, 2.22, 4.44, 8.88])
+    d = _stage({"events": ev})
+    r = compare_query(spark, d, "q107_incremental_agg")
+    assert r["ok"], r["notes"]
+    from columnar_format_spark.registry import QUERIES
+    got = {row["event_type"]: (row["n_events"], row["sum_value"])
+           for row in QUERIES["q107_incremental_agg"].fn(spark, d).collect()}
+    assert got == {"view": (3, 7.77), "click": (1, 8.88)}
