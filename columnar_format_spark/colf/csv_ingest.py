@@ -59,16 +59,27 @@ def read_csv_raw(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+# Python's int()/float()/str.strip() strip ALL whitespace, not just
+# spaces — a CSV cell "\t5" is int 5 to the reference (writer.py uses
+# bare int(vv)), and "\t" alone is blank ⇒ NULL. Spark's F.trim strips
+# ONLY ASCII 0x20, so every strip here goes through this regex instead
+# (Java \s = [ \t\n\x0B\f\r], Python's ASCII whitespace set; unicode
+# spaces remain a documented divergence — Python strips U+00A0 etc.,
+# this engine does not).
+def _pystrip(c) -> F.Column:
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def _is_blank(c) -> F.Column:
-    return c.isNull() | (F.trim(c) == "")
+    return c.isNull() | (_pystrip(c) == "")
 
 
 def _is_pyint(c) -> F.Column:
-    return F.trim(c).rlike(INT_RE)
+    return _pystrip(c).rlike(INT_RE)
 
 
 def _is_pyfloat(c) -> F.Column:
-    return F.trim(c).rlike(FLOAT_RE)
+    return _pystrip(c).rlike(FLOAT_RE)
 
 
 def infer_colf_types(df: DataFrame) -> list[dict]:
@@ -85,7 +96,7 @@ def infer_colf_types(df: DataFrame) -> list[dict]:
             F.max(
                 F.when(
                     ~blank & _is_pyint(c)
-                    & ~F.regexp_replace(F.trim(c), "_", "").try_cast("decimal(38,0)")
+                    & ~F.regexp_replace(_pystrip(c), "_", "").try_cast("decimal(38,0)")
                     .between(INT32_MIN, INT32_MAX),
                     1,
                 ).otherwise(0)
@@ -120,10 +131,10 @@ def apply_colf_schema(df: DataFrame, schema: list[dict]) -> DataFrame:
         if col["type"] == "int32":
             # strip + drop underscores, then cast (int32 range verified
             # during inference)
-            v = F.regexp_replace(F.trim(c), "_", "").cast("int")
+            v = F.regexp_replace(_pystrip(c), "_", "").cast("int")
             cols.append(F.when(blank, None).otherwise(v).alias(col["name"]))
         elif col["type"] == "float64":
-            t = F.lower(F.regexp_replace(F.trim(c), "_", ""))
+            t = F.lower(F.regexp_replace(_pystrip(c), "_", ""))
             # Spark's cast-to-double rejects Python's inf/infinity
             # spellings — map them (and nan) explicitly
             v = (

@@ -73,7 +73,6 @@ def q70_colf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# staged CSV input dirs, keyed by sf_dir (written once per session)
 def _stage_orders_csv(spark: SparkSession, sf_dir: str) -> str:
     def write(d: str) -> None:
         o = table(spark, sf_dir, "orders").select(

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register, table
-from .relational import cents
+from .relational import cents, sql_cents
 
 
 @register(
@@ -51,11 +51,15 @@ def q106_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_violations) row per constraint, the dbt-test / Deequ pattern as
     a single plan.
 
-    Scale: each integrity check is an anti join that broadcasts the
-    smaller key set; uniqueness is a groupBy on the key (one shuffle
-    of keys only); null/domain checks are map-side conditional sums.
-    The five checks are independent subplans unioned at the end, so
-    they parallelize across the cluster rather than serializing.
+    Scale: each integrity check is an anti join on key columns only —
+    no broadcast hints, because BOTH sides can be fact-sized (orders
+    keys at SF1000 are ~12 GB, past any broadcast limit): Catalyst/AQE
+    broadcasts when a side is actually small and shuffles otherwise,
+    per the repo's fact-fact join rule. Uniqueness is a groupBy on the
+    key (one shuffle of keys only); null/domain checks are map-side
+    conditional sums. The five checks are independent subplans unioned
+    at the end, so they parallelize across the cluster rather than
+    serializing.
     """
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
@@ -80,7 +84,7 @@ def q106_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orphan_li = named(
         "lineitem_orphan_orderkey",
         li.select("l_orderkey")
-        .join(F.broadcast(o.select("o_orderkey")),
+        .join(o.select("o_orderkey"),
               li.l_orderkey == o.o_orderkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("n")),
     )
@@ -92,7 +96,7 @@ def q106_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orphan_o = named(
         "orders_orphan_custkey",
         o.select("o_custkey")
-        .join(F.broadcast(c.select("c_custkey")),
+        .join(c.select("c_custkey"),
               o.o_custkey == c.c_custkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("n")),
     )
@@ -107,13 +111,11 @@ INCR_CUTOFF = "2024-01-15"
     "q107_incremental_agg",
     oracle=f"""
     WITH old_part AS (
-      SELECT event_type, COUNT(*) AS n,
-             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+      SELECT event_type, COUNT(*) AS n, SUM({sql_cents('value')}) AS c
       FROM events WHERE ts < TIMESTAMP '{INCR_CUTOFF} 00:00:00'
       GROUP BY event_type),
     new_part AS (
-      SELECT event_type, COUNT(*) AS n,
-             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+      SELECT event_type, COUNT(*) AS n, SUM({sql_cents('value')}) AS c
       FROM events WHERE ts >= TIMESTAMP '{INCR_CUTOFF} 00:00:00'
       GROUP BY event_type)
     SELECT event_type,

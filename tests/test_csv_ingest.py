@@ -42,11 +42,11 @@ def ingest(colf_spark, tmp_path, header, rows):
 def test_edgecase_matrix(colf_spark, tmp_path):
     """FIXTURES.md F6, one column per verified reference semantic."""
     header = ["ws_null", "int_float_mix", "signed", "special_floats",
-              "boolish", "all_blank", "unicode"]
+              "boolish", "all_blank", "unicode", "tab_ws"]
     rows = [
-        ["  ",        "1",   "-5", "nan",  "True",  "", "héllo"],
-        ["hello",     "2.5", "+7", "inf",  "False", "", "日本語"],
-        [" spaced  ", "3",   "0",  "-1.5", "x",     "", "z"],
+        ["  ",        "1",   "-5", "nan",  "True",  "", "héllo", "\t5"],
+        ["hello",     "2.5", "+7", "inf",  "False", "", "日本語", "\t"],
+        [" spaced  ", "3",   "0",  "-1.5", "x",     "", "z",     "7\t"],
     ]
     schema, typed = ingest(colf_spark, tmp_path, header, rows)
     types = {c["name"]: (c["type"], c["nullable"]) for c in schema}
@@ -57,6 +57,10 @@ def test_edgecase_matrix(colf_spark, tmp_path):
     assert types["boolish"] == ("utf8", False)
     assert types["all_blank"] == ("int32", True)      # rule 3
     assert types["unicode"] == ("utf8", False)
+    # Python int()/strip() treat \t as whitespace: "\t5" is int 5,
+    # "\t" alone is blank => NULL (reference writer.py uses bare
+    # int(vv) / vv.strip())
+    assert types["tab_ws"] == ("int32", True)
 
     data = {c: [r[c] for r in typed.collect()] for c in typed.columns}
     assert data["ws_null"] == [None, "hello", " spaced  "]  # verbatim spaces
@@ -68,6 +72,7 @@ def test_edgecase_matrix(colf_spark, tmp_path):
     assert data["special_floats"][1] == float("inf")
     assert data["all_blank"] == [None, None, None]
     assert data["unicode"] == ["héllo", "日本語", "z"]
+    assert data["tab_ws"] == [5, None, 7]
 
 
 def test_int32_overflow_clean_error(colf_spark, tmp_path):

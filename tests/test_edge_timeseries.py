@@ -446,8 +446,9 @@ def test_quality_audit_counts_real_violations(spark):
                 "lineitem": lineitem, "events": ev})
     r = compare_query(spark, d, "q106_data_quality_audit")
     assert r["ok"], r["notes"]
+    from columnar_format_spark.registry import QUERIES
     got = {row["check_name"]: row["n_violations"]
-           for row in columnar_format_spark_q106(spark, d).collect()}
+           for row in QUERIES["q106_data_quality_audit"].fn(spark, d).collect()}
     assert got == {
         "customer_dup_custkey": 2,
         "events_null_user": 2,
@@ -456,10 +457,6 @@ def test_quality_audit_counts_real_violations(spark):
         "orders_orphan_custkey": 2,
     }
 
-
-def columnar_format_spark_q106(spark, d):
-    from columnar_format_spark.registry import QUERIES
-    return QUERIES["q106_data_quality_audit"].fn(spark, d)
 
 
 def test_incremental_merge_equals_full_recompute(spark):
