@@ -51,6 +51,8 @@ HEADLINE = [
     "q99_sliding_window_batch",
     "q103_tpch_q3",
     "q104_tpch_q7",
+    "q106_data_quality_audit",
+    "q107_incremental_agg",
 ]
 
 
