@@ -462,3 +462,84 @@ def q56_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "doc_id", F.col("label").alias("component_id")
     ).withColumn("component_size", F.count(F.lit(1)).over(w))
+
+
+# ---------------------------------------------------------------------------
+# Integer PageRank over the candidate-pair graph
+
+PR_ITERS = 5
+PR_SCALE = 1_000_000      # rank unit: 1.0 == 1e6 micro-units
+PR_TELEPORT = 150_000     # 0.15 in micro-units
+PR_DAMP_NUM, PR_DAMP_DEN = 850, 1000  # 0.85 as an exact ratio
+
+
+def _pagerank_sql() -> str:
+    its = []
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        its.append(
+            f"r{k} AS (SELECT e.b AS doc_id, "
+            f"CAST({PR_TELEPORT} + ({PR_DAMP_NUM} * SUM(r.rank // d.deg))"
+            f" // {PR_DAMP_DEN} AS BIGINT) AS rank "
+            f"FROM edges e JOIN {prev} r ON r.doc_id = e.a "
+            f"JOIN deg d ON d.a = e.a GROUP BY e.b)")
+        prev = f"r{k}"
+    return f"""
+    WITH pairs AS (SELECT d1, d2 FROM ({_MINHASH_SQL}) mh),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION SELECT d2, d1 FROM pairs),
+    deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY a),
+    r0 AS (SELECT a AS doc_id, CAST({PR_SCALE} AS BIGINT) AS rank
+           FROM deg),
+    {", ".join(its)}
+    SELECT r.doc_id, r.rank, d.deg AS degree
+    FROM {prev} r JOIN deg d ON d.a = r.doc_id
+    """
+
+
+@register("q108_pagerank_integer", oracle=_pagerank_sql())
+def q108_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the MinHash candidate-pair graph (q52's edges,
+    undirected so every node has out-degree >= 1 — no dangling-node
+    term needed), 5 fixed iterations in EXACT integer arithmetic:
+    ranks live in int64 micro-units, each contribution is integer
+    division rank // degree, and damping applies as the exact ratio
+    850/1000 — so Spark and the oracle's five unrolled SQL iterations
+    agree bit-for-bit, with no IEEE summation-order dependence. The
+    centrality stage of a dedup pipeline: within a near-dup cluster,
+    high-rank docs are the canonical copies.
+
+    Scale: textbook distributed PageRank — each iteration is one join
+    of edges against current ranks (both keyed on the node id, so the
+    partitioning is reused) plus a groupBy(dst) sum with map-side
+    partials; localCheckpoint truncates the 5-iteration lineage like
+    q56. Fixed iteration count keeps cost predictable (convergence-
+    delta stopping is q56's pattern if needed).
+    """
+    pairs = QUERIES["q52_minhash_lsh"].fn(spark, sf_dir)
+    edges = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b")).unionAll(
+        pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    ranks = deg.select(F.col("a").alias("doc_id"),
+                       F.lit(PR_SCALE).cast("bigint").alias("rank"))
+    for _ in range(PR_ITERS):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("doc_id", "a"), "a")
+            .join(deg, "a")
+            .select("b", F.expr("rank div deg").alias("contrib"))
+        )
+        ranks = (
+            contribs.groupBy("b")
+            .agg(F.sum("contrib").alias("s"))
+            .select(
+                F.col("b").alias("doc_id"),
+                (F.lit(PR_TELEPORT)
+                 + F.expr(f"({PR_DAMP_NUM} * s) div {PR_DAMP_DEN}"))
+                .cast("bigint").alias("rank"),
+            )
+        ).localCheckpoint(eager=True)
+    return ranks.join(deg.select(F.col("a").alias("doc_id"),
+                                 F.col("deg").alias("degree")), "doc_id")
