@@ -514,9 +514,11 @@ def q108_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: textbook distributed PageRank — each iteration is one join
     of edges against current ranks (both keyed on the node id, so the
     partitioning is reused) plus a groupBy(dst) sum with map-side
-    partials; localCheckpoint truncates the 5-iteration lineage like
-    q56. Fixed iteration count keeps cost predictable (convergence-
-    delta stopping is q56's pattern if needed).
+    partials. Unlike q56's open-ended loop, the FIXED iteration count
+    means one action executes a 5-join-deep plan — no per-iteration
+    checkpoint jobs (the edge list alone is checkpointed, reused by
+    all 5 iterations); convergence-delta stopping is q56's pattern if
+    ever needed.
     """
     pairs = QUERIES["q52_minhash_lsh"].fn(spark, sf_dir)
     edges = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b")).unionAll(
@@ -540,6 +542,6 @@ def q108_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + F.expr(f"({PR_DAMP_NUM} * s) div {PR_DAMP_DEN}"))
                 .cast("bigint").alias("rank"),
             )
-        ).localCheckpoint(eager=True)
+        )
     return ranks.join(deg.select(F.col("a").alias("doc_id"),
                                  F.col("deg").alias("degree")), "doc_id")
