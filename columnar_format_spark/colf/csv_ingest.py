@@ -59,27 +59,43 @@ def read_csv_raw(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-# Python's int()/float()/str.strip() strip ALL whitespace, not just
-# spaces — a CSV cell "\t5" is int 5 to the reference (writer.py uses
-# bare int(vv)), and "\t" alone is blank ⇒ NULL. Spark's F.trim strips
-# ONLY ASCII 0x20, so every strip here goes through this regex instead
-# (Java \s = [ \t\n\x0B\f\r], Python's ASCII whitespace set; unicode
-# spaces remain a documented divergence — Python strips U+00A0 etc.,
-# this engine does not).
-def _pystrip(c) -> F.Column:
-    return F.regexp_replace(c, r"^\s+|\s+$", "")
+# Python's whitespace handling, which the reference inherits, uses TWO
+# DIFFERENT sets (probed on Python 3.11):
+# - str.strip() — the reference's BLANK test (writer.py vv.strip())
+#   — strips \t\n\v\f\r space AND the ASCII separators \x1c-\x1f
+#   AND NEL \x85 ("\x1c".strip() == "").
+# - int()/float() — the reference's NUMERIC parse — accept \x85 and
+#   ordinary whitespace padding but REJECT \x1c-\x1f
+#   (int("\x855") == 5; int("\x1c5") raises).
+# Spark's F.trim strips ONLY 0x20, so each test gets its own regex
+# strip mirroring its Python set. The classes are spelled out
+# explicitly (never \s): Java's \s is ASCII-only while Python re's
+# \s is Unicode-aware, so a \s-based class would mean different
+# things to the engine (Java) and to the pure-Python twin/tests.
+# Unicode spaces (U+00A0 etc.) remain a documented divergence: Python
+# strips them in both contexts, this engine does not.
+BLANK_WS = r"[ \t\n\r\f\x0b\x1c-\x1f\x85]"
+NUM_WS = r"[ \t\n\r\f\x0b\x85]"
+
+
+def _strip_blank(c) -> F.Column:
+    return F.regexp_replace(c, f"^{BLANK_WS}+|{BLANK_WS}+$", "")
+
+
+def _strip_num(c) -> F.Column:
+    return F.regexp_replace(c, f"^{NUM_WS}+|{NUM_WS}+$", "")
 
 
 def _is_blank(c) -> F.Column:
-    return c.isNull() | (_pystrip(c) == "")
+    return c.isNull() | (_strip_blank(c) == "")
 
 
 def _is_pyint(c) -> F.Column:
-    return _pystrip(c).rlike(INT_RE)
+    return _strip_num(c).rlike(INT_RE)
 
 
 def _is_pyfloat(c) -> F.Column:
-    return _pystrip(c).rlike(FLOAT_RE)
+    return _strip_num(c).rlike(FLOAT_RE)
 
 
 def infer_colf_types(df: DataFrame) -> list[dict]:
@@ -96,7 +112,7 @@ def infer_colf_types(df: DataFrame) -> list[dict]:
             F.max(
                 F.when(
                     ~blank & _is_pyint(c)
-                    & ~F.regexp_replace(_pystrip(c), "_", "").try_cast("decimal(38,0)")
+                    & ~F.regexp_replace(_strip_num(c), "_", "").try_cast("decimal(38,0)")
                     .between(INT32_MIN, INT32_MAX),
                     1,
                 ).otherwise(0)
@@ -131,10 +147,10 @@ def apply_colf_schema(df: DataFrame, schema: list[dict]) -> DataFrame:
         if col["type"] == "int32":
             # strip + drop underscores, then cast (int32 range verified
             # during inference)
-            v = F.regexp_replace(_pystrip(c), "_", "").cast("int")
+            v = F.regexp_replace(_strip_num(c), "_", "").cast("int")
             cols.append(F.when(blank, None).otherwise(v).alias(col["name"]))
         elif col["type"] == "float64":
-            t = F.lower(F.regexp_replace(_pystrip(c), "_", ""))
+            t = F.lower(F.regexp_replace(_strip_num(c), "_", ""))
             # Spark's cast-to-double rejects Python's inf/infinity
             # spellings — map them (and nan) explicitly
             v = (

@@ -398,12 +398,27 @@ def q55_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COMPONENTS_SQL = f"""
-    WITH RECURSIVE pairs AS (
+# candidate-pair graph, symmetrized — THE edge definition shared by
+# q56 (components) and q108 (pagerank), Spark side and oracle side
+_EDGES_CTE = f"""pairs AS (
       SELECT d1, d2 FROM ({_MINHASH_SQL}) mh),
     edges AS (
       SELECT d1 AS a, d2 AS b FROM pairs
-      UNION SELECT d2, d1 FROM pairs),
+      UNION SELECT d2, d1 FROM pairs)"""
+
+
+def _candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q52's candidate pairs as a symmetric, deduped, checkpointed
+    edge list (a, b) — the graph every clustering/centrality stage
+    shares."""
+    pairs = QUERIES["q52_minhash_lsh"].fn(spark, sf_dir)
+    edges = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b")).unionAll(
+        pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b"))).distinct()
+    return edges.localCheckpoint(eager=True)
+
+
+_COMPONENTS_SQL = f"""
+    WITH RECURSIVE {_EDGES_CTE},
     reach(src, dst) AS (
       SELECT DISTINCT a, a FROM edges
       UNION
@@ -431,10 +446,7 @@ def q56_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not replay rounds 1..N-1. The label-propagation loop is the
     standard large-graph CC under hash partitioning (GraphX-free).
     """
-    pairs = QUERIES["q52_minhash_lsh"].fn(spark, sf_dir)
-    edges = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b")).unionAll(
-        pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b"))).distinct()
-    edges = edges.localCheckpoint(eager=True)  # reuse across rounds
+    edges = _candidate_edges(spark, sf_dir)  # reused across rounds
     labels = edges.groupBy("a").agg(F.min("b").alias("nbr_min")).select(
         F.col("a").alias("doc_id"),
         F.least("a", "nbr_min").alias("label"))
@@ -485,10 +497,7 @@ def _pagerank_sql() -> str:
             f"JOIN deg d ON d.a = e.a GROUP BY e.b)")
         prev = f"r{k}"
     return f"""
-    WITH pairs AS (SELECT d1, d2 FROM ({_MINHASH_SQL}) mh),
-    edges AS (
-      SELECT d1 AS a, d2 AS b FROM pairs
-      UNION SELECT d2, d1 FROM pairs),
+    WITH {_EDGES_CTE},
     deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg
             FROM edges GROUP BY a),
     r0 AS (SELECT a AS doc_id, CAST({PR_SCALE} AS BIGINT) AS rank
@@ -520,10 +529,7 @@ def q108_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     all 5 iterations); convergence-delta stopping is q56's pattern if
     ever needed.
     """
-    pairs = QUERIES["q52_minhash_lsh"].fn(spark, sf_dir)
-    edges = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b")).unionAll(
-        pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b"))).distinct()
-    edges = edges.localCheckpoint(eager=True)
+    edges = _candidate_edges(spark, sf_dir)
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     ranks = deg.select(F.col("a").alias("doc_id"),
                        F.lit(PR_SCALE).cast("bigint").alias("rank"))

@@ -122,12 +122,15 @@ def test_differential_vs_reference_writer(colf_spark, tmp_path):
     read both .colf outputs with our codec, values must agree."""
     from columnar_format_spark.colf.csv_ingest import csv_to_colf
 
-    header = ["i", "f", "s"]
+    # w probes the two Python whitespace sets (csv_ingest's two-strip
+    # comment): "\x855" is int 5 to int(), "\x1c" alone is blank =>
+    # NULL via str.strip(), "\t7" is int 7
+    header = ["i", "f", "s", "w"]
     rows = [
-        ["1", "1.5", "alpha"],
-        ["", "2", "  "],
-        ["-3", "nan", "beta "],
-        ["+4", "1e3", "日本"],
+        ["1", "1.5", "alpha", "\x855"],
+        ["", "2", "  ", "\x1c"],
+        ["-3", "nan", "beta ", "\t7"],
+        ["+4", "1e3", "日本", "9"],
     ]
     src = str(tmp_path / "diff.csv")
     write_csv(src, header, rows)

@@ -457,8 +457,6 @@ def test_quality_audit_counts_real_violations(spark):
         "orders_orphan_custkey": 2,
     }
 
-
-
 def test_incremental_merge_equals_full_recompute(spark):
     """The merged partial states must equal a direct full aggregate on
     the same crafted events — the mergeability property itself."""

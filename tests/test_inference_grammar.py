@@ -13,10 +13,12 @@ import re
 
 from hypothesis import given, settings, strategies as st
 
-from columnar_format_spark.colf.csv_ingest import FLOAT_RE, INT_RE
+from columnar_format_spark.colf.csv_ingest import FLOAT_RE, INT_RE, NUM_WS
 
 INT_PAT = re.compile(INT_RE)
 FLOAT_PAT = re.compile(FLOAT_RE)
+# the engine's numeric-side strip (csv_ingest._strip_num), verbatim
+NUM_STRIP = re.compile(f"^{NUM_WS}+|{NUM_WS}+$")
 
 
 def py_int_ok(s: str) -> bool:
@@ -36,24 +38,24 @@ def py_float_ok(s: str) -> bool:
 
 
 # The grammar alphabet plus noise: digits, signs, separators, exponent
-# markers, inf/nan letters, and the FULL ASCII whitespace set — the
-# engine strips via regex \s (csv_ingest._pystrip), which equals
-# str.strip() on this alphabet, so tab/newline-padded numerics are
-# exercised. Unicode whitespace (U+00A0 etc.) is the documented
-# remaining divergence (Python strips it, the engine does not) and is
-# deliberately absent.
-ALPHABET = "0123456789+-._eEiInNfFaAtTyY xX,\t\n\r\f\x0b"
+# markers, inf/nan letters, the whitespace int()/float() accept
+# (\t\n\r\f\x0b space \x85) AND the \x1c separator they REJECT (but
+# str.strip() removes — csv_ingest's two-strip-set comment). Unicode
+# spaces (U+00A0 etc.) are the documented remaining divergence
+# (Python strips them, the engine does not) and are deliberately
+# absent.
+ALPHABET = "0123456789+-._eEiInNfFaAtTyY xX,\t\n\r\f\x0b\x85\x1c"
 
 
 @settings(max_examples=2000, deadline=None)
 @given(st.text(alphabet=ALPHABET, min_size=0, max_size=12))
 def test_int_regex_matches_python_int(s):
-    t = s.strip()  # == _pystrip on this ASCII alphabet
+    t = NUM_STRIP.sub("", s)  # the engine's numeric-side strip
     assert bool(INT_PAT.fullmatch(t) if t else False) == py_int_ok(s)
 
 
 @settings(max_examples=2000, deadline=None)
 @given(st.text(alphabet=ALPHABET, min_size=0, max_size=12))
 def test_float_regex_matches_python_float(s):
-    t = s.strip()
+    t = NUM_STRIP.sub("", s)
     assert bool(FLOAT_PAT.fullmatch(t) if t else False) == py_float_ok(s)
