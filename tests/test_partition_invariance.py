@@ -22,7 +22,7 @@ from tests.conftest import SF_SMALL
 # exact-cents money sums (q01), md5-derived sketches and salts
 # (q52/q67/q18), bucketed running structure (q86), window sessionizing
 # on ties (q33), LOCF fill (q95), median interpolation + mode
-# tie-break (q96).
+# tie-break (q96), iterative integer rank propagation (q108).
 PROBES = [
     "q01_pricing_summary",
     "q18_salted_skew_join",
@@ -32,6 +32,7 @@ PROBES = [
     "q86_corpus_shards",
     "q95_gapfill_locf",
     "q96_median_mode",
+    "q108_pagerank_integer",
 ]
 
 
