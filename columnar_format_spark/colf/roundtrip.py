@@ -212,3 +212,40 @@ def q76_colf_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("l_orderkey").cast("bigint")).alias("min_key"),
         F.max(F.col("l_orderkey").cast("bigint")).alias("max_key"),
     )
+
+
+@register(
+    "q109_colf_stream_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q109_colf_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLF as a STREAMING source under the correctness gate: tail the
+    staged COLF dataset with readStream.format("colf"), aggregate per
+    return flag in complete mode, drain with availableNow — the final
+    state must equal the batch answer on the original parquet, which
+    holds iff the connector's file-tailing offsets replay every part
+    file exactly once AND the typed decode is lossless. Composes the
+    custom Python DataSource's stream reader with native stateful
+    aggregation (the q80 pattern, custom source instead of parquet).
+
+    Scale: the source lists part files per micro-batch (offset = file
+    list position, replayable); state is one row per flag. File-count
+    == write parallelism by the dataset convention, so a 100 TB COLF
+    dataset streams at the cluster's file-open rate.
+    """
+    from ..streaming.stream_queries import _drain
+
+    d = _stage_lineitem_colf(spark, sf_dir)
+    stream = spark.readStream.format("colf").load(d)
+    agg = stream.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+        F.max("l_orderkey").cast("bigint").alias("max_key"),
+    )
+    return _drain(agg, "complete")
