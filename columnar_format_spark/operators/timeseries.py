@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..registry import register, table
+from ..registry import QUERIES, register, table
 from .relational import cents, dsum, sql_cents
 
 # ---------------------------------------------------------------------------
@@ -389,6 +389,75 @@ def q100_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return closed.unionAll(opened).unionAll(untouched)
+
+
+@register(
+    "q110_temporal_join",
+    oracle=f"""
+    WITH cur AS (
+      SELECT c_custkey, c_nationkey,
+             TIMESTAMP '1995-01-01 00:00:00' AS valid_from
+      FROM customer),
+    upd AS (
+      SELECT c_custkey, CAST((c_nationkey + 1) % 25 AS BIGINT) AS new_nat
+      FROM customer WHERE c_custkey % 10 = 3),
+    versions AS (
+      SELECT c.c_custkey, c.c_nationkey, c.valid_from,
+             TIMESTAMP '{SCD2_EFFECTIVE} 00:00:00' AS valid_to
+      FROM cur c JOIN upd u USING (c_custkey)
+      UNION ALL
+      SELECT c.c_custkey, u.new_nat,
+             TIMESTAMP '{SCD2_EFFECTIVE} 00:00:00', NULL
+      FROM cur c JOIN upd u USING (c_custkey)
+      UNION ALL
+      SELECT c.c_custkey, c.c_nationkey, c.valid_from, NULL
+      FROM cur c LEFT JOIN upd u USING (c_custkey)
+      WHERE u.c_custkey IS NULL)
+    SELECT v.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({sql_cents('o.o_totalprice')}) AS DOUBLE) / 100.0
+             AS revenue
+    FROM orders o
+    JOIN versions v
+      ON o.o_custkey = v.c_custkey
+     AND o.o_orderdate >= v.valid_from
+     AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+    GROUP BY v.c_nationkey
+    """,
+)
+def q110_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension join: every order enriched
+    with the SCD2 customer version that was valid AT o_orderdate —
+    q100's versioned output consumed the way a warehouse actually
+    uses it ([valid_from, valid_to) containment, NULL = open-ended),
+    then revenue per effective nation. Orders span 1995-2001 so both
+    version eras contribute.
+
+    Scale: the version table is ~1.1 rows per dimension key — always
+    dimension-sized, so it broadcasts and the fact table never
+    shuffles; the validity predicate evaluates inside the broadcast
+    hash join on the key equality (at most 2 versions per key here,
+    bounded by update frequency in general). For version counts too
+    large to broadcast, the rewrite is the q17 as-of pattern: sort
+    versions per key and range-match.
+    """
+    versions = QUERIES["q100_scd2_upsert"].fn(spark, sf_dir).select(
+        "c_custkey", "c_nationkey",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    o = table(spark, sf_dir, "orders")
+    j = o.join(
+        F.broadcast(versions),
+        (o.o_custkey == versions.c_custkey)
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull()
+           | (F.col("o_orderdate") < F.col("valid_to"))),
+    )
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -472,3 +472,32 @@ def test_incremental_merge_equals_full_recompute(spark):
     got = {row["event_type"]: (row["n_events"], row["sum_value"])
            for row in QUERIES["q107_incremental_agg"].fn(spark, d).collect()}
     assert got == {"view": (3, 7.77), "click": (1, 8.88)}
+
+
+def test_temporal_join_covers_every_order_exactly_once(spark):
+    """The SCD2 versions partition each key's timeline, so the
+    point-in-time join must match every order exactly once — no drops
+    at the version boundary, no double-matches."""
+    from columnar_format_spark.registry import QUERIES
+
+    customer = pd.DataFrame({
+        "c_custkey": np.asarray([3, 7], dtype=np.int64),  # 3 = changed key
+        "c_name": ["a", "b"],
+        "c_nationkey": np.asarray([5, 9], dtype=np.int64),
+        "c_acctbal": np.zeros(2),
+        "c_mktsegment": ["BUILDING"] * 2,
+    })
+    orders = _orders(
+        ["1995-06-01",   # key 3, era 1 -> nation 5
+         "1996-01-01",   # key 3, ON the boundary -> era 2, nation 6
+         "1997-03-01",   # key 3, era 2 -> nation 6
+         "1999-01-01"],  # key 7, unchanged -> nation 9
+        [10.0, 20.0, 40.0, 80.0])
+    orders["o_custkey"] = np.asarray([3, 3, 3, 7], dtype=np.int64)
+    d = _stage({"customer": customer, "orders": orders})
+    r = compare_query(spark, d, "q110_temporal_join")
+    assert r["ok"], r["notes"]
+    got = {row["c_nationkey"]: (row["n_orders"], row["revenue"])
+           for row in QUERIES["q110_temporal_join"].fn(spark, d).collect()}
+    assert got == {5: (1, 10.0), 6: (2, 60.0), 9: (1, 80.0)}
+    assert sum(n for n, _ in got.values()) == len(orders)
