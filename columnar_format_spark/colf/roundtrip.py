@@ -244,8 +244,8 @@ def q109_colf_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _stage_lineitem_colf(spark, sf_dir)
     stream = spark.readStream.format("colf").load(d)
     agg = stream.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
         F.max("l_orderkey").cast("bigint").alias("max_key"),
     )
     return _drain(agg, "complete")

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import QUERIES, register, table
-from .relational import cents, dsum, sql_cents
+from .relational import cents, dsum, sql_cents, sql_dsum
 
 # ---------------------------------------------------------------------------
 # Calendar gap-fill + LOCF
@@ -207,8 +207,7 @@ PROMOS = [
     oracle=f"""
     SELECT p.promo,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM({sql_cents('o.o_totalprice')}) AS DOUBLE) / 100.0
-             AS revenue
+           {sql_dsum("o.o_totalprice")} AS revenue
     FROM orders o
     JOIN (VALUES {", ".join(f"('{n}', TIMESTAMP '{s} 00:00:00', TIMESTAMP '{e} 00:00:00')" for n, s, e in PROMOS)})
          p(promo, p_start, p_end)
@@ -415,8 +414,7 @@ def q100_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE u.c_custkey IS NULL)
     SELECT v.c_nationkey,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM({sql_cents('o.o_totalprice')}) AS DOUBLE) / 100.0
-             AS revenue
+           {sql_dsum("o.o_totalprice")} AS revenue
     FROM orders o
     JOIN versions v
       ON o.o_custkey = v.c_custkey
