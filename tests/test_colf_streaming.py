@@ -118,3 +118,35 @@ def test_stream_roundtrip_colf_to_colf(spark, tmp_path):
     assert back.count() == 100
     assert back.agg(F.sum(F.col("v2").cast("decimal(18,2)")).cast("double")).first()[0] == \
         sum(i * 1.5 * 2 for i in range(100))
+
+
+def test_stream_multibatch_replays_each_file_once(spark, tmp_path):
+    """maxFilesPerTrigger=1 forces one micro-batch per part file: the
+    final aggregate must equal the batch answer — each file consumed
+    exactly once across batches (the offset-replay contract q109's
+    single-batch oracle check cannot distinguish)."""
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(300)], "k int, g int, v double")
+    df.repartition(6).write.format("colf").mode("append").save(src)
+
+    agg = (
+        spark.readStream.format("colf")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("s"))
+    )
+    name = "t_multibatch"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["g"]: (r["n"], r["s"]) for r in spark.table(name).collect()}
+    want = {r["g"]: (r["n"], r["s"]) for r in (
+        df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("s"))
+    ).collect()}
+    assert got == want
+    assert q.lastProgress is not None  # stream actually ran batches
