@@ -331,6 +331,9 @@ class ColfStreamReader(SimpleDataSourceStreamReader):
         if not self.path:
             raise ColfFormatError("colf stream reader requires a path")
         self.schema = schema
+        # rate limit: at most N new files per micro-batch (0 = all);
+        # availableNow still drains fully, just in N-file batches
+        self.max_files = int(options.get("maxFilesPerTrigger", "0"))
 
     def initialOffset(self) -> dict:
         return {"files": []}
@@ -354,6 +357,8 @@ class ColfStreamReader(SimpleDataSourceStreamReader):
         seen = set(start.get("files", []))
         now = [os.path.basename(f) for f in dataset_files(self.path)]
         new = sorted(n for n in now if n not in seen)
+        if self.max_files > 0:
+            new = new[: self.max_files]
         end = {"files": sorted(seen | set(new))}
         return self._rows_of(new), end
 

@@ -27,7 +27,8 @@ from .relational import cents, sql_cents
           GROUP BY c_custkey HAVING COUNT(*) > 1)
     UNION ALL
     SELECT 'events_null_user',
-           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(COALESCE(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT)
     FROM events
     UNION ALL
     SELECT 'lineitem_orphan_orderkey', CAST(COUNT(*) AS BIGINT)
@@ -35,7 +36,8 @@ from .relational import cents, sql_cents
       (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
     UNION ALL
     SELECT 'orders_negative_total',
-           CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(COALESCE(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'orders_orphan_custkey', CAST(COUNT(*) AS BIGINT)
@@ -78,8 +80,8 @@ def q106_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     null_user = named(
         "events_null_user",
-        ev.agg(F.sum(F.when(F.col("user_id").isNull(), 1)
-                     .otherwise(0)).alias("n")),
+        ev.agg(F.coalesce(F.sum(F.when(F.col("user_id").isNull(), 1)
+                               .otherwise(0)), F.lit(0)).alias("n")),
     )
     orphan_li = named(
         "lineitem_orphan_orderkey",
@@ -90,8 +92,8 @@ def q106_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     neg_total = named(
         "orders_negative_total",
-        o.agg(F.sum(F.when(F.col("o_totalprice") < 0, 1)
-                    .otherwise(0)).alias("n")),
+        o.agg(F.coalesce(F.sum(F.when(F.col("o_totalprice") < 0, 1)
+                              .otherwise(0)), F.lit(0)).alias("n")),
     )
     orphan_o = named(
         "orders_orphan_custkey",
@@ -117,6 +119,7 @@ INCR_CUTOFF = "2024-01-15"
     new_part AS (
       SELECT event_type, COUNT(*) AS n, SUM({sql_cents('value')}) AS c
       FROM events WHERE ts >= TIMESTAMP '{INCR_CUTOFF} 00:00:00'
+         OR ts IS NULL
       GROUP BY event_type)
     SELECT event_type,
            CAST(SUM(n) AS BIGINT) AS n_events,
@@ -150,7 +153,10 @@ def q107_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     old_part = partial(ev.filter(F.col("ts") < INCR_CUTOFF))
-    new_part = partial(ev.filter(F.col("ts") >= INCR_CUTOFF))
+    # NULL-ts rows belong to exactly one slice (the fresh one) or the
+    # merge would silently drop them vs a true full recompute
+    new_part = partial(ev.filter((F.col("ts") >= INCR_CUTOFF)
+                                 | F.col("ts").isNull()))
     return (
         old_part.unionAll(new_part)
         .groupBy("event_type")

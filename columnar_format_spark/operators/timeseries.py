@@ -431,13 +431,16 @@ def q110_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     then revenue per effective nation. Orders span 1995-2001 so both
     version eras contribute.
 
-    Scale: the version table is ~1.1 rows per dimension key — always
-    dimension-sized, so it broadcasts and the fact table never
-    shuffles; the validity predicate evaluates inside the broadcast
-    hash join on the key equality (at most 2 versions per key here,
-    bounded by update frequency in general). For version counts too
-    large to broadcast, the rewrite is the q17 as-of pattern: sort
-    versions per key and range-match.
+    Scale: the version table is ~1.1 rows per dimension key — no
+    forced broadcast hint, because "dimension-sized" still means
+    SF-proportional: Catalyst/AQE broadcasts it while it fits (as at
+    bench SFs, keeping the fact table shuffle-free) and falls back to
+    a shuffle join on the key when it does not. The validity
+    predicate evaluates inside the join on the key equality (at most
+    2 versions per key here, bounded by update frequency in general);
+    for version sets too large even to shuffle-join comfortably, the
+    rewrite is the q17 as-of pattern: sort versions per key and
+    range-match.
     """
     versions = QUERIES["q100_scd2_upsert"].fn(spark, sf_dir).select(
         "c_custkey", "c_nationkey",
@@ -446,7 +449,7 @@ def q110_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = table(spark, sf_dir, "orders")
     j = o.join(
-        F.broadcast(versions),
+        versions,
         (o.o_custkey == versions.c_custkey)
         & (F.col("o_orderdate") >= F.col("valid_from"))
         & (F.col("valid_to").isNull()

@@ -47,11 +47,12 @@ def q103_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     order key for a well-defined set — registry rule 6). Revenue is
     the exact int64 cents product-sum (rev_isum).
 
-    Scale: both selective dimensions broadcast (customer filtered to
-    one segment, orders date-filtered) so lineitem — the 100 TB side —
-    never shuffles before the aggregate; the top-10 is
-    TakeOrderedAndProject, no global sort materialization. All three
-    filters push to the parquet scans.
+    Scale: no forced broadcast hints — the date-filtered orders side
+    is still SF-proportional (fact-sized), so Catalyst/AQE must pick:
+    broadcast while the filtered sides fit (as they do at bench SFs,
+    keeping lineitem — the 100 TB side — shuffle-free), shuffle join
+    beyond that. The top-10 is TakeOrderedAndProject, no global sort
+    materialization. All three filters push to the parquet scans.
     """
     c = table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == Q3_SEGMENT).select("c_custkey")
@@ -61,8 +62,8 @@ def q103_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > Q3_DATE
     ).select("l_orderkey", "l_extendedprice", "l_discount")
-    j = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey) \
-          .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    j = li.join(o, li.l_orderkey == o.o_orderkey) \
+          .join(c, o.o_custkey == c.c_custkey)
     return (
         j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(rev_isum().alias("revenue"))
@@ -99,13 +100,15 @@ def q104_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     nations per ship-year — a 6-way join where the nation-pair
     predicate can only be applied AFTER both sides are joined in.
 
-    Scale: all five dimension sides broadcast (supplier/customer are
-    1/10000th of lineitem; nation is 25 rows), so the fact table
-    streams through a chain of broadcast hash joins with zero
-    shuffles before the final aggregate — the plan Catalyst picks by
-    size estimation, pinned in tests/test_plans.py. The pair filter
-    prunes most rows right after the LAST broadcast join, before the
-    aggregate's map-side partial.
+    Scale: only the 25-row nation sides carry broadcast hints;
+    supplier/customer/orders are left to Catalyst/AQE size estimation
+    — supplier and customer are 1/10000th and 1/10th of lineitem and
+    broadcast at bench SFs (the all-broadcast chain pinned in
+    tests/test_plans.py), while orders is fact-sized and must be
+    allowed to fall back to a shuffle join at large SF rather than
+    OOM the driver on a forced broadcast. The pair filter prunes most
+    rows right after the LAST join, before the aggregate's map-side
+    partial.
     """
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate",
@@ -120,10 +123,10 @@ def q104_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("n_name").alias("cust_nation"))
     a, b = Q7_NATIONS
     j = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(
             ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))

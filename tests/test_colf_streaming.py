@@ -138,15 +138,30 @@ def test_stream_multibatch_replays_each_file_once(spark, tmp_path):
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("s"))
     )
+    import time
+
+    # availableNow snapshots its end offset from the FIRST capped
+    # read, so a rate-limited drain needs a continuous trigger:
+    # poll until the complete-mode state covers every file, then stop.
     name = "t_multibatch"
     q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
-    got = {r["g"]: (r["n"], r["s"]) for r in spark.table(name).collect()}
+         .outputMode("complete")
+         .trigger(processingTime="50 milliseconds").start())
     want = {r["g"]: (r["n"], r["s"]) for r in (
         df.groupBy("g").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("s"))
     ).collect()}
+    got = {}
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        got = {r["g"]: (r["n"], r["s"])
+               for r in spark.table(name).collect()}
+        if got == want:
+            break
+        time.sleep(0.5)
+    q.stop()
     assert got == want
-    assert q.lastProgress is not None  # stream actually ran batches
+    # the rate limit must have split the drain into one batch per file
+    n_batches = sum(1 for pr in q.recentProgress if pr["numInputRows"] > 0)
+    assert n_batches == 6, n_batches

@@ -501,3 +501,46 @@ def test_temporal_join_covers_every_order_exactly_once(spark):
            for row in QUERIES["q110_temporal_join"].fn(spark, d).collect()}
     assert got == {5: (1, 10.0), 6: (2, 60.0), 9: (1, 80.0)}
     assert sum(n for n, _ in got.values()) == len(orders)
+
+
+def test_quality_audit_empty_tables_count_zero(spark):
+    """Zero-row tables must audit as 0 violations, not NULL (the
+    empty-aggregate coalesce in every conditional-sum check)."""
+    d = _stage({
+        "customer": pd.DataFrame({
+            "c_custkey": pd.array([], dtype="int64"),
+            "c_name": pd.array([], dtype="str"),
+            "c_nationkey": pd.array([], dtype="int64"),
+            "c_acctbal": pd.array([], dtype="float64"),
+            "c_mktsegment": pd.array([], dtype="str"),
+        }),
+        "orders": _orders([], []),
+        "lineitem": pd.DataFrame({
+            "l_orderkey": pd.array([], dtype="int64"),
+            "l_quantity": pd.array([], dtype="float64"),
+        }),
+        "events": _events([], [], []),
+    })
+    r = compare_query(spark, d, "q106_data_quality_audit")
+    assert r["ok"], r["notes"]
+    from columnar_format_spark.registry import QUERIES
+    got = {row["check_name"]: row["n_violations"]
+           for row in QUERIES["q106_data_quality_audit"].fn(spark, d).collect()}
+    assert got["events_null_user"] == 0
+    assert got["orders_negative_total"] == 0
+
+
+def test_incremental_agg_null_ts_not_dropped(spark):
+    """A NULL-ts event must land in exactly one partial (the fresh
+    slice) so the merge equals a true full recompute."""
+    ev = _events(["2024-01-10 09:00:00", "2024-01-20 09:00:00"],
+                 ["view", "view"], [1.0, 2.0])
+    ev.loc[2] = [2, pd.NaT, 0, "view", 4.0, "{}"]
+    ev["event_id"] = ev["event_id"].astype("int64")
+    ev["user_id"] = ev["user_id"].astype("int64")
+    d = _stage({"events": ev})
+    r = compare_query(spark, d, "q107_incremental_agg")
+    assert r["ok"], r["notes"]
+    from columnar_format_spark.registry import QUERIES
+    row = QUERIES["q107_incremental_agg"].fn(spark, d).collect()[0]
+    assert (row["n_events"], row["sum_value"]) == (3, 7.0)
