@@ -60,22 +60,23 @@ def read_csv_raw(spark: SparkSession, path: str) -> DataFrame:
 
 
 # Python's whitespace handling, which the reference inherits, uses TWO
-# DIFFERENT sets (probed on Python 3.11):
+# DIFFERENT sets (probed exhaustively over all codepoints, Python 3.11):
 # - str.strip() — the reference's BLANK test (writer.py vv.strip())
-#   — strips \t\n\v\f\r space AND the ASCII separators \x1c-\x1f
-#   AND NEL \x85 ("\x1c".strip() == "").
-# - int()/float() — the reference's NUMERIC parse — accept \x85 and
-#   ordinary whitespace padding but REJECT \x1c-\x1f
-#   (int("\x855") == 5; int("\x1c5") raises).
+#   — strips the full Unicode whitespace set INCLUDING the ASCII
+#   separators \x1c-\x1f ("\x1c".strip() == "").
+# - int()/float() — the reference's NUMERIC parse — accept the same
+#   set as padding EXCEPT \x1c-\x1f (int("\x855") == 5 and
+#   int("\xa05") == 5, but int("\x1c5") raises).
 # Spark's F.trim strips ONLY 0x20, so each test gets its own regex
 # strip mirroring its Python set. The classes are spelled out
 # explicitly (never \s): Java's \s is ASCII-only while Python re's
 # \s is Unicode-aware, so a \s-based class would mean different
 # things to the engine (Java) and to the pure-Python twin/tests.
-# Unicode spaces (U+00A0 etc.) remain a documented divergence: Python
-# strips them in both contexts, this engine does not.
-BLANK_WS = r"[ \t\n\r\f\x0b\x1c-\x1f\x85]"
-NUM_WS = r"[ \t\n\r\f\x0b\x85]"
+# tests/test_inference_grammar.py re-derives both sets by probing
+# Python and fails if these classes ever drift from it.
+_UNI_WS = "\\x85\\u00a0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000"
+BLANK_WS = f"[ \\t\\n\\r\\f\\x0b\\x1c-\\x1f{_UNI_WS}]"
+NUM_WS = f"[ \\t\\n\\r\\f\\x0b{_UNI_WS}]"
 
 
 def _strip_blank(c) -> F.Column:

@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -52,7 +53,6 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
-    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -67,7 +67,6 @@ from .format import (
     ColfColumn,
     ColfFormatError,
     ColfSchema,
-    read_columns,
     read_columns_arrow,
     read_schema,
     write_colf,
@@ -319,55 +318,92 @@ class ColfWriter(DataSourceArrowWriter):
                 os.remove(m.file)
 
 
-class ColfStreamReader(SimpleDataSourceStreamReader):
-    """Micro-batch source tailing a COLF dataset directory: each batch
-    reads the .colf files that appeared since the last offset (the same
-    append-only contract as Spark's file source). Offsets are the sorted
-    list of consumed file basenames — replayable, so a failed batch
-    re-reads exactly its files (readBetweenOffsets)."""
+class ColfStreamReader(DataSourceStreamReader):
+    """Micro-batch source tailing a COLF dataset directory with
+    EXECUTOR-side reads: each batch is planned as one InputPartition
+    per newly-arrived ``.colf`` file and decoded Arrow-vectorized in
+    the tasks — rows never pass through the driver.  (The previous
+    ``SimpleDataSourceStreamReader`` implementation materialized every
+    batch on the driver; a batch over a few large files would OOM it
+    at production scale.)
+
+    Offsets are the sorted list of consumed file basenames — the same
+    append-only, replayable contract as Spark's own file source (a
+    failed batch re-plans exactly ``end − start``), and byte-compatible
+    with checkpoints written by the round-2 Simple reader.  The offset
+    grows with the file count, like Spark's file-source seen-files map;
+    at production scale pair it with compaction of small part files.
+
+    ``maxFilesPerTrigger`` (0 = unlimited) caps how many new files each
+    ``latestOffset`` call admits.  Caveats, pinned by
+    tests/test_colf_streaming.py:
+
+    - ``Trigger.AvailableNow`` snapshots ONE end offset at query start
+      (Spark wraps sources lacking admission control in
+      ``AvailableNowDataStreamWrapper``), so combining it with a cap
+      stops after the first N files — a rate-limited drain needs a
+      processingTime trigger.  A warning is emitted on construction.
+    - Exactly-once holds structurally: a batch delivers exactly
+      ``end − start``, and every ``partitions``/``commit`` call folds
+      its offsets back into the reader's baseline.  On RESTART the
+      first ``latestOffset`` runs before any baseline exists, so a
+      capped offset can sit "behind" the checkpoint; that only yields
+      one empty catch-up batch (``end − start = ∅``) — never
+      re-delivery, because the baseline rehydrates from ``start``
+      before any later offset is produced.
+    """
 
     def __init__(self, options, schema: StructType):
         self.path = options.get("path")
         if not self.path:
             raise ColfFormatError("colf stream reader requires a path")
         self.schema = schema
-        # rate limit: at most N new files per micro-batch (0 = all);
-        # availableNow still drains fully, just in N-file batches
         self.max_files = int(options.get("maxFilesPerTrigger", "0"))
+        if self.max_files > 0:
+            import warnings
+
+            warnings.warn(
+                "colf maxFilesPerTrigger rate-limits each micro-batch; "
+                "Trigger.AvailableNow snapshots a single capped end offset "
+                "and will NOT drain the backlog — use a processingTime "
+                "trigger for rate-limited drains",
+                stacklevel=2,
+            )
+        self._seen: set[str] = set()  # files covered by offsets so far
 
     def initialOffset(self) -> dict:
         return {"files": []}
 
-    def _rows_of(self, files: list[str]):
-        # materialized list, not a generator: Spark's prefetch cache
-        # copy.copy()s the returned iterator, which generators can't.
-        # Driver-side materialization is the documented trade of the
-        # Simple reader API (use DataSourceStreamReader for partition-
-        # level reads); per-batch volume = newly arrived files only.
-        names = [f.name for f in self.schema.fields]
-        rows = []
-        for fname in files:
-            full = os.path.join(self.path, fname)
-            data = read_columns(full, names)
-            n = len(data[names[0]]) if names else 0
-            rows.extend(tuple(data[c][i] for c in names) for i in range(n))
-        return iter(rows)
-
-    def read(self, start: dict):
-        seen = set(start.get("files", []))
-        now = [os.path.basename(f) for f in dataset_files(self.path)]
-        new = sorted(n for n in now if n not in seen)
+    def latestOffset(self) -> dict:
+        now = {os.path.basename(f) for f in dataset_files(self.path)}
+        new = sorted(now - self._seen)
         if self.max_files > 0:
             new = new[: self.max_files]
-        end = {"files": sorted(seen | set(new))}
-        return self._rows_of(new), end
+        self._seen |= set(new)
+        return {"files": sorted(self._seen)}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
+    def partitions(self, start: dict, end: dict):
         prev = set(start.get("files", []))
-        return self._rows_of(sorted(n for n in end.get("files", []) if n not in prev))
+        batch = sorted(set(end.get("files", [])) - prev)
+        # fold both offsets into the baseline: on checkpoint replay the
+        # engine re-plans a WAL batch through here before the first
+        # latestOffset, which is what keeps capped offsets from ever
+        # re-admitting already-consumed files.
+        self._seen |= prev | set(batch)
+        return [ColfInputPartition(os.path.join(self.path, f)) for f in batch]
+
+    def read(self, partition: ColfInputPartition):
+        # executor-side: one Arrow RecordBatch per file, zero row pivot
+        import pyarrow as pa
+
+        names = [f.name for f in self.schema.fields]
+        data = read_columns_arrow(partition.file, names)
+        yield pa.RecordBatch.from_arrays([data[n] for n in names], names=names)
 
     def commit(self, end: dict) -> None:
-        pass  # source files are immutable; nothing to clean up
+        # source files are immutable — nothing to clean up; just keep
+        # the baseline current on commit-first restart paths.
+        self._seen |= set(end.get("files", []))
 
 
 class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
@@ -458,7 +494,7 @@ class ColfDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool):
         return ColfWriter(self.options, schema, overwrite)
 
-    def simpleStreamReader(self, schema: StructType):
+    def streamReader(self, schema: StructType):
         return ColfStreamReader(self.options, schema)
 
     def streamWriter(self, schema: StructType, overwrite: bool):

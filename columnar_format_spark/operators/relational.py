@@ -854,8 +854,9 @@ def q32_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     sessions AS (
       SELECT user_id, event_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM marked)
     SELECT user_id, session_id, COUNT(*) AS n_events,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,

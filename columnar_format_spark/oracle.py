@@ -89,6 +89,44 @@ def compare_query(spark, sf_dir: str, name: str) -> dict:
     return out
 
 
+def pandas_dtype_parity(spark, sf_dir: str, name: str) -> dict:
+    """Driver-replica dtype check: the driver hashes values AFTER pandas
+    materialization, where engine-level equality can break (e.g. DuckDB
+    HUGEINT -> float64 `11.0` vs Spark bigint `11` — the q33 round-1/2
+    failure).  Compare the numeric KIND (int vs float vs other) of every
+    column after both engines round-trip through pandas."""
+    spec = QUERIES[name]
+    out = {"name": name, "ok": True, "notes": []}
+    if spec.oracle is None:
+        out["notes"].append("rows-only (no oracle)")
+        return out
+    spd = spec.fn(spark, sf_dir).toPandas()
+    con = duckdb_conn(sf_dir)
+    try:
+        opd = con.sql(spec.oracle).df()
+    finally:
+        con.close()
+
+    def kind(dt):
+        k = dt.kind  # i/u int, f float, O object, b bool, M datetime
+        return {"i": "int", "u": "int", "f": "float"}.get(k, k)
+
+    for c in sorted(set(spd.columns) & set(opd.columns)):
+        ks, ko = kind(spd[c].dtype), kind(opd[c].dtype)
+        # nullable int columns legitimately surface as float64 on either
+        # side when NULLs are present — only flag int-vs-float skew when
+        # the float side has no NaNs (i.e. not NULL-induced).
+        if ks != ko:
+            null_induced = (
+                (ks == "float" and ko == "int" and spd[c].isna().any())
+                or (ko == "float" and ks == "int" and opd[c].isna().any())
+            )
+            if not null_induced:
+                out["ok"] = False
+                out["notes"].append(f"{c}: spark={spd[c].dtype} oracle={opd[c].dtype}")
+    return out
+
+
 def compare_all(spark, sf_dir: str, names=None) -> list[dict]:
     results = []
     for name in names or sorted(QUERIES):

@@ -165,3 +165,78 @@ def test_stream_multibatch_replays_each_file_once(spark, tmp_path):
     # the rate limit must have split the drain into one batch per file
     n_batches = sum(1 for pr in q.recentProgress if pr["numInputRows"] > 0)
     assert n_batches == 6, n_batches
+
+
+def _mk_reader(spark, path, **opts):
+    import warnings
+
+    from pyspark.sql.types import StructType
+
+    from columnar_format_spark.colf.datasource import ColfStreamReader
+
+    schema = StructType.fromDDL("k int, name string")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # maxFilesPerTrigger caveat
+        return ColfStreamReader({"path": path, **opts}, schema)
+
+
+def _seed_files(spark, d, n_files):
+    df = spark.createDataFrame(
+        [(i, f"row{i}") for i in range(n_files * 10)], "k int, name string")
+    df.repartition(n_files).write.format("colf").mode("append").save(d)
+
+
+def test_stream_reader_is_executor_side(spark, tmp_path):
+    """The source must use the full DataSourceStreamReader API (reads
+    planned as per-file InputPartitions executed in tasks), NOT the
+    Simple API whose read() materializes every batch on the driver —
+    and each partition read must come back Arrow-columnar."""
+    import pyarrow as pa
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    from columnar_format_spark.colf.datasource import ColfDataSource
+
+    d = str(tmp_path / "ds")
+    _seed_files(spark, d, 3)
+    r = _mk_reader(spark, d)
+    assert isinstance(r, DataSourceStreamReader)
+    # the Simple path must be gone (it is what driver-materialized rows)
+    assert "simpleStreamReader" not in ColfDataSource.__dict__
+    end = r.latestOffset()
+    parts = r.partitions({"files": []}, end)
+    assert len(parts) == 3  # one InputPartition per file = per-task read
+    batches = list(r.read(parts[0]))
+    assert len(batches) == 1 and isinstance(batches[0], pa.RecordBatch)
+    assert batches[0].num_rows == 10
+
+
+def test_stream_reader_offset_capping_and_replay(spark, tmp_path):
+    """Offset-log semantics, driven directly: the cap admits N files
+    per latestOffset; batches are exactly end−start; a capped offset
+    computed on a fresh reader against an existing checkpoint (restart)
+    yields one EMPTY catch-up batch and never re-delivers."""
+    d = str(tmp_path / "ds")
+    _seed_files(spark, d, 5)
+    r = _mk_reader(spark, d, maxFilesPerTrigger="2")
+    assert r.initialOffset() == {"files": []}
+    o1 = r.latestOffset()
+    assert len(o1["files"]) == 2
+    assert len(r.partitions({"files": []}, o1)) == 2
+    o2 = r.latestOffset()
+    assert len(o2["files"]) == 4 and set(o1["files"]) <= set(o2["files"])
+    assert len(r.partitions(o1, o2)) == 2
+
+    # restart: fresh reader, checkpoint already covers 4 files; first
+    # latestOffset runs with no baseline and caps to the 2 earliest
+    # files — "behind" the checkpoint
+    r2 = _mk_reader(spark, d, maxFilesPerTrigger="2")
+    stale = r2.latestOffset()
+    assert len(stale["files"]) == 2
+    # batch = end − start = empty: no re-delivery, just a no-op batch
+    assert r2.partitions(o2, stale) == []
+    # partitions() rehydrated the baseline from the checkpoint offsets:
+    # the next offset admits only the genuinely-new 5th file
+    o3 = r2.latestOffset()
+    new = set(o3["files"]) - set(o2["files"])
+    assert len(new) == 1
+    assert len(r2.partitions(o2, o3)) == 1

@@ -39,12 +39,32 @@ def py_float_ok(s: str) -> bool:
 
 # The grammar alphabet plus noise: digits, signs, separators, exponent
 # markers, inf/nan letters, the whitespace int()/float() accept
-# (\t\n\r\f\x0b space \x85) AND the \x1c separator they REJECT (but
-# str.strip() removes — csv_ingest's two-strip-set comment). Unicode
-# spaces (U+00A0 etc.) are the documented remaining divergence
-# (Python strips them, the engine does not) and are deliberately
-# absent.
-ALPHABET = "0123456789+-._eEiInNfFaAtTyY xX,\t\n\r\f\x0b\x85\x1c"
+# (incl. Unicode spaces U+00A0 / U+2007 / U+3000) AND the \x1c
+# separator they REJECT (but str.strip() removes — csv_ingest's
+# two-strip-set comment).
+ALPHABET = "0123456789+-._eEiInNfFaAtTyY xX,\t\n\r\f\x0b\x85\x1c\xa0 　"
+
+
+def test_ws_classes_match_python_exactly():
+    """Exhaustive over every codepoint: BLANK_WS must be exactly the
+    str.strip() set, NUM_WS exactly the int()/float() padding set —
+    the sets csv_ingest's two-strip-set comment documents.  Fails if
+    either the engine classes or CPython's whitespace tables drift."""
+    from columnar_format_spark.colf.csv_ingest import BLANK_WS
+
+    blank_pat = re.compile(f"{BLANK_WS}")
+    num_pat = re.compile(f"{NUM_WS}")
+    for cp in range(0x11000):  # BMP + astral start; WS is all < 0x3001
+        ch = chr(cp)
+        py_blank = ch.strip() == "" and (ch + "x").strip() == "x"
+        # padding both sides, value unchanged — excludes digits/signs,
+        # which int() consumes as part of the number, not as padding
+        try:
+            py_num = int(f"{ch}5{ch}") == 5
+        except (ValueError, TypeError):
+            py_num = False
+        assert bool(blank_pat.fullmatch(ch)) == py_blank, hex(cp)
+        assert bool(num_pat.fullmatch(ch)) == py_num, hex(cp)
 
 
 @settings(max_examples=2000, deadline=None)
