@@ -103,8 +103,52 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "colf_pruning": bench_colf_pruning(spark, sf_dir),
     }))
     spark.stop()
+
+
+def bench_colf_pruning(spark, sf_dir: str) -> dict:
+    """Measure what the zone-map sidecar actually saves: the q76
+    key-range aggregation over the range-partitioned COLF dataset,
+    once with manifest pruning (opens 1-2 of 8 files) and once with
+    option pruning=off (opens all 8).  Same filter, same result —
+    only the I/O differs, which is the format's selective-scan claim
+    extended from columns (q75) to files."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from columnar_format_spark.colf.datasource import (
+        ColfReader, load_manifest)
+    from columnar_format_spark.colf.roundtrip import _stage_lineitem_colf
+
+    d = _stage_lineitem_colf(spark, sf_dir)
+
+    def agg_time(pruning: str) -> float:
+        def one() -> float:
+            df = (spark.read.format("colf").option("pruning", pruning)
+                  .load(d).filter(F.col("l_orderkey").between(1000, 2000)))
+            t0 = _t.perf_counter()
+            df.agg(F.count(F.lit(1)), F.sum("l_linenumber")).collect()
+            return _t.perf_counter() - t0
+        one()  # warmup
+        return round(min(one(), one()), 4)
+
+    # planned partitions with the pushed filter, straight from the reader
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+    r = ColfReader({"path": d}, None)
+    r.pushFilters([GreaterThanOrEqual(("l_orderkey",), 1000),
+                   LessThanOrEqual(("l_orderkey",), 2000)])
+    opened = len(r.partitions())
+    total_files = len(load_manifest(d)) or opened
+    return {
+        "pruned_sec": agg_time("on"),
+        "unpruned_sec": agg_time("off"),
+        "files_opened": opened,
+        "files_total": total_files,
+        "skip_ratio": round(1 - opened / total_files, 4) if total_files else 0.0,
+    }
 
 
 if __name__ == "__main__":

@@ -104,6 +104,7 @@ def main() -> None:
     csv_bytes = os.path.getsize(csv_path)
     colf_bytes = os.path.getsize(colf_path)
     print(json.dumps({
+        "encoding_experiments": encoding_experiments(columns),
         "metric": "colf_selective_vs_csv",
         "rows": N_ROWS,
         "selective_read_ms": round(selective_s * 1e3, 3),
@@ -122,6 +123,53 @@ def main() -> None:
                  "distribution) - timing comparisons are like-for-like in "
                  "protocol; the compression ratio is distribution-sensitive"),
     }))
+
+
+def encoding_experiments(columns: dict) -> dict:
+    """What dictionary/delta pre-encoding WOULD save on top of the
+    format's zlib-only v1 blocks (SPEC.md:36-38) — measured, not
+    shipped: v1 byte-compatibility is a hard constraint (the reference
+    reader hard-rejects version != 1, reader.py:54-58), so these
+    numbers motivate a hypothetical v2 block encoding, documented here
+    instead of forked into the format."""
+    import struct
+    import zlib
+
+    out = {}
+
+    def z(b: bytes) -> int:
+        return len(zlib.compress(b, 6))
+
+    # sorted int32 id column: delta + zigzag varint beats raw int32
+    ids = columns["id"]
+    raw = struct.pack(f"<{len(ids)}i", *ids)
+    deltas = [ids[0]] + [b - a for a, b in zip(ids, ids[1:])]
+    zig = bytearray()
+    for v in deltas:
+        u = (v << 1) ^ (v >> 31)
+        while u >= 0x80:
+            zig.append((u & 0x7F) | 0x80)
+            u >>= 7
+        zig.append(u)
+    out["id_int32"] = {"v1_zlib": z(raw), "delta_varint_zlib": z(bytes(zig))}
+
+    # low-cardinality utf8 (city, ~100 distinct): dict codes + values
+    for name in ("city", "name"):
+        vals = columns[name]
+        blob = "\x00".join(vals).encode()
+        uniq = sorted(set(vals))
+        code = {v: i for i, v in enumerate(uniq)}
+        codes = b"".join(struct.pack("<H", code[v]) for v in vals)
+        dict_blob = "\x00".join(uniq).encode()
+        out[f"{name}_utf8"] = {
+            "v1_zlib": z(blob),
+            "dict_zlib": z(codes) + z(dict_blob),
+            "n_distinct": len(uniq),
+        }
+    for v in out.values():
+        ks = [k for k in v if k.endswith("_zlib") and k != "v1_zlib"]
+        v["saving"] = round(1 - min(v[k] for k in ks) / v["v1_zlib"], 3)
+    return out
 
 
 if __name__ == "__main__":

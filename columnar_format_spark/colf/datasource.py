@@ -188,6 +188,10 @@ class ColfReader(DataSourceReader):
         self.columns = [c.strip() for c in cols_opt.split(",") if c.strip()] if cols_opt else None
         self.schema = schema
         self.pushed: list[Filter] = []
+        # option pruning=off disables zone-map file skipping (debugging
+        # / benchmarking the skip ratio); correctness is unaffected —
+        # Spark re-applies every filter row-level either way
+        self.pruning = options.get("pruning", "on").lower() != "off"
 
     def pushFilters(self, filters):
         """Record conjuncts usable for manifest file-skipping. ALL
@@ -205,7 +209,7 @@ class ColfReader(DataSourceReader):
 
     def partitions(self):
         files = dataset_files(self.path)
-        if self.pushed:
+        if self.pushed and self.pruning:
             manifest = load_manifest(self.path)
             if manifest:
                 kept = []

@@ -179,3 +179,54 @@ def test_property_roundtrip(tmp_path_factory, data):
     path = str(tmp / "p.colf")
     write_colf(path, schema, cols)
     assert read_all(path) == cols
+
+
+# -- random-SCHEMA property round-trip (SURVEY §5): column count, names,
+# types, nullability, and values (incl. empty strings, whitespace-only
+# strings, full unicode, ±0.0, subnormals) are all generated; a random
+# projection must read back exactly the full read's slice.
+
+_COL_TYPES = ["int32", "float64", "utf8"]
+
+
+def _values_for(typ, n):
+    if typ == "int32":
+        elem = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+    elif typ == "float64":
+        elem = st.floats(allow_nan=False, width=64)
+    else:
+        # surrogate-free unicode INCLUDING "" and whitespace-only
+        elem = st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=20)
+    return st.lists(st.one_of(st.none(), elem), min_size=n, max_size=n)
+
+
+@st.composite
+def _random_table(draw):
+    n_rows = draw(st.integers(min_value=0, max_value=60))
+    n_cols = draw(st.integers(min_value=1, max_value=5))
+    names = draw(st.lists(
+        st.text(st.characters(blacklist_categories=("Cs",)), min_size=1,
+                max_size=8),
+        min_size=n_cols, max_size=n_cols, unique=True))
+    types = draw(st.lists(st.sampled_from(_COL_TYPES),
+                          min_size=n_cols, max_size=n_cols))
+    cols = {nm: draw(_values_for(t, n_rows)) for nm, t in zip(names, types)}
+    schema = ColfSchema(n_rows, [
+        ColfColumn(nm, t, True) for nm, t in zip(names, types)])
+    keep = draw(st.lists(st.sampled_from(names), min_size=1,
+                         max_size=n_cols, unique=True))
+    return schema, cols, keep
+
+
+@settings(max_examples=50, deadline=None)
+@given(tbl=_random_table())
+def test_property_random_schema_roundtrip(tmp_path_factory, tbl):
+    schema, cols, keep = tbl
+    tmp = tmp_path_factory.mktemp("props")
+    path = str(tmp / "p.colf")
+    write_colf(path, schema, cols)
+    assert read_schema(path).num_rows == schema.num_rows
+    assert read_all(path) == cols
+    # selective read returns exactly the projected columns, same values
+    assert read_columns(path, keep) == {k: cols[k] for k in keep}

@@ -104,6 +104,25 @@ def test_unprunable_cases_keep_all_files(ranged_dataset):
     assert len(_reader(ranged_dataset, [EqualTo(("nope",), 1)]).partitions()) == 8
 
 
+def test_pruning_off_option_scans_all_files(spark, ranged_dataset):
+    m = load_manifest(ranged_dataset)
+    some_key = min(s["columns"]["o_orderkey"]["min"] for s in m.values())
+    flt = [EqualTo(("o_orderkey",), some_key)]
+    r = ColfReader({"path": ranged_dataset, "pruning": "off"}, None)
+    r.pushFilters(flt)
+    assert len(r.partitions()) == 8  # zone maps ignored
+    # result identical with pruning off (filter still applied row-level)
+    off = (
+        spark.read.format("colf").option("pruning", "off").load(ranged_dataset)
+        .filter(F.col("o_orderkey") == some_key).count()
+    )
+    on = (
+        spark.read.format("colf").load(ranged_dataset)
+        .filter(F.col("o_orderkey") == some_key).count()
+    )
+    assert off == on > 0
+
+
 def test_files_without_manifest_entry_survive(ranged_dataset):
     # simulate a foreign .colf dropped into the dataset (e.g. written by
     # the reference writer): absent from the manifest → never pruned
