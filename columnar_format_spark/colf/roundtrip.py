@@ -249,3 +249,55 @@ def q109_colf_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_orderkey").cast("bigint").alias("max_key"),
     )
     return _drain(agg, "complete")
+
+
+COMPACT_TARGET = 2
+
+
+@register(
+    "q112_colf_compact",
+    oracle=f"""
+    SELECT CAST({COMPACT_TARGET} AS BIGINT) AS n_files,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+    FROM lineitem
+    """,
+)
+def q112_colf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction under the correctness gate: copy the
+    8-file range-partitioned dataset, `maintenance.compact()` it down
+    to COMPACT_TARGET part files (atomic directory swap), and verify
+    BOTH that the file count hit the target (n_files, pinned by the
+    oracle literal) and that no row was lost or changed (the lineitem
+    aggregate). Compaction is the maintenance op the streaming sink
+    needs at scale — many small per-batch part files rolled into scan-
+    efficient ones, zone-map manifest rebuilt by the rewrite.
+
+    Scale: compact() is one distributed repartition+write, not a
+    driver-side merge; the atomic swap means concurrent readers see
+    either the old or new complete dataset.
+    """
+    import shutil
+
+    from ..staging import stage_once
+    from .datasource import dataset_files
+    from .maintenance import compact
+
+    src = _stage_lineitem_colf(spark, sf_dir)
+
+    def write(d: str) -> None:
+        shutil.rmtree(d)  # stage_once gives us an empty dir; copytree wants none
+        shutil.copytree(src, d)
+        compact(spark, d, COMPACT_TARGET)
+
+    d = stage_once(("colf-li-compacted", sf_dir), "colf_comp_", write)
+    n_files = len(dataset_files(d))
+    back = spark.read.format("colf").load(d)
+    return back.agg(
+        F.lit(n_files).cast("bigint").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.min(F.col("l_orderkey").cast("bigint")).alias("min_key"),
+        F.max(F.col("l_orderkey").cast("bigint")).alias("max_key"),
+    )

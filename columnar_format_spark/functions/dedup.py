@@ -489,6 +489,122 @@ def q56_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("component_size", F.count(F.lit(1)).over(w))
 
 
+_KEEP_BEST_SQL = f"""
+    WITH RECURSIVE {_EDGES_CTE},
+    reach(src, dst) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component_id
+             FROM reach GROUP BY src),
+    everyone AS (
+      SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id,
+             CAST(d.n_chars AS BIGINT) AS n_chars
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+    ranked AS (
+      SELECT doc_id, component_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY component_id
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM everyone)
+    SELECT doc_id, component_id, n_chars, (rn = 1) AS keep
+    FROM ranked
+"""
+
+
+@register("q111_dedup_keep_best", oracle=_KEEP_BEST_SQL)
+def q111_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-copy selection over near-dup clusters: every document
+    joins its q56 connected component (docs outside the candidate
+    graph are their own singleton component), and within each component
+    the LONGEST document wins (n_chars desc, doc_id tiebreak) — the
+    quality-aware alternative to q55's min-id survivors, which is how
+    production dedup picks the copy to keep (boilerplate-stripped dups
+    are shorter, truncated crawls lose to full pages).
+
+    Scale: one broadcast-size join against the component labels (the
+    label table is |graph docs|, orders smaller than the corpus) plus
+    one window partitioned by component_id — singleton components
+    dominate, so partitions are tiny and the shuffle is the corpus's
+    (doc_id, component_id, n_chars) triple, never text.
+    """
+    from pyspark.sql import Window
+
+    labels = QUERIES["q56_dedup_components"].fn(spark, sf_dir).select(
+        "doc_id", "component_id")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+    everyone = (
+        d.join(labels, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("component_id", "doc_id").alias("component_id"),
+                "n_chars")
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id"))
+    return everyone.select(
+        "doc_id", "component_id", "n_chars",
+        (F.row_number().over(w) == 1).alias("keep"))
+
+
+_HIST_CUT = 80  # doc_bucket < 80 = historical corpus, rest = new batch
+
+
+def _incremental_sql() -> str:
+    from .text import _SQL_DOC_BUCKET
+
+    return f"""
+    WITH fp AS (
+      SELECT doc_id, md5({SQL_NORM_TEXT}) AS fingerprint,
+             {_SQL_DOC_BUCKET} AS b
+      FROM documents),
+    hist AS (SELECT DISTINCT fingerprint FROM fp WHERE b < {_HIST_CUT}),
+    inc AS (SELECT doc_id, fingerprint FROM fp WHERE b >= {_HIST_CUT})
+    SELECT i.doc_id, i.fingerprint,
+           CASE WHEN h.fingerprint IS NOT NULL THEN 'dup_of_history'
+                WHEN i.doc_id > MIN(i.doc_id) OVER (PARTITION BY i.fingerprint)
+                     THEN 'dup_within_batch'
+                ELSE 'new' END AS status
+    FROM inc i LEFT JOIN hist h ON i.fingerprint = h.fingerprint
+"""
+
+
+@register("q113_incremental_dedup", oracle=_incremental_sql())
+def q113_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — the daily-ingestion shape: the corpus
+    splits deterministically into a historical set (doc_bucket < 80,
+    the q67 hash) and an incoming batch; each incoming doc is labeled
+    'dup_of_history' (fingerprint already survived a past run),
+    'dup_within_batch' (first occurrence in this batch wins by min
+    doc_id), or 'new'. Only fingerprints cross the join — at 100 TB
+    the history side is a fingerprint table, not a corpus scan.
+
+    Scale: one left join on the 16-byte md5 (history side is
+    distinct-compacted, orders smaller than the batch) plus one window
+    per batch fingerprint (tiny partitions). Nothing touches text
+    after the fingerprint projection.
+    """
+    from pyspark.sql import Window
+
+    from .text import doc_bucket
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(normalized(F.col("text"))).alias("fingerprint"),
+        doc_bucket().alias("b"))
+    hist = (d.filter(F.col("b") < _HIST_CUT)
+            .select("fingerprint").distinct()
+            .withColumn("in_hist", F.lit(1)))
+    inc = d.filter(F.col("b") >= _HIST_CUT).select("doc_id", "fingerprint")
+    w = Window.partitionBy("fingerprint")
+    return (
+        inc.join(hist, "fingerprint", "left")
+        .select(
+            "doc_id", "fingerprint",
+            F.when(F.col("in_hist").isNotNull(), "dup_of_history")
+            .when(F.col("doc_id") > F.min("doc_id").over(w), "dup_within_batch")
+            .otherwise("new").alias("status"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Integer PageRank over the candidate-pair graph
 
