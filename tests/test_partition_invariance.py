@@ -33,6 +33,10 @@ PROBES = [
     "q95_gapfill_locf",
     "q96_median_mode",
     "q108_pagerank_integer",
+    # keep-best survivor choice rides on window tiebreaks over iterative
+    # component labels; incremental dedup on md5 split + min-id windows
+    "q111_dedup_keep_best",
+    "q113_incremental_dedup",
 ]
 
 
