@@ -680,3 +680,53 @@ def q108_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return ranks.join(deg.select(F.col("a").alias("doc_id"),
                                  F.col("deg").alias("degree")), "doc_id")
+
+
+@register(
+    "q120_graph_triangles",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    e AS (SELECT a, b FROM edges WHERE a < b),
+    t AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), n AS (
+      SELECT x AS doc_id FROM t
+      UNION ALL SELECT y FROM t
+      UNION ALL SELECT z FROM t
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM n GROUP BY doc_id
+    """,
+)
+def q120_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the near-dup candidate graph —
+    the clustering-coefficient numerator that separates tight
+    duplicate cliques (template spam: many triangles) from chains of
+    borderline matches (few). Completes the graph-analytics trio with
+    q56 (components) and q108 (PageRank) on the shared checkpointed
+    edge list.
+
+    Scale: the canonical two-join triangle enumeration over the
+    oriented (a < b) edge list — each triangle counted exactly once,
+    joins keyed on node ids so AQE reuses one exchange layout. The
+    id-orientation is the standard degree-orientation trick's cheap
+    cousin; on a power-law graph at 100 TB you'd orient by (degree,
+    id) instead so high-degree hubs never fan out as join sources.
+    Integer counts only — exact under any partitioning.
+    """
+    edges = _candidate_edges(spark, sf_dir)
+    e = edges.where(F.col("a") < F.col("b"))
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    nodes = (
+        tri.select(F.col("x").alias("doc_id"))
+        .unionAll(tri.select(F.col("y").alias("doc_id")))
+        .unionAll(tri.select(F.col("z").alias("doc_id")))
+    )
+    return nodes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

@@ -1,0 +1,379 @@
+"""Training-data pipeline operators, batch 2: PII redaction,
+deterministic stratified sampling, exact distribution statistics,
+skew-safe exact distinct, rare-bigram quality scoring, event funnels,
+and corpus histograms.
+
+The reference has no expression/query surface at all (SURVEY.md §2.2 —
+reader.py/writer.py are scan+encode only); these continue the
+LLM-pipeline extension mandated by the north star, alongside
+dedup.py / text.py / quality.py / similarity.py.
+
+Determinism contract (registry.py rules): every aggregate is either an
+integer/decimal exact sum, a MIN/MAX (order-independent on doubles), or
+one final IEEE division of identical operands; every sampling decision
+is an md5-derived bucket (doc_bucket) rather than RNG; regexes stay in
+the Java∩RE2 common dialect so Spark and the DuckDB oracle agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register, spread, table
+from .text import _SQL_DOC_BUCKET, doc_bucket
+
+
+# --- q114: PII redaction -------------------------------------------------
+#
+# Patterns deliberately restricted to the syntax subset Java regex and
+# RE2 (DuckDB) interpret identically: character classes, bounded
+# repetition, \b word boundaries. No lookaround (RE2 lacks it).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# The synthetic corpus contains no literal PII, so each doc gets a
+# deterministic doc_id-derived contact line appended before redaction —
+# the operator is then verified on non-trivial match counts and on the
+# md5 of the redacted text (order of redaction passes matters and is
+# pinned: email → phone → ip).
+_SQL_SEEDED = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com call '"
+    " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'"
+)
+
+
+def _seeded(d: DataFrame) -> DataFrame:
+    return d.withColumn(
+        "seeded",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com call "),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1"),
+        ),
+    )
+
+
+@register(
+    "q114_pii_redaction",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_SQL_SEEDED} AS seeded FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(seeded, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(seeded, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(seeded, '{IP_RE}')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(seeded, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PHONE_RE}', '<PHONE>', 'g'),
+                 '{IP_RE}', '<IP>', 'g')) AS redacted_md5
+    FROM s
+    """,
+)
+def q114_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the pre-training compliance pass that replaces
+    emails/phones/IPv4s with typed placeholder tokens. Complements
+    q66's generic digit/email scrub: this one uses word-boundary-
+    anchored per-class patterns and emits per-class audit counts over
+    the full corpus (q66 redacts two loose patterns on a subset).
+
+    All three passes are JVM-side regexp_replace inside one projection
+    (one codegen stage, no shuffle, no Python) — embarrassingly
+    parallel at any scale. Counts are taken before redaction so the
+    audit trail (how much PII per doc) survives the scrub.
+    """
+    d = spread(_seeded(table(spark, sf_dir, "documents")))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("seeded"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE, "<PHONE>"),
+        IP_RE, "<IP>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("seeded"), F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("seeded"), F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(F.col("seeded"), F.lit(IP_RE)).cast("bigint").alias("n_ips"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+# --- q115: stratified sampling ------------------------------------------
+
+# Per-language keep-rates (percent): downsample the dominant language,
+# keep more of the tail — the standard corpus-rebalancing move.
+_RATES = {"en": 40, "de": 80, "fr": 80, "es": 80, "zh": 80}
+_DEFAULT_RATE = 60
+
+_SQL_RATE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _RATES.items())
+    + f" ELSE {_DEFAULT_RATE} END"
+)
+
+
+@register(
+    "q115_stratified_sample",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents
+    WHERE {_SQL_DOC_BUCKET} < {_SQL_RATE}
+    GROUP BY lang
+    """,
+)
+def q115_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum (language) sampling by md5 bucket —
+    reproducible across engines, retries, and partitionings, unlike
+    ``df.sample`` whose RNG is seed+partition dependent.
+
+    Scale: the predicate is a pure projection filter — no shuffle, no
+    state; the per-stratum rate table is a literal CASE (broadcast-free).
+    Growing it to thousands of strata would turn it into a broadcast
+    join against a rates dim table, same plan shape.
+    """
+    d = table(spark, sf_dir, "documents")
+    rate = F.expr(_SQL_RATE)
+    return (
+        d.where(doc_bucket() < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+    )
+
+
+# --- q117: exact discrete percentiles -----------------------------------
+
+
+@register(
+    "q117_percentile_exact",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_extendedprice,
+             cume_dist() OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice) AS cd
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN cd >= 0.5  THEN l_extendedprice END) AS p50,
+           MIN(CASE WHEN cd >= 0.9  THEN l_extendedprice END) AS p90,
+           MIN(CASE WHEN cd >= 0.99 THEN l_extendedprice END) AS p99,
+           MAX(l_extendedprice) AS p100,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def q117_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (type-1 quantiles) per group via
+    cume_dist — every reported percentile is an actual data value, so
+    no interpolation arithmetic can diverge between engines (continuous
+    quantiles interpolate as lo+(hi-lo)*f vs (1-f)*lo+f*hi — same math,
+    different IEEE rounding).
+
+    Scale: one range-partitioned sort per group (the window), then a
+    partial-aggregable MIN/MAX pass. This is the exact tier; at 100 TB
+    the first pass you'd reach for is approx_percentile (KLL sketch,
+    map-side mergeable) with this as the audited rerank on samples.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    cd = F.cume_dist().over(
+        Window.partitionBy("l_returnflag").orderBy("l_extendedprice"))
+    c = li.select("l_returnflag", "l_extendedprice").withColumn("cd", cd)
+
+    def pick(p: float, name: str):
+        return F.min(
+            F.when(F.col("cd") >= p, F.col("l_extendedprice"))).alias(name)
+
+    return c.groupBy("l_returnflag").agg(
+        pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"),
+        F.max("l_extendedprice").alias("p100"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+# --- q118: skew-safe exact distinct -------------------------------------
+
+
+@register(
+    "q118_skew_exact_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q118_skew_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) over a 5-value grouping key — the classic
+    skew shape: a naive groupBy(event_type).agg(countDistinct) funnels
+    every row of a hot key through one reducer.
+
+    The plan here is the two-stage expansion: dedupe on the COMPOSITE
+    key (event_type, user_id) first — the shuffle spreads over the full
+    composite-key space, no hot partition — then count the survivors
+    per event_type (tiny second shuffle). The plain metrics ride a
+    separate partial-agged pass, stitched back via broadcast join on
+    the 5-row group key. Same result as the oracle's COUNT(DISTINCT),
+    but every stage is skew-free at any scale.
+    """
+    ev = table(spark, sf_dir, "events")
+    users = (
+        ev.select("event_type", "user_id").distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+    plain = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    return plain.join(F.broadcast(users), "event_type")
+
+
+# --- q119: rare-bigram quality score ------------------------------------
+
+
+@register(
+    "q119_rare_bigram_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id, toks[u.i] || ' ' || toks[u.i + 1] AS bg
+      FROM t CROSS JOIN UNNEST(range(1, len(toks))) AS u(i)
+    ), cnt AS (
+      SELECT bg, COUNT(*) AS c FROM b GROUP BY bg
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN cnt.c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           CAST(SUM(CASE WHEN cnt.c <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS rare_frac
+    FROM b JOIN cnt USING (bg)
+    GROUP BY b.doc_id
+    """,
+)
+def q119_rare_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-flavored quality score: the fraction of a doc's
+    word bigrams that are corpus-rare (total count ≤ 2). Gibberish and
+    OCR noise score high; fluent text scores low. The integer-count
+    formulation (vs summed log-probabilities) is deliberate: exact
+    under any aggregation order, where a float log-prob sum is not.
+
+    Scale: two shuffles — corpus bigram counting (map-side combine
+    collapses repeats before the exchange) and the count join back,
+    keyed on the bigram string. Both sides of the join are partial-
+    aggregated before exchanging; nothing touches the driver. The
+    rare-threshold filter cannot be pushed into the count build (rarity
+    is only known after the global count), which is why this is
+    join-back rather than broadcast — at 100 TB the counts side is
+    corpus-vocabulary sized, far beyond broadcast range.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), "\\s+")
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    b = d.select("doc_id", F.explode(grams).alias("bg"))
+    cnt = b.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    rare = F.sum(F.when(F.col("c") <= 2, 1).otherwise(0)).cast("bigint")
+    return (
+        b.join(cnt, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            rare.alias("n_rare"),
+            (rare.cast("double") / F.count(F.lit(1))).alias("rare_frac"),
+        )
+    )
+
+
+# --- q121: sequential event funnel --------------------------------------
+
+
+@register(
+    "q121_strict_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after
+    """,
+)
+def q121_strict_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT-sequence funnel: users who viewed, then clicked strictly
+    AFTER their first view, then purchased strictly AFTER that first
+    qualifying click. Differs from q92's first-touch funnel (min-per-
+    type comparison): a user whose first click precedes their first
+    view but who clicks again later PASSES here and fails q92 — the
+    sequential semantics need the previous stage's timestamp before
+    the next stage's MIN can be conditioned.
+
+    Scale: despite the stage dependency, ONE shuffle — three chained
+    whole-partition window MINs over the same user_id partitioning
+    (no orderBy ⇒ no per-window sort), then a global conditional
+    distinct count. The naive formulation (per-stage groupBy + join
+    back) shuffles the events table three times; this shuffles once.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    typ = F.col("event_type")
+    d = ev.withColumn(
+        "v_ts", F.min(F.when(typ == "view", F.col("ts"))).over(w))
+    d = d.withColumn(
+        "c_ts",
+        F.min(F.when((typ == "click") & (F.col("ts") > F.col("v_ts")),
+                     F.col("ts"))).over(w))
+    d = d.withColumn(
+        "p_ts",
+        F.min(F.when((typ == "purchase") & (F.col("ts") > F.col("c_ts")),
+                     F.col("ts"))).over(w))
+    return d.agg(
+        F.count_distinct(F.when(F.col("v_ts").isNotNull(), F.col("user_id")))
+        .cast("bigint").alias("n_viewed"),
+        F.count_distinct(F.when(F.col("c_ts").isNotNull(), F.col("user_id")))
+        .cast("bigint").alias("n_clicked_after"),
+        F.count_distinct(F.when(F.col("p_ts").isNotNull(), F.col("user_id")))
+        .cast("bigint").alias("n_purchased_after"),
+    )
+
+
+# (a fixed-width token histogram already exists as q59_length_histogram;
+# the graph-analytics counterpart of this batch, q120_graph_triangles,
+# lives in dedup.py next to the candidate-edge helpers it shares.)

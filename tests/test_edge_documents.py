@@ -29,6 +29,10 @@ TEXT_QUERIES = [
     "q57_mapinarrow_tokenstats",
     "q58_ngram_vocabulary",
     "q59_length_histogram",
+    "q114_pii_redaction",
+    "q115_stratified_sample",
+    "q119_rare_bigram_score",
+    "q120_graph_triangles",
 ]
 
 

@@ -109,3 +109,26 @@ def test_window_sums_on_crafted_orders(spark, name):
         [-5000.25, 0.01, 0.1, 123456.78, -0.1, 2.675, 99999.99, 0.3, -0.3])})
     res = compare_query(spark, sf_dir, name)
     assert res["ok"], res["notes"]
+
+
+def test_percentile_exact_ties_and_tiny_groups(spark):
+    """q117 on a group that is ALL ties (every percentile = the tied
+    value), a single-row group (all percentiles = that row), and a
+    two-value group where cume_dist boundaries land exactly on 0.5."""
+    li = _lineitem(
+        prices=[7.0, 7.0, 7.0, 7.0,   # flag cycle A,N,R,A...
+                42.0,
+                1.0, 2.0],
+        quantities=[1] * 7,
+    )
+    # force groups: A = all ties + extras, N = single row, R = pair
+    li["l_returnflag"] = ["A", "A", "A", "A", "N", "R", "R"]
+    sf = _stage({"lineitem": li})
+    res = compare_query(spark, sf, "q117_percentile_exact")
+    assert res["ok"], res["notes"]
+    from columnar_format_spark.registry import QUERIES
+    rows = {r.l_returnflag: r
+            for r in QUERIES["q117_percentile_exact"].fn(spark, sf).collect()}
+    assert rows["A"].p50 == rows["A"].p99 == 7.0
+    assert rows["N"].p50 == rows["N"].p100 == 42.0
+    assert rows["R"].p50 == 1.0 and rows["R"].p90 == 2.0

@@ -544,3 +544,59 @@ def test_incremental_agg_null_ts_not_dropped(spark):
     from columnar_format_spark.registry import QUERIES
     row = QUERIES["q107_incremental_agg"].fn(spark, d).collect()[0]
     assert (row["n_events"], row["sum_value"]) == (3, 7.0)
+
+
+# --- q121 strict funnel / q118 skew distinct edge semantics ------------
+
+
+def test_strict_funnel_click_before_view_trap(spark):
+    """User 0 clicks BEFORE their first view and never again: q92's
+    first-touch rule would pass them (click_ts >= view_ts is False
+    here, so actually both fail) — the decisive case is user 1, whose
+    first click precedes the view but who clicks AGAIN after it:
+    strict funnel must count user 1, and must NOT count user 0.
+    User 2 has view→click at the SAME timestamp (strictly-after ⇒ no).
+    """
+    t0 = "2024-03-01 12:00:00"
+    ev = _events(
+        ts=[
+            # user 0: click, then view, no later click
+            "2024-03-01 10:00:00", "2024-03-01 11:00:00",
+            # user 1: click, view, click (later), purchase (later still)
+            "2024-03-01 10:00:00", "2024-03-01 11:00:00", t0,
+            "2024-03-01 13:00:00",
+            # user 2: view and click at the identical timestamp
+            "2024-03-01 10:00:00", "2024-03-01 10:00:00",
+        ],
+        event_type=["click", "view",
+                    "click", "view", "click", "purchase",
+                    "view", "click"],
+        value=[1.0] * 8,
+        user_id=[0, 0, 1, 1, 1, 1, 2, 2],
+    )
+    sf = _stage({"events": ev})
+    res = compare_query(spark, sf, "q121_strict_funnel")
+    assert res["ok"], res["notes"]
+    from columnar_format_spark.registry import QUERIES
+    row = QUERIES["q121_strict_funnel"].fn(spark, sf).collect()[0]
+    assert row.n_viewed == 3
+    assert row.n_clicked_after == 1   # only user 1
+    assert row.n_purchased_after == 1
+
+
+def test_skew_exact_distinct_single_hot_key(spark):
+    """Everything lands on one event_type (maximum key skew); the
+    composite-key expansion must still produce the exact distinct."""
+    n = 500
+    ev = _events(
+        ts=pd.date_range("2024-01-01", periods=n, freq="1min"),
+        event_type=["click"] * n,
+        value=np.round(np.linspace(0.01, 5.0, n), 2),
+        user_id=np.arange(n) % 7,
+    )
+    sf = _stage({"events": ev})
+    res = compare_query(spark, sf, "q118_skew_exact_distinct")
+    assert res["ok"], res["notes"]
+    from columnar_format_spark.registry import QUERIES
+    row = QUERIES["q118_skew_exact_distinct"].fn(spark, sf).collect()[0]
+    assert row.n_users == 7 and row.n_events == n
