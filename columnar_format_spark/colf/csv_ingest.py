@@ -31,19 +31,21 @@ from .format import ColfFormatError
 
 # Python int() literal grammar (after strip): sign + digits with
 # optional single underscores between digits.
-INT_RE = r"^[+-]?[0-9](_?[0-9])*$"
+INT_BODY = r"[+-]?[0-9](_?[0-9])*"
+INT_RE = f"^{INT_BODY}$"
 # Python float() literal grammar (after strip): covers 1.5, .5, 5.,
 # 1e3, 1_000.5e-2, inf, infinity, nan (any case, optional sign). The
 # mantissa alternation guarantees ≥1 digit (so ".", "e3", "" are
 # rejected, same as Python float()).
-FLOAT_RE = (
-    r"^[+-]?("
+FLOAT_BODY = (
+    r"[+-]?("
     r"(([0-9](_?[0-9])*)(\.([0-9](_?[0-9])*)?)?|\.[0-9](_?[0-9])*)"
     r"([eE][+-]?[0-9](_?[0-9])*)?"
     r"|[iI][nN][fF]([iI][nN][iI][tT][yY])?"
     r"|[nN][aA][nN]"
-    r")$"
+    r")"
 )
+FLOAT_RE = f"^{FLOAT_BODY}$"
 
 INT32_MIN, INT32_MAX = -(2**31), 2**31 - 1
 
@@ -79,24 +81,31 @@ BLANK_WS = f"[ \\t\\n\\r\\f\\x0b\\x1c-\\x1f{_UNI_WS}]"
 NUM_WS = f"[ \\t\\n\\r\\f\\x0b{_UNI_WS}]"
 
 
-def _strip_blank(c) -> F.Column:
-    return F.regexp_replace(c, f"^{BLANK_WS}+|{BLANK_WS}+$", "")
-
-
-def _strip_num(c) -> F.Column:
-    return F.regexp_replace(c, f"^{NUM_WS}+|{NUM_WS}+$", "")
+# Each per-cell test is ONE fused regex (padding folded into the
+# pattern) instead of a regexp_replace strip followed by a match —
+# halves the regex work in the inference scan, which is the hot path
+# of CSV ingest. tests/test_inference_grammar.py pins equivalence with
+# Python's strip-then-parse semantics.
+_PAD_INT = f"^{NUM_WS}*({INT_BODY}){NUM_WS}*$"
+_PAD_FLOAT = f"^{NUM_WS}*({FLOAT_BODY}){NUM_WS}*$"
 
 
 def _is_blank(c) -> F.Column:
-    return c.isNull() | (_strip_blank(c) == "")
+    return c.isNull() | c.rlike(f"^{BLANK_WS}*$")
 
 
 def _is_pyint(c) -> F.Column:
-    return _strip_num(c).rlike(INT_RE)
+    return c.rlike(_PAD_INT)
 
 
 def _is_pyfloat(c) -> F.Column:
-    return _strip_num(c).rlike(FLOAT_RE)
+    return c.rlike(_PAD_FLOAT)
+
+
+def _num_body(c, pattern: str) -> F.Column:
+    """The stripped, underscore-free numeric literal of a cell already
+    known to match ``pattern`` (capture group 1 = the literal body)."""
+    return F.regexp_replace(F.regexp_extract(c, pattern, 1), "_", "")
 
 
 def infer_colf_types(df: DataFrame) -> list[dict]:
@@ -113,7 +122,7 @@ def infer_colf_types(df: DataFrame) -> list[dict]:
             F.max(
                 F.when(
                     ~blank & _is_pyint(c)
-                    & ~F.regexp_replace(_strip_num(c), "_", "").try_cast("decimal(38,0)")
+                    & ~_num_body(c, _PAD_INT).try_cast("decimal(38,0)")
                     .between(INT32_MIN, INT32_MAX),
                     1,
                 ).otherwise(0)
@@ -146,12 +155,12 @@ def apply_colf_schema(df: DataFrame, schema: list[dict]) -> DataFrame:
         c = F.col(col["name"])
         blank = _is_blank(c)
         if col["type"] == "int32":
-            # strip + drop underscores, then cast (int32 range verified
-            # during inference)
-            v = F.regexp_replace(_strip_num(c), "_", "").cast("int")
+            # extract + drop underscores, then cast (int32 range
+            # verified during inference)
+            v = _num_body(c, _PAD_INT).cast("int")
             cols.append(F.when(blank, None).otherwise(v).alias(col["name"]))
         elif col["type"] == "float64":
-            t = F.lower(F.regexp_replace(_strip_num(c), "_", ""))
+            t = F.lower(_num_body(c, _PAD_FLOAT))
             # Spark's cast-to-double rejects Python's inf/infinity
             # spellings — map them (and nan) explicitly
             v = (

@@ -13,11 +13,22 @@ import re
 
 from hypothesis import given, settings, strategies as st
 
-from columnar_format_spark.colf.csv_ingest import FLOAT_RE, INT_RE, NUM_WS
+from columnar_format_spark.colf.csv_ingest import (
+    _PAD_FLOAT,
+    _PAD_INT,
+    FLOAT_RE,
+    INT_RE,
+    NUM_WS,
+)
 
 INT_PAT = re.compile(INT_RE)
 FLOAT_PAT = re.compile(FLOAT_RE)
-# the engine's numeric-side strip (csv_ingest._strip_num), verbatim
+# the engine's FUSED padding+literal patterns (csv_ingest._is_pyint /
+# _is_pyfloat evaluate exactly these via rlike), verbatim
+PAD_INT_PAT = re.compile(_PAD_INT)
+PAD_FLOAT_PAT = re.compile(_PAD_FLOAT)
+# the historical two-step strip (pre-fusion engine behavior), kept to
+# assert the fused pattern ≡ strip-then-match on every probe
 NUM_STRIP = re.compile(f"^{NUM_WS}+|{NUM_WS}+$")
 
 
@@ -70,12 +81,17 @@ def test_ws_classes_match_python_exactly():
 @settings(max_examples=2000, deadline=None)
 @given(st.text(alphabet=ALPHABET, min_size=0, max_size=12))
 def test_int_regex_matches_python_int(s):
-    t = NUM_STRIP.sub("", s)  # the engine's numeric-side strip
-    assert bool(INT_PAT.fullmatch(t) if t else False) == py_int_ok(s)
+    got = bool(PAD_INT_PAT.fullmatch(s))
+    assert got == py_int_ok(s)
+    # fused pattern ≡ the two-step strip-then-match it replaced
+    t = NUM_STRIP.sub("", s)
+    assert got == bool(INT_PAT.fullmatch(t) if t else False)
 
 
 @settings(max_examples=2000, deadline=None)
 @given(st.text(alphabet=ALPHABET, min_size=0, max_size=12))
 def test_float_regex_matches_python_float(s):
+    got = bool(PAD_FLOAT_PAT.fullmatch(s))
+    assert got == py_float_ok(s)
     t = NUM_STRIP.sub("", s)
-    assert bool(FLOAT_PAT.fullmatch(t) if t else False) == py_float_ok(s)
+    assert got == bool(FLOAT_PAT.fullmatch(t) if t else False)
