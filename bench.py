@@ -53,6 +53,11 @@ HEADLINE = [
     "q104_tpch_q7",
     "q106_data_quality_audit",
     "q107_incremental_agg",
+    "q114_pii_redaction",
+    "q117_percentile_exact",
+    "q119_rare_bigram_score",
+    "q120_graph_triangles",
+    "q121_strict_funnel",
 ]
 
 
