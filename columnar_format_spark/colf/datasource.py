@@ -116,6 +116,66 @@ def manifest_path(dataset_dir: str) -> str:
     return os.path.join(dataset_dir, MANIFEST_NAME)
 
 
+SNAPSHOTS_NAME = "_snapshots.json"
+
+
+def snapshots_path(dataset_dir: str) -> str:
+    return os.path.join(dataset_dir, SNAPSHOTS_NAME)
+
+
+def load_snapshots(path: str) -> list[dict]:
+    """Ascending list of ``{"version": int, "files": [basenames]}``
+    commits — the dataset's Iceberg-style metadata log. Empty when the
+    sidecar is absent (pre-snapshot datasets, reference-writer dirs)
+    or unreadable (corrupt metadata must never lose data: readers fall
+    back to the directory listing)."""
+    import json
+
+    if not os.path.isdir(path):
+        return []
+    sp = snapshots_path(path)
+    if not os.path.exists(sp):
+        return []
+    try:
+        with open(sp) as f:
+            snaps = json.load(f)
+        return sorted(snaps, key=lambda s: s["version"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return []
+
+
+def write_snapshots(path: str, snaps: list[dict]) -> None:
+    import json
+
+    tmp = snapshots_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(snaps, f)
+    os.rename(tmp, snapshots_path(path))
+
+
+def commit_snapshot(path: str, live_files: list[str],
+                    reset: bool = False) -> int:
+    """Append a snapshot whose live set is ``live_files`` (basenames);
+    ``reset`` starts a fresh history at version 1 (overwrite mode —
+    the old part files are physically gone, so old versions would be
+    unreadable anyway). Returns the committed version."""
+    snaps = [] if reset else load_snapshots(path)
+    version = snaps[-1]["version"] + 1 if snaps else 1
+    snaps.append({"version": version, "files": sorted(set(live_files))})
+    write_snapshots(path, snaps)
+    return version
+
+
+def live_files(path: str) -> list[str]:
+    """Current live set as full paths: the latest snapshot when the
+    metadata log exists, else the directory listing (compat with
+    datasets produced by the reference writer or by hand)."""
+    snaps = load_snapshots(path)
+    if snaps:
+        return [os.path.join(path, b) for b in snaps[-1]["files"]]
+    return dataset_files(path)
+
+
 def load_manifest(path: str) -> dict:
     """{file basename: {"num_rows": n, "columns": {name: {"min","max",
     "null_count"}}}} — empty when the sidecar is absent (e.g. files
@@ -192,6 +252,11 @@ class ColfReader(DataSourceReader):
         # / benchmarking the skip ratio); correctness is unaffected —
         # Spark re-applies every filter row-level either way
         self.pruning = options.get("pruning", "on").lower() != "off"
+        # option snapshot=N time-travels to that committed version of
+        # the metadata log (None = latest snapshot, or the directory
+        # listing for datasets without one)
+        snap_opt = options.get("snapshot")
+        self.snapshot = int(snap_opt) if snap_opt is not None else None
 
     def pushFilters(self, filters):
         """Record conjuncts usable for manifest file-skipping. ALL
@@ -208,7 +273,22 @@ class ColfReader(DataSourceReader):
         return filters
 
     def partitions(self):
-        files = dataset_files(self.path)
+        if self.snapshot is not None:
+            snaps = {s["version"]: s for s in load_snapshots(self.path)}
+            if self.snapshot not in snaps:
+                raise ColfFormatError(
+                    f"snapshot {self.snapshot} not found in {self.path} "
+                    f"(available: {sorted(snaps) or 'none'}); it may have "
+                    f"been vacuumed")
+            files = [os.path.join(self.path, b)
+                     for b in snaps[self.snapshot]["files"]]
+            missing = [f for f in files if not os.path.exists(f)]
+            if missing:
+                raise ColfFormatError(
+                    f"snapshot {self.snapshot} references vacuumed files: "
+                    f"{[os.path.basename(f) for f in missing]}")
+        else:
+            files = live_files(self.path)
         if self.pushed and self.pruning:
             manifest = load_manifest(self.path)
             if manifest:
@@ -290,11 +370,17 @@ class ColfWriter(DataSourceArrowWriter):
         import json
 
         written = {m.file for m in messages if m and m.file}
+        # live set BEFORE this commit (latest snapshot, or listing for
+        # pre-snapshot dirs) — what an append extends
+        prior = [] if self.overwrite else [
+            os.path.basename(f) for f in live_files(self.path)
+        ] if os.path.isdir(self.path) else []
         if self.overwrite and os.path.isdir(self.path):
             for f in os.listdir(self.path):
                 full = os.path.join(self.path, f)
                 if full not in written and (f.endswith(".colf") or f.endswith(".tmp")
-                                            or f == MANIFEST_NAME):
+                                            or f == MANIFEST_NAME
+                                            or f == SNAPSHOTS_NAME):
                     os.remove(full)
         existing = dataset_files(self.path) if os.path.isdir(self.path) else []
         if not written and not existing:
@@ -304,6 +390,7 @@ class ColfWriter(DataSourceArrowWriter):
             target = os.path.join(self.path, "part-00000-empty.colf")
             write_colf(target, ColfSchema(0, self.colf_columns),
                        {c.name: [] for c in self.colf_columns})
+            written = {target}
         # sidecar zone-map manifest for reader-side file skipping
         # (format-compatible: extra file, not a format change — M6)
         manifest = {} if self.overwrite else load_manifest(self.path)
@@ -315,6 +402,14 @@ class ColfWriter(DataSourceArrowWriter):
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
             os.rename(tmp, manifest_path(self.path))
+        # metadata-log commit: the new live set is this write's files
+        # plus (append only) the prior live set. Overwrite physically
+        # removed the old part files, so its history restarts at v1.
+        commit_snapshot(
+            self.path,
+            prior + [os.path.basename(f) for f in written],
+            reset=self.overwrite,
+        )
 
     def abort(self, messages):
         for m in messages:
@@ -457,6 +552,12 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
             os.rename(tmp, manifest_path(self.path))
+            # every micro-batch is a metadata-log commit too, so batch
+            # readers can time-travel across stream appends
+            commit_snapshot(self.path, [
+                os.path.basename(f) for f in live_files(self.path)
+            ] + [os.path.basename(m.file) for m in messages
+                 if m and m.file])
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

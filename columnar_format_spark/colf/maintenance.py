@@ -1,11 +1,16 @@
-"""COLF dataset maintenance: compaction.
+"""COLF dataset maintenance: compaction, snapshot retention, vacuum.
 
 One .colf file per write task is the right write-path shape, but a
 long-lived dataset accumulates small files (each unsplittable, each a
 scheduler task at read time). Compaction rewrites the dataset to a
 target file count through the normal connector — stats manifest
-included — and swaps directories so readers never see a half-written
-dataset.
+included. Two modes:
+
+- ``retain=False`` (default): atomic directory swap; history restarts.
+- ``retain=True``: Iceberg-style — compacted files land NEXT TO the
+  old ones and a new metadata-log snapshot makes them the live set;
+  previous snapshots stay readable (``option("snapshot", N)``) until
+  ``vacuum()`` physically reclaims unreferenced part files.
 
 The reference has no dataset concept (single file, SURVEY.md §1.1);
 this is engine infrastructure the directory convention requires.
@@ -19,23 +24,88 @@ import uuid
 
 from pyspark.sql import SparkSession
 
-from .datasource import dataset_files
+from .datasource import (
+    commit_snapshot,
+    dataset_files,
+    load_manifest,
+    load_snapshots,
+    manifest_path,
+    write_snapshots,
+)
 
 
-def compact(spark: SparkSession, path: str, target_files: int) -> int:
+def compact(spark: SparkSession, path: str, target_files: int,
+            retain: bool = False) -> int:
     """Rewrite a COLF dataset directory to ``target_files`` part files.
-    Returns the resulting file count. The rewrite goes to a sibling tmp
-    dir first and is swapped in with directory renames (readers opening
-    mid-compaction see either the old or the new complete dataset)."""
+    Returns the resulting live file count.
+
+    Default mode rewrites to a sibling tmp dir and swaps it in with
+    directory renames (readers opening mid-compaction see either the
+    old or the new complete dataset; metadata history restarts).
+    ``retain=True`` instead moves the compacted files into the live
+    dir, merges their zone maps into the manifest, and commits a new
+    snapshot — old versions stay time-travel-readable, old part files
+    stay on disk until vacuum().
+    """
+    import json
+
     if not os.path.isdir(path):
         raise ValueError(f"compact() needs a dataset directory, got {path}")
     if target_files < 1:
         raise ValueError("target_files must be >= 1")
     df = spark.read.format("colf").load(path)
     tmp = f"{path.rstrip(os.sep)}.compact-{uuid.uuid4().hex[:8]}"
-    old = f"{path.rstrip(os.sep)}.old-{uuid.uuid4().hex[:8]}"
     df.repartition(target_files).write.format("colf").mode("overwrite").save(tmp)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    return len(dataset_files(path))
+    if not retain:
+        old = f"{path.rstrip(os.sep)}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        return len(dataset_files(path))
+    # retention mode: adopt the rewritten files into the live dir
+    moved = []
+    for f in dataset_files(tmp):
+        base = os.path.basename(f)
+        os.rename(f, os.path.join(path, base))
+        moved.append(base)
+    merged = load_manifest(path)
+    merged.update(load_manifest(tmp))  # stats of the compacted files
+    mtmp = manifest_path(path) + ".tmp"
+    with open(mtmp, "w") as fh:
+        json.dump(merged, fh)
+    os.rename(mtmp, manifest_path(path))
+    shutil.rmtree(tmp)
+    commit_snapshot(path, moved)
+    return len(moved)
+
+
+def vacuum(path: str, keep_last: int = 1) -> list[str]:
+    """Physically delete part files referenced only by expired
+    snapshots, keeping the most recent ``keep_last`` versions (and
+    pruning the metadata log to them). Returns the deleted basenames.
+    A dataset without a metadata log has nothing to vacuum."""
+    import json
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    snaps = load_snapshots(path)
+    if not snaps:
+        return []
+    kept = snaps[-keep_last:]
+    referenced = {b for s in kept for b in s["files"]}
+    deleted = []
+    for f in dataset_files(path):
+        base = os.path.basename(f)
+        if base not in referenced:
+            os.remove(f)
+            deleted.append(base)
+    if deleted:
+        manifest = load_manifest(path)
+        for base in deleted:
+            manifest.pop(base, None)
+        mtmp = manifest_path(path) + ".tmp"
+        with open(mtmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(mtmp, manifest_path(path))
+    write_snapshots(path, kept)
+    return sorted(deleted)

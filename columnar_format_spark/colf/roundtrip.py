@@ -301,3 +301,81 @@ def q112_colf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("l_orderkey").cast("bigint")).alias("min_key"),
         F.max(F.col("l_orderkey").cast("bigint")).alias("max_key"),
     )
+
+
+TT_COMPACT_TARGET = 2
+
+
+def _stage_timetravel_colf(spark: SparkSession, sf_dir: str) -> str:
+    """A three-version COLF dataset: v1 = even order keys (overwrite),
+    v2 = v1 + odd order keys (append), v3 = retained compaction of v2
+    down to TT_COMPACT_TARGET part files. Old part files stay on disk,
+    so every version remains readable via option("snapshot", N)."""
+    def write(d: str) -> None:
+        from .datasource import register as register_ds
+        from .maintenance import compact
+
+        register_ds(spark)
+        li = table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").cast("int").alias("l_orderkey"),
+            "l_linenumber", "l_quantity",
+        )
+        li.where(F.col("l_orderkey") % 2 == 0) \
+            .write.format("colf").mode("overwrite").save(d)
+        li.where(F.col("l_orderkey") % 2 == 1) \
+            .write.format("colf").mode("append").save(d)
+        compact(spark, d, TT_COMPACT_TARGET, retain=True)
+
+    return stage_once(("colf-li-timetravel", sf_dir), "colf_tt_", write)
+
+
+@register(
+    "q122_colf_time_travel",
+    oracle=f"""
+    SELECT CAST(3 AS BIGINT) AS n_versions,
+           CAST({TT_COMPACT_TARGET} AS BIGINT) AS latest_files,
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey % 2 = 0) AS BIGINT) AS v1_rows,
+           CAST((SELECT SUM(CAST(l_quantity AS BIGINT)) FROM lineitem
+                 WHERE l_orderkey % 2 = 0) AS BIGINT) AS v1_sum_qty,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS latest_rows,
+           CAST((SELECT SUM(CAST(l_quantity AS BIGINT)) FROM lineitem)
+                AS BIGINT) AS latest_sum_qty
+    """,
+)
+def q122_colf_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation / time travel over the COLF metadata log:
+    the dataset is overwritten (v1), appended (v2), and compacted with
+    retention (v3); reading ``option("snapshot", 1)`` must reproduce
+    exactly the v1 rows while the default read serves the compacted
+    live set — proving commits are immutable versions, not mutations.
+
+    Scale: snapshots are file-LIST metadata (Iceberg's core idea) — a
+    version flip is one sidecar JSON rename regardless of data volume,
+    and time-travel reads plan the old file set with zero data copies.
+    The log grows with commit count, not data size; vacuum() bounds
+    disk by retiring expired versions.
+    """
+    from .datasource import load_snapshots
+
+    d = _stage_timetravel_colf(spark, sf_dir)
+    n_versions = len(load_snapshots(d))
+    latest_files = len(load_snapshots(d)[-1]["files"])
+    v1 = spark.read.format("colf").option("snapshot", 1).load(d)
+    latest = spark.read.format("colf").load(d)
+    v1_agg = v1.agg(
+        F.count(F.lit(1)).alias("v1_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("v1_sum_qty"),
+    )
+    latest_agg = latest.agg(
+        F.count(F.lit(1)).alias("latest_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("latest_sum_qty"),
+    )
+    return (
+        v1_agg.crossJoin(latest_agg)
+        .select(
+            F.lit(n_versions).cast("bigint").alias("n_versions"),
+            F.lit(latest_files).cast("bigint").alias("latest_files"),
+            "v1_rows", "v1_sum_qty", "latest_rows", "latest_sum_qty",
+        )
+    )

@@ -1,0 +1,151 @@
+"""COLF metadata-log snapshots: every writer commit is an immutable
+version; ``option("snapshot", N)`` time-travels; retained compaction
+keeps history readable; vacuum reclaims expired part files.
+
+(The reference has no dataset/versioning concept — single file,
+SURVEY.md §1.1; this layer is engine infrastructure over the same
+on-disk format: part files stay byte-identical version-1 COLF, the
+log is a sidecar JSON.)
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_format_spark.colf.datasource import (
+    dataset_files,
+    load_snapshots,
+)
+from columnar_format_spark.colf.format import ColfFormatError
+from columnar_format_spark.colf.maintenance import compact, vacuum
+
+
+@pytest.fixture(scope="module")
+def colf_spark(spark):
+    from columnar_format_spark.colf.datasource import register
+
+    register(spark)
+    return spark
+
+
+def _ints(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").cast("int").alias("v"))
+
+
+def _read(spark, path, snapshot=None):
+    r = spark.read.format("colf")
+    if snapshot is not None:
+        r = r.option("snapshot", str(snapshot))
+    return r.load(path)
+
+
+def _vals(df):
+    return sorted(r.v for r in df.collect())
+
+
+def test_append_commits_are_versions(colf_spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _ints(colf_spark, 0, 10).coalesce(1).write.format("colf") \
+        .mode("overwrite").save(path)
+    _ints(colf_spark, 10, 15).coalesce(1).write.format("colf") \
+        .mode("append").save(path)
+    snaps = load_snapshots(path)
+    assert [s["version"] for s in snaps] == [1, 2]
+    assert _vals(_read(colf_spark, path, snapshot=1)) == list(range(10))
+    assert _vals(_read(colf_spark, path, snapshot=2)) == list(range(15))
+    assert _vals(_read(colf_spark, path)) == list(range(15))  # latest
+
+
+def test_overwrite_resets_history(colf_spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _ints(colf_spark, 0, 5).coalesce(1).write.format("colf") \
+        .mode("overwrite").save(path)
+    _ints(colf_spark, 5, 8).coalesce(1).write.format("colf") \
+        .mode("append").save(path)
+    _ints(colf_spark, 100, 103).coalesce(1).write.format("colf") \
+        .mode("overwrite").save(path)
+    snaps = load_snapshots(path)
+    assert [s["version"] for s in snaps] == [1]  # fresh history
+    assert _vals(_read(colf_spark, path)) == [100, 101, 102]
+
+
+def test_retained_compaction_keeps_old_version_readable(colf_spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _ints(colf_spark, 0, 20).repartition(4).write.format("colf") \
+        .mode("overwrite").save(path)
+    before = _vals(_read(colf_spark, path))
+    n_live = compact(colf_spark, path, 2, retain=True)
+    assert n_live == 2
+    snaps = load_snapshots(path)
+    assert [s["version"] for s in snaps] == [1, 2]
+    assert len(snaps[-1]["files"]) == 2
+    # live read = compacted files only, same rows
+    assert _vals(_read(colf_spark, path)) == before
+    # the pre-compaction version still reads from the retained files
+    assert _vals(_read(colf_spark, path, snapshot=1)) == before
+    # old part files still on disk (4 old + 2 compacted)
+    assert len(dataset_files(path)) == 6
+
+
+def test_vacuum_reclaims_expired_versions(colf_spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _ints(colf_spark, 0, 20).repartition(4).write.format("colf") \
+        .mode("overwrite").save(path)
+    compact(colf_spark, path, 2, retain=True)
+    deleted = vacuum(path, keep_last=1)
+    assert len(deleted) == 4  # the pre-compaction part files
+    assert len(dataset_files(path)) == 2
+    assert [s["version"] for s in load_snapshots(path)] == [2]
+    assert _vals(_read(colf_spark, path)) == list(range(20))
+    # the expired version now fails loudly, not silently partially
+    with pytest.raises(Exception) as ei:
+        _read(colf_spark, path, snapshot=1).collect()
+    assert "snapshot 1" in str(ei.value)
+
+
+def test_missing_snapshot_is_a_clean_error(colf_spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _ints(colf_spark, 0, 3).coalesce(1).write.format("colf") \
+        .mode("overwrite").save(path)
+    with pytest.raises(Exception) as ei:
+        _read(colf_spark, path, snapshot=99).collect()
+    assert "snapshot 99" in str(ei.value)
+
+
+def test_listing_fallback_for_reference_written_dirs(colf_spark, tmp_path):
+    """Dirs without a metadata log (reference writer, hand-assembled)
+    read by directory listing, exactly as before the snapshot layer."""
+    from columnar_format_spark.colf.format import ColfColumn, ColfSchema, write_colf
+
+    path = str(tmp_path / "refdir")
+    os.makedirs(path)
+    write_colf(os.path.join(path, "a.colf"),
+               ColfSchema(2, [ColfColumn("v", "int32", False)]), {"v": [1, 2]})
+    write_colf(os.path.join(path, "b.colf"),
+               ColfSchema(1, [ColfColumn("v", "int32", False)]), {"v": [3]})
+    assert load_snapshots(path) == []
+    assert _vals(_read(colf_spark, path)) == [1, 2, 3]
+
+
+def test_stream_sink_commits_advance_the_log(colf_spark, tmp_path):
+    """Each micro-batch commit of the COLF stream sink is a
+    time-travel-able version for batch readers."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _ints(colf_spark, 0, 6).coalesce(1).write.format("colf") \
+        .mode("overwrite").save(src)
+    q = (
+        colf_spark.readStream.format("colf").load(src)
+        .writeStream.format("colf")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snaps = load_snapshots(out)
+    assert snaps, "stream sink must commit metadata-log versions"
+    assert _vals(_read(colf_spark, out)) == list(range(6))
