@@ -58,6 +58,9 @@ HEADLINE = [
     "q119_rare_bigram_score",
     "q120_graph_triangles",
     "q121_strict_funnel",
+    "q124_tpch_q5",
+    "q125_tpch_q10",
+    "q126_tpch_q18",
 ]
 
 

@@ -1,7 +1,8 @@
-"""TPC-H classic query shapes (Q3, Q7, Q13) over the synthetic star
-schema — multi-way join ordering, join-then-aggregate-then-topk, and
-left-join count distributions, the canonical warehouse workloads a
-Catalyst-based engine must plan well.
+"""TPC-H classic query shapes (Q3, Q5, Q7, Q10, Q13, Q18) over the
+synthetic star schema — multi-way join ordering, join-then-aggregate-
+then-topk, dimension-attribute equi-conditions through the fact row,
+left-join count distributions, and aggregate-subquery semijoins: the
+canonical warehouse workloads a Catalyst-based engine must plan well.
 
 Like everything in operators/, the reference
 (satyakalla890/columnar-format) has no query surface (SURVEY.md §2.2);
@@ -172,3 +173,180 @@ def q105_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).cast("bigint").alias("custdist"))
+
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO, Q5_DATE_HI = "1996-01-01", "1997-01-01"
+Q10_DATE_LO, Q10_DATE_HI = "1996-01-01", "1996-04-01"
+Q18_QTY = 300
+
+
+@register(
+    "q124_tpch_q5",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_rev_isum('l.l_extendedprice', 'l.l_discount')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{Q5_REGION}'
+      AND o.o_orderdate >= TIMESTAMP '{Q5_DATE_LO} 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '{Q5_DATE_HI} 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q124_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue per nation from
+    orders where the customer and the line's supplier share a nation
+    inside one region, over one order-year. The c_nationkey =
+    s_nationkey equi-condition is the defining subtlety — it binds two
+    DIMENSION attributes through the fact row, so it can only be
+    applied once both dimension joins have landed.
+
+    Scale: nation/region broadcast (25/5 rows); supplier and customer
+    are left to AQE sizing like q104; the one-year order filter pushes
+    to the orders scan and shrinks the fact join's probe side before
+    lineitem joins in. One final 25-group aggregate with map-side
+    partials.
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q5_DATE_LO)
+        & (F.col("o_orderdate") < Q5_DATE_HI)
+    ).select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    r = table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q5_REGION).select("r_regionkey")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(rev_isum().alias("revenue"))
+
+
+@register(
+    "q125_tpch_q10",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {sql_rev_isum('l.l_extendedprice', 'l.l_discount')} AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '{Q10_DATE_LO} 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '{Q10_DATE_HI} 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q125_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned item reporting): the 20 customers who
+    generated the most revenue on RETURNED lineitems in one quarter —
+    the churn-risk report. Tie-broken by customer key (registry rule
+    6) so the top-20 set is well-defined.
+
+    Scale: both selective filters (quarter, returnflag) push to their
+    scans; the aggregate groups on customer (high cardinality) and the
+    top-20 is TakeOrderedAndProject over the partial-agged result —
+    no global sort. Raw c_acctbal passes through untouched (registry
+    rule 3).
+    """
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q10_DATE_LO)
+        & (F.col("o_orderdate") < Q10_DATE_HI)
+    ).select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev_isum().alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q126_tpch_q18",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > {Q18_QTY})
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q126_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large volume customer): orders whose total line
+    quantity exceeds a threshold, with their customer — the classic
+    aggregate-subquery-as-semijoin shape. Quantities are integral
+    doubles, summed as exact BIGINTs.
+
+    Scale: the HAVING subquery is a partial-agged groupBy on
+    l_orderkey joined back as a LEFT SEMI join — Catalyst plans the IN
+    as a semijoin keyed on the same l_orderkey partitioning the outer
+    aggregate reuses; the threshold prunes the semijoin build side to
+    a sliver before it meets orders. Top-100 by totalprice is
+    TakeOrderedAndProject, tie-broken by order key.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("tq"))
+        .filter(F.col("tq") > Q18_QTY)
+        .select("l_orderkey")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+    )
+    return (
+        j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                  "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )

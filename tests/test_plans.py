@@ -227,3 +227,28 @@ def test_tpch_q3_takes_ordered_topk(spark):
     sort materialization."""
     plan = plan_of(spark, "q103_tpch_q3")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q5_broadcasts_nation_region(spark):
+    """q124's nation/region sides must broadcast and the top of the
+    plan must be a 25-group partial+final aggregate — no sort."""
+    plan = plan_of(spark, "q124_tpch_q5")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "HashAggregate" in plan
+
+
+def test_tpch_q10_takes_ordered_topk(spark):
+    """q125's top-20 must plan TakeOrderedAndProject with both
+    selective filters pushed to their scans."""
+    plan = plan_of(spark, "q125_tpch_q10")
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan and "l_returnflag" in plan
+
+
+def test_tpch_q18_semijoin_and_topk(spark):
+    """q126's HAVING-subquery must plan as a LeftSemi join (never a
+    row-exploding inner join on the qualifying set) with the top-100
+    as TakeOrderedAndProject."""
+    plan = plan_of(spark, "q126_tpch_q18")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
