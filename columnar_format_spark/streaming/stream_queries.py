@@ -23,7 +23,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import register, table
+from ..registry import QUERIES, register, table
 from ..staging import stage_once
 from .pipelines import (
     dedup_within_watermark,
@@ -286,3 +286,106 @@ def q101_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "n_events",
     )
+
+
+def _stage_incoming_docs(spark: SparkSession, sf_dir: str) -> str:
+    """The q113 'incoming batch' half of documents (doc_bucket >= the
+    history cut), fingerprinted, staged once as a 4-file parquet dir
+    the file source can tail — only (doc_id, fingerprint) ever enters
+    the stream, never text."""
+    from ..functions.dedup import _HIST_CUT, normalized
+    from ..functions.text import doc_bucket
+
+    def write(d: str) -> None:
+        docs = table(spark, sf_dir, "documents")
+        inc = (
+            docs.select(
+                "doc_id",
+                F.md5(normalized(F.col("text"))).alias("fingerprint"),
+                doc_bucket().alias("b"),
+            )
+            .filter(F.col("b") >= _HIST_CUT)
+            .select("doc_id", "fingerprint")
+        )
+        inc.repartition(4).write.mode("overwrite").parquet(d)
+
+    return stage_once(("stream-incdocs", sf_dir), "stream_incdocs_", write)
+
+
+@register(
+    "q127_stream_incremental_dedup",
+    oracle=None,  # set right after: reuses q113's exact SQL
+)
+def q127_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q113 (incremental dedup): incoming documents
+    arrive as a STREAM, history is a STATIC distinct-fingerprint
+    table; each doc is labeled dup_of_history / dup_within_batch / new
+    by a stream-static left join feeding a custom stateful operator
+    (applyInPandasWithState keyed on fingerprint, state = the smallest
+    doc_id seen). Bounded drain => labels equal the batch rule, and
+    q113's DuckDB oracle applies verbatim.
+
+    Multi-batch caveat (the honest streaming semantics, exercised in
+    tests/test_streaming.py): across micro-batches, first-arrival wins
+    — a later batch can't retroactively relabel an earlier 'new' even
+    if a smaller doc_id arrives, so 'new' means "first fingerprint
+    occurrence to ARRIVE", which is the deployable daily-ingestion
+    contract.
+
+    Scale: history broadcasts when dim-sized / shuffle-joins when not
+    (AQE's call); state per live fingerprint is ONE int64, partitioned
+    by the group key; Arrow batches stream through the Python worker.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.dedup import _HIST_CUT, normalized
+    from ..functions.text import doc_bucket
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(normalized(F.col("text"))).alias("fingerprint"),
+        doc_bucket().alias("b"))
+    hist = (d.filter(F.col("b") < _HIST_CUT)
+            .select("fingerprint").distinct()
+            .withColumn("in_hist", F.lit(1)))
+
+    src = _stage_incoming_docs(spark, sf_dir)
+    stream = spark.readStream.schema("doc_id long, fingerprint string") \
+        .parquet(src)
+    joined = stream.join(hist, "fingerprint", "left")
+
+    def label(key, pdfs, state: GroupState):
+        prev_min = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows["in_hist"].notna().any():
+            status = pd.Series("dup_of_history", index=rows.index)
+        else:
+            batch_min = int(rows["doc_id"].min())
+            if prev_min is None:
+                status = pd.Series("dup_within_batch", index=rows.index)
+                status[rows["doc_id"] == batch_min] = "new"
+                state.update((batch_min,))
+            else:
+                status = pd.Series("dup_within_batch", index=rows.index)
+                state.update((min(prev_min, batch_min),))
+        yield pd.DataFrame({
+            "doc_id": rows["doc_id"],
+            "fingerprint": key[0],
+            "status": status,
+        })
+
+    labeled = joined.groupBy("fingerprint").applyInPandasWithState(
+        label,
+        outputStructType="doc_id long, fingerprint string, status string",
+        stateStructType="min_id long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _drain(labeled, "append")
+
+
+# the streaming pipeline must satisfy the SAME contract as batch q113
+from ..functions.dedup import _incremental_sql as _inc_sql  # noqa: E402
+
+QUERIES["q127_stream_incremental_dedup"].oracle = _inc_sql()

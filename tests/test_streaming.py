@@ -159,3 +159,68 @@ def test_late_data_dropped_behind_watermark(spark, tmp_path):
     assert by_window.get("10:00") == 4, by_window  # late row NOT counted
     assert "13:00" not in by_window and "14:00" not in by_window
     assert dropped == 1  # the operator itself reported the late-row drop
+
+
+def test_stream_incremental_dedup_first_arrival_wins(spark, tmp_path):
+    """q127's multi-batch semantics: one file per micro-batch, a
+    fingerprint repeated across batches gets exactly ONE 'new' (the
+    first ARRIVAL), later occurrences 'dup_within_batch' via state,
+    history fingerprints always 'dup_of_history' — and no row is lost
+    or duplicated across the drain."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # batch 0: fp_a (doc 10), fp_h (doc 11, in history)
+    # batch 1: fp_a again (doc 5 — SMALLER id, must still be a dup:
+    #          first arrival won), fp_b (doc 20, new)
+    src = str(tmp_path / "inc")
+    os.makedirs(src)
+    pd.DataFrame({"doc_id": [10, 11], "fingerprint": ["fp_a", "fp_h"]}) \
+        .to_parquet(os.path.join(src, "b0.parquet"))
+    pd.DataFrame({"doc_id": [5, 20], "fingerprint": ["fp_a", "fp_b"]}) \
+        .to_parquet(os.path.join(src, "b1.parquet"))
+
+    hist = spark.createDataFrame([("fp_h", 1)], "fingerprint string, in_hist int")
+    stream = (
+        spark.readStream.schema("doc_id long, fingerprint string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    joined = stream.join(hist, "fingerprint", "left")
+
+    def label(key, pdfs, state):
+        prev_min = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows["in_hist"].notna().any():
+            status = pd.Series("dup_of_history", index=rows.index)
+        else:
+            batch_min = int(rows["doc_id"].min())
+            if prev_min is None:
+                status = pd.Series("dup_within_batch", index=rows.index)
+                status[rows["doc_id"] == batch_min] = "new"
+                state.update((batch_min,))
+            else:
+                status = pd.Series("dup_within_batch", index=rows.index)
+                state.update((min(prev_min, batch_min),))
+        yield pd.DataFrame({
+            "doc_id": rows["doc_id"],
+            "fingerprint": key[0],
+            "status": status,
+        })
+
+    labeled = joined.groupBy("fingerprint").applyInPandasWithState(
+        label,
+        outputStructType="doc_id long, fingerprint string, status string",
+        stateStructType="min_id long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got = {(r.doc_id, r.status)
+           for r in drain(spark, labeled, "t_inc_dedup").collect()}
+    assert got == {
+        (10, "new"),                # first arrival of fp_a
+        (11, "dup_of_history"),
+        (5, "dup_within_batch"),    # smaller id, but arrived second
+        (20, "new"),
+    }
