@@ -76,11 +76,35 @@ def cli_inspect_header(argv: list[str]) -> int:
     return 0
 
 
+def cli_snapshots(argv: list[str]) -> int:
+    """List a dataset's metadata-log versions (file counts and total
+    rows per version, from the zone-map manifest when present)."""
+    if len(argv) != 1:
+        print("usage: ... snapshots <dataset-dir>", file=sys.stderr)
+        return 2
+    from .datasource import load_manifest, load_snapshots
+
+    snaps = load_snapshots(argv[0])
+    manifest = load_manifest(argv[0])
+    out = []
+    for s in snaps:
+        rows = [manifest.get(b, {}).get("num_rows") for b in s["files"]]
+        out.append({
+            "version": s["version"],
+            "n_files": len(s["files"]),
+            "num_rows": sum(r for r in rows if r is not None)
+            if any(r is not None for r in rows) else None,
+        })
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 COMMANDS = {
     "csv_to_custom": cli_csv_to_custom,
     "custom_to_csv": cli_custom_to_csv,
     "read_columns": cli_read_columns,
     "inspect_header": cli_inspect_header,
+    "snapshots": cli_snapshots,
 }
 
 

@@ -374,6 +374,46 @@ def q121_strict_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q128: sketch-tier percentiles --------------------------------------
+
+SKETCH_ACCURACY = 10000  # rank error <= n / accuracy
+
+
+@register("q128_percentile_sketch", oracle=None)
+def q128_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPROX tier of q117: per-group percentiles from Spark's
+    mergeable quantile sketch (approx_percentile, Greenwald-Khanna) —
+    the first-pass operator at 100 TB, where q117's exact
+    cume_dist-over-a-sort is the audited rerank on samples. Rank error
+    is bounded by n/accuracy; tests/test_queries_oracle.py asserts the
+    sketch values land within that bound of q117's exact answers.
+
+    Rows-only in the driver gate by design: the sketch's internal
+    merge order is engine-specific, so no cross-engine oracle can pin
+    its exact output (same policy as q07/q62/q63). Sketch results ARE
+    deterministic within Spark for a given dataset.
+
+    Scale: the sketch is map-side mergeable — one partial aggregate
+    per task, merged on the reducer; no sort, no full-column
+    materialization, state O(accuracy · log n) per group.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pct = F.percentile_approx(
+        "l_extendedprice", [0.5, 0.9, 0.99], SKETCH_ACCURACY)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("p"),
+             F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "l_returnflag",
+            F.col("p")[0].alias("p50_approx"),
+            F.col("p")[1].alias("p90_approx"),
+            F.col("p")[2].alias("p99_approx"),
+            "n",
+        )
+    )
+
+
 # (a fixed-width token histogram already exists as q59_length_histogram;
 # the graph-analytics counterpart of this batch, q120_graph_triangles,
 # lives in dedup.py next to the candidate-edge helpers it shares.)

@@ -104,3 +104,22 @@ def test_usage_errors():
     assert run(CLI, cwd="/root/repo").returncode == 2
     assert run(CLI + ["csv_to_custom", "onlyone"], cwd="/root/repo").returncode == 2
     assert run(CLI + ["nonsense"], cwd="/root/repo").returncode == 2
+
+
+def test_cli_snapshots_lists_versions(spark, tmp_path, capsys):
+    import json as _json
+
+    from columnar_format_spark.colf import cli
+    from columnar_format_spark.colf.datasource import register
+    from pyspark.sql import functions as F
+
+    register(spark)
+    path = str(tmp_path / "snapds")
+    df = spark.range(10).select(F.col("id").cast("int").alias("v"))
+    df.coalesce(1).write.format("colf").mode("overwrite").save(path)
+    df.coalesce(1).write.format("colf").mode("append").save(path)
+    assert cli.main(["snapshots", path]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert [s["version"] for s in out] == [1, 2]
+    assert out[0]["n_files"] == 1 and out[1]["n_files"] == 2
+    assert out[0]["num_rows"] == 10 and out[1]["num_rows"] == 20
