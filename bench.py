@@ -61,6 +61,8 @@ HEADLINE = [
     "q124_tpch_q5",
     "q125_tpch_q10",
     "q126_tpch_q18",
+    "q116_doc_chunking",
+    "q129_dedup_verified_pairs",
 ]
 
 

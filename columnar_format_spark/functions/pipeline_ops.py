@@ -1,7 +1,8 @@
 """Training-data pipeline operators, batch 2: PII redaction,
-deterministic stratified sampling, exact distribution statistics,
-skew-safe exact distinct, rare-bigram quality scoring, event funnels,
-and corpus histograms.
+deterministic stratified sampling, exact and sketch-tier distribution
+statistics, skew-safe exact distinct, rare-bigram quality scoring,
+strict event funnels, RAG document chunking, and exact-Jaccard
+verification of LSH dedup candidates.
 
 The reference has no expression/query surface at all (SURVEY.md §2.2 —
 reader.py/writer.py are scan+encode only); these continue the
@@ -417,3 +418,155 @@ def q128_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (a fixed-width token histogram already exists as q59_length_histogram;
 # the graph-analytics counterpart of this batch, q120_graph_triangles,
 # lives in dedup.py next to the candidate-edge helpers it shares.)
+
+
+# --- q116: RAG document chunking ----------------------------------------
+
+CHUNK_TOKENS = 20   # window size
+CHUNK_STRIDE = 15   # => 5-token overlap between consecutive chunks
+
+
+@register(
+    "q116_doc_chunking",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, u.i AS chunk_start,
+             list_slice(toks, u.i, least(u.i + {CHUNK_TOKENS} - 1,
+                                         len(toks))) AS chunk
+      FROM t CROSS JOIN UNNEST(range(1, len(toks) + 1, {CHUNK_STRIDE})) AS u(i)
+    )
+    SELECT doc_id,
+           CAST((chunk_start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_no,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(len(chunk) AS BIGINT) AS chunk_len,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM c
+    """,
+)
+def q116_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking — the RAG/embedding
+    preprocessing step that splits long docs into {CHUNK_TOKENS}-token
+    windows every {CHUNK_STRIDE} tokens (trailing chunks may be
+    short). The inverse of q71's packing: packing merges short docs to
+    fill sequences, chunking splits long docs to fit them. Chunk
+    content is pinned by md5 so the oracle verifies the actual token
+    windows, not just counts.
+
+    Scale: pure per-row array arithmetic (sequence + slice inside one
+    codegen projection, then explode) — no shuffle at all; output size
+    ~ n_tokens/stride rows per doc, streamed straight to the sink or
+    the downstream embedding stage.
+    """
+    d = spread(table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), "\\s+")
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(CHUNK_STRIDE))
+    c = (
+        d.select("doc_id", toks.alias("toks"), starts.alias("starts"))
+        .select("doc_id", "toks", F.explode("starts").alias("chunk_start"))
+        .select(
+            "doc_id",
+            ((F.col("chunk_start") - 1) / CHUNK_STRIDE).cast("bigint")
+            .alias("chunk_no"),
+            F.col("chunk_start").cast("bigint").alias("chunk_start"),
+            F.slice(F.col("toks"), F.col("chunk_start"), F.lit(CHUNK_TOKENS))
+            .alias("chunk"),
+        )
+    )
+    return c.select(
+        "doc_id", "chunk_no", "chunk_start",
+        F.size("chunk").cast("bigint").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_md5"),
+    )
+
+
+# --- q129: exact-Jaccard verification of LSH candidates ------------------
+
+VERIFY_JACCARD = 0.5
+
+
+@register(
+    "q129_dedup_verified_pairs",
+    oracle=None,  # set below — needs dedup's candidate SQL
+)
+def q129_dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERIFY stage of MinHash dedup: every q52 LSH candidate pair
+    is checked by exact Jaccard over its distinct word-bigram shingle
+    sets, keeping pairs >= {VERIFY_JACCARD}. Candidate-then-verify is
+    the canonical production shape — LSH bounds the comparison count,
+    the exact pass removes the sketch's false positives before docs
+    are dropped.
+
+    Scale: the exact comparison runs ONLY on candidate pairs (LSH-
+    bounded, ~linear in corpus size), never all pairs; the
+    intersection is a join on (pair, shingle) with map-side distinct,
+    set sizes ride a broadcast-eligible per-doc aggregate. Jaccard =
+    one IEEE division of exact integers (registry rules).
+    """
+    from .dedup import bigrams_of, normalized
+    from ..registry import QUERIES
+
+    d = spread(table(spark, sf_dir, "documents"))
+    sh = (
+        d.select("doc_id", normalized(F.col("text")).alias("norm"))
+        .select("doc_id", "norm", F.split("norm", " ").alias("toks"))
+        .select("doc_id",
+                F.explode(bigrams_of(F.col("toks"), F.col("norm"))).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    cand = QUERIES["q52_minhash_lsh"].fn(spark, sf_dir)
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("d1"), "s"), "d1")
+        .join(sh.select(F.col("doc_id").alias("d2"), "s"), ["d2", "s"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("d1"),
+                           F.col("sz").alias("sz1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"),
+                           F.col("sz").alias("sz2")), "d2")
+        .select(
+            "d1", "d2",
+            F.col("inter").cast("bigint").alias("n_common"),
+            (F.col("inter").cast("double")
+             / (F.col("sz1") + F.col("sz2") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= VERIFY_JACCARD)
+    )
+    return j
+
+
+def _verified_pairs_sql() -> str:
+    from .dedup import _MINHASH_SQL, SQL_WORD_BIGRAMS, SQL_NORM_TEXT
+
+    shingles = SQL_WORD_BIGRAMS.format(t=SQL_NORM_TEXT)
+    return f"""
+    WITH cand AS (SELECT d1, d2 FROM ({_MINHASH_SQL}) mh),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest({shingles}) AS s FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.d1, c.d2, COUNT(*) AS inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.d1
+      JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+      GROUP BY c.d1, c.d2)
+    SELECT i.d1, i.d2,
+           CAST(i.inter AS BIGINT) AS n_common,
+           CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter) AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON s1.doc_id = i.d1
+    JOIN sizes s2 ON s2.doc_id = i.d2
+    WHERE CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter)
+          >= {VERIFY_JACCARD}
+    """
+
+
+from ..registry import QUERIES as _Q  # noqa: E402
+
+_Q["q129_dedup_verified_pairs"].oracle = _verified_pairs_sql()

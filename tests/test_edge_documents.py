@@ -31,8 +31,10 @@ TEXT_QUERIES = [
     "q59_length_histogram",
     "q114_pii_redaction",
     "q115_stratified_sample",
+    "q116_doc_chunking",
     "q119_rare_bigram_score",
     "q120_graph_triangles",
+    "q129_dedup_verified_pairs",
 ]
 
 
