@@ -502,11 +502,14 @@ def q129_dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the exact comparison runs ONLY on candidate pairs (LSH-
     bounded, ~linear in corpus size), never all pairs; the
     intersection is a join on (pair, shingle) with map-side distinct,
-    set sizes ride a broadcast-eligible per-doc aggregate. Jaccard =
-    one IEEE division of exact integers (registry rules).
+    set sizes are a shuffle-free size(array_distinct) projection
+    (bigrams_of output is already distinct), and the candidate list
+    reuses the session-checkpointed edge graph shared with
+    q56/q108/q120 instead of recomputing the whole q52 signature
+    pipeline. Jaccard = one IEEE division of exact integers (registry
+    rules).
     """
-    from .dedup import bigrams_of, normalized
-    from ..registry import QUERIES
+    from .dedup import _candidate_edges, bigrams_of, normalized
 
     d = spread(table(spark, sf_dir, "documents"))
     sh = (
@@ -514,10 +517,16 @@ def q129_dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "norm", F.split("norm", " ").alias("toks"))
         .select("doc_id",
                 F.explode(bigrams_of(F.col("toks"), F.col("norm"))).alias("s"))
-        .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    cand = QUERIES["q52_minhash_lsh"].fn(spark, sf_dir)
+    sizes = (
+        d.select("doc_id", normalized(F.col("text")).alias("norm"))
+        .select("doc_id", F.split("norm", " ").alias("toks"), "norm")
+        .select("doc_id",
+                F.size(bigrams_of(F.col("toks"), F.col("norm"))).alias("sz"))
+    )
+    edges = _candidate_edges(spark, sf_dir)
+    cand = edges.where(F.col("a") < F.col("b")).select(
+        F.col("a").alias("d1"), F.col("b").alias("d2"))
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("d1"), "s"), "d1")
         .join(sh.select(F.col("doc_id").alias("d2"), "s"), ["d2", "s"])
