@@ -63,6 +63,7 @@ HEADLINE = [
     "q126_tpch_q18",
     "q116_doc_chunking",
     "q129_dedup_verified_pairs",
+    "q131_image_resize",
 ]
 
 

@@ -139,7 +139,12 @@ def frame_sample(blobs: DataFrame, every_nth: int = 4) -> DataFrame:
         blobs.filter(F.col("modality") == "video")
         .select("doc_id", F.posexplode(frames).alias("frame_no", "frame"))
         .filter(F.col("frame_no") % every_nth == 0)
-        .select("doc_id", "frame_no", F.md5(F.col("frame")).alias("frame_digest"))
+        .select("doc_id", "frame_no",
+                F.md5(F.col("frame")).alias("frame_digest"),
+                # hex of the frame bytes — oracle-comparable (DuckDB's
+                # md5 is VARCHAR-only, so the digest itself can't be
+                # cross-checked, but the bytes can)
+                F.hex(F.col("frame")).alias("frame_hex"))
     )
 
 
@@ -195,3 +200,78 @@ def q69_multimodal_features(spark, sf_dir: str):
             })
 
     return blobs.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+@register(
+    "q130_frame_sampling",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, md5(text) || md5('b|' || text) AS hx
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id,
+           CAST(u.k AS BIGINT) AS frame_no,
+           upper(substr(hx, u.k * 16 + 1, 16)) AS frame_hex
+    FROM v CROSS JOIN UNNEST(range(0, len(hx) // 16)) AS u(k)
+    WHERE u.k % 2 = 0
+    """,
+)
+def q130_frame_sampling(spark, sf_dir: str):
+    """Video frame sampling as a driver-checked query: synthesize
+    'video' blobs, split into 8-byte frames, keep every 2nd — one
+    output row per kept frame, content pinned by the frame's hex (the
+    oracle mirrors the byte math in hex-string space since the blob is
+    unhex of the md5 pair; DuckDB has no BLOB substring/md5).
+
+    Scale: pure map + posexplode — frames never shuffle; output rows
+    ~ blob_bytes/frame_size per asset, streamed to the next stage. A
+    real sampler swaps the 8-byte split for a container-aware frame
+    parser inside the same plan shape.
+    """
+    from ..registry import table
+
+    docs = table(spark, sf_dir, "documents")
+    frames = frame_sample(synthesize_blobs(docs), every_nth=2)
+    return frames.select(
+        "doc_id",
+        F.col("frame_no").cast("bigint").alias("frame_no"),
+        "frame_hex",
+    )
+
+
+RESIZE_W, RESIZE_H = 6, 6
+
+
+@register(
+    "q131_image_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({RESIZE_W} AS INTEGER) AS width,
+           CAST({RESIZE_H} AS INTEGER) AS height,
+           CAST({RESIZE_W * RESIZE_H} AS INTEGER) AS out_len,
+           upper(substr(repeat(md5(text) || md5('b|' || text), 2),
+                        1, {RESIZE_W * RESIZE_H * 2})) AS resized_hex
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def q131_image_resize(spark, sf_dir: str):
+    """Image resize plumbing as a driver-checked query: 'image' blobs
+    through the Arrow-batched mapInPandas resizer (deterministic fake:
+    truncate-or-tile to exactly w*h bytes — a real codec plugs into
+    the ``resize`` hook with the identical schema/batching). The
+    oracle reproduces the tile math in hex space and pins the full
+    resized payload, not just its length.
+
+    Scale: map-only like q69 — per-task memory is one Arrow batch of
+    blobs; no shuffle, no driver materialization.
+    """
+    from ..registry import table
+
+    docs = table(spark, sf_dir, "documents")
+    out = resize_images(synthesize_blobs(docs), target_w=RESIZE_W,
+                        target_h=RESIZE_H)
+    return out.select(
+        "doc_id", "width", "height",
+        F.octet_length("resized").alias("out_len"),
+        F.hex(F.col("resized")).alias("resized_hex"),
+    )
