@@ -335,6 +335,25 @@ def _chunk_stats(chunks: list, num_rows: int) -> dict:
     return {"num_rows": num_rows, "columns": cols}
 
 
+def _check_append_schema(path: str, cols) -> None:
+    """Appending a different schema would silently corrupt the dataset
+    (the reader takes the dataset schema from its first file, so later
+    mismatched files would decode into the wrong columns). Names and
+    types must match the existing dataset exactly; nullability may
+    differ — every file carries its own null bitmaps and decodes
+    correctly on its own."""
+    existing = live_files(path) if os.path.isdir(path) else []
+    if not existing:
+        return
+    have = [(c.name, c.type) for c in read_schema(existing[0]).columns]
+    want = [(c.name, c.type) for c in cols]
+    if have != want:
+        raise ColfFormatError(
+            f"append schema mismatch at {path}: dataset has {have}, "
+            f"write has {want} (use mode('overwrite') to replace the "
+            f"dataset, or align the column names/types)")
+
+
 class ColfWriter(DataSourceArrowWriter):
     def __init__(self, options, schema: StructType, overwrite: bool):
         self.path = options.get("path")
@@ -343,6 +362,8 @@ class ColfWriter(DataSourceArrowWriter):
         self.schema = schema
         self.overwrite = overwrite
         self.colf_columns = spark_to_colf_columns(schema)  # validate types early
+        if not overwrite:
+            _check_append_schema(self.path, self.colf_columns)
 
     def write(self, iterator):
         """Executor-side: drain this partition's Arrow batches into one
@@ -517,6 +538,8 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
             raise ColfFormatError("colf stream writer requires a path")
         self.schema = schema
         self.colf_columns = spark_to_colf_columns(schema)
+        # a stream restarted onto an existing dataset must match it
+        _check_append_schema(self.path, self.colf_columns)
 
     def write(self, iterator):
         from pyspark import TaskContext

@@ -107,3 +107,32 @@ def test_query_over_colf(colf_spark, tmp_path):
                                       .cast("double").alias("s"))
             .orderBy("flag").collect())
     assert got == want
+
+
+def test_append_schema_mismatch_is_a_clean_error(colf_spark, tmp_path):
+    """Appending a different schema must fail loudly — the reader
+    takes the dataset schema from its first file, so a silent mixed-
+    schema append would decode later files into the wrong columns."""
+    path = str(tmp_path / "ds")
+    colf_spark.range(5).select(F.col("id").cast("int").alias("a")) \
+        .coalesce(1).write.format("colf").mode("overwrite").save(path)
+    # same name, different type
+    bad_type = colf_spark.range(3).select((F.col("id") * 1.5).alias("a"))
+    with pytest.raises(Exception) as ei:
+        bad_type.coalesce(1).write.format("colf").mode("append").save(path)
+    assert "schema mismatch" in str(ei.value)
+    # different name
+    bad_name = colf_spark.range(3).select(F.col("id").cast("int").alias("b"))
+    with pytest.raises(Exception) as ei:
+        bad_name.coalesce(1).write.format("colf").mode("append").save(path)
+    assert "schema mismatch" in str(ei.value)
+    # matching schema still appends; nullability difference is allowed
+    colf_spark.createDataFrame([(None,), (7,)], "a int") \
+        .coalesce(1).write.format("colf").mode("append").save(path)
+    got = sorted(r.a for r in colf_spark.read.format("colf").load(path).collect()
+                 if r.a is not None)
+    assert got == [0, 1, 2, 3, 4, 7]
+    # overwrite with a new schema is the sanctioned replace path
+    colf_spark.range(2).select((F.col("id") * 1.0).alias("z")) \
+        .coalesce(1).write.format("colf").mode("overwrite").save(path)
+    assert colf_spark.read.format("colf").load(path).columns == ["z"]
