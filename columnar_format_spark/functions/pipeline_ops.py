@@ -579,3 +579,141 @@ def _verified_pairs_sql() -> str:
 from ..registry import QUERIES as _Q  # noqa: E402
 
 _Q["q129_dedup_verified_pairs"].oracle = _verified_pairs_sql()
+
+
+# --- q132: deterministic negative sampling ------------------------------
+
+N_NEGATIVES = 3
+
+
+@register(
+    "q132_negative_sampling",
+    # NB: the lead()s must be computed BEFORE the rank unpivot — a
+    # lead over the cross-joined relation would walk the tripled
+    # sequence
+    oracle=f"""
+    WITH ring AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    ), led AS (
+      SELECT doc_id AS anchor_id,
+             lead(doc_id, 1) OVER (ORDER BY hx) AS n1,
+             lead(doc_id, 2) OVER (ORDER BY hx) AS n2,
+             lead(doc_id, 3) OVER (ORDER BY hx) AS n3
+      FROM ring
+    )
+    SELECT anchor_id,
+           CAST(u.k AS BIGINT) AS neg_rank,
+           CASE u.k WHEN 1 THEN n1 WHEN 2 THEN n2 WHEN 3 THEN n3 END AS negative_id
+    FROM led CROSS JOIN UNNEST(range(1, {N_NEGATIVES} + 1)) AS u(k)
+    WHERE CASE u.k WHEN 1 THEN n1 WHEN 2 THEN n2 WHEN 3 THEN n3 END IS NOT NULL
+    """,
+)
+def q132_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-negative assignment for contrastive
+    training pairs: docs are placed on an md5 hash ring and each
+    anchor takes its next {N_NEGATIVES} ring successors as negatives —
+    uniformly random with respect to content (md5 order is
+    content-independent) yet fully reproducible across engines,
+    retries, and partitionings, unlike an RNG-based sampler. Anchors
+    at the ring's end simply yield fewer pairs (no wraparound — the
+    QUALIFY/filter drops null successors, pinned by the oracle).
+
+    Scale: one global sort by the 128-bit hash — at 100 TB this is a
+    range-partitioned sort (Spark samples hash boundaries), and lead()
+    is evaluated within partitions with a bounded tail exchange; the
+    pattern is the same "global structure without a single-partition
+    window" trade documented for q86, acceptable here because the ring
+    sort is once per corpus snapshot, not per query.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hx"))
+    w = Window.orderBy("hx")
+    out = d.select(
+        F.col("doc_id").alias("anchor_id"),
+        *[F.lead("doc_id", k).over(w).alias(f"_n{k}")
+          for k in range(1, N_NEGATIVES + 1)],
+    )
+    pairs = out.select(
+        "anchor_id",
+        F.posexplode(F.array(*[F.col(f"_n{k}")
+                               for k in range(1, N_NEGATIVES + 1)]))
+        .alias("pos", "negative_id"),
+    )
+    return (
+        pairs.filter(F.col("negative_id").isNotNull())
+        .select("anchor_id",
+                (F.col("pos") + 1).cast("bigint").alias("neg_rank"),
+                "negative_id")
+    )
+
+
+# --- q133: token-budget corpus selection --------------------------------
+
+TOKEN_BUDGET = 20_000  # per-source token budget
+
+
+@register(
+    "q133_budget_selection",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+             n_chars AS score
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, n_tokens, score,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM scored
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected,
+           CAST(MIN(score) AS BIGINT) AS worst_score
+    FROM ranked
+    WHERE cum_before + n_tokens <= {TOKEN_BUDGET}
+    GROUP BY source
+    """,
+)
+def q133_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-aware corpus selection: per source, take documents
+    best-first (score = length here; any deterministic quality score
+    slots in) while the running token total stays within the budget —
+    the "give me the best N tokens per domain" step that sets corpus
+    mixtures under a fixed training budget. A doc is kept iff it fits
+    ENTIRELY (cum_before + its tokens <= budget), so the kept set is
+    well-defined under the (score, doc_id) total order.
+
+    Scale: one window per source partition (exclusive running sum) —
+    the same N-way-parallel pack shape as q86; sources are the
+    parallelism unit, and a skewed mega-source would bucket-split
+    exactly like q86's N_PACK_BUCKETS.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(F.split(F.col("text"), "\\s+")).alias("n_tokens"),
+        F.col("n_chars").alias("score"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = d.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        ranked.filter(F.col("cum_before") + F.col("n_tokens") <= TOKEN_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_selected"),
+            F.min("score").cast("bigint").alias("worst_score"),
+        )
+    )
