@@ -35,6 +35,10 @@ TEXT_QUERIES = [
     "q119_rare_bigram_score",
     "q120_graph_triangles",
     "q129_dedup_verified_pairs",
+    "q130_frame_sampling",
+    "q131_image_resize",
+    "q132_negative_sampling",
+    "q133_budget_selection",
 ]
 
 
