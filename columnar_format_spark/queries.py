@@ -21,7 +21,7 @@ from .registry import QUERIES, QuerySpec  # noqa: F401
 
 # Round-3 driver window: 49 queries with no CORRECTNESS row yet, plus
 # q33 (oracle-typing fix this round — kept in-window to prove it).
-# Round-4 rotation note: q111-q128 (added during round 3) have no
+# Round-4 rotation note: q111-q133 (added during round 3) have no
 # driver row yet — next round swap them plus the remaining unchecked
 # families (q80-q84 streaming, q92-q94, q58/q59/q61/q64-q66/q72) into
 # this window; everything below has its r03 green row by then.
