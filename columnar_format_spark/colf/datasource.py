@@ -257,6 +257,15 @@ class ColfReader(DataSourceReader):
         # listing for datasets without one)
         snap_opt = options.get("snapshot")
         self.snapshot = int(snap_opt) if snap_opt is not None else None
+        # option incrementalFrom=N plans ONLY the part files added
+        # after version N (up to `snapshot` or latest) — the CDC-style
+        # incremental scan: a consumer that has processed version N
+        # reads just the appended files, zero re-reads. Valid between
+        # APPEND-ONLY versions; a retained compaction rewrites the
+        # file set, so an increment spanning it degenerates to the
+        # full compacted set (file-level diff semantics, documented).
+        inc_opt = options.get("incrementalFrom")
+        self.incremental_from = int(inc_opt) if inc_opt is not None else None
 
     def pushFilters(self, filters):
         """Record conjuncts usable for manifest file-skipping. ALL
@@ -289,6 +298,15 @@ class ColfReader(DataSourceReader):
                     f"{[os.path.basename(f) for f in missing]}")
         else:
             files = live_files(self.path)
+        if self.incremental_from is not None:
+            snaps = {s["version"]: s for s in load_snapshots(self.path)}
+            if self.incremental_from not in snaps:
+                raise ColfFormatError(
+                    f"incrementalFrom version {self.incremental_from} not "
+                    f"found in {self.path} (available: "
+                    f"{sorted(snaps) or 'none'})")
+            seen = set(snaps[self.incremental_from]["files"])
+            files = [f for f in files if os.path.basename(f) not in seen]
         if self.pushed and self.pruning:
             manifest = load_manifest(self.path)
             if manifest:
@@ -300,11 +318,17 @@ class ColfReader(DataSourceReader):
                     ):
                         kept.append(f)
                 files = kept
+        if not files:
+            # the API requires >= 1 partition; a None-file sentinel
+            # yields zero batches (empty increment / all files pruned)
+            return [ColfInputPartition(None)]
         return [ColfInputPartition(f) for f in files]
 
     def read(self, partition: ColfInputPartition):
         import pyarrow as pa
 
+        if partition.file is None:
+            return
         wanted = self.columns or [f.name for f in self.schema.fields]
         data = read_columns_arrow(partition.file, wanted)
         yield pa.RecordBatch.from_arrays([data[n] for n in wanted], names=wanted)

@@ -379,3 +379,42 @@ def q122_colf_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v1_rows", "v1_sum_qty", "latest_rows", "latest_sum_qty",
         )
     )
+
+
+@register(
+    "q134_colf_incremental_read",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS inc_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS inc_qty,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+    FROM lineitem WHERE l_orderkey % 2 = 1
+    """,
+)
+def q134_colf_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style incremental scan over the COLF metadata log: a
+    consumer that has processed version 1 of the time-travel dataset
+    reads ``option("incrementalFrom", 1).option("snapshot", 2)`` and
+    gets EXACTLY the rows appended by the v2 commit (the odd order
+    keys) — planned as a file-LIST diff, so nothing already consumed
+    is re-read or re-shuffled. The explicit ``snapshot=2`` upper bound
+    matters: v3 is a retained compaction, which rewrites the file set,
+    so an increment spanning it would degenerate to the full
+    compacted set (file-level diff semantics).
+
+    Scale: this is Iceberg's incremental-scan idea — the increment's
+    cost is proportional to the APPENDED data, not the dataset; the
+    version diff itself is pure sidecar metadata.
+    """
+    from .datasource import register as register_ds
+
+    register_ds(spark)
+    d = _stage_timetravel_colf(spark, sf_dir)
+    inc = (spark.read.format("colf")
+           .option("incrementalFrom", 1).option("snapshot", 2).load(d))
+    return inc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("inc_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("inc_qty"),
+        F.min(F.col("l_orderkey").cast("bigint")).alias("min_key"),
+        F.max(F.col("l_orderkey").cast("bigint")).alias("max_key"),
+    )

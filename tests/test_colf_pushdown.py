@@ -100,7 +100,11 @@ def test_unprunable_cases_keep_all_files(ranged_dataset):
     assert len(all_parts) == 8
     assert len(_reader(ranged_dataset,
                        [LessThanOrEqual(("o_totalprice",), 1e12)]).partitions()) == 8
-    assert len(_reader(ranged_dataset, [IsNull(("o_orderkey",))]).partitions()) == 0
+    # pruning everything leaves the single empty-sentinel partition
+    # (the DataSource API requires >= 1; its file is None, so the scan
+    # yields zero batches)
+    pruned_all = _reader(ranged_dataset, [IsNull(("o_orderkey",))]).partitions()
+    assert len(pruned_all) == 1 and pruned_all[0].file is None
     assert len(_reader(ranged_dataset, [EqualTo(("nope",), 1)]).partitions()) == 8
 
 

@@ -149,3 +149,28 @@ def test_stream_sink_commits_advance_the_log(colf_spark, tmp_path):
     snaps = load_snapshots(out)
     assert snaps, "stream sink must commit metadata-log versions"
     assert _vals(_read(colf_spark, out)) == list(range(6))
+
+
+def test_incremental_read_between_versions(colf_spark, tmp_path):
+    """incrementalFrom plans only files added after the given version;
+    unknown versions fail loudly."""
+    path = str(tmp_path / "ds")
+    _ints(colf_spark, 0, 10).coalesce(1).write.format("colf") \
+        .mode("overwrite").save(path)
+    _ints(colf_spark, 10, 15).coalesce(1).write.format("colf") \
+        .mode("append").save(path)
+    _ints(colf_spark, 15, 18).coalesce(1).write.format("colf") \
+        .mode("append").save(path)
+    inc = colf_spark.read.format("colf").option("incrementalFrom", "1").load(path)
+    assert _vals(inc) == list(range(10, 18))
+    inc12 = (colf_spark.read.format("colf")
+             .option("incrementalFrom", "1").option("snapshot", "2").load(path))
+    assert _vals(inc12) == list(range(10, 15))
+    # already-current consumer gets an empty increment
+    inc33 = (colf_spark.read.format("colf")
+             .option("incrementalFrom", "3").load(path))
+    assert _vals(inc33) == []
+    with pytest.raises(Exception) as ei:
+        colf_spark.read.format("colf").option("incrementalFrom", "9") \
+            .load(path).collect()
+    assert "incrementalFrom version 9" in str(ei.value)
