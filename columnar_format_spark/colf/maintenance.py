@@ -46,6 +46,12 @@ def compact(spark: SparkSession, path: str, target_files: int,
     dir, merges their zone maps into the manifest, and commits a new
     snapshot — old versions stay time-travel-readable, old part files
     stay on disk until vacuum().
+
+    Neither mode is safe while a STREAM is tailing the directory: the
+    stream source tracks files by basename, so a compaction's rewritten
+    files would be re-delivered as new data. Stop (or checkpoint-pause)
+    tailing streams before compacting — the same contract as Spark's
+    own file source over rewritten directories.
     """
     import json
 
