@@ -638,7 +638,18 @@ class ColfDataSource(DataSource):
                 raise KeyError(f"Column not found: {missing[0]}")
             file_schema = ColfSchema(file_schema.num_rows,
                                      [index[c] for c in wanted])
-        return colf_to_spark_schema(file_schema)
+        # Dataset-level schema is always NULLABLE (like Spark's own
+        # parquet source): the header only describes the FIRST file,
+        # and a later appended file may legally carry nulls in a
+        # column the first file declared non-null — advertising that
+        # file's non-null flag would make Spark trust a guarantee the
+        # dataset can't keep (observed as a codegen-level
+        # "Value at index is null" crash). Per-FILE nullability stays
+        # exact in the COLF headers.
+        base = colf_to_spark_schema(file_schema)
+        return StructType([
+            StructField(f.name, f.dataType, True) for f in base.fields
+        ])
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return ColfReader(self.options, schema)
