@@ -665,6 +665,19 @@ class ColfDataSource(DataSource):
 
 
 def register(spark) -> None:
+    """Register the source AND enable Python-source filter pushdown.
+
+    PySpark 4.1 hard-fails reader initialization when a Python
+    DataSourceReader defines ``pushFilters()`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false
+    ([DATA_SOURCE_PUSHDOWN_DISABLED]) — and the conf defaults to
+    false. Setting it here (it is runtime-settable) means ANY session
+    that registers the source can read COLF, not just sessions built
+    by this package's ``get_spark()`` factory. Pinned by
+    tests/test_vanilla_session_compat.py, which runs COLF queries in a
+    bare subprocess SparkSession exactly like an external driver.
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ColfDataSource)
 
 

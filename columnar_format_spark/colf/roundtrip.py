@@ -171,7 +171,9 @@ def q75_colf_selective_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     same 2.5× the reference measures on its 1-of-5-column benchmark.
     """
     from .datasource import read_colf
+    from .datasource import register as register_ds
 
+    register_ds(spark)  # idempotent; staging may have run in another session
     d = _stage_lineitem_colf(spark, sf_dir)
     df = read_colf(spark, d, ["l_returnflag", "l_quantity"])
     return df.groupBy("l_returnflag").agg(
@@ -203,6 +205,9 @@ def q76_colf_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning granule, which is why the dataset convention range-
     partitions on the layout key.
     """
+    from .datasource import register as register_ds
+
+    register_ds(spark)  # idempotent; staging may have run in another session
     d = _stage_lineitem_colf(spark, sf_dir)
     df = spark.read.format("colf").load(d).filter(
         F.col("l_orderkey").between(1000, 2000))
@@ -240,7 +245,9 @@ def q109_colf_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset streams at the cluster's file-open rate.
     """
     from ..streaming.stream_queries import _drain
+    from .datasource import register as register_ds
 
+    register_ds(spark)  # idempotent; staging may have run in another session
     d = _stage_lineitem_colf(spark, sf_dir)
     stream = spark.readStream.format("colf").load(d)
     agg = stream.groupBy("l_returnflag").agg(
@@ -282,8 +289,10 @@ def q112_colf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..staging import stage_once
     from .datasource import dataset_files
+    from .datasource import register as register_ds
     from .maintenance import compact
 
+    register_ds(spark)  # idempotent; staging may have run in another session
     src = _stage_lineitem_colf(spark, sf_dir)
 
     def write(d: str) -> None:
@@ -357,7 +366,9 @@ def q122_colf_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     disk by retiring expired versions.
     """
     from .datasource import load_snapshots
+    from .datasource import register as register_ds
 
+    register_ds(spark)  # idempotent; staging may have run in another session
     d = _stage_timetravel_colf(spark, sf_dir)
     n_versions = len(load_snapshots(d))
     latest_files = len(load_snapshots(d)[-1]["files"])
