@@ -585,6 +585,14 @@ _Q["q129_dedup_verified_pairs"].oracle = _verified_pairs_sql()
 
 N_NEGATIVES = 3
 
+# The hash ring is split into 16^RING_BUCKET_CHARS independent
+# sub-rings keyed by the md5 prefix — 2 hex chars = 256 buckets. Pick
+# chars so bucket count ≳ cluster parallelism (3 chars = 4096 for a
+# 1000-executor run); each bucket is a hash-random 1/256th of the
+# corpus, so per-bucket rings are statistically identical to one
+# global ring for random-negative purposes.
+RING_BUCKET_CHARS = 2
+
 
 @register(
     "q132_negative_sampling",
@@ -597,9 +605,12 @@ N_NEGATIVES = 3
       FROM documents
     ), led AS (
       SELECT doc_id AS anchor_id,
-             lead(doc_id, 1) OVER (ORDER BY hx) AS n1,
-             lead(doc_id, 2) OVER (ORDER BY hx) AS n2,
-             lead(doc_id, 3) OVER (ORDER BY hx) AS n3
+             lead(doc_id, 1) OVER (PARTITION BY substr(hx, 1, {RING_BUCKET_CHARS})
+                                   ORDER BY hx) AS n1,
+             lead(doc_id, 2) OVER (PARTITION BY substr(hx, 1, {RING_BUCKET_CHARS})
+                                   ORDER BY hx) AS n2,
+             lead(doc_id, 3) OVER (PARTITION BY substr(hx, 1, {RING_BUCKET_CHARS})
+                                   ORDER BY hx) AS n3
       FROM ring
     )
     SELECT anchor_id,
@@ -615,22 +626,32 @@ def q132_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor takes its next {N_NEGATIVES} ring successors as negatives —
     uniformly random with respect to content (md5 order is
     content-independent) yet fully reproducible across engines,
-    retries, and partitionings, unlike an RNG-based sampler. Anchors
-    at the ring's end simply yield fewer pairs (no wraparound — the
-    QUALIFY/filter drops null successors, pinned by the oracle).
+    retries, and partitionings, unlike an RNG-based sampler.
 
-    Scale: one global sort by the 128-bit hash — at 100 TB this is a
-    range-partitioned sort (Spark samples hash boundaries), and lead()
-    is evaluated within partitions with a bounded tail exchange; the
-    pattern is the same "global structure without a single-partition
-    window" trade documented for q86, acceptable here because the ring
-    sort is once per corpus snapshot, not per query.
+    The ring is BUCKETED by md5 prefix (RING_BUCKET_CHARS hex chars →
+    256 sub-rings): lead() runs under
+    ``Window.partitionBy(bucket).orderBy(hx)``, so the sort is a
+    per-bucket window, never a single-partition global window (lead()
+    is not rank-like — WindowGroupLimit cannot rescue an unpartitioned
+    plan, and Spark would otherwise move the whole corpus into ONE
+    task). Anchors at each sub-ring's tail simply yield fewer pairs
+    (no wraparound — the filter drops null successors, pinned by the
+    oracle, which buckets identically). Because md5 is uniform, every
+    bucket is an unbiased random sample of the corpus, so successors
+    within a bucket are exactly as random as successors on the global
+    ring — the bucketing changes WHICH random negatives are drawn, not
+    their distribution.
+
+    Scale: the q86 bucketing pattern (SCALING.md) — 256-way parallel
+    window, one shuffle on the bucket key; raise RING_BUCKET_CHARS to
+    3 (4096 buckets) for 1000-executor runs.
     """
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hx"))
-    w = Window.orderBy("hx")
+    d = d.withColumn("ring_bucket", F.substring("hx", 1, RING_BUCKET_CHARS))
+    w = Window.partitionBy("ring_bucket").orderBy("hx")
     out = d.select(
         F.col("doc_id").alias("anchor_id"),
         *[F.lead("doc_id", k).over(w).alias(f"_n{k}")

@@ -159,6 +159,36 @@ def test_corpus_shards_window_is_bucket_partitioned(spark):
     assert "SinglePartition" not in plan
 
 
+def test_negative_sampling_window_is_bucket_partitioned(spark):
+    """q132's lead() must window over the md5-prefix ring buckets —
+    lead() is not rank-like, so an unpartitioned Window.orderBy would
+    move the whole corpus into ONE task with no WindowGroupLimit
+    rescue."""
+    plan = plan_of(spark, "q132_negative_sampling")
+    assert "Window" in plan
+    assert "hashpartitioning(ring_bucket" in plan, plan
+    assert "SinglePartition" not in plan
+
+
+@pytest.mark.parametrize("name", [
+    # every headline query whose plan contains a Window must window
+    # over a partition key; q24's global ranked-report windows are the
+    # one documented exception (relational.py docstring) and q117's
+    # exact-percentile sort is paired with the q128 sketch tier.
+    "q20_window_topk_per_group", "q21_window_running_sum",
+    "q22_window_lag_delta", "q23_window_range_30d", "q33_sessionize",
+    "q86_corpus_shards", "q95_gapfill_locf",
+    "q96_median_mode", "q132_negative_sampling", "q133_budget_selection",
+])
+def test_windows_never_single_partition(spark, name):
+    """No single-partition Exchange may feed a Window in the headline
+    window queries — the plan shape that serializes 100 TB into one
+    task (SCALING.md)."""
+    plan = plan_of(spark, name)
+    assert "Window" in plan, f"{name} no longer plans a Window"
+    assert "Exchange SinglePartition" not in plan, name
+
+
 def test_interval_overlap_broadcasts_promos(spark):
     """q97's 4-row promo dimension must broadcast into a nested-loop
     join (the right plan for a tiny non-equi side) — the orders fact
