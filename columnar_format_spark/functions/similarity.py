@@ -348,6 +348,170 @@ def q63_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q135: ANN recall audit (exact-oracle LSH) --------------------------
+#
+# q62/q63 are rows-only (float scoring / iterative fit). q135 gives the
+# ANN tier a driver row that turns RED if the LSH bucketing machinery
+# breaks: it rebuilds the same multi-table sign-LSH pipeline with
+# INTEGER arithmetic end-to-end — weights are 16-bit ints derived from
+# md5 ("iproj|plane|dim"), embeddings are the q60 int64 quantization,
+# and a bit is sign(Σ qv·w) on an exact int64 sum — so Spark (numpy
+# int64 matmul) and DuckDB (list math on the same md5-derived weights)
+# compute IDENTICAL buckets, candidates, and recall counts.
+
+IRPOJ_SALT = "iproj"
+
+
+def _int_projection_matrix() -> "object":
+    """LSH_TABLES*LSH_BITS × 64 int16-range weights from md5 — the
+    integer twin of _projection_matrix, shared with the SQL oracle
+    (which derives the same values via md5 hex arithmetic)."""
+    import hashlib
+
+    import numpy as np
+
+    rows = []
+    for p in range(LSH_TABLES * LSH_BITS):
+        rows.append([
+            int(hashlib.md5(f"{IRPOJ_SALT}|{p}|{d}".encode()).hexdigest()[:4], 16)
+            - 32768
+            for d in range(64)
+        ])
+    return np.asarray(rows, dtype=np.int64)
+
+
+def _recall_sql() -> str:
+    """DuckDB mirror of q135: same quantization, same md5-derived
+    integer weights, same (table, code) candidate join, same exact
+    top-k — recall is an integer, so the value-hash compare is exact."""
+    qv = SQL_QVEC.format(a="embedding")
+    nrm = SQL_INT_NORM.format(a=qv)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, {qv} AS qv, {nrm} AS nrm FROM embeddings),
+    w AS (
+      SELECT p.plane, list_transform(range(0, 64), d ->
+        CAST(('0x' || substr(md5('{IRPOJ_SALT}|' || CAST(p.plane AS VARCHAR)
+              || '|' || CAST(d AS VARCHAR)), 1, 4)) AS BIGINT) - 32768) AS wv
+      FROM (SELECT unnest(range(0, {LSH_TABLES * LSH_BITS})) AS plane) p),
+    bits AS (
+      SELECT v.vec_id, w.plane,
+             CASE WHEN list_sum(list_transform(range(1, 65),
+                    i -> v.qv[i] * w.wv[i])) >= 0 THEN 1 ELSE 0 END AS b
+      FROM v CROSS JOIN w WHERE v.nrm > 0),
+    codes AS (
+      SELECT vec_id, CAST(plane // {LSH_BITS} AS BIGINT) AS tbl,
+             CAST(SUM(b << ({LSH_BITS} - 1 - (plane % {LSH_BITS}))) AS BIGINT)
+               AS code
+      FROM bits GROUP BY vec_id, plane // {LSH_BITS}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+      FROM codes q JOIN codes c ON q.tbl = c.tbl AND q.code = c.code
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id),
+    counts AS (SELECT qid, COUNT(*) AS n_candidates FROM cand GROUP BY qid),
+    qs AS (SELECT vec_id AS qid, qv AS qqv, nrm AS qnrm FROM v
+           WHERE vec_id < {N_QUERIES} AND nrm > 0),
+    scored AS (
+      SELECT qs.qid, c.vec_id AS cid,
+             ({SQL_INT_DOT.format(a='qs.qqv', b='c.qv')} / (qs.qnrm * c.nrm))
+               AS cosine
+      FROM qs CROSS JOIN v c
+      WHERE c.vec_id <> qs.qid AND c.nrm > 0),
+    topk AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, cid) AS rnk
+        FROM scored) WHERE rnk <= {TOP_K})
+    SELECT t.qid,
+           CAST(COUNT(*) AS BIGINT) AS exact_k,
+           CAST(COALESCE(SUM(CASE WHEN cd.cid IS NOT NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS hits,
+           CAST(COALESCE(ANY_VALUE(cn.n_candidates), 0) AS BIGINT)
+             AS n_candidates
+    FROM topk t
+    LEFT JOIN cand cd ON cd.qid = t.qid AND cd.cid = t.cid
+    LEFT JOIN counts cn ON cn.qid = t.qid
+    GROUP BY t.qid
+    """
+
+
+@register("q135_ann_recall", oracle=_recall_sql())
+def q135_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall audit with an EXACT oracle: per query vector, how
+    many of the exact cosine top-k land in the multi-table sign-LSH
+    candidate set (plus the candidate-set size — the cost side of the
+    recall/cost dial). Uses integer LSH (md5-derived int16 weights ×
+    the q60 int64 quantization, sign of an exact int64 sum) so the
+    buckets are bit-identical across engines — a green row here turns
+    red if the bucketing join, bit packing, multi-table OR-expansion,
+    or exact top-k ranking breaks.
+
+    Scale: same shape as q62 — one Arrow-batched matmul pass to code
+    (int64 BLAS), equi-join on (table, code) for candidates; the exact
+    top-k side is the rerank tier and would run on the candidate set
+    (not brute force) at corpus scale; here it doubles as the audit's
+    ground truth.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    M = _int_projection_matrix().T  # 64 × L*B
+
+    @F.pandas_udf("array<int>")
+    def int_codes(qv):
+        X = np.array(qv.tolist(), dtype=np.int64)          # n × 64, exact
+        S = (X @ M >= 0).astype(np.int64).reshape(len(X), LSH_TABLES, LSH_BITS)
+        W = 1 << np.arange(LSH_BITS - 1, -1, -1)           # MSB-first
+        return pd.Series((S * W).sum(axis=2).tolist())
+
+    e = (
+        spread(table(spark, sf_dir, "embeddings"))
+        .select("vec_id", qvec(F.col("embedding")).alias("qv"))
+        .withColumn("nrm", int_norm(F.col("qv")))
+        .filter(F.col("nrm") > 0)
+    )
+    coded = e.select("vec_id", F.posexplode(int_codes("qv")).alias("tbl", "code"))
+    qc = coded.filter(F.col("vec_id") < N_QUERIES) \
+        .select(F.col("vec_id").alias("qid"), "tbl", "code")
+    cand = (
+        coded.join(F.broadcast(qc), ["tbl", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"))
+        .distinct()
+    )
+    counts = cand.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    # exact top-k ground truth — q60's int64-exact scorer
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qqv"),
+        F.col("nrm").alias("qnorm"))
+    c = e.select(F.col("vec_id").alias("cid"), F.col("qv").alias("cqv"),
+                 F.col("nrm").alias("cnorm"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid",
+                (int_dot(F.col("qqv"), F.col("cqv"))
+                 / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    topk = scored.withColumn("rnk", F.row_number().over(w)) \
+        .filter(F.col("rnk") <= TOP_K).select("qid", "cid")
+    hit = cand.withColumn("is_hit", F.lit(1))
+    return (
+        topk.join(hit, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_k"),
+             F.coalesce(F.sum("is_hit"), F.lit(0)).cast("bigint").alias("hits"))
+        .join(F.broadcast(counts), "qid", "left")
+        .select("qid", "exact_k", "hits",
+                F.coalesce(F.col("n_candidates"), F.lit(0)).cast("bigint")
+                .alias("n_candidates"))
+    )
+
+
 @register("q62_ann_lsh", oracle=None)  # bucketing-policy op → rows-only
 def q62_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table sign-random-projection LSH: LSH_TABLES hash

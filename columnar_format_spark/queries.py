@@ -19,42 +19,46 @@ from . import sources  # noqa: F401
 from .streaming import stream_queries  # noqa: F401
 from .registry import QUERIES, QuerySpec  # noqa: F401
 
-# Round-3 driver window: 49 queries with no CORRECTNESS row yet, plus
-# q33 (oracle-typing fix this round — kept in-window to prove it).
-# Round-4 rotation note: q111-q133 (added during round 3) have no
-# driver row yet — next round swap them plus the remaining unchecked
-# families (q80-q84 streaming, q92-q94, q58/q59/q61/q64-q66/q72) into
-# this window; everything below has its r03 green row by then.
+# Round-4 driver window: the 34 queries that have never had a driver
+# CORRECTNESS row (everything added in round 3 plus the q44/q58/q59/
+# q61/q67/q68 and q80-q84 stragglers), the 4 COLF batch retests (red
+# in r03 on the pushdown-conf bug — fixed in datasource.register(),
+# kept in-window to prove it), the new q135 ANN-recall audit, and 11
+# high-integration repeats (the four r03 bench-regression queries
+# among them, so their driver rows double as fresh evidence).
+# After this round every registered query has ≥1 green driver row.
 DRIVER_WINDOW = [
-    # COLF connector + ingest (the reference's core surface)
+    # COLF batch retests — r03's four red rows, one shared root cause
     "q70_colf_roundtrip", "q73_csv_ingest", "q75_colf_selective_read",
-    "q76_colf_zonemap_pruning", "q109_colf_stream_agg", "q102_jsonl_ingest",
-    # dedup family
-    "q50_dedup_exact", "q51_ngram_jaccard", "q52_minhash_lsh",
-    "q53_simhash", "q55_dedup_survivors", "q56_dedup_components",
-    "q108_pagerank_integer",
-    # similarity / ANN
-    "q60_cosine_topk", "q54_embedding_neardup", "q62_ann_lsh", "q63_ann_ivf",
-    # text analysis / quality / corpus ops
-    "q40_token_count", "q41_text_quality", "q42_lang_stats",
-    "q43_fingerprint", "q77_decontamination", "q78_tfidf_keywords",
-    "q79_repetition_quality", "q85_shingle_dup_frac", "q87_bm25_search",
-    "q86_corpus_shards", "q90_training_pipeline", "q91_hybrid_retrieval",
-    # UDF / UDAF / UDTF / Arrow
-    "q34_grouped_pandas_stats", "q35_udtf_tokenize",
-    "q37_grouped_agg_pandas", "q57_mapinarrow_tokenstats",
-    "q71_sequence_packing", "q74_cogroup_user_orders",
-    "q69_multimodal_features",
-    # time-series / warehouse maintenance
-    "q95_gapfill_locf", "q96_median_mode", "q97_interval_overlap",
-    "q98_fuzzy_blocked", "q99_sliding_window_batch", "q100_scd2_upsert",
-    "q110_temporal_join", "q106_data_quality_audit", "q107_incremental_agg",
-    # TPC-H trio
-    "q103_tpch_q3", "q104_tpch_q7", "q105_tpch_q13",
-    # streaming (highest-integration representatives; q109 above)
-    "q101_stream_sliding",
-    # re-prove the q33 oracle-typing fix
-    "q33_sessionize",
+    "q76_colf_zonemap_pruning",
+    # COLF data-management layer (added r03, never driver-checked)
+    "q112_colf_compact", "q122_colf_time_travel", "q134_colf_incremental_read",
+    # streaming (never driver-checked)
+    "q80_stream_tumbling", "q81_stream_session", "q82_stream_dedup",
+    "q83_stream_stateful", "q84_stream_stream_join",
+    "q127_stream_incremental_dedup",
+    # dedup / graph (never driver-checked)
+    "q111_dedup_keep_best", "q113_incremental_dedup", "q120_graph_triangles",
+    "q129_dedup_verified_pairs",
+    # pipeline ops (never driver-checked; q132 re-done this round)
+    "q114_pii_redaction", "q115_stratified_sample", "q116_doc_chunking",
+    "q117_percentile_exact", "q118_skew_exact_distinct",
+    "q119_rare_bigram_score", "q121_strict_funnel", "q128_percentile_sketch",
+    "q132_negative_sampling", "q133_budget_selection",
+    # TPC-H additions (never driver-checked)
+    "q124_tpch_q5", "q125_tpch_q10", "q126_tpch_q18",
+    # text / embedding / sampling stragglers (never driver-checked)
+    "q44_multimodal_meta", "q58_ngram_vocabulary", "q59_length_histogram",
+    "q61_embedding_stats", "q67_deterministic_split", "q68_corpus_mixture",
+    # multimodal (never driver-checked)
+    "q130_frame_sampling", "q131_image_resize",
+    # NEW this round: ANN recall audit with an exact oracle
+    "q135_ann_recall",
+    # high-integration repeats + r03 bench-regression re-evidence
+    "q109_colf_stream_agg", "q101_stream_sliding", "q52_minhash_lsh",
+    "q90_training_pipeline", "q50_dedup_exact", "q99_sliding_window_batch",
+    "q104_tpch_q7", "q107_incremental_agg", "q60_cosine_topk",
+    "q86_corpus_shards", "q56_dedup_components",
 ]
 
 

@@ -45,3 +45,22 @@ def test_ivf_recall_vs_exact(spark):
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
     assert all(-1.0 <= r["cosine"] <= 1.0 for r in approx)
+
+
+def test_ann_recall_audit_counts(spark):
+    """q135's integer-LSH audit must report a real recall signal: every
+    query has exact_k = TOP_K ground-truth rows, hits is bounded by
+    both exact_k and the candidate count, at least some queries score a
+    hit, and the candidate sets genuinely prune (no query's candidate
+    set is the whole corpus)."""
+    from columnar_format_spark.functions.similarity import TOP_K
+    from columnar_format_spark.registry import QUERIES, table
+
+    n_vecs = table(spark, SF_SMALL, "embeddings").count()
+    rows = QUERIES["q135_ann_recall"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    assert all(r["exact_k"] == TOP_K for r in rows)
+    assert all(0 <= r["hits"] <= min(r["exact_k"], r["n_candidates"])
+               for r in rows)
+    assert sum(r["hits"] for r in rows) > 0, "integer LSH found nothing"
+    assert all(r["n_candidates"] < n_vecs - 1 for r in rows), "no pruning"
