@@ -151,7 +151,9 @@ def bench_colf_pruning(spark, sf_dir: str) -> dict:
     r = ColfReader({"path": d}, None)
     r.pushFilters([GreaterThanOrEqual(("l_orderkey",), 1000),
                    LessThanOrEqual(("l_orderkey",), 2000)])
-    opened = len(r.partitions())
+    # exclude the None-file sentinel partition (emitted when pruning
+    # eliminates every file) so a full skip reports 0 opened, not 1
+    opened = len([p for p in r.partitions() if p.file is not None])
     total_files = len(load_manifest(d)) or opened
     return {
         "pruned_sec": agg_time("on"),

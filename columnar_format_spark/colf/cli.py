@@ -89,11 +89,16 @@ def cli_snapshots(argv: list[str]) -> int:
     out = []
     for s in snaps:
         rows = [manifest.get(b, {}).get("num_rows") for b in s["files"]]
+        counted = [r for r in rows if r is not None]
         out.append({
             "version": s["version"],
             "n_files": len(s["files"]),
-            "num_rows": sum(r for r in rows if r is not None)
-            if any(r is not None for r in rows) else None,
+            # a partial sum would be indistinguishable from a complete
+            # total (e.g. reference-writer files lack manifest rows) —
+            # num_rows only when EVERY file has stats, else null plus
+            # how many files the partial count covers
+            "num_rows": sum(counted) if len(counted) == len(rows) else None,
+            "counted_files": len(counted),
         })
     print(json.dumps(out, indent=2))
     return 0

@@ -126,9 +126,12 @@ def snapshots_path(dataset_dir: str) -> str:
 def load_snapshots(path: str) -> list[dict]:
     """Ascending list of ``{"version": int, "files": [basenames]}``
     commits — the dataset's Iceberg-style metadata log. Empty when the
-    sidecar is absent (pre-snapshot datasets, reference-writer dirs)
-    or unreadable (corrupt metadata must never lose data: readers fall
-    back to the directory listing)."""
+    sidecar is ABSENT (pre-snapshot datasets, reference-writer dirs:
+    directory-listing semantics are exactly right there). A PRESENT
+    but unparseable log raises instead: after a retained compaction
+    the directory listing is a superset of the live set, so silently
+    degrading to listing semantics would double-count rows — a dataset
+    that ever had a log must not serve reads without it."""
     import json
 
     if not os.path.isdir(path):
@@ -140,8 +143,13 @@ def load_snapshots(path: str) -> list[dict]:
         with open(sp) as f:
             snaps = json.load(f)
         return sorted(snaps, key=lambda s: s["version"])
-    except (OSError, ValueError, KeyError, TypeError):
-        return []
+    except (OSError, ValueError, KeyError, TypeError) as exc:
+        raise ColfFormatError(
+            f"corrupt metadata log at {sp}: {exc}; refusing to fall "
+            f"back to the directory listing (it may be a superset of "
+            f"the live set after a retained compaction). Restore the "
+            f"log or delete it to explicitly adopt listing semantics."
+        ) from exc
 
 
 def write_snapshots(path: str, snaps: list[dict]) -> None:
@@ -154,13 +162,32 @@ def write_snapshots(path: str, snaps: list[dict]) -> None:
 
 
 def commit_snapshot(path: str, live_files: list[str],
-                    reset: bool = False) -> int:
+                    reset: bool = False,
+                    expected_parent: int | None = None) -> int:
     """Append a snapshot whose live set is ``live_files`` (basenames);
     ``reset`` starts a fresh history at version 1 (overwrite mode —
     the old part files are physically gone, so old versions would be
-    unreadable anyway). Returns the committed version."""
+    unreadable anyway). Returns the committed version.
+
+    CONCURRENCY: the metadata log is single-writer-per-dataset — the
+    same contract as Iceberg's HadoopTableOperations on plain
+    filesystems (no atomic CAS primitive). ``expected_parent`` is the
+    optimistic-concurrency guard: pass the version the caller's live
+    set was computed against, and the commit re-reads the log and
+    REFUSES (ColfFormatError) if another writer has committed since —
+    turning a silent lost-update (the other append's files dropped
+    from the live set, then physically deleted by vacuum) into a loud
+    retryable failure. ``expected_parent=None`` skips the check (first
+    commit / reset paths)."""
     snaps = [] if reset else load_snapshots(path)
-    version = snaps[-1]["version"] + 1 if snaps else 1
+    current = snaps[-1]["version"] if snaps else 0
+    if not reset and expected_parent is not None and current != expected_parent:
+        raise ColfFormatError(
+            f"concurrent commit detected at {path}: expected parent "
+            f"version {expected_parent} but log is at {current}. The "
+            f"metadata log is single-writer; re-read the live set and "
+            f"retry the commit.")
+    version = current + 1
     snaps.append({"version": version, "files": sorted(set(live_files))})
     write_snapshots(path, snaps)
     return version
@@ -416,10 +443,16 @@ class ColfWriter(DataSourceArrowWriter):
 
         written = {m.file for m in messages if m and m.file}
         # live set BEFORE this commit (latest snapshot, or listing for
-        # pre-snapshot dirs) — what an append extends
-        prior = [] if self.overwrite else [
-            os.path.basename(f) for f in live_files(self.path)
-        ] if os.path.isdir(self.path) else []
+        # pre-snapshot dirs) — what an append extends. The log version
+        # it was computed against becomes the CAS expected-parent, so
+        # a concurrent append fails loudly instead of silently losing
+        # the other writer's files (single-writer contract, enforced).
+        if self.overwrite or not os.path.isdir(self.path):
+            prior, parent = [], None
+        else:
+            snaps = load_snapshots(self.path)
+            parent = snaps[-1]["version"] if snaps else 0
+            prior = [os.path.basename(f) for f in live_files(self.path)]
         if self.overwrite and os.path.isdir(self.path):
             for f in os.listdir(self.path):
                 full = os.path.join(self.path, f)
@@ -454,6 +487,7 @@ class ColfWriter(DataSourceArrowWriter):
             self.path,
             prior + [os.path.basename(f) for f in written],
             reset=self.overwrite,
+            expected_parent=parent,
         )
 
     def abort(self, messages):
@@ -600,11 +634,14 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
                 json.dump(manifest, f)
             os.rename(tmp, manifest_path(self.path))
             # every micro-batch is a metadata-log commit too, so batch
-            # readers can time-travel across stream appends
+            # readers can time-travel across stream appends; the CAS
+            # parent makes a concurrent batch writer fail loudly
+            snaps = load_snapshots(self.path)
+            parent = snaps[-1]["version"] if snaps else 0
             commit_snapshot(self.path, [
                 os.path.basename(f) for f in live_files(self.path)
             ] + [os.path.basename(m.file) for m in messages
-                 if m and m.file])
+                 if m and m.file], expected_parent=parent)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

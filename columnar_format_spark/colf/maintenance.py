@@ -59,6 +59,11 @@ def compact(spark: SparkSession, path: str, target_files: int,
         raise ValueError(f"compact() needs a dataset directory, got {path}")
     if target_files < 1:
         raise ValueError("target_files must be >= 1")
+    # the version whose live set we are rewriting — the CAS parent for
+    # the retained-mode commit, so an append racing the compaction
+    # fails the commit loudly instead of being silently dropped
+    snaps0 = load_snapshots(path)
+    parent = snaps0[-1]["version"] if snaps0 else 0
     df = spark.read.format("colf").load(path)
     tmp = f"{path.rstrip(os.sep)}.compact-{uuid.uuid4().hex[:8]}"
     df.repartition(target_files).write.format("colf").mode("overwrite").save(tmp)
@@ -81,7 +86,7 @@ def compact(spark: SparkSession, path: str, target_files: int,
         json.dump(merged, fh)
     os.rename(mtmp, manifest_path(path))
     shutil.rmtree(tmp)
-    commit_snapshot(path, moved)
+    commit_snapshot(path, moved, expected_parent=parent)
     return len(moved)
 
 
@@ -89,7 +94,13 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     """Physically delete part files referenced only by expired
     snapshots, keeping the most recent ``keep_last`` versions (and
     pruning the metadata log to them). Returns the deleted basenames.
-    A dataset without a metadata log has nothing to vacuum."""
+    A dataset without a metadata log has nothing to vacuum.
+
+    Part files NEWER than the latest snapshot are never touched: an
+    in-flight append writes its .colf files before its metadata-log
+    commit, so an unreferenced-but-recent file is likely uncommitted
+    work, not garbage (Iceberg's orphan-file grace period, with the
+    log's mtime as the cutoff)."""
     import json
 
     if keep_last < 1:
@@ -97,12 +108,15 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     snaps = load_snapshots(path)
     if not snaps:
         return []
+    from .datasource import snapshots_path
+
+    log_mtime = os.path.getmtime(snapshots_path(path))
     kept = snaps[-keep_last:]
     referenced = {b for s in kept for b in s["files"]}
     deleted = []
     for f in dataset_files(path):
         base = os.path.basename(f)
-        if base not in referenced:
+        if base not in referenced and os.path.getmtime(f) < log_mtime:
             os.remove(f)
             deleted.append(base)
     if deleted:

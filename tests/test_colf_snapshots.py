@@ -174,3 +174,100 @@ def test_incremental_read_between_versions(colf_spark, tmp_path):
         colf_spark.read.format("colf").option("incrementalFrom", "9") \
             .load(path).collect()
     assert "incrementalFrom version 9" in str(ei.value)
+
+
+def test_corrupt_log_raises_not_listing_fallback(colf_spark, tmp_path):
+    """A PRESENT but unparseable metadata log must raise: after a
+    retained compaction the directory listing is a superset of the
+    live set, so silently degrading to listing semantics would
+    double-count rows."""
+    from columnar_format_spark.colf.datasource import snapshots_path
+
+    path = str(tmp_path / "ds")
+    _ints(colf_spark, 0, 20).repartition(4).write.format("colf") \
+        .mode("overwrite").save(path)
+    compact(colf_spark, path, 2, retain=True)
+    with open(snapshots_path(path), "w") as f:
+        f.write("{not json")
+    with pytest.raises(ColfFormatError, match="corrupt metadata log"):
+        load_snapshots(path)
+    with pytest.raises(Exception, match="corrupt metadata log"):
+        _read(colf_spark, path).collect()
+
+
+def test_concurrent_commit_cas_detects_lost_update(tmp_path):
+    """commit_snapshot with expected_parent must refuse when another
+    writer committed in between — the lost-update scenario where the
+    last write would silently drop the other append's files."""
+    from columnar_format_spark.colf.datasource import commit_snapshot
+
+    path = str(tmp_path / "ds")
+    os.makedirs(path)
+    v1 = commit_snapshot(path, ["a.colf"], expected_parent=None)
+    assert v1 == 1
+    # writer A reads the log (parent=1), writer B commits v2 first
+    commit_snapshot(path, ["a.colf", "b.colf"], expected_parent=1)
+    with pytest.raises(ColfFormatError, match="concurrent commit"):
+        commit_snapshot(path, ["a.colf", "c.colf"], expected_parent=1)
+    # retry after re-reading the live set succeeds
+    v3 = commit_snapshot(path, ["a.colf", "b.colf", "c.colf"],
+                         expected_parent=2)
+    assert v3 == 3
+
+
+def test_vacuum_spares_files_newer_than_the_log(colf_spark, tmp_path):
+    """An unreferenced part file written AFTER the latest snapshot is
+    in-flight uncommitted work, not garbage — vacuum must skip it."""
+    import time
+
+    from columnar_format_spark.colf.datasource import snapshots_path
+    from columnar_format_spark.colf.format import (
+        ColfColumn, ColfSchema, write_colf)
+
+    path = str(tmp_path / "ds")
+    _ints(colf_spark, 0, 20).repartition(4).write.format("colf") \
+        .mode("overwrite").save(path)
+    compact(colf_spark, path, 2, retain=True)
+    # make the committed part files strictly older than the log (the
+    # test runs sub-second; real writes precede their commit), then
+    # drop an uncommitted (unreferenced) file — newer than the log
+    past = time.time() - 60
+    for f in dataset_files(path):
+        os.utime(f, (past, past))
+    assert os.path.getmtime(snapshots_path(path)) > past
+    inflight = os.path.join(path, "part-inflight.colf")
+    write_colf(inflight, ColfSchema(1, [ColfColumn("v", "int32", False)]),
+               {"v": [99]})
+    deleted = vacuum(path, keep_last=1)
+    assert "part-inflight.colf" not in deleted
+    assert os.path.exists(inflight)
+    assert len(deleted) == 4  # only the expired pre-compaction files
+
+
+def test_cli_snapshots_flags_partial_row_counts(colf_spark, tmp_path, capsys):
+    """A version mixing manifested and unmanifested files must report
+    num_rows=null (a partial sum is indistinguishable from a total)
+    with counted_files showing the coverage."""
+    import json as _json
+
+    from columnar_format_spark.colf.cli import main as cli_main
+    from columnar_format_spark.colf.datasource import (
+        commit_snapshot, load_snapshots)
+    from columnar_format_spark.colf.format import (
+        ColfColumn, ColfSchema, write_colf)
+
+    path = str(tmp_path / "ds")
+    _ints(colf_spark, 0, 10).coalesce(1).write.format("colf") \
+        .mode("overwrite").save(path)
+    # drop in a reference-writer-style file (no manifest entry) and
+    # commit it into the live set
+    extra = os.path.join(path, "ref-extra.colf")
+    write_colf(extra, ColfSchema(2, [ColfColumn("v", "int32", False)]),
+               {"v": [100, 101]})
+    live = load_snapshots(path)[-1]["files"] + ["ref-extra.colf"]
+    commit_snapshot(path, live, expected_parent=1)
+    assert cli_main(["snapshots", path]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out[0]["num_rows"] == 10 and out[0]["counted_files"] == 1
+    assert out[1]["num_rows"] is None  # partial — not a fake total
+    assert out[1]["counted_files"] == 1 and out[1]["n_files"] == 2
