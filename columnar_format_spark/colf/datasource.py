@@ -505,12 +505,21 @@ class ColfStreamReader(DataSourceStreamReader):
     batch on the driver; a batch over a few large files would OOM it
     at production scale.)
 
-    Offsets are the sorted list of consumed file basenames — the same
-    append-only, replayable contract as Spark's own file source (a
-    failed batch re-plans exactly ``end − start``), and byte-compatible
-    with checkpoints written by the round-2 Simple reader.  The offset
-    grows with the file count, like Spark's file-source seen-files map;
-    at production scale pair it with compaction of small part files.
+    OFFSETS are a constant-size cursor into the dataset's metadata log
+    when one exists: ``{"v": version, "k": files_consumed_within_v}``
+    means "every file committed by versions < v, plus the first k of
+    version v's (sorted) newly-added files".  The log is append-only
+    under the streaming contract, so a cursor expands to a
+    deterministic file set and a batch re-plans exactly ``end − start``
+    on failure — same replay guarantees as a file list, without the
+    offset JSON growing O(files) per commit (the previous format; at a
+    file-per-micro-batch-task cadence that offset itself became the
+    scale limiter).  Datasets WITHOUT a metadata log (reference-writer
+    dirs) keep the legacy sorted-basename-list offsets.  Checkpoints
+    written with legacy offsets upgrade transparently: both forms
+    expand to file sets, so a batch may span a legacy ``start`` and a
+    cursor ``end`` (pinned by
+    tests/test_colf_streaming.py::test_stream_offsets_upgrade_from_legacy).
 
     ``maxFilesPerTrigger`` (0 = unlimited) caps how many new files each
     ``latestOffset`` call admits.  Caveats, pinned by
@@ -547,27 +556,81 @@ class ColfStreamReader(DataSourceStreamReader):
                 "trigger for rate-limited drains",
                 stacklevel=2,
             )
-        self._seen: set[str] = set()  # files covered by offsets so far
+        self._seen: set[str] = set()   # legacy-offset baseline (no-log dirs)
+        self._cursor: tuple[int, int] = (0, 0)  # log-cursor baseline
+
+    # -- offset plumbing ---------------------------------------------------
+
+    def _log_entries(self) -> list[tuple[int, list[str]]]:
+        """(version, sorted NEW basenames of that commit) per log
+        entry — the deterministic expansion basis for cursor offsets."""
+        prev: set[str] = set()
+        out = []
+        for s in load_snapshots(self.path):
+            cur = set(s["files"])
+            out.append((s["version"], sorted(cur - prev)))
+            prev = cur
+        return out
+
+    def _offset_files(self, off: dict) -> set[str]:
+        """Expand either offset form to its concrete basename set."""
+        if "files" in off:  # legacy list offset
+            return set(off["files"])
+        v, k = off["v"], off["k"]
+        files: set[str] = set()
+        for ver, new in self._log_entries():
+            if ver < v:
+                files.update(new)
+            elif ver == v:
+                files.update(new[:k])
+        return files
+
+    def _fold(self, off: dict) -> None:
+        """Fold an engine-provided offset into the reader's baseline —
+        checkpoint replay calls partitions()/commit() before the first
+        latestOffset, which is what keeps capped offsets from ever
+        re-admitting already-consumed files."""
+        if "files" in off:
+            self._seen |= set(off["files"])
+        else:
+            self._cursor = max(self._cursor, (off["v"], off["k"]))
 
     def initialOffset(self) -> dict:
-        return {"files": []}
+        return {"v": 0, "k": 0}
 
     def latestOffset(self) -> dict:
-        now = {os.path.basename(f) for f in dataset_files(self.path)}
-        new = sorted(now - self._seen)
-        if self.max_files > 0:
-            new = new[: self.max_files]
-        self._seen |= set(new)
-        return {"files": sorted(self._seen)}
+        entries = self._log_entries()
+        if not entries:
+            # no metadata log: legacy listing mode, list offsets
+            now = {os.path.basename(f) for f in dataset_files(self.path)}
+            new = sorted(now - self._seen)
+            if self.max_files > 0:
+                new = new[: self.max_files]
+            self._seen |= set(new)
+            return {"files": sorted(self._seen)}
+        v, k = self._cursor
+        admitted = 0
+        for ver, new in entries:
+            if ver < v:
+                continue
+            i = k if ver == v else 0
+            while i < len(new):
+                f = new[i]
+                if f not in self._seen:  # legacy-consumed files advance free
+                    if self.max_files > 0 and admitted >= self.max_files:
+                        self._cursor = (ver, i)
+                        return {"v": ver, "k": i}
+                    admitted += 1
+                i += 1
+            v, k = ver, len(new)
+        self._cursor = (v, k)
+        return {"v": v, "k": k}
 
     def partitions(self, start: dict, end: dict):
-        prev = set(start.get("files", []))
-        batch = sorted(set(end.get("files", [])) - prev)
-        # fold both offsets into the baseline: on checkpoint replay the
-        # engine re-plans a WAL batch through here before the first
-        # latestOffset, which is what keeps capped offsets from ever
-        # re-admitting already-consumed files.
-        self._seen |= prev | set(batch)
+        prev = self._offset_files(start)
+        batch = sorted(self._offset_files(end) - prev)
+        self._fold(start)
+        self._fold(end)
         return [ColfInputPartition(os.path.join(self.path, f)) for f in batch]
 
     def read(self, partition: ColfInputPartition):
@@ -581,7 +644,7 @@ class ColfStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # source files are immutable — nothing to clean up; just keep
         # the baseline current on commit-first restart paths.
-        self._seen |= set(end.get("files", []))
+        self._fold(end)
 
 
 class ColfStreamArrowWriter(DataSourceStreamArrowWriter):

@@ -263,19 +263,21 @@ def test_stream_restart_resumes_exactly_once(spark, tmp_path):
 
 
 def test_stream_reader_offset_capping_and_replay(spark, tmp_path):
-    """Offset-log semantics, driven directly: the cap admits N files
-    per latestOffset; batches are exactly end−start; a capped offset
+    """Offset semantics, driven directly: offsets are constant-size
+    (version, k) cursors into the metadata log; the cap admits N files
+    per latestOffset; batches are exactly end−start; a capped cursor
     computed on a fresh reader against an existing checkpoint (restart)
-    yields one EMPTY catch-up batch and never re-delivers."""
+    sits "behind" it, yields one EMPTY catch-up batch, and never
+    re-delivers."""
     d = str(tmp_path / "ds")
-    _seed_files(spark, d, 5)
+    _seed_files(spark, d, 5)  # ONE log commit with 5 files
     r = _mk_reader(spark, d, maxFilesPerTrigger="2")
-    assert r.initialOffset() == {"files": []}
+    assert r.initialOffset() == {"v": 0, "k": 0}
     o1 = r.latestOffset()
-    assert len(o1["files"]) == 2
-    assert len(r.partitions({"files": []}, o1)) == 2
+    assert o1 == {"v": 1, "k": 2}  # constant-size cursor, 2 admitted
+    assert len(r.partitions({"v": 0, "k": 0}, o1)) == 2
     o2 = r.latestOffset()
-    assert len(o2["files"]) == 4 and set(o1["files"]) <= set(o2["files"])
+    assert o2 == {"v": 1, "k": 4}
     assert len(r.partitions(o1, o2)) == 2
 
     # restart: fresh reader, checkpoint already covers 4 files; first
@@ -283,12 +285,70 @@ def test_stream_reader_offset_capping_and_replay(spark, tmp_path):
     # files — "behind" the checkpoint
     r2 = _mk_reader(spark, d, maxFilesPerTrigger="2")
     stale = r2.latestOffset()
-    assert len(stale["files"]) == 2
+    assert stale == {"v": 1, "k": 2}
     # batch = end − start = empty: no re-delivery, just a no-op batch
     assert r2.partitions(o2, stale) == []
     # partitions() rehydrated the baseline from the checkpoint offsets:
     # the next offset admits only the genuinely-new 5th file
     o3 = r2.latestOffset()
-    new = set(o3["files"]) - set(o2["files"])
-    assert len(new) == 1
+    assert o3 == {"v": 1, "k": 5}
     assert len(r2.partitions(o2, o3)) == 1
+
+
+def test_stream_offsets_upgrade_from_legacy(spark, tmp_path):
+    """A checkpoint written by the old reader holds sorted-basename
+    LIST offsets; the new reader must replay its WAL batch from them,
+    then continue with cursor offsets without re-delivering or
+    dropping a file (both forms expand to file sets; batches are set
+    differences)."""
+    d = str(tmp_path / "ds")
+    _seed_files(spark, d, 5)
+    names = sorted(os.path.basename(f) for f in os.listdir(d)
+                   if f.endswith(".colf"))
+    r = _mk_reader(spark, d, maxFilesPerTrigger="2")
+    # WAL replay of a legacy batch: old-format start AND end offsets
+    parts = r.partitions({"files": names[:2]}, {"files": names[:4]})
+    assert sorted(os.path.basename(p.file) for p in parts) == names[2:4]
+    r.commit({"files": names[:4]})
+    # next offset is cursor-form and admits ONLY the unconsumed 5th
+    # file (the 4 legacy-consumed files advance the cursor for free)
+    o = r.latestOffset()
+    assert o == {"v": 1, "k": 5}
+    parts2 = r.partitions({"files": names[:4]}, o)  # mixed-form batch
+    assert [os.path.basename(p.file) for p in parts2] == [names[4]]
+
+
+def test_stream_offsets_stay_constant_size_across_commits(spark, tmp_path):
+    """The offset payload must not grow with the file count — the old
+    format serialized every consumed basename into every commit."""
+    import json as _json
+
+    d = str(tmp_path / "ds")
+    _seed_files(spark, d, 3)
+    r = _mk_reader(spark, d)
+    small = len(_json.dumps(r.latestOffset()))
+    for i in range(20):  # 20 more single-file append commits
+        spark.createDataFrame([(1000 + i, "x")], "k int, name string") \
+            .coalesce(1).write.format("colf").mode("append").save(d)
+    big = len(_json.dumps(r.latestOffset()))
+    assert big <= small + 4  # a couple of digits, not O(files)
+
+
+def test_stream_reader_legacy_mode_for_logless_dirs(spark, tmp_path):
+    """Dirs without a metadata log (reference writer, hand-assembled)
+    keep the legacy list offsets — still correct, documented O(files)."""
+    from columnar_format_spark.colf.format import ColfColumn, ColfSchema, write_colf
+
+    d = str(tmp_path / "refdir")
+    os.makedirs(d)
+    for i, name in enumerate(["a.colf", "b.colf"]):
+        write_colf(os.path.join(d, name),
+                   ColfSchema(1, [ColfColumn("k", "int32", False),
+                                  ColfColumn("name", "utf8", False)]),
+                   {"k": [i], "name": [f"r{i}"]})
+    r = _mk_reader(spark, d)
+    o = r.latestOffset()
+    assert o == {"files": ["a.colf", "b.colf"]}
+    parts = r.partitions(r.initialOffset(), o)
+    assert sorted(os.path.basename(p.file) for p in parts) == \
+        ["a.colf", "b.colf"]
