@@ -64,6 +64,12 @@ HEADLINE = [
     "q116_doc_chunking",
     "q129_dedup_verified_pairs",
     "q131_image_resize",
+    "q132_negative_sampling",
+    "q135_ann_recall",
+    "q112_colf_compact",
+    "q122_colf_time_travel",
+    "q134_colf_incremental_read",
+    "q136_colf_vacuum",
 ]
 
 

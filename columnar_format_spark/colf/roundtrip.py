@@ -392,6 +392,73 @@ def q122_colf_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VACUUM_TARGET = 2
+
+
+@register(
+    "q136_colf_vacuum",
+    oracle=f"""
+    SELECT CAST(4 AS BIGINT) AS n_deleted,
+           CAST({VACUUM_TARGET} AS BIGINT) AS n_files_left,
+           CAST(1 AS BIGINT) AS n_versions_left,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows,
+           CAST((SELECT SUM(CAST(l_quantity AS BIGINT)) FROM lineitem)
+                AS BIGINT) AS sum_qty
+    """,
+)
+def q136_colf_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention under the correctness gate: an 4-file
+    dataset is compacted with retention (old part files stay on disk
+    for time travel), then ``vacuum(keep_last=1)`` physically reclaims
+    the 4 expired pre-compaction files and prunes the metadata log to
+    the live version — pinned by the oracle literals — while the
+    surviving live read still matches the lineitem aggregate exactly
+    (retention never touches referenced files).
+
+    Scale: vacuum is pure metadata + unlink — it walks the file LIST
+    of expired versions, no data reads; the grace rule (files newer
+    than the latest snapshot are spared) is what makes it safe to run
+    beside in-flight appends (maintenance.py).
+    """
+    import shutil
+
+    from ..staging import stage_once
+    from .datasource import dataset_files, load_snapshots
+    from .datasource import register as register_ds
+    from .maintenance import compact, vacuum
+
+    register_ds(spark)
+    result: dict = {}
+
+    def write(d: str) -> None:
+        shutil.rmtree(d)
+        li = table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").cast("int").alias("l_orderkey"),
+            "l_linenumber", "l_quantity",
+        ).repartition(4)
+        li.write.format("colf").mode("overwrite").save(d)
+        compact(spark, d, VACUUM_TARGET, retain=True)
+        deleted = vacuum(d, keep_last=1)
+        # stash the vacuum report next to the dataset so bench reps /
+        # repeat calls (stage_once runs write exactly once) see it
+        with open(f"{d}/_vacuum_report.txt", "w") as fh:
+            fh.write(str(len(deleted)))
+
+    d = stage_once(("colf-li-vacuumed", sf_dir), "colf_vac_", write)
+    with open(f"{d}/_vacuum_report.txt") as fh:
+        n_deleted = int(fh.read())
+    n_files = len(dataset_files(d))
+    n_versions = len(load_snapshots(d))
+    back = spark.read.format("colf").load(d)
+    return back.agg(
+        F.lit(n_deleted).cast("bigint").alias("n_deleted"),
+        F.lit(n_files).cast("bigint").alias("n_files_left"),
+        F.lit(n_versions).cast("bigint").alias("n_versions_left"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+    )
+
+
 @register(
     "q134_colf_incremental_read",
     oracle="""

@@ -52,13 +52,14 @@ DRIVER_WINDOW = [
     "q61_embedding_stats", "q67_deterministic_split", "q68_corpus_mixture",
     # multimodal (never driver-checked)
     "q130_frame_sampling", "q131_image_resize",
-    # NEW this round: ANN recall audit with an exact oracle
-    "q135_ann_recall",
+    # NEW this round: ANN recall audit + vacuum retention, both with
+    # exact oracles
+    "q135_ann_recall", "q136_colf_vacuum",
     # high-integration repeats + r03 bench-regression re-evidence
     "q109_colf_stream_agg", "q101_stream_sliding", "q52_minhash_lsh",
     "q90_training_pipeline", "q50_dedup_exact", "q99_sliding_window_batch",
     "q104_tpch_q7", "q107_incremental_agg", "q60_cosine_topk",
-    "q86_corpus_shards", "q56_dedup_components",
+    "q86_corpus_shards",
 ]
 
 
