@@ -28,10 +28,16 @@ from .format import read_all, read_columns, read_schema
 
 
 def cli_csv_to_custom(argv: list[str]) -> int:
+    if "--v2" in argv:
+        argv = [a for a in argv if a != "--v2"]
+        version = 2
+    else:
+        version = 1
     if len(argv) != 2:
-        print("usage: ... csv_to_custom <in.csv> <out.colf>", file=sys.stderr)
+        print("usage: ... csv_to_custom <in.csv> <out.colf> [--v2]",
+              file=sys.stderr)
         return 2
-    csv_ingest_pure.csv_file_to_colf(argv[0], argv[1])
+    csv_ingest_pure.csv_file_to_colf(argv[0], argv[1], version=version)
     return 0
 
 
@@ -70,6 +76,7 @@ def cli_inspect_header(argv: list[str]) -> int:
         return 2
     schema = read_schema(argv[0])
     print(json.dumps({
+        "version": schema.version,
         "num_rows": schema.num_rows,
         "columns": [c.to_json() for c in schema.columns],
     }, indent=2))

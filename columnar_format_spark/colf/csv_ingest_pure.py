@@ -59,7 +59,8 @@ def infer_types(names: list[str], rows: list[dict]) -> list[ColfColumn]:
     return cols
 
 
-def csv_file_to_colf(csv_path: str, out_path: str) -> ColfSchema:
+def csv_file_to_colf(csv_path: str, out_path: str,
+                     version: int = 1) -> ColfSchema:
     with open(csv_path, newline="") as f:
         reader = csv.DictReader(f)
         if reader.fieldnames is None:
@@ -83,5 +84,5 @@ def csv_file_to_colf(csv_path: str, out_path: str) -> ColfSchema:
             else:
                 vals.append(v)  # unstripped, like the reference
         data[col.name] = vals
-    write_colf(out_path, schema, data)
+    write_colf(out_path, schema, data, version=version)
     return schema

@@ -64,6 +64,7 @@ from pyspark.sql.types import (
 )
 
 from .format import (
+    SUPPORTED_VERSIONS,
     ColfColumn,
     ColfFormatError,
     ColfSchema,
@@ -405,6 +406,20 @@ def _check_append_schema(path: str, cols) -> None:
             f"dataset, or align the column names/types)")
 
 
+def _write_version(options) -> int:
+    """``option("version", "2")`` opts a write into the v2 adaptive
+    encodings (format.py module docstring); default 1 keeps every
+    written file readable by the reference's reader. Readers need no
+    option — each file self-describes via its preamble version byte,
+    and a dataset may mix v1 and v2 part files."""
+    v = int(options.get("version", "1"))
+    if v not in SUPPORTED_VERSIONS:
+        raise ColfFormatError(
+            f"Unsupported colf write version {v} (supported: "
+            f"{SUPPORTED_VERSIONS})")
+    return v
+
+
 class ColfWriter(DataSourceArrowWriter):
     def __init__(self, options, schema: StructType, overwrite: bool):
         self.path = options.get("path")
@@ -412,6 +427,7 @@ class ColfWriter(DataSourceArrowWriter):
             raise ColfFormatError("colf writer requires a path")
         self.schema = schema
         self.overwrite = overwrite
+        self.version = _write_version(options)
         self.colf_columns = spark_to_colf_columns(schema)  # validate types early
         if not overwrite:
             _check_append_schema(self.path, self.colf_columns)
@@ -434,7 +450,8 @@ class ColfWriter(DataSourceArrowWriter):
         fname = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.colf"
         target = os.path.join(self.path, fname)
         tmp = target + ".tmp"
-        write_colf_arrow(tmp, ColfSchema(num_rows, self.colf_columns), chunks)
+        write_colf_arrow(tmp, ColfSchema(num_rows, self.colf_columns), chunks,
+                         version=self.version)
         os.rename(tmp, target)
         return ColfCommitMessage(file=target, stats=_chunk_stats(chunks, num_rows))
 
@@ -467,7 +484,8 @@ class ColfWriter(DataSourceArrowWriter):
             os.makedirs(self.path, exist_ok=True)
             target = os.path.join(self.path, "part-00000-empty.colf")
             write_colf(target, ColfSchema(0, self.colf_columns),
-                       {c.name: [] for c in self.colf_columns})
+                       {c.name: [] for c in self.colf_columns},
+                       version=self.version)
             written = {target}
         # sidecar zone-map manifest for reader-side file skipping
         # (format-compatible: extra file, not a format change — M6)
@@ -658,6 +676,7 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
         if not self.path:
             raise ColfFormatError("colf stream writer requires a path")
         self.schema = schema
+        self.version = _write_version(options)
         self.colf_columns = spark_to_colf_columns(schema)
         # a stream restarted onto an existing dataset must match it
         _check_append_schema(self.path, self.colf_columns)
@@ -678,7 +697,8 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
         fname = f"part-s{pid:05d}-{uuid.uuid4().hex[:8]}.colf"
         target = os.path.join(self.path, fname)
         tmp = target + ".tmp"
-        write_colf_arrow(tmp, ColfSchema(num_rows, self.colf_columns), chunks)
+        write_colf_arrow(tmp, ColfSchema(num_rows, self.colf_columns), chunks,
+                         version=self.version)
         os.rename(tmp, target)
         return ColfCommitMessage(file=target, stats=_chunk_stats(chunks, num_rows))
 

@@ -34,6 +34,33 @@ Divergences from the reference implementation (deliberate, SURVEY.md §7):
   string's start and misreads such files. Engine-written files
   containing "" are spec-layout-valid but only faithfully readable by
   this codec.
+
+VERSION 2 (engine extension, opt-in; default stays v1 byte-compatible):
+  Preamble version byte = 2; readers that only understand v1 (the
+  reference's reader.py:54-58 and our own pre-v2 codec) reject it
+  LOUDLY — v2 never silently mis-decodes on a v1 reader. The
+  container layout (header, 25-byte metadata entries, one compressed
+  block per column) is unchanged; only the per-column payload gains a
+  third header byte:
+
+    DataType u8 | HasNulls u8 | Encoding u8 | [NullBitmap] | data
+
+  Encodings (chosen adaptively per column at write time, recorded
+  both in the payload byte and as "encoding" in the schema JSON):
+    0=plain  v1 data layout (always legal, the fallback)
+    1=delta  int32: zigzag(delta) values min-width packed as
+             u8/u16/u32 (width prefix byte); falls back to plain
+             when any zigzag delta needs >4 bytes
+    2=bss    float64: byte-stream split (8 planes of the i-th byte
+             of each value) — same bytes, zlib-friendlier layout
+    3=dict   utf8: code array (min-width u8/u16/u32, width prefix)
+             + u32 distinct count + per-distinct u32 start offsets
+             + concatenated blob, dictionary sorted bytewise; used
+             when distinct <= n/2, else plain
+  All encodings are numpy-vectorized both directions; zlib of the
+  encoded payload remains the block codec, so selective reads,
+  zone-map pruning, and the metadata log work identically for v1
+  and v2 files, and a dataset may mix file versions.
 """
 
 from __future__ import annotations
@@ -47,7 +74,17 @@ import numpy as np
 
 MAGIC = b"COLF"
 VERSION = 1
+VERSION_V2 = 2
+SUPPORTED_VERSIONS = (VERSION, VERSION_V2)
 ENDIAN_LE = 1
+
+# v2 per-column encodings (payload byte 2)
+ENC_PLAIN = 0
+ENC_DELTA = 1  # int32
+ENC_BSS = 2    # float64
+ENC_DICT = 3   # utf8
+ENC_NAMES = {ENC_PLAIN: "plain", ENC_DELTA: "delta",
+             ENC_BSS: "bss", ENC_DICT: "dict"}
 
 DT_INT32 = 1
 DT_FLOAT64 = 2
@@ -68,15 +105,20 @@ class ColfColumn:
     name: str
     type: str  # int32 | float64 | utf8
     nullable: bool
+    encoding: str | None = None  # v2 files only; absent in v1 JSON
 
     def to_json(self) -> dict:
-        return {"name": self.name, "type": self.type, "nullable": self.nullable}
+        doc = {"name": self.name, "type": self.type, "nullable": self.nullable}
+        if self.encoding is not None:
+            doc["encoding"] = self.encoding
+        return doc
 
 
 @dataclass
 class ColfSchema:
     num_rows: int
     columns: list[ColfColumn] = field(default_factory=list)
+    version: int = VERSION  # set from the preamble on read
 
     def to_json_bytes(self) -> bytes:
         doc = {"num_rows": self.num_rows,
@@ -85,7 +127,8 @@ class ColfSchema:
 
     @classmethod
     def from_json(cls, doc: dict) -> "ColfSchema":
-        cols = [ColfColumn(c["name"], c["type"], bool(c.get("nullable", False)))
+        cols = [ColfColumn(c["name"], c["type"], bool(c.get("nullable", False)),
+                           c.get("encoding"))
                 for c in doc.get("columns", [])]
         return cls(num_rows=int(doc.get("num_rows", 0)), columns=cols)
 
@@ -154,8 +197,247 @@ def encode_column(values: list, dtype: str) -> tuple[bytes, bool]:
     return b"".join(parts), has_nulls
 
 
+# ---------------------------------------------------------------------------
+# v2 encodings: numpy-vectorized transforms applied BEFORE zlib. Each
+# returns None when the encoding would not be representable/beneficial,
+# in which case the caller falls back to the plain (v1) data layout.
+
+
+def _delta_encode_i32(vals: np.ndarray) -> bytes | None:
+    """int32 values (nulls pre-filled with 0) -> width byte + zigzag
+    deltas packed at the minimal uniform width. None if any zigzag
+    delta needs more than 4 bytes (then plain is smaller anyway)."""
+    deltas = np.diff(vals.astype(np.int64), prepend=np.int64(0))
+    zz = ((deltas << 1) ^ (deltas >> 63)).astype(np.uint64)
+    maxv = int(zz.max()) if zz.size else 0
+    if maxv < 1 << 8:
+        width = 1
+    elif maxv < 1 << 16:
+        width = 2
+    elif maxv < 1 << 32:
+        width = 4
+    else:
+        return None
+    return struct.pack("<B", width) + zz.astype(f"<u{width}").tobytes()
+
+
+def _delta_decode_i32(data: memoryview, num_rows: int) -> np.ndarray:
+    if num_rows == 0:
+        return np.zeros(0, dtype="<i4")
+    if len(data) < 1:
+        raise ColfFormatError("delta block missing width byte")
+    width = data[0]
+    if width not in (1, 2, 4):
+        raise ColfFormatError(f"delta block has invalid width {width}")
+    zz = np.frombuffer(data[1:1 + width * num_rows], dtype=f"<u{width}")
+    if zz.size < num_rows:
+        raise ColfFormatError("Unexpected end of delta data")
+    z = zz.astype(np.int64)
+    deltas = (z >> 1) ^ -(z & 1)
+    return np.cumsum(deltas).astype("<i4")
+
+
+def _bss_encode_f64(vals: np.ndarray) -> bytes:
+    """Byte-stream split: plane i holds byte i of every value."""
+    b = np.ascontiguousarray(vals, dtype="<f8").view(np.uint8).reshape(-1, 8)
+    return np.ascontiguousarray(b.T).tobytes()
+
+
+def _bss_decode_f64(data: memoryview, num_rows: int) -> np.ndarray:
+    b = np.frombuffer(data[:8 * num_rows], dtype=np.uint8)
+    if b.size < 8 * num_rows:
+        raise ColfFormatError("Unexpected end of bss data")
+    return np.ascontiguousarray(b.reshape(8, num_rows).T).view("<f8").ravel()
+
+
+def _pack_codes(codes: np.ndarray) -> bytes:
+    maxc = int(codes.max()) if codes.size else 0
+    width = 1 if maxc < 1 << 8 else 2 if maxc < 1 << 16 else 4
+    return struct.pack("<B", width) + codes.astype(f"<u{width}").tobytes()
+
+
+def _dict_encode_from_parts(codes: np.ndarray, starts: np.ndarray,
+                            blob: bytes) -> bytes:
+    return b"".join([
+        _pack_codes(codes),
+        struct.pack("<I", starts.size),
+        starts.astype("<u4").tobytes(),
+        blob,
+    ])
+
+
+def _dict_encode_utf8(byte_vals: np.ndarray) -> bytes | None:
+    """byte_vals: object array of per-row encoded bytes (b"" at null
+    rows — codes at null positions are placeholders, masked on read).
+    Dictionary is bytewise-sorted (np.unique order), so the same
+    values yield the same file bytes from any write path."""
+    n = byte_vals.size
+    uniq, codes = np.unique(byte_vals, return_inverse=True)
+    if uniq.size > max(1, n // 2):
+        return None
+    lens = np.fromiter((len(v) for v in uniq), dtype=np.int64,
+                       count=uniq.size)
+    if int(lens.sum()) > 0xFFFFFFFF:
+        return None
+    starts = np.zeros(uniq.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return _dict_encode_from_parts(codes, starts, b"".join(uniq))
+
+
+def _dict_decode_utf8(data: memoryview, num_rows: int):
+    """Returns (codes ndarray, list of distinct decoded values)."""
+    if num_rows == 0:
+        return np.zeros(0, dtype=np.int64), []
+    if len(data) < 1:
+        raise ColfFormatError("dict block missing width byte")
+    width = data[0]
+    if width not in (1, 2, 4):
+        raise ColfFormatError(f"dict block has invalid code width {width}")
+    codes = np.frombuffer(data[1:1 + width * num_rows], dtype=f"<u{width}")
+    if codes.size < num_rows:
+        raise ColfFormatError("Unexpected end of dict codes")
+    pos = 1 + width * num_rows
+    (n_distinct,) = struct.unpack("<I", data[pos:pos + 4])
+    pos += 4
+    starts = np.frombuffer(data[pos:pos + 4 * n_distinct], dtype="<u4")
+    if starts.size < n_distinct:
+        raise ColfFormatError("Unexpected end of dict offsets")
+    blob = data[pos + 4 * n_distinct:]
+    ends = np.empty(n_distinct, dtype=np.int64)
+    if n_distinct:
+        ends[:-1] = starts[1:]
+        ends[-1] = len(blob)
+    values = []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        chunk = bytes(blob[s:e])
+        try:
+            values.append(chunk.decode("utf-8"))
+        except UnicodeDecodeError:
+            values.append(chunk)  # same bytes fallback as plain utf8
+    if codes.size and int(codes.max()) >= max(n_distinct, 1):
+        raise ColfFormatError("dict code out of range")
+    return codes.astype(np.int64), values
+
+
+def _as_v2_plain(v1_payload: bytes) -> bytes:
+    """Splice the v2 encoding byte into a v1-encoded payload."""
+    return v1_payload[:2] + bytes([ENC_PLAIN]) + v1_payload[2:]
+
+
+def encode_column_v2(values: list, dtype: str) -> tuple[bytes, bool, int]:
+    """v2 adaptive encode from Python values. Returns
+    (payload, has_nulls, encoding_tag)."""
+    if dtype not in TYPE_TAGS:
+        raise ColfFormatError(f"Unknown COLF type: {dtype}")
+    n = len(values)
+    nulls = np.fromiter((v is None for v in values), dtype=bool, count=n)
+    has_nulls = bool(nulls.any())
+
+    def _with_header(enc: int, data: bytes) -> bytes:
+        parts = [struct.pack("<BBB", TYPE_TAGS[dtype],
+                             1 if has_nulls else 0, enc)]
+        if has_nulls:
+            parts.append(_null_bitmap(nulls))
+        parts.append(data)
+        return b"".join(parts)
+
+    if dtype == "int32":
+        filled = [0 if v is None else v for v in values]
+        if filled:
+            lo, hi = min(filled), max(filled)
+            if lo < INT32_MIN or hi > INT32_MAX:
+                bad = next(v for v in filled
+                           if not (INT32_MIN <= v <= INT32_MAX))
+                raise ColfFormatError(
+                    f"int32 overflow: value {bad} outside "
+                    f"[{INT32_MIN}, {INT32_MAX}]")
+        arr = np.array(filled, dtype=np.int64) if n else np.zeros(0, np.int64)
+        data = _delta_encode_i32(arr)
+        if data is not None:
+            return _with_header(ENC_DELTA, data), has_nulls, ENC_DELTA
+    elif dtype == "float64":
+        arr = np.zeros(n, dtype="<f8")
+        if n:
+            arr[:] = [0.0 if v is None else v for v in values]
+        return (_with_header(ENC_BSS, _bss_encode_f64(arr)),
+                has_nulls, ENC_BSS)
+    else:  # utf8
+        byte_vals = np.empty(n, dtype=object)
+        for i, v in enumerate(values):
+            byte_vals[i] = (b"" if v is None else
+                            v.encode("utf-8") if isinstance(v, str)
+                            else bytes(v))
+        data = _dict_encode_utf8(byte_vals) if n else None
+        if data is not None:
+            return _with_header(ENC_DICT, data), has_nulls, ENC_DICT
+
+    v1_payload, _ = encode_column(values, dtype)
+    return _as_v2_plain(v1_payload), has_nulls, ENC_PLAIN
+
+
+def encode_column_arrow_v2(chunks: list, dtype: str) -> tuple[bytes, bool, int]:
+    """v2 adaptive encode from pyarrow chunks — numpy/pyarrow.compute
+    vectorized, byte-identical output to encode_column_v2."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if dtype not in TYPE_TAGS:
+        raise ColfFormatError(f"Unknown COLF type: {dtype}")
+    n = sum(len(c) for c in chunks)
+    if n == 0:
+        return encode_column_v2([], dtype)
+    null_np = np.concatenate([
+        c.is_null().to_numpy(zero_copy_only=False) for c in chunks])
+    has_nulls = bool(null_np.any())
+
+    def _with_header(enc: int, data: bytes) -> bytes:
+        parts = [struct.pack("<BBB", TYPE_TAGS[dtype],
+                             1 if has_nulls else 0, enc)]
+        if has_nulls:
+            parts.append(_null_bitmap(null_np))
+        parts.append(data)
+        return b"".join(parts)
+
+    if dtype == "int32":
+        vals = np.concatenate([
+            pc.fill_null(c, 0).to_numpy(zero_copy_only=False)
+            for c in chunks]).astype(np.int64)
+        data = _delta_encode_i32(vals)
+        if data is not None:
+            return _with_header(ENC_DELTA, data), has_nulls, ENC_DELTA
+    elif dtype == "float64":
+        vals = np.concatenate([
+            pc.fill_null(c, 0.0).to_numpy(zero_copy_only=False)
+            for c in chunks])
+        return (_with_header(ENC_BSS, _bss_encode_f64(vals)),
+                has_nulls, ENC_BSS)
+    else:  # utf8
+        arr = pa.chunked_array(
+            [c.cast(pa.string()) for c in chunks]).combine_chunks()
+        filled = pc.fill_null(arr, "")  # null rows join the "" bucket,
+        # exactly like encode_column_v2's b"" placeholder
+        uniq = pc.unique(filled)
+        if len(uniq) <= max(1, n // 2):
+            uniq = uniq.take(pc.array_sort_indices(uniq))
+            codes = pc.index_in(filled, value_set=uniq).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            offs = np.frombuffer(uniq.buffers()[1], dtype="<i4",
+                                 count=len(uniq) + 1,
+                                 offset=uniq.offset * 4).astype(np.int64)
+            blob_total = int(offs[-1] - offs[0])
+            if blob_total <= 0xFFFFFFFF:
+                starts = offs[:-1] - offs[0]
+                blob = uniq.buffers()[2].to_pybytes()[offs[0]:offs[-1]]
+                data = _dict_encode_from_parts(codes, starts, blob)
+                return _with_header(ENC_DICT, data), has_nulls, ENC_DICT
+
+    v1_payload, _ = encode_column_arrow(chunks, dtype)
+    return _as_v2_plain(v1_payload), has_nulls, ENC_PLAIN
+
+
 def _write_blocks(path: str, schema: ColfSchema,
-                  blocks: list[tuple[bytes, int, bool]]) -> None:
+                  blocks: list[tuple[bytes, int, bool]],
+                  version: int = VERSION) -> None:
     schema_json = schema.to_json_bytes()
     meta_size = META_ENTRY_SIZE * len(schema.columns)
     header_size = 4 + len(schema_json) + meta_size
@@ -164,7 +446,7 @@ def _write_blocks(path: str, schema: ColfSchema,
 
     with open(path, "wb") as f:
         f.write(MAGIC)
-        f.write(struct.pack("<BBI", VERSION, ENDIAN_LE, header_size))
+        f.write(struct.pack("<BBI", version, ENDIAN_LE, header_size))
         f.write(struct.pack("<I", len(schema_json)))
         f.write(schema_json)
         offset = first_block_offset
@@ -176,35 +458,59 @@ def _write_blocks(path: str, schema: ColfSchema,
             f.write(comp)
 
 
-def write_colf(path: str, schema: ColfSchema, columns: dict[str, list]) -> None:
+def write_colf(path: str, schema: ColfSchema, columns: dict[str, list],
+               version: int = VERSION) -> None:
     """Write one .colf file. ``columns`` maps name -> value list (None
-    for NULL); every column must have schema.num_rows values."""
+    for NULL); every column must have schema.num_rows values.
+    ``version=2`` opts into the adaptive v2 encodings (module
+    docstring); the default emits reference-byte-compatible v1."""
+    if version not in SUPPORTED_VERSIONS:
+        raise ColfFormatError(f"Unsupported write version: {version}")
     blocks: list[tuple[bytes, int, bool]] = []
+    out_cols: list[ColfColumn] = []
     for col in schema.columns:
         values = columns[col.name]
         if len(values) != schema.num_rows:
             raise ColfFormatError(
                 f"column '{col.name}' has {len(values)} rows, schema says {schema.num_rows}")
-        payload, has_nulls = encode_column(values, col.type)
+        if version == VERSION_V2:
+            payload, has_nulls, enc = encode_column_v2(values, col.type)
+            out_cols.append(ColfColumn(col.name, col.type, col.nullable,
+                                       ENC_NAMES[enc]))
+        else:
+            payload, has_nulls = encode_column(values, col.type)
+            out_cols.append(col)
         blocks.append((zlib.compress(payload), len(payload), has_nulls))
-    _write_blocks(path, schema, blocks)
+    _write_blocks(path, ColfSchema(schema.num_rows, out_cols), blocks,
+                  version=version)
 
 
 def write_colf_arrow(path: str, schema: ColfSchema,
-                     columns: dict[str, list]) -> None:
+                     columns: dict[str, list],
+                     version: int = VERSION) -> None:
     """Write one .colf file from pyarrow chunks: ``columns`` maps name
     -> list of pa.Array chunks. Same bytes as write_colf, no per-value
     Python (the Spark DataSourceArrowWriter hot path)."""
+    if version not in SUPPORTED_VERSIONS:
+        raise ColfFormatError(f"Unsupported write version: {version}")
     blocks: list[tuple[bytes, int, bool]] = []
+    out_cols: list[ColfColumn] = []
     for col in schema.columns:
         chunks = columns[col.name]
         n = sum(len(c) for c in chunks)
         if n != schema.num_rows:
             raise ColfFormatError(
                 f"column '{col.name}' has {n} rows, schema says {schema.num_rows}")
-        payload, has_nulls = encode_column_arrow(chunks, col.type)
+        if version == VERSION_V2:
+            payload, has_nulls, enc = encode_column_arrow_v2(chunks, col.type)
+            out_cols.append(ColfColumn(col.name, col.type, col.nullable,
+                                       ENC_NAMES[enc]))
+        else:
+            payload, has_nulls = encode_column_arrow(chunks, col.type)
+            out_cols.append(col)
         blocks.append((zlib.compress(payload), len(payload), has_nulls))
-    _write_blocks(path, schema, blocks)
+    _write_blocks(path, ColfSchema(schema.num_rows, out_cols), blocks,
+                  version=version)
 
 
 def encode_column_arrow(chunks: list, dtype: str) -> tuple[bytes, bool]:
@@ -280,8 +586,9 @@ def read_header(f) -> tuple[ColfSchema, list[ColumnMeta], int]:
     if magic != MAGIC:
         raise ColfFormatError(f"Bad magic: expected {MAGIC!r}, got {magic!r}")
     version, endianness, header_size = struct.unpack("<BBI", f.read(6))
-    if version != VERSION:
-        raise ColfFormatError(f"Unsupported version: {version} (expected {VERSION})")
+    if version not in SUPPORTED_VERSIONS:
+        raise ColfFormatError(
+            f"Unsupported version: {version} (expected one of {SUPPORTED_VERSIONS})")
     if endianness != ENDIAN_LE:
         raise ColfFormatError(
             f"Unsupported endianness: {endianness} (only little-endian=1)")
@@ -293,6 +600,7 @@ def read_header(f) -> tuple[ColfSchema, list[ColumnMeta], int]:
     except Exception as e:
         raise ColfFormatError("Failed to parse schema JSON") from e
     schema = ColfSchema.from_json(doc)
+    schema.version = version
     metas = []
     for _ in schema.columns:
         raw = f.read(META_ENTRY_SIZE)
@@ -303,26 +611,52 @@ def read_header(f) -> tuple[ColfSchema, list[ColumnMeta], int]:
     return schema, metas, header_size
 
 
-def decode_nulls(payload: memoryview, num_rows: int, has_nulls: bool) -> tuple[np.ndarray, int]:
-    """Returns (null mask, offset of data section within payload)."""
+def decode_nulls(payload: memoryview, num_rows: int, has_nulls: bool,
+                 base: int = 2) -> tuple[np.ndarray, int]:
+    """Returns (null mask, offset of data section within payload).
+    ``base`` is the payload header size: 2 for v1, 3 for v2 (extra
+    encoding byte)."""
     if not has_nulls:
-        return np.zeros(num_rows, dtype=bool), 2
+        return np.zeros(num_rows, dtype=bool), base
     nbytes = (num_rows + 7) // 8
-    bitmap = np.frombuffer(payload[2:2 + nbytes], dtype=np.uint8)
+    bitmap = np.frombuffer(payload[base:base + nbytes], dtype=np.uint8)
     mask = np.unpackbits(bitmap, bitorder="little")[:num_rows].astype(bool)
-    return mask, 2 + nbytes
+    return mask, base + nbytes
 
 
-def decode_column(payload: bytes, dtype: str, num_rows: int, has_nulls: bool) -> list:
+def decode_column(payload: bytes, dtype: str, num_rows: int, has_nulls: bool,
+                  version: int = VERSION) -> list:
     """Decode an uncompressed payload to a Python list (None for NULL).
 
     utf8 string ends come from the next non-null row's start offset
     (else blob end) — O(n), equivalent on reference-writer output to
     reader.py:142-153's quadratic scan."""
     mv = memoryview(payload)
-    if len(mv) < 2:
-        raise ColfFormatError("Payload shorter than 2-byte header")
-    nulls, data_off = decode_nulls(mv, num_rows, has_nulls)
+    base = 2 if version == VERSION else 3
+    if len(mv) < base:
+        raise ColfFormatError(f"Payload shorter than {base}-byte header")
+    enc = ENC_PLAIN if version == VERSION else mv[2]
+    nulls, data_off = decode_nulls(mv, num_rows, has_nulls, base=base)
+
+    if enc != ENC_PLAIN:
+        data = mv[data_off:]
+        if enc == ENC_DELTA and dtype == "int32":
+            out = _delta_decode_i32(data, num_rows).tolist()
+        elif enc == ENC_BSS and dtype == "float64":
+            out = _bss_decode_f64(data, num_rows).tolist()
+        elif enc == ENC_DICT and dtype == "utf8":
+            codes, values = _dict_decode_utf8(data, num_rows)
+            vals_np = np.empty(len(values), dtype=object)
+            for i, v in enumerate(values):
+                vals_np[i] = v
+            out = vals_np[codes].tolist() if num_rows else []
+        else:
+            raise ColfFormatError(
+                f"Unknown v2 encoding {enc} for dtype {dtype}")
+        if has_nulls:
+            for i in np.flatnonzero(nulls).tolist():
+                out[i] = None
+        return out
 
     if dtype == "int32":
         arr = np.frombuffer(mv[data_off:data_off + 4 * num_rows], dtype="<i4")
@@ -362,7 +696,7 @@ def decode_column(payload: bytes, dtype: str, num_rows: int, has_nulls: bool) ->
 
 
 def decode_column_arrow(payload: bytes, dtype: str, num_rows: int,
-                        has_nulls: bool):
+                        has_nulls: bool, version: int = VERSION):
     """Decode an uncompressed payload straight to a pyarrow Array —
     numpy views over the payload buffers, no per-value Python. Falls
     back to the list decoder for non-UTF8 string blocks (the reference
@@ -370,10 +704,33 @@ def decode_column_arrow(payload: bytes, dtype: str, num_rows: int,
     import pyarrow as pa
 
     mv = memoryview(payload)
-    if len(mv) < 2:
-        raise ColfFormatError("Payload shorter than 2-byte header")
-    nulls, data_off = decode_nulls(mv, num_rows, has_nulls)
+    base = 2 if version == VERSION else 3
+    if len(mv) < base:
+        raise ColfFormatError(f"Payload shorter than {base}-byte header")
+    enc = ENC_PLAIN if version == VERSION else mv[2]
+    nulls, data_off = decode_nulls(mv, num_rows, has_nulls, base=base)
     mask = nulls if has_nulls else None
+
+    if enc != ENC_PLAIN:
+        data = mv[data_off:]
+        if enc == ENC_DELTA and dtype == "int32":
+            return pa.array(_delta_decode_i32(data, num_rows),
+                            type=pa.int32(), mask=mask)
+        if enc == ENC_BSS and dtype == "float64":
+            return pa.array(_bss_decode_f64(data, num_rows),
+                            type=pa.float64(), mask=mask)
+        if enc == ENC_DICT and dtype == "utf8":
+            codes, values = _dict_decode_utf8(data, num_rows)
+            if any(not isinstance(v, str) for v in values):
+                # bytes-fallback dictionary entries: no Arrow string
+                # representation — take the list path
+                return pa.array(
+                    decode_column(payload, dtype, num_rows, has_nulls,
+                                  version=version), type=pa.string())
+            dict_arr = pa.array(values, type=pa.string())
+            codes_pa = pa.array(codes, type=pa.int64(), mask=mask)
+            return dict_arr.take(codes_pa)
+        raise ColfFormatError(f"Unknown v2 encoding {enc} for dtype {dtype}")
 
     if dtype == "int32":
         arr = np.frombuffer(mv[data_off:data_off + 4 * num_rows], dtype="<i4")
@@ -447,7 +804,8 @@ def read_columns_arrow(path: str, columns: list[str]) -> dict[str, "object"]:
                 raise ColfFormatError("Failed to read full compressed column block")
             payload = zlib.decompress(comp)
             out[name] = decode_column_arrow(payload, col.type,
-                                            schema.num_rows, meta.has_nulls)
+                                            schema.num_rows, meta.has_nulls,
+                                            version=schema.version)
         return out
 
 
@@ -473,7 +831,8 @@ def read_columns(path: str, columns: list[str]) -> dict[str, list]:
                 raise ColfFormatError("Failed to read full compressed column block")
             payload = zlib.decompress(comp)
             out[name] = decode_column(payload, schema.columns[i].type,
-                                      schema.num_rows, meta.has_nulls)
+                                      schema.num_rows, meta.has_nulls,
+                                      version=schema.version)
         return out
 
 

@@ -496,3 +496,76 @@ def q134_colf_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("l_orderkey").cast("bigint")).alias("min_key"),
         F.max(F.col("l_orderkey").cast("bigint")).alias("max_key"),
     )
+
+
+@register(
+    "q137_colf_v2_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           MIN(l_orderkey) AS min_key,
+           MAX(l_orderkey) AS max_key,
+           MAX(strftime(l_shipdate, '%Y-%m-%d')) AS max_ship,
+           COUNT(DISTINCT strftime(l_shipdate, '%Y-%m-%d')) AS n_ship_days
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q137_colf_v2_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q70's round-trip through the OPT-IN v2 encodings
+    (``option("version", "2")`` — format.py docstring: delta-zigzag
+    int32, byte-stream-split float64, dictionary utf8). Matches the
+    parquet oracle iff every v2 encode→decode is lossless; before
+    returning, the query additionally asserts on the written files
+    that the adaptive encoder actually picked the non-plain encodings
+    (version byte 2; l_quantity=bss; 3-value l_returnflag=dict —
+    l_shipdate is left to the adaptive choice: ~2 400 distinct dates
+    only clear the distinct<=n/2 dict threshold once files hold
+    >4 800 rows), so a silent fall-back-to-plain regression turns the
+    driver row red rather than passing on v1 semantics.
+
+    Scale: identical plan shape to q70 (parallel one-file-per-task
+    write, one InputPartition per file read); v2 trades a vectorized
+    numpy transform per block for smaller blocks — at 100 TB that is
+    less I/O and less zlib input on every scan of cold data.
+    """
+    import os
+
+    from .datasource import register as register_ds
+    from .format import read_schema as read_colf_schema
+
+    register_ds(spark)
+    src = f"{sf_dir}/lineitem.parquet"
+    p = spark.sparkContext.defaultParallelism
+    n_files = max(2, min(p, os.path.getsize(src) // (1 << 20) + 1))
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("int").alias("l_orderkey"),
+        F.col("l_quantity").alias("l_quantity"),
+        F.col("l_returnflag").alias("l_returnflag"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("l_shipdate"),
+    ).repartition(int(n_files))
+    path = tempfile.mkdtemp(prefix="colf_v2_rt_")
+    li.write.format("colf").option("version", "2").mode("overwrite").save(path)
+
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".colf"):
+            continue
+        s = read_colf_schema(os.path.join(path, f))
+        enc = {c.name: c.encoding for c in s.columns}
+        if s.version != 2 or enc["l_quantity"] != "bss" \
+                or enc["l_returnflag"] != "dict":
+            raise AssertionError(
+                f"v2 write did not produce the expected encodings in "
+                f"{f}: version={s.version} encodings={enc}")
+
+    back = spark.read.format("colf").load(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+        .alias("sum_qty"),
+        F.min(F.col("l_orderkey").cast("bigint")).alias("min_key"),
+        F.max(F.col("l_orderkey").cast("bigint")).alias("max_key"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_shipdate").alias("n_ship_days"),
+    )
