@@ -42,6 +42,7 @@ HEADLINE = [
     "q60_cosine_topk",
     "q62_ann_lsh",
     "q70_colf_roundtrip",
+    "q137_colf_v2_roundtrip",
     "q73_csv_ingest",
     "q80_stream_tumbling",
     "q84_stream_stream_join",
@@ -61,6 +62,9 @@ HEADLINE = [
     "q124_tpch_q5",
     "q125_tpch_q10",
     "q126_tpch_q18",
+    "q140_tpch_q8",
+    "q143_tpch_q16",
+    "q146_tpch_q21",
     "q116_doc_chunking",
     "q129_dedup_verified_pairs",
     "q131_image_resize",

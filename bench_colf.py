@@ -91,6 +91,11 @@ def main() -> None:
     write_colf(colf_path, schema, columns)
     write_s = time.perf_counter() - t0
 
+    colf2_path = os.path.join(d, "medium_v2.colf")
+    t0 = time.perf_counter()
+    write_colf(colf2_path, schema, columns, version=2)
+    write_v2_s = time.perf_counter() - t0
+
     def csv_scan_name():
         with open(csv_path, newline="") as f:
             return [row["name"] for row in csv.DictReader(f)]
@@ -98,13 +103,28 @@ def main() -> None:
     csv_scan_s = time_min(csv_scan_name)
     selective_s = time_min(lambda: read_columns(colf_path, ["name"]))
     full_read_s = time_min(lambda: read_all(colf_path))
+    selective_v2_s = time_min(lambda: read_columns(colf2_path, ["name"]))
+    full_read_v2_s = time_min(lambda: read_all(colf2_path))
 
     assert read_columns(colf_path, ["name"])["name"] == columns["name"]
+    assert read_all(colf2_path) == columns
 
     csv_bytes = os.path.getsize(csv_path)
     colf_bytes = os.path.getsize(colf_path)
+    colf2_bytes = os.path.getsize(colf2_path)
+    from columnar_format_spark.colf.format import read_schema
+
     print(json.dumps({
-        "encoding_experiments": encoding_experiments(columns),
+        "v2": {  # shipped opt-in encodings (format.py docstring), not
+            # a what-if: same file measured through the same reader
+            "write_s": round(write_v2_s, 4),
+            "selective_read_ms": round(selective_v2_s * 1e3, 3),
+            "full_read_ms": round(full_read_v2_s * 1e3, 3),
+            "compression_ratio": round(csv_bytes / colf2_bytes, 2),
+            "bytes_vs_v1": round(colf2_bytes / colf_bytes, 3),
+            "encodings": {c.name: c.encoding
+                          for c in read_schema(colf2_path).columns},
+        },
         "metric": "colf_selective_vs_csv",
         "rows": N_ROWS,
         "selective_read_ms": round(selective_s * 1e3, 3),
@@ -123,53 +143,6 @@ def main() -> None:
                  "distribution) - timing comparisons are like-for-like in "
                  "protocol; the compression ratio is distribution-sensitive"),
     }))
-
-
-def encoding_experiments(columns: dict) -> dict:
-    """What dictionary/delta pre-encoding WOULD save on top of the
-    format's zlib-only v1 blocks (SPEC.md:36-38) — measured, not
-    shipped: v1 byte-compatibility is a hard constraint (the reference
-    reader hard-rejects version != 1, reader.py:54-58), so these
-    numbers motivate a hypothetical v2 block encoding, documented here
-    instead of forked into the format."""
-    import struct
-    import zlib
-
-    out = {}
-
-    def z(b: bytes) -> int:
-        return len(zlib.compress(b, 6))
-
-    # sorted int32 id column: delta + zigzag varint beats raw int32
-    ids = columns["id"]
-    raw = struct.pack(f"<{len(ids)}i", *ids)
-    deltas = [ids[0]] + [b - a for a, b in zip(ids, ids[1:])]
-    zig = bytearray()
-    for v in deltas:
-        u = (v << 1) ^ (v >> 31)
-        while u >= 0x80:
-            zig.append((u & 0x7F) | 0x80)
-            u >>= 7
-        zig.append(u)
-    out["id_int32"] = {"v1_zlib": z(raw), "delta_varint_zlib": z(bytes(zig))}
-
-    # low-cardinality utf8 (city, ~100 distinct): dict codes + values
-    for name in ("city", "name"):
-        vals = columns[name]
-        blob = "\x00".join(vals).encode()
-        uniq = sorted(set(vals))
-        code = {v: i for i, v in enumerate(uniq)}
-        codes = b"".join(struct.pack("<H", code[v]) for v in vals)
-        dict_blob = "\x00".join(uniq).encode()
-        out[f"{name}_utf8"] = {
-            "v1_zlib": z(blob),
-            "dict_zlib": z(codes) + z(dict_blob),
-            "n_distinct": len(uniq),
-        }
-    for v in out.values():
-        ks = [k for k in v if k.endswith("_zlib") and k != "v1_zlib"]
-        v["saving"] = round(1 - min(v[k] for k in ks) / v["v1_zlib"], 3)
-    return out
 
 
 if __name__ == "__main__":

@@ -350,3 +350,560 @@ def q126_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 widening: the remaining TPC-H shapes expressible over this
+# testdata (no partsupp table; lineitem has no commit/receipt dates or
+# shipmode — the affected queries are ADAPTED, each documented).
+
+Q4_LO, Q4_HI = "1996-01-01", "1996-04-01"
+Q6_LO, Q6_HI = "1996-01-01", "1997-01-01"
+Q6_QTY = 24
+Q8_REGION, Q8_TYPE, Q8_NATION = "ASIA", "STANDARD", "NATION_3"
+Q8_LO, Q8_HI = "1996-01-01", "1997-12-31"
+Q9_WORD = "red"
+Q15_LO, Q15_HI = "1996-01-01", "1996-04-01"
+Q16_BRAND, Q16_TYPE_PREFIX = "Brand#15", "ECONOMY"
+Q16_SIZES = (1, 9, 19, 29, 39, 49)
+Q17_BRAND = "Brand#12"
+Q21_LATE_DAYS = 90
+Q22_NATIONS = (3, 7, 11, 15, 19, 23)
+Q22_CUTOFF = "2000-01-01"
+
+
+def _vol() -> "F.Column":
+    """Per-row revenue as exact int64 ten-thousandths (cents × discount
+    complement) — summable in any order; see rev_isum's overflow
+    budget note."""
+    from .relational import cents
+
+    return cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+
+
+SQL_VOL = ("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+           " * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))")
+
+
+@register(
+    "q138_tpch_q4",
+    oracle=f"""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{Q4_LO} 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '{Q4_HI} 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q138_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), ADAPTED: the reference
+    predicate l_commitdate < l_receiptdate has no testdata columns, so
+    the correlated EXISTS is l_shipdate > o_orderdate instead — same
+    shape (quarter filter + correlated-EXISTS semijoin + priority
+    histogram), different lateness definition.
+
+    Scale: the EXISTS compiles to a LEFT SEMI join on l_orderkey with
+    the extra non-equi conjunct evaluated on the joined row; the
+    quarter filter pushes to the orders scan and shrinks the probe
+    side ~60× before the semijoin. 5-group aggregate, map-side
+    partials.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q4_LO) & (F.col("o_orderdate") < Q4_HI)
+    ).select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("order_count"))
+
+
+@register(
+    "q139_tpch_q6",
+    oracle=f"""
+    SELECT (CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)
+                     * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                            AS BIGINT)) AS DOUBLE) / 10000.0) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q6_LO} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{Q6_HI} 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < {Q6_QTY}
+    """,
+)
+def q139_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure pushed-filter
+    scan-and-sum — revenue that would vanish if discounts in a band
+    were dropped for small quantities over one year.
+
+    Scale: zero joins, zero wide shuffles — every predicate reaches
+    PushedFilters on the parquet (and COLF zone-map) scan, the sum is
+    a map-side partial + 1-row final. The canonical "is your scan
+    path clean" probe. price_cents × discount_cents is an exact int64
+    (≤1e9/row); the /1e4 at the end reconstructs price*discount.
+    """
+    from .relational import cents
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q6_LO) & (F.col("l_shipdate") < Q6_HI)
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < Q6_QTY)
+    )
+    return li.agg(
+        (F.sum(cents("l_extendedprice") * cents("l_discount"))
+         .cast("double") / F.lit(1.0e4)).alias("revenue"))
+
+
+@register(
+    "q140_tpch_q8",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+           (CAST(SUM(CASE WHEN n1.n_name = '{Q8_NATION}'
+                          THEN {SQL_VOL} ELSE 0 END) AS DOUBLE)
+            / CAST(SUM({SQL_VOL}) AS DOUBLE)) AS mkt_share
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN customer c  ON c.c_custkey = o.o_custkey
+    JOIN nation n2   ON n2.n_nationkey = c.c_nationkey
+    JOIN region r    ON r.r_regionkey = n2.n_regionkey
+    JOIN part p      ON p.p_partkey = l.l_partkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1   ON n1.n_nationkey = s.s_nationkey
+    WHERE r.r_name = '{Q8_REGION}'
+      AND p.p_type = '{Q8_TYPE}'
+      AND o.o_orderdate BETWEEN TIMESTAMP '{Q8_LO} 00:00:00'
+                            AND TIMESTAMP '{Q8_HI} 00:00:00'
+    GROUP BY o_year
+    """,
+)
+def q140_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one supplier nation's share
+    of revenue for a part type sold into one region's market, per
+    order-year — conditional aggregation over a 7-table star join.
+
+    Scale: nation/region broadcast; part is SF-proportional but tiny
+    relative to lineitem and the p_type filter prunes it ~6× before
+    AQE sizes the join; supplier/customer/orders as in q104. The
+    share is a ratio of two exact int64 sums computed in ONE
+    aggregate pass (no second scan for the denominator) — the CASE
+    trick every Catalyst conditional-agg plan should use; the final
+    double division is deterministic.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q8_LO)
+        & (F.col("o_orderdate") <= f"{Q8_HI} 00:00:00")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_type") == Q8_TYPE).select("p_partkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_regionkey").alias("c_rk"))
+    r = table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q8_REGION).select("r_regionkey")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+    )
+    vol = _vol()
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (F.sum(F.when(F.col("supp_nation") == Q8_NATION, vol)
+                   .otherwise(F.lit(0))).cast("double")
+             / F.sum(vol).cast("double")).alias("mkt_share"))
+    )
+
+
+@register(
+    "q141_tpch_q9",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+           {sql_rev_isum('l.l_extendedprice', 'l.l_discount')} AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%{Q9_WORD}%'
+    GROUP BY nation, o_year
+    """,
+)
+def q141_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit), ADAPTED: no partsupp table, so
+    profit omits the ps_supplycost*l_quantity term and reduces to
+    discounted revenue — the SHAPE is intact: substring match on part
+    name, 5-way join, profit by supplier nation × order year.
+
+    Scale: the LIKE '%word%' cannot push as a range but DOES push as
+    a parquet residual filter on the part scan (~1/6 selectivity
+    here); part joins lineitem on partkey BEFORE orders joins in, so
+    the fact table is pruned by the part filter first — join order
+    matters and Catalyst gets it from the size estimates. 25×years
+    output groups.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(Q9_WORD)).select("p_partkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"),
+                  F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(rev_isum().alias("sum_profit"))
+    )
+
+
+@register(
+    "q142_tpch_q15",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM({SQL_VOL}) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{Q15_LO} 00:00:00'
+        AND l_shipdate <  TIMESTAMP '{Q15_HI} 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           (CAST(rev.r AS DOUBLE) / 10000.0) AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.r = (SELECT MAX(r) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q142_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with maximum revenue
+    in one quarter — the view + scalar-MAX-subquery shape.
+
+    Scale: one partial-agged groupBy on l_suppkey; the MAX is a 1-row
+    aggregate of that result joined back as a broadcast equality (no
+    second scan of lineitem, the aggregated frame is reused for both
+    the max and the join). Ties all surface (spec semantics), made
+    deterministic by the exact int64 revenue — no double-noise ties.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q15_LO) & (F.col("l_shipdate") < Q15_HI)
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_vol()).alias("r"))
+    top = rev.agg(F.max("r").alias("rmax"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), rev.r == F.col("rmax"))
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            (F.col("r").cast("double") / F.lit(1.0e4))
+            .alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q143_tpch_q16",
+    oracle=f"""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> '{Q16_BRAND}'
+      AND p.p_type NOT LIKE '{Q16_TYPE_PREFIX}%'
+      AND p.p_size IN {Q16_SIZES}
+      AND ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q143_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), ADAPTED: with no
+    partsupp table the part↔supplier relation is DISTINCT
+    (l_partkey, l_suppkey) from lineitem, and the "customer
+    complaints" exclusion becomes s_name LIKE '%7' — shape intact:
+    negated filters, NOT-IN anti-join, COUNT(DISTINCT supplier) per
+    part attribute triple.
+
+    Scale: the distinct pair projection is one shuffle on the pair
+    key (at 100 TB this is the expensive step — a real deployment
+    materializes it once, exactly what partsupp IS); the NOT IN
+    compiles to a broadcast anti-join (supplier is the small side);
+    COUNT(DISTINCT) over (brand,type,size) reuses Spark's two-phase
+    distinct-aggregate expansion.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey").distinct()
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_BRAND)
+        & (~F.col("p_type").startswith(Q16_TYPE_PREFIX))
+        & (F.col("p_size").isin(*Q16_SIZES))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = table(spark, sf_dir, "supplier").filter(
+        F.col("s_name").endswith("7")).select(
+        F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint")
+             .alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q144_tpch_q17",
+    oracle=f"""
+    WITH pa AS (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS BIGINT)) AS sq,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey)
+    SELECT (CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS DOUBLE) / 100.0 / 7.0)
+           AS avg_yearly
+    FROM lineitem l
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = '{Q17_BRAND}'
+      AND 5 * pa.cnt * CAST(l.l_quantity AS BIGINT) < pa.sq
+    """,
+)
+def q144_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue lost if
+    orders below 20% of a part's average quantity were not taken —
+    the correlated AVG subquery, decorrelated into an aggregate
+    joined back on partkey.
+
+    The 20%-of-average comparison is cross-multiplied into pure
+    int64 (5·cnt·qty < Σqty) so both engines compare exact integers —
+    no double AVG anywhere (quantities are integral doubles).
+
+    Scale: per-part aggregate and the join-back share the same
+    partkey partitioning (one exchange reused); the brand filter
+    prunes part ~25× and semi-prunes lineitem through the join.
+    The container predicate of spec-Q17 has no testdata column and
+    is dropped (documented adaptation).
+    """
+    from .relational import cents
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sq"),
+        F.count(F.lit(1)).alias("cnt"))
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == Q17_BRAND).select("p_partkey")
+    j = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(pa, "l_partkey")
+        .filter(F.lit(5) * F.col("cnt")
+                * F.col("l_quantity").cast("bigint") < F.col("sq"))
+    )
+    return j.agg(
+        (F.sum(cents("l_extendedprice")).cast("double") / F.lit(100.0)
+         / F.lit(7.0)).alias("avg_yearly"))
+
+
+Q19_BRANCHES = (("Brand#12", 5, 1, 11), ("Brand#23", 10, 10, 20),
+                ("Brand#24", 15, 20, 30))
+
+
+@register(
+    "q145_tpch_q19",
+    oracle=f"""
+    SELECT {sql_rev_isum('l.l_extendedprice', 'l.l_discount')} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = '{Q19_BRANCHES[0][0]}'
+           AND p.p_size BETWEEN 1 AND {Q19_BRANCHES[0][1]}
+           AND l.l_quantity BETWEEN {Q19_BRANCHES[0][2]}
+                                AND {Q19_BRANCHES[0][3]})
+       OR (p.p_brand = '{Q19_BRANCHES[1][0]}'
+           AND p.p_size BETWEEN 1 AND {Q19_BRANCHES[1][1]}
+           AND l.l_quantity BETWEEN {Q19_BRANCHES[1][2]}
+                                AND {Q19_BRANCHES[1][3]})
+       OR (p.p_brand = '{Q19_BRANCHES[2][0]}'
+           AND p.p_size BETWEEN 1 AND {Q19_BRANCHES[2][1]}
+           AND l.l_quantity BETWEEN {Q19_BRANCHES[2][2]}
+                                AND {Q19_BRANCHES[2][3]})
+    """,
+)
+def q145_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue), ADAPTED: the container/shipmode
+    conjuncts have no testdata columns; the defining structure — a
+    disjunction of brand×size×quantity conjunction branches that
+    straddles the join — is intact.
+
+    Scale: Catalyst extracts the join-side-local implications of the
+    OR: part gets (brand IN (...) AND p_size<=15-ish) pushed, lineitem
+    gets the quantity envelope pushed, and the full disjunction is
+    re-checked post-join. The part side shrinks to a broadcastable
+    sliver at any SF (brand+size is ~1/100 of part).
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    cond = None
+    for brand, size_hi, q_lo, q_hi in Q19_BRANCHES:
+        branch = ((F.col("p_brand") == brand)
+                  & F.col("p_size").between(1, size_hi)
+                  & F.col("l_quantity").between(q_lo, q_hi))
+        cond = branch if cond is None else (cond | branch)
+    return j.filter(cond).agg(rev_isum().alias("revenue"))
+
+
+@register(
+    "q146_tpch_q21",
+    oracle=f"""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o   ON o.o_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate
+                            + INTERVAL {Q21_LATE_DAYS} DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q146_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), ADAPTED:
+    "late" is l_shipdate > o_orderdate + 90 days (no commit/receipt
+    dates in the testdata). The EXISTS/NOT-EXISTS pair — another
+    supplier participated, no OTHER supplier was late — is
+    decorrelated into per-order supplier counts: a late line
+    qualifies iff its order has >1 distinct suppliers and exactly 1
+    distinct LATE supplier. Set-identical to the correlated form (the
+    oracle runs the textbook EXISTS version to prove it).
+
+    Scale: the rewrite turns two correlated subqueries into two
+    partial-agged groupBys on l_orderkey that share the late-join's
+    partitioning — O(lineitem) total, no nested-loop re-scan per row
+    (the correlated form is quadratic if the optimizer fails to
+    decorrelate; doing it structurally removes the risk). Top-20 is
+    TakeOrderedAndProject.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS"))
+    n_supp = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"),
+                "left_semi")
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp")))
+    n_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_late_supp")))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    q = (
+        late.join(n_supp.filter(F.col("n_supp") > 1), "l_orderkey")
+        .join(n_late.filter(F.col("n_late_supp") == 1), "l_orderkey")
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+    )
+    return (
+        q.groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@register(
+    "q147_tpch_q22",
+    oracle=f"""
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           (CAST(SUM(CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS DOUBLE) / 100.0) AS totacctbal
+    FROM customer c
+    WHERE c.c_nationkey IN {Q22_NATIONS}
+      AND CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+          * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+          > (SELECT SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                             AS BIGINT))
+             FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '{Q22_CUTOFF} 00:00:00')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q147_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), ADAPTED: the phone-prefix
+    country code becomes c_nationkey (no phone column), and "never
+    placed an order" becomes "no order since {Q22_CUTOFF}" (every
+    testdata customer has SOME order) — shape intact: scalar
+    AVG-subquery threshold, NOT-EXISTS anti-join, per-country
+    aggregate of the rich-but-idle customers.
+
+    The above-average test is cross-multiplied into exact int64
+    (cents·count > Σcents) so no floating AVG exists on either
+    engine — double AVG would be aggregation-order-dependent.
+
+    Scale: the threshold stats are ONE 1-row aggregate broadcast into
+    the filter; the NOT EXISTS is a shuffle anti-join against the
+    date-pruned orders slice; output is ≤25 groups. Customer is
+    scanned twice (stats + candidates) — at 100 TB the stats pass
+    reads only the acctbal column (columnar pruning makes the second
+    scan ~1% of table bytes).
+    """
+    from .relational import cents
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal")
+    stats = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(cents("c_acctbal")).alias("sum_pos"))
+    recent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= Q22_CUTOFF
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    cand = (
+        c.filter(F.col("c_nationkey").isin(*Q22_NATIONS))
+        .crossJoin(F.broadcast(stats))
+        .filter(cents("c_acctbal") * F.col("n_pos") > F.col("sum_pos"))
+        .join(recent, "c_custkey", "left_anti")
+    )
+    return cand.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("numcust"),
+        (F.sum(cents("c_acctbal")).cast("double") / F.lit(100.0))
+        .alias("totacctbal"))

@@ -282,3 +282,60 @@ def test_tpch_q18_semijoin_and_topk(spark):
     plan = plan_of(spark, "q126_tpch_q18")
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize("name", [
+    "q138_tpch_q4", "q139_tpch_q6", "q140_tpch_q8", "q141_tpch_q9",
+    "q142_tpch_q15", "q143_tpch_q16", "q144_tpch_q17", "q145_tpch_q19",
+    "q146_tpch_q21", "q147_tpch_q22",
+])
+def test_tpch_round4_stays_jvm_side(spark, name):
+    """The round-4 TPC-H shapes evaluate entirely JVM-side."""
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_q138_exists_becomes_semi_join(spark):
+    """Q4's correlated EXISTS must plan as a LeftSemi join carrying
+    the non-equi lateness conjunct — not an aggregate-then-inner-join
+    (double counting) or a nested loop."""
+    plan = plan_of(spark, "q138_tpch_q4")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q139_filters_reach_scan(spark):
+    """Q6 is the clean-scan probe: quantity/discount/shipdate must all
+    reach the parquet scan as pushed filters."""
+    plan = plan_of(spark, "q139_tpch_q6")
+    import re
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed, plan
+    s = pushed.group(1)
+    assert "l_quantity" in s and "l_discount" in s and "l_shipdate" in s
+
+
+def test_q143_not_in_becomes_broadcast_anti(spark):
+    """Q16's supplier exclusion must be a broadcast anti-join."""
+    plan = plan_of(spark, "q143_tpch_q16")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q146_decorrelated_no_nested_loop(spark):
+    """Q21's EXISTS/NOT-EXISTS pair is decorrelated structurally; the
+    plan must contain only hash/merge joins — a nested-loop re-scan
+    per row is the quadratic failure mode this rewrite removes."""
+    plan = plan_of(spark, "q146_tpch_q21")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q147_stats_broadcast_single_row(spark):
+    """Q22's threshold stats are a 1-row aggregate that must broadcast
+    into the filter (BNLJ over one row), with the no-recent-orders
+    check as an anti-join."""
+    plan = plan_of(spark, "q147_tpch_q22")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
