@@ -74,6 +74,7 @@ HEADLINE = [
     "q122_colf_time_travel",
     "q134_colf_incremental_read",
     "q136_colf_vacuum",
+    "q148_colf_delete",
 ]
 
 

@@ -75,6 +75,7 @@ from .format import (
 )
 
 SPARK_TO_COLF = {"int": "int32", "double": "float64", "string": "utf8"}
+FILE_COLUMN = "_colf_file"  # virtual column, option withFileColumn=true
 COLF_TO_SPARK = {"int32": IntegerType(), "float64": DoubleType(), "utf8": StringType()}
 
 
@@ -294,6 +295,18 @@ class ColfReader(DataSourceReader):
         # full compacted set (file-level diff semantics, documented).
         inc_opt = options.get("incrementalFrom")
         self.incremental_from = int(inc_opt) if inc_opt is not None else None
+        # option withFileColumn=true appends a virtual _colf_file
+        # string column (source part-file basename) to every row —
+        # the input_file_name() parity hook that file-granular
+        # maintenance (delete_where) is built on
+        self.with_file_column = (
+            options.get("withFileColumn", "false").lower() == "true")
+        # option files=a.colf,b.colf restricts the scan to those live
+        # basenames (metadata-level pruning for maintenance rewrites)
+        files_opt = options.get("files")
+        self.only_files = (
+            {b.strip() for b in files_opt.split(",") if b.strip()}
+            if files_opt else None)
 
     def pushFilters(self, filters):
         """Record conjuncts usable for manifest file-skipping. ALL
@@ -335,6 +348,14 @@ class ColfReader(DataSourceReader):
                     f"{sorted(snaps) or 'none'})")
             seen = set(snaps[self.incremental_from]["files"])
             files = [f for f in files if os.path.basename(f) not in seen]
+        if self.only_files is not None:
+            unknown = self.only_files - {os.path.basename(f) for f in files}
+            if unknown:
+                raise ColfFormatError(
+                    f"option files names basenames not in the live set: "
+                    f"{sorted(unknown)}")
+            files = [f for f in files
+                     if os.path.basename(f) in self.only_files]
         if self.pushed and self.pruning:
             manifest = load_manifest(self.path)
             if manifest:
@@ -358,7 +379,12 @@ class ColfReader(DataSourceReader):
         if partition.file is None:
             return
         wanted = self.columns or [f.name for f in self.schema.fields]
-        data = read_columns_arrow(partition.file, wanted)
+        file_cols = [c for c in wanted if c != FILE_COLUMN]
+        data = read_columns_arrow(partition.file, file_cols)
+        if FILE_COLUMN in wanted:
+            n = len(data[file_cols[0]]) if file_cols else 0
+            base = os.path.basename(partition.file)
+            data[FILE_COLUMN] = pa.array([base] * n, type=pa.string())
         yield pa.RecordBatch.from_arrays([data[n] for n in wanted], names=wanted)
 
 
@@ -767,9 +793,10 @@ class ColfDataSource(DataSource):
         # "Value at index is null" crash). Per-FILE nullability stays
         # exact in the COLF headers.
         base = colf_to_spark_schema(file_schema)
-        return StructType([
-            StructField(f.name, f.dataType, True) for f in base.fields
-        ])
+        fields = [StructField(f.name, f.dataType, True) for f in base.fields]
+        if self.options.get("withFileColumn", "false").lower() == "true":
+            fields.append(StructField(FILE_COLUMN, StringType(), False))
+        return StructType(fields)
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return ColfReader(self.options, schema)

@@ -129,3 +129,74 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
         os.rename(mtmp, manifest_path(path))
     write_snapshots(path, kept)
     return sorted(deleted)
+
+
+def delete_where(spark: SparkSession, path: str, condition: str) -> dict:
+    """Copy-on-write row-level DELETE (Iceberg CoW semantics): rewrite
+    ONLY the part files that contain matching rows, commit one new
+    snapshot whose live set is (old live − touched files) + rewrites.
+    Untouched files stay byte-identical; the pre-delete version remains
+    time-travel-readable until vacuum(). Returns
+    {"version", "n_deleted_rows", "n_rewritten_files", "n_kept_files"}.
+
+    Plan shape: pass 1 scans with the virtual ``_colf_file`` column
+    (zone maps prune files the condition cannot match) and aggregates
+    match counts per file — metadata-sized output. Pass 2 re-reads
+    ONLY the touched files (``option("files", ...)``), keeps the
+    surviving rows, and writes them through the normal connector into
+    a tmp dir (one output file per input partition — layout
+    preserved), which is then adopted like compact(retain=True). At
+    100 TB a selective delete touches a sliver of files and the
+    rewrite cost is proportional to the touched bytes, not the
+    dataset. Same single-writer/stream contract as compact().
+    """
+    import json
+
+    from pyspark.sql import functions as F
+
+    if not os.path.isdir(path):
+        raise ValueError(f"delete_where() needs a dataset directory, got {path}")
+    snaps0 = load_snapshots(path)
+    parent = snaps0[-1]["version"] if snaps0 else 0
+    live0 = [os.path.basename(f) for f in dataset_files(path)] if parent == 0 \
+        else list(snaps0[-1]["files"])
+
+    tagged = (spark.read.format("colf")
+              .option("withFileColumn", "true").load(path))
+    matches = (tagged.filter(condition)
+               .groupBy("_colf_file")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .collect())  # one row per TOUCHED FILE — metadata-sized
+    if not matches:
+        return {"version": parent, "n_deleted_rows": 0,
+                "n_rewritten_files": 0, "n_kept_files": len(live0)}
+    touched = sorted(r["_colf_file"] for r in matches)
+    n_deleted = sum(r["n"] for r in matches)
+
+    survivors = (spark.read.format("colf")
+                 .option("files", ",".join(touched)).load(path)
+                 .filter(f"NOT ({condition})"))
+    from .format import read_schema
+
+    ver = read_schema(os.path.join(path, touched[0])).version
+    tmp = f"{path.rstrip(os.sep)}.delete-{uuid.uuid4().hex[:8]}"
+    (survivors.write.format("colf").option("version", str(ver))
+     .mode("overwrite").save(tmp))
+    # when every row of every touched file dies, the connector's valid
+    # 0-row sentinel is adopted so the dataset never ends up file-less
+    moved = []
+    for f in dataset_files(tmp):
+        base = os.path.basename(f)
+        moved.append(base)
+        os.rename(f, os.path.join(path, base))
+    merged = load_manifest(path)
+    merged.update(load_manifest(tmp))
+    mtmp = manifest_path(path) + ".tmp"
+    with open(mtmp, "w") as fh:
+        json.dump(merged, fh)
+    os.rename(mtmp, manifest_path(path))
+    shutil.rmtree(tmp)
+    kept = [b for b in live0 if b not in set(touched)]
+    commit_snapshot(path, kept + moved, expected_parent=parent)
+    return {"version": parent + 1, "n_deleted_rows": int(n_deleted),
+            "n_rewritten_files": len(moved), "n_kept_files": len(kept)}

@@ -569,3 +569,59 @@ def q137_colf_v2_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_shipdate").alias("max_ship"),
         F.countDistinct("l_shipdate").alias("n_ship_days"),
     )
+
+
+@register(
+    "q148_colf_delete",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R')
+                AS BIGINT) AS n_deleted,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows_before,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_after,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty_after,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_key_after
+    FROM lineitem WHERE l_returnflag <> 'R'
+    """,
+)
+def q148_colf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write row-level DELETE under the correctness gate
+    (colf.maintenance.delete_where): lineitem → 4-file v2 COLF dataset
+    → DELETE WHERE l_returnflag = 'R' → read back. Matches the oracle
+    iff (a) exactly the matching rows were removed, (b) nothing else
+    was perturbed by the rewrite, and (c) the pre-delete snapshot
+    still time-travels to the FULL row count (n_rows_before comes from
+    ``option("snapshot", 1)``, not from the original parquet).
+
+    Scale: pass 1 is a zone-map-prunable scan producing one row per
+    touched file; pass 2 rewrites only the touched bytes — the
+    Iceberg CoW cost model. Here 'R' rows live in every file (~1/3 of
+    rows), the worst case for CoW; a key- or time-localized delete
+    (the common GDPR/retention shape) touches a sliver because the
+    dataset convention range-partitions those columns.
+    """
+    from .datasource import register as register_ds
+    from .maintenance import delete_where
+
+    register_ds(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("int").alias("l_orderkey"),
+        F.col("l_quantity").alias("l_quantity"),
+        F.col("l_returnflag").alias("l_returnflag"),
+    ).repartition(4)
+    path = tempfile.mkdtemp(prefix="colf_del_") + "/ds"
+    li.write.format("colf").option("version", "2").mode("append").save(path)
+
+    stats = delete_where(spark, path, "l_returnflag = 'R'")
+
+    before = (spark.read.format("colf").option("snapshot", "1").load(path)
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_before")))
+    after = spark.read.format("colf").load(path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_after"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty_after"),
+        F.min(F.col("l_orderkey").cast("bigint")).alias("min_key_after"))
+    return (
+        after.crossJoin(F.broadcast(before))
+        .select(
+            F.lit(stats["n_deleted_rows"]).cast("bigint").alias("n_deleted"),
+            "n_rows_before", "n_rows_after", "sum_qty_after", "min_key_after")
+    )

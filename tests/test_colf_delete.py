@@ -1,0 +1,124 @@
+"""Copy-on-write delete (colf.maintenance.delete_where) and the two
+reader hooks it builds on: the virtual _colf_file column and the
+files= scan restriction."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_format_spark.colf.format import ColfFormatError, read_schema
+from columnar_format_spark.colf.maintenance import delete_where
+
+
+@pytest.fixture(scope="module")
+def colf_spark(spark):
+    from columnar_format_spark.colf.datasource import register
+
+    register(spark)
+    return spark
+
+
+def _dataset(spark, tmp_path, version="1", range_partition=False, n=1000):
+    df = spark.range(n).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 10).cast("double").alias("v"),
+        (F.col("id") % 3).cast("string").alias("tag"))
+    if range_partition:
+        df = df.repartitionByRange(4, "id")
+    else:
+        df = df.repartition(4)
+    p = str(tmp_path / "ds")
+    df.write.format("colf").option("version", version).mode("append").save(p)
+    return p
+
+
+def _files(p):
+    return sorted(f for f in os.listdir(p) if f.endswith(".colf"))
+
+
+def test_partial_delete_and_time_travel(colf_spark, tmp_path):
+    p = _dataset(colf_spark, tmp_path)
+    stats = delete_where(colf_spark, p, "id >= 100 AND id < 300")
+    assert stats["n_deleted_rows"] == 200
+    assert stats["version"] == 2
+    back = colf_spark.read.format("colf").load(p)
+    assert back.count() == 800
+    assert back.filter("id >= 100 AND id < 300").count() == 0
+    # the pre-delete version still reads complete
+    old = colf_spark.read.format("colf").option("snapshot", "1").load(p)
+    assert old.count() == 1000
+
+
+def test_file_pruned_delete_touches_only_matching_files(colf_spark, tmp_path):
+    p = _dataset(colf_spark, tmp_path, range_partition=True)
+    pre = {f: os.path.getsize(os.path.join(p, f)) for f in _files(p)}
+    # ids are range-partitioned across 4 files; a one-quartile delete
+    # must rewrite exactly 1 file and leave the other 3 byte-identical
+    stats = delete_where(colf_spark, p, "id < 200")
+    assert stats["n_deleted_rows"] == 200
+    assert stats["n_rewritten_files"] == 1
+    assert stats["n_kept_files"] == 3
+    post = {f: os.path.getsize(os.path.join(p, f)) for f in _files(p)}
+    # CoW: all 4 originals stay on disk untouched (the old version
+    # still references the rewritten one), plus 1 new rewrite file
+    unchanged = [f for f in pre if f in post and post[f] == pre[f]]
+    assert len(unchanged) == 4
+    assert len(post) == 5
+    assert colf_spark.read.format("colf").load(p).count() == 800
+    # vacuum reclaims the superseded original
+    from columnar_format_spark.colf.maintenance import vacuum
+
+    deleted = vacuum(p, keep_last=1)
+    assert len(deleted) == 1
+    assert deleted[0] in pre
+    assert colf_spark.read.format("colf").load(p).count() == 800
+
+
+def test_delete_preserves_file_version(colf_spark, tmp_path):
+    p = _dataset(colf_spark, tmp_path, version="2")
+    delete_where(colf_spark, p, "id < 100")
+    # every live file (rewrites included) still carries version 2
+    from columnar_format_spark.colf.datasource import live_files
+
+    assert {read_schema(f).version for f in live_files(p)} == {2}
+
+
+def test_noop_delete_commits_nothing(colf_spark, tmp_path):
+    p = _dataset(colf_spark, tmp_path)
+    stats = delete_where(colf_spark, p, "id > 10000000")
+    assert stats == {"version": 1, "n_deleted_rows": 0,
+                     "n_rewritten_files": 0, "n_kept_files": 4}
+    assert colf_spark.read.format("colf").load(p).count() == 1000
+
+
+def test_delete_all_leaves_valid_empty_dataset(colf_spark, tmp_path):
+    p = _dataset(colf_spark, tmp_path)
+    stats = delete_where(colf_spark, p, "v >= 0")
+    assert stats["n_deleted_rows"] == 1000
+    back = colf_spark.read.format("colf").load(p)
+    assert back.count() == 0
+    assert [f.name for f in back.schema.fields] == ["id", "v", "tag"]
+
+
+def test_with_file_column(colf_spark, tmp_path):
+    p = _dataset(colf_spark, tmp_path)
+    tagged = (colf_spark.read.format("colf")
+              .option("withFileColumn", "true").load(p))
+    assert tagged.schema.fieldNames()[-1] == "_colf_file"
+    per_file = dict(tagged.groupBy("_colf_file").count().collect())
+    assert set(per_file) == set(_files(p))
+    assert sum(per_file.values()) == 1000
+
+
+def test_files_option_restricts_and_validates(colf_spark, tmp_path):
+    p = _dataset(colf_spark, tmp_path)
+    one = _files(p)[0]
+    sub = (colf_spark.read.format("colf")
+           .option("files", one).load(p))
+    n = sub.count()
+    assert 0 < n < 1000
+    bad = (colf_spark.read.format("colf")
+           .option("files", "nope.colf").load(p))
+    with pytest.raises(Exception, match="not in the live set"):
+        bad.count()
