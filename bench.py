@@ -75,6 +75,7 @@ HEADLINE = [
     "q134_colf_incremental_read",
     "q136_colf_vacuum",
     "q148_colf_delete",
+    "q149_colf_merge",
 ]
 
 

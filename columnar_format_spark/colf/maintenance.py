@@ -200,3 +200,115 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> dict:
     commit_snapshot(path, kept + moved, expected_parent=parent)
     return {"version": parent + 1, "n_deleted_rows": int(n_deleted),
             "n_rewritten_files": len(moved), "n_kept_files": len(kept)}
+
+
+def merge_into(spark: SparkSession, path: str, source,
+               key_cols: list[str]) -> dict:
+    """Copy-on-write key-UPSERT (primary-key MERGE semantics): after
+    the merge the dataset contains every ``source`` row plus every
+    pre-existing row whose key is absent from ``source``. Matched
+    target rows (all of them, if the target held duplicates for a key)
+    are replaced by the single source row for that key; unmatched
+    source rows are inserts. One snapshot commit; untouched files stay
+    byte-identical; the pre-merge version remains time-travel-readable
+    until vacuum(). Returns {"version", "n_replaced_rows",
+    "n_source_rows", "n_rewritten_files", "n_kept_files"}.
+
+    Source keys must be UNIQUE — duplicate keys make "the" update row
+    ambiguous, so they raise (Delta/Iceberg MERGE do the same). The
+    uniqueness probe, the touched-file discovery (zone-map prunable
+    semi join on the virtual _colf_file scan), and the survivor
+    rewrite (anti join, only the touched files re-read) are all
+    distributed; driver state is one row per touched file. At 100 TB a
+    key-localized source touches the few files whose zone maps cover
+    its keys — cost proportional to touched bytes, like delete_where.
+    Same single-writer/stream contract as compact().
+    """
+    import json
+
+    from pyspark.sql import functions as F
+
+    if not os.path.isdir(path):
+        raise ValueError(f"merge_into() needs a dataset directory, got {path}")
+    if not key_cols:
+        raise ValueError("merge_into() needs at least one key column")
+    snaps0 = load_snapshots(path)
+    parent = snaps0[-1]["version"] if snaps0 else 0
+    live0 = [os.path.basename(f) for f in dataset_files(path)] if parent == 0 \
+        else list(snaps0[-1]["files"])
+
+    target_fields = spark.read.format("colf").load(path).schema.fieldNames()
+    if source.schema.fieldNames() != target_fields:
+        raise ValueError(
+            f"merge source columns {source.schema.fieldNames()} must match "
+            f"the dataset's {target_fields} (same names, same order)")
+    dup = (source.groupBy(*key_cols).count().filter("count > 1").limit(1)
+           .collect())
+    if dup:
+        raise ValueError(
+            f"merge source has duplicate keys, e.g. "
+            f"{[dup[0][k] for k in key_cols]} — upsert is ambiguous")
+
+    keys = source.select(*key_cols).distinct()
+    tagged = (spark.read.format("colf")
+              .option("withFileColumn", "true").load(path))
+    matches = (tagged.join(keys, key_cols, "left_semi")
+               .groupBy("_colf_file")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .collect())
+    touched = sorted(r["_colf_file"] for r in matches)
+    n_replaced = sum(r["n"] for r in matches)
+    n_source = source.count()
+
+    from .format import read_schema
+
+    tmps = []
+    moved = []
+    try:
+        if touched:
+            ver = read_schema(os.path.join(path, touched[0])).version
+            survivors = (spark.read.format("colf")
+                         .option("files", ",".join(touched)).load(path)
+                         .join(keys, key_cols, "left_anti"))
+            tmp1 = f"{path.rstrip(os.sep)}.merge-{uuid.uuid4().hex[:8]}"
+            (survivors.write.format("colf").option("version", str(ver))
+             .mode("overwrite").save(tmp1))
+            tmps.append(tmp1)
+        live_ver = read_schema(os.path.join(path, live0[0])).version \
+            if live0 else 1
+        # size the insert files like the dataset's existing files (via
+        # the manifest's per-file row counts) instead of inheriting the
+        # source's arbitrary partitioning — a 60-row source must not
+        # scatter into dozens of unsplittable midget files
+        mrows = [m.get("num_rows") for b in live0
+                 for m in [load_manifest(path).get(b, {})]
+                 if m.get("num_rows")]
+        per_file = max(1, sum(mrows) // len(mrows)) if mrows else 500_000
+        n_files = max(1, min(int(spark.sparkContext.defaultParallelism),
+                             (n_source + per_file - 1) // per_file))
+        shaped = (source.coalesce(n_files)
+                  if source.rdd.getNumPartitions() > n_files
+                  else source.repartition(n_files))
+        tmp2 = f"{path.rstrip(os.sep)}.merge-{uuid.uuid4().hex[:8]}"
+        (shaped.write.format("colf").option("version", str(live_ver))
+         .mode("overwrite").save(tmp2))
+        tmps.append(tmp2)
+        merged = load_manifest(path)
+        for tmp in tmps:
+            for f in dataset_files(tmp):
+                base = os.path.basename(f)
+                moved.append(base)
+                os.rename(f, os.path.join(path, base))
+            merged.update(load_manifest(tmp))
+        mtmp = manifest_path(path) + ".tmp"
+        with open(mtmp, "w") as fh:
+            json.dump(merged, fh)
+        os.rename(mtmp, manifest_path(path))
+    finally:
+        for tmp in tmps:
+            shutil.rmtree(tmp, ignore_errors=True)
+    kept = [b for b in live0 if b not in set(touched)]
+    commit_snapshot(path, kept + moved, expected_parent=parent)
+    return {"version": parent + 1, "n_replaced_rows": int(n_replaced),
+            "n_source_rows": int(n_source),
+            "n_rewritten_files": len(moved), "n_kept_files": len(kept)}

@@ -625,3 +625,84 @@ def q148_colf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(stats["n_deleted_rows"]).cast("bigint").alias("n_deleted"),
             "n_rows_before", "n_rows_after", "sum_qty_after", "min_key_after")
     )
+
+
+@register(
+    "q149_colf_merge",
+    oracle="""
+    WITH tgt AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    src AS (
+      SELECT o_orderkey,
+             o_totalprice * 2 AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+             o_totalprice,
+             'N'
+      FROM orders WHERE o_orderkey % 100 = 7),
+    merged AS (
+      SELECT * FROM src
+      UNION ALL
+      SELECT * FROM tgt
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+)
+def q149_colf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-level key-UPSERT under the correctness gate
+    (colf.maintenance.merge_into): orders → 4-file v2 COLF dataset,
+    then MERGE a source of updates (keys ≡3 mod 10, doubled price,
+    status 'U') and inserts (fresh keys past MAX, status 'N').
+    Matches the oracle's src-∪-(tgt∖src-keys) relational definition
+    iff replaced rows carry exactly the source values, unmatched rows
+    are untouched, and inserts all land — per status group, exact
+    cents sums and key extremes.
+
+    Scale: the touched-file discovery is a zone-map-prunable semi
+    join; survivors rewrite only touched files; inserts are sized
+    like the dataset's existing files (manifest row counts), not the
+    source's partitioning. One snapshot commit — a reader never sees
+    the half-merged state.
+    """
+    from .datasource import register as register_ds
+    from .maintenance import merge_into
+
+    register_ds(spark)
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        F.col("o_totalprice").alias("o_totalprice"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
+    )
+    path = tempfile.mkdtemp(prefix="colf_mrg_") + "/ds"
+    (o.repartitionByRange(4, "o_orderkey").write.format("colf")
+     .option("version", "2").mode("append").save(path))
+
+    max_key = o.agg(F.max("o_orderkey")).first()[0]
+    updates = (o.filter(F.col("o_orderkey") % 10 == 3)
+               .select("o_orderkey",
+                       (F.col("o_totalprice") * 2).alias("o_totalprice"),
+                       F.lit("U").alias("o_orderstatus")))
+    inserts = (o.filter(F.col("o_orderkey") % 100 == 7)
+               .select((F.col("o_orderkey") + F.lit(int(max_key) + 1))
+                       .cast("int").alias("o_orderkey"),
+                       "o_totalprice",
+                       F.lit("N").alias("o_orderstatus")))
+    merge_into(spark, path, updates.unionAll(inserts), ["o_orderkey"])
+
+    back = spark.read.format("colf").load(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+         .cast("bigint").cast("double") / F.lit(100.0)).alias("sum_price"),
+        F.min(F.col("o_orderkey").cast("bigint")).alias("min_key"),
+        F.max(F.col("o_orderkey").cast("bigint")).alias("max_key"),
+    )

@@ -122,3 +122,66 @@ def test_files_option_restricts_and_validates(colf_spark, tmp_path):
            .option("files", "nope.colf").load(p))
     with pytest.raises(Exception, match="not in the live set"):
         bad.count()
+
+
+# --- merge_into (CoW key-upsert) -----------------------------------------
+
+
+def test_merge_upsert_semantics(colf_spark, tmp_path):
+    from columnar_format_spark.colf.maintenance import merge_into
+
+    p = _dataset(colf_spark, tmp_path, version="2", range_partition=True)
+    src = colf_spark.range(100, 150).union(
+        colf_spark.range(2000, 2010)).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") * 2.0).alias("v"),
+        F.lit("new").alias("tag"))
+    stats = merge_into(colf_spark, p, src, ["id"])
+    assert stats["n_replaced_rows"] == 50
+    assert stats["n_source_rows"] == 60
+    back = colf_spark.read.format("colf").load(p)
+    assert back.count() == 1010
+    assert back.filter("id = 120").first().tag == "new"
+    assert back.filter("id = 2005").first().v == 4010.0
+    assert back.filter("id = 500").first().tag == str(500 % 3)
+    # pre-merge version intact; file versions preserved
+    assert (colf_spark.read.format("colf").option("snapshot", "1")
+            .load(p).count() == 1000)
+    from columnar_format_spark.colf.datasource import live_files
+
+    assert {read_schema(f).version for f in live_files(p)} == {2}
+
+
+def test_merge_insert_files_sized_like_dataset(colf_spark, tmp_path):
+    from columnar_format_spark.colf.maintenance import merge_into
+
+    p = _dataset(colf_spark, tmp_path, range_partition=True)
+    # a tiny insert-only source must land as ONE part file, not one
+    # per source partition
+    src = colf_spark.range(5000, 5020).repartition(16).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") * 1.0).alias("v"), F.lit("x").alias("tag"))
+    stats = merge_into(colf_spark, p, src, ["id"])
+    assert stats["n_replaced_rows"] == 0
+    assert stats["n_rewritten_files"] == 1
+    assert stats["n_kept_files"] == 4
+
+
+def test_merge_rejects_duplicate_source_keys(colf_spark, tmp_path):
+    from columnar_format_spark.colf.maintenance import merge_into
+
+    p = _dataset(colf_spark, tmp_path)
+    src = colf_spark.range(3).union(colf_spark.range(3)).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") * 1.0).alias("v"), F.lit("x").alias("tag"))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_into(colf_spark, p, src, ["id"])
+
+
+def test_merge_rejects_schema_mismatch(colf_spark, tmp_path):
+    from columnar_format_spark.colf.maintenance import merge_into
+
+    p = _dataset(colf_spark, tmp_path)
+    src = colf_spark.range(3).select(F.col("id").cast("int").alias("id"))
+    with pytest.raises(ValueError, match="must match"):
+        merge_into(colf_spark, p, src, ["id"])
