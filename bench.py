@@ -70,6 +70,8 @@ HEADLINE = [
     "q131_image_resize",
     "q132_negative_sampling",
     "q135_ann_recall",
+    "q151_knn_label",
+    "q150_oov_rate",
     "q112_colf_compact",
     "q122_colf_time_travel",
     "q134_colf_incremental_read",

@@ -562,3 +562,87 @@ def q62_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+KNN_K = 15
+KNN_QUERIES = 25
+
+_KNN_SQL = f"""
+    WITH v AS (
+      SELECT vec_id, label, {SQL_QVEC.format(a='embedding')} AS qv,
+             {SQL_INT_NORM.format(a=SQL_QVEC.format(a='embedding'))} AS nrm
+      FROM embeddings),
+    q AS (SELECT vec_id AS qid, qv AS qqv, nrm AS qnrm FROM v
+          WHERE vec_id < {KNN_QUERIES} AND nrm > 0),
+    scored AS (
+      SELECT q.qid, c.vec_id AS cid, c.label,
+             ({SQL_INT_DOT.format(a='q.qqv', b='c.qv')} / (q.qnrm * c.nrm))
+               AS cosine
+      FROM q CROSS JOIN v c
+      WHERE c.vec_id >= {KNN_QUERIES} AND c.nrm > 0),
+    neigh AS (
+      SELECT qid, cid, label,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, cid) AS rnk
+      FROM scored),
+    votes AS (
+      SELECT qid, label, COUNT(*) AS n_votes
+      FROM neigh WHERE rnk <= {KNN_K}
+      GROUP BY qid, label),
+    winner AS (
+      SELECT qid, label, n_votes,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY n_votes DESC, label) AS vr
+      FROM votes)
+    SELECT qid, label AS pred_label, CAST(n_votes AS BIGINT) AS n_votes
+    FROM winner WHERE vr = 1
+"""
+
+
+@register("q151_knn_label", oracle=_KNN_SQL)
+def q151_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote labeling: predict each query vector's label
+    from its 15 nearest labeled neighbors by exact-quantized
+    cosine (the auto-labeling / label-propagation primitive of a
+    training-data pipeline — weak-label new documents from a small
+    labeled seed set). Ties break by (votes DESC, label ASC), both
+    exact integers, so the prediction is well-defined on both engines.
+
+    Scale: identical cost shape to q60 — queries broadcast, candidates
+    never shuffle, WindowGroupLimit keeps per-partition heaps of k —
+    plus two tiny aggregates over q×k rows. For huge query sets the
+    LSH/IVF tiers (q62/q63) supply the candidate lists instead of the
+    cross join; the vote stage is unchanged.
+    """
+    from pyspark.sql import Window
+
+    e = (
+        spread(table(spark, sf_dir, "embeddings"))
+        .select("vec_id", "label", qvec(F.col("embedding")).alias("qv"))
+        .withColumn("nrm", int_norm(F.col("qv")))
+        .filter(F.col("nrm") > 0)
+    )
+    q = e.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qqv"),
+        F.col("nrm").alias("qnorm"))
+    c = e.filter(F.col("vec_id") >= KNN_QUERIES).select(
+        F.col("vec_id").alias("cid"), F.col("label"),
+        F.col("qv").alias("cqv"), F.col("nrm").alias("cnorm"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "qid", "cid", "label",
+            (int_dot(F.col("qqv"), F.col("cqv"))
+             / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    neigh = (scored.withColumn("rnk", F.row_number().over(w))
+             .filter(F.col("rnk") <= KNN_K))
+    votes = neigh.groupBy("qid", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_votes"))
+    wv = Window.partitionBy("qid").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("qid", F.col("label").alias("pred_label"), "n_votes")
+    )

@@ -554,3 +554,67 @@ def q78_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
         .select("source", "term", "tf", "df", "tfidf", "rnk"))
+
+
+# the synthetic corpus has ~31 distinct whitespace tokens; K=20 keeps
+# a real OOV tail so the anti-join path is value-exercised, not
+# trivially zero
+OOV_VOCAB_K = 20
+
+
+@register(
+    "q150_oov_rate",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+      FROM documents),
+    toks2 AS (SELECT source, tok FROM toks WHERE tok <> ''),
+    vocab AS (
+      SELECT tok FROM toks2 GROUP BY tok
+      ORDER BY COUNT(*) DESC, tok LIMIT {OOV_VOCAB_K})
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN tok NOT IN (SELECT tok FROM vocab)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           (CAST(SUM(CASE WHEN tok NOT IN (SELECT tok FROM vocab)
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) AS oov_rate
+    FROM toks2
+    GROUP BY source
+    """,
+)
+def q150_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: build the top-K corpus vocabulary
+    (by frequency, ties bytewise) and measure each source's
+    out-of-vocabulary token rate — the go/no-go metric before
+    committing a tokenizer/vocab size to a training run.
+
+    Scale: the vocabulary is a partial-agged token count topped by
+    TakeOrderedAndProject (NO global-orderBy window — the q24
+    single-partition trap); it is vocabulary-sized, so it broadcasts
+    into a LEFT ANTI join that tags OOV tokens map-side. Everything
+    else is two partial aggregates. The rate is a ratio of exact
+    int64 counts — deterministic in any partitioning.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = (d.select("source",
+                     F.explode(ws_tokens(F.lower("text"))).alias("tok"))
+            .filter(F.col("tok") != ""))
+    vocab = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+             .orderBy(F.desc("freq"), F.asc("tok"))
+             .limit(OOV_VOCAB_K)
+             .select("tok"))
+    per_src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    oov = (toks.join(F.broadcast(vocab), "tok", "left_anti")
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_oov")))
+    return (
+        per_src.join(oov, "source", "left")
+        .select(
+            "source", "n_tokens",
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("bigint")
+            .alias("n_oov"),
+            (F.coalesce(F.col("n_oov"), F.lit(0)).cast("double")
+             / F.col("n_tokens").cast("double")).alias("oov_rate"))
+    )
