@@ -62,6 +62,13 @@ DRIVER_WINDOW = [
     "q86_corpus_shards",
 ]
 
+# Round-5 rotation plan: the queries ADDED in round 4 have no driver
+# row yet — q137 (COLF v2 round-trip), q138-q147 (TPC-H Q4/Q6/Q8/Q9/
+# Q15/Q16/Q17/Q19/Q21/Q22), q148 (CoW delete), q149 (CoW merge),
+# q150 (OOV rate), q151 (kNN labeling). Rotate all 15 into the next
+# window, backfill the remaining 35 slots with the queries whose last
+# green row is oldest (r01/r02 era first).
+
 
 def _reorder() -> None:
     window = [n for n in DRIVER_WINDOW if n in QUERIES]

@@ -352,3 +352,38 @@ def test_stream_reader_legacy_mode_for_logless_dirs(spark, tmp_path):
     parts = r.partitions(r.initialOffset(), o)
     assert sorted(os.path.basename(p.file) for p in parts) == \
         ["a.colf", "b.colf"]
+
+
+def test_stream_write_v2_option(spark, tmp_path):
+    """The streaming sink honors option('version', '2') — micro-batch
+    part files carry the v2 preamble/encodings and read back exactly."""
+    from columnar_format_spark.colf.format import read_schema
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.range(200).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 5).cast("string").alias("tag"))
+    df.coalesce(1).write.format("colf").mode("append").save(src)
+    q = (
+        spark.readStream.format("colf").load(src)
+        .writeStream.format("colf")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .option("version", "2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    files = [os.path.join(out, f) for f in os.listdir(out)
+             if f.endswith(".colf")]
+    assert files
+    for f in files:
+        s = read_schema(f)
+        assert s.version == 2
+        assert {c.name: c.encoding for c in s.columns} == {
+            "id": "delta", "tag": "dict"}
+    back = spark.read.format("colf").load(out)
+    assert back.count() == 200
+    assert back.agg(F.sum("id")).first()[0] == sum(range(200))

@@ -280,3 +280,39 @@ def test_spark_bad_version_option(spark, tmp_path):
     with pytest.raises(Exception, match="Unsupported colf write version"):
         df.write.format("colf").option("version", "5") \
             .mode("append").save(str(tmp_path / "bad"))
+
+
+# --- property-based round-trip (both versions, both decoders) ------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_int_vals = st.lists(st.one_of(st.none(),
+                               st.integers(-(2**31), 2**31 - 1)),
+                     max_size=60)
+_float_vals = st.lists(st.one_of(st.none(), st.floats(allow_nan=False),
+                                 st.just(float("inf")),
+                                 st.just(-float("inf"))),
+                       max_size=60)
+_str_vals = st.lists(st.one_of(st.none(), st.text(max_size=8)), max_size=60)
+
+
+@settings(max_examples=60, deadline=None)
+@given(ids=_int_vals, scores=_float_vals, texts=_str_vals)
+def test_v2_roundtrip_property(tmp_path_factory, ids, scores, texts):
+    """Any (int32, float64, utf8) column triple round-trips through v2
+    identically to v1, via both the list and the Arrow decoder."""
+    n = max(len(ids), len(scores), len(texts))
+    data = {"id": ids + [None] * (n - len(ids)),
+            "score": scores + [None] * (n - len(scores)),
+            "city": texts + [None] * (n - len(texts)),
+            "uid": [None] * n}
+    tmp = tmp_path_factory.mktemp("prop")
+    p1 = str(tmp / "a.colf")
+    p2 = str(tmp / "b.colf")
+    write_colf(p1, _schema(n), data, version=1)
+    write_colf(p2, _schema(n), data, version=2)
+    assert read_all(p1) == read_all(p2)
+    a1 = read_columns_arrow(p1, ["id", "score", "city"])
+    a2 = read_columns_arrow(p2, ["id", "score", "city"])
+    for k in a1:
+        assert a1[k].to_pylist() == a2[k].to_pylist()
