@@ -53,6 +53,7 @@ HEADLINE = [
     "q103_tpch_q3",
     "q104_tpch_q7",
     "q106_data_quality_audit",
+    "q152_table_profile",
     "q107_incremental_agg",
     "q114_pii_redaction",
     "q117_percentile_exact",

@@ -163,3 +163,71 @@ def q107_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("bigint").alias("n_events"),
              (F.sum("c").cast("double") / 100.0).alias("sum_value"))
     )
+
+
+PROFILE_COLS = [("l_orderkey", "int"), ("l_quantity", "num"),
+                ("l_returnflag", "str"), ("l_shipdate", "ts")]
+
+
+def _profile_sql_branch(col: str, kind: str) -> str:
+    if kind == "ts":
+        mn = f"strftime(MIN({col}), '%Y-%m-%d %H:%M:%S')"
+        mx = f"strftime(MAX({col}), '%Y-%m-%d %H:%M:%S')"
+    else:
+        mn, mx = f"CAST(MIN({col}) AS VARCHAR)", f"CAST(MAX({col}) AS VARCHAR)"
+    return f"""
+      SELECT '{col}' AS col_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+             {mn} AS min_value,
+             {mx} AS max_value
+      FROM lineitem"""
+
+
+@register(
+    "q152_table_profile",
+    oracle=" UNION ALL ".join(_profile_sql_branch(c, k)
+                              for c, k in PROFILE_COLS),
+)
+def q152_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style table profile: one row per column with row count,
+    null count, exact distinct count, and min/max rendered as text —
+    the first thing a pipeline runs against an unfamiliar 100 TB
+    table before writing any transform.
+
+    Scale: ONE pass over the table — all per-column aggregates live in
+    a single agg (Catalyst's distinct-aggregate Expand handles the
+    multiple COUNT(DISTINCT)s), then a stack() unpivot reshapes the
+    1×N row to N rows driver-free. No per-column re-scan: adding a
+    column to the profile adds expressions, not I/O. The oracle runs
+    the naive per-column UNION ALL — same answer, proving the fused
+    plan equivalent.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c, kind in PROFILE_COLS:
+        # aggregate on the NATIVE type, render to text after — casting
+        # first would make min/max lexicographic ('9999' > '14999')
+        def _txt(agg):
+            return (F.date_format(agg, "yyyy-MM-dd HH:mm:ss")
+                    if kind == "ts" else agg.cast("string"))
+        aggs += [
+            F.count(c).cast("bigint").alias(f"{c}__nn"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__nd"),
+            _txt(F.min(c)).alias(f"{c}__mn"),
+            _txt(F.max(c)).alias(f"{c}__mx"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx"
+        for c, _ in PROFILE_COLS)
+    return one.select(
+        F.expr(f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+               "(col_name, nn, n_distinct, min_value, max_value)"),
+        "n_rows",
+    ).select(
+        "col_name", "n_rows",
+        (F.col("n_rows") - F.col("nn")).cast("bigint").alias("n_nulls"),
+        "n_distinct", "min_value", "max_value",
+    )

@@ -185,3 +185,30 @@ def test_merge_rejects_schema_mismatch(colf_spark, tmp_path):
     src = colf_spark.range(3).select(F.col("id").cast("int").alias("id"))
     with pytest.raises(ValueError, match="must match"):
         merge_into(colf_spark, p, src, ["id"])
+
+
+def test_delete_cas_conflict_with_racing_append(colf_spark, tmp_path):
+    """A delete whose snapshot commit lands AFTER a concurrent append
+    committed must fail the CAS parent check loudly — never silently
+    drop the appended files from the live set."""
+    from unittest import mock
+
+    from columnar_format_spark.colf import maintenance as M
+
+    p = _dataset(colf_spark, tmp_path)
+    real_commit = M.commit_snapshot
+    appended = colf_spark.range(9000, 9100).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") * 1.0).alias("v"), F.lit("late").alias("tag"))
+
+    def commit_with_race(path, files, **kw):
+        # simulate: another writer appends (and commits) between this
+        # delete's planning and its metadata-log commit
+        appended.coalesce(1).write.format("colf").mode("append").save(p)
+        return real_commit(path, files, **kw)
+
+    with mock.patch.object(M, "commit_snapshot", side_effect=commit_with_race):
+        with pytest.raises(ColfFormatError, match="version"):
+            M.delete_where(colf_spark, p, "id < 100")
+    # the racing append's rows survived
+    assert colf_spark.read.format("colf").load(p).count() == 1100
