@@ -43,6 +43,7 @@ HEADLINE = [
     "q62_ann_lsh",
     "q70_colf_roundtrip",
     "q137_colf_v2_roundtrip",
+    "q153_colf_v3_striped",
     "q73_csv_ingest",
     "q80_stream_tumbling",
     "q84_stream_stream_join",

@@ -75,11 +75,16 @@ def cli_inspect_header(argv: list[str]) -> int:
         print("usage: ... inspect_header <in.colf>", file=sys.stderr)
         return 2
     schema = read_schema(argv[0])
-    print(json.dumps({
+    doc = {
         "version": schema.version,
         "num_rows": schema.num_rows,
         "columns": [c.to_json() for c in schema.columns],
-    }, indent=2))
+    }
+    if schema.version == 3:
+        from .format import read_stripes_info
+
+        doc["stripes"] = read_stripes_info(argv[0])
+    print(json.dumps(doc, indent=2))
     return 0
 
 

@@ -65,13 +65,17 @@ from pyspark.sql.types import (
 
 from .format import (
     SUPPORTED_VERSIONS,
+    VERSION_V3,
     ColfColumn,
     ColfFormatError,
     ColfSchema,
+    file_version,
     read_columns_arrow,
     read_schema,
+    read_stripes_info,
     write_colf,
     write_colf_arrow,
+    write_colf_arrow_v3,
 )
 
 SPARK_TO_COLF = {"int": "int32", "double": "float64", "string": "utf8"}
@@ -109,6 +113,7 @@ def spark_to_colf_columns(schema: StructType) -> list[ColfColumn]:
 @dataclass
 class ColfInputPartition(InputPartition):
     file: str
+    stripe: int | None = None  # v3 striped files: one partition/stripe
 
 
 MANIFEST_NAME = "_manifest.json"
@@ -371,7 +376,30 @@ class ColfReader(DataSourceReader):
             # the API requires >= 1 partition; a None-file sentinel
             # yields zero batches (empty increment / all files pruned)
             return [ColfInputPartition(None)]
-        return [ColfInputPartition(f) for f in files]
+        # v3 striped files plan one partition per STRIPE, pruned by the
+        # per-stripe zone maps when the manifest carries them — all
+        # from metadata; a file header is opened on the driver only
+        # for v3 files missing a manifest entry entirely
+        manifest = load_manifest(self.path)
+        parts: list[ColfInputPartition] = []
+        for f in files:
+            entry = manifest.get(os.path.basename(f))
+            stripes = entry.get("stripes") if entry else None
+            if stripes is None and entry is None                     and file_version(f) == VERSION_V3:
+                stripes = [{"num_rows": n} for n in read_stripes_info(f)]
+            if stripes is None:
+                parts.append(ColfInputPartition(f))
+                continue
+
+            def _stripe_may_match(st: dict) -> bool:
+                if not (self.pushed and self.pruning and st.get("columns")):
+                    return True
+                return all(_file_may_match(st, flt) for flt in self.pushed)
+
+            parts.extend(ColfInputPartition(f, si)
+                         for si, st in enumerate(stripes)
+                         if _stripe_may_match(st))
+        return parts or [ColfInputPartition(None)]
 
     def read(self, partition: ColfInputPartition):
         import pyarrow as pa
@@ -380,7 +408,8 @@ class ColfReader(DataSourceReader):
             return
         wanted = self.columns or [f.name for f in self.schema.fields]
         file_cols = [c for c in wanted if c != FILE_COLUMN]
-        data = read_columns_arrow(partition.file, file_cols)
+        data = read_columns_arrow(partition.file, file_cols,
+                                  stripe=partition.stripe)
         if FILE_COLUMN in wanted:
             n = len(data[file_cols[0]]) if file_cols else 0
             base = os.path.basename(partition.file)
@@ -434,16 +463,61 @@ def _check_append_schema(path: str, cols) -> None:
 
 def _write_version(options) -> int:
     """``option("version", "2")`` opts a write into the v2 adaptive
-    encodings (format.py module docstring); default 1 keeps every
-    written file readable by the reference's reader. Readers need no
-    option — each file self-describes via its preamble version byte,
-    and a dataset may mix v1 and v2 part files."""
+    encodings; ``"3"`` additionally stripes each part file into
+    independently-readable row groups (``option("stripeRows", N)``,
+    default 1,000,000) so the reader plans one task per STRIPE —
+    intra-file parallelism the v1 format fundamentally lacks
+    (format.py module docstrings). Default 1 keeps every written file
+    readable by the reference's reader. Readers need no option — each
+    file self-describes via its preamble version byte, and a dataset
+    may mix file versions."""
     v = int(options.get("version", "1"))
-    if v not in SUPPORTED_VERSIONS:
+    if v not in SUPPORTED_VERSIONS and v != VERSION_V3:
         raise ColfFormatError(
             f"Unsupported colf write version {v} (supported: "
-            f"{SUPPORTED_VERSIONS})")
+            f"{SUPPORTED_VERSIONS + (VERSION_V3,)})")
     return v
+
+
+DEFAULT_STRIPE_ROWS = 1_000_000
+
+
+def _stripe_rows_opt(options) -> int:
+    n = int(options.get("stripeRows", str(DEFAULT_STRIPE_ROWS)))
+    if n < 1:
+        raise ColfFormatError("stripeRows must be >= 1")
+    return n
+
+
+def _write_part_file(tmp: str, schema: ColfSchema, chunks: dict,
+                     version: int, stripe_rows: int) -> dict:
+    """Write one part file at the requested version and return its
+    manifest stats (file-level zone maps; per-stripe zone maps too for
+    v3, so the reader can plan and prune stripes from metadata alone)."""
+    stats = _chunk_stats(chunks, schema.num_rows)
+    if version == VERSION_V3:
+        write_colf_arrow_v3(tmp, schema, chunks, stripe_rows)
+        stats["stripes"] = _stripe_stats(chunks, schema.num_rows,
+                                         stripe_rows)
+    else:
+        write_colf_arrow(tmp, schema, chunks, version=version)
+    return stats
+
+
+def _stripe_stats(chunks: dict, num_rows: int, stripe_rows: int) -> list:
+    import pyarrow as pa
+
+    combined = {name: pa.chunked_array(cl).combine_chunks()
+                for name, cl in chunks.items()}
+    out = []
+    lo = 0
+    while lo < num_rows:
+        hi = min(num_rows, lo + stripe_rows)
+        sl = {name: [arr.slice(lo, hi - lo)]
+              for name, arr in combined.items()}
+        out.append(_chunk_stats(sl, hi - lo))
+        lo = hi
+    return out or [_chunk_stats(chunks, 0)]
 
 
 class ColfWriter(DataSourceArrowWriter):
@@ -454,6 +528,7 @@ class ColfWriter(DataSourceArrowWriter):
         self.schema = schema
         self.overwrite = overwrite
         self.version = _write_version(options)
+        self.stripe_rows = _stripe_rows_opt(options)
         self.colf_columns = spark_to_colf_columns(schema)  # validate types early
         if not overwrite:
             _check_append_schema(self.path, self.colf_columns)
@@ -476,10 +551,10 @@ class ColfWriter(DataSourceArrowWriter):
         fname = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.colf"
         target = os.path.join(self.path, fname)
         tmp = target + ".tmp"
-        write_colf_arrow(tmp, ColfSchema(num_rows, self.colf_columns), chunks,
-                         version=self.version)
+        stats = _write_part_file(tmp, ColfSchema(num_rows, self.colf_columns),
+                                 chunks, self.version, self.stripe_rows)
         os.rename(tmp, target)
-        return ColfCommitMessage(file=target, stats=_chunk_stats(chunks, num_rows))
+        return ColfCommitMessage(file=target, stats=stats)
 
     def commit(self, messages):
         import json
@@ -703,6 +778,7 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
             raise ColfFormatError("colf stream writer requires a path")
         self.schema = schema
         self.version = _write_version(options)
+        self.stripe_rows = _stripe_rows_opt(options)
         self.colf_columns = spark_to_colf_columns(schema)
         # a stream restarted onto an existing dataset must match it
         _check_append_schema(self.path, self.colf_columns)
@@ -723,10 +799,10 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
         fname = f"part-s{pid:05d}-{uuid.uuid4().hex[:8]}.colf"
         target = os.path.join(self.path, fname)
         tmp = target + ".tmp"
-        write_colf_arrow(tmp, ColfSchema(num_rows, self.colf_columns), chunks,
-                         version=self.version)
+        stats = _write_part_file(tmp, ColfSchema(num_rows, self.colf_columns),
+                                 chunks, self.version, self.stripe_rows)
         os.rename(tmp, target)
-        return ColfCommitMessage(file=target, stats=_chunk_stats(chunks, num_rows))
+        return ColfCommitMessage(file=target, stats=stats)
 
     def commit(self, messages, batchId: int) -> None:
         import json

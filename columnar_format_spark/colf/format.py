@@ -778,11 +778,18 @@ def decode_column_arrow(payload: bytes, dtype: str, num_rows: int,
                         type=pa.string())
 
 
-def read_columns_arrow(path: str, columns: list[str]) -> dict[str, "object"]:
+def read_columns_arrow(path: str, columns: list[str],
+                       stripe: int | None = None) -> dict[str, "object"]:
     """Selective read returning pyarrow Arrays (same I/O discipline as
-    read_columns: seek + read only the requested blocks)."""
+    read_columns: seek + read only the requested blocks). For striped
+    v3 files, ``stripe`` selects one stripe (None = whole file)."""
     import pyarrow as pa
 
+    if file_version(path) == VERSION_V3:
+        return read_columns_arrow_v3(path, columns, stripe=stripe)
+    if stripe not in (None, 0):
+        raise ColfFormatError(
+            f"stripe {stripe} requested but file is not striped (v3)")
     with open(path, "rb") as f:
         schema, metas, _ = read_header(f)
         index = {c.name: i for i, c in enumerate(schema.columns)}
@@ -813,6 +820,9 @@ def read_columns(path: str, columns: list[str]) -> dict[str, list]:
     """Selective read: seek to and decode ONLY the requested column
     blocks (the format's raison d'être — reader.py:165-192 semantics:
     KeyError on unknown column, comp_size==0 ⇒ all-NULL)."""
+    if file_version(path) == VERSION_V3:
+        return {name: arr.to_pylist()
+                for name, arr in read_columns_arrow_v3(path, columns).items()}
     with open(path, "rb") as f:
         schema, metas, _ = read_header(f)
         index = {c.name: i for i, c in enumerate(schema.columns)}
@@ -837,12 +847,214 @@ def read_columns(path: str, columns: list[str]) -> dict[str, list]:
 
 
 def read_all(path: str) -> dict[str, list]:
-    with open(path, "rb") as f:
-        schema, _, _ = read_header(f)
+    schema = read_schema(path)
     return read_columns(path, [c.name for c in schema.columns])
 
 
 def read_schema(path: str) -> ColfSchema:
     with open(path, "rb") as f:
+        if file_version(path) == VERSION_V3:
+            schema, _, _ = read_header_v3(f)
+            return schema
         schema, _, _ = read_header(f)
     return schema
+
+
+# ---------------------------------------------------------------------------
+# VERSION 3: striped (splittable) files — engine extension, opt-in.
+#
+# v1/v2 hold ONE block per column per file, so a file is one scan task
+# and one whole-column decompression — the format's biggest limit at
+# scale (SURVEY.md §4.3). v3 splits the body into independent
+# STRIPES (row groups): each stripe stores its own v2-encoded column
+# blocks, so a reader can plan one task per stripe and decode only
+# that stripe's rows. Layout:
+#
+#   preamble : COLF | version u8 (=3) | endianness u8 (=1) | HeaderSize u32
+#   header   : SchemaLength u32 | schema JSON (num_rows = file total)
+#              | StripeCount u32
+#              | per stripe: NumRows u32 + per-column 25-byte metadata
+#                (same Offset/CompSize/UncompSize/HasNulls entries,
+#                offsets absolute from byte 0)
+#   body     : stripes sequential, column blocks sequential within
+#
+# Column payloads are exactly the v2 format (DataType|HasNulls|
+# Encoding|bitmap|data), chosen adaptively PER STRIPE. v1-only
+# readers (the reference's reader.py:54-58) reject the version byte
+# loudly; nothing about v1/v2 files changes.
+
+VERSION_V3 = 3
+STRIPE_META_SIZE = 4  # NumRows u32, then META_ENTRY_SIZE per column
+
+
+@dataclass
+class ColfStripe:
+    num_rows: int
+    metas: list[ColumnMeta]
+
+
+def write_colf_arrow_v3(path: str, schema: ColfSchema,
+                        columns: dict[str, list],
+                        stripe_rows: int) -> int:
+    """Write one striped .colf file from pyarrow chunk lists; returns
+    the stripe count. Stripes hold ``stripe_rows`` rows each (last one
+    short). Encodings are v2-adaptive per stripe per column."""
+    import pyarrow as pa
+
+    if stripe_rows < 1:
+        raise ColfFormatError("stripe_rows must be >= 1")
+    n = schema.num_rows
+    combined = {}
+    for col in schema.columns:
+        chunks = columns[col.name]
+        total = sum(len(c) for c in chunks)
+        if total != n:
+            raise ColfFormatError(
+                f"column '{col.name}' has {total} rows, schema says {n}")
+        pa_t = {"int32": pa.int32(), "float64": pa.float64(),
+                "utf8": pa.string()}[col.type]
+        combined[col.name] = (
+            pa.chunked_array([c.cast(pa_t) for c in chunks]).combine_chunks()
+            if chunks else pa.array([], type=pa_t))
+    n_stripes = max(1, (n + stripe_rows - 1) // stripe_rows)
+    stripe_blocks: list[list[tuple[bytes, int, bool]]] = []
+    stripe_nrows: list[int] = []
+    for s in range(n_stripes):
+        lo = s * stripe_rows
+        hi = min(n, lo + stripe_rows)
+        stripe_nrows.append(hi - lo)
+        blocks = []
+        for col in schema.columns:
+            sl = combined[col.name].slice(lo, hi - lo)
+            payload, has_nulls, _ = encode_column_arrow_v2([sl], col.type)
+            blocks.append((zlib.compress(payload), len(payload), has_nulls))
+        stripe_blocks.append(blocks)
+
+    schema_json = ColfSchema(n, [ColfColumn(c.name, c.type, c.nullable)
+                                 for c in schema.columns]).to_json_bytes()
+    n_cols = len(schema.columns)
+    stripes_meta_size = n_stripes * (STRIPE_META_SIZE
+                                     + META_ENTRY_SIZE * n_cols)
+    header_size = 4 + len(schema_json) + 4 + stripes_meta_size
+    first_block_offset = 10 + header_size
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<BBI", VERSION_V3, ENDIAN_LE, header_size))
+        f.write(struct.pack("<I", len(schema_json)))
+        f.write(schema_json)
+        f.write(struct.pack("<I", n_stripes))
+        offset = first_block_offset
+        for s in range(n_stripes):
+            f.write(struct.pack("<I", stripe_nrows[s]))
+            for comp, uncomp, has_nulls in stripe_blocks[s]:
+                f.write(struct.pack("<QQQB", offset, len(comp), uncomp,
+                                    1 if has_nulls else 0))
+                offset += len(comp)
+        for blocks in stripe_blocks:
+            for comp, _, _ in blocks:
+                f.write(comp)
+    return n_stripes
+
+
+def read_header_v3(f) -> tuple[ColfSchema, list[ColfStripe], int]:
+    """Parse a v3 header (call after read_header raised or by checking
+    the version byte; this re-validates from byte 0)."""
+    f.seek(0)
+    if f.read(4) != MAGIC:
+        raise ColfFormatError("Bad magic")
+    version, endianness, header_size = struct.unpack("<BBI", f.read(6))
+    if version != VERSION_V3:
+        raise ColfFormatError(f"Not a v3 file (version={version})")
+    if endianness != ENDIAN_LE:
+        raise ColfFormatError(f"Unsupported endianness: {endianness}")
+    (schema_len,) = struct.unpack("<I", f.read(4))
+    if schema_len <= 0 or schema_len > 10_000_000:
+        raise ColfFormatError(f"Suspicious schema length: {schema_len}")
+    try:
+        doc = json.loads(f.read(schema_len).decode("utf-8"))
+    except Exception as e:
+        raise ColfFormatError("Failed to parse schema JSON") from e
+    schema = ColfSchema.from_json(doc)
+    schema.version = VERSION_V3
+    (n_stripes,) = struct.unpack("<I", f.read(4))
+    if n_stripes > 10_000_000:
+        raise ColfFormatError(f"Suspicious stripe count: {n_stripes}")
+    stripes = []
+    total = 0
+    for _ in range(n_stripes):
+        raw = f.read(STRIPE_META_SIZE)
+        if len(raw) < STRIPE_META_SIZE:
+            raise ColfFormatError("Truncated stripe metadata")
+        (nrows,) = struct.unpack("<I", raw)
+        metas = []
+        for _ in schema.columns:
+            raw = f.read(META_ENTRY_SIZE)
+            if len(raw) < META_ENTRY_SIZE:
+                raise ColfFormatError("Truncated stripe column metadata")
+            off, comp, uncomp, has_nulls = struct.unpack("<QQQB", raw)
+            metas.append(ColumnMeta(off, comp, uncomp, bool(has_nulls)))
+        stripes.append(ColfStripe(nrows, metas))
+        total += nrows
+    if total != schema.num_rows:
+        raise ColfFormatError(
+            f"Stripe rows sum to {total}, schema says {schema.num_rows}")
+    return schema, stripes, header_size
+
+
+def file_version(path: str) -> int:
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ColfFormatError("Bad magic")
+        (version,) = struct.unpack("<B", f.read(1))
+    return version
+
+
+def read_stripes_info(path: str) -> list[int]:
+    """Row counts per stripe (v3); single-stripe view for v1/v2."""
+    with open(path, "rb") as f:
+        if file_version(path) == VERSION_V3:
+            _, stripes, _ = read_header_v3(f)
+            return [s.num_rows for s in stripes]
+        schema, _, _ = read_header(f)
+        return [schema.num_rows]
+
+
+def read_columns_arrow_v3(path: str, columns: list[str],
+                          stripe: int | None = None) -> dict[str, "object"]:
+    """Selective stripe read of a v3 file: seek + decompress only the
+    requested columns of the requested stripe (all stripes when
+    ``stripe`` is None), returning pyarrow Arrays."""
+    import pyarrow as pa
+
+    with open(path, "rb") as f:
+        schema, stripes, _ = read_header_v3(f)
+        index = {c.name: i for i, c in enumerate(schema.columns)}
+        for name in columns:
+            if name not in index:
+                raise KeyError(f"Column not found: {name}")
+        wanted_stripes = (range(len(stripes)) if stripe is None
+                          else [stripe])
+        if stripe is not None and not (0 <= stripe < len(stripes)):
+            raise ColfFormatError(
+                f"stripe {stripe} out of range (file has {len(stripes)})")
+        parts: dict[str, list] = {name: [] for name in columns}
+        for si in wanted_stripes:
+            st = stripes[si]
+            for name in columns:
+                i = index[name]
+                meta = st.metas[i]
+                col = schema.columns[i]
+                f.seek(meta.offset)
+                comp = f.read(meta.comp_size)
+                if len(comp) != meta.comp_size:
+                    raise ColfFormatError(
+                        "Failed to read full compressed column block")
+                payload = zlib.decompress(comp)
+                parts[name].append(decode_column_arrow(
+                    payload, col.type, st.num_rows, meta.has_nulls,
+                    version=VERSION_V2))
+        return {
+            name: (pa.chunked_array(arrs).combine_chunks() if len(arrs) != 1
+                   else arrs[0])
+            for name, arrs in parts.items()
+        }

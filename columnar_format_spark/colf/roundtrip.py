@@ -706,3 +706,64 @@ def q149_colf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("o_orderkey").cast("bigint")).alias("min_key"),
         F.max(F.col("o_orderkey").cast("bigint")).alias("max_key"),
     )
+
+
+@register(
+    "q153_colf_v3_striped",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           MIN(l_orderkey) AS min_key,
+           MAX(l_orderkey) AS max_key
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q153_colf_v3_striped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the v3 STRIPED format (format.py: one file,
+    many independently-readable row groups): lineitem lands as a
+    SINGLE .colf file striped every 5,000 rows, and the read back must
+    still match the parquet oracle. Before returning, the query
+    asserts the scale property the stripes exist for: the reader plans
+    MULTIPLE partitions out of the one file (one per stripe) — v1/v2's
+    file-equals-task limit, SURVEY.md §4.3, is gone for v3 data.
+
+    Scale: a 100 TB dataset written as large v3 files no longer needs
+    file count == desired parallelism; every executor core gets a
+    stripe, and per-stripe zone maps (manifest sidecar) prune at
+    stripe granularity — the parquet row-group model, reached without
+    breaking v1 byte-compat (v3 is opt-in; v1-only readers reject the
+    version byte loudly).
+    """
+    import os
+
+    from .datasource import ColfDataSource, register as register_ds
+
+    register_ds(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("int").alias("l_orderkey"),
+        F.col("l_quantity").alias("l_quantity"),
+        F.col("l_linestatus").alias("l_linestatus"),
+    ).coalesce(1)
+    path = tempfile.mkdtemp(prefix="colf_v3_") + "/ds"
+    (li.write.format("colf").option("version", "3")
+     .option("stripeRows", "5000").mode("append").save(path))
+
+    colf_files = [f for f in os.listdir(path) if f.endswith(".colf")]
+    if len(colf_files) != 1:
+        raise AssertionError(f"expected 1 part file, got {colf_files}")
+    ds = ColfDataSource({"path": path})
+    n_parts = len(ds.reader(ds.schema()).partitions())
+    if n_parts < 2:
+        raise AssertionError(
+            f"v3 single-file scan planned only {n_parts} partition(s) — "
+            f"striping is not splitting the file")
+
+    back = spark.read.format("colf").load(path)
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.min(F.col("l_orderkey").cast("bigint")).alias("min_key"),
+        F.max(F.col("l_orderkey").cast("bigint")).alias("max_key"),
+    )

@@ -1,0 +1,152 @@
+"""COLF v3 striped files (engine extension; format.py docstring):
+intra-file parallelism — one scan task per stripe — plus stripe-level
+zone-map pruning from the manifest sidecar. v1/v2 behavior unchanged;
+the stripes hold v2-encoded column blocks."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import GreaterThan, LessThanOrEqual
+
+from columnar_format_spark.colf.datasource import (
+    ColfDataSource,
+    ColfReader,
+    load_manifest,
+    register,
+)
+from columnar_format_spark.colf.format import (
+    read_schema,
+    read_stripes_info,
+)
+
+
+@pytest.fixture(scope="module")
+def colf_spark(spark):
+    register(spark)
+    return spark
+
+
+@pytest.fixture()
+def striped(colf_spark, tmp_path):
+    p = str(tmp_path / "ds")
+    df = colf_spark.range(50_000).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") * 0.5).alias("v"),
+        (F.col("id") % 7).cast("string").alias("tag"))
+    (df.orderBy("id").coalesce(1).write.format("colf")
+     .option("version", "3").option("stripeRows", "10000")
+     .mode("append").save(p))
+    return p
+
+
+def _one_file(p):
+    return [os.path.join(p, f) for f in os.listdir(p)
+            if f.endswith(".colf")][0]
+
+
+def test_v3_file_layout_and_roundtrip(colf_spark, striped):
+    f = _one_file(striped)
+    s = read_schema(f)
+    assert s.version == 3
+    assert read_stripes_info(f) == [10000] * 5
+    back = colf_spark.read.format("colf").load(striped)
+    assert back.count() == 50_000
+    assert back.agg(F.sum("id")).first()[0] == sum(range(50_000))
+    assert back.filter("id = 31337").first().tag == str(31337 % 7)
+
+
+def test_v3_plans_one_partition_per_stripe(striped):
+    ds = ColfDataSource({"path": striped})
+    parts = ds.reader(ds.schema()).partitions()
+    assert len(parts) == 5
+    assert sorted(p.stripe for p in parts) == [0, 1, 2, 3, 4]
+    assert len({p.file for p in parts}) == 1
+
+
+def test_v3_manifest_carries_stripe_stats(striped):
+    m = load_manifest(striped)
+    (stats,) = m.values()
+    assert len(stats["stripes"]) == 5
+    for i, st in enumerate(stats["stripes"]):
+        assert st["num_rows"] == 10000
+        assert st["columns"]["id"]["min"] == i * 10000
+        assert st["columns"]["id"]["max"] == (i + 1) * 10000 - 1
+
+
+def test_v3_stripe_pruning(striped):
+    r = ColfReader({"path": striped}, None)
+    r.pushFilters([GreaterThan(("id",), 42_000)])
+    parts = r.partitions()
+    assert [p.stripe for p in parts] == [4]
+    r2 = ColfReader({"path": striped}, None)
+    r2.pushFilters([LessThanOrEqual(("id",), 9_999)])
+    assert [p.stripe for p in r2.partitions()] == [0]
+    # pruning never loses rows: the pruned scan returns the same answer
+    ds = ColfDataSource({"path": striped})
+
+
+def test_v3_pruned_scan_is_value_correct(colf_spark, striped):
+    df = colf_spark.read.format("colf").load(striped).filter("id > 42000")
+    assert df.count() == 7_999
+    assert df.agg(F.min("id")).first()[0] == 42_001
+
+
+def test_v3_mixed_version_dataset(colf_spark, tmp_path):
+    p = str(tmp_path / "mixed")
+    df = colf_spark.range(1000).select(F.col("id").cast("int").alias("id"),
+                                       F.lit("x").alias("tag"))
+    df.coalesce(1).write.format("colf").mode("append").save(p)
+    (df.coalesce(1).write.format("colf").option("version", "3")
+     .option("stripeRows", "250").mode("append").save(p))
+    back = colf_spark.read.format("colf").load(p)
+    assert back.count() == 2000
+    ds = ColfDataSource({"path": p})
+    parts = ds.reader(ds.schema()).partitions()
+    # 1 partition for the v1 file + 4 stripes for the v3 file
+    assert len(parts) == 5
+
+
+def test_v3_stripes_use_v2_encodings(striped):
+    from columnar_format_spark.colf.format import (
+        ENC_BSS, ENC_DELTA, ENC_DICT, read_header_v3,
+    )
+    import zlib
+
+    f = _one_file(striped)
+    with open(f, "rb") as fh:
+        schema, stripes, _ = read_header_v3(fh)
+        for st in stripes:
+            for meta, col in zip(st.metas, schema.columns):
+                fh.seek(meta.offset)
+                payload = zlib.decompress(fh.read(meta.comp_size))
+                enc = payload[2]
+                assert enc == {"id": ENC_DELTA, "v": ENC_BSS,
+                               "tag": ENC_DICT}[col.name]
+
+
+def test_v3_delete_where_preserves_striping(colf_spark, striped):
+    from columnar_format_spark.colf.maintenance import delete_where
+
+    stats = delete_where(colf_spark, striped, "id < 10000")
+    assert stats["n_deleted_rows"] == 10000
+    back = colf_spark.read.format("colf").load(striped)
+    assert back.count() == 40_000
+    from columnar_format_spark.colf.datasource import live_files
+
+    assert {read_schema(f).version for f in live_files(striped)} == {3}
+
+
+def test_v3_stream_read(colf_spark, striped, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        colf_spark.readStream.format("colf").load(striped)
+        .writeStream.format("colf")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert colf_spark.read.format("colf").load(out).count() == 50_000
