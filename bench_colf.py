@@ -109,6 +109,29 @@ def main() -> None:
     assert read_columns(colf_path, ["name"])["name"] == columns["name"]
     assert read_all(colf2_path) == columns
 
+    # v3 striped (4 stripes of 2500): same reader API, per-stripe seeks
+    import pyarrow as pa
+
+    from columnar_format_spark.colf.format import (
+        read_columns_arrow,
+        read_stripes_info,
+        write_colf_arrow_v3,
+    )
+
+    colf3_path = os.path.join(d, "medium_v3.colf")
+    pa_types = {"id": pa.int32(), "price": pa.float64()}
+    chunks = {c.name: [pa.array(columns[c.name],
+                                type=pa_types.get(c.name, pa.string()))]
+              for c in schema.columns}
+    t0 = time.perf_counter()
+    write_colf_arrow_v3(colf3_path, schema, chunks, stripe_rows=2500)
+    write_v3_s = time.perf_counter() - t0
+    selective_v3_s = time_min(
+        lambda: read_columns_arrow(colf3_path, ["name"]))
+    stripe_v3_s = time_min(
+        lambda: read_columns_arrow(colf3_path, ["name"], stripe=2))
+    assert read_columns(colf3_path, ["name"])["name"] == columns["name"]
+
     csv_bytes = os.path.getsize(csv_path)
     colf_bytes = os.path.getsize(colf_path)
     colf2_bytes = os.path.getsize(colf2_path)
@@ -124,6 +147,14 @@ def main() -> None:
             "bytes_vs_v1": round(colf2_bytes / colf_bytes, 3),
             "encodings": {c.name: c.encoding
                           for c in read_schema(colf2_path).columns},
+        },
+        "v3": {  # striped: v2 encodings + independent row groups
+            "stripes": read_stripes_info(colf3_path),
+            "write_s": round(write_v3_s, 4),
+            "selective_read_ms": round(selective_v3_s * 1e3, 3),
+            "one_stripe_read_ms": round(stripe_v3_s * 1e3, 3),
+            "compression_ratio": round(
+                csv_bytes / os.path.getsize(colf3_path), 2),
         },
         "metric": "colf_selective_vs_csv",
         "rows": N_ROWS,

@@ -65,8 +65,16 @@ def compact(spark: SparkSession, path: str, target_files: int,
     snaps0 = load_snapshots(path)
     parent = snaps0[-1]["version"] if snaps0 else 0
     df = spark.read.format("colf").load(path)
+    # preserve the dataset's format version (a v2/v3 dataset must not
+    # silently downgrade to v1 through a compaction); mixed-version
+    # datasets compact to the FIRST live file's version
+    from .format import read_schema as _read_schema
+
+    live = dataset_files(path)
+    ver = _read_schema(live[0]).version if live else 1
     tmp = f"{path.rstrip(os.sep)}.compact-{uuid.uuid4().hex[:8]}"
-    df.repartition(target_files).write.format("colf").mode("overwrite").save(tmp)
+    (df.repartition(target_files).write.format("colf")
+     .option("version", str(ver)).mode("overwrite").save(tmp))
     if not retain:
         old = f"{path.rstrip(os.sep)}.old-{uuid.uuid4().hex[:8]}"
         os.rename(path, old)

@@ -82,8 +82,6 @@ def test_v3_stripe_pruning(striped):
     r2 = ColfReader({"path": striped}, None)
     r2.pushFilters([LessThanOrEqual(("id",), 9_999)])
     assert [p.stripe for p in r2.partitions()] == [0]
-    # pruning never loses rows: the pruned scan returns the same answer
-    ds = ColfDataSource({"path": striped})
 
 
 def test_v3_pruned_scan_is_value_correct(colf_spark, striped):
@@ -150,3 +148,18 @@ def test_v3_stream_read(colf_spark, striped, tmp_path):
     )
     q.awaitTermination(120)
     assert colf_spark.read.format("colf").load(out).count() == 50_000
+
+
+def test_compact_preserves_format_version(colf_spark, tmp_path):
+    from columnar_format_spark.colf.datasource import live_files
+    from columnar_format_spark.colf.maintenance import compact
+
+    p = str(tmp_path / "cds")
+    df = colf_spark.range(4000).select(F.col("id").cast("int").alias("id"),
+                                       F.lit("x").alias("tag"))
+    (df.repartition(8).write.format("colf").option("version", "2")
+     .mode("append").save(p))
+    n = compact(colf_spark, p, 2)
+    assert n == 2
+    assert {read_schema(f).version for f in live_files(p)} == {2}
+    assert colf_spark.read.format("colf").load(p).count() == 4000
