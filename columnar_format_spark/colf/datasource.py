@@ -750,14 +750,33 @@ class ColfStreamReader(DataSourceStreamReader):
         batch = sorted(self._offset_files(end) - prev)
         self._fold(start)
         self._fold(end)
-        return [ColfInputPartition(os.path.join(self.path, f)) for f in batch]
+        # v3 striped files expand to one partition per STRIPE (same
+        # planning as the batch reader, from the manifest when
+        # available) — a micro-batch delivering one big striped file
+        # decodes on every core instead of one task
+        manifest = load_manifest(self.path)
+        parts: list[ColfInputPartition] = []
+        for b in batch:
+            full = os.path.join(self.path, b)
+            entry = manifest.get(b)
+            stripes = entry.get("stripes") if entry else None
+            if stripes is None and entry is None                     and file_version(full) == VERSION_V3:
+                stripes = [{"num_rows": n} for n in read_stripes_info(full)]
+            if stripes is None:
+                parts.append(ColfInputPartition(full))
+            else:
+                parts.extend(ColfInputPartition(full, si)
+                             for si in range(len(stripes)))
+        return parts
 
     def read(self, partition: ColfInputPartition):
-        # executor-side: one Arrow RecordBatch per file, zero row pivot
+        # executor-side: one Arrow RecordBatch per file/stripe, zero
+        # row pivot
         import pyarrow as pa
 
         names = [f.name for f in self.schema.fields]
-        data = read_columns_arrow(partition.file, names)
+        data = read_columns_arrow(partition.file, names,
+                                  stripe=partition.stripe)
         yield pa.RecordBatch.from_arrays([data[n] for n in names], names=names)
 
     def commit(self, end: dict) -> None:

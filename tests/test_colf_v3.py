@@ -163,3 +163,30 @@ def test_compact_preserves_format_version(colf_spark, tmp_path):
     assert n == 2
     assert {read_schema(f).version for f in live_files(p)} == {2}
     assert colf_spark.read.format("colf").load(p).count() == 4000
+
+
+def test_v3_stream_plans_stripe_partitions(colf_spark, striped):
+    from columnar_format_spark.colf.datasource import ColfStreamReader
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([StructField("id", IntegerType()),
+                         StructField("v", DoubleType()),
+                         StructField("tag", StringType())])
+    r = ColfStreamReader({"path": striped}, schema)
+    start = r.initialOffset()
+    end = r.latestOffset()
+    parts = r.partitions(start, end)
+    assert len(parts) == 5
+    assert sorted(p.stripe for p in parts) == [0, 1, 2, 3, 4]
+    # rows delivered exactly once across the stripe partitions
+    total = 0
+    seen = set()
+    for p in parts:
+        for batch in r.read(p):
+            ids = batch.column(0).to_pylist()
+            assert not (set(ids) & seen)
+            seen.update(ids)
+            total += batch.num_rows
+    assert total == 50_000
