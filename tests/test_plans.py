@@ -339,3 +339,24 @@ def test_q147_stats_broadcast_single_row(spark):
     plan = plan_of(spark, "q147_tpch_q22")
     assert "BroadcastNestedLoopJoin" in plan
     assert "LeftAnti" in plan
+
+
+@pytest.mark.parametrize("name", [
+    "q150_oov_rate", "q151_knn_label", "q152_table_profile",
+])
+def test_round4_ops_stay_jvm_side(spark, name):
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_oov_vocab_is_take_ordered_not_global_window(spark):
+    """q150's top-K vocabulary must be TakeOrderedAndProject, never a
+    global-orderBy window (the q24 single-partition trap)."""
+    plan = plan_of(spark, "q150_oov_rate")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_uses_window_group_limit(spark):
+    plan = plan_of(spark, "q151_knn_label")
+    assert "WindowGroupLimit" in plan
