@@ -204,7 +204,13 @@ def q152_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the naive per-column UNION ALL — same answer, proving the fused
     plan equivalent.
     """
-    li = table(spark, sf_dir, "lineitem")
+    from ..registry import spread
+
+    # the multi-COUNT(DISTINCT) agg expands each row once per distinct
+    # aggregate (Expand x5 here) BEFORE the first exchange — on a
+    # few-file input that whole blow-up runs in the scan's task count,
+    # so spread() the scan first (no-op at real file counts)
+    li = spread(table(spark, sf_dir, "lineitem"))
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
     for c, kind in PROFILE_COLS:
         # aggregate on the NATIVE type, render to text after — casting
