@@ -212,3 +212,29 @@ def test_delete_cas_conflict_with_racing_append(colf_spark, tmp_path):
             M.delete_where(colf_spark, p, "id < 100")
     # the racing append's rows survived
     assert colf_spark.read.format("colf").load(p).count() == 1100
+
+
+def test_merge_cas_conflict_with_racing_append(colf_spark, tmp_path):
+    """merge_into has the same single-snapshot CAS contract as
+    delete_where: a commit racing a concurrent append fails loudly."""
+    from unittest import mock
+
+    from columnar_format_spark.colf import maintenance as M
+
+    p = _dataset(colf_spark, tmp_path)
+    real_commit = M.commit_snapshot
+    late = colf_spark.range(9000, 9050).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") * 1.0).alias("v"), F.lit("late").alias("tag"))
+    src = colf_spark.range(10).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") * 2.0).alias("v"), F.lit("new").alias("tag"))
+
+    def commit_with_race(path, files, **kw):
+        late.coalesce(1).write.format("colf").mode("append").save(p)
+        return real_commit(path, files, **kw)
+
+    with mock.patch.object(M, "commit_snapshot", side_effect=commit_with_race):
+        with pytest.raises(ColfFormatError, match="version"):
+            M.merge_into(colf_spark, p, src, ["id"])
+    assert colf_spark.read.format("colf").load(p).count() == 1050
