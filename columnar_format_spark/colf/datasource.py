@@ -411,7 +411,15 @@ class ColfReader(DataSourceReader):
         data = read_columns_arrow(partition.file, file_cols,
                                   stripe=partition.stripe)
         if FILE_COLUMN in wanted:
-            n = len(data[file_cols[0]]) if file_cols else 0
+            if file_cols:
+                n = len(data[file_cols[0]])
+            elif partition.stripe is not None:
+                # metadata-only projection: row count from the stripe
+                # footer, not 0 (per-file counts via the virtual column
+                # must be exact)
+                n = read_stripes_info(partition.file)[partition.stripe]
+            else:
+                n = read_schema(partition.file).num_rows
             base = os.path.basename(partition.file)
             data[FILE_COLUMN] = pa.array([base] * n, type=pa.string())
         yield pa.RecordBatch.from_arrays([data[n] for n in wanted], names=wanted)
@@ -584,9 +592,12 @@ class ColfWriter(DataSourceArrowWriter):
             # (engine-defined 0-row behavior, SURVEY.md §7 M3b)
             os.makedirs(self.path, exist_ok=True)
             target = os.path.join(self.path, "part-00000-empty.colf")
+            # write_colf handles v1/v2 only; a 0-row file gains nothing
+            # from v3 striping, so clamp the sentinel (a delete-all on
+            # a v3 dataset adopts this path and must not fail)
             write_colf(target, ColfSchema(0, self.colf_columns),
                        {c.name: [] for c in self.colf_columns},
-                       version=self.version)
+                       version=min(self.version, 2))
             written = {target}
         # sidecar zone-map manifest for reader-side file skipping
         # (format-compatible: extra file, not a format change — M6)
@@ -871,14 +882,18 @@ class ColfDataSource(DataSource):
             raise ColfFormatError(f"No .colf files found at {path}")
         file_schema = read_schema(files[0])
         cols_opt = self.options.get("columns")
+        with_file = self.options.get("withFileColumn", "false").lower() == "true"
         if cols_opt:
             wanted = [c.strip() for c in cols_opt.split(",") if c.strip()]
             index = {c.name: c for c in file_schema.columns}
-            missing = [c for c in wanted if c not in index]
+            # the virtual file column is legal here (metadata-only
+            # projections like per-file row counts select ONLY it)
+            missing = [c for c in wanted if c not in index
+                       and not (with_file and c == FILE_COLUMN)]
             if missing:
                 raise KeyError(f"Column not found: {missing[0]}")
             file_schema = ColfSchema(file_schema.num_rows,
-                                     [index[c] for c in wanted])
+                                     [index[c] for c in wanted if c in index])
         # Dataset-level schema is always NULLABLE (like Spark's own
         # parquet source): the header only describes the FIRST file,
         # and a later appended file may legally carry nulls in a
@@ -889,7 +904,7 @@ class ColfDataSource(DataSource):
         # exact in the COLF headers.
         base = colf_to_spark_schema(file_schema)
         fields = [StructField(f.name, f.dataType, True) for f in base.fields]
-        if self.options.get("withFileColumn", "false").lower() == "true":
+        if with_file:
             fields.append(StructField(FILE_COLUMN, StringType(), False))
         return StructType(fields)
 

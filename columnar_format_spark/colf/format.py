@@ -695,6 +695,18 @@ def decode_column(payload: bytes, dtype: str, num_rows: int, has_nulls: bool,
     return out
 
 
+def _mixed_to_string_array(values: list):
+    """str/bytes/None list -> pa.StringArray WITHOUT UTF-8 validation:
+    the reference's bytes fallback (reader.py:155-159) yields raw
+    bytes for non-UTF8 blobs, which pa.array(type=string) would
+    reject — build as binary and view as string instead (same buffer
+    layout; Spark's UTF8String tolerates the raw bytes)."""
+    import pyarrow as pa
+
+    bvals = [v.encode("utf-8") if isinstance(v, str) else v for v in values]
+    return pa.array(bvals, type=pa.binary()).view(pa.string())
+
+
 def decode_column_arrow(payload: bytes, dtype: str, num_rows: int,
                         has_nulls: bool, version: int = VERSION):
     """Decode an uncompressed payload straight to a pyarrow Array —
@@ -722,11 +734,11 @@ def decode_column_arrow(payload: bytes, dtype: str, num_rows: int,
         if enc == ENC_DICT and dtype == "utf8":
             codes, values = _dict_decode_utf8(data, num_rows)
             if any(not isinstance(v, str) for v in values):
-                # bytes-fallback dictionary entries: no Arrow string
-                # representation — take the list path
-                return pa.array(
+                # bytes-fallback dictionary entries: no validated Arrow
+                # string representation — take the list path
+                return _mixed_to_string_array(
                     decode_column(payload, dtype, num_rows, has_nulls,
-                                  version=version), type=pa.string())
+                                  version=version))
             dict_arr = pa.array(values, type=pa.string())
             codes_pa = pa.array(codes, type=pa.int64(), mask=mask)
             return dict_arr.take(codes_pa)
@@ -774,8 +786,12 @@ def decode_column_arrow(payload: bytes, dtype: str, num_rows: int,
         arr.validate(full=True)  # rejects non-UTF8 (reference fallback case)
         return arr
     except pa.lib.ArrowInvalid:
-        return pa.array(decode_column(payload, dtype, num_rows, has_nulls),
-                        type=pa.string())
+        # version must propagate: a v2 ENC_PLAIN block has a 3-byte
+        # header base; reparsing with the v1 base would leak the
+        # encoding byte into the data (matching the dict-path fallback)
+        return _mixed_to_string_array(
+            decode_column(payload, dtype, num_rows, has_nulls,
+                          version=version))
 
 
 def read_columns_arrow(path: str, columns: list[str],

@@ -181,9 +181,12 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> dict:
     touched = sorted(r["_colf_file"] for r in matches)
     n_deleted = sum(r["n"] for r in matches)
 
+    # SQL/Iceberg DELETE removes only rows where the condition is TRUE;
+    # rows where it evaluates to NULL must SURVIVE the rewrite (a bare
+    # NOT(condition) would drop them uncounted — data loss)
     survivors = (spark.read.format("colf")
                  .option("files", ",".join(touched)).load(path)
-                 .filter(f"NOT ({condition})"))
+                 .filter(f"NOT coalesce(({condition}), false)"))
     from .format import read_schema
 
     ver = read_schema(os.path.join(path, touched[0])).version
@@ -288,8 +291,9 @@ def merge_into(spark: SparkSession, path: str, source,
         # the manifest's per-file row counts) instead of inheriting the
         # source's arbitrary partitioning — a 60-row source must not
         # scatter into dozens of unsplittable midget files
+        man0 = load_manifest(path)  # one parse, not one per live file
         mrows = [m.get("num_rows") for b in live0
-                 for m in [load_manifest(path).get(b, {})]
+                 for m in [man0.get(b, {})]
                  if m.get("num_rows")]
         per_file = max(1, sum(mrows) // len(mrows)) if mrows else 500_000
         n_files = max(1, min(int(spark.sparkContext.defaultParallelism),

@@ -111,6 +111,37 @@ def test_with_file_column(colf_spark, tmp_path):
     assert sum(per_file.values()) == 1000
 
 
+def test_file_column_only_projection_counts(colf_spark, tmp_path):
+    # a metadata-only projection (columns=_colf_file) must still emit
+    # one row per data row, with counts from the file headers — the
+    # cheapest possible per-file row-count query
+    p = _dataset(colf_spark, tmp_path)
+    only = (colf_spark.read.format("colf")
+            .option("withFileColumn", "true")
+            .option("columns", "_colf_file").load(p))
+    per_file = dict(only.groupBy("_colf_file").count().collect())
+    assert set(per_file) == set(_files(p))
+    assert sum(per_file.values()) == 1000
+
+
+def test_delete_null_condition_rows_survive(colf_spark, tmp_path):
+    # SQL DELETE semantics: rows where the predicate evaluates to NULL
+    # are NOT deleted. 100 rows have v=NULL; "v > 5.0" is NULL there.
+    df = colf_spark.range(1000).select(
+        F.col("id").cast("int").alias("id"),
+        F.when(F.col("id") % 10 == 0, F.lit(None))
+         .otherwise((F.col("id") % 10).cast("double")).alias("v"),
+        (F.col("id") % 3).cast("string").alias("tag"))
+    p = str(tmp_path / "nulls")
+    (df.repartition(2).write.format("colf").mode("append").save(p))
+    stats = delete_where(colf_spark, p, "v > 5.0")
+    # v in {1..9} uniform over 900 non-null rows: 6,7,8,9 -> 400 deleted
+    assert stats["n_deleted_rows"] == 400
+    back = colf_spark.read.format("colf").load(p)
+    assert back.count() == 600
+    assert back.filter("v IS NULL").count() == 100  # survivors
+
+
 def test_files_option_restricts_and_validates(colf_spark, tmp_path):
     p = _dataset(colf_spark, tmp_path)
     one = _files(p)[0]

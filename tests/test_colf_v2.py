@@ -104,6 +104,33 @@ def test_v2_arrow_read(tmp_path):
         assert arrays[name].to_pylist() == data[name]
 
 
+def test_v2_plain_utf8_bytes_fallback_arrow_read(tmp_path):
+    # high-cardinality utf8 -> dict not beneficial -> v2 ENC_PLAIN; a
+    # non-UTF8 bytes value forces the Arrow reader's list-decoder
+    # fallback, which must reparse with the v2 3-byte header base (a
+    # v1 base leaks the encoding byte into the data and crashes)
+    n = 64
+    data = {
+        "id": list(range(n)),
+        "score": [float(i) for i in range(n)],
+        "city": [f"c{i}" for i in range(n)],
+        "uid": [b"\xff\xfe-not-utf8" if i == 3 else f"u{i}-{i * 7919}"
+                for i in range(n)],
+    }
+    p2 = _write(tmp_path, data, 2)
+    enc = {c.name: c.encoding for c in read_schema(p2).columns}
+    assert enc["uid"] == "plain"
+    pure = read_columns(p2, ["uid"])["uid"]
+    assert pure[3] == b"\xff\xfe-not-utf8"  # bytes fallback, pure path
+    arr = read_columns_arrow(p2, ["uid"])["uid"]
+    assert len(arr) == n
+    assert arr.slice(4).to_pylist() == pure[4:]  # valid rows agree
+    import pyarrow as pa
+
+    raw = arr.view(pa.binary()).slice(3, 1).to_pylist()[0]
+    assert raw == b"\xff\xfe-not-utf8"  # raw bytes preserved
+
+
 def test_v2_delta_fallback_on_extreme_values(tmp_path):
     # -2^31 -> 2^31-1 is a zigzag delta needing >4 bytes -> plain
     data = {"id": [-(2**31), 2**31 - 1, 0], "score": [1.0, 2.0, 3.0],

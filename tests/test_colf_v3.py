@@ -135,6 +135,28 @@ def test_v3_delete_where_preserves_striping(colf_spark, striped):
     assert {read_schema(f).version for f in live_files(striped)} == {3}
 
 
+def test_v3_delete_all_leaves_valid_empty_dataset(colf_spark, striped):
+    # delete-all on a v3 dataset adopts the 0-row sentinel path, which
+    # must not choke on version=3 (sentinel is clamped to v2)
+    from columnar_format_spark.colf.maintenance import delete_where
+
+    stats = delete_where(colf_spark, striped, "id >= 0")
+    assert stats["n_deleted_rows"] == 50_000
+    back = colf_spark.read.format("colf").load(striped)
+    assert back.count() == 0
+    assert [f.name for f in back.schema.fields] == ["id", "v", "tag"]
+
+
+def test_v3_file_column_only_projection_counts(colf_spark, striped):
+    # per-stripe metadata-only projection: row counts come from the
+    # stripe footers, one task per stripe, no data columns decoded
+    only = (colf_spark.read.format("colf")
+            .option("withFileColumn", "true")
+            .option("columns", "_colf_file").load(striped))
+    per_file = dict(only.groupBy("_colf_file").count().collect())
+    assert sum(per_file.values()) == 50_000
+
+
 def test_v3_stream_read(colf_spark, striped, tmp_path):
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
