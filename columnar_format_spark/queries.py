@@ -19,55 +19,47 @@ from . import sources  # noqa: F401
 from .streaming import stream_queries  # noqa: F401
 from .registry import QUERIES, QuerySpec  # noqa: F401
 
-# Round-4 driver window: the 34 queries that have never had a driver
-# CORRECTNESS row (everything added in round 3 plus the q44/q58/q59/
-# q61/q67/q68 and q80-q84 stragglers), the 4 COLF batch retests (red
-# in r03 on the pushdown-conf bug — fixed in datasource.register(),
-# kept in-window to prove it), the new q135 ANN-recall audit, and 11
-# high-integration repeats (the four r03 bench-regression queries
-# among them, so their driver rows double as fresh evidence).
-# After this round every registered query has ≥1 green driver row.
+# Round-5 driver window, per the rotation discipline (oldest evidence
+# first; every changed query re-proves itself the round it changes):
+# - the 17 round-4 additions with no driver row yet (q137-q153);
+# - the 5 queries whose ORACLE or PLAN changed this round and
+#   therefore need fresh rows: q07/q62/q63/q128 (new bounds-style
+#   exact oracles replacing rows-only policy) and q87 (global top-k
+#   rewritten TakeOrdered);
+# - 28 backfill slots for the oldest-evidence queries (last green row
+#   r02) in registration-number order.
+# Per-query last-green ledger: r02 = q01-q32, q36, q38, q39, q45-q49,
+# q64-q66, q72, q88, q89, q92-q94; r03 = q33-q35, q37, q40-q43,
+# q51-q57, q62, q63, q69, q71, q74, q77-q79, q85, q87, q91, q95-q98,
+# q100, q102, q103, q105, q106, q108, q110; r04 = everything else.
+# Round-6 plan: rotate in the remaining r02-era (q27-q32, q36, q38,
+# q39, q45-q49, q64-q66, q72, q88, q89, q92-q94 — 21) then the
+# r03-era set, oldest first.
 DRIVER_WINDOW = [
-    # COLF batch retests — r03's four red rows, one shared root cause
-    "q70_colf_roundtrip", "q73_csv_ingest", "q75_colf_selective_read",
-    "q76_colf_zonemap_pruning",
-    # COLF data-management layer (added r03, never driver-checked)
-    "q112_colf_compact", "q122_colf_time_travel", "q134_colf_incremental_read",
-    # streaming (never driver-checked)
-    "q80_stream_tumbling", "q81_stream_session", "q82_stream_dedup",
-    "q83_stream_stateful", "q84_stream_stream_join",
-    "q127_stream_incremental_dedup",
-    # dedup / graph (never driver-checked)
-    "q111_dedup_keep_best", "q113_incremental_dedup", "q120_graph_triangles",
-    "q129_dedup_verified_pairs",
-    # pipeline ops (never driver-checked; q132 re-done this round)
-    "q114_pii_redaction", "q115_stratified_sample", "q116_doc_chunking",
-    "q117_percentile_exact", "q118_skew_exact_distinct",
-    "q119_rare_bigram_score", "q121_strict_funnel", "q128_percentile_sketch",
-    "q132_negative_sampling", "q133_budget_selection",
-    # TPC-H additions (never driver-checked)
-    "q124_tpch_q5", "q125_tpch_q10", "q126_tpch_q18",
-    # text / embedding / sampling stragglers (never driver-checked)
-    "q44_multimodal_meta", "q58_ngram_vocabulary", "q59_length_histogram",
-    "q61_embedding_stats", "q67_deterministic_split", "q68_corpus_mixture",
-    # multimodal (never driver-checked)
-    "q130_frame_sampling", "q131_image_resize",
-    # NEW this round: ANN recall audit + vacuum retention, both with
-    # exact oracles
-    "q135_ann_recall", "q136_colf_vacuum",
-    # high-integration repeats + r03 bench-regression re-evidence
-    "q109_colf_stream_agg", "q101_stream_sliding", "q52_minhash_lsh",
-    "q90_training_pipeline", "q50_dedup_exact", "q99_sliding_window_batch",
-    "q104_tpch_q7", "q107_incremental_agg", "q60_cosine_topk",
-    "q86_corpus_shards",
+    # never driver-checked (added round 4)
+    "q137_colf_v2_roundtrip",
+    "q138_tpch_q4", "q139_tpch_q6", "q140_tpch_q8", "q141_tpch_q9",
+    "q142_tpch_q15", "q143_tpch_q16", "q144_tpch_q17", "q145_tpch_q19",
+    "q146_tpch_q21", "q147_tpch_q22",
+    "q148_colf_delete", "q149_colf_merge",
+    "q150_oov_rate", "q151_knn_label", "q152_table_profile",
+    "q153_colf_v3_striped",
+    # changed this round — new bounds oracles / new plan shape
+    "q07_approx_count_distinct", "q62_ann_lsh", "q63_ann_ivf",
+    "q128_percentile_sketch", "q87_bm25_search",
+    # oldest-evidence backfill (all last-green r02)
+    "q01_pricing_summary", "q02_filter_project", "q03_agg_rollup",
+    "q04_agg_cube", "q05_grouping_sets", "q06_count_distinct",
+    "q08_exact_quartiles", "q09_pivot_status_priority",
+    "q10_join_broadcast_star", "q11_join_left", "q12_join_semi",
+    "q13_join_anti", "q14_join_full_outer", "q15_star_revenue_by_region",
+    "q16_range_join_bands", "q17_asof_join", "q18_salted_skew_join",
+    "q19_subqueries", "q20_window_topk_per_group",
+    "q21_window_running_sum", "q22_window_lag_delta",
+    "q23_window_range_30d", "q24_window_ntile_rank", "q25_top10_orders",
+    "q26_set_union", "q27_set_intersect", "q28_set_except",
+    "q29_window_distribution",
 ]
-
-# Round-5 rotation plan: the queries ADDED in round 4 have no driver
-# row yet — q137 (COLF v2 round-trip), q138-q147 (TPC-H Q4/Q6/Q8/Q9/
-# Q15/Q16/Q17/Q19/Q21/Q22), q148 (CoW delete), q149 (CoW merge),
-# q150 (OOV rate), q151 (kNN labeling). Rotate all 15 into the next
-# window, backfill the remaining 35 slots with the queries whose last
-# green row is oldest (r01/r02 era first).
 
 
 def _reorder() -> None:
