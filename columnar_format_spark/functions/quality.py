@@ -262,10 +262,15 @@ def q87_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 score.alias("score"))
         .filter(F.col("score") > 0)
     )
+    # distributed top-k FIRST (TakeOrderedAndProject — per-partition
+    # heaps, never a corpus-wide single-partition window), THEN rank
+    # the <=BM25_TOPK survivors; (score desc, doc_id) is a total order
+    # so row_number here equals rank over the full scored set
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")) \
+                .limit(BM25_TOPK)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= BM25_TOPK)
+        top.withColumn("rnk", F.row_number().over(w))
         .select("doc_id", "dl", "score", "rnk")
     )
 

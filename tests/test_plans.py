@@ -177,7 +177,7 @@ def test_negative_sampling_window_is_bucket_partitioned(spark):
     # exact-percentile sort is paired with the q128 sketch tier.
     "q20_window_topk_per_group", "q21_window_running_sum",
     "q22_window_lag_delta", "q23_window_range_30d", "q33_sessionize",
-    "q86_corpus_shards", "q95_gapfill_locf",
+    "q86_corpus_shards", "q87_bm25_search", "q95_gapfill_locf",
     "q96_median_mode", "q132_negative_sampling", "q133_budget_selection",
 ])
 def test_windows_never_single_partition(spark, name):
@@ -348,6 +348,13 @@ def test_round4_ops_stay_jvm_side(spark, name):
     plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_bm25_topk_is_take_ordered_not_global_window(spark):
+    """q87's corpus-wide top-k must be TakeOrderedAndProject (per-
+    partition heaps); the rank window ranks only the <=20 survivors."""
+    plan = plan_of(spark, "q87_bm25_search")
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_oov_vocab_is_take_ordered_not_global_window(spark):
