@@ -380,38 +380,72 @@ def q121_strict_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 SKETCH_ACCURACY = 10000  # rank error <= n / accuracy
 
 
-@register("q128_percentile_sketch", oracle=None)
+@register(
+    "q128_percentile_sketch",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           true AS p50_ok, true AS p90_ok, true AS p99_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q128_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPROX tier of q117: per-group percentiles from Spark's
-    mergeable quantile sketch (approx_percentile, Greenwald-Khanna) —
-    the first-pass operator at 100 TB, where q117's exact
-    cume_dist-over-a-sort is the audited rerank on samples. Rank error
-    is bounded by n/accuracy; tests/test_queries_oracle.py asserts the
-    sketch values land within that bound of q117's exact answers.
-
-    Rows-only in the driver gate by design: the sketch's internal
-    merge order is engine-specific, so no cross-engine oracle can pin
-    its exact output (same policy as q07/q62/q63). Sketch results ARE
-    deterministic within Spark for a given dataset.
+    mergeable quantile sketch (approx_percentile, Greenwald-Khanna),
+    emitted as a bounds audit with an EXACT oracle (round 5, replacing
+    rows-only): per group, the exact row count plus one boolean per
+    quantile certifying the sketch value (a) is an actual data value
+    and (b) sits within the documented GK rank error (n/accuracy, +1
+    discretization slack) of the target rank. The rank of the sketch
+    value is computed in-query by a second conditional aggregate over
+    the group, so the booleans are engine-checkable facts while the
+    engine-specific sketch internals stay out of the hash (the q135
+    pattern; the raw-value tier remains q117's exact twin).
 
     Scale: the sketch is map-side mergeable — one partial aggregate
     per task, merged on the reducer; no sort, no full-column
-    materialization, state O(accuracy · log n) per group.
+    materialization, state O(accuracy · log n) per group. The audit
+    adds one broadcast of the 3-row sketch result and one more
+    scan+aggregate — the price of a hashed guarantee.
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice")
     pct = F.percentile_approx(
         "l_extendedprice", [0.5, 0.9, 0.99], SKETCH_ACCURACY)
-    return (
+    sk = (
         li.groupBy("l_returnflag")
-        .agg(pct.alias("p"),
-             F.count(F.lit(1)).cast("bigint").alias("n"))
-        .select(
-            "l_returnflag",
-            F.col("p")[0].alias("p50_approx"),
-            F.col("p")[1].alias("p90_approx"),
-            F.col("p")[2].alias("p99_approx"),
-            "n",
-        )
+        .agg(pct.alias("p"))
+        .select("l_returnflag",
+                F.col("p")[0].alias("p50"),
+                F.col("p")[1].alias("p90"),
+                F.col("p")[2].alias("p99"))
+    )
+    j = li.join(F.broadcast(sk), "l_returnflag")
+    price = F.col("l_extendedprice")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for q in (50, 90, 99):
+        pq = F.col(f"p{q}")
+        aggs += [
+            F.sum(F.when(price < pq, 1).otherwise(0)).alias(f"lt{q}"),
+            F.max(F.when(price == pq, 1).otherwise(0)).alias(f"eq{q}"),
+        ]
+    stats = j.groupBy("l_returnflag").agg(*aggs)
+
+    def ok(q: int, frac: float):
+        # first-occurrence rank of the sketch value vs target rank;
+        # bound matches the GK guarantee the local tests proved
+        target = F.least(F.col("n") - 1,
+                         F.floor(F.lit(frac) * F.col("n"))).cast("bigint")
+        err = F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.col("n") / F.lit(SKETCH_ACCURACY)).cast("bigint"))
+        return ((F.col(f"eq{q}") == 1)
+                & (F.abs(F.col(f"lt{q}") - target) <= err + 1))
+
+    return stats.select(
+        "l_returnflag", "n",
+        ok(50, 0.5).alias("p50_ok"),
+        ok(90, 0.9).alias("p90_ok"),
+        ok(99, 0.99).alias("p99_ok"),
     )
 
 

@@ -7,10 +7,14 @@
   summation order; ranking is therefore deterministic (ties broken by
   vec_id).
 - q61: per-label embedding stats (order-independent aggregates only).
-- q62: LSH-bucketed ANN — sign-random-projection buckets derived from
-  md5 (engine-stable), probe only within bucket. Rows-only oracle
-  (the bucketing decision rule is the operator under test; recall is
-  checked against q60 in tests/test_similarity.py).
+- q62: LSH-bucketed ANN — integer sign-random-projection buckets
+  derived from md5 (engine-stable), probe only within bucket, exact
+  int64-quantized scoring — fully oracle-checked (buckets, candidate
+  sets, scores, ranks); recall vs q60 audited by q135 and
+  tests/test_similarity.py.
+- q63: IVF ANN — KMeans coarse quantizer (non-SQL-expressible fit);
+  the driver row is a q135-style bounds audit (exact counts + recall/
+  probe-cost booleans the oracle pins to true).
 
 Scale: brute-force is O(n·q) dot products — fine for reranking a
 candidate set, wrong as the primary index at 100 TB. The LSH variant
@@ -211,22 +215,6 @@ def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _projection_matrix(n_planes: int) -> list[list[float]]:
-    """Deterministic pseudo-random 64-d hyperplanes derived from md5 —
-    reproducible across runs/engines without RNG state."""
-    import hashlib
-
-    mat = []
-    for p in range(n_planes):
-        row = []
-        for d in range(64):
-            h = hashlib.md5(f"proj|{p}|{d}".encode()).hexdigest()
-            # map first 8 hex digits to [-1, 1)
-            row.append(int(h[:8], 16) / float(1 << 31) - 1.0)
-        mat.append(row)
-    return mat
-
-
 # Arrow-batched vectorized kernels. Bucketing is 96 hyperplane dot
 # products per vector: as Catalyst higher-order-function lambdas that
 # is ~6k INTERPRETED multiply-adds per row (no codegen inside lambdas
@@ -239,58 +227,56 @@ def _stack(s) -> "object":
     return np.array(s.tolist(), dtype=np.float64)
 
 
-_UDFS: dict = {}
-
-
-def _vec_udfs():
-    """Build the pandas UDFs once per process (pandas_udf needs an
-    active SparkSession, so this can't run at module import)."""
-    if _UDFS:
-        return _UDFS
-
-    @F.pandas_udf("array<int>")
-    def lsh_codes(emb):
-        import numpy as np
-        import pandas as pd
-
-        M = np.asarray(_projection_matrix(LSH_TABLES * LSH_BITS)).T  # 64 × L*B
-        X = _stack(emb)
-        S = (X @ M >= 0).astype(np.int64).reshape(len(X), LSH_TABLES, LSH_BITS)
-        W = 1 << np.arange(LSH_BITS - 1, -1, -1)  # MSB-first bit packing
-        return pd.Series((S * W).sum(axis=2).tolist())
-
-    @F.pandas_udf("double")
-    def dot(a, b):
-        import numpy as np
-        import pandas as pd
-
-        return pd.Series(np.einsum("ij,ij->i", _stack(a), _stack(b)))
-
-    @F.pandas_udf("double")
-    def norm(a):
-        import numpy as np
-        import pandas as pd
-
-        X = _stack(a)
-        return pd.Series(np.sqrt(np.einsum("ij,ij->i", X, X)))
-
-    _UDFS.update(lsh_codes=lsh_codes, dot=dot, norm=norm)
-    return _UDFS
-
-
 IVF_K = 16       # coarse-quantizer centroids
 IVF_NPROBE = 4   # clusters probed per query
+# audit bounds (q135-style: the oracle pins the booleans, not the
+# KMeans-dependent internals). Measured at sf0.001/sf0.01: aggregate
+# recall 0.60/0.68, probed fraction ~0.5 of corpus per query — the
+# floors below hold with >=1.5x margin.
+IVF_RECALL_FLOOR = 0.4    # hits / exact_pairs
+IVF_PROBE_CEIL = 0.75     # candidates scanned / (n_queries * corpus)
+
+_IVF_SQL = f"""
+    WITH v AS (
+      SELECT vec_id, {SQL_QVEC.format(a='embedding')} AS qv,
+             {SQL_INT_NORM.format(a=SQL_QVEC.format(a='embedding'))} AS nrm
+      FROM embeddings),
+    q AS (SELECT vec_id AS qid, qv AS qqv, nrm AS qnrm FROM v
+          WHERE vec_id < {N_QUERIES} AND nrm > 0),
+    scored AS (
+      SELECT q.qid, c.vec_id AS cid,
+             ({SQL_INT_DOT.format(a='q.qqv', b='c.qv')} / (q.qnrm * c.nrm))
+               AS cosine
+      FROM q CROSS JOIN v c
+      WHERE c.vec_id <> q.qid AND c.nrm > 0),
+    topk AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, cid) AS rnk
+        FROM scored) WHERE rnk <= {TOP_K})
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS exact_pairs,
+           true AS recall_met, true AS probe_cost_met
+    FROM topk
+"""
 
 
-@register("q63_ann_ivf", oracle=None)  # iterative fit + probe policy → rows-only
+@register("q63_ann_ivf", oracle=_IVF_SQL)
 def q63_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF (inverted file) coarse quantization: fit KMeans
     (IVF_K centroids, fixed seed) over the embeddings, assign every
     vector to its nearest centroid, probe the IVF_NPROBE nearest
-    centroids per query, score exactly within probed clusters, top-k.
-    The iterative KMeans fit is the genuinely non-SQL-expressible part
-    (driver records rows-only); recall vs exact q60 is asserted in
-    tests/test_similarity.py.
+    centroids per query, and audit the probed candidate sets against
+    the exact int64-quantized top-k.
+
+    Driver row (round 5, replacing rows-only): the iterative KMeans
+    fit is genuinely non-SQL-expressible, so the query emits what IS
+    cross-engine exact — n_queries, exact_pairs (int64-quantized
+    ground truth) — plus two in-query bound checks the oracle pins to
+    true: aggregate recall >= IVF_RECALL_FLOOR and probed-candidate
+    cost <= IVF_PROBE_CEIL of brute force (the q135 pattern: make the
+    decision machinery's guarantees the hashed output).
 
     Scale: the fit runs on a sample/subset in production (centroids
     are a k×dim driver-side array — tiny); assignment is one map pass;
@@ -303,11 +289,11 @@ def q63_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
-    u = _vec_udfs()
     e = (
         spread(table(spark, sf_dir, "embeddings"))
-        .select("vec_id", "embedding", u["norm"]("embedding").alias("norm"))
-        .filter(F.col("norm") > 0)
+        .select("vec_id", "embedding", qvec(F.col("embedding")).alias("qv"))
+        .withColumn("nrm", int_norm(F.col("qv")))
+        .filter(F.col("nrm") > 0)
         .withColumn("vec", array_to_vector(F.col("embedding").cast("array<double>")))
     )
     # fit on a deterministic ~20% subset: centroid quality converges
@@ -326,25 +312,52 @@ def q63_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         order = np.argsort(d2, axis=1)[:, :IVF_NPROBE]
         return pd.Series(order.tolist())
 
-    assigned = km.transform(e).select("vec_id", "embedding", "norm", "cluster")
-    q = (
+    assigned = km.transform(e).select("vec_id", "embedding", "cluster")
+    qp = (
         assigned.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
-                F.col("norm").alias("qnorm"),
+        .select(F.col("vec_id").alias("qid"),
                 F.explode(probe_clusters("embedding")).alias("cluster"))
     )
-    c = assigned.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
-                        F.col("norm").alias("cnorm"), "cluster")
+    # probed candidates: equi-join on cluster id — each vector lives in
+    # exactly one cluster and probes are distinct, so no dedup needed
+    cand = (
+        assigned.select(F.col("vec_id").alias("cid"), "cluster")
+        .join(F.broadcast(qp), "cluster")
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid")
+    )
+    # exact int64-quantized ground truth (q60 machinery)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qqv"),
+        F.col("nrm").alias("qnorm"))
+    c = e.select(F.col("vec_id").alias("cid"), F.col("qv").alias("cqv"),
+                 F.col("nrm").alias("cnorm"))
     scored = (
-        c.join(F.broadcast(q), "cluster")
+        c.crossJoin(F.broadcast(q))
         .filter(F.col("cid") != F.col("qid"))
         .select("qid", "cid",
-                (u["dot"]("qe", "ce") / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"))
+                (int_dot(F.col("qqv"), F.col("cqv"))
+                 / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    topk = scored.withColumn("rnk", F.row_number().over(w)) \
+        .filter(F.col("rnk") <= TOP_K).select("qid", "cid")
+    hits = (
+        topk.join(cand.withColumn("is_hit", F.lit(1)), ["qid", "cid"], "left")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_pairs"),
+             F.coalesce(F.sum("is_hit"), F.lit(0)).cast("bigint").alias("hits"))
+    )
+    nq = q.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    ncand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    ncorp = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
+        hits.crossJoin(nq).crossJoin(ncand).crossJoin(ncorp)
+        .select(
+            "n_queries", "exact_pairs",
+            (F.col("hits") >= F.lit(IVF_RECALL_FLOOR) * F.col("exact_pairs"))
+            .alias("recall_met"),
+            (F.col("n_cand") <= F.lit(IVF_PROBE_CEIL) * F.col("n_queries")
+             * F.col("n_corpus")).alias("probe_cost_met"))
     )
 
 
@@ -380,14 +393,15 @@ def _int_projection_matrix() -> "object":
     return np.asarray(rows, dtype=np.int64)
 
 
-def _recall_sql() -> str:
-    """DuckDB mirror of q135: same quantization, same md5-derived
-    integer weights, same (table, code) candidate join, same exact
-    top-k — recall is an integer, so the value-hash compare is exact."""
+def _int_cand_ctes() -> str:
+    """Shared CTE prefix (quantized vectors → md5 integer weights →
+    sign bits → packed codes → DISTINCT bucket-mate candidates) for
+    the two integer-LSH oracles, q62 and q135 — one definition so the
+    bucketing rule cannot drift between them."""
     qv = SQL_QVEC.format(a="embedding")
     nrm = SQL_INT_NORM.format(a=qv)
     return f"""
-    WITH v AS (
+    v AS (
       SELECT vec_id, {qv} AS qv, {nrm} AS nrm FROM embeddings),
     w AS (
       SELECT p.plane, list_transform(range(0, 64), d ->
@@ -407,7 +421,44 @@ def _recall_sql() -> str:
     cand AS (
       SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
       FROM codes q JOIN codes c ON q.tbl = c.tbl AND q.code = c.code
-      WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id),
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id)"""
+
+
+def _int_coded(spark: SparkSession, sf_dir: str):
+    """Spark twin of _int_cand_ctes' v/codes CTEs: returns
+    ``(e, coded)`` where e = (vec_id, qv, nrm) with nrm > 0 and coded
+    adds the exploded integer-LSH (tbl, code) pairs — shared by q62
+    and q135 so both run the exact bucketing rule the oracle mirrors.
+    Coding is one Arrow-batched int64 matmul per batch."""
+    import numpy as np
+    import pandas as pd
+
+    M = _int_projection_matrix().T  # 64 × L*B
+
+    @F.pandas_udf("array<int>")
+    def int_codes(qv):
+        X = np.array(qv.tolist(), dtype=np.int64)          # n × 64, exact
+        S = (X @ M >= 0).astype(np.int64).reshape(len(X), LSH_TABLES, LSH_BITS)
+        W = 1 << np.arange(LSH_BITS - 1, -1, -1)           # MSB-first
+        return pd.Series((S * W).sum(axis=2).tolist())
+
+    e = (
+        spread(table(spark, sf_dir, "embeddings"))
+        .select("vec_id", qvec(F.col("embedding")).alias("qv"))
+        .withColumn("nrm", int_norm(F.col("qv")))
+        .filter(F.col("nrm") > 0)
+    )
+    coded = e.select("vec_id", "qv", "nrm",
+                     F.posexplode(int_codes("qv")).alias("tbl", "code"))
+    return e, coded
+
+
+def _recall_sql() -> str:
+    """DuckDB mirror of q135: same quantization, same md5-derived
+    integer weights, same (table, code) candidate join, same exact
+    top-k — recall is an integer, so the value-hash compare is exact."""
+    return f"""
+    WITH {_int_cand_ctes()},
     counts AS (SELECT qid, COUNT(*) AS n_candidates FROM cand GROUP BY qid),
     qs AS (SELECT vec_id AS qid, qv AS qqv, nrm AS qnrm FROM v
            WHERE vec_id < {N_QUERIES} AND nrm > 0),
@@ -453,26 +504,9 @@ def q135_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (not brute force) at corpus scale; here it doubles as the audit's
     ground truth.
     """
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import Window
 
-    M = _int_projection_matrix().T  # 64 × L*B
-
-    @F.pandas_udf("array<int>")
-    def int_codes(qv):
-        X = np.array(qv.tolist(), dtype=np.int64)          # n × 64, exact
-        S = (X @ M >= 0).astype(np.int64).reshape(len(X), LSH_TABLES, LSH_BITS)
-        W = 1 << np.arange(LSH_BITS - 1, -1, -1)           # MSB-first
-        return pd.Series((S * W).sum(axis=2).tolist())
-
-    e = (
-        spread(table(spark, sf_dir, "embeddings"))
-        .select("vec_id", qvec(F.col("embedding")).alias("qv"))
-        .withColumn("nrm", int_norm(F.col("qv")))
-        .filter(F.col("nrm") > 0)
-    )
-    coded = e.select("vec_id", F.posexplode(int_codes("qv")).alias("tbl", "code"))
+    e, coded = _int_coded(spark, sf_dir)
     qc = coded.filter(F.col("vec_id") < N_QUERIES) \
         .select(F.col("vec_id").alias("qid"), "tbl", "code")
     cand = (
@@ -512,50 +546,67 @@ def q135_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q62_ann_lsh", oracle=None)  # bucketing-policy op → rows-only
+def _q62_sql() -> str:
+    """DuckDB mirror of q62: the shared integer-LSH candidate CTEs,
+    then exact int64-quantized cosine over ONLY the candidates and a
+    per-query top-k — the full ANN search result, value-hash exact."""
+    return f"""
+    WITH {_int_cand_ctes()},
+    scored AS (
+      SELECT cd.qid, cd.cid,
+             ({SQL_INT_DOT.format(a='q.qv', b='c.qv')} / (q.nrm * c.nrm))
+               AS cosine
+      FROM cand cd
+      JOIN v q ON q.vec_id = cd.qid
+      JOIN v c ON c.vec_id = cd.cid)
+    SELECT qid, cid, cosine, rnk FROM (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, cid) AS rnk
+      FROM scored) WHERE rnk <= {TOP_K}
+    """
+
+
+@register("q62_ann_lsh", oracle=_q62_sql())
 def q62_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table sign-random-projection LSH: LSH_TABLES hash
     tables of LSH_BITS bits; a candidate is any vector sharing a
-    bucket with the query in ANY table. Candidates are scored exactly
-    and top-k returned — same output shape as q60; recall vs the exact
-    baseline is asserted in tests/test_similarity.py.
+    bucket with the query in ANY table; candidates are scored exactly
+    and top-k returned — same output shape as q60.
 
-    Scale: bucketing is a map-only Arrow-batched pass (one BLAS matmul
-    per batch); the candidate join is an equi-join on (table, code)
-    touching only co-bucketed pairs, then vectorized scoring on that
-    reduced set — the standard recall/cost dial (raise L for recall, B
-    for pruning). Scoring uses double (not q60's oracle-exact int64 quantization):
-    the operator's contract is approximate by construction.
+    EXACT driver oracle (round 5, replacing the rows-only policy):
+    bucketing uses the q135 integer machinery (md5-derived int16
+    weights × int64-quantized vectors, sign of an exact int64 sum) and
+    scoring the q60 int64 quantization, so buckets, candidate sets,
+    scores, and ranks are all bit-identical across engines — the
+    decision rule itself is hash-checked, not just the row count.
+
+    Scale: bucketing is a map-only Arrow-batched pass (one BLAS int64
+    matmul per batch); the candidate join is an equi-join on
+    (table, code) touching only co-bucketed pairs, then exact scoring
+    on that reduced set — the standard recall/cost dial (raise L for
+    recall, B for pruning); recall vs the exact tier is audited by
+    q135 and tests/test_similarity.py.
     """
     from pyspark.sql import Window
 
-    u = _vec_udfs()
-    e = spread(table(spark, sf_dir, "embeddings"))
-    coded = e.select(
-        "vec_id", "embedding",
-        u["norm"]("embedding").alias("norm"),   # norm once per vector
-        u["lsh_codes"]("embedding").alias("codes"),
-    ).filter(F.col("norm") > 0)  # cosine undefined for zero vectors
-    ex = coded.select(
-        "vec_id", "embedding", "norm",
-        F.posexplode("codes").alias("tbl", "code"),
-    )
+    _, coded = _int_coded(spark, sf_dir)
     q = (
-        ex.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
-                F.col("norm").alias("qnorm"), "tbl", "code")
+        coded.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("qv").alias("qqv"),
+                F.col("nrm").alias("qnorm"), "tbl", "code")
     )
-    c = ex.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
-                  F.col("norm").alias("cnorm"), "tbl", "code")
     candidates = (
-        c.join(F.broadcast(q), ["tbl", "code"])
-        .filter(F.col("cid") != F.col("qid"))
-        .select("qid", "qe", "qnorm", "cid", "ce", "cnorm")
+        coded.join(F.broadcast(q), ["tbl", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qqv", "qnorm", F.col("vec_id").alias("cid"),
+                F.col("qv").alias("cqv"), F.col("nrm").alias("cnorm"))
         .dropDuplicates(["qid", "cid"])
     )
     scored = candidates.select(
         "qid", "cid",
-        (u["dot"]("qe", "ce") / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"),
+        (int_dot(F.col("qqv"), F.col("cqv"))
+         / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (
