@@ -169,8 +169,20 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> dict:
     live0 = [os.path.basename(f) for f in dataset_files(path)] if parent == 0 \
         else list(snaps0[-1]["files"])
 
+    # pass 1 reads only the columns the condition references (regex
+    # over the dataset's field names — a safe over-approximation) plus
+    # the virtual file column: the Python datasource API has no
+    # automatic column pruning, so without this the discovery pass
+    # would decode the full row width of every candidate file
+    import re
+
+    fields = spark.read.format("colf").load(path).schema.fieldNames()
+    cond_cols = [c for c in fields
+                 if re.search(rf"\b{re.escape(c)}\b", condition)] or fields[:1]
     tagged = (spark.read.format("colf")
-              .option("withFileColumn", "true").load(path))
+              .option("withFileColumn", "true")
+              .option("columns", ",".join([*cond_cols, "_colf_file"]))
+              .load(path))
     matches = (tagged.filter(condition)
                .groupBy("_colf_file")
                .agg(F.count(F.lit(1)).alias("n"))
@@ -253,40 +265,58 @@ def merge_into(spark: SparkSession, path: str, source,
         raise ValueError(
             f"merge source columns {source.schema.fieldNames()} must match "
             f"the dataset's {target_fields} (same names, same order)")
-    dup = (source.groupBy(*key_cols).count().filter("count > 1").limit(1)
-           .collect())
-    if dup:
-        raise ValueError(
-            f"merge source has duplicate keys, e.g. "
-            f"{[dup[0][k] for k in key_cols]} — upsert is ambiguous")
-
-    keys = source.select(*key_cols).distinct()
-    tagged = (spark.read.format("colf")
-              .option("withFileColumn", "true").load(path))
-    matches = (tagged.join(keys, key_cols, "left_semi")
-               .groupBy("_colf_file")
-               .agg(F.count(F.lit(1)).alias("n"))
-               .collect())
-    touched = sorted(r["_colf_file"] for r in matches)
-    n_replaced = sum(r["n"] for r in matches)
-    n_source = source.count()
-
-    from .format import read_schema
-
-    tmps = []
-    moved = []
+    source = source.persist()
     try:
-        if touched:
-            ver = read_schema(os.path.join(path, touched[0])).version
-            survivors = (spark.read.format("colf")
-                         .option("files", ",".join(touched)).load(path)
-                         .join(keys, key_cols, "left_anti"))
-            tmp1 = f"{path.rstrip(os.sep)}.merge-{uuid.uuid4().hex[:8]}"
-            (survivors.write.format("colf").option("version", str(ver))
-             .mode("overwrite").save(tmp1))
-            tmps.append(tmp1)
-        live_ver = read_schema(os.path.join(path, live0[0])).version \
-            if live0 else 1
+        keys = source.select(*key_cols).distinct()
+        # touched-file discovery reads ONLY the key columns + the
+        # virtual file column (the Python datasource API has no
+        # automatic column pruning, so project explicitly — at 100 TB
+        # this pass decodes the key sliver, not the row width)
+        tagged = (spark.read.format("colf")
+                  .option("withFileColumn", "true")
+                  .option("columns", ",".join([*key_cols, "_colf_file"]))
+                  .load(path))
+        matches_df = (tagged.join(keys, key_cols, "left_semi")
+                      .groupBy("_colf_file")
+                      .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+                      .select(F.lit("file").alias("kind"),
+                              F.col("_colf_file").alias("k"), "n"))
+        # source-key stats (duplicate probe + row count) ride the SAME
+        # driver round-trip as the discovery — one job, two subtrees
+        # over the persisted source; the pretty per-key dup example is
+        # only fetched on the error path
+        kstats_df = (source.groupBy(*key_cols)
+                     .agg(F.count(F.lit(1)).alias("n"))
+                     .agg(F.sum("n").alias("n_source"),
+                          F.max("n").alias("mx"))
+                     .select(F.lit("stat").alias("kind"),
+                             F.explode(F.create_map(
+                                 F.lit("n_source"), F.col("n_source"),
+                                 F.lit("max_dup"), F.col("mx")))
+                             .alias("k", "n")))
+        rows = matches_df.unionByName(kstats_df).collect()
+        stats = {r["k"]: (r["n"] or 0) for r in rows if r["kind"] == "stat"}
+        n_source = int(stats.get("n_source") or 0)
+        if stats.get("max_dup", 0) > 1:
+            dup = (source.groupBy(*key_cols).count().filter("count > 1")
+                   .limit(1).collect())
+            raise ValueError(
+                f"merge source has duplicate keys, e.g. "
+                f"{[dup[0][k] for k in key_cols]} — upsert is ambiguous")
+        matches = [r for r in rows if r["kind"] == "file"]
+        touched = sorted(r["k"] for r in matches)
+        n_replaced = sum(r["n"] for r in matches)
+
+        from .format import read_schema
+
+        # survivors of touched files + the size-shaped inserts commit
+        # through ONE write job (they land in the same tmp dir); a
+        # mixed-version dataset adopts the touched files' version,
+        # falling back to the live set's first file (the compact()
+        # convention)
+        ver = read_schema(os.path.join(path, touched[0])).version \
+            if touched else (read_schema(os.path.join(path, live0[0])).version
+                             if live0 else 1)
         # size the insert files like the dataset's existing files (via
         # the manifest's per-file row counts) instead of inheriting the
         # source's arbitrary partitioning — a 60-row source must not
@@ -298,27 +328,33 @@ def merge_into(spark: SparkSession, path: str, source,
         per_file = max(1, sum(mrows) // len(mrows)) if mrows else 500_000
         n_files = max(1, min(int(spark.sparkContext.defaultParallelism),
                              (n_source + per_file - 1) // per_file))
-        shaped = (source.coalesce(n_files)
-                  if source.rdd.getNumPartitions() > n_files
-                  else source.repartition(n_files))
-        tmp2 = f"{path.rstrip(os.sep)}.merge-{uuid.uuid4().hex[:8]}"
-        (shaped.write.format("colf").option("version", str(live_ver))
-         .mode("overwrite").save(tmp2))
-        tmps.append(tmp2)
-        merged = load_manifest(path)
-        for tmp in tmps:
+        shaped = source.repartition(n_files)
+        if touched:
+            survivors = (spark.read.format("colf")
+                         .option("files", ",".join(touched)).load(path)
+                         .join(keys, key_cols, "left_anti"))
+            out = survivors.unionByName(shaped)
+        else:
+            out = shaped
+        tmp = f"{path.rstrip(os.sep)}.merge-{uuid.uuid4().hex[:8]}"
+        moved = []
+        try:
+            (out.write.format("colf").option("version", str(ver))
+             .mode("overwrite").save(tmp))
+            merged = load_manifest(path)
             for f in dataset_files(tmp):
                 base = os.path.basename(f)
                 moved.append(base)
                 os.rename(f, os.path.join(path, base))
             merged.update(load_manifest(tmp))
-        mtmp = manifest_path(path) + ".tmp"
-        with open(mtmp, "w") as fh:
-            json.dump(merged, fh)
-        os.rename(mtmp, manifest_path(path))
-    finally:
-        for tmp in tmps:
+            mtmp = manifest_path(path) + ".tmp"
+            with open(mtmp, "w") as fh:
+                json.dump(merged, fh)
+            os.rename(mtmp, manifest_path(path))
+        finally:
             shutil.rmtree(tmp, ignore_errors=True)
+    finally:
+        source.unpersist()
     kept = [b for b in live0 if b not in set(touched)]
     commit_snapshot(path, kept + moved, expected_parent=parent)
     return {"version": parent + 1, "n_replaced_rows": int(n_replaced),
