@@ -55,6 +55,7 @@ HEADLINE = [
     "q104_tpch_q7",
     "q106_data_quality_audit",
     "q152_table_profile",
+    "q154_table_profile_sketch",
     "q107_incremental_agg",
     "q114_pii_redaction",
     "q117_percentile_exact",

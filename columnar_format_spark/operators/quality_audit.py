@@ -237,3 +237,73 @@ def q152_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_rows") - F.col("nn")).cast("bigint").alias("n_nulls"),
         "n_distinct", "min_value", "max_value",
     )
+
+
+# q154: the HLL tier of q152. rsd and the audited ceiling mirror q07
+# (observed HLL error <= 3.3% at rsd 0.02 across sf0.001-0.1; the 10%
+# ceiling only trips if the sketch machinery breaks).
+PROFILE_RSD = 0.02
+PROFILE_ND_CEIL = 5 * PROFILE_RSD
+
+
+def _profile_sketch_branch(col: str, kind: str) -> str:
+    """q152's per-column oracle branch plus the pinned-true bound."""
+    return _profile_sql_branch(col, kind).replace(
+        "FROM lineitem",
+        "     , true AS nd_within_bound\n      FROM lineitem")
+
+
+@register(
+    "q154_table_profile_sketch",
+    oracle=" UNION ALL ".join(_profile_sketch_branch(c, k)
+                              for c, k in PROFILE_COLS),
+)
+def q154_table_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKETCH tier of q152's table profile: distinct counts come
+    from HLL++ (approx_count_distinct) — at 100 TB the 4-way exact
+    COUNT(DISTINCT) Expand is the most expensive way to learn
+    n_distinct, and the profiler's first pass should be the one-agg
+    mergeable-sketch form. Registered as a bounds audit (the q07/q135
+    pattern): the output keeps the exact fields (row/null counts,
+    min/max, exact n_distinct as the audit twin) plus a boolean per
+    column certifying the HLL estimate landed within PROFILE_ND_CEIL
+    relative error — the oracle pins the boolean to true. In
+    production the exact twin is dropped and the profile is one
+    Expand-free aggregate; here it rides along so the sketch is
+    hash-checked every round.
+
+    Scale: identical shape to q152 (one pass, one agg, stack unpivot)
+    with the sketch column mergeable map-side in fixed space.
+    """
+    from ..registry import spread
+
+    li = spread(table(spark, sf_dir, "lineitem"))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c, kind in PROFILE_COLS:
+        def _txt(agg):
+            return (F.date_format(agg, "yyyy-MM-dd HH:mm:ss")
+                    if kind == "ts" else agg.cast("string"))
+        aggs += [
+            F.count(c).cast("bigint").alias(f"{c}__nn"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__nd"),
+            F.approx_count_distinct(c, PROFILE_RSD).cast("bigint")
+            .alias(f"{c}__ad"),
+            _txt(F.min(c)).alias(f"{c}__mn"),
+            _txt(F.max(c)).alias(f"{c}__mx"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__ad, {c}__mn, {c}__mx"
+        for c, _ in PROFILE_COLS)
+    return one.select(
+        F.expr(f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+               "(col_name, nn, n_distinct, nd_approx, min_value, max_value)"),
+        "n_rows",
+    ).select(
+        "col_name", "n_rows",
+        (F.col("n_rows") - F.col("nn")).cast("bigint").alias("n_nulls"),
+        "n_distinct", "min_value", "max_value",
+        (F.abs(F.col("nd_approx") - F.col("n_distinct"))
+         <= F.lit(PROFILE_ND_CEIL) * F.col("n_distinct"))
+        .alias("nd_within_bound"),
+    )

@@ -47,6 +47,8 @@ DRIVER_WINDOW = [
     # changed this round — new bounds oracles / new plan shape
     "q07_approx_count_distinct", "q62_ann_lsh", "q63_ann_ivf",
     "q128_percentile_sketch", "q87_bm25_search",
+    # new this round — sketch-tier profiler (q152's HLL twin)
+    "q154_table_profile_sketch",
     # oldest-evidence backfill (all last-green r02)
     "q01_pricing_summary", "q02_filter_project", "q03_agg_rollup",
     "q04_agg_cube", "q05_grouping_sets", "q06_count_distinct",
@@ -58,7 +60,6 @@ DRIVER_WINDOW = [
     "q21_window_running_sum", "q22_window_lag_delta",
     "q23_window_range_30d", "q24_window_ntile_rank", "q25_top10_orders",
     "q26_set_union", "q27_set_intersect", "q28_set_except",
-    "q29_window_distribution",
 ]
 
 
