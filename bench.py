@@ -133,6 +133,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "colf_pruning": bench_colf_pruning(spark, sf_dir),
         "colf_stripe_pruning": bench_colf_stripe_pruning(spark, sf_dir),
+        "colf_compact_stripes": bench_colf_compact_stripes(spark, sf_dir),
     }))
     spark.stop()
 
@@ -233,6 +234,55 @@ def bench_colf_stripe_pruning(spark, sf_dir: str) -> dict:
         if stripes_total else 0.0,
         "pruned_sec": agg_time("on"),
         "unpruned_sec": agg_time("off"),
+    }
+
+
+def bench_colf_compact_stripes(spark, sf_dir: str) -> dict:
+    """Stripe-aware compaction in numbers: a many-small-file v3
+    dataset compacts into ONE part file that still plans one task per
+    stripe (compact() carries the manifest's mean stripe rows into the
+    rewrite), with scan time before/after — consolidation must not
+    cost parallelism."""
+    import os as _os
+    import tempfile as _tmp
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from columnar_format_spark.colf.datasource import ColfReader, register
+    from columnar_format_spark.colf.maintenance import compact
+    from columnar_format_spark.registry import table
+
+    register(spark)
+    d = _tmp.mkdtemp(prefix="colf_compact_bench_") + "/ds"
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("int").alias("l_orderkey"),
+        F.col("l_linenumber").alias("l_linenumber"),
+    )
+    (li.repartition(16).write.format("colf").option("version", "3")
+     .option("stripeRows", "50000").mode("append").save(d))
+
+    def scan_time() -> float:
+        def one() -> float:
+            df = spark.read.format("colf").load(d)
+            t0 = _t.perf_counter()
+            df.agg(F.count(F.lit(1)), F.sum("l_linenumber")).collect()
+            return _t.perf_counter() - t0
+        one()
+        return round(min(one(), one()), 4)
+
+    files_before = len([f for f in _os.listdir(d) if f.endswith(".colf")])
+    t_before = scan_time()
+    compact(spark, d, 1)
+    files_after = len([f for f in _os.listdir(d) if f.endswith(".colf")])
+    tasks_after = len(ColfReader({"path": d}, None).partitions())
+    t_after = scan_time()
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "tasks_after": tasks_after,
+        "scan_sec_before": t_before,
+        "scan_sec_after": t_after,
     }
 
 

@@ -72,9 +72,24 @@ def compact(spark: SparkSession, path: str, target_files: int,
 
     live = dataset_files(path)
     ver = _read_schema(live[0]).version if live else 1
+    w = (df.repartition(target_files).write.format("colf")
+         .option("version", str(ver)))
+    if ver == 3:
+        # preserve the dataset's stripe granularity (mean stripe rows
+        # from the manifest stats): compacting small v3 files into few
+        # big ones must keep intra-file parallelism — a scan of the
+        # compacted file plans one task per stripe, so fewer files
+        # must not mean fewer tasks
+        man = load_manifest(path)
+        srows = [st.get("num_rows")
+                 for f in live
+                 for st in (man.get(os.path.basename(f), {})
+                            .get("stripes") or [])
+                 if st.get("num_rows")]
+        if srows:
+            w = w.option("stripeRows", str(max(1, sum(srows) // len(srows))))
     tmp = f"{path.rstrip(os.sep)}.compact-{uuid.uuid4().hex[:8]}"
-    (df.repartition(target_files).write.format("colf")
-     .option("version", str(ver)).mode("overwrite").save(tmp))
+    w.mode("overwrite").save(tmp)
     if not retain:
         old = f"{path.rstrip(os.sep)}.old-{uuid.uuid4().hex[:8]}"
         os.rename(path, old)

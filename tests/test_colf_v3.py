@@ -172,6 +172,36 @@ def test_v3_stream_read(colf_spark, striped, tmp_path):
     assert colf_spark.read.format("colf").load(out).count() == 50_000
 
 
+def test_v3_compact_keeps_stripe_parallelism(colf_spark, tmp_path):
+    """Compacting a many-small-file v3 dataset into ONE file must
+    still plan >1 scan task: compact() carries the dataset's stripe
+    granularity (manifest mean stripe rows) into the rewrite, so
+    file-count consolidation never costs intra-file parallelism."""
+    from columnar_format_spark.colf.maintenance import compact
+
+    p = str(tmp_path / "smalls")
+    df = colf_spark.range(40_000).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 9).cast("double").alias("v"))
+    # 8 small files of 5k rows, each striped at 5k => 1 stripe each
+    (df.repartition(8).write.format("colf").option("version", "3")
+     .option("stripeRows", "5000").mode("append").save(p))
+    n = compact(colf_spark, p, 1)
+    assert n == 1
+    f = _one_file(p)
+    assert read_schema(f).version == 3
+    stripes = read_stripes_info(f)
+    assert len(stripes) > 1, "compacted file lost intra-file parallelism"
+    assert sum(stripes) == 40_000
+    # the scan plans one task per stripe of the single output file
+    ds = ColfDataSource({"path": p})
+    reader = ds.reader(ds.schema())
+    assert len(reader.partitions()) == len(stripes)
+    back = colf_spark.read.format("colf").load(p)
+    assert back.count() == 40_000
+    assert back.agg(F.sum("id")).first()[0] == sum(range(40_000))
+
+
 def test_compact_preserves_format_version(colf_spark, tmp_path):
     from columnar_format_spark.colf.datasource import live_files
     from columnar_format_spark.colf.maintenance import compact
