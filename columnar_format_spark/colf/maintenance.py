@@ -34,6 +34,23 @@ from .datasource import (
 )
 
 
+def _dataset_stripe_rows(path: str, basenames: list[str]) -> int | None:
+    """Mean stripe row count of the given live files, from the manifest
+    sidecar (None when no stripe stats exist). v3 rewrites — compaction
+    and the CoW delete/merge survivor passes — preserve the dataset's
+    stripe granularity through this, so a rewritten file keeps planning
+    one task per stripe instead of silently adopting the writer
+    default."""
+    man = load_manifest(path)
+    srows = [st.get("num_rows")
+             for b in basenames
+             for st in (man.get(b, {}).get("stripes") or [])
+             if st.get("num_rows")]
+    if not srows:
+        return None
+    return max(1, sum(srows) // len(srows))
+
+
 def compact(spark: SparkSession, path: str, target_files: int,
             retain: bool = False) -> int:
     """Rewrite a COLF dataset directory to ``target_files`` part files.
@@ -80,14 +97,9 @@ def compact(spark: SparkSession, path: str, target_files: int,
         # big ones must keep intra-file parallelism — a scan of the
         # compacted file plans one task per stripe, so fewer files
         # must not mean fewer tasks
-        man = load_manifest(path)
-        srows = [st.get("num_rows")
-                 for f in live
-                 for st in (man.get(os.path.basename(f), {})
-                            .get("stripes") or [])
-                 if st.get("num_rows")]
+        srows = _dataset_stripe_rows(path, [os.path.basename(f) for f in live])
         if srows:
-            w = w.option("stripeRows", str(max(1, sum(srows) // len(srows))))
+            w = w.option("stripeRows", str(srows))
     tmp = f"{path.rstrip(os.sep)}.compact-{uuid.uuid4().hex[:8]}"
     w.mode("overwrite").save(tmp)
     if not retain:
@@ -217,9 +229,20 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> dict:
     from .format import read_schema
 
     ver = read_schema(os.path.join(path, touched[0])).version
+    if ver == 3:
+        # a v3 scan plans one task per STRIPE, so without a coalesce
+        # the rewrite would shatter each touched file into one small
+        # file per stripe. Coalesce back to the touched-file count (no
+        # shuffle) and keep the manifest's stripe granularity — the
+        # rewritten files stay file-sized AND internally parallel.
+        survivors = survivors.coalesce(len(touched))
     tmp = f"{path.rstrip(os.sep)}.delete-{uuid.uuid4().hex[:8]}"
-    (survivors.write.format("colf").option("version", str(ver))
-     .mode("overwrite").save(tmp))
+    w = survivors.write.format("colf").option("version", str(ver))
+    if ver == 3:
+        srows = _dataset_stripe_rows(path, touched)
+        if srows:
+            w = w.option("stripeRows", str(srows))
+    w.mode("overwrite").save(tmp)
     # when every row of every touched file dies, the connector's valid
     # 0-row sentinel is adopted so the dataset never ends up file-less
     moved = []
@@ -348,14 +371,22 @@ def merge_into(spark: SparkSession, path: str, source,
             survivors = (spark.read.format("colf")
                          .option("files", ",".join(touched)).load(path)
                          .join(keys, key_cols, "left_anti"))
+            if ver == 3:
+                # same re-fragmentation guard as delete_where: stripe
+                # tasks coalesce back to the touched-file count
+                survivors = survivors.coalesce(len(touched))
             out = survivors.unionByName(shaped)
         else:
             out = shaped
         tmp = f"{path.rstrip(os.sep)}.merge-{uuid.uuid4().hex[:8]}"
         moved = []
         try:
-            (out.write.format("colf").option("version", str(ver))
-             .mode("overwrite").save(tmp))
+            w = out.write.format("colf").option("version", str(ver))
+            if ver == 3:
+                srows = _dataset_stripe_rows(path, touched or live0)
+                if srows:
+                    w = w.option("stripeRows", str(srows))
+            w.mode("overwrite").save(tmp)
             merged = load_manifest(path)
             for f in dataset_files(tmp):
                 base = os.path.basename(f)

@@ -738,6 +738,117 @@ def q149_colf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q155's per-sf anchors (max key, stripe rows), filled at staging
+_V3COW_ANCHOR: dict[str, tuple[int, int]] = {}
+
+
+@register(
+    "q155_colf_v3_cow",
+    oracle="""
+    WITH tgt AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderstatus <> 'F'),
+    src AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+             o_totalprice, 'N'
+      FROM orders WHERE o_orderkey % 100 = 7),
+    merged AS (
+      SELECT * FROM src
+      UNION ALL
+      SELECT * FROM tgt
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+)
+def q155_colf_v3_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoW × striping under the correctness gate: orders staged as a
+    2-file v3 STRIPED dataset (~4 stripes/file), then DELETE WHERE
+    o_orderstatus = 'F' followed by a key-MERGE (updates for keys
+    ≡3 mod 10 — including re-inserts of keys the delete removed — and
+    fresh inserts past MAX). Matches the oracle iff both rewrites
+    preserved the untouched rows exactly; before returning, the query
+    asserts the scale property the combination exists for: every live
+    file is still version 3 and the scan plans MORE partitions than
+    files (the rewrites kept intra-file stripe parallelism instead of
+    silently downgrading or shattering one file per stripe).
+
+    Scale: both maintenance ops coalesce survivors back to the
+    touched-file count and carry the manifest's stripe granularity, so
+    a 100 TB v3 dataset keeps its file sizing and per-stripe task
+    fan-out through any number of delete/merge cycles.
+    """
+    import os
+    import shutil
+
+    from .datasource import ColfDataSource, live_files
+    from .datasource import register as register_ds
+    from .format import read_schema
+    from .maintenance import delete_where, merge_into
+
+    register_ds(spark)
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        F.col("o_totalprice").alias("o_totalprice"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
+    )
+
+    def write(d: str) -> None:
+        n, mx = o.agg(F.count(F.lit(1)), F.max("o_orderkey")).first()
+        srows = max(1, int(n) // 8)  # 2 files => ~4 stripes each
+        (o.repartitionByRange(2, "o_orderkey").write.format("colf")
+         .option("version", "3").option("stripeRows", str(srows))
+         .mode("append").save(d + "/ds"))
+        _V3COW_ANCHOR[sf_dir] = (int(mx), srows)
+
+    tmpl = stage_once(("cow-v3", sf_dir), "colf_v3cow_tmpl_", write)
+    path = tempfile.mkdtemp(prefix="colf_v3cow_") + "/ds"
+    shutil.copytree(tmpl + "/ds", path)
+    max_key, _ = _V3COW_ANCHOR[sf_dir]
+
+    delete_where(spark, path, "o_orderstatus = 'F'")
+    updates = (o.filter(F.col("o_orderkey") % 10 == 3)
+               .select("o_orderkey",
+                       (F.col("o_totalprice") * 2).alias("o_totalprice"),
+                       F.lit("U").alias("o_orderstatus")))
+    inserts = (o.filter(F.col("o_orderkey") % 100 == 7)
+               .select((F.col("o_orderkey") + F.lit(int(max_key) + 1))
+                       .cast("int").alias("o_orderkey"),
+                       "o_totalprice",
+                       F.lit("N").alias("o_orderstatus")))
+    merge_into(spark, path, updates.unionAll(inserts), ["o_orderkey"])
+
+    live = live_files(path)
+    vers = {read_schema(f).version for f in live}
+    if vers != {3}:
+        raise AssertionError(f"CoW rewrite changed format version: {vers}")
+    ds = ColfDataSource({"path": path})
+    n_parts = len(ds.reader(ds.schema()).partitions())
+    if n_parts <= len(live):
+        raise AssertionError(
+            f"post-CoW scan plans {n_parts} partition(s) over {len(live)} "
+            f"file(s) — the rewrites lost intra-file stripe parallelism")
+
+    back = spark.read.format("colf").load(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+         .cast("bigint").cast("double") / F.lit(100.0)).alias("sum_price"),
+        F.min(F.col("o_orderkey").cast("bigint")).alias("min_key"),
+        F.max(F.col("o_orderkey").cast("bigint")).alias("max_key"),
+    )
+
+
 @register(
     "q153_colf_v3_striped",
     oracle="""

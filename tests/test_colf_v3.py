@@ -132,7 +132,37 @@ def test_v3_delete_where_preserves_striping(colf_spark, striped):
     assert back.count() == 40_000
     from columnar_format_spark.colf.datasource import live_files
 
-    assert {read_schema(f).version for f in live_files(striped)} == {3}
+    live = live_files(striped)
+    assert {read_schema(f).version for f in live} == {3}
+    # the rewrite carries the dataset's stripe granularity (manifest
+    # mean, 10k rows): the 40k-row survivor file keeps 4 stripes, so
+    # the post-delete scan still plans one task per stripe
+    assert all(len(read_stripes_info(f)) > 1 for f in live)
+    ds = ColfDataSource({"path": striped})
+    assert len(ds.reader(ds.schema()).partitions()) > len(live)
+
+
+def test_v3_merge_into_preserves_striping(colf_spark, striped):
+    from columnar_format_spark.colf.datasource import live_files
+    from columnar_format_spark.colf.maintenance import merge_into
+
+    src = colf_spark.range(49_000, 51_000).select(
+        F.col("id").cast("int").alias("id"),
+        F.lit(-1.0).alias("v"),
+        F.lit("upd").alias("tag"))
+    stats = merge_into(colf_spark, striped, src, ["id"])
+    assert stats["n_replaced_rows"] == 1000
+    assert stats["n_source_rows"] == 2000
+    back = colf_spark.read.format("colf").load(striped)
+    assert back.count() == 51_000
+    assert back.filter("tag = 'upd'").count() == 2000
+    live = live_files(striped)
+    assert {read_schema(f).version for f in live} == {3}
+    # survivor rewrite keeps the 10k stripe granularity: ~49k survivor
+    # rows plan as ~5 stripes, not one monolithic task
+    assert max(len(read_stripes_info(f)) for f in live) > 1
+    ds = ColfDataSource({"path": striped})
+    assert len(ds.reader(ds.schema()).partitions()) > len(live)
 
 
 def test_v3_delete_all_leaves_valid_empty_dataset(colf_spark, striped):
