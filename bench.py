@@ -81,6 +81,11 @@ HEADLINE = [
     "q136_colf_vacuum",
     "q148_colf_delete",
     "q149_colf_merge",
+    "q155_colf_v3_cow",
+    "q156_bucketed_join",
+    "q157_zorder_pruning",
+    "q158_heavy_hitters",
+    "q159_stream_outer_join",
 ]
 
 

@@ -618,3 +618,68 @@ def q150_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n_oov"), F.lit(0)).cast("double")
              / F.col("n_tokens").cast("double")).alias("oov_rate"))
     )
+
+
+HH_TOPK = 20
+HH_CAND_PER_PART = 200
+HH_PRUNE_AT = 50 * HH_CAND_PER_PART
+
+
+@register(
+    "q158_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM documents)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM toks WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n_occurrences DESC, tok
+    LIMIT {HH_TOPK}
+    """,
+)
+def q158_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most frequent corpus tokens WITHOUT a full-vocab
+    shuffle — the heavy-hitters pattern for web-scale token/n-gram
+    stats. Phase 1 finds candidates with a bounded space-saving
+    counter per partition (Arrow-batched mapInPandas: a Counter capped
+    at 10k entries, periodically pruned to its top 200, which finally
+    emits 200 candidates per partition). Phase 2 broadcast-joins the
+    tiny candidate set back and recounts EXACTLY, so reported counts
+    are never sketch estimates; top-k selection is orderBy+limit
+    (TakeOrderedAndProject).
+
+    Exactness: the recount makes any error one of candidate RECALL
+    only — a true heavy hitter is missed only if it falls outside the
+    per-partition top-200 in EVERY partition, which for a Zipf-shaped
+    token distribution and k=20 has enormous margin; the oracle (full
+    exact groupBy) re-proves it on every driver run. At 100 TB the
+    full-vocab groupBy shuffles one row per distinct n-gram per task
+    (billions); this shuffles 200 rows per task plus one exact pass
+    filtered to the surviving candidates.
+    """
+    from ..registry import spread
+
+    d = spread(table(spark, sf_dir, "documents"))
+    toks = (d.select(F.explode(ws_tokens(F.lower(F.col("text"))))
+                     .alias("tok"))
+            .filter(F.col("tok") != ""))
+
+    def topm(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        counts: Counter = Counter()
+        for pdf in batches:
+            counts.update(pdf["tok"].value_counts().to_dict())
+            if len(counts) > HH_PRUNE_AT:
+                counts = Counter(dict(counts.most_common(HH_CAND_PER_PART)))
+        top = [t for t, _ in counts.most_common(HH_CAND_PER_PART)]
+        yield pd.DataFrame({"tok": pd.Series(top, dtype="object")})
+
+    cand = toks.mapInPandas(topm, "tok string").distinct()
+    exact = (toks.join(F.broadcast(cand), "tok")
+             .groupBy("tok")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences")))
+    return exact.orderBy(F.desc("n_occurrences"), F.asc("tok")).limit(HH_TOPK)

@@ -1,0 +1,223 @@
+"""Cluster-scale layout techniques as registered, oracle-checked
+queries: bucketed co-located joins (shuffle elimination for the
+recurring fact-fact join) and z-order clustering (multi-column zone-map
+pruning). Neither exists in the reference (single-file format, no
+dataset layout concept — SURVEY.md §1.1); both are the standard
+techniques a 100 TB deployment of this engine would lean on, so each
+is pinned here with an in-query plan/pruning assertion plus an exact
+DuckDB oracle on the data values.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register, table
+
+BUCKETS = 8
+
+
+def _plan_str(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _safe_tag(sf_dir: str) -> str:
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
+@register(
+    "q156_bucketed_join",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           (CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS DOUBLE) / 100.0) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q156_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join via bucketing: orders and lineitem are
+    written ONCE as bucketed tables (same key, same bucket count, both
+    hash-partitioned by Spark's Murmur3), after which every join
+    between them is exchange-free — the scan's bucket layout satisfies
+    the join's distribution requirement. The query asserts the plan
+    property it exists for (SortMergeJoin with ZERO Exchange below the
+    join) before returning the aggregate, which the oracle checks
+    value-exactly against the plain parquet join.
+
+    Scale: this is THE technique for a 100 TB fact-fact join that
+    recurs (orders x lineitem on every report): pay the layout shuffle
+    once at ingest, then every subsequent join reads co-located
+    buckets — no repeated shuffle of the big tables, no skew
+    re-planning, and bucket-pruning on point predicates for free.
+    The write side keeps one file per bucket by pre-partitioning on
+    the bucket key with the same hash family the bucketing uses.
+    """
+    tag = _safe_tag(sf_dir)
+    t_orders, t_lineitem = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+
+    if not spark.catalog.tableExists(t_orders):
+        d = tempfile.mkdtemp(prefix="bucketed_")
+        o = table(spark, sf_dir, "orders").select("o_orderkey",
+                                                  "o_orderstatus")
+        li = table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                     "l_extendedprice")
+        # repartition by the bucket key with BUCKETS tasks: Spark's
+        # bucketing uses the same Murmur3 hash, so each task holds
+        # exactly one bucket's rows -> one file per bucket (without
+        # this, every write task emits a sliver of every bucket)
+        (o.repartition(BUCKETS, "o_orderkey").write
+         .bucketBy(BUCKETS, "o_orderkey").sortBy("o_orderkey")
+         .option("path", f"{d}/orders").mode("overwrite")
+         .saveAsTable(t_orders))
+        (li.repartition(BUCKETS, "l_orderkey").write
+         .bucketBy(BUCKETS, "l_orderkey").sortBy("l_orderkey")
+         .option("path", f"{d}/lineitem").mode("overwrite")
+         .saveAsTable(t_lineitem))
+
+    o = spark.table(t_orders)
+    li = spark.table(t_lineitem)
+    # hint("merge") pins SortMergeJoin: letting the small side
+    # broadcast here would "win" the no-shuffle assertion without
+    # exercising the bucket co-location that matters at 100 TB
+    j = li.join(o.hint("merge"),
+                li.l_orderkey == o.o_orderkey, "inner")
+    plan = _plan_str(j)
+    if "SortMergeJoin" not in plan:
+        raise AssertionError("bucketed join did not plan as SortMergeJoin")
+    if "Exchange" in plan:
+        raise AssertionError(
+            "bucketed co-located join still shuffles:\n" + plan)
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+         .cast("bigint").cast("double") / F.lit(100.0)).alias("revenue"),
+    )
+
+
+Z_FILES = 16
+# staged z-ordered/naive dataset dirs per sf_dir
+_Z_STAGED: dict[tuple, tuple[str, str]] = {}
+
+
+def _interleave_bits(a: str, b: str) -> F.Column:
+    """Morton/z-value of two non-negative ints: interleave the low 16
+    bits of each (a in the even positions, b in the odd) with built-in
+    expressions only — no UDF in the layout path. 16 bits cover the
+    testdata key ranges; a production writer would first rank-normalize
+    each dimension into a fixed-width domain (as Delta's OPTIMIZE
+    ZORDER does) so arbitrary ranges interleave losslessly."""
+    terms = []
+    for i in range(16):
+        terms.append(
+            f"shiftleft(CAST(shiftright({a}, {i}) & 1 AS BIGINT), {2 * i})")
+        terms.append(
+            f"shiftleft(CAST(shiftright({b}, {i}) & 1 AS BIGINT), {2 * i + 1})")
+    return F.expr(" + ".join(terms))
+
+
+@register(
+    "q157_zorder_pruning",
+    oracle="""
+    WITH bounds AS (
+      SELECT (MAX(l_partkey) * 3) // 10 AS lo_p,
+             (MAX(l_partkey) * 4) // 10 AS hi_p,
+             (MAX(l_suppkey) * 3) // 10 AS lo_s,
+             (MAX(l_suppkey) * 4) // 10 AS hi_s
+      FROM lineitem)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price,
+           CAST(MIN(l_partkey) AS BIGINT) AS min_p,
+           CAST(MAX(l_partkey) AS BIGINT) AS max_p
+    FROM lineitem, bounds
+    WHERE l_partkey BETWEEN lo_p AND hi_p
+      AND l_suppkey BETWEEN lo_s AND hi_s
+    """,
+)
+def q157_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering for multi-column pruning: lineitem is laid
+    out by the Morton interleave of (l_partkey, l_suppkey) and written
+    as a COLF dataset, so each part file's zone maps cover a small
+    RECTANGLE of the two-key space instead of a stripe of one key. A
+    two-column range predicate (a ~10%x10% rectangle) then prunes most
+    files from their manifest stats alone. The query asserts the
+    pruning property (the z-ordered layout's overlapping-file count
+    must be well under the naive layout's, which overlaps everything)
+    and returns the rectangle's aggregate, which the oracle checks
+    value-exactly — pruning must never change an answer.
+
+    Scale: single-column range partitioning only prunes the lead
+    column; at 100 TB any selective filter on a SECOND column rescans
+    everything. Z-ordering is the standard fix (Delta OPTIMIZE ZORDER,
+    Iceberg sort orders): one layout shuffle at write time buys
+    metadata-level pruning for every future query on either key. The
+    in-query check reads ONLY the manifest sidecar — the decision is
+    metadata-sized, exactly as it must be on a million-file dataset.
+    """
+    from ..colf.datasource import load_manifest
+    from ..colf.datasource import register as register_ds
+    from ..staging import stage_once
+
+    register_ds(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("int").alias("l_partkey"),
+        F.col("l_suppkey").cast("int").alias("l_suppkey"),
+        F.col("l_extendedprice"))
+
+    def write(d: str) -> None:
+        z = li.withColumn("zval", _interleave_bits("l_partkey", "l_suppkey"))
+        (z.repartitionByRange(Z_FILES, "zval").drop("zval")
+         .write.format("colf").option("version", "2")
+         .mode("append").save(d + "/zorder"))
+        (li.repartition(Z_FILES).write.format("colf").option("version", "2")
+         .mode("append").save(d + "/naive"))
+
+    base = stage_once(("zorder", sf_dir), "colf_zorder_", write)
+    zdir, ndir = base + "/zorder", base + "/naive"
+
+    # predicate bounds from the MANIFEST zone maps (global max = max of
+    # file maxes) — planning reads metadata, not data
+    man = load_manifest(zdir)
+    mx_p = max(s["columns"]["l_partkey"]["max"] for s in man.values())
+    mx_s = max(s["columns"]["l_suppkey"]["max"] for s in man.values())
+    lo_p, hi_p = mx_p * 3 // 10, mx_p * 4 // 10
+    lo_s, hi_s = mx_s * 3 // 10, mx_s * 4 // 10
+
+    def overlapping(path: str) -> int:
+        m = load_manifest(path)
+        n = 0
+        for s in m.values():
+            p, sp = s["columns"]["l_partkey"], s["columns"]["l_suppkey"]
+            if (p["min"] <= hi_p and p["max"] >= lo_p
+                    and sp["min"] <= hi_s and sp["max"] >= lo_s):
+                n += 1
+        return n
+
+    z_hit, n_hit = overlapping(zdir), overlapping(ndir)
+    if not z_hit * 2 <= n_hit:
+        raise AssertionError(
+            f"z-order layout overlaps {z_hit}/{Z_FILES} files vs naive "
+            f"{n_hit}/{Z_FILES} — clustering is not pruning")
+
+    back = spark.read.format("colf").load(zdir).filter(
+        (F.col("l_partkey") >= lo_p) & (F.col("l_partkey") <= hi_p)
+        & (F.col("l_suppkey") >= lo_s) & (F.col("l_suppkey") <= hi_s))
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+         .cast("bigint").cast("double") / F.lit(100.0)).alias("sum_price"),
+        F.min("l_partkey").cast("bigint").alias("min_p"),
+        F.max("l_partkey").cast("bigint").alias("max_p"),
+    )

@@ -40,6 +40,24 @@ def _stage_events(spark: SparkSession, sf_dir: str, variant: str = "plain") -> s
         ev = table(spark, sf_dir, "events")
         if variant == "doubled":
             ev = ev.unionAll(ev)  # exact duplicate of every row
+        if variant == "sentinel":
+            # end-of-stream punctuation for OUTER-join drains: one row
+            # per joined event_type, 2h past max event time, so the
+            # final watermark provably passes every real row and the
+            # unmatched-row flush fires. (A production stream keeps
+            # flowing and never needs this; a bounded drain does.)
+            # Sentinels carry user_id/event_id -1 and are filtered out
+            # of results.
+            import datetime
+
+            mx = ev.agg(F.max("ts")).first()[0]
+            sent_ts = mx + datetime.timedelta(hours=2)
+            sent = spark.createDataFrame(
+                [(-1, sent_ts, -1, t, None, None)
+                 for t in ("purchase", "click")],
+                schema=("event_id long, ts timestamp, user_id long, "
+                        "event_type string, value double, props string"))
+            ev = ev.unionByName(sent)
         ev.repartition(8).write.mode("overwrite").parquet(d)
 
     return stage_once(("stream", sf_dir, variant), f"stream_{variant}_", write)
@@ -389,3 +407,68 @@ def q127_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
 from ..functions.dedup import _incremental_sql as _inc_sql  # noqa: E402
 
 QUERIES["q127_stream_incremental_dedup"].oracle = _inc_sql()
+
+
+@register(
+    "q159_stream_outer_join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+    LEFT JOIN (SELECT * FROM events
+               WHERE event_type = 'click' AND ts IS NOT NULL) c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+    """,
+)
+def q159_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: q84's purchase-to-click
+    attribution, but purchases with NO click in the preceding 30
+    minutes must still emit (with null click columns) — the semantics
+    a funnel/attribution pipeline actually needs, and the harder
+    streaming case: an unmatched left row can only be emitted once the
+    WATERMARK proves no matching right row can still arrive. Bounded
+    availableNow input drains the state fully, so the append output
+    equals the batch LEFT JOIN the oracle runs.
+
+    Scale: same state bounds as the inner join (both sides keyed by
+    user_id, buffered only within the watermark horizon + join range);
+    the null-emission adds no state, only a per-key high-watermark
+    check at eviction time. Null-event-time rows are filtered before
+    the watermark (they can never be state-safe in an outer join) —
+    mirrored exactly in the oracle.
+    """
+    src = _stage_events(spark, sf_dir, "sentinel")
+    purchases = (
+        _events_stream(spark, src)
+        .filter((F.col("event_type") == "purchase")
+                & F.col("ts").isNotNull())
+        .select(F.col("user_id"), F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        _events_stream(spark, src)
+        .filter((F.col("event_type") == "click") & F.col("ts").isNotNull())
+        .select(F.col("user_id").alias("c_user_id"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user_id)
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select(purchases.user_id, "purchase_id", "click_id", "p_ts", "c_ts")
+    out = _drain(joined, "append")
+    return out.filter(F.col("purchase_id") >= 0).select(
+        "user_id", "purchase_id", "click_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )

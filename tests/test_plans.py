@@ -367,3 +367,20 @@ def test_oov_vocab_is_take_ordered_not_global_window(spark):
 def test_knn_uses_window_group_limit(spark):
     plan = plan_of(spark, "q151_knn_label")
     assert "WindowGroupLimit" in plan
+
+
+def test_heavy_hitters_topk_is_take_ordered(spark):
+    """q158's final top-k must be TakeOrderedAndProject over the
+    recounted candidates — never a global-orderBy window."""
+    plan = plan_of(spark, "q158_heavy_hitters")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zorder_scan_prunes_files(spark):
+    """q157 must open fewer z-ordered files than the naive layout for
+    the same two-column rectangle — the in-query assertion enforces
+    the >=2x gap; this pins that the query keeps running it."""
+    import columnar_format_spark.operators.scale_ops as so
+
+    df = QUERIES["q157_zorder_pruning"].fn(spark, SF_SMALL)
+    assert df.count() > 0  # assertion inside the query did not raise
