@@ -86,6 +86,7 @@ HEADLINE = [
     "q157_zorder_pruning",
     "q158_heavy_hitters",
     "q159_stream_outer_join",
+    "q160_schema_evolution",
 ]
 
 

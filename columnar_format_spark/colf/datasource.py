@@ -408,21 +408,16 @@ class ColfReader(DataSourceReader):
             return
         wanted = self.columns or [f.name for f in self.schema.fields]
         file_cols = [c for c in wanted if c != FILE_COLUMN]
-        data = read_columns_arrow(partition.file, file_cols,
-                                  stripe=partition.stripe)
+        # row count for metadata-only projections comes from the
+        # stripe footer / header, not 0 (per-file counts via the
+        # virtual column must be exact); evolved-away columns decode
+        # as typed nulls
+        data, n = _read_file_columns(partition.file, file_cols,
+                                     partition.stripe, self.schema)
         if FILE_COLUMN in wanted:
-            if file_cols:
-                n = len(data[file_cols[0]])
-            elif partition.stripe is not None:
-                # metadata-only projection: row count from the stripe
-                # footer, not 0 (per-file counts via the virtual column
-                # must be exact)
-                n = read_stripes_info(partition.file)[partition.stripe]
-            else:
-                n = read_schema(partition.file).num_rows
             base = os.path.basename(partition.file)
             data[FILE_COLUMN] = pa.array([base] * n, type=pa.string())
-        yield pa.RecordBatch.from_arrays([data[n] for n in wanted], names=wanted)
+        yield pa.RecordBatch.from_arrays([data[c] for c in wanted], names=wanted)
 
 
 @dataclass
@@ -450,23 +445,106 @@ def _chunk_stats(chunks: list, num_rows: int) -> dict:
     return {"num_rows": num_rows, "columns": cols}
 
 
+def dataset_union_columns(path: str, files: list[str]) -> list:
+    """Column union of the given files in first-seen order — the
+    dataset schema under ADDITIVE evolution (later appends may carry
+    extra columns; older files read them as typed NULLs). Cost: one
+    header read for the first file plus one per file whose MANIFEST
+    column set adds something new, so a uniform-schema dataset (the
+    common case) reads exactly one header no matter how many files it
+    has; files without a manifest entry fall back to a header read.
+    Conflicting types for a shared column name raise — those bytes
+    cannot be decoded under one dataset schema."""
+    cols = list(read_schema(files[0]).columns)
+    seen = {c.name: c for c in cols}
+    man = load_manifest(path)
+    for f in files[1:]:
+        entry = man.get(os.path.basename(f))
+        names = (set(entry["columns"].keys())
+                 if entry and entry.get("columns") else None)
+        if names is not None and names <= seen.keys():
+            continue
+        for c in read_schema(f).columns:
+            prev = seen.get(c.name)
+            if prev is None:
+                seen[c.name] = c
+                cols.append(c)
+            elif prev.type != c.type:
+                raise ColfFormatError(
+                    f"dataset {path} has conflicting types for column "
+                    f"'{c.name}': {prev.type} vs {c.type} "
+                    f"(in {os.path.basename(f)})")
+    return cols
+
+
+def _arrow_type_for(field):
+    import pyarrow as pa
+
+    tag = SPARK_TO_COLF.get(field.dataType.simpleString())
+    return {"int32": pa.int32(), "float64": pa.float64(),
+            "utf8": pa.string()}[tag]
+
+
+def _read_file_columns(path: str, cols: list[str], stripe,
+                       spark_schema: StructType):
+    """read_columns_arrow plus additive-evolution null fill: columns
+    the DATASET schema carries but this (older) file does not decode
+    as typed all-null arrays of the file's/stripe's row count. Returns
+    (data dict, n_rows). The fast path (file has every column — all
+    files of a never-evolved dataset) is a single file open."""
+    import pyarrow as pa
+
+    try:
+        data = read_columns_arrow(path, cols, stripe=stripe)
+        if cols:
+            return data, len(data[cols[0]])
+    except KeyError:
+        # evolved dataset: this file predates >=1 requested column
+        avail = {c.name for c in read_schema(path).columns}
+        present = [c for c in cols if c in avail]
+        data = read_columns_arrow(path, present, stripe=stripe)
+        if present:
+            n = len(data[present[0]])
+        else:
+            n = (read_stripes_info(path)[stripe] if stripe is not None
+                 else read_schema(path).num_rows)
+        fields = {f.name: f for f in spark_schema.fields}
+        for c in cols:
+            if c not in avail:
+                data[c] = pa.nulls(n, type=_arrow_type_for(fields[c]))
+        return data, n
+    # metadata-only projection (no data columns requested)
+    n = (read_stripes_info(path)[stripe] if stripe is not None
+         else read_schema(path).num_rows)
+    return data, n
+
+
 def _check_append_schema(path: str, cols) -> None:
-    """Appending a different schema would silently corrupt the dataset
-    (the reader takes the dataset schema from its first file, so later
-    mismatched files would decode into the wrong columns). Names and
-    types must match the existing dataset exactly; nullability may
-    differ — every file carries its own null bitmaps and decodes
-    correctly on its own."""
+    """Appends may EXTEND the dataset schema (additive evolution, the
+    parquet-schema-merging model): the write must carry every existing
+    dataset column with its exact type (nullability may differ — each
+    file's own null bitmaps stay correct) and may ADD new columns,
+    which older files then read as NULLs. Anything else — a type
+    change, a dropped column — would silently corrupt or truncate the
+    dataset, so it raises."""
     existing = live_files(path) if os.path.isdir(path) else []
     if not existing:
         return
-    have = [(c.name, c.type) for c in read_schema(existing[0]).columns]
-    want = [(c.name, c.type) for c in cols]
-    if have != want:
-        raise ColfFormatError(
-            f"append schema mismatch at {path}: dataset has {have}, "
-            f"write has {want} (use mode('overwrite') to replace the "
-            f"dataset, or align the column names/types)")
+    have = [(c.name, c.type) for c in dataset_union_columns(path, existing)]
+    want = {c.name: c.type for c in cols}
+    for name, typ in have:
+        wt = want.get(name)
+        if wt is None:
+            raise ColfFormatError(
+                f"append schema mismatch at {path}: write is missing "
+                f"dataset column '{name}' (appends may add columns but "
+                f"not drop them; use mode('overwrite') to replace the "
+                f"dataset)")
+        if wt != typ:
+            raise ColfFormatError(
+                f"append schema mismatch at {path}: column '{name}' is "
+                f"{typ} in the dataset but {wt} in the write (type "
+                f"changes are not supported; additive new columns are)")
 
 
 def _write_version(options) -> int:
@@ -786,8 +864,8 @@ class ColfStreamReader(DataSourceStreamReader):
         import pyarrow as pa
 
         names = [f.name for f in self.schema.fields]
-        data = read_columns_arrow(partition.file, names,
-                                  stripe=partition.stripe)
+        data, _ = _read_file_columns(partition.file, names,
+                                     partition.stripe, self.schema)
         yield pa.RecordBatch.from_arrays([data[n] for n in names], names=names)
 
     def commit(self, end: dict) -> None:
@@ -880,7 +958,10 @@ class ColfDataSource(DataSource):
         files = dataset_files(path)
         if not files:
             raise ColfFormatError(f"No .colf files found at {path}")
-        file_schema = read_schema(files[0])
+        # the dataset schema is the UNION of the live files' columns
+        # (additive evolution) — one header read unless the manifest
+        # shows files carrying extra columns
+        file_schema = ColfSchema(0, dataset_union_columns(path, files))
         cols_opt = self.options.get("columns")
         with_file = self.options.get("withFileColumn", "false").lower() == "true"
         if cols_opt:

@@ -850,6 +850,68 @@ def q155_colf_v3_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q160_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+                ELSE '<pre-evolution>' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q160_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution under the correctness gate: even-key
+    orders land first WITHOUT o_orderstatus, odd-key orders append
+    WITH it. The dataset schema becomes the union; pre-evolution rows
+    read o_orderstatus as NULL (mapped to '<pre-evolution>' for the
+    group-by), post-evolution rows carry their real status — per
+    group, exact counts, cent sums, and key extremes against the
+    parquet oracle.
+
+    Scale: schema discovery is metadata-bounded (one header read plus
+    one per file whose manifest column set adds something new —
+    datasource.py dataset_union_columns), so a million-file dataset
+    does not open a million headers; the NULL fill happens per task
+    at decode time with no rewrite of old files — the Iceberg/parquet
+    add-column model, which is the only affordable one at 100 TB
+    (rewriting history for a new column is a full-dataset write).
+    """
+    from .datasource import register as register_ds
+
+    register_ds(spark)
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        F.col("o_totalprice").alias("o_totalprice"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
+    )
+
+    def write(d: str) -> None:
+        (o.filter(F.col("o_orderkey") % 2 == 0)
+         .drop("o_orderstatus").repartition(2)
+         .write.format("colf").mode("append").save(d + "/ds"))
+        (o.filter(F.col("o_orderkey") % 2 == 1).repartition(2)
+         .write.format("colf").mode("append").save(d + "/ds"))
+
+    tmpl = stage_once(("schema-evo", sf_dir), "colf_evo_tmpl_", write)
+    back = spark.read.format("colf").load(tmpl + "/ds")
+    return (back.groupBy(
+        F.coalesce(F.col("o_orderstatus"), F.lit("<pre-evolution>"))
+        .alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+             .cast("bigint").cast("double") / F.lit(100.0))
+            .alias("sum_price"),
+            F.min(F.col("o_orderkey").cast("bigint")).alias("min_key"),
+            F.max(F.col("o_orderkey").cast("bigint")).alias("max_key"),
+    ))
+
+
+@register(
     "q153_colf_v3_striped",
     oracle="""
     SELECT l_linestatus,
