@@ -18,6 +18,7 @@ the engine's streaming semantics per BASELINE.json's north star.
 
 from __future__ import annotations
 
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -471,4 +472,98 @@ def q159_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "purchase_id", "click_id",
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
+@register(
+    "q161_stream_upsert",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+             o_totalprice * 2 AS o_totalprice,
+             'U' || CAST(o_orderkey % 3 AS VARCHAR) AS o_orderstatus
+      FROM orders WHERE o_orderkey % 9 < 3),
+    merged AS (
+      SELECT * FROM src
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey % 9 >= 3)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+)
+def q161_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-apply: a change stream (three parquet files, one
+    micro-batch each via maxFilesPerTrigger=1) upserts into a live
+    COLF dataset through foreachBatch + merge_into — the
+    streaming-lakehouse ingestion pattern (Delta/Iceberg MERGE inside
+    foreachBatch). Each change file carries a DISJOINT key slice
+    (o_orderkey % 9 == 0/1/2), so the final state is independent of
+    batch order; the oracle is the batch upsert over the union of all
+    changes. Every micro-batch lands as ONE snapshot commit under the
+    CAS parent check, so a reader never sees a half-applied batch and
+    a concurrent writer fails loudly instead of silently interleaving.
+
+    Scale: per batch, touched-file discovery is the zone-map-prunable
+    key semi-join and the rewrite touches only files holding changed
+    keys — merge cost follows the CHANGE volume, not the dataset
+    size, which is what makes continuous upsert into a 100 TB table
+    affordable.
+    """
+    import shutil
+
+    from ..colf.datasource import register as register_ds
+    from ..colf.maintenance import merge_into
+
+    register_ds(spark)
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        F.col("o_totalprice").alias("o_totalprice"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
+    )
+
+    def write(d: str) -> None:
+        (o.repartitionByRange(4, "o_orderkey").write.format("colf")
+         .option("version", "2").mode("append").save(d + "/ds"))
+        for i in range(3):
+            (o.filter(F.col("o_orderkey") % 9 == i)
+             .select("o_orderkey",
+                     (F.col("o_totalprice") * 2).alias("o_totalprice"),
+                     F.concat(F.lit("U"), (F.col("o_orderkey") % 3)
+                              .cast("string")).alias("o_orderstatus"))
+             .coalesce(1).write.mode("overwrite")
+             .parquet(f"{d}/changes/batch={i}"))
+
+    tmpl = stage_once(("stream-upsert", sf_dir), "colf_upsert_tmpl_", write)
+    path = tempfile.mkdtemp(prefix="colf_upsert_") + "/ds"
+    shutil.copytree(tmpl + "/ds", path)
+
+    changes = (spark.readStream
+               .schema("o_orderkey int, o_totalprice double, "
+                       "o_orderstatus string")
+               .option("maxFilesPerTrigger", "1")
+               .option("recursiveFileLookup", "true")
+               .parquet(tmpl + "/changes"))
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_into(batch_df.sparkSession, path, batch_df, ["o_orderkey"])
+
+    q = (changes.writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="upsert_ck_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    back = spark.read.format("colf").load(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+         .cast("bigint").cast("double") / F.lit(100.0)).alias("sum_price"),
+        F.min(F.col("o_orderkey").cast("bigint")).alias("min_key"),
+        F.max(F.col("o_orderkey").cast("bigint")).alias("max_key"),
     )
