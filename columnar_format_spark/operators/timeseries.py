@@ -514,3 +514,74 @@ def q99_sliding_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_events", "sum_value",
         )
     )
+
+
+ANOM_WIN = 100      # trailing rows per event_type
+ANOM_MIN_WIN = 20   # warm-up: skip rows with fewer trailing samples
+ANOM_Z = 3          # |z| threshold
+
+
+@register(
+    "q162_anomaly_zscore",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, event_type, ts,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+             value
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    w AS (
+      SELECT event_id, event_type, ts, value, c,
+             COUNT(*)  OVER win AS n,
+             SUM(c)    OVER win AS s,
+             SUM(c*c)  OVER win AS ss
+      FROM base
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN {ANOM_WIN} PRECEDING AND 1 PRECEDING))
+    SELECT event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           value,
+           CAST(n AS BIGINT) AS n_window
+    FROM w
+    WHERE n >= {ANOM_MIN_WIN}
+      AND (n - 1) * (c * n - s) * (c * n - s)
+          > {ANOM_Z * ANOM_Z} * n * (n * ss - s * s)
+    """,
+)
+def q162_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection as a batch window op: flag
+    events whose value sits more than 3 sample standard deviations
+    from the trailing-100 mean of their event_type. The z-test is
+    evaluated ENTIRELY in exact int64 cent arithmetic —
+    (n-1)·(c·n−s)² > 9·n·(n·ss−s²) — so Spark and DuckDB flag the
+    bit-identical row set (a float mean/stddev would make borderline
+    rows engine-dependent; registry.py rule 1).
+
+    Scale: one shuffle on event_type, trailing-rows frames evaluated
+    in a single pass per partition; int64 products stay inside
+    whole-stage codegen. Skew note: event_type has few distinct values
+    — at 100 TB the partition key would widen to (event_type,
+    entity_id) or day buckets, the same re-keying every per-entity
+    window op in this repo uses (q20 pattern). Warm-up rows (<20
+    trailing samples) are skipped on both sides.
+    """
+    ev = (table(spark, sf_dir, "events")
+          .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .select("event_id", "event_type", "ts", "value",
+                  cents("value").alias("c")))
+    win = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+           .rowsBetween(-ANOM_WIN, -1))
+    w = ev.select(
+        "event_id", "event_type", "ts", "value", "c",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("c").over(win).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(win).alias("ss"),
+    )
+    dev = F.col("c") * F.col("n") - F.col("s")
+    var_term = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (w.filter((F.col("n") >= ANOM_MIN_WIN)
+                     & ((F.col("n") - 1) * dev * dev
+                        > F.lit(ANOM_Z * ANOM_Z) * F.col("n") * var_term))
+            .select("event_id", "event_type",
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+                    "value",
+                    F.col("n").cast("bigint").alias("n_window")))
