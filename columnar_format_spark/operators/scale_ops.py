@@ -221,3 +221,81 @@ def q157_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_partkey").cast("bigint").alias("min_p"),
         F.max("l_partkey").cast("bigint").alias("max_p"),
     )
+
+
+SORT_FILES = 8
+
+
+@register(
+    "q163_sorted_layout",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_key
+    FROM lineitem
+    WHERE strftime(l_shipdate, '%Y-%m-%d') >= '1996-01-01'
+      AND strftime(l_shipdate, '%Y-%m-%d') < '1996-02-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q163_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-sorted dataset layout (the terasort/ingest-order pattern):
+    lineitem is range-partitioned by ship date (sampled boundaries via
+    repartitionByRange — Spark's global-sort machinery) and written as
+    a COLF dataset, which makes the per-file zone maps PAIRWISE
+    DISJOINT on the sort key. The query asserts both layout properties
+    from the manifest sidecar alone — disjointness, and that a
+    one-month window overlaps at most 2 of the 8 files — then returns
+    the window's aggregate, value-checked by the oracle.
+
+    Scale: sorting by event/ship time at write is the cheapest pruning
+    investment a 100 TB pipeline can make — every time-ranged query
+    (most of them) then opens only boundary files. Range partitioning
+    with sampled boundaries is exactly how Spark's own orderBy plans,
+    so the layout write is one shuffle, skew-handled by AQE. The date
+    rides as 'yyyy-MM-dd' utf8 (lexicographic==chronological), staying
+    inside COLF's three-type system with working string zone maps.
+    """
+    from ..colf.datasource import load_manifest
+    from ..colf.datasource import register as register_ds
+    from ..staging import stage_once
+
+    register_ds(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("int").alias("l_orderkey"),
+        F.col("l_quantity").alias("l_quantity"),
+        F.col("l_returnflag").alias("l_returnflag"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("l_shipdate_s"))
+
+    def write(d: str) -> None:
+        (li.repartitionByRange(SORT_FILES, "l_shipdate_s")
+         .write.format("colf").option("version", "2")
+         .mode("append").save(d + "/ds"))
+
+    base = stage_once(("sorted-layout", sf_dir), "colf_sorted_", write)
+    path = base + "/ds"
+
+    lo, hi = "1996-01-01", "1996-02-01"
+    man = load_manifest(path)
+    spans = sorted((s["columns"]["l_shipdate_s"]["min"],
+                    s["columns"]["l_shipdate_s"]["max"])
+                   for s in man.values() if s.get("num_rows"))
+    for (_, pmax), (nmin, _) in zip(spans, spans[1:]):
+        if nmin < pmax:
+            raise AssertionError(
+                f"range-partitioned files overlap on the sort key: "
+                f"{pmax} vs {nmin} — layout is not sorted")
+    hit = sum(1 for mn, mx in spans if mn < hi and mx >= lo)
+    if hit > 2:
+        raise AssertionError(
+            f"one-month window overlaps {hit}/{len(spans)} sorted files "
+            f"— zone maps are not pruning a sorted layout")
+
+    back = spark.read.format("colf").load(path).filter(
+        (F.col("l_shipdate_s") >= lo) & (F.col("l_shipdate_s") < hi))
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.min(F.col("l_orderkey").cast("bigint")).alias("min_key"),
+    )

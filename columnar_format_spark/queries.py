@@ -32,8 +32,8 @@ from .registry import QUERIES, QuerySpec  # noqa: F401
 # q64-q66, q72, q88, q89, q92-q94; r03 = q33-q35, q37, q40-q43,
 # q51-q57, q62, q63, q69, q71, q74, q77-q79, q85, q87, q91, q95-q98,
 # q100, q102, q103, q105, q106, q108, q110; r04 = everything else.
-# Round-6 plan: rotate in the remaining r02-era (q21-q32, q36, q38,
-# q39, q45-q49, q64-q66, q72, q88, q89, q92-q94 — 28) then the
+# Round-6 plan: rotate in the remaining r02-era (q20-q32, q36, q38,
+# q39, q45-q49, q64-q66, q72, q88, q89, q92-q94 — 29) then the
 # r03-era set, oldest first.
 DRIVER_WINDOW = [
     # never driver-checked (added round 4)
@@ -54,7 +54,7 @@ DRIVER_WINDOW = [
     "q154_table_profile_sketch", "q155_colf_v3_cow",
     "q156_bucketed_join", "q157_zorder_pruning", "q158_heavy_hitters",
     "q159_stream_outer_join", "q160_schema_evolution",
-    "q161_stream_upsert", "q162_anomaly_zscore",
+    "q161_stream_upsert", "q162_anomaly_zscore", "q163_sorted_layout",
     # oldest-evidence backfill (all last-green r02)
     "q01_pricing_summary", "q02_filter_project", "q03_agg_rollup",
     "q04_agg_cube", "q05_grouping_sets", "q06_count_distinct",
@@ -62,7 +62,7 @@ DRIVER_WINDOW = [
     "q10_join_broadcast_star", "q11_join_left", "q12_join_semi",
     "q13_join_anti", "q14_join_full_outer", "q15_star_revenue_by_region",
     "q16_range_join_bands", "q17_asof_join", "q18_salted_skew_join",
-    "q19_subqueries", "q20_window_topk_per_group",
+    "q19_subqueries",
 ]
 
 
