@@ -272,3 +272,69 @@ def test_v3_stream_plans_stripe_partitions(colf_spark, striped):
             seen.update(ids)
             total += batch.num_rows
     assert total == 50_000
+
+
+# --- property-based round-trip: striping must never change values ------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from columnar_format_spark.colf.format import (  # noqa: E402
+    ColfColumn,
+    ColfSchema,
+    read_columns_arrow,
+    read_columns_arrow_v3,
+    write_colf_arrow_v3,
+)
+
+_ints = st.lists(st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+                 max_size=60)
+_floats = st.lists(st.one_of(st.none(), st.floats(allow_nan=False),
+                             st.just(float("inf")), st.just(-float("inf"))),
+                   max_size=60)
+_strs = st.lists(st.one_of(st.none(), st.text(max_size=8)), max_size=60)
+
+
+@settings(max_examples=60, deadline=None)
+@given(ids=_ints, scores=_floats, texts=_strs,
+       stripe_rows=st.integers(1, 25))
+def test_v3_roundtrip_property(tmp_path_factory, ids, scores, texts,
+                               stripe_rows):
+    """Any (int32, float64, utf8) triple round-trips through v3 at any
+    stripe granularity: the full read, the per-stripe reads
+    concatenated, and a selective column read all reproduce the input
+    exactly."""
+    import pyarrow as pa
+
+    n = max(len(ids), len(scores), len(texts))
+    ids = ids + [None] * (n - len(ids))
+    scores = scores + [None] * (n - len(scores))
+    texts = texts + [None] * (n - len(texts))
+    schema = ColfSchema(n, [ColfColumn("id", "int32", True),
+                            ColfColumn("score", "float64", True),
+                            ColfColumn("city", "utf8", True)])
+    chunks = {"id": [pa.array(ids, type=pa.int32())],
+              "score": [pa.array(scores, type=pa.float64())],
+              "city": [pa.array(texts, type=pa.string())]}
+    p = str(tmp_path_factory.mktemp("v3prop") / "t.colf")
+    n_stripes = write_colf_arrow_v3(p, schema, chunks, stripe_rows)
+    assert n_stripes == max(1, (n + stripe_rows - 1) // stripe_rows)
+    assert read_stripes_info(p) == (
+        [min(stripe_rows, n - s * stripe_rows) for s in range(n_stripes)]
+        if n else [0])
+
+    full = read_columns_arrow(p, ["id", "score", "city"])
+    assert full["id"].to_pylist() == ids
+    assert full["score"].to_pylist() == scores
+    assert full["city"].to_pylist() == texts
+
+    concat = {"id": [], "score": [], "city": []}
+    for s in range(n_stripes):
+        part = read_columns_arrow_v3(p, ["id", "score", "city"], stripe=s)
+        for k in concat:
+            concat[k].extend(part[k].to_pylist())
+    assert concat["id"] == ids
+    assert concat["score"] == scores
+    assert concat["city"] == texts
+
+    only = read_columns_arrow(p, ["city"])
+    assert only["city"].to_pylist() == texts
