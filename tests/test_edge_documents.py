@@ -39,6 +39,7 @@ TEXT_QUERIES = [
     "q131_image_resize",
     "q132_negative_sampling",
     "q133_budget_selection",
+    "q158_heavy_hitters",
 ]
 
 

@@ -600,3 +600,48 @@ def test_skew_exact_distinct_single_hot_key(spark):
     from columnar_format_spark.registry import QUERIES
     row = QUERIES["q118_skew_exact_distinct"].fn(spark, sf).collect()[0]
     assert row.n_users == 7 and row.n_events == n
+
+
+# ---------------------------------------------------------------------------
+# q162 anomaly z-score
+
+
+def test_anomaly_zero_variance_window(spark):
+    """A constant trailing window has zero sample variance: any
+    deviating value is an anomaly (infinite z), an equal value is not
+    — the integer form ((n-1)dev^2 > 9n*var_term with var_term=0)
+    encodes that without a division, identically in both engines."""
+    ts = pd.date_range("2024-01-01", periods=40, freq="1min")
+    vals = [5.0] * 30 + [5.0, 9.99] + [5.0] * 8
+    sf = _stage({"events": _events(ts, ["x"] * 40, vals)})
+    res = compare_query(spark, sf, "q162_anomaly_zscore")
+    assert res["ok"], res["notes"]
+    out = {r.event_id for r in
+           __import__("columnar_format_spark.queries", fromlist=["x"])
+           .QUERIES["q162_anomaly_zscore"].fn(spark, sf).collect()}
+    assert 31 in out        # the deviating value is flagged
+    assert 30 not in out    # an equal value is not
+
+
+def test_anomaly_warmup_boundary(spark):
+    """Rows with fewer than ANOM_MIN_WIN trailing samples are skipped
+    on both sides — the first flaggable row is index ANOM_MIN_WIN."""
+    from columnar_format_spark.operators.timeseries import ANOM_MIN_WIN
+
+    n = ANOM_MIN_WIN + 5
+    ts = pd.date_range("2024-01-01", periods=n, freq="1min")
+    # every value wildly different from the constant prefix
+    vals = [1.0] * ANOM_MIN_WIN + [100.0, 1.0, 1.0, 1.0, 1.0]
+    sf = _stage({"events": _events(ts, ["x"] * n, vals)})
+    res = compare_query(spark, sf, "q162_anomaly_zscore")
+    assert res["ok"], res["notes"]
+
+
+def test_anomaly_null_ts_and_value_dropped(spark):
+    ts = list(pd.date_range("2024-01-01", periods=30, freq="1min"))
+    df = _events(ts, ["x"] * 30, [3.0] * 29 + [50.0])
+    df.loc[5, "ts"] = pd.NaT
+    df.loc[7, "value"] = np.nan
+    sf = _stage({"events": df})
+    res = compare_query(spark, sf, "q162_anomaly_zscore")
+    assert res["ok"], res["notes"]
