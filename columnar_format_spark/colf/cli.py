@@ -116,12 +116,40 @@ def cli_snapshots(argv: list[str]) -> int:
     return 0
 
 
+def cli_stats(argv: list[str]) -> int:
+    """Dump a dataset's zone-map manifest: per live file, row count,
+    per-column min/max/null_count, and stripe row counts (v3) — the
+    metadata the scanner prunes with, in human-readable form. Reads
+    ONLY the sidecar (no data bytes), so it is instant on any dataset
+    size; a file without a manifest entry is listed with stats null."""
+    if len(argv) != 1:
+        print("usage: ... stats <dataset-dir>", file=sys.stderr)
+        return 2
+    import os
+
+    from .datasource import dataset_union_columns, live_files, load_manifest
+
+    files = live_files(argv[0])
+    manifest = load_manifest(argv[0])
+    doc = {
+        "n_live_files": len(files),
+        "dataset_schema": [c.to_json()
+                           for c in dataset_union_columns(argv[0], files)]
+        if files else [],
+        "files": {os.path.basename(f): manifest.get(os.path.basename(f))
+                  for f in files},
+    }
+    print(json.dumps(doc, indent=2))
+    return 0
+
+
 COMMANDS = {
     "csv_to_custom": cli_csv_to_custom,
     "custom_to_csv": cli_custom_to_csv,
     "read_columns": cli_read_columns,
     "inspect_header": cli_inspect_header,
     "snapshots": cli_snapshots,
+    "stats": cli_stats,
 }
 
 

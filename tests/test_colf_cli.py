@@ -123,3 +123,28 @@ def test_cli_snapshots_lists_versions(spark, tmp_path, capsys):
     assert [s["version"] for s in out] == [1, 2]
     assert out[0]["n_files"] == 1 and out[1]["n_files"] == 2
     assert out[0]["num_rows"] == 10 and out[1]["num_rows"] == 20
+
+
+def test_cli_stats_dumps_zone_maps(spark, tmp_path, capsys):
+    import json as _json
+
+    from columnar_format_spark.colf import cli
+    from columnar_format_spark.colf.datasource import register
+    from pyspark.sql import functions as F
+
+    register(spark)
+    path = str(tmp_path / "statds")
+    df = spark.range(100).select(F.col("id").cast("int").alias("id"),
+                                 (F.col("id") % 5).cast("string").alias("t"))
+    df.coalesce(1).write.format("colf").mode("overwrite").save(path)
+    # additive evolution: the schema section must show the union
+    df2 = df.withColumn("x", (F.col("id") * 2.0))
+    df2.coalesce(1).write.format("colf").mode("append").save(path)
+    assert cli.main(["stats", path]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["n_live_files"] == 2
+    assert [c["name"] for c in out["dataset_schema"]] == ["id", "t", "x"]
+    stats = list(out["files"].values())
+    assert sum(s["num_rows"] for s in stats) == 200
+    ids = [s["columns"]["id"] for s in stats]
+    assert all(c["min"] == 0 and c["max"] == 99 for c in ids)
