@@ -1,11 +1,12 @@
 """Cluster-scale layout techniques as registered, oracle-checked
 queries: bucketed co-located joins (shuffle elimination for the
-recurring fact-fact join) and z-order clustering (multi-column zone-map
-pruning). Neither exists in the reference (single-file format, no
-dataset layout concept — SURVEY.md §1.1); both are the standard
-techniques a 100 TB deployment of this engine would lean on, so each
-is pinned here with an in-query plan/pruning assertion plus an exact
-DuckDB oracle on the data values.
+recurring fact-fact join), z-order clustering (multi-column zone-map
+pruning), and time-sorted layouts (disjoint zone maps on the sort
+key). None exists in the reference (single-file format, no dataset
+layout concept — SURVEY.md §1.1); all are standard techniques a
+100 TB deployment of this engine would lean on, so each is pinned
+here with an in-query plan/pruning assertion plus an exact DuckDB
+oracle on the data values.
 """
 
 from __future__ import annotations
@@ -107,8 +108,6 @@ def q156_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Z_FILES = 16
-# staged z-ordered/naive dataset dirs per sf_dir
-_Z_STAGED: dict[tuple, tuple[str, str]] = {}
 
 
 def _interleave_bits(a: str, b: str) -> F.Column:
