@@ -43,6 +43,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
+    EqualNullSafe,
     EqualTo,
     Filter,
     GreaterThan,
@@ -53,6 +54,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -228,6 +230,91 @@ def load_manifest(path: str) -> dict:
         return {}  # corrupt manifest → prune nothing, stay correct
 
 
+BLOOMS_NAME = "_blooms.json"
+
+
+def blooms_path(dataset_dir: str) -> str:
+    return os.path.join(dataset_dir, BLOOMS_NAME)
+
+
+def load_blooms(path: str) -> dict:
+    """{file basename: {column: bloom dict}} per-file Bloom filters
+    (bloom.py) — the point-lookup complement to the zone-map manifest.
+    Empty when absent/corrupt: like zone maps, blooms can only SKIP
+    I/O, never change results, so degradation is silent-correct."""
+    import json
+
+    if not os.path.isdir(path):
+        return {}
+    bp = blooms_path(path)
+    if not os.path.exists(bp):
+        return {}
+    try:
+        with open(bp) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def bloom_columns(path: str) -> list[str]:
+    """Columns carrying a Bloom filter in ANY live file — what a
+    maintenance rewrite must pass through as bloomColumns so CoW and
+    compaction preserve the dataset's point-lookup pruning."""
+    return sorted({c for per_file in load_blooms(path).values()
+                   for c in per_file})
+
+
+def _bloom_encode(dtype, v):
+    """Probe-value byte encoding matching the writer's (bloom.py
+    contract). None = not encodable (type mismatch / unsupported) →
+    caller must keep the file."""
+    from . import bloom as B
+
+    if isinstance(dtype, IntegerType):
+        if isinstance(v, bool) or not isinstance(v, int):
+            return None
+        if not (-(1 << 31) <= v < (1 << 31)):
+            return None
+        return B.encode_int32(v)
+    if isinstance(dtype, StringType):
+        return B.encode_utf8(v) if isinstance(v, str) else None
+    return None
+
+
+def _bloom_may_match(per_file: dict, flt: Filter, schema: StructType) -> bool:
+    """False only when the file's Bloom filter PROVES no row matches
+    the equality filter — same conservative contract as the zone maps
+    (_file_may_match): every unknown case keeps the file."""
+    from . import bloom as B
+
+    attr = getattr(flt, "attribute", None)
+    if not attr or len(attr) != 1:
+        return True
+    bl = per_file.get(attr[0])
+    if bl is None or schema is None:
+        return True
+    try:
+        dtype = schema[attr[0]].dataType
+    except KeyError:
+        return True
+    if isinstance(flt, (EqualTo, EqualNullSafe)):
+        if flt.value is None:
+            return True  # null probe: blooms index values, not nulls
+        vb = _bloom_encode(dtype, flt.value)
+        return vb is None or B.might_contain(bl, vb)
+    if isinstance(flt, In):
+        probes = []
+        for x in flt.value:
+            if x is None:
+                return True
+            vb = _bloom_encode(dtype, x)
+            if vb is None:
+                return True
+            probes.append(vb)
+        return any(B.might_contain(bl, vb) for vb in probes)
+    return True
+
+
 def _file_may_match(stats: dict, flt: Filter) -> bool:
     """Conservative zone-map check: False only when NO row in the file
     can satisfy `flt`. Row-level filtering stays with Spark (pushFilters
@@ -245,6 +332,8 @@ def _file_may_match(stats: dict, flt: Filter) -> bool:
     nrows = stats.get("num_rows")
     if isinstance(flt, IsNull):
         return nulls is None or nulls > 0
+    if isinstance(flt, EqualNullSafe) and flt.value is None:
+        return nulls is None or nulls > 0  # `col <=> NULL` == IS NULL
     if isinstance(flt, IsNotNull):
         return nulls is None or nrows is None or nulls < nrows
     if mn is None or mx is None:  # all-null column: no comparison matches
@@ -258,9 +347,16 @@ def _file_may_match(stats: dict, flt: Filter) -> bool:
     if isinstance(flt, In):
         vals = [x for x in flt.value if x is not None and cmp_ok(x, mn)]
         return any(mn <= x <= mx for x in vals) if vals else True
+    if isinstance(flt, StringStartsWith):
+        # strings with prefix v form the interval [v, v + U+10FFFF…):
+        # if max < v every row sorts before them; if min's first
+        # len(v) chars already exceed v every row sorts after them
+        if not isinstance(v, str) or not isinstance(mn, str):
+            return True
+        return mx >= v and mn[: len(v)] <= v
     if v is None or not cmp_ok(v, mn):
         return True
-    if isinstance(flt, EqualTo):
+    if isinstance(flt, (EqualTo, EqualNullSafe)):
         return mn <= v <= mx
     if isinstance(flt, GreaterThan):
         return mx > v
@@ -322,8 +418,9 @@ class ColfReader(DataSourceReader):
         living in a sidecar (SURVEY.md §4.3/M6)."""
         self.pushed = [
             f for f in filters
-            if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
-                              LessThan, LessThanOrEqual, In, IsNull, IsNotNull))
+            if isinstance(f, (EqualTo, EqualNullSafe, GreaterThan,
+                              GreaterThanOrEqual, LessThan, LessThanOrEqual,
+                              In, IsNull, IsNotNull, StringStartsWith))
         ]
         return filters
 
@@ -372,6 +469,20 @@ class ColfReader(DataSourceReader):
                     ):
                         kept.append(f)
                 files = kept
+            # Bloom pass AFTER zone maps: loaded only when an equality
+            # conjunct survives (point lookups / IN probes) — the
+            # sidecar read costs nothing on range scans
+            eq = [f for f in self.pushed
+                  if isinstance(f, (EqualTo, EqualNullSafe, In))]
+            if eq and files:
+                blooms = load_blooms(self.path)
+                if blooms:
+                    files = [
+                        f for f in files
+                        if (per := blooms.get(os.path.basename(f))) is None
+                        or all(_bloom_may_match(per, flt, self.schema)
+                               for flt in eq)
+                    ]
         if not files:
             # the API requires >= 1 partition; a None-file sentinel
             # yields zero batches (empty increment / all files pruned)
@@ -424,6 +535,74 @@ class ColfReader(DataSourceReader):
 class ColfCommitMessage(WriterCommitMessage):
     file: str | None
     stats: dict | None = None
+    blooms: dict | None = None  # {column: bloom dict} for _blooms.json
+
+
+def _bloom_opts(options, colf_columns: list[ColfColumn]):
+    """Parse ``bloomColumns`` ("a,b") / ``bloomFpp`` writer options.
+    Requested columns must exist and be int32/utf8 — float64 equality
+    probes are ill-defined across engines (bloom.py docstring), so they
+    fail fast here rather than silently never pruning."""
+    from .bloom import DEFAULT_FPP
+
+    cols_opt = options.get("bloomColumns")
+    if not cols_opt:
+        return [], DEFAULT_FPP
+    wanted = [c.strip() for c in cols_opt.split(",") if c.strip()]
+    by_name = {c.name: c for c in colf_columns}
+    for c in wanted:
+        col = by_name.get(c)
+        if col is None:
+            raise ColfFormatError(
+                f"bloomColumns names unknown column '{c}' "
+                f"(have: {sorted(by_name)})")
+        if col.type == "float64":
+            raise ColfFormatError(
+                f"bloomColumns: float64 column '{c}' is unsupported "
+                f"(equality probes on floats are ill-defined)")
+    fpp = float(options.get("bloomFpp", str(DEFAULT_FPP)))
+    if not (0.0 < fpp < 0.5):
+        raise ColfFormatError(f"bloomFpp must be in (0, 0.5), got {fpp}")
+    return wanted, fpp
+
+
+def _build_blooms(chunks: dict, colf_columns: list[ColfColumn],
+                  bloom_cols: list[str], fpp: float, num_rows: int) -> dict:
+    """Executor-side: one Bloom filter per requested column over this
+    part file's values (nulls excluded — IsNull pruning is the zone
+    maps' job via null_count)."""
+    import pyarrow as pa
+
+    from . import bloom as B
+
+    types = {c.name: c.type for c in colf_columns}
+    out = {}
+    for name in bloom_cols:
+        arr = pa.chunked_array(chunks[name])
+        enc = B.encode_int32 if types[name] == "int32" else B.encode_utf8
+        out[name] = B.build(
+            (enc(v) for v in arr.to_pylist() if v is not None),
+            n_hint=num_rows, fpp=fpp)
+    return out
+
+
+def _merge_bloom_sidecar(path: str, messages, reset: bool = False) -> None:
+    """Fold the tasks' per-file blooms into ``_blooms.json`` (atomic
+    rename, same discipline as the manifest)."""
+    import json
+
+    blooms = {} if reset else load_blooms(path)
+    changed = reset and os.path.exists(blooms_path(path))
+    for m in messages:
+        if m and m.file and m.blooms:
+            blooms[os.path.basename(m.file)] = m.blooms
+            changed = True
+    if not changed:
+        return
+    tmp = blooms_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(blooms, f)
+    os.rename(tmp, blooms_path(path))
 
 
 def _chunk_stats(chunks: list, num_rows: int) -> dict:
@@ -616,6 +795,7 @@ class ColfWriter(DataSourceArrowWriter):
         self.version = _write_version(options)
         self.stripe_rows = _stripe_rows_opt(options)
         self.colf_columns = spark_to_colf_columns(schema)  # validate types early
+        self.bloom_cols, self.bloom_fpp = _bloom_opts(options, self.colf_columns)
         if not overwrite:
             _check_append_schema(self.path, self.colf_columns)
 
@@ -639,8 +819,10 @@ class ColfWriter(DataSourceArrowWriter):
         tmp = target + ".tmp"
         stats = _write_part_file(tmp, ColfSchema(num_rows, self.colf_columns),
                                  chunks, self.version, self.stripe_rows)
+        blooms = _build_blooms(chunks, self.colf_columns, self.bloom_cols,
+                               self.bloom_fpp, num_rows) or None
         os.rename(tmp, target)
-        return ColfCommitMessage(file=target, stats=stats)
+        return ColfCommitMessage(file=target, stats=stats, blooms=blooms)
 
     def commit(self, messages):
         import json
@@ -662,7 +844,8 @@ class ColfWriter(DataSourceArrowWriter):
                 full = os.path.join(self.path, f)
                 if full not in written and (f.endswith(".colf") or f.endswith(".tmp")
                                             or f == MANIFEST_NAME
-                                            or f == SNAPSHOTS_NAME):
+                                            or f == SNAPSHOTS_NAME
+                                            or f == BLOOMS_NAME):
                     os.remove(full)
         existing = dataset_files(self.path) if os.path.isdir(self.path) else []
         if not written and not existing:
@@ -688,6 +871,7 @@ class ColfWriter(DataSourceArrowWriter):
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
             os.rename(tmp, manifest_path(self.path))
+        _merge_bloom_sidecar(self.path, messages, reset=self.overwrite)
         # metadata-log commit: the new live set is this write's files
         # plus (append only) the prior live set. Overwrite physically
         # removed the old part files, so its history restarts at v1.
@@ -888,6 +1072,7 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
         self.version = _write_version(options)
         self.stripe_rows = _stripe_rows_opt(options)
         self.colf_columns = spark_to_colf_columns(schema)
+        self.bloom_cols, self.bloom_fpp = _bloom_opts(options, self.colf_columns)
         # a stream restarted onto an existing dataset must match it
         _check_append_schema(self.path, self.colf_columns)
 
@@ -909,8 +1094,10 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
         tmp = target + ".tmp"
         stats = _write_part_file(tmp, ColfSchema(num_rows, self.colf_columns),
                                  chunks, self.version, self.stripe_rows)
+        blooms = _build_blooms(chunks, self.colf_columns, self.bloom_cols,
+                               self.bloom_fpp, num_rows) or None
         os.rename(tmp, target)
-        return ColfCommitMessage(file=target, stats=stats)
+        return ColfCommitMessage(file=target, stats=stats, blooms=blooms)
 
     def commit(self, messages, batchId: int) -> None:
         import json
@@ -926,6 +1113,7 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
             os.rename(tmp, manifest_path(self.path))
+            _merge_bloom_sidecar(self.path, messages)
             # every micro-batch is a metadata-log commit too, so batch
             # readers can time-travel across stream appends; the CAS
             # parent makes a concurrent batch writer fail loudly

@@ -25,13 +25,40 @@ import uuid
 from pyspark.sql import SparkSession
 
 from .datasource import (
+    bloom_columns,
+    blooms_path,
     commit_snapshot,
     dataset_files,
+    load_blooms,
     load_manifest,
     load_snapshots,
     manifest_path,
     write_snapshots,
 )
+
+
+def _with_bloom_opt(writer, path: str):
+    """Rewrites (compaction, CoW survivor passes) must preserve the
+    dataset's Bloom-filter columns — a compacted or delete-rewritten
+    file with no bloom would silently stop pruning point lookups."""
+    cols = bloom_columns(path)
+    return writer.option("bloomColumns", ",".join(cols)) if cols else writer
+
+
+def _merge_bloom_files(path: str, tmp: str) -> None:
+    """Adopt a rewrite tmp dir's _blooms.json into the live dataset's
+    (mirrors the manifest merge beside every call site)."""
+    import json
+
+    add = load_blooms(tmp)
+    if not add:
+        return
+    merged = load_blooms(path)
+    merged.update(add)
+    btmp = blooms_path(path) + ".tmp"
+    with open(btmp, "w") as fh:
+        json.dump(merged, fh)
+    os.rename(btmp, blooms_path(path))
 
 
 def _dataset_stripe_rows(path: str, basenames: list[str]) -> int | None:
@@ -89,8 +116,9 @@ def compact(spark: SparkSession, path: str, target_files: int,
 
     live = dataset_files(path)
     ver = _read_schema(live[0]).version if live else 1
-    w = (df.repartition(target_files).write.format("colf")
-         .option("version", str(ver)))
+    w = _with_bloom_opt(
+        df.repartition(target_files).write.format("colf")
+        .option("version", str(ver)), path)
     if ver == 3:
         # preserve the dataset's stripe granularity (mean stripe rows
         # from the manifest stats): compacting small v3 files into few
@@ -120,6 +148,7 @@ def compact(spark: SparkSession, path: str, target_files: int,
     with open(mtmp, "w") as fh:
         json.dump(merged, fh)
     os.rename(mtmp, manifest_path(path))
+    _merge_bloom_files(path, tmp)
     shutil.rmtree(tmp)
     commit_snapshot(path, moved, expected_parent=parent)
     return len(moved)
@@ -162,6 +191,14 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
         with open(mtmp, "w") as fh:
             json.dump(manifest, fh)
         os.rename(mtmp, manifest_path(path))
+        blooms = load_blooms(path)
+        if any(b in blooms for b in deleted):
+            for base in deleted:
+                blooms.pop(base, None)
+            btmp = blooms_path(path) + ".tmp"
+            with open(btmp, "w") as fh:
+                json.dump(blooms, fh)
+            os.rename(btmp, blooms_path(path))
     write_snapshots(path, kept)
     return sorted(deleted)
 
@@ -237,7 +274,8 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> dict:
         # rewritten files stay file-sized AND internally parallel.
         survivors = survivors.coalesce(len(touched))
     tmp = f"{path.rstrip(os.sep)}.delete-{uuid.uuid4().hex[:8]}"
-    w = survivors.write.format("colf").option("version", str(ver))
+    w = _with_bloom_opt(
+        survivors.write.format("colf").option("version", str(ver)), path)
     if ver == 3:
         srows = _dataset_stripe_rows(path, touched)
         if srows:
@@ -256,6 +294,7 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> dict:
     with open(mtmp, "w") as fh:
         json.dump(merged, fh)
     os.rename(mtmp, manifest_path(path))
+    _merge_bloom_files(path, tmp)
     shutil.rmtree(tmp)
     kept = [b for b in live0 if b not in set(touched)]
     commit_snapshot(path, kept + moved, expected_parent=parent)
@@ -381,7 +420,8 @@ def merge_into(spark: SparkSession, path: str, source,
         tmp = f"{path.rstrip(os.sep)}.merge-{uuid.uuid4().hex[:8]}"
         moved = []
         try:
-            w = out.write.format("colf").option("version", str(ver))
+            w = _with_bloom_opt(
+                out.write.format("colf").option("version", str(ver)), path)
             if ver == 3:
                 srows = _dataset_stripe_rows(path, touched or live0)
                 if srows:
@@ -397,6 +437,7 @@ def merge_into(spark: SparkSession, path: str, source,
             with open(mtmp, "w") as fh:
                 json.dump(merged, fh)
             os.rename(mtmp, manifest_path(path))
+            _merge_bloom_files(path, tmp)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
     finally:

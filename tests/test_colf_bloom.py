@@ -1,0 +1,244 @@
+"""Per-file Bloom filters (_blooms.json sidecar): point-lookup pruning
+on high-cardinality UNCLUSTERED keys, where zone maps cannot help —
+every file's [min, max] covers an arrival-ordered key, so min/max
+pruning opens everything and the bloom is what says "not in this
+file". No-false-negative is the correctness property (a false negative
+loses rows); false positives only cost I/O."""
+
+import os
+import random
+import string
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, In, IsNotNull
+
+from columnar_format_spark.colf import bloom as B
+from columnar_format_spark.colf.datasource import (
+    ColfReader,
+    bloom_columns,
+    live_files,
+    load_blooms,
+    register,
+)
+from columnar_format_spark.colf.maintenance import (
+    compact,
+    delete_where,
+    merge_into,
+    vacuum,
+)
+
+from tests.conftest import SF_SMALL
+
+
+# ---------- pure-layer properties ----------
+
+
+@given(st.lists(st.integers(-(2**31), 2**31 - 1), min_size=1, max_size=300),
+       st.integers(0, 2**31 - 1))
+@settings(max_examples=50, deadline=None)
+def test_no_false_negatives_int(values, probe):
+    bl = B.build((B.encode_int32(v) for v in values), n_hint=len(values))
+    for v in values:
+        assert B.might_contain(bl, B.encode_int32(v))
+
+
+@given(st.lists(st.text(min_size=0, max_size=20), min_size=1, max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_no_false_negatives_utf8(values):
+    bl = B.build((B.encode_utf8(v) for v in values), n_hint=len(values))
+    for v in values:
+        assert B.might_contain(bl, B.encode_utf8(v))
+
+
+def test_fpp_close_to_target():
+    rng = random.Random(7)
+    members = {rng.randrange(10**9) for _ in range(5000)}
+    bl = B.build((B.encode_int32(v) for v in members), n_hint=len(members),
+                 fpp=0.01)
+    probes = [v for v in (rng.randrange(10**9, 2 * 10**9) for _ in range(20000))]
+    fp = sum(B.might_contain(bl, B.encode_int32(v)) for v in probes)
+    assert fp / len(probes) < 0.03  # target 1%, generous noise margin
+
+
+def test_merge_is_union():
+    a = B.build((B.encode_utf8(w) for w in ["a", "b"]), n_hint=100)
+    b = B.build((B.encode_utf8(w) for w in ["c"]), n_hint=100)
+    m = B.merge(a, b)
+    for w in ["a", "b", "c"]:
+        assert B.might_contain(m, B.encode_utf8(w))
+    with pytest.raises(ValueError):
+        B.merge(a, B.build([], n_hint=10**6))
+
+
+def test_determinism():
+    vals = [B.encode_utf8("".join(random.Random(i).choices(string.ascii_letters, k=8)))
+            for i in range(100)]
+    assert B.build(vals, 100) == B.build(vals, 100)
+
+
+# ---------- datasource integration ----------
+
+
+@pytest.fixture(scope="module")
+def bloom_dataset(spark, tmp_path_factory):
+    """orders hash-scattered into 8 files (every file's o_orderkey
+    zone map spans ~the full key range — the layout where zone maps
+    prune nothing and blooms are the only point-lookup signal)."""
+    register(spark)
+    d = str(tmp_path_factory.mktemp("colf_bloom"))
+    (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            F.col("o_orderpriority").alias("o_orderpriority"),
+            F.col("o_totalprice").alias("o_totalprice"),
+        )
+        .repartition(8)
+        .write.format("colf").option("bloomColumns", "o_orderkey")
+        .mode("overwrite").save(d)
+    )
+    return d
+
+
+def _n_files(reader) -> int:
+    return len({p.file for p in reader.partitions() if p.file is not None})
+
+
+def _reader(d, pushed, schema):
+    r = ColfReader({"path": d}, schema)
+    r.pushFilters(pushed)
+    return r
+
+
+def test_sidecar_written(bloom_dataset):
+    blooms = load_blooms(bloom_dataset)
+    files = [f for f in os.listdir(bloom_dataset) if f.endswith(".colf")]
+    assert set(blooms) == set(files) and len(files) == 8
+    for per_file in blooms.values():
+        assert set(per_file) == {"o_orderkey"}
+        assert per_file["o_orderkey"]["n"] > 0
+    assert bloom_columns(bloom_dataset) == ["o_orderkey"]
+
+
+def test_point_lookup_prunes_most_files(spark, bloom_dataset):
+    schema = spark.read.format("colf").load(bloom_dataset).schema
+    man_keys = [r["o_orderkey"] for r in
+                spark.read.format("colf").load(bloom_dataset)
+                .select("o_orderkey").limit(5).collect()]
+    probe = man_keys[0]
+    opened = _n_files(_reader(bloom_dataset, [EqualTo(("o_orderkey",), probe)],
+                              schema))
+    # the true file + ~1% fp of the other 7: anything < 8 proves blooms
+    # fire where zone maps can't; usually exactly 1
+    assert 1 <= opened <= 2
+    # zone maps alone (hash layout) keep everything: pruning=off baseline
+    r = ColfReader({"path": bloom_dataset, "pruning": "off"}, schema)
+    r.pushFilters([EqualTo(("o_orderkey",), probe)])
+    assert _n_files(r) == 8
+
+
+def test_absent_key_prunes_everything(spark, tmp_path):
+    """An in-range but nonexistent key is invisible to zone maps (every
+    file's [min, max] covers it) — only the blooms can prove absence."""
+    register(spark)
+    d = str(tmp_path / "sparse")
+    (spark.range(0, 4000, 2)  # even keys only
+     .select(F.col("id").cast("int").alias("k"))
+     .repartition(4)
+     .write.format("colf").option("bloomColumns", "k")
+     .mode("overwrite").save(d))
+    schema = spark.read.format("colf").load(d).schema
+    opened = _n_files(_reader(d, [EqualTo(("k",), 1001)], schema))  # odd: absent
+    # 1% fp per file: overwhelmingly 0 of 4 opened; allow 1 fp
+    assert opened <= 1
+    # a present key still reads correctly through the pruned plan
+    got = (spark.read.format("colf").load(d)
+           .filter(F.col("k") == 1000).collect())
+    assert [r["k"] for r in got] == [1000]
+
+
+def test_results_identical_with_and_without_pruning(spark, bloom_dataset):
+    probe = spark.read.format("colf").load(bloom_dataset).select(
+        "o_orderkey").limit(1).collect()[0][0]
+    on = (spark.read.format("colf").load(bloom_dataset)
+          .filter(F.col("o_orderkey") == probe).collect())
+    off = (spark.read.format("colf").option("pruning", "off")
+           .load(bloom_dataset)
+           .filter(F.col("o_orderkey") == probe).collect())
+    assert sorted(map(tuple, on)) == sorted(map(tuple, off)) and len(on) >= 1
+
+
+def test_in_list_pruning(spark, bloom_dataset):
+    schema = spark.read.format("colf").load(bloom_dataset).schema
+    keys = [r["o_orderkey"] for r in
+            spark.read.format("colf").load(bloom_dataset)
+            .select("o_orderkey").limit(3).collect()]
+    opened = _n_files(_reader(bloom_dataset, [In(("o_orderkey",), tuple(keys))],
+                              schema))
+    assert opened <= 4  # ≤ one file per probed key (+fp margin)
+    # non-equality filters never consult blooms
+    assert _n_files(_reader(bloom_dataset, [IsNotNull(("o_orderkey",))],
+                            schema)) == 8
+
+
+def test_float_bloom_rejected(spark, bloom_dataset, tmp_path):
+    df = spark.read.format("colf").load(bloom_dataset)
+    with pytest.raises(Exception) as e:
+        (df.write.format("colf").option("bloomColumns", "o_totalprice")
+         .mode("overwrite").save(str(tmp_path / "bad")))
+    assert "float64" in str(e.value)
+
+
+def test_unknown_bloom_column_rejected(spark, bloom_dataset, tmp_path):
+    df = spark.read.format("colf").load(bloom_dataset)
+    with pytest.raises(Exception) as e:
+        (df.write.format("colf").option("bloomColumns", "nope")
+         .mode("overwrite").save(str(tmp_path / "bad2")))
+    assert "unknown column" in str(e.value)
+
+
+# ---------- maintenance preservation ----------
+
+
+def test_cow_and_compaction_preserve_blooms(spark, tmp_path):
+    register(spark)
+    d = str(tmp_path / "ds")
+    (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .select(F.col("o_orderkey").cast("int").alias("o_orderkey"),
+                F.col("o_orderpriority").alias("o_orderpriority"))
+        .repartition(4)
+        .write.format("colf").option("bloomColumns", "o_orderkey")
+        .mode("overwrite").save(d)
+    )
+    probe = spark.read.format("colf").load(d).select(
+        "o_orderkey").limit(1).collect()[0][0]
+
+    # CoW delete rewrite keeps bloom coverage on every live file
+    delete_where(spark, d, f"o_orderkey = {int(probe)}")
+    live = {os.path.basename(f) for f in live_files(d)}
+    blooms = load_blooms(d)
+    assert live <= set(blooms), "delete rewrite dropped bloom entries"
+
+    # merge: upsert one row, blooms still cover every live file
+    src = spark.createDataFrame(
+        [(int(probe), "0-RESTORED")], "o_orderkey int, o_orderpriority string")
+    merge_into(spark, d, src, ["o_orderkey"])
+    live = {os.path.basename(f) for f in live_files(d)}
+    assert live <= set(load_blooms(d))
+
+    # retained compaction: compacted files get fresh blooms; vacuum
+    # prunes the superseded files' entries
+    compact(spark, d, 2, retain=True)
+    live = {os.path.basename(f) for f in live_files(d)}
+    assert live <= set(load_blooms(d))
+    vacuum(d, keep_last=1)
+    assert set(load_blooms(d)) == live
+
+    # the data survived all of it
+    got = spark.read.format("colf").load(d).filter(
+        F.col("o_orderkey") == int(probe)).collect()
+    assert [r["o_orderpriority"] for r in got] == ["0-RESTORED"]

@@ -164,3 +164,57 @@ def test_compaction_preserves_data_and_manifest(spark, ranged_dataset, tmp_path)
     assert len(m) == 2  # zone maps rebuilt for the compacted files
     files = {f for f in os.listdir(d) if f.endswith(".colf")}
     assert set(m) == files
+
+
+def test_prefix_pushdown_on_sorted_strings(spark, tmp_path):
+    """StringStartsWith prunes via zone maps on a string-sorted layout:
+    dates stored as 'yyyy-MM-dd' utf8, files range-partitioned by the
+    string — a 'startswith(year-month)' probe opens boundary files only."""
+    from pyspark.sql.datasource import StringStartsWith
+
+    register(spark)
+    d = str(tmp_path / "sorted_str")
+    (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .select(F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+                F.col("o_orderkey").cast("int").alias("o_orderkey"))
+        .repartitionByRange(8, "od")
+        .write.format("colf").mode("overwrite").save(d)
+    )
+    schema = spark.read.format("colf").load(d).schema
+    r = ColfReader({"path": d}, schema)
+    r.pushFilters([StringStartsWith(("od",), "1995-06")])
+    opened = len([p for p in r.partitions() if p.file is not None])
+    assert 1 <= opened <= 2, f"prefix probe opened {opened}/8 sorted files"
+    got = (spark.read.format("colf").load(d)
+           .filter(F.col("od").startswith("1995-06"))
+           .agg(F.count(F.lit(1)), F.sum(F.col("o_orderkey").cast("bigint")))
+           .first())
+    want = (spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+            .filter(F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .startswith("1995-06"))
+            .agg(F.count(F.lit(1)), F.sum(F.col("o_orderkey").cast("bigint")))
+            .first())
+    assert tuple(got) == tuple(want) and got[0] > 0
+
+
+def test_prefix_zone_check_edges():
+    """_file_may_match(StringStartsWith): keep iff some string with the
+    prefix can lie in [min, max]."""
+    from pyspark.sql.datasource import StringStartsWith
+
+    from columnar_format_spark.colf.datasource import _file_may_match
+
+    def stats(mn, mx):
+        return {"num_rows": 5,
+                "columns": {"s": {"min": mn, "max": mx, "null_count": 0}}}
+
+    probe = StringStartsWith(("s",), "1995-06")
+    assert _file_may_match(stats("1995-05-30", "1995-06-02"), probe)
+    assert _file_may_match(stats("1995-06-10", "1995-07-01"), probe)
+    assert not _file_may_match(stats("1995-07-01", "1995-08-01"), probe)  # all after
+    assert not _file_may_match(stats("1995-01-01", "1995-05-30"), probe)  # all before
+    # prefix shorter than bounds, file straddles the whole month
+    assert _file_may_match(stats("1995-01-01", "1995-12-31"), probe)
+    # exact-equal boundary: min IS a prefix match
+    assert _file_may_match(stats("1995-06", "1995-06"), probe)
