@@ -87,6 +87,7 @@ HEADLINE = [
     "q158_heavy_hitters",
     "q159_stream_outer_join",
     "q160_schema_evolution",
+    "q164_colf_bloom_lookup",
 ]
 
 
@@ -140,6 +141,7 @@ def main() -> None:
         "colf_pruning": bench_colf_pruning(spark, sf_dir),
         "colf_stripe_pruning": bench_colf_stripe_pruning(spark, sf_dir),
         "colf_compact_stripes": bench_colf_compact_stripes(spark, sf_dir),
+        "colf_bloom": bench_colf_bloom(spark, sf_dir),
     }))
     spark.stop()
 
@@ -294,3 +296,59 @@ def bench_colf_compact_stripes(spark, sf_dir: str) -> dict:
 
 if __name__ == "__main__":
     main()
+
+
+def bench_colf_bloom(spark, sf_dir: str) -> dict:
+    """What the Bloom sidecar saves on the access pattern zone maps
+    cannot serve: a point lookup on a hash-scattered (unclustered) key.
+    Every file's min/max covers the probe, so zone-map pruning opens
+    all files; the per-file blooms open ~1. Reported straight from the
+    reader's partition planning plus a timed pruned-vs-unpruned
+    lookup."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo
+
+    from columnar_format_spark.colf.datasource import ColfReader
+    from columnar_format_spark.registry import QUERIES
+
+    # q164's staging (stage_once-keyed, shared with the query run)
+    from columnar_format_spark.staging import stage_once
+    from columnar_format_spark.registry import table as _table
+
+    def write(d: str) -> None:
+        (_table(spark, sf_dir, "orders")
+         .select(F.col("o_orderkey").cast("int").alias("o_orderkey"),
+                 "o_orderpriority", "o_totalprice")
+         .repartition(8)
+         .write.format("colf").option("bloomColumns", "o_orderkey")
+         .mode("overwrite").save(d + "/ds"))
+
+    d = stage_once(("colf-bloom", sf_dir), "colf_bloom_", write) + "/ds"
+    df = spark.read.format("colf").load(d)
+    probe = int(df.agg(F.min("o_orderkey")).collect()[0][0])
+
+    def planned(pruning: str) -> int:
+        r = ColfReader({"path": d, "pruning": pruning}, df.schema)
+        r.pushFilters([EqualTo(("o_orderkey",), probe)])
+        return len({p.file for p in r.partitions() if p.file is not None})
+
+    def lookup_time(pruning: str) -> float:
+        def one() -> float:
+            q = (spark.read.format("colf").option("pruning", pruning)
+                 .load(d).filter(F.col("o_orderkey") == probe))
+            t0 = _t.perf_counter()
+            q.collect()
+            return _t.perf_counter() - t0
+        one()
+        return round(min(one(), one()), 4)
+
+    total, opened = planned("off"), planned("on")
+    return {
+        "files_total": total,
+        "files_opened": opened,
+        "skip_ratio": round(1 - opened / total, 4) if total else 0.0,
+        "pruned_sec": lookup_time("on"),
+        "unpruned_sec": lookup_time("off"),
+    }

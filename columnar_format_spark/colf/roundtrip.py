@@ -970,3 +970,71 @@ def q153_colf_v3_striped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("l_orderkey").cast("bigint")).alias("min_key"),
         F.max(F.col("l_orderkey").cast("bigint")).alias("max_key"),
     )
+
+
+@register(
+    "q164_colf_bloom_lookup",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           o_orderpriority,
+           (CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            / 100.0) AS price
+    FROM orders
+    WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+    """,
+)
+def q164_colf_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter point lookup under the correctness gate: orders is
+    staged HASH-scattered (repartition, not range) into a COLF dataset
+    with ``option("bloomColumns", "o_orderkey")`` — the layout where
+    every file's zone map spans ~the whole key range, so min/max
+    pruning opens all files and the per-file Bloom sidecar
+    (_blooms.json, bloom.py) is the only signal that can skip I/O. The
+    query probes one known key and ASSERTS, from the reader's own
+    partition planning, that (a) the bloom pass opened at most half
+    the files (expected: 1 true + ~1% fp of the rest) and (b) zone
+    maps alone would have opened everything — then returns the looked-
+    up row, which the oracle checks value-exactly (pruning must never
+    change an answer; a bloom false NEGATIVE would).
+
+    Scale: this is the Parquet column-bloom / Iceberg puffin design on
+    the sidecar convention — ~10 bits/row buys ~99% file skipping for
+    id-equality probes on unclustered keys, the access pattern zone
+    maps fundamentally cannot serve. The pruning decision reads only
+    the metadata sidecars; no data file is opened to decide.
+    """
+    from pyspark.sql.datasource import EqualTo
+
+    from .datasource import ColfReader
+    from .datasource import register as register_ds
+
+    register_ds(spark)
+
+    def write(d: str) -> None:
+        (table(spark, sf_dir, "orders")
+         .select(F.col("o_orderkey").cast("int").alias("o_orderkey"),
+                 "o_orderpriority", "o_totalprice")
+         .repartition(8)
+         .write.format("colf").option("bloomColumns", "o_orderkey")
+         .mode("overwrite").save(d + "/ds"))
+
+    base = stage_once(("colf-bloom", sf_dir), "colf_bloom_", write)
+    d = base + "/ds"
+    df = spark.read.format("colf").load(d)
+    probe = int(df.agg(F.min("o_orderkey")).collect()[0][0])  # 1 scalar
+
+    def opened(pruning: str) -> int:
+        r = ColfReader({"path": d, "pruning": pruning}, df.schema)
+        r.pushFilters([EqualTo(("o_orderkey",), probe)])
+        return len({p.file for p in r.partitions() if p.file is not None})
+
+    n_files, with_bloom = opened("off"), opened("on")
+    if not with_bloom * 2 <= n_files:
+        raise AssertionError(
+            f"bloom point lookup opened {with_bloom}/{n_files} files — "
+            f"the _blooms.json sidecar is not pruning a hash layout")
+    return (df.filter(F.col("o_orderkey") == probe)
+            .select(F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+                    "o_orderpriority",
+                    ((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                     .cast("bigint") / 100.0).alias("price")))
