@@ -315,6 +315,69 @@ def _bloom_may_match(per_file: dict, flt: Filter, schema: StructType) -> bool:
     return True
 
 
+def _residual_mask(data: dict, filters: list):
+    """Executor-side residual filter evaluation: AND-combine the pushed
+    conjuncts that can be evaluated on the decoded Arrow arrays with
+    semantics IDENTICAL to Spark's (null comparison → false; binary
+    collation for strings — Spark's UTF8_BINARY default; int/utf8 only,
+    floats skipped). Returns a boolean mask, or None when nothing is
+    evaluable. Spark re-applies every filter row-level regardless
+    (pushFilters returns all of them), so a skipped conjunct costs
+    transfer, never correctness — but a row this mask drops MUST be one
+    Spark would drop, hence the conservative type/exception guards.
+
+    Why: the Python DataSource ships whole decoded batches over Arrow
+    to the JVM; for a selective predicate that is almost entirely
+    wasted transfer (a point lookup moves 1 row's worth instead of the
+    file's). This is the row-group-less format's version of Parquet's
+    record-level filtering, applied at the decode boundary."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mask = None
+    for flt in filters:
+        attr = getattr(flt, "attribute", None)
+        if not attr or len(attr) != 1:
+            continue
+        arr = data.get(attr[0])
+        if arr is None:
+            continue
+        t = arr.type
+        if not (pa.types.is_int32(t) or pa.types.is_string(t)):
+            continue
+        v = getattr(flt, "value", None)
+        try:
+            if isinstance(flt, IsNull):
+                m = pc.is_null(arr)
+            elif isinstance(flt, IsNotNull):
+                m = pc.is_valid(arr)
+            elif isinstance(flt, EqualNullSafe) and v is None:
+                m = pc.is_null(arr)
+            elif isinstance(flt, (EqualTo, EqualNullSafe)):
+                m = pc.equal(arr, v)
+            elif isinstance(flt, In):
+                vals = [x for x in flt.value if x is not None]
+                m = pc.is_in(arr, value_set=pa.array(vals, type=t))
+            elif isinstance(flt, GreaterThan):
+                m = pc.greater(arr, v)
+            elif isinstance(flt, GreaterThanOrEqual):
+                m = pc.greater_equal(arr, v)
+            elif isinstance(flt, LessThan):
+                m = pc.less(arr, v)
+            elif isinstance(flt, LessThanOrEqual):
+                m = pc.less_equal(arr, v)
+            elif isinstance(flt, StringStartsWith) and pa.types.is_string(t):
+                m = pc.starts_with(arr, pattern=v)
+            else:
+                continue
+        except (pa.ArrowInvalid, pa.ArrowTypeError,
+                pa.ArrowNotImplementedError, TypeError, ValueError):
+            continue  # not evaluable bit-identically → leave to Spark
+        m = pc.fill_null(m, False)  # NULL comparison is FALSE in a filter
+        mask = m if mask is None else pc.and_(mask, m)
+    return mask
+
+
 def _file_may_match(stats: dict, flt: Filter) -> bool:
     """Conservative zone-map check: False only when NO row in the file
     can satisfy `flt`. Row-level filtering stays with Spark (pushFilters
@@ -382,6 +445,11 @@ class ColfReader(DataSourceReader):
         # / benchmarking the skip ratio); correctness is unaffected —
         # Spark re-applies every filter row-level either way
         self.pruning = options.get("pruning", "on").lower() != "off"
+        # option rowFilter=off disables executor-side residual filter
+        # evaluation on decoded batches (_residual_mask) — correctness
+        # is unaffected either way (Spark re-applies all filters);
+        # independent of `pruning`, which governs file/stripe skipping
+        self.row_filter = options.get("rowFilter", "on").lower() != "off"
         # option snapshot=N time-travels to that committed version of
         # the metadata log (None = latest snapshot, or the directory
         # listing for datasets without one)
@@ -525,6 +593,13 @@ class ColfReader(DataSourceReader):
         # as typed nulls
         data, n = _read_file_columns(partition.file, file_cols,
                                      partition.stripe, self.schema)
+        if self.row_filter and self.pushed and file_cols:
+            mask = _residual_mask(data, self.pushed)
+            # all-true mask: skip the survivor copy — a non-selective
+            # conjunct must not tax the scan it can't help
+            if mask is not None and mask.false_count > 0:
+                data = {c: arr.filter(mask) for c, arr in data.items()}
+                n = len(data[file_cols[0]])
         if FILE_COLUMN in wanted:
             base = os.path.basename(partition.file)
             data[FILE_COLUMN] = pa.array([base] * n, type=pa.string())

@@ -1,0 +1,167 @@
+"""Executor-side residual filter evaluation (_residual_mask): pushed
+conjuncts are applied to the decoded Arrow arrays BEFORE the batch
+crosses into the JVM, so selective scans transfer matching rows
+instead of whole files. Correctness contract: a row the mask drops
+must be one Spark's own row-level filter would drop (Spark re-applies
+everything), pinned here by on/off equivalence over predicate shapes
+including nulls, plus direct mask-semantics units."""
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    In,
+    IsNotNull,
+    IsNull,
+    LessThanOrEqual,
+    StringStartsWith,
+)
+
+from columnar_format_spark.colf.datasource import (
+    ColfReader,
+    _residual_mask,
+    register,
+)
+
+from tests.conftest import SF_SMALL
+
+
+# ---------- mask semantics (pure units) ----------
+
+
+def _data():
+    return {
+        "k": pa.array([1, 2, None, 4, 5], type=pa.int32()),
+        "s": pa.array(["aa", "ab", None, "ba", "bb"], type=pa.string()),
+        "f": pa.array([1.0, 2.0, 3.0, 4.0, 5.0], type=pa.float64()),
+    }
+
+
+def _kept(mask):
+    return [i for i, v in enumerate(mask.to_pylist()) if v]
+
+
+def test_mask_null_comparison_is_false():
+    # EqualTo/range against a NULL row → row dropped (Spark's 3VL
+    # filter semantics), never kept and never an error
+    m = _residual_mask(_data(), [EqualTo(("k",), 4)])
+    assert _kept(m) == [3]
+    m = _residual_mask(_data(), [GreaterThan(("k",), 1)])
+    assert _kept(m) == [1, 3, 4]
+    m = _residual_mask(_data(), [IsNull(("k",))])
+    assert _kept(m) == [2]
+    m = _residual_mask(_data(), [IsNotNull(("k",))])
+    assert _kept(m) == [0, 1, 3, 4]
+
+
+def test_mask_conjunction_and_strings():
+    m = _residual_mask(_data(), [GreaterThan(("k",), 1),
+                                 LessThanOrEqual(("k",), 4)])
+    assert _kept(m) == [1, 3]
+    m = _residual_mask(_data(), [StringStartsWith(("s",), "a")])
+    assert _kept(m) == [0, 1]
+    m = _residual_mask(_data(), [In(("s",), ("aa", "bb", None))])
+    assert _kept(m) == [0, 4]
+
+
+def test_mask_skips_what_it_cannot_evaluate():
+    # float column → unsupported type, left to Spark
+    assert _residual_mask(_data(), [EqualTo(("f",), 2.0)]) is None
+    # unknown column (not in the projection) → skipped
+    assert _residual_mask(_data(), [EqualTo(("z",), 1)]) is None
+    # type-mismatched probe → exception path, skipped
+    assert _residual_mask(_data(), [EqualTo(("s",), 7)]) is None
+    # int32-overflowing IN probe → skipped, not a crash
+    assert _residual_mask(_data(), [In(("k",), (2**40,))]) is None
+
+
+# ---------- end-to-end equivalence ----------
+
+
+@pytest.fixture(scope="module")
+def ds(spark, tmp_path_factory):
+    register(spark)
+    d = str(tmp_path_factory.mktemp("colf_rowfilter"))
+    (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            F.when(F.col("o_orderkey") % 7 == 0, None)
+            .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
+            F.col("o_totalprice"),
+        )
+        .repartition(4)
+        .write.format("colf").mode("overwrite").save(d)
+    )
+    return d
+
+
+PREDICATES = [
+    lambda c: c("o_orderkey") == 42,
+    lambda c: (c("o_orderkey") > 100) & (c("o_orderkey") <= 500),
+    lambda c: c("o_orderpriority").isNull(),
+    lambda c: c("o_orderpriority").isNotNull() & (c("o_orderkey") < 50),
+    lambda c: c("o_orderpriority").startswith("1-"),
+    lambda c: c("o_orderpriority").isin("1-URGENT", "5-LOW"),
+    lambda c: c("o_totalprice") > 100000.0,  # float: mask skips, Spark filters
+]
+
+
+@pytest.mark.parametrize("i", range(len(PREDICATES)))
+def test_rowfilter_on_off_identical(spark, ds, i):
+    pred = PREDICATES[i]
+    on = (spark.read.format("colf").load(ds)
+          .filter(pred(F.col)).collect())
+    off = (spark.read.format("colf").option("rowFilter", "off").load(ds)
+           .filter(pred(F.col)).collect())
+    assert sorted(map(tuple, on)) == sorted(map(tuple, off))
+
+
+def test_reader_yields_only_matching_rows(spark, ds):
+    """The transfer saving itself: with the filter pushed, the batches
+    the reader emits contain exactly the matching rows, not the file."""
+    schema = spark.read.format("colf").load(ds).schema
+    r = ColfReader({"path": ds}, schema)
+    r.pushFilters([EqualTo(("o_orderkey",), 42)])
+    n = sum(b.num_rows for p in r.partitions() if p.file is not None
+            for b in r.read(p))
+    want = (spark.read.format("colf").option("rowFilter", "off").load(ds)
+            .filter(F.col("o_orderkey") == 42).count())
+    assert n == want >= 1
+
+
+def test_reader_respects_off_option(spark, ds):
+    schema = spark.read.format("colf").load(ds).schema
+    total = (spark.read.format("colf").load(ds)).count()
+    r = ColfReader({"path": ds, "rowFilter": "off", "pruning": "off"}, schema)
+    r.pushFilters([EqualTo(("o_orderkey",), 42)])
+    n = sum(b.num_rows for p in r.partitions() if p.file is not None
+            for b in r.read(p))
+    assert n == total  # whole files cross the boundary when disabled
+
+
+def test_filter_on_unprojected_column_stays_correct(spark, ds):
+    """columns-option projection that EXCLUDES the filter column: the
+    mask cannot evaluate (column absent from the batch) and must leave
+    filtering to Spark... which also can't see it — so the reader just
+    yields the projection; the helper's contract is column subsetting,
+    not predicate application. Assert no crash and full row count."""
+    from columnar_format_spark.colf.datasource import read_colf
+
+    got = read_colf(spark, ds, ["o_orderpriority"]).count()
+    want = spark.read.format("colf").load(ds).count()
+    assert got == want
+
+
+def test_file_column_rows_match_after_residual_filter(spark, ds):
+    """withFileColumn + pushed filter: the virtual column is attached
+    AFTER masking, so its length matches the surviving rows (the
+    maintenance discovery pass depends on this)."""
+    tagged = (spark.read.format("colf").option("withFileColumn", "true")
+              .load(ds).filter(F.col("o_orderkey") <= 100))
+    want = (spark.read.format("colf").option("rowFilter", "off").load(ds)
+            .filter(F.col("o_orderkey") <= 100).count())
+    assert tagged.count() == want
+    assert tagged.select("_colf_file").distinct().count() >= 1
