@@ -88,6 +88,7 @@ HEADLINE = [
     "q159_stream_outer_join",
     "q160_schema_evolution",
     "q164_colf_bloom_lookup",
+    "q165_ann_pq",
 ]
 
 

@@ -64,3 +64,31 @@ def test_ann_recall_audit_counts(spark):
                for r in rows)
     assert sum(r["hits"] for r in rows) > 0, "integer LSH found nothing"
     assert all(r["n_candidates"] < n_vecs - 1 for r in rows), "no pruning"
+
+
+def test_pq_fit_is_deterministic_and_shaped():
+    import numpy as np
+
+    from columnar_format_spark.functions.similarity import (
+        PQ_K, PQ_M, _pq_fit)
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(300, 64))
+    a, b = _pq_fit(X.copy()), _pq_fit(X.copy())
+    assert len(a) == PQ_M
+    for Ca, Cb in zip(a, b):
+        assert Ca.shape == (PQ_K, 64 // PQ_M)
+        assert np.array_equal(Ca, Cb), "codebook fit is not deterministic"
+    # no empty-cluster NaNs even on degenerate (constant) input
+    for C in _pq_fit(np.zeros((50, 64))):
+        assert np.isfinite(C).all()
+
+
+def test_pq_query_meets_bounds(spark):
+    from columnar_format_spark.registry import QUERIES
+
+    r = QUERIES["q165_ann_pq"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n_queries"] == 10 and r["exact_pairs"] == 50
+    assert r["compression_ratio"] == 16.0
+    assert r["recall_met"], "PQ->ADC->rerank recall fell below the floor"
+    assert r["shortlist_cost_met"]
