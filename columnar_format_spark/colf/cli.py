@@ -127,10 +127,12 @@ def cli_stats(argv: list[str]) -> int:
         return 2
     import os
 
-    from .datasource import dataset_union_columns, live_files, load_manifest
+    from .datasource import (
+        dataset_union_columns, live_files, load_blooms, load_manifest)
 
     files = live_files(argv[0])
     manifest = load_manifest(argv[0])
+    blooms = load_blooms(argv[0])
     doc = {
         "n_live_files": len(files),
         "dataset_schema": [c.to_json()
@@ -139,6 +141,15 @@ def cli_stats(argv: list[str]) -> int:
         "files": {os.path.basename(f): manifest.get(os.path.basename(f))
                   for f in files},
     }
+    if blooms:
+        # Bloom sidecar summary (bit payloads elided — sizes and the
+        # realized fpp are the operational signal)
+        doc["blooms"] = {
+            base: {col: {k: v for k, v in bl.items() if k != "b64"}
+                   for col, bl in per_file.items()}
+            for base, per_file in blooms.items()
+            if base in {os.path.basename(f) for f in files}
+        }
     print(json.dumps(doc, indent=2))
     return 0
 

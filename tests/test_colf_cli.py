@@ -148,3 +148,24 @@ def test_cli_stats_dumps_zone_maps(spark, tmp_path, capsys):
     assert sum(s["num_rows"] for s in stats) == 200
     ids = [s["columns"]["id"] for s in stats]
     assert all(c["min"] == 0 and c["max"] == 99 for c in ids)
+
+
+def test_cli_stats_includes_bloom_summary(spark, tmp_path, capsys):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from columnar_format_spark.colf import cli
+    from columnar_format_spark.colf.datasource import register
+
+    register(spark)
+    path = str(tmp_path / "ds")
+    (spark.range(0, 100).select(F.col("id").cast("int").alias("k"))
+     .repartition(2).write.format("colf")
+     .option("bloomColumns", "k").mode("overwrite").save(path))
+    assert cli.main(["stats", path]) == 0
+    doc = _json.loads(capsys.readouterr().out)
+    assert len(doc["blooms"]) == 2
+    for per_file in doc["blooms"].values():
+        bl = per_file["k"]
+        assert bl["n"] > 0 and bl["m"] >= 64 and "b64" not in bl
