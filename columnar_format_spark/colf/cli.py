@@ -144,11 +144,15 @@ def cli_stats(argv: list[str]) -> int:
     if blooms:
         # Bloom sidecar summary (bit payloads elided — sizes and the
         # realized fpp are the operational signal)
+        live_base = {os.path.basename(f) for f in files}
         doc["blooms"] = {
-            base: {col: {k: v for k, v in bl.items() if k != "b64"}
-                   for col, bl in per_file.items()}
-            for base, per_file in blooms.items()
-            if base in {os.path.basename(f) for f in files}
+            base: {
+                "columns": {col: {k: v for k, v in bl.items() if k != "b64"}
+                            for col, bl in per_file.get("columns", {}).items()},
+                **({"n_stripe_blooms": len(per_file["stripes"])}
+                   if per_file.get("stripes") else {}),
+            }
+            for base, per_file in blooms.items() if base in live_base
         }
     print(json.dumps(doc, indent=2))
     return 0

@@ -238,10 +238,12 @@ def blooms_path(dataset_dir: str) -> str:
 
 
 def load_blooms(path: str) -> dict:
-    """{file basename: {column: bloom dict}} per-file Bloom filters
-    (bloom.py) — the point-lookup complement to the zone-map manifest.
-    Empty when absent/corrupt: like zone maps, blooms can only SKIP
-    I/O, never change results, so degradation is silent-correct."""
+    """{file basename: {"columns": {col: bloom}, "stripes":
+    [{col: bloom}, ...]}} per-file (and, for v3 striped files,
+    per-stripe) Bloom filters (bloom.py) — the point-lookup complement
+    to the zone-map manifest. Empty when absent/corrupt: like zone
+    maps, blooms can only SKIP I/O, never change results, so
+    degradation is silent-correct."""
     import json
 
     if not os.path.isdir(path):
@@ -261,7 +263,7 @@ def bloom_columns(path: str) -> list[str]:
     maintenance rewrite must pass through as bloomColumns so CoW and
     compaction preserve the dataset's point-lookup pruning."""
     return sorted({c for per_file in load_blooms(path).values()
-                   for c in per_file})
+                   for c in per_file.get("columns", {})})
 
 
 def _bloom_encode(dtype, v):
@@ -281,16 +283,16 @@ def _bloom_encode(dtype, v):
     return None
 
 
-def _bloom_may_match(per_file: dict, flt: Filter, schema: StructType) -> bool:
-    """False only when the file's Bloom filter PROVES no row matches
+def _bloom_may_match(col_blooms: dict, flt: Filter, schema: StructType) -> bool:
+    """False only when the {column: bloom} map PROVES no row matches
     the equality filter — same conservative contract as the zone maps
-    (_file_may_match): every unknown case keeps the file."""
+    (_file_may_match): every unknown case keeps the file/stripe."""
     from . import bloom as B
 
     attr = getattr(flt, "attribute", None)
     if not attr or len(attr) != 1:
         return True
-    bl = per_file.get(attr[0])
+    bl = col_blooms.get(attr[0])
     if bl is None or schema is None:
         return True
     try:
@@ -548,7 +550,8 @@ class ColfReader(DataSourceReader):
                     files = [
                         f for f in files
                         if (per := blooms.get(os.path.basename(f))) is None
-                        or all(_bloom_may_match(per, flt, self.schema)
+                        or all(_bloom_may_match(per.get("columns", {}),
+                                                flt, self.schema)
                                for flt in eq)
                     ]
         if not files:
@@ -560,6 +563,13 @@ class ColfReader(DataSourceReader):
         # from metadata; a file header is opened on the driver only
         # for v3 files missing a manifest entry entirely
         manifest = load_manifest(self.path)
+        # per-stripe blooms (v3 + bloomColumns): loaded once, consulted
+        # beside the stripe zone maps so equality probes prune at the
+        # TASK granule, not just the file
+        eq_filters = [f for f in self.pushed
+                      if isinstance(f, (EqualTo, EqualNullSafe, In))] \
+            if (self.pushed and self.pruning) else []
+        stripe_blooms_all = load_blooms(self.path) if eq_filters else {}
         parts: list[ColfInputPartition] = []
         for f in files:
             entry = manifest.get(os.path.basename(f))
@@ -569,15 +579,23 @@ class ColfReader(DataSourceReader):
             if stripes is None:
                 parts.append(ColfInputPartition(f))
                 continue
+            sblooms = (stripe_blooms_all.get(os.path.basename(f), {})
+                       .get("stripes") or [])
 
-            def _stripe_may_match(st: dict) -> bool:
-                if not (self.pushed and self.pruning and st.get("columns")):
+            def _stripe_may_match(si: int, st: dict) -> bool:
+                if not (self.pushed and self.pruning):
                     return True
-                return all(_file_may_match(st, flt) for flt in self.pushed)
+                if st.get("columns") and not all(
+                        _file_may_match(st, flt) for flt in self.pushed):
+                    return False
+                if si < len(sblooms):
+                    return all(_bloom_may_match(sblooms[si], flt, self.schema)
+                               for flt in eq_filters)
+                return True
 
             parts.extend(ColfInputPartition(f, si)
                          for si, st in enumerate(stripes)
-                         if _stripe_may_match(st))
+                         if _stripe_may_match(si, st))
         return parts or [ColfInputPartition(None)]
 
     def read(self, partition: ColfInputPartition):
@@ -659,6 +677,35 @@ def _build_blooms(chunks: dict, colf_columns: list[ColfColumn],
             (enc(v) for v in arr.to_pylist() if v is not None),
             n_hint=num_rows, fpp=fpp)
     return out
+
+
+def _build_bloom_entry(chunks: dict, colf_columns: list[ColfColumn],
+                       bloom_cols: list[str], fpp: float, num_rows: int,
+                       version: int, stripe_rows: int):
+    """The ``_blooms.json`` entry for one part file: file-level blooms
+    always; per-STRIPE blooms too for v3 files (stripes are the task
+    granule, so an equality probe should prune tasks, not just files —
+    the bloom twin of the manifest's per-stripe zone maps)."""
+    import pyarrow as pa
+
+    if not bloom_cols:
+        return None
+    entry = {"columns": _build_blooms(chunks, colf_columns, bloom_cols,
+                                      fpp, num_rows)}
+    if version == VERSION_V3 and num_rows > stripe_rows:
+        combined = {name: pa.chunked_array(chunks[name]).combine_chunks()
+                    for name in bloom_cols}
+        stripes = []
+        lo = 0
+        while lo < num_rows:
+            hi = min(num_rows, lo + stripe_rows)
+            sl = {name: [arr.slice(lo, hi - lo)]
+                  for name, arr in combined.items()}
+            stripes.append(_build_blooms(sl, colf_columns, bloom_cols,
+                                         fpp, hi - lo))
+            lo = hi
+        entry["stripes"] = stripes
+    return entry
 
 
 def _merge_bloom_sidecar(path: str, messages, reset: bool = False) -> None:
@@ -894,8 +941,9 @@ class ColfWriter(DataSourceArrowWriter):
         tmp = target + ".tmp"
         stats = _write_part_file(tmp, ColfSchema(num_rows, self.colf_columns),
                                  chunks, self.version, self.stripe_rows)
-        blooms = _build_blooms(chunks, self.colf_columns, self.bloom_cols,
-                               self.bloom_fpp, num_rows) or None
+        blooms = _build_bloom_entry(chunks, self.colf_columns,
+                                    self.bloom_cols, self.bloom_fpp,
+                                    num_rows, self.version, self.stripe_rows)
         os.rename(tmp, target)
         return ColfCommitMessage(file=target, stats=stats, blooms=blooms)
 
@@ -1169,8 +1217,9 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
         tmp = target + ".tmp"
         stats = _write_part_file(tmp, ColfSchema(num_rows, self.colf_columns),
                                  chunks, self.version, self.stripe_rows)
-        blooms = _build_blooms(chunks, self.colf_columns, self.bloom_cols,
-                               self.bloom_fpp, num_rows) or None
+        blooms = _build_bloom_entry(chunks, self.colf_columns,
+                                    self.bloom_cols, self.bloom_fpp,
+                                    num_rows, self.version, self.stripe_rows)
         os.rename(tmp, target)
         return ColfCommitMessage(file=target, stats=stats, blooms=blooms)
 

@@ -118,8 +118,9 @@ def test_sidecar_written(bloom_dataset):
     files = [f for f in os.listdir(bloom_dataset) if f.endswith(".colf")]
     assert set(blooms) == set(files) and len(files) == 8
     for per_file in blooms.values():
-        assert set(per_file) == {"o_orderkey"}
-        assert per_file["o_orderkey"]["n"] > 0
+        assert set(per_file["columns"]) == {"o_orderkey"}
+        assert per_file["columns"]["o_orderkey"]["n"] > 0
+        assert "stripes" not in per_file  # v1 file: no stripe granule
     assert bloom_columns(bloom_dataset) == ["o_orderkey"]
 
 
@@ -242,3 +243,61 @@ def test_cow_and_compaction_preserve_blooms(spark, tmp_path):
     got = spark.read.format("colf").load(d).filter(
         F.col("o_orderkey") == int(probe)).collect()
     assert [r["o_orderpriority"] for r in got] == ["0-RESTORED"]
+
+
+def test_v3_stripe_blooms_prune_tasks(spark, tmp_path):
+    """v3 + bloomColumns: the sidecar carries per-STRIPE blooms and an
+    equality probe prunes stripe TASKS, not just files — one big sorted
+    file plans ~1 stripe for a point lookup on a key zone maps can't
+    discriminate (hash-scrambled within each stripe? no — here the key
+    IS sorted, so zone maps also prune; the bloom case is the GAP key)."""
+    register(spark)
+    d = str(tmp_path / "v3ds")
+    # even keys 0..19998, ONE file, 10 stripes of 1000 rows: every
+    # stripe's zone map covers its range, but a missing ODD key inside
+    # a stripe's range is only provably absent via that stripe's bloom
+    (spark.range(0, 20000, 2).select(F.col("id").cast("int").alias("k"))
+     .coalesce(1)
+     .write.format("colf").option("version", "3")
+     .option("stripeRows", "1000").option("bloomColumns", "k")
+     .mode("overwrite").save(d))
+    blooms = load_blooms(d)
+    (per_file,) = blooms.values()
+    assert len(per_file["stripes"]) == 10
+    schema = spark.read.format("colf").load(d).schema
+
+    def planned(flt):
+        r = ColfReader({"path": d}, schema)
+        r.pushFilters([flt])
+        return [p for p in r.partitions() if p.file is not None]
+
+    # in-range absent key: stripe zone maps keep its covering stripe,
+    # the stripe bloom kills it (≤1 fp stripe tolerated)
+    assert len(planned(EqualTo(("k",), 5001))) <= 1
+    # present key: exactly its stripe (+fp margin)
+    assert 1 <= len(planned(EqualTo(("k",), 5000))) <= 2
+    # correctness through the full read path
+    got = (spark.read.format("colf").load(d)
+           .filter(F.col("k").isin(5000, 5001)).collect())
+    assert [r["k"] for r in got] == [5000]
+
+
+def test_v3_cow_preserves_stripe_blooms(spark, tmp_path):
+    """delete_where on a v3+bloom dataset: the rewritten file carries
+    fresh stripe blooms (the rewrite passes bloomColumns through and
+    the writer re-stripes)."""
+    register(spark)
+    d = str(tmp_path / "v3cow")
+    (spark.range(0, 8000, 2).select(F.col("id").cast("int").alias("k"))
+     .coalesce(1)
+     .write.format("colf").option("version", "3")
+     .option("stripeRows", "1000").option("bloomColumns", "k")
+     .mode("overwrite").save(d))
+    delete_where(spark, d, "k = 4000")
+    live = {os.path.basename(f) for f in live_files(d)}
+    blooms = load_blooms(d)
+    assert live <= set(blooms)
+    for base in live:
+        assert blooms[base].get("stripes"), "rewrite lost stripe blooms"
+    assert (spark.read.format("colf").load(d)
+            .filter(F.col("k") == 4000).count()) == 0

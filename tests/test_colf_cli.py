@@ -167,5 +167,5 @@ def test_cli_stats_includes_bloom_summary(spark, tmp_path, capsys):
     doc = _json.loads(capsys.readouterr().out)
     assert len(doc["blooms"]) == 2
     for per_file in doc["blooms"].values():
-        bl = per_file["k"]
+        bl = per_file["columns"]["k"]
         assert bl["n"] > 0 and bl["m"] >= 64 and "b64" not in bl
