@@ -89,6 +89,7 @@ HEADLINE = [
     "q160_schema_evolution",
     "q164_colf_bloom_lookup",
     "q165_ann_pq",
+    "q166_ann_ivfpq",
 ]
 
 

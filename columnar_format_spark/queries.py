@@ -9,7 +9,8 @@ changed this round, (3) backfill by oldest green evidence first.
 Everything stays covered locally by tests/test_queries_oracle.py
 (sf0.001, every query, every run) regardless of order; round 5
 additionally verified the ENTIRE registry driver-style at sf0.01
-(162/162 green) before shipping the window.
+and sf0.1 (164/164 green — rerun after each round-5 addition via
+tools/sweep_oracle.py) before shipping the window.
 """
 
 from __future__ import annotations
@@ -57,17 +58,17 @@ DRIVER_WINDOW = [
     "q156_bucketed_join", "q157_zorder_pruning", "q158_heavy_hitters",
     "q159_stream_outer_join", "q160_schema_evolution",
     "q161_stream_upsert", "q162_anomaly_zscore", "q163_sorted_layout",
-    "q164_colf_bloom_lookup", "q165_ann_pq",
+    "q164_colf_bloom_lookup", "q165_ann_pq", "q166_ann_ivfpq",
     # oldest-evidence backfill (all last-green r02)
     "q01_pricing_summary", "q02_filter_project", "q03_agg_rollup",
     "q04_agg_cube", "q05_grouping_sets", "q06_count_distinct",
     "q08_exact_quartiles", "q09_pivot_status_priority",
     "q10_join_broadcast_star", "q11_join_left", "q12_join_semi",
     "q13_join_anti", "q14_join_full_outer", "q15_star_revenue_by_region",
-    "q16_range_join_bands", "q17_asof_join",
-    # (q18_salted_skew_join / q19_subqueries rotated out to make room
-    # for q164/q165 — first in the round-6 backfill queue with the
-    # rest of the r02-era set)
+    "q16_range_join_bands",
+    # (q17_asof_join / q18_salted_skew_join / q19_subqueries rotated
+    # out to make room for q164/q165/q166 — first in the round-6
+    # backfill queue with the rest of the r02-era set)
 ]
 
 

@@ -165,3 +165,76 @@ def test_file_column_rows_match_after_residual_filter(spark, ds):
             .filter(F.col("o_orderkey") <= 100).count())
     assert tagged.count() == want
     assert tagged.select("_colf_file").distinct().count() >= 1
+
+
+# ---------- property: mask == naive 3VL evaluation ----------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _naive_keep(row, flt):
+    """Reference 3VL semantics of one pushed conjunct on one row —
+    what Spark's re-applied filter would do."""
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull,
+        LessThan, LessThanOrEqual, StringStartsWith)
+
+    v = row.get(flt.attribute[0])
+    if isinstance(flt, IsNull):
+        return v is None
+    if isinstance(flt, IsNotNull):
+        return v is not None
+    if v is None:
+        return False
+    if isinstance(flt, EqualTo):
+        return v == flt.value
+    if isinstance(flt, In):
+        return any(x is not None and v == x for x in flt.value)
+    if isinstance(flt, GreaterThan):
+        return v > flt.value
+    if isinstance(flt, GreaterThanOrEqual):
+        return v >= flt.value
+    if isinstance(flt, LessThan):
+        return v < flt.value
+    if isinstance(flt, LessThanOrEqual):
+        return v <= flt.value
+    if isinstance(flt, StringStartsWith):
+        return v.startswith(flt.value)
+    raise AssertionError(flt)
+
+
+@given(
+    st.lists(st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+             min_size=1, max_size=60),
+    st.lists(st.one_of(st.none(), st.text(max_size=6)),
+             min_size=1, max_size=60),
+    st.integers(-(2**31), 2**31 - 1),
+    st.text(max_size=4),
+    st.integers(0, 8),
+)
+@settings(max_examples=120, deadline=None)
+def test_mask_matches_naive_3vl(ints, strs, iprobe, sprobe, which):
+    import pyarrow as pa
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull,
+        LessThan, LessThanOrEqual, StringStartsWith)
+
+    n = min(len(ints), len(strs))
+    ints, strs = ints[:n], strs[:n]
+    data = {"k": pa.array(ints, type=pa.int32()),
+            "s": pa.array(strs, type=pa.string())}
+    flt = [
+        EqualTo(("k",), iprobe), GreaterThan(("k",), iprobe),
+        GreaterThanOrEqual(("k",), iprobe), LessThan(("k",), iprobe),
+        LessThanOrEqual(("k",), iprobe), In(("k",), (iprobe, None)),
+        IsNull(("k",)), IsNotNull(("s",)),
+        StringStartsWith(("s",), sprobe),
+    ][which]
+    mask = _residual_mask(data, [flt])
+    assert mask is not None
+    got = mask.to_pylist()
+    want = [_naive_keep({"k": ints[i], "s": strs[i]}, flt)
+            for i in range(n)]
+    assert got == want

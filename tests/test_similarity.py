@@ -92,3 +92,12 @@ def test_pq_query_meets_bounds(spark):
     assert r["compression_ratio"] == 16.0
     assert r["recall_met"], "PQ->ADC->rerank recall fell below the floor"
     assert r["shortlist_cost_met"]
+
+
+def test_ivfpq_query_meets_bounds(spark):
+    from columnar_format_spark.registry import QUERIES
+
+    r = QUERIES["q166_ann_ivfpq"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n_queries"] == 10 and r["exact_pairs"] == 50
+    assert r["recall_met"], "IVF-PQ recall fell below the floor"
+    assert r["cand_cost_met"], "IVF-PQ scanned more than the ceiling"
