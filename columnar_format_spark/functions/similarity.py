@@ -15,11 +15,16 @@
 - q63: IVF ANN — KMeans coarse quantizer (non-SQL-expressible fit);
   the driver row is a q135-style bounds audit (exact counts + recall/
   probe-cost booleans the oracle pins to true).
+- q165: PQ — the memory tier: 16×-compressed per-subspace codes,
+  ADC lookup-table scan, exact shortlist rerank (same bounds audit).
+- q166: IVF-PQ — the composed production index: coarse inverted
+  lists bound WHAT is scanned, residual PQ codes bound what is READ
+  per candidate, the exact tier reranks the shortlist.
 
 Scale: brute-force is O(n·q) dot products — fine for reranking a
-candidate set, wrong as the primary index at 100 TB. The LSH variant
-is the scale path: bucket once (one shuffle), then search within
-buckets; multi-probe by flipping the weakest projection bit.
+candidate set, wrong as the primary index at 100 TB. The bucketed
+tiers (LSH tables, IVF lists) are the scan-bound path; PQ codes are
+the memory-bound path; q166 composes them the way FAISS does.
 """
 
 from __future__ import annotations
