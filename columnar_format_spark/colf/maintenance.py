@@ -61,6 +61,24 @@ def _merge_bloom_files(path: str, tmp: str) -> None:
     os.rename(btmp, blooms_path(path))
 
 
+def _bootstrap_log(path: str) -> tuple[int, list[str]]:
+    """Returns (parent version, live basenames), creating snapshot v1
+    from the directory listing when the dataset has no metadata log
+    yet (reference-writer / hand-made dirs). CoW rewrites MOVE their
+    output files into the live directory before the snapshot commit;
+    on a LOGLESS dataset the listing is the live set, so a crash in
+    that window would make readers double-count old + rewritten rows.
+    Bootstrapping first makes the log authoritative — files moved in
+    stay invisible until the one atomic commit (Iceberg's
+    write-then-swap ordering, enforced for every dataset)."""
+    snaps = load_snapshots(path)
+    if snaps:
+        return snaps[-1]["version"], list(snaps[-1]["files"])
+    live = [os.path.basename(f) for f in dataset_files(path)]
+    version = commit_snapshot(path, live)
+    return version, live
+
+
 def _dataset_stripe_rows(path: str, basenames: list[str]) -> int | None:
     """Mean stripe row count of the given live files, from the manifest
     sidecar (None when no stripe stats exist). v3 rewrites — compaction
@@ -105,9 +123,15 @@ def compact(spark: SparkSession, path: str, target_files: int,
         raise ValueError("target_files must be >= 1")
     # the version whose live set we are rewriting — the CAS parent for
     # the retained-mode commit, so an append racing the compaction
-    # fails the commit loudly instead of being silently dropped
-    snaps0 = load_snapshots(path)
-    parent = snaps0[-1]["version"] if snaps0 else 0
+    # fails the commit loudly instead of being silently dropped.
+    # Retained mode moves files into the live dir before its commit,
+    # so a logless dataset must gain a log FIRST (_bootstrap_log) or a
+    # crash in that window would leave listing-readers double-counting
+    if retain:
+        parent, _ = _bootstrap_log(path)
+    else:
+        snaps0 = load_snapshots(path)
+        parent = snaps0[-1]["version"] if snaps0 else 0
     df = spark.read.format("colf").load(path)
     # preserve the dataset's format version (a v2/v3 dataset must not
     # silently downgrade to v1 through a compaction); mixed-version
@@ -228,10 +252,7 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> dict:
 
     if not os.path.isdir(path):
         raise ValueError(f"delete_where() needs a dataset directory, got {path}")
-    snaps0 = load_snapshots(path)
-    parent = snaps0[-1]["version"] if snaps0 else 0
-    live0 = [os.path.basename(f) for f in dataset_files(path)] if parent == 0 \
-        else list(snaps0[-1]["files"])
+    parent, live0 = _bootstrap_log(path)
 
     # pass 1 reads only the columns the condition references (regex
     # over the dataset's field names — a safe over-approximation) plus
@@ -332,10 +353,7 @@ def merge_into(spark: SparkSession, path: str, source,
         raise ValueError(f"merge_into() needs a dataset directory, got {path}")
     if not key_cols:
         raise ValueError("merge_into() needs at least one key column")
-    snaps0 = load_snapshots(path)
-    parent = snaps0[-1]["version"] if snaps0 else 0
-    live0 = [os.path.basename(f) for f in dataset_files(path)] if parent == 0 \
-        else list(snaps0[-1]["files"])
+    parent, live0 = _bootstrap_log(path)
 
     target_fields = spark.read.format("colf").load(path).schema.fieldNames()
     if source.schema.fieldNames() != target_fields:

@@ -269,3 +269,48 @@ def test_merge_cas_conflict_with_racing_append(colf_spark, tmp_path):
         with pytest.raises(ColfFormatError, match="version"):
             M.merge_into(colf_spark, p, src, ["id"])
     assert colf_spark.read.format("colf").load(p).count() == 1050
+
+
+def test_interrupted_rewrite_leaves_reference_dir_readable(spark, tmp_path,
+                                                           monkeypatch):
+    """Crash-window durability on a LOGLESS dataset (reference-writer /
+    hand-made dirs, where the directory listing is the live set): CoW
+    moves rewritten files into the live dir before its snapshot
+    commit, so delete_where must first bootstrap the metadata log from
+    the listing — then a crash between move and commit leaves readers
+    on the bootstrapped version (original rows exactly once), never
+    double-counting old + rewritten files."""
+    from columnar_format_spark.colf import maintenance as M
+    from columnar_format_spark.colf.datasource import (
+        load_snapshots, register, snapshots_path)
+
+    register(spark)
+    d = str(tmp_path / "ds")
+    (spark.range(0, 1000).select(F.col("id").cast("int").alias("k"))
+     .repartition(2).write.format("colf").mode("overwrite").save(d))
+    # make it LOGLESS, as a dataset assembled by the reference writer
+    # would be (the connector always commits a log)
+    os.remove(snapshots_path(d))
+    want = spark.read.format("colf").load(d).count()
+
+    real = M.commit_snapshot
+
+    def failing(path, live, reset=False, expected_parent=None):
+        if expected_parent is not None:  # the delete's final commit
+            raise RuntimeError("injected crash before snapshot commit")
+        return real(path, live, reset=reset, expected_parent=expected_parent)
+
+    monkeypatch.setattr(M, "commit_snapshot", failing)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        M.delete_where(spark, d, "k < 100")
+    monkeypatch.undo()
+
+    # the bootstrapped log pins the pre-delete live set: the orphaned
+    # rewrite output sits in the directory but is invisible to readers
+    assert load_snapshots(d), "log was not bootstrapped before the rewrite"
+    assert spark.read.format("colf").load(d).count() == want
+
+    # and a clean retry succeeds from the bootstrapped version
+    res = M.delete_where(spark, d, "k < 100")
+    assert res["n_deleted_rows"] == 100
+    assert spark.read.format("colf").load(d).count() == want - 100
