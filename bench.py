@@ -296,8 +296,6 @@ def bench_colf_compact_stripes(spark, sf_dir: str) -> dict:
     }
 
 
-if __name__ == "__main__":
-    main()
 
 
 def bench_colf_bloom(spark, sf_dir: str) -> dict:
@@ -354,3 +352,6 @@ def bench_colf_bloom(spark, sf_dir: str) -> dict:
         "pruned_sec": lookup_time("on"),
         "unpruned_sec": lookup_time("off"),
     }
+
+if __name__ == "__main__":
+    main()

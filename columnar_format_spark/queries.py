@@ -29,15 +29,20 @@ from .registry import QUERIES, QuerySpec  # noqa: F401
 #   therefore need fresh rows: q07/q62/q63/q128 (new bounds-style
 #   exact oracles replacing rows-only policy) and q87 (global top-k
 #   rewritten TakeOrdered);
-# - 28 backfill slots for the oldest-evidence queries (last green row
-#   r02) in registration-number order.
+# - 13 round-5 additions (q154-q166: sketch profiler, CoW×v3, the
+#   four scale-layout ops, schema evolution, stream upsert, z-score,
+#   sorted layout, bloom lookup, PQ and IVF-PQ ANN);
+# - 15 backfill slots for the oldest-evidence queries (last green row
+#   r02) in registration-number order (q17-q19 displaced to round 6
+#   by the round-5 additions).
 # Per-query last-green ledger: r02 = q01-q32, q36, q38, q39, q45-q49,
 # q64-q66, q72, q88, q89, q92-q94; r03 = q33-q35, q37, q40-q43,
-# q51-q57, q62, q63, q69, q71, q74, q77-q79, q85, q87, q91, q95-q98,
-# q100, q102, q103, q105, q106, q108, q110; r04 = everything else.
-# Round-6 plan: rotate in the remaining r02-era (q20-q32, q36, q38,
-# q39, q45-q49, q64-q66, q72, q88, q89, q92-q94 — 29) then the
-# r03-era set, oldest first.
+# q51-q57, q69, q71, q74, q77-q79, q85, q91, q95-q98,
+# q100, q102, q103, q105, q106, q108, q110; r04 = everything else
+# (q07/q62/q63/q87/q128 re-prove this round — changed oracles/plans).
+# Round-6 plan: rotate in q17-q19, then the remaining r02-era
+# (q20-q32, q36, q38, q39, q45-q49, q64-q66, q72, q88, q89,
+# q92-q94 — 29) then the r03-era set, oldest first.
 DRIVER_WINDOW = [
     # never driver-checked (added round 4)
     "q137_colf_v2_roundtrip",
