@@ -301,3 +301,30 @@ def test_v3_cow_preserves_stripe_blooms(spark, tmp_path):
         assert blooms[base].get("stripes"), "rewrite lost stripe blooms"
     assert (spark.read.format("colf").load(d)
             .filter(F.col("k") == 4000).count()) == 0
+
+
+def test_corrupt_bloom_sidecar_degrades_to_no_pruning(spark, tmp_path):
+    """A corrupt/garbage _blooms.json must never fail a read or change
+    results — blooms can only SKIP I/O, so the degradation is to scan
+    every zone-map-surviving file (same contract as a corrupt
+    manifest)."""
+    from columnar_format_spark.colf.datasource import blooms_path
+
+    register(spark)
+    d = str(tmp_path / "ds")
+    (spark.range(0, 1000, 2).select(F.col("id").cast("int").alias("k"))
+     .repartition(3)
+     .write.format("colf").option("bloomColumns", "k")
+     .mode("overwrite").save(d))
+    want = (spark.read.format("colf").load(d)
+            .filter(F.col("k") == 500).collect())
+    with open(blooms_path(d), "w") as f:
+        f.write("{not json")
+    assert load_blooms(d) == {}
+    got = (spark.read.format("colf").load(d)
+           .filter(F.col("k") == 500).collect())
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    schema = spark.read.format("colf").load(d).schema
+    r = _reader(d, [EqualTo(("k",), 501)], schema)  # absent key
+    # no blooms → nothing proves absence → all files planned
+    assert _n_files(r) == 3

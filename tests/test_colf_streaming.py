@@ -387,3 +387,38 @@ def test_stream_write_v2_option(spark, tmp_path):
     back = spark.read.format("colf").load(out)
     assert back.count() == 200
     assert back.agg(F.sum("id")).first()[0] == sum(range(200))
+
+
+def test_stream_write_builds_blooms(spark, tmp_path):
+    """Streaming sink + bloomColumns: every micro-batch's part files
+    land with Bloom entries in the sidecar, so a batch point lookup
+    over the streamed dataset prunes exactly like over a batch-written
+    one."""
+    from pyspark.sql.datasource import EqualTo
+
+    from columnar_format_spark.colf.datasource import ColfReader, load_blooms
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (spark.range(0, 2000, 2).select(F.col("id").cast("int").alias("k"))
+     .repartition(4).write.mode("overwrite").parquet(src))
+    q = (
+        spark.readStream.schema("k int").parquet(src)
+        .writeStream.format("colf")
+        .option("path", out)
+        .option("bloomColumns", "k")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    _drain(q)
+    files = {f for f in os.listdir(out) if f.endswith(".colf")}
+    blooms = load_blooms(out)
+    assert files and files <= set(blooms)
+    schema = spark.read.format("colf").load(out).schema
+    r = ColfReader({"path": out}, schema)
+    r.pushFilters([EqualTo(("k",), 999)])  # odd: absent everywhere
+    opened = len([p for p in r.partitions() if p.file is not None])
+    assert opened <= 1  # blooms prove absence (±1 fp)
+    assert (spark.read.format("colf").load(out)
+            .filter(F.col("k") == 1000).count()) == 1
