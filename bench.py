@@ -90,6 +90,7 @@ HEADLINE = [
     "q164_colf_bloom_lookup",
     "q165_ann_pq",
     "q166_ann_ivfpq",
+    "q167_colf_targeted_delete",
 ]
 
 

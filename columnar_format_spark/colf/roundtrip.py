@@ -1038,3 +1038,72 @@ def q164_colf_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "o_orderpriority",
                     ((F.col("o_totalprice").cast("decimal(18,2)") * 100)
                      .cast("bigint") / 100.0).alias("price")))
+
+
+@register(
+    "q167_colf_targeted_delete",
+    oracle="""
+    WITH victim AS (SELECT MIN(o_orderkey) AS vk FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price,
+           CAST(COUNT(CASE WHEN o_orderkey = (SELECT vk FROM victim)
+                           THEN 1 END) AS BIGINT) AS victim_rows
+    FROM orders
+    WHERE o_orderkey <> (SELECT vk FROM victim)
+    """,
+)
+def q167_colf_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GDPR/right-to-erasure shape end-to-end: a row-level DELETE
+    keyed on a Bloom-indexed id over a HASH-scattered dataset (the
+    layout where zone maps cover every file). The delete's pass-1
+    discovery scan pushes `o_orderkey = <victim>` through pushFilters,
+    so the _blooms.json sidecar prunes the candidate set to the one
+    file that can hold the key — asserted via the op's own
+    n_rewritten_files (≤2 of 8: the true file plus at most one false
+    positive) — and the rewrite touches only those bytes. The oracle
+    value-checks the surviving dataset: every other row exactly once,
+    the victim gone.
+
+    Scale: THE argument for blooms + CoW together — an id-keyed erasure
+    on 100 TB costs one metadata lookup plus a rewrite of the files
+    that actually hold the id (~1 + fpp×files), instead of a full scan
+    and a full rewrite. Composes q164's pruning with q148's CoW
+    machinery; both sides already carry their own driver rows.
+    """
+    import shutil
+
+    from .datasource import register as register_ds
+    from .maintenance import delete_where
+
+    register_ds(spark)
+
+    def write(d: str) -> None:
+        (table(spark, sf_dir, "orders")
+         .select(F.col("o_orderkey").cast("int").alias("o_orderkey"),
+                 "o_totalprice")
+         .repartition(8)
+         .write.format("colf").option("bloomColumns", "o_orderkey")
+         .mode("overwrite").save(d + "/ds"))
+
+    tmpl = stage_once(("colf-bloom-del", sf_dir), "colf_tdel_", write)
+    path = tempfile.mkdtemp(prefix="colf_tdel_run_") + "/ds"
+    shutil.copytree(tmpl + "/ds", path)
+
+    victim = int(spark.read.format("colf").load(path)
+                 .agg(F.min("o_orderkey")).collect()[0][0])
+    res = delete_where(spark, path, f"o_orderkey = {victim}")
+    if res["n_deleted_rows"] < 1:
+        raise AssertionError("targeted delete matched no rows")
+    if res["n_rewritten_files"] > 2:
+        raise AssertionError(
+            f"targeted delete rewrote {res['n_rewritten_files']}/8 files "
+            f"— bloom pruning is not reaching the discovery scan")
+    back = spark.read.format("colf").load(path)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+         .cast("bigint").cast("double") / F.lit(100.0)).alias("sum_price"),
+        F.count(F.when(F.col("o_orderkey") == victim, 1))
+        .cast("bigint").alias("victim_rows"),
+    )

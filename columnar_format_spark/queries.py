@@ -64,16 +64,16 @@ DRIVER_WINDOW = [
     "q159_stream_outer_join", "q160_schema_evolution",
     "q161_stream_upsert", "q162_anomaly_zscore", "q163_sorted_layout",
     "q164_colf_bloom_lookup", "q165_ann_pq", "q166_ann_ivfpq",
+    "q167_colf_targeted_delete",
     # oldest-evidence backfill (all last-green r02)
     "q01_pricing_summary", "q02_filter_project", "q03_agg_rollup",
     "q04_agg_cube", "q05_grouping_sets", "q06_count_distinct",
     "q08_exact_quartiles", "q09_pivot_status_priority",
     "q10_join_broadcast_star", "q11_join_left", "q12_join_semi",
     "q13_join_anti", "q14_join_full_outer", "q15_star_revenue_by_region",
-    "q16_range_join_bands",
-    # (q17_asof_join / q18_salted_skew_join / q19_subqueries rotated
-    # out to make room for q164/q165/q166 — first in the round-6
-    # backfill queue with the rest of the r02-era set)
+    # (q16_range_join_bands / q17_asof_join / q18_salted_skew_join /
+    # q19_subqueries rotated out to make room for q164-q167 — first in
+    # the round-6 backfill queue with the rest of the r02-era set)
 ]
 
 
