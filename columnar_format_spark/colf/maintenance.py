@@ -61,6 +61,12 @@ def _merge_bloom_files(path: str, tmp: str) -> None:
     os.rename(btmp, blooms_path(path))
 
 
+# merge_into pushes source keys into the discovery scan as IN filters
+# (zone-map/Bloom prunable) when the source carries at most this many
+# distinct keys — the CDC-upsert regime where pruning pays
+MERGE_PUSHDOWN_KEYS = 1000
+
+
 def _bootstrap_log(path: str) -> tuple[int, list[str]]:
     """Returns (parent version, live basenames), creating snapshot v1
     from the directory listing when the dataset has no metadata log
@@ -371,6 +377,22 @@ def merge_into(spark: SparkSession, path: str, source,
                   .option("withFileColumn", "true")
                   .option("columns", ",".join([*key_cols, "_colf_file"]))
                   .load(path))
+        # CDC-sized sources: push the key VALUES into the scan as
+        # per-column IN filters, which reach ColfReader.pushFilters and
+        # prune files/stripes via zone maps AND Bloom sidecars — the
+        # semi join alone gives the connector nothing to prune with,
+        # so without this the discovery pass scans every file no
+        # matter how few keys the upsert carries. Per-column IN is a
+        # SUPERSET of the multi-column key set (lossless: the semi
+        # join below still decides exact membership). Sources beyond
+        # the threshold skip it — a corpus-sized IN list would cost
+        # more to plan with than it prunes.
+        kprobe = keys.limit(MERGE_PUSHDOWN_KEYS + 1).collect()
+        if len(kprobe) <= MERGE_PUSHDOWN_KEYS:
+            for kc in key_cols:
+                vals = [r[kc] for r in kprobe if r[kc] is not None]
+                if vals:
+                    tagged = tagged.filter(F.col(kc).isin(vals))
         matches_df = (tagged.join(keys, key_cols, "left_semi")
                       .groupBy("_colf_file")
                       .agg(F.count(F.lit(1)).cast("bigint").alias("n"))

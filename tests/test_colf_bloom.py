@@ -328,3 +328,43 @@ def test_corrupt_bloom_sidecar_degrades_to_no_pruning(spark, tmp_path):
     r = _reader(d, [EqualTo(("k",), 501)], schema)  # absent key
     # no blooms → nothing proves absence → all files planned
     assert _n_files(r) == 3
+
+
+def test_merge_key_pushdown_equivalent_to_full_scan(spark, tmp_path,
+                                                    monkeypatch):
+    """merge_into pushes CDC-sized key sets into the discovery scan as
+    IN filters (bloom/zone-map prunable). The pushdown is a pruning
+    superset, so the merge outcome must be IDENTICAL with it forced
+    off — pinned by running the same upsert both ways."""
+    from columnar_format_spark.colf import maintenance as M
+
+    register(spark)
+
+    def build(d):
+        (spark.range(0, 2000, 2).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 2).cast("int").alias("v"))
+         .repartition(4)
+         .write.format("colf").option("bloomColumns", "k")
+         .mode("overwrite").save(d))
+
+    src = spark.createDataFrame(
+        [(100, -1), (1001, -2)], "k int, v int")  # one update, one insert
+
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    build(d1)
+    build(d2)
+    r1 = M.merge_into(spark, d1, src, ["k"])
+    monkeypatch.setattr(M, "MERGE_PUSHDOWN_KEYS", 0)  # force old path
+    r2 = M.merge_into(spark, d2, src, ["k"])
+    monkeypatch.undo()
+
+    a = sorted(tuple(r) for r in spark.read.format("colf").load(d1).collect())
+    b = sorted(tuple(r) for r in spark.read.format("colf").load(d2).collect())
+    assert a == b
+    assert (r1["n_replaced_rows"], r1["n_source_rows"]) == \
+           (r2["n_replaced_rows"], r2["n_source_rows"]) == (1, 2)
+    got = dict((r["k"], r["v"]) for r in
+               spark.read.format("colf").load(d1)
+               .filter(F.col("k").isin(100, 1001)).collect())
+    assert got == {100: -1, 1001: -2}
