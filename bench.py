@@ -312,7 +312,6 @@ def bench_colf_bloom(spark, sf_dir: str) -> dict:
     from pyspark.sql.datasource import EqualTo
 
     from columnar_format_spark.colf.datasource import ColfReader
-    from columnar_format_spark.registry import QUERIES
 
     # q164's staging (stage_once-keyed, shared with the query run)
     from columnar_format_spark.staging import stage_once

@@ -35,7 +35,7 @@ import math
 import struct
 from typing import Iterable
 
-# Bits are capped so one filter never exceeds ~160 KiB (2^20 bits)
+# Bits are capped so one filter never exceeds 128 KiB (2^20 bits)
 # even for a very large part file; past the cap the realized fpp
 # degrades gracefully and is recorded in the sidecar for observability.
 MAX_BITS = 1 << 20
@@ -99,13 +99,23 @@ def realized_fpp(m: int, k: int, n: int) -> float:
     return (1.0 - math.exp(-k * n / m)) ** k
 
 
+def decode_bits(bloom: dict) -> tuple[bytes, int, int]:
+    """(bits, m, k) decoded once — callers probing MANY values against
+    one filter (IN lists) should decode once and use contains() per
+    probe instead of paying the base64 decode per probe."""
+    return base64.b64decode(bloom["b64"]), bloom["m"], bloom["k"]
+
+
+def contains(bits: bytes, m: int, k: int, value_bytes: bytes) -> bool:
+    return all(bits[idx >> 3] & (1 << (idx & 7))
+               for idx in _indexes(value_bytes, m, k))
+
+
 def might_contain(bloom: dict, value_bytes: bytes) -> bool:
     """True unless the filter PROVES the value absent (no false
     negatives; false-positive rate ≈ bloom['fpp'])."""
-    m, k = bloom["m"], bloom["k"]
-    bits = base64.b64decode(bloom["b64"])
-    return all(bits[idx >> 3] & (1 << (idx & 7))
-               for idx in _indexes(value_bytes, m, k))
+    bits, m, k = decode_bits(bloom)
+    return contains(bits, m, k, value_bytes)
 
 
 def merge(a: dict, b: dict) -> dict:

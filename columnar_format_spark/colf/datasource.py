@@ -258,6 +258,18 @@ def load_blooms(path: str) -> dict:
         return {}
 
 
+def save_blooms(path: str, blooms: dict) -> None:
+    """Atomically replace ``_blooms.json`` (tmp + rename, the same
+    write discipline as the manifest) — the ONE place the sidecar is
+    written, shared by writers, maintenance rewrites, and vacuum."""
+    import json
+
+    tmp = blooms_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(blooms, f)
+    os.rename(tmp, blooms_path(path))
+
+
 def bloom_columns(path: str) -> list[str]:
     """Columns carrying a Bloom filter in ANY live file — what a
     maintenance rewrite must pass through as bloomColumns so CoW and
@@ -286,7 +298,11 @@ def _bloom_encode(dtype, v):
 def _bloom_may_match(col_blooms: dict, flt: Filter, schema: StructType) -> bool:
     """False only when the {column: bloom} map PROVES no row matches
     the equality filter — same conservative contract as the zone maps
-    (_file_may_match): every unknown case keeps the file/stripe."""
+    (_file_may_match): every unknown case keeps the file/stripe, and a
+    shape-corrupt entry (hand-edited / version-skewed sidecar) counts
+    as unknown, never a planning failure (blooms can only SKIP I/O)."""
+    import binascii
+
     from . import bloom as B
 
     attr = getattr(flt, "attribute", None)
@@ -299,21 +315,27 @@ def _bloom_may_match(col_blooms: dict, flt: Filter, schema: StructType) -> bool:
         dtype = schema[attr[0]].dataType
     except KeyError:
         return True
-    if isinstance(flt, (EqualTo, EqualNullSafe)):
-        if flt.value is None:
-            return True  # null probe: blooms index values, not nulls
-        vb = _bloom_encode(dtype, flt.value)
-        return vb is None or B.might_contain(bl, vb)
-    if isinstance(flt, In):
-        probes = []
-        for x in flt.value:
-            if x is None:
-                return True
-            vb = _bloom_encode(dtype, x)
-            if vb is None:
-                return True
-            probes.append(vb)
-        return any(B.might_contain(bl, vb) for vb in probes)
+    try:
+        if isinstance(flt, (EqualTo, EqualNullSafe)):
+            if flt.value is None:
+                return True  # null probe: blooms index values, not nulls
+            vb = _bloom_encode(dtype, flt.value)
+            return vb is None or B.might_contain(bl, vb)
+        if isinstance(flt, In):
+            probes = []
+            for x in flt.value:
+                if x is None:
+                    return True
+                vb = _bloom_encode(dtype, x)
+                if vb is None:
+                    return True
+                probes.append(vb)
+            # decode the bitmap ONCE for the whole IN list (a pushed
+            # 1000-key merge probe must not b64-decode 1000 times)
+            bits, m, k = B.decode_bits(bl)
+            return any(B.contains(bits, m, k, vb) for vb in probes)
+    except (KeyError, TypeError, ValueError, IndexError, binascii.Error):
+        return True  # malformed entry: prune nothing, stay correct
     return True
 
 
@@ -528,8 +550,17 @@ class ColfReader(DataSourceReader):
                     f"{sorted(unknown)}")
             files = [f for f in files
                      if os.path.basename(f) in self.only_files]
-        if self.pushed and self.pruning:
-            manifest = load_manifest(self.path)
+        # both sidecars load at most ONCE per plan, shared by the file
+        # pass and the v3 stripe pass; blooms only when an equality
+        # conjunct exists (point lookups / IN probes) — the sidecar
+        # read costs nothing on range scans
+        pruning_on = bool(self.pushed and self.pruning)
+        eq_filters = [f for f in self.pushed
+                      if isinstance(f, (EqualTo, EqualNullSafe, In))] \
+            if pruning_on else []
+        blooms = load_blooms(self.path) if eq_filters and files else {}
+        manifest = load_manifest(self.path)
+        if pruning_on:
             if manifest:
                 kept = []
                 for f in files:
@@ -539,37 +570,23 @@ class ColfReader(DataSourceReader):
                     ):
                         kept.append(f)
                 files = kept
-            # Bloom pass AFTER zone maps: loaded only when an equality
-            # conjunct survives (point lookups / IN probes) — the
-            # sidecar read costs nothing on range scans
-            eq = [f for f in self.pushed
-                  if isinstance(f, (EqualTo, EqualNullSafe, In))]
-            if eq and files:
-                blooms = load_blooms(self.path)
-                if blooms:
-                    files = [
-                        f for f in files
-                        if (per := blooms.get(os.path.basename(f))) is None
-                        or all(_bloom_may_match(per.get("columns", {}),
-                                                flt, self.schema)
-                               for flt in eq)
-                    ]
+            if blooms:  # Bloom pass AFTER zone maps
+                files = [
+                    f for f in files
+                    if (per := blooms.get(os.path.basename(f))) is None
+                    or all(_bloom_may_match(per.get("columns", {}),
+                                            flt, self.schema)
+                           for flt in eq_filters)
+                ]
         if not files:
             # the API requires >= 1 partition; a None-file sentinel
             # yields zero batches (empty increment / all files pruned)
             return [ColfInputPartition(None)]
         # v3 striped files plan one partition per STRIPE, pruned by the
-        # per-stripe zone maps when the manifest carries them — all
-        # from metadata; a file header is opened on the driver only
-        # for v3 files missing a manifest entry entirely
-        manifest = load_manifest(self.path)
-        # per-stripe blooms (v3 + bloomColumns): loaded once, consulted
-        # beside the stripe zone maps so equality probes prune at the
-        # TASK granule, not just the file
-        eq_filters = [f for f in self.pushed
-                      if isinstance(f, (EqualTo, EqualNullSafe, In))] \
-            if (self.pushed and self.pruning) else []
-        stripe_blooms_all = load_blooms(self.path) if eq_filters else {}
+        # per-stripe zone maps (and per-stripe blooms) when the
+        # sidecars carry them — all from metadata; a file header is
+        # opened on the driver only for v3 files missing a manifest
+        # entry entirely
         parts: list[ColfInputPartition] = []
         for f in files:
             entry = manifest.get(os.path.basename(f))
@@ -579,11 +596,11 @@ class ColfReader(DataSourceReader):
             if stripes is None:
                 parts.append(ColfInputPartition(f))
                 continue
-            sblooms = (stripe_blooms_all.get(os.path.basename(f), {})
+            sblooms = (blooms.get(os.path.basename(f), {})
                        .get("stripes") or [])
 
             def _stripe_may_match(si: int, st: dict) -> bool:
-                if not (self.pushed and self.pruning):
+                if not pruning_on:
                     return True
                 if st.get("columns") and not all(
                         _file_may_match(st, flt) for flt in self.pushed):
@@ -709,22 +726,15 @@ def _build_bloom_entry(chunks: dict, colf_columns: list[ColfColumn],
 
 
 def _merge_bloom_sidecar(path: str, messages, reset: bool = False) -> None:
-    """Fold the tasks' per-file blooms into ``_blooms.json`` (atomic
-    rename, same discipline as the manifest)."""
-    import json
-
+    """Fold the tasks' per-file blooms into ``_blooms.json``."""
     blooms = {} if reset else load_blooms(path)
     changed = reset and os.path.exists(blooms_path(path))
     for m in messages:
         if m and m.file and m.blooms:
             blooms[os.path.basename(m.file)] = m.blooms
             changed = True
-    if not changed:
-        return
-    tmp = blooms_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(blooms, f)
-    os.rename(tmp, blooms_path(path))
+    if changed:
+        save_blooms(path, blooms)
 
 
 def _chunk_stats(chunks: list, num_rows: int) -> dict:

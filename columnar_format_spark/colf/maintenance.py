@@ -26,13 +26,13 @@ from pyspark.sql import SparkSession
 
 from .datasource import (
     bloom_columns,
-    blooms_path,
     commit_snapshot,
     dataset_files,
     load_blooms,
     load_manifest,
     load_snapshots,
     manifest_path,
+    save_blooms,
     write_snapshots,
 )
 
@@ -48,17 +48,12 @@ def _with_bloom_opt(writer, path: str):
 def _merge_bloom_files(path: str, tmp: str) -> None:
     """Adopt a rewrite tmp dir's _blooms.json into the live dataset's
     (mirrors the manifest merge beside every call site)."""
-    import json
-
     add = load_blooms(tmp)
     if not add:
         return
     merged = load_blooms(path)
     merged.update(add)
-    btmp = blooms_path(path) + ".tmp"
-    with open(btmp, "w") as fh:
-        json.dump(merged, fh)
-    os.rename(btmp, blooms_path(path))
+    save_blooms(path, merged)
 
 
 # merge_into pushes source keys into the discovery scan as IN filters
@@ -225,10 +220,7 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
         if any(b in blooms for b in deleted):
             for base in deleted:
                 blooms.pop(base, None)
-            btmp = blooms_path(path) + ".tmp"
-            with open(btmp, "w") as fh:
-                json.dump(blooms, fh)
-            os.rename(btmp, blooms_path(path))
+            save_blooms(path, blooms)
     write_snapshots(path, kept)
     return sorted(deleted)
 

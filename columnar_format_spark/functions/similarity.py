@@ -791,13 +791,13 @@ def q165_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     and rerank only the shortlist with the exact int64-quantized
     cosine. The driver row follows the q63/q135 bounds pattern: the
     iterative codebook fit is non-SQL-expressible, so the query emits
-    the cross-engine-exact values (n_queries, exact_pairs, the 32×
+    the cross-engine-exact values (n_queries, exact_pairs, the 16×
     compression constant) plus booleans the oracle pins to true —
     aggregate recall ≥ PQ_RECALL_FLOOR against the exact top-k, and
     shortlist cost ≤ PQ_SHORTLIST_CEIL of the corpus per query.
 
     Scale: PQ is the memory tier of large-scale ANN — at 100 TB of
-    embeddings the floats don't fit anywhere, but 32×-compressed codes
+    embeddings the floats don't fit anywhere, but 16×-compressed codes
     fit in cluster RAM; ADC scoring is one table lookup + add per
     subspace per candidate (a numpy gather over Arrow batches here),
     map-only over the code table, and composes with IVF (q63) for
@@ -844,10 +844,8 @@ def q165_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     qids = qrows["vec_id"].to_numpy()
     Q = np.array(qrows["embedding"].tolist(), dtype=np.float64)
     sub = Q.shape[1] // PQ_M
-    luts = np.stack([
-        np.stack([Q[:, m * sub:(m + 1) * sub] @ books[m].T
-                  for m in range(PQ_M)], axis=1)  # nq × M × K
-    ])[0]
+    luts = np.stack([Q[:, m * sub:(m + 1) * sub] @ books[m].T
+                     for m in range(PQ_M)], axis=1)  # nq × M × K
     qnorms = np.linalg.norm(Q, axis=1)
     cent_sq = np.stack([(books[m] ** 2).sum(axis=1)
                         for m in range(PQ_M)])  # M × K
@@ -1040,7 +1038,6 @@ def q166_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                                for m in range(PQ_M)])
                      for i in range(len(qids))])            # nq × M × K
     qdotc = Q @ centers.T                                   # nq × K
-    qnorms = np.linalg.norm(Q, axis=1)
     qpos_of = {int(q): i for i, q in enumerate(qids)}
 
     # probe plan as a tiny broadcast DF: (qid, cluster)
@@ -1063,12 +1060,13 @@ def q166_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (coded.join(probe_df, "cluster")
             .filter(F.col("vec_id") != F.col("qid")))
     n_cand = cand.groupBy().count().withColumnRenamed("count", "n_cand")
+    # cosine's 1/|q| factor is CONSTANT within a query partition, so it
+    # cannot change any per-query ranking — dividing by the candidate
+    # norm alone ranks identically and avoids indexing a driver array
+    # by qid value (which breaks if a zero-norm query leaves a gap)
     scored = cand.select(
         "qid", F.col("vec_id").alias("cid"),
-        (adc("qid", "cluster", "codes")
-         / (F.element_at(F.array(*[F.lit(float(x)) for x in qnorms]),
-                         F.col("qid").cast("int") + 1) * F.col("nrm")))
-        .alias("approx"))
+        (adc("qid", "cluster", "codes") / F.col("nrm")).alias("approx"))
     w = Window.partitionBy("qid").orderBy(F.desc("approx"), F.asc("cid"))
     shortlist = (scored.withColumn("rnk", F.row_number().over(w))
                  .filter(F.col("rnk") <= IVFPQ_SHORTLIST)

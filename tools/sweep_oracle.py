@@ -7,8 +7,13 @@ plus a final summary. Usage:
     python tools/sweep_oracle.py [sf_dir] [name_substring ...]
 
 Defaults to /root/testdata/sf0.01. Numeric values compare with 1e-9
-relative tolerance (both engines compute identical doubles by the
-determinism rules; the tolerance only absorbs display-roundtrip noise).
+tolerance (both engines compute identical doubles by the determinism
+rules; the tolerance only absorbs display-roundtrip noise). Known
+limitation vs the real driver: rows pair up by SORTING on stringified
+9dp-rounded cells, so two rows tying on every leading column while two
+engines' floats straddle a 9dp rounding boundary could mispair and
+report a spurious FAIL — inspect such a failure by hand before
+believing it (it has not occurred across any full sweep).
 """
 
 from __future__ import annotations
