@@ -91,6 +91,7 @@ HEADLINE = [
     "q165_ann_pq",
     "q166_ann_ivfpq",
     "q167_colf_targeted_delete",
+    "q168_ann_index_colf",
 ]
 
 

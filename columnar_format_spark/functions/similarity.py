@@ -20,6 +20,10 @@
 - q166: IVF-PQ — the composed production index: coarse inverted
   lists bound WHAT is scanned, residual PQ codes bound what is READ
   per candidate, the exact tier reranks the shortlist.
+- q168: q166's index PERSISTED as a cluster-range-partitioned COLF
+  dataset — probe scans become zone-map-pruned file reads and a fresh
+  session reopens codebooks from a COLF metadata table (index-as-
+  table: build once, query many).
 
 Scale: brute-force is O(n·q) dot products — fine for reranking a
 candidate set, wrong as the primary index at 100 TB. The bucketed
@@ -1067,6 +1071,216 @@ def q166_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "qid", F.col("vec_id").alias("cid"),
         (adc("qid", "cluster", "codes") / F.col("nrm")).alias("approx"))
+    w = Window.partitionBy("qid").orderBy(F.desc("approx"), F.asc("cid"))
+    shortlist = (scored.withColumn("rnk", F.row_number().over(w))
+                 .filter(F.col("rnk") <= IVFPQ_SHORTLIST)
+                 .select("qid", "cid"))
+
+    qv = e.select(F.col("vec_id").alias("qid"), F.col("qv").alias("qqv"),
+                  F.col("nrm").alias("qnorm")).filter(F.col("qid") < N_QUERIES)
+    cv = e.select(F.col("vec_id").alias("cid"), F.col("qv").alias("cqv"),
+                  F.col("nrm").alias("cnorm"))
+    rer = (shortlist.join(F.broadcast(qv), "qid").join(cv, "cid")
+           .select("qid", "cid",
+                   (int_dot(F.col("qqv"), F.col("cqv"))
+                    / (F.col("qnorm") * F.col("cnorm"))).alias("cosine")))
+    rtop = (rer.withColumn("rnk", F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cosine"),
+                                                  F.asc("cid"))))
+            .filter(F.col("rnk") <= TOP_K).select("qid", "cid"))
+    exact = (cv.crossJoin(F.broadcast(qv))
+             .filter(F.col("cid") != F.col("qid"))
+             .select("qid", "cid",
+                     (int_dot(F.col("qqv"), F.col("cqv"))
+                      / (F.col("qnorm") * F.col("cnorm"))).alias("cosine")))
+    etop = (exact.withColumn("rnk", F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cosine"),
+                                                  F.asc("cid"))))
+            .filter(F.col("rnk") <= TOP_K).select("qid", "cid"))
+    hits = (etop.join(rtop.withColumn("is_hit", F.lit(1)),
+                      ["qid", "cid"], "left")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("exact_pairs"),
+                 F.coalesce(F.sum("is_hit"), F.lit(0)).cast("bigint")
+                 .alias("hits")))
+    nq = qv.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    ncorp = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus"))
+    return (hits.crossJoin(nq).crossJoin(F.broadcast(n_cand))
+            .crossJoin(ncorp).select(
+        "n_queries", "exact_pairs",
+        (F.col("hits") >= F.lit(IVFPQ_RECALL_FLOOR) * F.col("exact_pairs"))
+        .alias("recall_met"),
+        (F.col("n_cand") <= F.lit(IVFPQ_CAND_CEIL) * F.col("n_queries")
+         * F.col("n_corpus")).alias("cand_cost_met")))
+
+
+# --- q168: the IVF-PQ index PERSISTED as a COLF dataset -----------------
+#
+# q166 builds its index per run; a production system builds once and
+# queries many. q168 materializes the index as a COLF dataset laid out
+# BY CLUSTER (repartitionByRange on the coarse list id), so the COLF
+# zone maps turn the inverted-list structure into file pruning: probing
+# nprobe of K lists opens ~nprobe/K of the index files — the storage
+# format is doing the ANN index's list-selection I/O. Codes ride as 16
+# int32 columns (COLF's 3-type domain has no arrays), norms as
+# float64, and the codebooks/centroids as a compact utf8-hex metadata
+# table beside the index — everything reopenable by a fresh session.
+
+INDEX_FILES = IVFPQ_K  # index layout: one file per coarse cluster
+
+
+@register("q168_ann_index_colf", oracle=_IVFPQ_SQL)
+def q168_ann_index_colf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ over a PERSISTED COLF index: build once (coarse k-means →
+    residual PQ codes → write (vec_id, cluster, c0..c15, nrm) as a
+    cluster-range-partitioned COLF dataset + a codebook metadata table),
+    then query a FRESH scan of it — the probe's `cluster IN (...)`
+    filter reaches ColfReader.pushFilters and the zone maps open only
+    the files holding the probed lists (asserted in-query: ≤ half the
+    index files for nprobe=6/16). ADC scoring reads 16 int32 codes and
+    one float64 norm per candidate — the floats are only touched for
+    the exact int64 rerank of the shortlist. Same bounds oracle as
+    q166 (the persisted index encodes the same codes, so recall/cost
+    floors carry over).
+
+    Scale: this is index-as-table — at 100 TB the (cluster, codes,
+    norm) dataset is ~24 bytes/vector, its layout IS the inverted
+    list, and every ANN query becomes a zone-map-pruned columnar scan
+    plus a shortlist join; rebuilds are a layout shuffle, not a
+    format change. The COLF tier (zone maps, stripes, compaction,
+    snapshots) applies to the index like any other dataset.
+    """
+    import numpy as np
+    from pyspark.sql import Window
+
+    from ..colf.datasource import ColfReader
+    from ..colf.datasource import register as register_ds
+    from ..staging import stage_once
+
+    register_ds(spark)
+    e = (
+        spread(table(spark, sf_dir, "embeddings"))
+        .select("vec_id", "embedding", qvec(F.col("embedding")).alias("qv"))
+        .withColumn("nrm", int_norm(F.col("qv")))
+        .filter(F.col("nrm") > 0)
+    )
+    sample = np.array(
+        e.filter(F.col("vec_id") % 5 == 0).select("embedding")
+        .toPandas()["embedding"].tolist(), dtype=np.float64)
+    centers = _kmeans(sample, IVFPQ_K, PQ_ITERS)
+    sa = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(
+        axis=2).argmin(axis=1)
+    books = _pq_fit(sample - centers[sa])
+
+    def build(d: str) -> None:
+        @F.pandas_udf("struct<cluster:int, codes:array<int>>")
+        def encode(emb):
+            import pandas as pd
+
+            X = _stack(emb)
+            a = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2) \
+                .argmin(axis=1)
+            R = X - centers[a]
+            sub = X.shape[1] // PQ_M
+            codes = np.empty((X.shape[0], PQ_M), dtype=np.int64)
+            for m, C in enumerate(books):
+                d2 = ((R[:, m * sub:(m + 1) * sub][:, None, :]
+                       - C[None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            return pd.DataFrame({"cluster": a.astype("int32"),
+                                 "codes": codes.tolist()})
+
+        coded = (e.select("vec_id", "nrm", encode("embedding").alias("ix"))
+                 .select(F.col("vec_id").cast("int").alias("vec_id"),
+                         F.col("nrm"),
+                         F.col("ix.cluster").alias("cluster"),
+                         *[F.element_at("ix.codes", m + 1).cast("int")
+                           .alias(f"c{m}") for m in range(PQ_M)]))
+        (coded.repartitionByRange(INDEX_FILES, "cluster")
+         .write.format("colf").option("version", "2")
+         .mode("append").save(d + "/index"))
+        # codebooks + centroids as a COLF metadata table: one row per
+        # (kind, i, j) with the float64 value — tiny, reopenable
+        rows = ([("center", int(i), int(j), float(centers[i, j]))
+                 for i in range(centers.shape[0])
+                 for j in range(centers.shape[1])]
+                + [("book", int(m * 1000 + k), int(j), float(books[m][k, j]))
+                   for m in range(PQ_M)
+                   for k in range(books[m].shape[0])
+                   for j in range(books[m].shape[1])])
+        (spark.createDataFrame(rows, "kind string, i int, j int, v double")
+         .coalesce(1).write.format("colf").mode("append").save(d + "/meta"))
+
+    base = stage_once(("ann-index", sf_dir), "colf_annix_", build)
+    ix_path, meta_path = base + "/index", base + "/meta"
+
+    # a FRESH consumer reopens the index: codebooks from the metadata
+    # table (driver-side, k×dim arrays), candidates from the pruned scan
+    meta = spark.read.format("colf").load(meta_path).collect()
+    c_rows = [(r["i"], r["j"], r["v"]) for r in meta if r["kind"] == "center"]
+    kdim = max(j for _, j, _ in c_rows) + 1
+    centers2 = np.zeros((IVFPQ_K, kdim))
+    for i, j, v in c_rows:
+        centers2[i, j] = v
+    sub = kdim // PQ_M
+    books2 = [np.zeros((PQ_K, sub)) for _ in range(PQ_M)]
+    for r in meta:
+        if r["kind"] == "book":
+            books2[r["i"] // 1000][r["i"] % 1000, r["j"]] = r["v"]
+
+    qrows = (e.filter(F.col("vec_id") < N_QUERIES)
+             .select("vec_id", "embedding").toPandas()
+             .sort_values("vec_id"))
+    qids = qrows["vec_id"].to_numpy()
+    Q = np.array(qrows["embedding"].tolist(), dtype=np.float64)
+    qd2 = ((Q[:, None, :] - centers2[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qd2, axis=1)[:, :IVFPQ_NPROBE]
+    probed_clusters = sorted({int(c) for row in probes for c in row})
+    luts = np.stack([np.stack([Q[i, m * sub:(m + 1) * sub] @ books2[m].T
+                               for m in range(PQ_M)])
+                     for i in range(len(qids))])
+    qdotc = Q @ centers2.T
+    qpos_of = {int(q): i for i, q in enumerate(qids)}
+
+    # the layout claim, from the reader's own planning, for ONE query
+    # (the per-query scan cost is what scales; a BATCH of near-random
+    # queries legitimately unions most lists): its nprobe-cluster IN
+    # filter must open ~nprobe of the K one-cluster files
+    from pyspark.sql.datasource import In as _In
+
+    ix_schema = spark.read.format("colf").load(ix_path).schema
+    r = ColfReader({"path": ix_path}, ix_schema)
+    r.pushFilters([_In(("cluster",), tuple(int(c) for c in probes[0]))])
+    opened = len({p.file for p in r.partitions() if p.file is not None})
+    if opened > IVFPQ_NPROBE + 1:  # +1: a range boundary may straddle
+        raise AssertionError(
+            f"one query's probe scan opened {opened}/{INDEX_FILES} index "
+            f"files (nprobe={IVFPQ_NPROBE}) — the cluster-range layout "
+            f"is not pruning the inverted lists")
+
+    ix = (spark.read.format("colf").load(ix_path)
+          .filter(F.col("cluster").isin(probed_clusters)))
+    probe_df = F.broadcast(spark.createDataFrame(
+        [(int(qids[i]), int(c)) for i in range(len(qids))
+         for c in probes[i]], "qid int, cluster int"))
+
+    @F.pandas_udf("double")
+    def adc(qid, cluster, *code_cols):
+        import pandas as pd
+
+        C = np.stack([c.to_numpy() for c in code_cols], axis=1)
+        qi = qid.map(qpos_of).to_numpy()
+        cl = cluster.to_numpy()
+        rows_m = np.arange(PQ_M)
+        res = luts[qi[:, None], rows_m[None, :], C].sum(axis=1)
+        return pd.Series(res + qdotc[qi, cl])
+
+    cand = (ix.join(probe_df, "cluster")
+            .filter(F.col("vec_id") != F.col("qid")))
+    n_cand = cand.groupBy().count().withColumnRenamed("count", "n_cand")
+    scored = cand.select(
+        "qid", F.col("vec_id").alias("cid"),
+        (adc("qid", "cluster", *[f"c{m}" for m in range(PQ_M)])
+         / F.col("nrm")).alias("approx"))
     w = Window.partitionBy("qid").orderBy(F.desc("approx"), F.asc("cid"))
     shortlist = (scored.withColumn("rnk", F.row_number().over(w))
                  .filter(F.col("rnk") <= IVFPQ_SHORTLIST)

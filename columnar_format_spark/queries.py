@@ -41,7 +41,7 @@ from .registry import QUERIES, QuerySpec  # noqa: F401
 # q51-q57, q69, q71, q74, q77-q79, q85, q91, q95-q98,
 # q100, q102, q103, q105, q106, q108, q110; r04 = everything else
 # (q07/q62/q63/q87/q128 re-prove this round — changed oracles/plans).
-# Round-6 plan: rotate in q16-q19 (displaced this round), then the
+# Round-6 plan: rotate in q15-q19 (displaced this round), then the
 # remaining r02-era (q20-q32, q36, q38, q39, q45-q49, q64-q66, q72,
 # q88, q89, q92-q94 — 29) then the r03-era set, oldest first.
 DRIVER_WINDOW = [
@@ -65,16 +65,17 @@ DRIVER_WINDOW = [
     "q159_stream_outer_join", "q160_schema_evolution",
     "q161_stream_upsert", "q162_anomaly_zscore", "q163_sorted_layout",
     "q164_colf_bloom_lookup", "q165_ann_pq", "q166_ann_ivfpq",
-    "q167_colf_targeted_delete",
+    "q167_colf_targeted_delete", "q168_ann_index_colf",
     # oldest-evidence backfill (all last-green r02)
     "q01_pricing_summary", "q02_filter_project", "q03_agg_rollup",
     "q04_agg_cube", "q05_grouping_sets", "q06_count_distinct",
     "q08_exact_quartiles", "q09_pivot_status_priority",
     "q10_join_broadcast_star", "q11_join_left", "q12_join_semi",
-    "q13_join_anti", "q14_join_full_outer", "q15_star_revenue_by_region",
-    # (q16_range_join_bands / q17_asof_join / q18_salted_skew_join /
-    # q19_subqueries rotated out to make room for q164-q167 — first in
-    # the round-6 backfill queue with the rest of the r02-era set)
+    "q13_join_anti", "q14_join_full_outer",
+    # (q15_star_revenue_by_region / q16_range_join_bands / q17_asof_join
+    # / q18_salted_skew_join / q19_subqueries rotated out to make room
+    # for q164-q168 — first in the round-6 backfill queue with the rest
+    # of the r02-era set)
 ]
 
 

@@ -101,3 +101,12 @@ def test_ivfpq_query_meets_bounds(spark):
     assert r["n_queries"] == 10 and r["exact_pairs"] == 50
     assert r["recall_met"], "IVF-PQ recall fell below the floor"
     assert r["cand_cost_met"], "IVF-PQ scanned more than the ceiling"
+
+
+def test_persisted_index_meets_bounds(spark):
+    from columnar_format_spark.registry import QUERIES
+
+    r = QUERIES["q168_ann_index_colf"].fn(spark, SF_SMALL).collect()[0]
+    assert r["n_queries"] == 10 and r["exact_pairs"] == 50
+    assert r["recall_met"], "persisted-index recall fell below the floor"
+    assert r["cand_cost_met"]
