@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register, table
-from ..staging import stage_once
+from ..staging import run_dir, stage_once
 
 
 @register(
@@ -619,7 +619,7 @@ def q148_colf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
          .mode("append").save(d + "/ds"))
 
     tmpl = stage_once(("cow-del", sf_dir), "colf_del_tmpl_", write)
-    path = tempfile.mkdtemp(prefix="colf_del_") + "/ds"
+    path = run_dir(("cow-del-run", sf_dir), "colf_del_") + "/ds"
     shutil.copytree(tmpl + "/ds", path)
 
     stats = delete_where(spark, path, "l_returnflag = 'R'")
@@ -713,7 +713,7 @@ def q149_colf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         _MERGE_MAXKEY[sf_dir] = o.agg(F.max("o_orderkey")).first()[0]
 
     tmpl = stage_once(("cow-mrg", sf_dir), "colf_mrg_tmpl_", write)
-    path = tempfile.mkdtemp(prefix="colf_mrg_") + "/ds"
+    path = run_dir(("cow-mrg-run", sf_dir), "colf_mrg_") + "/ds"
     shutil.copytree(tmpl + "/ds", path)
 
     max_key = _MERGE_MAXKEY[sf_dir]
@@ -812,7 +812,7 @@ def q155_colf_v3_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         _V3COW_ANCHOR[sf_dir] = (int(mx), srows)
 
     tmpl = stage_once(("cow-v3", sf_dir), "colf_v3cow_tmpl_", write)
-    path = tempfile.mkdtemp(prefix="colf_v3cow_") + "/ds"
+    path = run_dir(("cow-v3-run", sf_dir), "colf_v3cow_") + "/ds"
     shutil.copytree(tmpl + "/ds", path)
     max_key, _ = _V3COW_ANCHOR[sf_dir]
 
@@ -949,7 +949,7 @@ def q153_colf_v3_striped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("l_quantity"),
         F.col("l_linestatus").alias("l_linestatus"),
     ).coalesce(1)
-    path = tempfile.mkdtemp(prefix="colf_v3_") + "/ds"
+    path = run_dir(("v3-striped-run", sf_dir), "colf_v3_") + "/ds"
     (li.write.format("colf").option("version", "3")
      .option("stripeRows", "5000").mode("append").save(path))
 
@@ -1087,7 +1087,7 @@ def q167_colf_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
          .mode("overwrite").save(d + "/ds"))
 
     tmpl = stage_once(("colf-bloom-del", sf_dir), "colf_tdel_", write)
-    path = tempfile.mkdtemp(prefix="colf_tdel_run_") + "/ds"
+    path = run_dir(("colf-tdel-run", sf_dir), "colf_tdel_run_") + "/ds"
     shutil.copytree(tmpl + "/ds", path)
 
     victim = int(spark.read.format("colf").load(path)

@@ -714,6 +714,13 @@ PQ_M = 16           # subspaces (64-d -> 16 x 4-d)
 PQ_K = 64           # centroids per subspace -> 6-bit codes
 PQ_SHORTLIST = 100  # ADC shortlist reranked with exact int64 cosine
 PQ_ITERS = 10       # fixed Lloyd iterations (deterministic fit)
+# Hard ceiling on rows collected to the driver for any codebook fit.
+# A Lloyd fit needs thousands of rows, not the corpus: at every test SF
+# the deterministic vec_id%5 sample (100-400 rows) is below this cap so
+# behavior — and the measured recall floors — are unchanged, while at
+# 100 TB the collect is bounded at CAP x 64 doubles (~2 MB) instead of
+# corpus/5 (a driver OOM).
+CODEBOOK_SAMPLE_CAP = 4096
 # Measured aggregate recall (hits/exact_pairs) of the ADC->rerank
 # pipeline at these params: 1.00 at sf0.001, sf0.01, AND sf0.1
 # (parameter sweep 2026-08-14: the coarser M=8/K=16/R=50 config
@@ -818,10 +825,11 @@ def q165_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", int_norm(F.col("qv")))
         .filter(F.col("nrm") > 0)
     )
-    # deterministic ~20% sample to the driver for the codebook fit (at
-    # 100 TB: .sample() — the fit needs thousands of rows, not the corpus)
+    # deterministic sample to the driver for the codebook fit, hard-capped
+    # at CODEBOOK_SAMPLE_CAP rows so the collect is O(1) in corpus size
     sample = np.array(
         e.filter(F.col("vec_id") % 5 == 0).select("embedding")
+        .limit(CODEBOOK_SAMPLE_CAP)
         .toPandas()["embedding"].tolist(), dtype=np.float64)
     books = _pq_fit(sample)
 
@@ -858,7 +866,8 @@ def q165_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     def adc_scores(codes):
         import pandas as pd
 
-        C = np.array(codes.tolist(), dtype=np.int64)  # n × M
+        C = np.array(codes.tolist(),
+                     dtype=np.int64).reshape(-1, PQ_M)  # n × M (0-row safe)
         rows = np.arange(PQ_M)
         # approx |c|^2 = sum_m |centroid_{code_m}|^2 (independence assm.)
         cnorm = np.sqrt(cent_sq[rows[None, :], C].sum(axis=1))
@@ -1002,6 +1011,7 @@ def q166_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sample = np.array(
         e.filter(F.col("vec_id") % 5 == 0).select("embedding")
+        .limit(CODEBOOK_SAMPLE_CAP)
         .toPandas()["embedding"].tolist(), dtype=np.float64)
     centers = _kmeans(sample, IVFPQ_K, PQ_ITERS)            # K × 64
     s_assign = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(
@@ -1053,7 +1063,8 @@ def q166_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     def adc(qid, cluster, codes):
         import pandas as pd
 
-        C = np.array(codes.tolist(), dtype=np.int64)      # n × M
+        C = np.array(codes.tolist(),
+                     dtype=np.int64).reshape(-1, PQ_M)  # n × M (0-row safe)
         qi = qid.map(qpos_of).to_numpy()                  # n
         cl = cluster.to_numpy()                           # n
         rows = np.arange(PQ_M)
@@ -1165,6 +1176,7 @@ def q168_ann_index_colf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sample = np.array(
         e.filter(F.col("vec_id") % 5 == 0).select("embedding")
+        .limit(CODEBOOK_SAMPLE_CAP)
         .toPandas()["embedding"].tolist(), dtype=np.float64)
     centers = _kmeans(sample, IVFPQ_K, PQ_ITERS)
     sa = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(

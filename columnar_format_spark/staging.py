@@ -14,11 +14,41 @@ here beyond the OS's.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 from collections.abc import Callable
 from typing import Hashable
 
 _STAGED: dict[Hashable, str] = {}
+_RUN_DIRS: dict[Hashable, str] = {}
+
+
+def _cleanup_run_dirs() -> None:
+    for d in _RUN_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_run_dirs)
+
+
+def run_dir(key: Hashable, prefix: str) -> str:
+    """A fresh per-invocation scratch directory for mutation queries.
+
+    CoW queries copy a staged template and mutate the copy, and the
+    DataFrame they return reads the mutated path lazily — so the copy
+    cannot be deleted inline. Instead each key holds ONE live run dir:
+    re-invoking the same query reclaims the previous run's directory
+    (its result was collected long before), and whatever remains is
+    removed at interpreter exit, so repeated sweeps/bench runs no
+    longer accumulate dataset copies under $TMPDIR.
+    """
+    prev = _RUN_DIRS.pop(key, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=prefix)
+    _RUN_DIRS[key] = d
+    return d
 
 
 def stage_once(key: Hashable, prefix: str, write: Callable[[str], None]) -> str:
