@@ -202,7 +202,7 @@ def bench_colf_stripe_pruning(spark, sf_dir: str) -> dict:
     filter (intra-file pruning). Reported straight from the reader's
     partition planning plus a timed pruned-vs-unpruned aggregate."""
     import os as _os
-    import tempfile as _tmp
+    from columnar_format_spark.staging import run_dir
     import time as _t
 
     from pyspark.sql import functions as F
@@ -212,7 +212,7 @@ def bench_colf_stripe_pruning(spark, sf_dir: str) -> dict:
     from columnar_format_spark.registry import table
 
     register(spark)
-    d = _tmp.mkdtemp(prefix="colf_stripe_bench_") + "/ds"
+    d = run_dir(("bench-stripe", sf_dir), "colf_stripe_bench_") + "/ds"
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").cast("int").alias("l_orderkey"),
         F.col("l_linenumber").alias("l_linenumber"),
@@ -256,7 +256,7 @@ def bench_colf_compact_stripes(spark, sf_dir: str) -> dict:
     rewrite), with scan time before/after — consolidation must not
     cost parallelism."""
     import os as _os
-    import tempfile as _tmp
+    from columnar_format_spark.staging import run_dir
     import time as _t
 
     from pyspark.sql import functions as F
@@ -266,7 +266,7 @@ def bench_colf_compact_stripes(spark, sf_dir: str) -> dict:
     from columnar_format_spark.registry import table
 
     register(spark)
-    d = _tmp.mkdtemp(prefix="colf_compact_bench_") + "/ds"
+    d = run_dir(("bench-compact", sf_dir), "colf_compact_bench_") + "/ds"
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").cast("int").alias("l_orderkey"),
         F.col("l_linenumber").alias("l_linenumber"),

@@ -60,7 +60,7 @@ def q70_colf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("l_extendedprice"),
         F.col("l_returnflag").alias("l_returnflag"),
     ).repartition(int(n_files))
-    path = tempfile.mkdtemp(prefix="colf_rt_")
+    path = run_dir(("colf-rt-run", sf_dir), "colf_rt_")
     li.write.format("colf").mode("overwrite").save(path)
     back = spark.read.format("colf").load(path)
     return back.groupBy("l_returnflag").agg(
@@ -118,7 +118,7 @@ def q73_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datasource import register as register_ds
 
     register_ds(spark)
-    out = tempfile.mkdtemp(prefix="colf_ing_")
+    out = run_dir(("colf-ing-run", sf_dir), "colf_ing_")
     typed.write.format("colf").mode("overwrite").save(out)
     back = spark.read.format("colf").load(out)
     return back.agg(
@@ -545,7 +545,7 @@ def q137_colf_v2_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("l_returnflag"),
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("l_shipdate"),
     ).repartition(int(n_files))
-    path = tempfile.mkdtemp(prefix="colf_v2_rt_")
+    path = run_dir(("colf-v2-rt-run", sf_dir), "colf_v2_rt_")
     li.write.format("colf").option("version", "2").mode("overwrite").save(path)
 
     for f in sorted(os.listdir(path)):

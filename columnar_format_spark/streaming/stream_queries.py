@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import QUERIES, register, table
-from ..staging import stage_once
+from ..staging import run_dir, stage_once
 from .pipelines import (
     dedup_within_watermark,
     session_windows,
@@ -541,7 +541,7 @@ def q161_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
              .parquet(f"{d}/changes/batch={i}"))
 
     tmpl = stage_once(("stream-upsert", sf_dir), "colf_upsert_tmpl_", write)
-    path = tempfile.mkdtemp(prefix="colf_upsert_") + "/ds"
+    path = run_dir(("stream-upsert-run", sf_dir), "colf_upsert_") + "/ds"
     shutil.copytree(tmpl + "/ds", path)
 
     changes = (spark.readStream
@@ -555,7 +555,8 @@ def q161_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_into(batch_df.sparkSession, path, batch_df, ["o_orderkey"])
 
     q = (changes.writeStream.foreachBatch(apply_batch)
-         .option("checkpointLocation", tempfile.mkdtemp(prefix="upsert_ck_"))
+         .option("checkpointLocation",
+                 run_dir(("stream-upsert-ck", sf_dir), "upsert_ck_"))
          .trigger(availableNow=True).start())
     q.awaitTermination()
 
