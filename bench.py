@@ -285,12 +285,22 @@ def bench_colf_compact_stripes(spark, sf_dir: str) -> dict:
 
     files_before = len([f for f in _os.listdir(d) if f.endswith(".colf")])
     t_before = scan_time()
+    # size-targeted pass first (the maintenance-job form): roll the 16
+    # small files into ~quarter-of-total sized balanced files
+    from columnar_format_spark.colf.datasource import live_files
+    total_bytes = sum(_os.path.getsize(f) for f in live_files(d))
+    compact(spark, d, target_file_bytes=max(1, total_bytes // 4))
+    sized = sorted(_os.path.getsize(f) for f in live_files(d))
+    sized_files = len(sized)
+    sized_balance = round(sized[-1] / sized[0], 3) if sized[0] else 0.0
     compact(spark, d, 1)
     files_after = len([f for f in _os.listdir(d) if f.endswith(".colf")])
     tasks_after = len(ColfReader({"path": d}, None).partitions())
     t_after = scan_time()
     return {
         "files_before": files_before,
+        "sized_files": sized_files,
+        "sized_balance_max_over_min": sized_balance,
         "files_after": files_after,
         "tasks_after": tasks_after,
         "scan_sec_before": t_before,

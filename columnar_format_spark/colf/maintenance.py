@@ -97,10 +97,20 @@ def _dataset_stripe_rows(path: str, basenames: list[str]) -> int | None:
     return max(1, sum(srows) // len(srows))
 
 
-def compact(spark: SparkSession, path: str, target_files: int,
-            retain: bool = False) -> int:
-    """Rewrite a COLF dataset directory to ``target_files`` part files.
-    Returns the resulting live file count.
+def compact(spark: SparkSession, path: str, target_files: int | None = None,
+            retain: bool = False, *,
+            target_file_bytes: int | None = None) -> int:
+    """Rewrite a COLF dataset directory to ``target_files`` part files,
+    or — the maintenance-job form — to however many balanced files a
+    ``target_file_bytes`` size target implies (``ceil(live_bytes /
+    target)``; pass exactly one of the two). Returns the resulting live
+    file count.
+
+    Size-targeted mode is what a scheduled 100 TB maintenance job runs:
+    "roll small files into ~128 MB files" needs no knowledge of the
+    dataset's current file count, and the rewrite stays one distributed
+    repartition (round-robin, so outputs are row-balanced; compressed
+    sizes track the target to within compression variance).
 
     Default mode rewrites to a sibling tmp dir and swaps it in with
     directory renames (readers opening mid-compaction see either the
@@ -120,6 +130,14 @@ def compact(spark: SparkSession, path: str, target_files: int,
 
     if not os.path.isdir(path):
         raise ValueError(f"compact() needs a dataset directory, got {path}")
+    if (target_files is None) == (target_file_bytes is None):
+        raise ValueError(
+            "pass exactly one of target_files / target_file_bytes")
+    if target_file_bytes is not None:
+        if target_file_bytes < 1:
+            raise ValueError("target_file_bytes must be >= 1")
+        live_bytes = sum(os.path.getsize(f) for f in dataset_files(path))
+        target_files = max(1, -(-live_bytes // target_file_bytes))
     if target_files < 1:
         raise ValueError("target_files must be >= 1")
     # the version whose live set we are rewriting — the CAS parent for

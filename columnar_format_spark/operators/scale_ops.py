@@ -114,9 +114,9 @@ def _interleave_bits(a: str, b: str) -> F.Column:
     """Morton/z-value of two non-negative ints: interleave the low 16
     bits of each (a in the even positions, b in the odd) with built-in
     expressions only — no UDF in the layout path. 16 bits cover the
-    testdata key ranges; a production writer would first rank-normalize
-    each dimension into a fixed-width domain (as Delta's OPTIMIZE
-    ZORDER does) so arbitrary ranges interleave losslessly."""
+    testdata key ranges; for arbitrary/skewed ranges, rank-normalize
+    each dimension into the fixed-width domain first (q169_zorder_rank,
+    _rank_cuts/_rank_bucket — the Delta OPTIMIZE ZORDER approach)."""
     terms = []
     for i in range(16):
         terms.append(
@@ -211,6 +211,139 @@ def q157_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{n_hit}/{Z_FILES} — clustering is not pruning")
 
     back = spark.read.format("colf").load(zdir).filter(
+        (F.col("l_partkey") >= lo_p) & (F.col("l_partkey") <= hi_p)
+        & (F.col("l_suppkey") >= lo_s) & (F.col("l_suppkey") <= hi_s))
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+         .cast("bigint").cast("double") / F.lit(100.0)).alias("sum_price"),
+        F.min("l_partkey").cast("bigint").alias("min_p"),
+        F.max("l_partkey").cast("bigint").alias("max_p"),
+    )
+
+
+RANK_BITS = 8  # rank-normalized z-order: 8-bit rank domain per dimension
+
+
+def _rank_cuts(df: DataFrame, col: str, bits: int = RANK_BITS) -> list[float]:
+    """Approximate quantile cut points dividing ``col`` into 2**bits
+    equal-population buckets. approxQuantile runs distributed
+    (Greenwald-Khanna per partition, merged); the driver receives
+    2**bits - 1 doubles — metadata-sized at any corpus scale."""
+    n = (1 << bits) - 1
+    return df.stat.approxQuantile(col, [(i + 1) / (n + 1) for i in range(n)],
+                                  0.001)
+
+
+def _rank_bucket(col: str, cuts: list[float]) -> F.Column:
+    """Map a value to its rank bucket = #cuts <= value, as a single
+    JVM-side higher-order filter over the literal cut array — no UDF,
+    no join. O(2**bits) branch-free compares per row inside codegen;
+    monotone in the value, so range predicates on the original column
+    stay range predicates in the rank domain."""
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    return F.size(F.filter(arr, lambda c: F.col(col).cast("double") >= c))
+
+
+@register(
+    "q169_zorder_rank",
+    oracle="""
+    WITH bounds AS (
+      SELECT (MAX(l_partkey) * 3) // 10 AS lo_p,
+             (MAX(l_partkey) * 4) // 10 AS hi_p,
+             (MAX(l_suppkey) * 3) // 10 AS lo_s,
+             (MAX(l_suppkey) * 4) // 10 AS hi_s
+      FROM lineitem)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price,
+           CAST(MIN(l_partkey) AS BIGINT) AS min_p,
+           CAST(MAX(l_partkey) AS BIGINT) AS max_p
+    FROM lineitem, bounds
+    WHERE l_partkey BETWEEN lo_p AND hi_p
+      AND l_suppkey BETWEEN lo_s AND hi_s
+    """,
+)
+def q169_zorder_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-normalized z-order on SKEWED, WIDE-RANGE keys — the case
+    where q157's fixed-width interleave degrades. The clustering keys
+    here are (l_partkey, l_suppkey) each scaled by an odd constant
+    (40503): a monotone transform whose range blows far past the
+    16-bit interleave domain at every SF, so the fixed-width z-value
+    keeps only hash-like low bits and its file zone maps overlap
+    nearly everything. The fix is what
+    Delta's OPTIMIZE ZORDER does: rank-normalize each dimension into a
+    fixed-width domain first — here via distributed approxQuantile cut
+    points and a JVM-side bucket expression (no UDF) — then interleave
+    the ranks. The query lays lineitem out BOTH ways, asserts from the
+    manifest sidecars alone that the rank layout's overlapping-file
+    count for a 10%x10% rectangle is at most half the fixed-width
+    layout's AND no worse than half the files (parity with q157's
+    benign-key skip ratio), then returns the rectangle aggregate the
+    oracle value-checks — layout must never change an answer.
+
+    Scale: rank normalization is insensitive to key range and skew by
+    construction (equal-population buckets), so the one layout shuffle
+    keeps its pruning power on arbitrary real-world keys; the cut
+    points are 2**RANK_BITS doubles per dimension — metadata-sized on
+    a million-file dataset.
+    """
+    from ..colf.datasource import load_manifest
+    from ..colf.datasource import register as register_ds
+    from ..staging import stage_once
+
+    register_ds(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("int").alias("l_partkey"),
+        F.col("l_suppkey").cast("int").alias("l_suppkey"),
+        F.col("l_extendedprice")).withColumns({
+            "wk_p": F.col("l_partkey").cast("bigint") * F.lit(40503),
+            "wk_s": F.col("l_suppkey").cast("bigint") * F.lit(40503)})
+
+    def write(d: str) -> None:
+        # degraded baseline: fixed 16-bit interleave of the wide keys
+        zf = li.withColumn("zval", _interleave_bits("wk_p", "wk_s"))
+        (zf.repartitionByRange(Z_FILES, "zval").drop("zval", "wk_p", "wk_s")
+         .write.format("colf").option("version", "2")
+         .mode("append").save(d + "/fixed"))
+        # rank-normalized: equal-population buckets per dimension, then
+        # interleave the 8-bit ranks
+        cuts_p, cuts_s = _rank_cuts(li, "wk_p"), _rank_cuts(li, "wk_s")
+        zr = (li.withColumn("rk_p", _rank_bucket("wk_p", cuts_p))
+              .withColumn("rk_s", _rank_bucket("wk_s", cuts_s))
+              .withColumn("zval", _interleave_bits("rk_p", "rk_s")))
+        (zr.repartitionByRange(Z_FILES, "zval")
+         .drop("zval", "rk_p", "rk_s", "wk_p", "wk_s")
+         .write.format("colf").option("version", "2")
+         .mode("append").save(d + "/rank"))
+
+    base = stage_once(("zorder-rank", sf_dir), "colf_zrank_", write)
+    fdir, rdir = base + "/fixed", base + "/rank"
+
+    man = load_manifest(rdir)
+    mx_p = max(s["columns"]["l_partkey"]["max"] for s in man.values())
+    mx_s = max(s["columns"]["l_suppkey"]["max"] for s in man.values())
+    lo_p, hi_p = mx_p * 3 // 10, mx_p * 4 // 10
+    lo_s, hi_s = mx_s * 3 // 10, mx_s * 4 // 10
+
+    def overlapping(path: str) -> int:
+        m = load_manifest(path)
+        n = 0
+        for s in m.values():
+            p, sp = s["columns"]["l_partkey"], s["columns"]["l_suppkey"]
+            if (p["min"] <= hi_p and p["max"] >= lo_p
+                    and sp["min"] <= hi_s and sp["max"] >= lo_s):
+                n += 1
+        return n
+
+    r_hit, f_hit = overlapping(rdir), overlapping(fdir)
+    if not (r_hit * 2 <= f_hit and r_hit * 2 <= Z_FILES):
+        raise AssertionError(
+            f"rank z-order overlaps {r_hit}/{Z_FILES} files vs fixed-width "
+            f"{f_hit}/{Z_FILES} — rank normalization is not restoring "
+            f"pruning on wide-range keys")
+
+    back = spark.read.format("colf").load(rdir).filter(
         (F.col("l_partkey") >= lo_p) & (F.col("l_partkey") <= hi_p)
         & (F.col("l_suppkey") >= lo_s) & (F.col("l_suppkey") <= hi_s))
     return back.agg(

@@ -232,6 +232,57 @@ def test_v3_compact_keeps_stripe_parallelism(colf_spark, tmp_path):
     assert back.agg(F.sum("id")).first()[0] == sum(range(40_000))
 
 
+def test_v3_size_targeted_compact(colf_spark, tmp_path):
+    """compact(target_file_bytes=...) — the maintenance-job form — must
+    produce ceil(live_bytes/target) BALANCED striped files, each still
+    planning one scan task per stripe, with no rows lost."""
+    from columnar_format_spark.colf.datasource import live_files
+    from columnar_format_spark.colf.maintenance import compact
+
+    p = str(tmp_path / "sized")
+    df = colf_spark.range(48_000).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 9).cast("double").alias("v"))
+    # 16 small files of 3k rows, 1 stripe each
+    (df.repartition(16).write.format("colf").option("version", "3")
+     .option("stripeRows", "3000").mode("append").save(p))
+    live = live_files(p)
+    assert len(live) == 16
+    total = sum(os.path.getsize(f) for f in live)
+    target = total // 4  # expect ceil(total/target) = 4 or 5 outputs
+    n = compact(colf_spark, p, target_file_bytes=target)
+    out = live_files(p)
+    assert n == len(out)
+    assert 1 < n <= 6, f"size target produced {n} files"
+    # balanced: no output more than 2x the smallest (round-robin rows)
+    sizes = sorted(os.path.getsize(f) for f in out)
+    assert sizes[-1] <= 2 * sizes[0], f"unbalanced outputs: {sizes}"
+    # every output keeps intra-file stripe parallelism
+    total_stripes = 0
+    for f in out:
+        stripes = read_stripes_info(f)
+        assert len(stripes) >= 1
+        total_stripes += len(stripes)
+    ds = ColfDataSource({"path": p})
+    assert len(ds.reader(ds.schema()).partitions()) == total_stripes
+    assert total_stripes >= n * 2, "compaction collapsed stripe granularity"
+    back = colf_spark.read.format("colf").load(p)
+    assert back.count() == 48_000
+    assert back.agg(F.sum("id")).first()[0] == sum(range(48_000))
+
+
+def test_compact_rejects_ambiguous_targets(colf_spark, tmp_path):
+    from columnar_format_spark.colf.maintenance import compact
+
+    p = str(tmp_path / "amb")
+    (colf_spark.range(100).select(F.col("id").cast("int").alias("id"))
+     .write.format("colf").mode("append").save(p))
+    with pytest.raises(ValueError, match="exactly one"):
+        compact(colf_spark, p)
+    with pytest.raises(ValueError, match="exactly one"):
+        compact(colf_spark, p, 2, target_file_bytes=1 << 20)
+
+
 def test_compact_preserves_format_version(colf_spark, tmp_path):
     from columnar_format_spark.colf.datasource import live_files
     from columnar_format_spark.colf.maintenance import compact
