@@ -146,6 +146,7 @@ def main() -> None:
         "colf_stripe_pruning": bench_colf_stripe_pruning(spark, sf_dir),
         "colf_compact_stripes": bench_colf_compact_stripes(spark, sf_dir),
         "colf_bloom": bench_colf_bloom(spark, sf_dir),
+        "colf_float_pruning": bench_colf_float_pruning(spark, sf_dir),
     }))
     spark.stop()
 
@@ -363,6 +364,61 @@ def bench_colf_bloom(spark, sf_dir: str) -> dict:
         "pruned_sec": lookup_time("on"),
         "unpruned_sec": lookup_time("off"),
     }
+
+def bench_colf_float_pruning(spark, sf_dir: str) -> dict:
+    """Zone-map skipping + executor-side residual filtering on a FLOAT
+    measure column (round-6 extension: ranges on float64 now prune and
+    row-filter with Spark's NaN total order). lineitem laid out by
+    l_extendedprice; a ~10% price band opens few of 8 files, and the
+    residual mask trims the transferred batches to the matching rows."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    from columnar_format_spark.colf.datasource import ColfReader
+    from columnar_format_spark.colf.datasource import register as _register
+    from columnar_format_spark.registry import table as _table
+    from columnar_format_spark.staging import stage_once
+
+    _register(spark)
+
+    def write(d: str) -> None:
+        (_table(spark, sf_dir, "lineitem")
+         .select("l_extendedprice", "l_quantity")
+         .repartitionByRange(8, "l_extendedprice")
+         .write.format("colf").mode("overwrite").save(d + "/ds"))
+
+    d = stage_once(("colf-floatprune", sf_dir), "colf_fprune_", write) + "/ds"
+    df = spark.read.format("colf").load(d)
+    lo, hi = df.stat.approxQuantile("l_extendedprice", [0.3, 0.4], 0.001)
+
+    def planned(pruning: str) -> int:
+        r = ColfReader({"path": d, "pruning": pruning}, df.schema)
+        r.pushFilters([GreaterThanOrEqual(("l_extendedprice",), lo),
+                       LessThanOrEqual(("l_extendedprice",), hi)])
+        return len({p.file for p in r.partitions() if p.file is not None})
+
+    def band_time(pruning: str) -> float:
+        def one() -> float:
+            q = (spark.read.format("colf").option("pruning", pruning)
+                 .option("rowFilter", pruning).load(d)
+                 .filter(F.col("l_extendedprice").between(lo, hi)))
+            t0 = _t.perf_counter()
+            q.agg(F.count(F.lit(1)), F.sum("l_quantity")).collect()
+            return _t.perf_counter() - t0
+        one()
+        return round(min(one(), one()), 4)
+
+    total, opened = planned("off"), planned("on")
+    return {
+        "files_total": total,
+        "files_opened": opened,
+        "skip_ratio": round(1 - opened / total, 4) if total else 0.0,
+        "pruned_sec": band_time("on"),
+        "unpruned_sec": band_time("off"),
+    }
+
 
 if __name__ == "__main__":
     main()

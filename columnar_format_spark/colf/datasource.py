@@ -343,9 +343,10 @@ def _residual_mask(data: dict, filters: list):
     """Executor-side residual filter evaluation: AND-combine the pushed
     conjuncts that can be evaluated on the decoded Arrow arrays with
     semantics IDENTICAL to Spark's (null comparison → false; binary
-    collation for strings — Spark's UTF8_BINARY default; int/utf8 only,
-    floats skipped). Returns a boolean mask, or None when nothing is
-    evaluable. Spark re-applies every filter row-level regardless
+    collation for strings — Spark's UTF8_BINARY default; float64 with
+    Spark's NaN total order: NaN rows kept on upper-bound compares,
+    NaN probes left to Spark). Returns a boolean mask, or None when
+    nothing is evaluable. Spark re-applies every filter row-level regardless
     (pushFilters returns all of them), so a skipped conjunct costs
     transfer, never correctness — but a row this mask drops MUST be one
     Spark would drop, hence the conservative type/exception guards.
@@ -367,9 +368,17 @@ def _residual_mask(data: dict, filters: list):
         if arr is None:
             continue
         t = arr.type
-        if not (pa.types.is_int32(t) or pa.types.is_string(t)):
+        is_float = pa.types.is_float64(t)
+        if not (pa.types.is_int32(t) or pa.types.is_string(t) or is_float):
             continue
         v = getattr(flt, "value", None)
+        if is_float and isinstance(v, float) and v != v:
+            continue  # NaN probe: Spark's NaN total order decides, not IEEE
+        # Spark orders NaN ABOVE every double, so a NaN row satisfies
+        # `col > v` / `col >= v` where IEEE says false — for those ops
+        # the mask must keep NaN rows. Every other op's IEEE result for
+        # NaN (false) matches Spark's. -0.0 == 0.0 under both.
+        keep_nan = False
         try:
             if isinstance(flt, IsNull):
                 m = pc.is_null(arr)
@@ -381,11 +390,16 @@ def _residual_mask(data: dict, filters: list):
                 m = pc.equal(arr, v)
             elif isinstance(flt, In):
                 vals = [x for x in flt.value if x is not None]
+                if is_float and any(isinstance(x, float) and x != x
+                                    for x in vals):
+                    continue  # NaN in the IN list: leave to Spark
                 m = pc.is_in(arr, value_set=pa.array(vals, type=t))
             elif isinstance(flt, GreaterThan):
                 m = pc.greater(arr, v)
+                keep_nan = is_float
             elif isinstance(flt, GreaterThanOrEqual):
                 m = pc.greater_equal(arr, v)
+                keep_nan = is_float
             elif isinstance(flt, LessThan):
                 m = pc.less(arr, v)
             elif isinstance(flt, LessThanOrEqual):
@@ -394,6 +408,8 @@ def _residual_mask(data: dict, filters: list):
                 m = pc.starts_with(arr, pattern=v)
             else:
                 continue
+            if keep_nan:
+                m = pc.or_kleene(m, pc.is_nan(arr))
         except (pa.ArrowInvalid, pa.ArrowTypeError,
                 pa.ArrowNotImplementedError, TypeError, ValueError):
             continue  # not evaluable bit-identically → leave to Spark
@@ -431,8 +447,22 @@ def _file_may_match(stats: dict, flt: Filter) -> bool:
         return isinstance(a, (int, float)) == isinstance(b, (int, float)) and not (
             isinstance(a, bool) or isinstance(b, bool))
 
+    def is_nan(x) -> bool:
+        return isinstance(x, float) and x != x
+
+    # Spark totals-orders NaN ABOVE every double, so a file holding NaN
+    # rows satisfies any `col > v` / `col >= v` / `col = NaN` no matter
+    # what its (NaN-skipping) min/max say. nan_count==0 proves absence;
+    # a missing key (pre-NaN-stats sidecar) means unknown → keep.
+    may_have_nan = (isinstance(mn, float)
+                    and col.get("nan_count", None) != 0)
+    if is_nan(mn) or is_nan(mx):
+        return True  # poisoned stats: prune nothing
     if isinstance(flt, In):
         vals = [x for x in flt.value if x is not None and cmp_ok(x, mn)]
+        if any(is_nan(x) for x in vals) and may_have_nan:
+            return True
+        vals = [x for x in vals if not is_nan(x)]
         return any(mn <= x <= mx for x in vals) if vals else True
     if isinstance(flt, StringStartsWith):
         # strings with prefix v form the interval [v, v + U+10FFFF…):
@@ -443,14 +473,16 @@ def _file_may_match(stats: dict, flt: Filter) -> bool:
         return mx >= v and mn[: len(v)] <= v
     if v is None or not cmp_ok(v, mn):
         return True
+    if is_nan(v):
+        return True  # NaN probe: Spark's NaN ordering decides, not stats
     if isinstance(flt, (EqualTo, EqualNullSafe)):
         return mn <= v <= mx
     if isinstance(flt, GreaterThan):
-        return mx > v
+        return mx > v or may_have_nan  # NaN rows satisfy > v for any v
     if isinstance(flt, GreaterThanOrEqual):
-        return mx >= v
+        return mx >= v or may_have_nan
     if isinstance(flt, LessThan):
-        return mn < v
+        return mn < v  # NaN never satisfies < v: min check alone decides
     if isinstance(flt, LessThanOrEqual):
         return mn <= v
     return True
@@ -752,6 +784,12 @@ def _chunk_stats(chunks: list, num_rows: int) -> dict:
             entry["max"] = mm["max"].as_py()
         else:
             entry["min"] = entry["max"] = None
+        if pa.types.is_floating(arr.type):
+            # Arrow's min_max SKIPS NaN, but Spark orders NaN above
+            # every value — a NaN row satisfies `col > v` for any v.
+            # Record the NaN count so _file_may_match can refuse to
+            # prune on upper-bound checks when NaNs are present.
+            entry["nan_count"] = int(pc.sum(pc.is_nan(arr)).as_py() or 0)
         cols[name] = entry
     return {"num_rows": num_rows, "columns": cols}
 

@@ -12,9 +12,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     EqualTo,
     GreaterThan,
+    GreaterThanOrEqual,
     In,
     IsNotNull,
     IsNull,
+    LessThan,
     LessThanOrEqual,
     StringStartsWith,
 )
@@ -67,14 +69,72 @@ def test_mask_conjunction_and_strings():
 
 
 def test_mask_skips_what_it_cannot_evaluate():
-    # float column → unsupported type, left to Spark
-    assert _residual_mask(_data(), [EqualTo(("f",), 2.0)]) is None
     # unknown column (not in the projection) → skipped
     assert _residual_mask(_data(), [EqualTo(("z",), 1)]) is None
     # type-mismatched probe → exception path, skipped
     assert _residual_mask(_data(), [EqualTo(("s",), 7)]) is None
     # int32-overflowing IN probe → skipped, not a crash
     assert _residual_mask(_data(), [In(("k",), (2**40,))]) is None
+
+
+NAN = float("nan")
+
+
+def _fdata():
+    return {"f": pa.array([1.0, None, NAN, 4.0, 5.0], type=pa.float64())}
+
+
+def test_mask_float64_spark_nan_semantics():
+    # plain ranges evaluate; NULL row drops (3VL)
+    assert _kept(_residual_mask(_fdata(), [EqualTo(("f",), 4.0)])) == [3]
+    assert _kept(_residual_mask(_fdata(),
+                                [LessThanOrEqual(("f",), 4.0)])) == [0, 3]
+    # Spark orders NaN above every double: the NaN row must survive
+    # upper-bound compares (IEEE alone would drop it)...
+    assert _kept(_residual_mask(_fdata(), [GreaterThan(("f",), 4.0)])) \
+        == [2, 4]
+    assert _kept(_residual_mask(_fdata(),
+                                [GreaterThanOrEqual(("f",), 1.0)])) \
+        == [0, 2, 3, 4]
+    # ...but never a lower-bound one (NaN < v is false in Spark too)
+    assert _kept(_residual_mask(_fdata(), [LessThan(("f",), 100.0)])) \
+        == [0, 3, 4]
+    # NaN probes are left to Spark entirely (mask must not guess)
+    assert _residual_mask(_fdata(), [EqualTo(("f",), NAN)]) is None
+    assert _residual_mask(_fdata(), [In(("f",), (1.0, NAN))]) is None
+    # IN without NaN evaluates; null row drops
+    assert _kept(_residual_mask(_fdata(), [In(("f",), (1.0, 5.0))])) == [0, 4]
+
+
+def test_zonemap_float_nan_never_pruned():
+    """A file whose only rows satisfying `> v` are NaN must survive
+    zone-map pruning: Arrow min/max skip NaN, Spark orders NaN above
+    every double. nan_count==0 restores pruning; a pre-NaN-stats
+    sidecar (no nan_count key) stays conservative."""
+    from columnar_format_spark.colf.datasource import _file_may_match
+
+    def stats(mn, mx, **extra):
+        return {"num_rows": 5,
+                "columns": {"f": {"min": mn, "max": mx, "null_count": 0,
+                                  **extra}}}
+
+    gt = GreaterThan(("f",), 100.0)
+    # NaN present: file max 5.0 but the NaN row satisfies > 100.0
+    assert _file_may_match(stats(1.0, 5.0, nan_count=2), gt)
+    assert _file_may_match(stats(1.0, 5.0, nan_count=2),
+                           GreaterThanOrEqual(("f",), 100.0))
+    # unknown NaN count (old sidecar): conservative keep
+    assert _file_may_match(stats(1.0, 5.0), gt)
+    # proven NaN-free: range check prunes
+    assert not _file_may_match(stats(1.0, 5.0, nan_count=0), gt)
+    # lower bounds never involve NaN: prune regardless of NaN presence
+    assert not _file_may_match(stats(200.0, 300.0, nan_count=2),
+                               LessThan(("f",), 100.0))
+    # NaN probe value: stats can't decide, keep
+    assert _file_may_match(stats(1.0, 5.0, nan_count=0),
+                           EqualTo(("f",), NAN))
+    # poisoned stats (min/max are NaN): keep
+    assert _file_may_match(stats(NAN, NAN, nan_count=0), gt)
 
 
 # ---------- end-to-end equivalence ----------
@@ -91,6 +151,9 @@ def ds(spark, tmp_path_factory):
             F.when(F.col("o_orderkey") % 7 == 0, None)
             .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
             F.col("o_totalprice"),
+            F.when(F.col("o_orderkey") % 11 == 0, F.lit(float("nan")))
+            .when(F.col("o_orderkey") % 13 == 0, None)
+            .otherwise(F.col("o_totalprice")).alias("nanprice"),
         )
         .repartition(4)
         .write.format("colf").mode("overwrite").save(d)
@@ -105,7 +168,15 @@ PREDICATES = [
     lambda c: c("o_orderpriority").isNotNull() & (c("o_orderkey") < 50),
     lambda c: c("o_orderpriority").startswith("1-"),
     lambda c: c("o_orderpriority").isin("1-URGENT", "5-LOW"),
-    lambda c: c("o_totalprice") > 100000.0,  # float: mask skips, Spark filters
+    lambda c: c("o_totalprice") > 100000.0,
+    # float64 with NaN + NULL rows: Spark keeps NaN on upper bounds
+    lambda c: c("nanprice") > 100000.0,
+    lambda c: c("nanprice") >= 50000.0,
+    lambda c: c("nanprice") < 100000.0,
+    lambda c: (c("nanprice") <= 200000.0) & (c("o_orderkey") > 10),
+    lambda c: c("nanprice") == float("nan"),  # NaN probe: left to Spark
+    lambda c: c("nanprice").isNull(),
+    lambda c: c("nanprice").isin(float("nan"), 1.0),
 ]
 
 
@@ -116,7 +187,12 @@ def test_rowfilter_on_off_identical(spark, ds, i):
           .filter(pred(F.col)).collect())
     off = (spark.read.format("colf").option("rowFilter", "off").load(ds)
            .filter(pred(F.col)).collect())
-    assert sorted(map(tuple, on)) == sorted(map(tuple, off))
+
+    def norm(rows):  # NaN != NaN would break tuple equality
+        return sorted(tuple("NaN" if isinstance(v, float) and v != v else v
+                            for v in r) for r in rows)
+
+    assert norm(on) == norm(off)
 
 
 def test_reader_yields_only_matching_rows(spark, ds):
