@@ -41,6 +41,15 @@ from typing import Iterable
 MAX_BITS = 1 << 20
 DEFAULT_FPP = 0.01
 
+# Character-prefix lengths indexed for utf8 bloom columns: a pushed
+# StringStartsWith(pattern) probes the longest indexed length <=
+# len(pattern) with pattern[:L]. Any value matching the pattern has
+# len(value) >= len(pattern) >= L and value[:L] == pattern[:L], which
+# IS indexed — so a negative probe proves no match (no false
+# negatives). Distinct prefixes are few, so these blooms are tiny
+# relative to the value filter.
+PREFIX_LENGTHS = (2, 4, 8)
+
 
 def encode_int32(v: int) -> bytes:
     return struct.pack("<i", v)
@@ -118,6 +127,38 @@ def might_contain(bloom: dict, value_bytes: bytes) -> bool:
     return contains(bits, m, k, value_bytes)
 
 
+def build_prefixes(strings: Iterable[str],
+                   fpp: float = DEFAULT_FPP) -> dict:
+    """{str(L): bloom} over the distinct L-char prefixes of the given
+    strings, for each L in PREFIX_LENGTHS. A value shorter than L is
+    not indexed at L — it cannot match any pattern of length >= L, so
+    probes at L stay false-negative-free. Each filter is sized by its
+    DISTINCT prefix count (prefix cardinality is far below row count)."""
+    per_len: dict[int, set] = {L: set() for L in PREFIX_LENGTHS}
+    for s in strings:
+        for L in PREFIX_LENGTHS:
+            if len(s) >= L:
+                per_len[L].add(s[:L])
+    return {str(L): build((encode_utf8(p) for p in sorted(vals)),
+                          n_hint=len(vals), fpp=fpp)
+            for L, vals in per_len.items() if vals}
+
+
+def prefix_might_match(bloom: dict, pattern: str) -> bool:
+    """True unless some prefix filter PROVES no stored value starts
+    with ``pattern``. Uses the longest indexed length <= len(pattern);
+    shorter patterns than every indexed length stay unknowable (True)."""
+    prefixes = bloom.get("prefixes")
+    if not prefixes:
+        return True
+    usable = [L for L in PREFIX_LENGTHS
+              if len(pattern) >= L and str(L) in prefixes]
+    if not usable:
+        return True
+    L = max(usable)
+    return might_contain(prefixes[str(L)], encode_utf8(pattern[:L]))
+
+
 def merge(a: dict, b: dict) -> dict:
     """OR-merge two filters with identical (m, k) — how a compaction
     could carry blooms forward without re-reading data. Raises on
@@ -129,6 +170,15 @@ def merge(a: dict, b: dict) -> dict:
     merged = bytes(x | y for x, y in zip(base64.b64decode(a["b64"]),
                                          base64.b64decode(b["b64"])))
     n = a["n"] + b["n"]
-    return {"m": a["m"], "k": a["k"], "n": n,
-            "fpp": round(realized_fpp(a["m"], a["k"], n), 6),
-            "b64": base64.b64encode(merged).decode("ascii")}
+    out = {"m": a["m"], "k": a["k"], "n": n,
+           "fpp": round(realized_fpp(a["m"], a["k"], n), 6),
+           "b64": base64.b64encode(merged).decode("ascii")}
+    # carry prefix filters forward when both sides have compatible
+    # params per length; otherwise drop them (absence is conservative)
+    pa_, pb = a.get("prefixes") or {}, b.get("prefixes") or {}
+    if pa_ and pb and set(pa_) == set(pb):
+        try:
+            out["prefixes"] = {L: merge(pa_[L], pb[L]) for L in pa_}
+        except ValueError:
+            pass
+    return out

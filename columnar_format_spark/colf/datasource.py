@@ -334,6 +334,10 @@ def _bloom_may_match(col_blooms: dict, flt: Filter, schema: StructType) -> bool:
             # 1000-key merge probe must not b64-decode 1000 times)
             bits, m, k = B.decode_bits(bl)
             return any(B.contains(bits, m, k, vb) for vb in probes)
+        if isinstance(flt, StringStartsWith):
+            if not isinstance(flt.value, str):
+                return True
+            return B.prefix_might_match(bl, flt.value)
     except (KeyError, TypeError, ValueError, IndexError, binascii.Error):
         return True  # malformed entry: prune nothing, stay correct
     return True
@@ -583,12 +587,13 @@ class ColfReader(DataSourceReader):
             files = [f for f in files
                      if os.path.basename(f) in self.only_files]
         # both sidecars load at most ONCE per plan, shared by the file
-        # pass and the v3 stripe pass; blooms only when an equality
-        # conjunct exists (point lookups / IN probes) — the sidecar
-        # read costs nothing on range scans
+        # pass and the v3 stripe pass; blooms only when a bloom-servable
+        # conjunct exists (point lookups / IN probes / startswith
+        # prefixes) — the sidecar read costs nothing on range scans
         pruning_on = bool(self.pushed and self.pruning)
         eq_filters = [f for f in self.pushed
-                      if isinstance(f, (EqualTo, EqualNullSafe, In))] \
+                      if isinstance(f, (EqualTo, EqualNullSafe, In,
+                                        StringStartsWith))] \
             if pruning_on else []
         blooms = load_blooms(self.path) if eq_filters and files else {}
         manifest = load_manifest(self.path)
@@ -721,10 +726,16 @@ def _build_blooms(chunks: dict, colf_columns: list[ColfColumn],
     out = {}
     for name in bloom_cols:
         arr = pa.chunked_array(chunks[name])
+        vals = [v for v in arr.to_pylist() if v is not None]
         enc = B.encode_int32 if types[name] == "int32" else B.encode_utf8
-        out[name] = B.build(
-            (enc(v) for v in arr.to_pylist() if v is not None),
-            n_hint=num_rows, fpp=fpp)
+        out[name] = B.build((enc(v) for v in vals),
+                            n_hint=num_rows, fpp=fpp)
+        if types[name] == "utf8":
+            # prefix filters serve pushed StringStartsWith probes the
+            # way the value filter serves equality/IN
+            prefixes = B.build_prefixes(vals, fpp=fpp)
+            if prefixes:
+                out[name]["prefixes"] = prefixes
     return out
 
 

@@ -79,6 +79,32 @@ def test_determinism():
     assert B.build(vals, 100) == B.build(vals, 100)
 
 
+@given(st.lists(st.text(min_size=0, max_size=20), min_size=1, max_size=200),
+       st.integers(0, 199), st.integers(1, 12))
+@settings(max_examples=50, deadline=None)
+def test_prefix_no_false_negatives(values, pick, plen):
+    """Any pattern that IS a prefix of some stored value must survive
+    prefix_might_match — at every pattern length, indexed or not."""
+    blooms = B.build_prefixes(values)
+    bl = {"prefixes": blooms} if blooms else {}
+    v = values[pick % len(values)]
+    pattern = v[:plen]
+    assert B.prefix_might_match(bl, pattern)
+
+
+def test_prefix_merge_carries_filters():
+    a = {"prefixes": B.build_prefixes(["alpha", "beta"])}
+    b = {"prefixes": B.build_prefixes(["gamma", "alpine"])}
+    base_a = B.build((B.encode_utf8(w) for w in ["alpha", "beta"]), n_hint=64)
+    base_b = B.build((B.encode_utf8(w) for w in ["gamma", "alpine"]), n_hint=64)
+    base_a["prefixes"], base_b["prefixes"] = a["prefixes"], b["prefixes"]
+    m = B.merge(base_a, base_b)
+    for w in ["alpha", "beta", "gamma", "alpine"]:
+        assert B.prefix_might_match(m, w[:4])
+    # absent prefix still provably absent after the merge
+    assert not B.prefix_might_match(m, "zzzz")
+
+
 # ---------- datasource integration ----------
 
 
@@ -159,6 +185,78 @@ def test_absent_key_prunes_everything(spark, tmp_path):
     got = (spark.read.format("colf").load(d)
            .filter(F.col("k") == 1000).collect())
     assert [r["k"] for r in got] == [1000]
+
+
+@pytest.fixture(scope="module")
+def prefix_dataset(spark, tmp_path_factory):
+    """A hash-scattered utf8 bloom column whose every file spans the
+    whole string range (min ~'a0', max ~'z9'), so zone maps keep every
+    file for any mid-range startswith probe — only the prefix blooms
+    can prune. Values are letter+digits ('a0', 'b17', ...), so any
+    letter+LETTER pattern is absent from all files."""
+    register(spark)
+    d = str(tmp_path_factory.mktemp("colf_prefix"))
+    (spark.range(4000)
+     .select(F.concat(
+         F.expr("chr(97 + CAST(id % 26 AS INT))"),
+         F.col("id").cast("string")).alias("tag"),
+         F.col("id").cast("int").alias("id"))
+     .repartition(4)
+     .write.format("colf").option("bloomColumns", "tag")
+     .mode("overwrite").save(d))
+    return d
+
+
+def test_prefix_sidecar_written(prefix_dataset):
+    blooms = load_blooms(prefix_dataset)
+    assert len(blooms) == 4
+    for per_file in blooms.values():
+        pref = per_file["columns"]["tag"].get("prefixes")
+        assert pref and set(pref) <= {"2", "4", "8"}
+        for bl in pref.values():
+            assert bl["n"] > 0
+
+
+def test_startswith_absent_prefix_prunes_everything(spark, prefix_dataset):
+    from pyspark.sql.datasource import StringStartsWith
+
+    schema = spark.read.format("colf").load(prefix_dataset).schema
+    # 'qq' sorts inside every file's [min, max] (letter+digit values
+    # span a0..z9), so zone maps keep all 4 — assert that first
+    from columnar_format_spark.colf.datasource import (
+        _file_may_match, load_manifest)
+
+    probe = StringStartsWith(("tag",), "qq")
+    man = load_manifest(prefix_dataset)
+    assert all(_file_may_match(stats, probe) for stats in man.values())
+    # ...the prefix blooms prove 'qq*' absent (2nd char is never a letter)
+    opened = _n_files(_reader(prefix_dataset, [probe], schema))
+    assert opened == 0
+    # a PRESENT prefix keeps its file(s) and returns correct rows
+    got = (spark.read.format("colf").load(prefix_dataset)
+           .filter(F.col("tag").startswith("q10")).collect())
+    want = (spark.read.format("colf").option("pruning", "off")
+            .load(prefix_dataset)
+            .filter(F.col("tag").startswith("q10")).collect())
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) >= 1
+
+
+def test_startswith_short_pattern_is_conservative(spark, prefix_dataset):
+    from pyspark.sql.datasource import StringStartsWith
+
+    schema = spark.read.format("colf").load(prefix_dataset).schema
+    # 1-char pattern is below every indexed prefix length: no pruning,
+    # and results still correct
+    opened = _n_files(_reader(prefix_dataset,
+                              [StringStartsWith(("tag",), "q")], schema))
+    assert opened == 4
+    on = (spark.read.format("colf").load(prefix_dataset)
+          .filter(F.col("tag").startswith("q")).count())
+    off = (spark.read.format("colf").option("pruning", "off")
+           .load(prefix_dataset)
+           .filter(F.col("tag").startswith("q")).count())
+    assert on == off > 0
 
 
 def test_results_identical_with_and_without_pruning(spark, bloom_dataset):
