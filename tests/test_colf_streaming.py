@@ -422,3 +422,67 @@ def test_stream_write_builds_blooms(spark, tmp_path):
     assert opened <= 1  # blooms prove absence (±1 fp)
     assert (spark.read.format("colf").load(out)
             .filter(F.col("k") == 1000).count()) == 1
+
+
+def test_merge_replay_after_midcommit_crash_is_idempotent(
+        spark, tmp_path, monkeypatch):
+    """Writer-side exactly-once for the foreachBatch MERGE sink (q161's
+    apply path): a merge that dies AFTER moving its rewritten files
+    into the live dir but BEFORE the snapshot commit must be invisible
+    to readers, and replaying the same batch must apply it exactly
+    once — visibility is the CAS snapshot commit, never the file
+    moves."""
+    from columnar_format_spark.colf import maintenance as M
+
+    d = str(tmp_path / "ds")
+    (spark.range(100).select(F.col("id").cast("int").alias("k"),
+                             (F.col("id") * 1.0).alias("v"))
+     .repartition(4).write.format("colf").mode("append").save(d))
+    src = spark.range(0, 10).select(F.col("id").cast("int").alias("k"),
+                                    F.lit(999.0).alias("v"))
+
+    real_commit = M.commit_snapshot
+
+    def crashing_commit(*a, **kw):
+        raise RuntimeError("simulated crash before snapshot commit")
+
+    monkeypatch.setattr(M, "commit_snapshot", crashing_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        M.merge_into(spark, d, src, ["k"])
+    monkeypatch.setattr(M, "commit_snapshot", real_commit)
+
+    # the crashed attempt is invisible (orphan part files are not in
+    # any committed snapshot): reads still see the pre-merge dataset
+    after_crash = spark.read.format("colf").load(d)
+    assert after_crash.count() == 100
+    assert after_crash.filter("v = 999.0").count() == 0
+
+    # replaying the SAME batch applies it exactly once
+    res = M.merge_into(spark, d, src, ["k"])
+    assert res["n_source_rows"] == 10
+    back = spark.read.format("colf").load(d)
+    assert back.count() == 100
+    assert back.filter("v = 999.0").count() == 10
+    assert back.groupBy("k").count().filter("count > 1").count() == 0
+
+
+def test_merge_same_batch_twice_is_content_idempotent(spark, tmp_path):
+    """Replay after a SUCCESSFUL commit (lost checkpoint): re-merging
+    the identical batch must leave the dataset byte-for-value identical
+    — MERGE is content-idempotent, the exactly-once guarantee a
+    replayed foreachBatch needs."""
+    from columnar_format_spark.colf.maintenance import merge_into
+
+    d = str(tmp_path / "ds")
+    (spark.range(60).select(F.col("id").cast("int").alias("k"),
+                            (F.col("id") * 1.0).alias("v"))
+     .repartition(3).write.format("colf").mode("append").save(d))
+    src = spark.range(0, 7).select(F.col("id").cast("int").alias("k"),
+                                   F.lit(-1.0).alias("v"))
+
+    merge_into(spark, d, src, ["k"])
+    first = sorted(map(tuple, spark.read.format("colf").load(d).collect()))
+    r2 = merge_into(spark, d, src, ["k"])
+    second = sorted(map(tuple, spark.read.format("colf").load(d).collect()))
+    assert first == second
+    assert r2["n_replaced_rows"] == 7  # replay replaces with equal rows
