@@ -28,6 +28,7 @@ from .datasource import (
     bloom_columns,
     commit_snapshot,
     dataset_files,
+    dataset_union_columns,
     load_blooms,
     load_manifest,
     load_snapshots,
@@ -56,10 +57,15 @@ def _merge_bloom_files(path: str, tmp: str) -> None:
     save_blooms(path, merged)
 
 
-# merge_into pushes source keys into the discovery scan as IN filters
-# (zone-map/Bloom prunable) when the source carries at most this many
-# distinct keys — the CDC-upsert regime where pruning pays
-MERGE_PUSHDOWN_KEYS = 1000
+# merge_into plans its touched files from the source's key VALUES (IN
+# filters over zone maps + Bloom sidecars — metadata only, no discovery
+# scan) when the source carries at most this many distinct keys. The
+# cap bounds driver-side work: the key-stats collect is O(cap) rows and
+# planning is O(cap x manifest-surviving files) with early exit —
+# 20k keys against a pruned candidate set is milliseconds. Sources
+# beyond the cap (bulk backfills) use the exact scan-based discovery,
+# where reading the key sliver beats planning with a corpus-sized list.
+MERGE_PUSHDOWN_KEYS = 20_000
 
 
 def _bootstrap_log(path: str) -> tuple[int, list[str]]:
@@ -243,6 +249,101 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     return sorted(deleted)
 
 
+_NUM = r"-?\d+(?:\.\d+)?"
+_TERM_RE = None  # compiled lazily in _parse_condition
+
+
+def _parse_condition(condition: str, types: dict):
+    """Translate a simple SQL condition into pushable Filter objects,
+    or None when the shape is unsupported (the caller then falls back
+    to the scan-based discovery). Supported: top-level AND conjunctions
+    of `col op literal` (=, <, <=, >, >=), `col IN (lit, ...)`,
+    `col IS [NOT] NULL` — with literal/column type classes required to
+    match (numeric literal only against int32/float64, quoted string
+    only against utf8), so the planner can never prune on a
+    cross-type comparison it would misjudge. This powers the
+    metadata-only CoW discovery: candidates come from the reader's own
+    zone-map + Bloom planning, never from a data scan."""
+    import re
+
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull,
+        LessThan, LessThanOrEqual)
+
+    ops = {"=": EqualTo, "<": LessThan, "<=": LessThanOrEqual,
+           ">": GreaterThan, ">=": GreaterThanOrEqual}
+    lit = rf"(?:'[^']*'|{_NUM})"
+    term_re = re.compile(
+        rf"^\s*(\w+)\s*(<=|>=|=|<|>)\s*({lit})\s*$", re.ASCII)
+    in_re = re.compile(
+        rf"^\s*(\w+)\s+IN\s*\(\s*({lit}(?:\s*,\s*{lit})*)\s*\)\s*$",
+        re.IGNORECASE | re.ASCII)
+    null_re = re.compile(
+        r"^\s*(\w+)\s+IS\s+(NOT\s+)?NULL\s*$", re.IGNORECASE | re.ASCII)
+
+    def parse_lit(s: str, col: str):
+        if s.startswith("'"):
+            if types.get(col) != "utf8":
+                return None
+            return s[1:-1]
+        if types.get(col) == "int32":
+            return int(float(s)) if float(s).is_integer() else float(s)
+        if types.get(col) == "float64":
+            return float(s)
+        return None
+
+    flts = []
+    # top-level AND split only; every part must FULLY match one of the
+    # anchored shapes below, so ORs, parens, expressions, or literals
+    # split apart by a quoted AND all fall through to `return None`
+    for part in re.split(r"\bAND\b", condition, flags=re.IGNORECASE):
+        if m := null_re.match(part):
+            col = m.group(1)
+            if col not in types:
+                return None
+            flts.append(IsNotNull((col,)) if m.group(2) else IsNull((col,)))
+            continue
+        if m := in_re.match(part):
+            col = m.group(1)
+            vals = [parse_lit(v.strip(), col)
+                    for v in re.findall(lit, m.group(2))]
+            if col not in types or any(v is None for v in vals):
+                return None
+            flts.append(In((col,), tuple(vals)))
+            continue
+        if m := term_re.match(part):
+            col, op, raw = m.groups()
+            v = parse_lit(raw, col)
+            if col not in types or v is None:
+                return None
+            flts.append(ops[op]((col,), v))
+            continue
+        return None
+    return flts or None
+
+
+def _plan_candidates(path: str, flts, live0: list[str]):
+    """Candidate touched files from the reader's OWN planning (zone
+    maps, Bloom sidecars, stripe stats — metadata only, no data scan).
+    Returns a sorted basename list: a conservative SUPERSET of the
+    files holding any matching row, so rewriting exactly these files
+    can never lose a match. None when any candidate lacks a manifest
+    row count (the exact-count arithmetic then needs the scan path)."""
+    from .datasource import ColfDataSource
+
+    ds = ColfDataSource({"path": path})
+    reader = ds.reader(ds.schema())
+    reader.pushFilters(list(flts))
+    live = set(live0)
+    cands = sorted({os.path.basename(p.file)
+                    for p in reader.partitions() if p.file is not None}
+                   & live)
+    man = load_manifest(path)
+    if any(man.get(b, {}).get("num_rows") is None for b in cands):
+        return None
+    return cands
+
+
 def delete_where(spark: SparkSession, path: str, condition: str) -> dict:
     """Copy-on-write row-level DELETE (Iceberg CoW semantics): rewrite
     ONLY the part files that contain matching rows, commit one new
@@ -251,16 +352,20 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> dict:
     time-travel-readable until vacuum(). Returns
     {"version", "n_deleted_rows", "n_rewritten_files", "n_kept_files"}.
 
-    Plan shape: pass 1 scans with the virtual ``_colf_file`` column
-    (zone maps prune files the condition cannot match) and aggregates
-    match counts per file — metadata-sized output. Pass 2 re-reads
-    ONLY the touched files (``option("files", ...)``), keeps the
-    surviving rows, and writes them through the normal connector into
-    a tmp dir (one output file per input partition — layout
-    preserved), which is then adopted like compact(retain=True). At
-    100 TB a selective delete touches a sliver of files and the
-    rewrite cost is proportional to the touched bytes, not the
-    dataset. Same single-writer/stream contract as compact().
+    Plan shape — metadata-only fast path (Iceberg-style) when the
+    condition parses into pushable filters: touched candidates come
+    from the reader's OWN planning (zone maps + Bloom sidecars, zero
+    data jobs), the single data job rewrites their survivors, and the
+    exact deleted count is manifest-rows(touched) − rows written (both
+    metadata). A candidate that turns out to hold no matching row
+    costs a redundant rewrite of that file (bounded by the sidecars'
+    false-positive rate), never a wrong result; if NOTHING matched,
+    the rewrite is discarded and no version commits. Conditions the
+    parser rejects (ORs, expressions, unknown columns) fall back to
+    the two-pass scan discovery. At 100 TB a selective delete touches
+    a sliver of files and the cost is one read+write of the touched
+    bytes — the discovery is free. Same single-writer/stream contract
+    as compact().
     """
     import json
 
@@ -270,29 +375,55 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> dict:
         raise ValueError(f"delete_where() needs a dataset directory, got {path}")
     parent, live0 = _bootstrap_log(path)
 
-    # pass 1 reads only the columns the condition references (regex
-    # over the dataset's field names — a safe over-approximation) plus
-    # the virtual file column: the Python datasource API has no
-    # automatic column pruning, so without this the discovery pass
-    # would decode the full row width of every candidate file
-    import re
-
-    fields = spark.read.format("colf").load(path).schema.fieldNames()
-    cond_cols = [c for c in fields
-                 if re.search(rf"\b{re.escape(c)}\b", condition)] or fields[:1]
-    tagged = (spark.read.format("colf")
-              .option("withFileColumn", "true")
-              .option("columns", ",".join([*cond_cols, "_colf_file"]))
-              .load(path))
-    matches = (tagged.filter(condition)
-               .groupBy("_colf_file")
-               .agg(F.count(F.lit(1)).alias("n"))
-               .collect())  # one row per TOUCHED FILE — metadata-sized
-    if not matches:
+    def noop() -> dict:
         return {"version": parent, "n_deleted_rows": 0,
                 "n_rewritten_files": 0, "n_kept_files": len(live0)}
-    touched = sorted(r["_colf_file"] for r in matches)
-    n_deleted = sum(r["n"] for r in matches)
+
+    if not live0:
+        return noop()
+    # dataset fields/types from driver-side header+manifest reads —
+    # no Spark job for schema
+    union_cols = dataset_union_columns(
+        path, [os.path.join(path, b) for b in live0])
+    types = {c.name: c.type for c in union_cols}
+    fields = list(types)
+
+    touched: list[str] | None = None
+    rows_before: int | None = None
+    n_deleted: int | None = None
+    flts = _parse_condition(condition, types)
+    if flts is not None:
+        cand = _plan_candidates(path, flts, live0)
+        if cand is not None:
+            if not cand:
+                return noop()
+            touched = cand
+            man = load_manifest(path)
+            rows_before = sum(man[b]["num_rows"] for b in touched)
+
+    if touched is None:
+        # scan discovery: pass 1 reads only the columns the condition
+        # references (regex over field names — a safe over-
+        # approximation) plus the virtual file column; the Python
+        # datasource API has no automatic column pruning, so without
+        # this the pass would decode the full row width
+        import re
+
+        cond_cols = [c for c in fields
+                     if re.search(rf"\b{re.escape(c)}\b", condition)] \
+            or fields[:1]
+        tagged = (spark.read.format("colf")
+                  .option("withFileColumn", "true")
+                  .option("columns", ",".join([*cond_cols, "_colf_file"]))
+                  .load(path))
+        matches = (tagged.filter(condition)
+                   .groupBy("_colf_file")
+                   .agg(F.count(F.lit(1)).alias("n"))
+                   .collect())  # one row per TOUCHED FILE
+        if not matches:
+            return noop()
+        touched = sorted(r["_colf_file"] for r in matches)
+        n_deleted = sum(r["n"] for r in matches)
 
     # SQL/Iceberg DELETE removes only rows where the condition is TRUE;
     # rows where it evaluates to NULL must SURVIVE the rewrite (a bare
@@ -318,6 +449,16 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> dict:
         if srows:
             w = w.option("stripeRows", str(srows))
     w.mode("overwrite").save(tmp)
+    if rows_before is not None:
+        # metadata-planned path: exact count from manifest arithmetic
+        rows_after = sum(m.get("num_rows") or 0
+                         for m in load_manifest(tmp).values())
+        n_deleted = rows_before - rows_after
+        if n_deleted == 0:
+            # every candidate was a stats false positive — discard the
+            # byte-identical rewrite, commit nothing (noop semantics)
+            shutil.rmtree(tmp)
+            return noop()
     # when every row of every touched file dies, the connector's valid
     # 0-row sentinel is adopted so the dataset never ends up file-less
     moved = []
@@ -371,7 +512,11 @@ def merge_into(spark: SparkSession, path: str, source,
         raise ValueError("merge_into() needs at least one key column")
     parent, live0 = _bootstrap_log(path)
 
-    target_fields = spark.read.format("colf").load(path).schema.fieldNames()
+    # dataset fields from driver-side header+manifest reads — no Spark
+    # job for schema
+    target_fields = ([c.name for c in dataset_union_columns(
+        path, [os.path.join(path, b) for b in live0])] if live0 else
+        spark.read.format("colf").load(path).schema.fieldNames())
     if source.schema.fieldNames() != target_fields:
         raise ValueError(
             f"merge source columns {source.schema.fieldNames()} must match "
@@ -379,60 +524,88 @@ def merge_into(spark: SparkSession, path: str, source,
     source = source.persist()
     try:
         keys = source.select(*key_cols).distinct()
-        # touched-file discovery reads ONLY the key columns + the
-        # virtual file column (the Python datasource API has no
-        # automatic column pruning, so project explicitly — at 100 TB
-        # this pass decodes the key sliver, not the row width)
-        tagged = (spark.read.format("colf")
-                  .option("withFileColumn", "true")
-                  .option("columns", ",".join([*key_cols, "_colf_file"]))
-                  .load(path))
-        # CDC-sized sources: push the key VALUES into the scan as
-        # per-column IN filters, which reach ColfReader.pushFilters and
-        # prune files/stripes via zone maps AND Bloom sidecars — the
-        # semi join alone gives the connector nothing to prune with,
-        # so without this the discovery pass scans every file no
-        # matter how few keys the upsert carries. Per-column IN is a
-        # SUPERSET of the multi-column key set (lossless: the semi
-        # join below still decides exact membership). Sources beyond
-        # the threshold skip it — a corpus-sized IN list would cost
-        # more to plan with than it prunes.
-        kprobe = keys.limit(MERGE_PUSHDOWN_KEYS + 1).collect()
-        if len(kprobe) <= MERGE_PUSHDOWN_KEYS:
-            for kc in key_cols:
-                vals = [r[kc] for r in kprobe if r[kc] is not None]
-                if vals:
-                    tagged = tagged.filter(F.col(kc).isin(vals))
-        matches_df = (tagged.join(keys, key_cols, "left_semi")
-                      .groupBy("_colf_file")
-                      .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-                      .select(F.lit("file").alias("kind"),
-                              F.col("_colf_file").alias("k"), "n"))
-        # source-key stats (duplicate probe + row count) ride the SAME
-        # driver round-trip as the discovery — one job, two subtrees
-        # over the persisted source; the pretty per-key dup example is
-        # only fetched on the error path
-        kstats_df = (source.groupBy(*key_cols)
-                     .agg(F.count(F.lit(1)).alias("n"))
-                     .agg(F.sum("n").alias("n_source"),
-                          F.max("n").alias("mx"))
-                     .select(F.lit("stat").alias("kind"),
-                             F.explode(F.create_map(
-                                 F.lit("n_source"), F.col("n_source"),
-                                 F.lit("max_dup"), F.col("mx")))
-                             .alias("k", "n")))
-        rows = matches_df.unionByName(kstats_df).collect()
-        stats = {r["k"]: (r["n"] or 0) for r in rows if r["kind"] == "stat"}
-        n_source = int(stats.get("n_source") or 0)
-        if stats.get("max_dup", 0) > 1:
-            dup = (source.groupBy(*key_cols).count().filter("count > 1")
-                   .limit(1).collect())
+        # ONE job collects the CDC-sized source's key stats: distinct
+        # keys (for IN pushdown + metadata planning), per-key counts
+        # (duplicate probe), and — when all keys fit the cap — the
+        # exact source row count
+        kstat = (source.groupBy(*key_cols)
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .limit(MERGE_PUSHDOWN_KEYS + 1).collect())
+        small = len(kstat) <= MERGE_PUSHDOWN_KEYS
+        if small and any(r["n"] > 1 for r in kstat):
+            dup = next(r for r in kstat if r["n"] > 1)
             raise ValueError(
                 f"merge source has duplicate keys, e.g. "
-                f"{[dup[0][k] for k in key_cols]} — upsert is ambiguous")
-        matches = [r for r in rows if r["kind"] == "file"]
-        touched = sorted(r["k"] for r in matches)
-        n_replaced = sum(r["n"] for r in matches)
+                f"{[dup[k] for k in key_cols]} — upsert is ambiguous")
+
+        touched: list[str] | None = None
+        n_source = n_replaced = rows_before = None
+        if small:
+            # metadata-only discovery (the CDC-upsert regime): per-
+            # column IN filters over the reader's OWN planning prune
+            # via zone maps AND Bloom sidecars — zero data jobs. Per-
+            # column IN is a SUPERSET of the multi-column key set, and
+            # the survivor anti join still decides exact membership,
+            # so a stats false positive costs a redundant file rewrite,
+            # never a wrong row.
+            from pyspark.sql.datasource import In
+
+            n_source = int(sum(r["n"] for r in kstat))
+            flts = []
+            for kc in key_cols:
+                vals = tuple(r[kc] for r in kstat if r[kc] is not None)
+                if vals:
+                    flts.append(In((kc,), vals))
+            cand = _plan_candidates(path, flts, live0) if flts else None
+            if cand is not None:
+                touched = cand
+                man = load_manifest(path)
+                rows_before = sum(man[b]["num_rows"] for b in touched)
+
+        if touched is None:
+            # scan discovery: read ONLY the key columns + the virtual
+            # file column (the Python datasource API has no automatic
+            # column pruning); CDC-sized key values still push as IN
+            # filters so zone maps/Blooms prune the scan itself
+            tagged = (spark.read.format("colf")
+                      .option("withFileColumn", "true")
+                      .option("columns", ",".join([*key_cols, "_colf_file"]))
+                      .load(path))
+            if small:
+                for kc in key_cols:
+                    vals = [r[kc] for r in kstat if r[kc] is not None]
+                    if vals:
+                        tagged = tagged.filter(F.col(kc).isin(vals))
+            matches_df = (tagged.join(keys, key_cols, "left_semi")
+                          .groupBy("_colf_file")
+                          .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+                          .select(F.lit("file").alias("kind"),
+                                  F.col("_colf_file").alias("k"), "n"))
+            # source-key stats (duplicate probe + row count) ride the
+            # SAME driver round-trip as the discovery — one job, two
+            # subtrees over the persisted source
+            kstats_df = (source.groupBy(*key_cols)
+                         .agg(F.count(F.lit(1)).alias("n"))
+                         .agg(F.sum("n").alias("n_source"),
+                              F.max("n").alias("mx"))
+                         .select(F.lit("stat").alias("kind"),
+                                 F.explode(F.create_map(
+                                     F.lit("n_source"), F.col("n_source"),
+                                     F.lit("max_dup"), F.col("mx")))
+                                 .alias("k", "n")))
+            rows = matches_df.unionByName(kstats_df).collect()
+            stats = {r["k"]: (r["n"] or 0) for r in rows
+                     if r["kind"] == "stat"}
+            n_source = int(stats.get("n_source") or 0)
+            if stats.get("max_dup", 0) > 1:
+                dup = (source.groupBy(*key_cols).count().filter("count > 1")
+                       .limit(1).collect())
+                raise ValueError(
+                    f"merge source has duplicate keys, e.g. "
+                    f"{[dup[0][k] for k in key_cols]} — upsert is ambiguous")
+            matches = [r for r in rows if r["kind"] == "file"]
+            touched = sorted(r["k"] for r in matches)
+            n_replaced = sum(r["n"] for r in matches)
 
         from .format import read_schema
 
@@ -477,6 +650,13 @@ def merge_into(spark: SparkSession, path: str, source,
                 if srows:
                     w = w.option("stripeRows", str(srows))
             w.mode("overwrite").save(tmp)
+            if rows_before is not None:
+                # metadata-planned path: exact replaced count from
+                # manifest arithmetic — rewritten rows = survivors +
+                # source, so replaced = before − (after − source)
+                rows_after = sum(m.get("num_rows") or 0
+                                 for m in load_manifest(tmp).values())
+                n_replaced = rows_before - (rows_after - n_source)
             merged = load_manifest(path)
             for f in dataset_files(tmp):
                 base = os.path.basename(f)

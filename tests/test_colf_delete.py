@@ -314,3 +314,59 @@ def test_interrupted_rewrite_leaves_reference_dir_readable(spark, tmp_path,
     res = M.delete_where(spark, d, "k < 100")
     assert res["n_deleted_rows"] == 100
     assert spark.read.format("colf").load(d).count() == want - 100
+
+
+def test_parse_condition_shapes():
+    """The metadata-discovery parser must accept exactly the simple
+    conjunction shapes and reject everything it could misjudge."""
+    from columnar_format_spark.colf.maintenance import _parse_condition
+
+    types = {"id": "int32", "v": "float64", "tag": "utf8"}
+    ok = _parse_condition("id >= 100 AND id < 300", types)
+    assert [type(f).__name__ for f in ok] == ["GreaterThanOrEqual",
+                                              "LessThan"]
+    assert _parse_condition("tag = 'R'", types)[0].value == "R"
+    assert _parse_condition("v > 5.0", types)[0].value == 5.0
+    assert _parse_condition("id IN (1, 2, 3)", types)[0].value == (1, 2, 3)
+    assert type(_parse_condition("tag IS NULL", types)[0]).__name__ \
+        == "IsNull"
+    assert type(_parse_condition("tag IS NOT NULL", types)[0]).__name__ \
+        == "IsNotNull"
+    # rejected shapes -> scan fallback
+    assert _parse_condition("id = 1 OR id = 2", types) is None
+    assert _parse_condition("NOT (id = 1)", types) is None
+    assert _parse_condition("(id = 1)", types) is None
+    assert _parse_condition("unknown = 1", types) is None
+    assert _parse_condition("tag = 1", types) is None       # type mismatch
+    assert _parse_condition("id = 'x'", types) is None      # type mismatch
+    assert _parse_condition("id % 2 = 0", types) is None    # expression
+    assert _parse_condition("lower(tag) = 'r'", types) is None
+    assert _parse_condition("id != 3", types) is None       # not pushable
+
+
+def test_metadata_planned_delete_matches_scan_discovery(colf_spark,
+                                                        tmp_path):
+    """The fast path and the scan path must reach identical datasets
+    and identical exact counts — run both shapes on twin datasets."""
+    pa = _dataset(colf_spark, tmp_path / "a", range_partition=True)
+    pb = _dataset(colf_spark, tmp_path / "b", range_partition=True)
+    # fast path: simple conjunction
+    sa = delete_where(colf_spark, pa, "id >= 100 AND id < 300")
+    # forced scan path: equivalent condition the parser rejects
+    sb = delete_where(colf_spark, pb, "id >= 100 AND id < 300 AND (1 = 1)")
+    assert sa["n_deleted_rows"] == sb["n_deleted_rows"] == 200
+    ra = sorted(map(tuple, colf_spark.read.format("colf").load(pa).collect()))
+    rb = sorted(map(tuple, colf_spark.read.format("colf").load(pb).collect()))
+    assert ra == rb
+
+
+def test_metadata_planned_delete_fp_candidate_is_noop(colf_spark, tmp_path):
+    """A condition inside every zone range that matches NOTHING: the
+    planner keeps candidates, the rewrite finds no deletions, and the
+    op must discard the rewrite and commit no version."""
+    p = _dataset(colf_spark, tmp_path)  # v = id % 10 in {0..9}
+    stats = delete_where(colf_spark, p, "v = 3.5")  # in-range, absent
+    assert stats["n_deleted_rows"] == 0
+    assert stats["n_rewritten_files"] == 0
+    assert stats["version"] == 1
+    assert colf_spark.read.format("colf").load(p).count() == 1000
