@@ -312,6 +312,66 @@ def q112_colf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q170_colf_size_compact",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+           CAST(1 AS BOOLEAN) AS sized_ok
+    FROM lineitem
+    """,
+)
+def q170_colf_size_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-targeted compaction (the scheduled-maintenance form of
+    q112): the 8-file dataset rolls into ``ceil(live_bytes/target)``
+    BALANCED files for a quarter-of-total byte target — the query
+    asserts 1 < n <= 6 outputs with max/min size ratio <= 2 (round-
+    robin row balance), emits that as the oracle-pinned `sized_ok`
+    boolean, and value-checks the lineitem aggregate so the rewrite
+    provably lost nothing.
+
+    Scale: a 100 TB maintenance job says "make ~128 MB files", not "make
+    N files" — the byte form needs no knowledge of current file counts
+    and stays one distributed repartition; outputs are row-balanced so
+    no post-compaction task skew. Complements q112 (count-targeted) and
+    q153/q155 (stripe preservation through rewrites).
+    """
+    import os
+    import shutil
+
+    from ..staging import stage_once
+    from .datasource import live_files
+    from .datasource import register as register_ds
+    from .maintenance import compact
+
+    register_ds(spark)
+    src = _stage_lineitem_colf(spark, sf_dir)
+
+    def write(d: str) -> None:
+        shutil.rmtree(d)
+        shutil.copytree(src, d)
+        total = sum(os.path.getsize(f) for f in live_files(d))
+        compact(spark, d, target_file_bytes=max(1, total // 4))
+
+    d = stage_once(("colf-li-size-compacted", sf_dir), "colf_szcomp_", write)
+    sizes = sorted(os.path.getsize(f) for f in live_files(d))
+    sized_ok = (1 < len(sizes) <= 6
+                and sizes[0] > 0 and sizes[-1] <= 2 * sizes[0])
+    if not sized_ok:
+        raise AssertionError(
+            f"size-targeted compaction produced {len(sizes)} files "
+            f"with sizes {sizes} — unbalanced or off-target")
+    back = spark.read.format("colf").load(d)
+    return back.agg(
+        F.lit(True).alias("sized_ok"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.min(F.col("l_orderkey").cast("bigint")).alias("min_key"),
+        F.max(F.col("l_orderkey").cast("bigint")).alias("max_key"),
+    )
+
+
 TT_COMPACT_TARGET = 2
 
 
@@ -1029,10 +1089,23 @@ def q164_colf_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return len({p.file for p in r.partitions() if p.file is not None})
 
     n_files, with_bloom = opened("off"), opened("on")
-    if not with_bloom * 2 <= n_files:
+    # bound from the sidecar's RECORDED fpp (true file + 3-sigma-ish
+    # expected false positives), so it scales with the realized filter
+    # quality; capped at half the files so the assertion still means
+    # "blooms fired" even if a sidecar records a degenerate fpp
+    import math
+
+    from .datasource import load_blooms
+
+    blooms = load_blooms(d)
+    fpp = max((per["columns"]["o_orderkey"].get("fpp") or 0.0)
+              for per in blooms.values()) if blooms else 0.01
+    bound = min(1 + math.ceil(3 * max(fpp, 1e-6) * n_files), n_files // 2)
+    if with_bloom > bound:
         raise AssertionError(
-            f"bloom point lookup opened {with_bloom}/{n_files} files — "
-            f"the _blooms.json sidecar is not pruning a hash layout")
+            f"bloom point lookup opened {with_bloom}/{n_files} files "
+            f"(fpp-derived bound {bound}) — the _blooms.json sidecar is "
+            f"not pruning a hash layout")
     return (df.filter(F.col("o_orderkey") == probe)
             .select(F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
                     "o_orderpriority",
@@ -1095,10 +1168,24 @@ def q167_colf_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = delete_where(spark, path, f"o_orderkey = {victim}")
     if res["n_deleted_rows"] < 1:
         raise AssertionError("targeted delete matched no rows")
-    if res["n_rewritten_files"] > 2:
+    # the rewrite bound derives from the sidecar's own RECORDED fpp
+    # (true file + 3-sigma-ish margin of expected false positives over
+    # the other files), so the assertion scales with the realized
+    # filter quality instead of a hand-picked constant
+    import math
+
+    from .datasource import load_blooms
+
+    blooms = load_blooms(path)
+    n_files = len(blooms)
+    fpp = max((per["columns"]["o_orderkey"].get("fpp") or 0.0)
+              for per in blooms.values()) if blooms else 0.01
+    bound = 1 + math.ceil(3 * max(fpp, 1e-6) * n_files)
+    if res["n_rewritten_files"] > bound:
         raise AssertionError(
-            f"targeted delete rewrote {res['n_rewritten_files']}/8 files "
-            f"— bloom pruning is not reaching the discovery scan")
+            f"targeted delete rewrote {res['n_rewritten_files']}/{n_files} "
+            f"files (fpp-derived bound {bound}) — bloom pruning is not "
+            f"reaching the discovery planning")
     back = spark.read.format("colf").load(path)
     return back.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),

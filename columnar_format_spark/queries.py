@@ -7,11 +7,14 @@ DRIVER_WINDOW list below picks them under a standing rotation rule:
 (1) queries with no driver row yet, (2) queries whose oracle or plan
 changed this round, (3) backfill by oldest green evidence first.
 Everything stays covered locally by tests/test_queries_oracle.py
-(sf0.001, every query, every run) regardless of order; round 5
+(sf0.001, every query, every run) regardless of order; rounds 5 and 6
 additionally verified the ENTIRE registry driver-style at sf0.01 and
-sf0.1 with zero failures (tools/sweep_oracle.py, rerun after each
-round-5 change; final sf0.01 sweep covered all 166) before shipping
-the window.
+sf0.1 with zero failures (tools/sweep_oracle.py) before shipping the
+window.
+
+Registry size: 169 queries (q01-q170, no q123). Round-5 additions were
+q154-q168 (15); round-6 additions are q169 (rank-normalized z-order)
+and q170 (size-targeted compaction).
 """
 
 from __future__ import annotations
@@ -23,59 +26,53 @@ from . import sources  # noqa: F401
 from .streaming import stream_queries  # noqa: F401
 from .registry import QUERIES, QuerySpec  # noqa: F401
 
-# Round-5 driver window, per the rotation discipline (oldest evidence
+# Round-6 driver window, per the rotation discipline (oldest evidence
 # first; every changed query re-proves itself the round it changes):
-# - the 17 round-4 additions with no driver row yet (q137-q153);
-# - the 5 queries whose ORACLE or PLAN changed this round and
-#   therefore need fresh rows: q07/q62/q63/q128 (new bounds-style
-#   exact oracles replacing rows-only policy) and q87 (global top-k
-#   rewritten TakeOrdered);
-# - 13 round-5 additions (q154-q166: sketch profiler, CoW×v3, the
-#   four scale-layout ops, schema evolution, stream upsert, z-score,
-#   sorted layout, bloom lookup, PQ and IVF-PQ ANN);
-# - 15 backfill slots for the oldest-evidence queries (last green row
-#   r02) in registration-number order (q17-q19 displaced to round 6
-#   by the round-5 additions).
-# Per-query last-green ledger: r02 = q01-q32, q36, q38, q39, q45-q49,
-# q64-q66, q72, q88, q89, q92-q94; r03 = q33-q35, q37, q40-q43,
-# q51-q57, q69, q71, q74, q77-q79, q85, q91, q95-q98,
-# q100, q102, q103, q105, q106, q108, q110; r04 = everything else
-# (q07/q62/q63/q87/q128 re-prove this round — changed oracles/plans).
-# Round-6 plan: rotate in q15-q19 (displaced this round), then the
-# remaining r02-era (q20-q32, q36, q38, q39, q45-q49, q64-q66, q72,
-# q88, q89, q92-q94 — 29) then the r03-era set, oldest first.
+# - the 2 round-6 additions with no driver row yet (q169, q170);
+# - the 9 queries whose PLAN or in-query assertion changed this round:
+#   q148/q149/q155/q161/q167 (metadata-only CoW discovery replaces the
+#   scan-based pass), q165/q166/q168 (capped codebook driver sample),
+#   q164 (fpp-derived pruning bound);
+# - 39 backfill slots, oldest green evidence first: q15-q19 (displaced
+#   in round 5), the rest of the r02-era set (q20-q32, q36, q38, q39,
+#   q45-q49, q64-q66, q72, q88, q89, q92-q94 — 30), then the first of
+#   the r03-era set (q33-q35, q37).
+# Per-query last-green ledger after round 5 (CORRECTNESS_r05 was 50/50
+# green): r02 = q01-q06, q08-q32, q36, q38, q39, q45-q49, q64-q66,
+# q72, q88, q89, q92-q94; r03 = q33-q35, q37, q40-q43, q51-q57, q69,
+# q71, q74, q77-q79, q85, q91, q95-q98, q100, q102, q103, q105, q106,
+# q108, q110; r05 = the full round-5 window (q137-q168 cohort plus
+# q07/q62/q63/q87/q128 and the q01-q14 backfill); r04 = everything
+# else. Round-7 plan: backfill the remaining r03-era set (q40-q43,
+# q51-q57, q69, q71, q74, q77-q79, q85, q91, q95-q98, q100, q102,
+# q103, q105, q106, q108, q110), then r04-era, oldest first.
 DRIVER_WINDOW = [
-    # never driver-checked (added round 4)
-    "q137_colf_v2_roundtrip",
-    "q138_tpch_q4", "q139_tpch_q6", "q140_tpch_q8", "q141_tpch_q9",
-    "q142_tpch_q15", "q143_tpch_q16", "q144_tpch_q17", "q145_tpch_q19",
-    "q146_tpch_q21", "q147_tpch_q22",
-    "q148_colf_delete", "q149_colf_merge",
-    "q150_oov_rate", "q151_knn_label", "q152_table_profile",
-    "q153_colf_v3_striped",
-    # changed this round — new bounds oracles / new plan shape
-    "q07_approx_count_distinct", "q62_ann_lsh", "q63_ann_ivf",
-    "q128_percentile_sketch", "q87_bm25_search",
-    # new this round — sketch-tier profiler (q152's HLL twin), the
-    # CoW × v3-striping interaction (VERDICT r04 item 7), and the four
-    # scale-technique ops (bucketing, z-order, heavy hitters, stream
-    # outer join)
-    "q154_table_profile_sketch", "q155_colf_v3_cow",
-    "q156_bucketed_join", "q157_zorder_pruning", "q158_heavy_hitters",
-    "q159_stream_outer_join", "q160_schema_evolution",
-    "q161_stream_upsert", "q162_anomaly_zscore", "q163_sorted_layout",
-    "q164_colf_bloom_lookup", "q165_ann_pq", "q166_ann_ivfpq",
-    "q167_colf_targeted_delete", "q168_ann_index_colf",
-    # oldest-evidence backfill (all last-green r02)
-    "q01_pricing_summary", "q02_filter_project", "q03_agg_rollup",
-    "q04_agg_cube", "q05_grouping_sets", "q06_count_distinct",
-    "q08_exact_quartiles", "q09_pivot_status_priority",
-    "q10_join_broadcast_star", "q11_join_left", "q12_join_semi",
-    "q13_join_anti", "q14_join_full_outer",
-    # (q15_star_revenue_by_region / q16_range_join_bands / q17_asof_join
-    # / q18_salted_skew_join / q19_subqueries rotated out to make room
-    # for q164-q168 — first in the round-6 backfill queue with the rest
-    # of the r02-era set)
+    # new this round — no driver row yet
+    "q169_zorder_rank", "q170_colf_size_compact",
+    # changed this round — metadata-planned CoW / capped ANN fits /
+    # fpp-derived bound
+    "q148_colf_delete", "q149_colf_merge", "q155_colf_v3_cow",
+    "q161_stream_upsert", "q167_colf_targeted_delete",
+    "q165_ann_pq", "q166_ann_ivfpq", "q168_ann_index_colf",
+    "q164_colf_bloom_lookup",
+    # oldest-evidence backfill: displaced-in-round-5 first
+    "q15_star_revenue_by_region", "q16_range_join_bands", "q17_asof_join",
+    "q18_salted_skew_join", "q19_subqueries",
+    # the r02-era set
+    "q20_window_topk_per_group", "q21_window_running_sum",
+    "q22_window_lag_delta", "q23_window_range_30d",
+    "q24_window_ntile_rank", "q25_top10_orders",
+    "q26_set_union", "q27_set_intersect", "q28_set_except",
+    "q29_window_distribution", "q30_scalar_sampler", "q31_json_extract",
+    "q32_conditional_agg", "q36_time_rollup", "q38_higher_order_arrays",
+    "q39_unpivot_metrics", "q45_regex_text", "q46_from_json_typed",
+    "q47_datetime_sampler", "q48_map_functions", "q49_null_semantics",
+    "q64_crossmodal_join", "q65_union_schema_evolution", "q66_redaction",
+    "q72_promo_revenue", "q88_right_cross_join", "q89_grouped_collect",
+    "q92_funnel", "q93_retention", "q94_variance_outliers",
+    # first of the r03-era set
+    "q33_sessionize", "q34_grouped_pandas_stats", "q35_udtf_tokenize",
+    "q37_grouped_agg_pandas",
 ]
 
 

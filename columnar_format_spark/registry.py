@@ -82,8 +82,16 @@ def spread(df: DataFrame) -> DataFrame:
     test parquet, which Spark reads as ONE task, serializing the whole
     stage on one core). The guard keeps it from adding a shuffle when
     the scan is already parallel.
+
+    The decision reads the analyzed plan's FILE LIST (inputFiles), not
+    df.rdd.getNumPartitions() — the RDD conversion builds the whole
+    physical plan on the driver per call, a needless fixed cost at
+    scale. File count is a conservative proxy for split count (a file
+    never yields fewer splits than one); non-file sources (memory,
+    streams) report no input files and pass through untouched.
     """
     p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(p, 8):
+    n_files = len(df.inputFiles())
+    if n_files and n_files < min(p, 8):
         return df.repartition(p)
     return df
