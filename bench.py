@@ -92,6 +92,10 @@ HEADLINE = [
     "q166_ann_ivfpq",
     "q167_colf_targeted_delete",
     "q168_ann_index_colf",
+    # round-6 additions
+    "q169_zorder_rank",
+    "q170_colf_size_compact",
+    "q171_colf_partitioned",
 ]
 
 

@@ -683,6 +683,21 @@ class ColfCommitMessage(WriterCommitMessage):
     file: str | None
     stats: dict | None = None
     blooms: dict | None = None  # {column: bloom dict} for _blooms.json
+    # partitionColumns writes emit one value-homogeneous file per
+    # distinct partition tuple the task held: [{"file","stats","blooms"}]
+    parts: list | None = None
+
+
+def _iter_commit_parts(messages):
+    """Flatten commit messages to (file, stats, blooms) triples —
+    single-file writes and partitionColumns multi-file writes alike."""
+    for m in messages:
+        if not m:
+            continue
+        if m.file:
+            yield m.file, m.stats, m.blooms
+        for p in getattr(m, "parts", None) or []:
+            yield p["file"], p["stats"], p["blooms"]
 
 
 def _bloom_opts(options, colf_columns: list[ColfColumn]):
@@ -772,9 +787,9 @@ def _merge_bloom_sidecar(path: str, messages, reset: bool = False) -> None:
     """Fold the tasks' per-file blooms into ``_blooms.json``."""
     blooms = {} if reset else load_blooms(path)
     changed = reset and os.path.exists(blooms_path(path))
-    for m in messages:
-        if m and m.file and m.blooms:
-            blooms[os.path.basename(m.file)] = m.blooms
+    for file, _stats, per in _iter_commit_parts(messages):
+        if per:
+            blooms[os.path.basename(file)] = per
             changed = True
     if changed:
         save_blooms(path, blooms)
@@ -925,6 +940,29 @@ def _write_version(options) -> int:
     return v
 
 
+def _partition_opts(options, colf_columns: list[ColfColumn]) -> list[str]:
+    """Parse ``partitionColumns`` ("a,b"): each named column must exist
+    and be int32/utf8 — float64 partition identity is ill-defined the
+    same way float Bloom probes are (NaN/±0.0 equality differs across
+    engines), so it fails fast."""
+    cols_opt = options.get("partitionColumns")
+    if not cols_opt:
+        return []
+    wanted = [c.strip() for c in cols_opt.split(",") if c.strip()]
+    by_name = {c.name: c for c in colf_columns}
+    for c in wanted:
+        col = by_name.get(c)
+        if col is None:
+            raise ColfFormatError(
+                f"partitionColumns names unknown column '{c}' "
+                f"(have: {sorted(by_name)})")
+        if col.type == "float64":
+            raise ColfFormatError(
+                f"partitionColumns: float64 column '{c}' is unsupported "
+                f"(float partition identity is ill-defined)")
+    return wanted
+
+
 DEFAULT_STRIPE_ROWS = 1_000_000
 
 
@@ -977,6 +1015,7 @@ class ColfWriter(DataSourceArrowWriter):
         self.stripe_rows = _stripe_rows_opt(options)
         self.colf_columns = spark_to_colf_columns(schema)  # validate types early
         self.bloom_cols, self.bloom_fpp = _bloom_opts(options, self.colf_columns)
+        self.partition_cols = _partition_opts(options, self.colf_columns)
         if not overwrite:
             _check_append_schema(self.path, self.colf_columns)
 
@@ -994,6 +1033,8 @@ class ColfWriter(DataSourceArrowWriter):
             col.name: [b.column(i) for b in batches]
             for i, col in enumerate(self.colf_columns)
         }
+        if self.partition_cols:
+            return self._write_split(chunks, pid)
         os.makedirs(self.path, exist_ok=True)
         fname = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.colf"
         target = os.path.join(self.path, fname)
@@ -1006,10 +1047,72 @@ class ColfWriter(DataSourceArrowWriter):
         os.rename(tmp, target)
         return ColfCommitMessage(file=target, stats=stats, blooms=blooms)
 
+    def _write_split(self, chunks: dict, pid: int) -> "ColfCommitMessage":
+        """partitionColumns: one value-homogeneous part file per
+        distinct partition tuple this task holds, with the tuple
+        recorded in the manifest entry (``"partition"``).
+
+        This is the Iceberg partitioning model, not Hive's: the
+        partition tuple lives in METADATA, the directory stays flat —
+        at 100 TB the planner reads one sidecar, never a recursive
+        listing. No reader change is needed for pruning, and the
+        pruning is EXACT: a value-homogeneous file's zone map has
+        min == max == value, so the existing ``_file_may_match``
+        keeps a file iff the predicate matches its partition value
+        (equality, IN, ranges, IsNull all inherit this for free).
+
+        File-count shape: each task emits one file per tuple it SEES,
+        so total files = sum over tasks of distinct-tuples-in-task.
+        The intended pattern for low-cardinality keys is
+        ``df.repartition(partition_cols...)`` upstream (each tuple
+        then lands in exactly one task → exactly one file per tuple);
+        without it the split still bounds files at tasks × tuples and
+        every file stays homogeneous (pruning unaffected, just more
+        files — compact() folds them later)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        names = [c.name for c in self.colf_columns]
+        tbl = pa.table({n: pa.chunked_array(chunks[n]) for n in names})
+        # group key: stringified tuple (int32 → decimal string is
+        # injective; utf8 identity), nulls mapped to a sentinel token
+        # that no utf8 value produced by cast can collide with
+        null_token = "\x00null"
+        keyed = [pc.fill_null(pc.cast(tbl[c], pa.string()), null_token)
+                 for c in self.partition_cols]
+        key = (keyed[0] if len(keyed) == 1
+               else pc.binary_join_element_wise(*keyed, "\x1f"))
+        if isinstance(key, pa.ChunkedArray):
+            key = (pa.concat_arrays([c.cast(pa.string())
+                                     for c in key.chunks])
+                   if key.num_chunks else pa.array([], pa.string()))
+        enc = key.dictionary_encode()
+        codes = enc.indices
+        os.makedirs(self.path, exist_ok=True)
+        parts = []
+        for code in range(len(enc.dictionary)):
+            sub = tbl.filter(pc.equal(codes, code))
+            n = sub.num_rows
+            sub_chunks = {nm: list(sub.column(nm).chunks) for nm in names}
+            fname = f"part-{pid:05d}-s{code:03d}-{uuid.uuid4().hex[:8]}.colf"
+            target = os.path.join(self.path, fname)
+            tmp = target + ".tmp"
+            stats = _write_part_file(
+                tmp, ColfSchema(n, self.colf_columns), sub_chunks,
+                self.version, self.stripe_rows)
+            stats["partition"] = {c: sub.column(c)[0].as_py()
+                                  for c in self.partition_cols}
+            blooms = _build_bloom_entry(
+                sub_chunks, self.colf_columns, self.bloom_cols,
+                self.bloom_fpp, n, self.version, self.stripe_rows)
+            os.rename(tmp, target)
+            parts.append({"file": target, "stats": stats, "blooms": blooms})
+        return ColfCommitMessage(file=None, parts=parts)
+
     def commit(self, messages):
         import json
 
-        written = {m.file for m in messages if m and m.file}
+        written = {f for f, _s, _b in _iter_commit_parts(messages)}
         # live set BEFORE this commit (latest snapshot, or listing for
         # pre-snapshot dirs) — what an append extends. The log version
         # it was computed against becomes the CAS expected-parent, so
@@ -1045,9 +1148,9 @@ class ColfWriter(DataSourceArrowWriter):
         # sidecar zone-map manifest for reader-side file skipping
         # (format-compatible: extra file, not a format change — M6)
         manifest = {} if self.overwrite else load_manifest(self.path)
-        for m in messages:
-            if m and m.file and m.stats:
-                manifest[os.path.basename(m.file)] = m.stats
+        for file, stats, _b in _iter_commit_parts(messages):
+            if stats:
+                manifest[os.path.basename(file)] = stats
         if manifest:
             tmp = manifest_path(self.path) + ".tmp"
             with open(tmp, "w") as f:
@@ -1065,9 +1168,9 @@ class ColfWriter(DataSourceArrowWriter):
         )
 
     def abort(self, messages):
-        for m in messages:
-            if m and m.file and os.path.exists(m.file):
-                os.remove(m.file)
+        for file, _s, _b in _iter_commit_parts(messages):
+            if os.path.exists(file):
+                os.remove(file)
 
 
 class ColfStreamReader(DataSourceStreamReader):

@@ -1194,3 +1194,87 @@ def q167_colf_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("o_orderkey") == victim, 1))
         .cast("bigint").alias("victim_rows"),
     )
+
+
+@register(
+    "q171_colf_partitioned",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM orders
+    WHERE o_orderpriority = '3-MEDIUM'
+    GROUP BY o_orderpriority
+    """,
+)
+def q171_colf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned dataset layout under the correctness gate: orders is
+    written with ``option("partitionColumns", "o_orderpriority")`` —
+    the writer splits every task's rows into one VALUE-HOMOGENEOUS part
+    file per partition value it holds, and records the partition tuple
+    in the manifest entry (datasource.py _write_split).
+
+    This is the Iceberg partitioning model, not Hive's: the tuple
+    lives in metadata and the directory stays flat, so 100 TB planning
+    reads one sidecar instead of a recursive listing — and because a
+    homogeneous file's zone map has min == max == value, the EXISTING
+    pruning path serves partition pruning exactly (equality, IN,
+    ranges, IsNull), no new reader code. The query ASSERTS from the
+    reader's own planning that (a) the dataset holds exactly one file
+    per distinct priority (each value lands in one task under the
+    upstream repartition, and the split keeps it pure), and (b) a
+    single-priority probe opens exactly 1 of them. The oracle then
+    value-checks the filtered aggregate — pruning must never change
+    an answer.
+
+    Scale: the split bounds file count at tasks × values-per-task; the
+    documented pattern (upstream repartition on the partition key, as
+    here) makes it exactly one file per value. The reference has no
+    partitioned layout at all (its dataset = one file); this is the
+    warehouse-tier extension of its one-file format.
+    """
+    from pyspark.sql.datasource import EqualTo
+
+    from .datasource import ColfReader, load_manifest
+    from .datasource import register as register_ds
+
+    register_ds(spark)
+
+    def write(d: str) -> None:
+        (table(spark, sf_dir, "orders")
+         .select(F.col("o_orderkey").cast("int").alias("o_orderkey"),
+                 "o_orderpriority", "o_totalprice")
+         .repartition(8, "o_orderpriority")
+         .write.format("colf")
+         .option("partitionColumns", "o_orderpriority")
+         .mode("overwrite").save(d + "/ds"))
+
+    d = stage_once(("colf-partitioned", sf_dir), "colf_part_", write) + "/ds"
+    df = spark.read.format("colf").load(d)
+
+    manifest = load_manifest(d)
+    values = {e.get("partition", {}).get("o_orderpriority")
+              for e in manifest.values()}
+    if len(manifest) != len(values) or None in values:
+        raise AssertionError(
+            f"partitionColumns write produced {len(manifest)} files for "
+            f"{len(values)} partition values {sorted(map(str, values))} — "
+            f"expected exactly one value-homogeneous file per value")
+
+    def opened(pruning: str) -> int:
+        r = ColfReader({"path": d, "pruning": pruning}, df.schema)
+        r.pushFilters([EqualTo(("o_orderpriority",), "3-MEDIUM")])
+        return len({p.file for p in r.partitions() if p.file is not None})
+
+    n_files, pruned = opened("off"), opened("on")
+    if pruned != 1:
+        raise AssertionError(
+            f"partition-value probe opened {pruned}/{n_files} files — "
+            f"zone maps over value-homogeneous files must prune exactly")
+    return (df.filter(F.col("o_orderpriority") == "3-MEDIUM")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                 (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                  .cast("bigint").cast("double") / F.lit(100.0))
+                 .alias("sum_price")))

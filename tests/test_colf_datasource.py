@@ -136,3 +136,104 @@ def test_append_schema_mismatch_is_a_clean_error(colf_spark, tmp_path):
     colf_spark.range(2).select((F.col("id") * 1.0).alias("z")) \
         .coalesce(1).write.format("colf").mode("overwrite").save(path)
     assert colf_spark.read.format("colf").load(path).columns == ["z"]
+
+
+def test_partition_columns_split_homogeneous(colf_spark, tmp_path):
+    """partitionColumns splits each task's rows into value-homogeneous
+    files; the manifest records the partition tuple and zone maps give
+    exact (min==max==value) pruning with no reader change."""
+    from pyspark.sql.datasource import EqualTo
+
+    from columnar_format_spark.colf.datasource import (
+        ColfReader, load_manifest)
+
+    df = colf_spark.createDataFrame(
+        [(i, ["red", "green", "blue"][i % 3], float(i)) for i in range(60)],
+        StructType([
+            StructField("k", IntegerType(), False),
+            StructField("color", StringType(), True),
+            StructField("v", DoubleType(), True),
+        ]),
+    )
+    path = str(tmp_path / "p")
+    # deliberately NOT repartitioned by color: 4 tasks each hold all 3
+    # values, so the split must produce 12 files, every one pure
+    (df.repartition(4).write.format("colf")
+     .option("partitionColumns", "color").mode("overwrite").save(path))
+    manifest = load_manifest(path)
+    assert len(manifest) == 12
+    for entry in manifest.values():
+        part = entry["partition"]["color"]
+        cstats = entry["columns"]["color"]
+        assert cstats["min"] == cstats["max"] == part
+    back = colf_spark.read.format("colf").load(path)
+    assert sorted(r["k"] for r in back.collect()) == list(range(60))
+
+    r = ColfReader({"path": path}, back.schema)
+    r.pushFilters([EqualTo(("color",), "green")])
+    opened = {p.file for p in r.partitions() if p.file is not None}
+    assert len(opened) == 4  # exactly the 4 green files of 12
+
+
+def test_partition_columns_one_file_per_value_when_repartitioned(
+        colf_spark, tmp_path):
+    from columnar_format_spark.colf.datasource import load_manifest
+
+    df = colf_spark.createDataFrame(
+        [(i, f"g{i % 5}") for i in range(100)],
+        StructType([
+            StructField("k", IntegerType(), False),
+            StructField("grp", StringType(), True),
+        ]),
+    )
+    path = str(tmp_path / "p1")
+    (df.repartition(8, "grp").write.format("colf")
+     .option("partitionColumns", "grp").mode("overwrite").save(path))
+    manifest = load_manifest(path)
+    values = sorted(e["partition"]["grp"] for e in manifest.values())
+    assert values == [f"g{i}" for i in range(5)]  # one file per value
+    # append keeps the layout additive: new files, tuples recorded
+    (df.limit(10).repartition(2, "grp").write.format("colf")
+     .option("partitionColumns", "grp").mode("append").save(path))
+    back = colf_spark.read.format("colf").load(path)
+    assert back.count() == 110
+
+
+def test_partition_columns_nulls_and_validation(colf_spark, tmp_path):
+    from pyspark.sql.datasource import IsNull
+
+    from columnar_format_spark.colf.datasource import (
+        ColfReader, load_manifest)
+
+    df = colf_spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, None)],
+        StructType([
+            StructField("k", IntegerType(), False),
+            StructField("tag", StringType(), True),
+        ]),
+    )
+    path = str(tmp_path / "pn")
+    (df.coalesce(1).write.format("colf")
+     .option("partitionColumns", "tag").mode("overwrite").save(path))
+    manifest = load_manifest(path)
+    assert sorted(str(e["partition"]["tag"]) for e in manifest.values()) \
+        == ["None", "a"]
+    back = colf_spark.read.format("colf").load(path)
+    r = ColfReader({"path": path}, back.schema)
+    r.pushFilters([IsNull(("tag",))])
+    opened = {p.file for p in r.partitions() if p.file is not None}
+    assert len(opened) == 1  # null tuple prunes to its own file
+    assert sorted(r["k"] for r in
+                  back.filter(F.col("tag").isNull()).collect()) == [2, 4]
+
+    for bad in ("nope", "k,nope"):
+        with pytest.raises(Exception, match="unknown column"):
+            (df.write.format("colf").option("partitionColumns", bad)
+             .mode("overwrite").save(str(tmp_path / "bad1")))
+    dff = colf_spark.createDataFrame(
+        [(1.5, "a")],
+        StructType([StructField("f", DoubleType(), True),
+                    StructField("s", StringType(), True)]))
+    with pytest.raises(Exception, match="float64"):
+        (dff.write.format("colf").option("partitionColumns", "f")
+         .mode("overwrite").save(str(tmp_path / "bad2")))
