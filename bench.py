@@ -96,6 +96,7 @@ HEADLINE = [
     "q169_zorder_rank",
     "q170_colf_size_compact",
     "q171_colf_partitioned",
+    "q172_metadata_profile",
 ]
 
 

@@ -1278,3 +1278,86 @@ def q171_colf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
                   .cast("bigint").cast("double") / F.lit(100.0))
                  .alias("sum_price")))
+
+
+@register(
+    "q172_metadata_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS null_count,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority),
+           MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def q172_metadata_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only table profile: COUNT(*)/null_count/MIN/MAX per
+    column folded entirely from the ``_manifest.json`` zone-map sidecar
+    — ZERO data-file I/O, the Delta/Iceberg "answer SELECT COUNT(*)
+    from file statistics" fast path. The query reuses q164's staged
+    orders dataset (same stage_once key), raises if any live file
+    lacks a manifest entry (a partial fold would silently report a
+    wrong total — the same all-or-nothing rule as cli_snapshots), and
+    the DuckDB oracle recomputes the aggregates from the source
+    parquet, value-checking that sidecar statistics equal the truth.
+
+    Scale: the fold is O(live files) over a JSON sidecar — at 100 TB
+    that is thousands of manifest entries on the driver, the exact
+    planning cost every scan already pays; no executor, no shuffle,
+    no data block is touched. MIN/MAX are reported for int32/utf8
+    columns (stringified — int decimal form is engine-independent);
+    float extrema stay with the scan tier because NaN ordering differs
+    across engines (datasource.py float zone-map notes).
+    """
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType)
+
+    from .datasource import live_files, load_manifest
+    from .datasource import register as register_ds
+
+    register_ds(spark)
+
+    def write(d: str) -> None:
+        (table(spark, sf_dir, "orders")
+         .select(F.col("o_orderkey").cast("int").alias("o_orderkey"),
+                 "o_orderpriority", "o_totalprice")
+         .repartition(8)
+         .write.format("colf").option("bloomColumns", "o_orderkey")
+         .mode("overwrite").save(d + "/ds"))
+
+    d = stage_once(("colf-bloom", sf_dir), "colf_bloom_", write) + "/ds"
+    manifest = load_manifest(d)
+    import os as _os
+
+    live = [_os.path.basename(f) for f in live_files(d)]
+    missing = [b for b in live if b not in manifest]
+    if missing:
+        raise AssertionError(
+            f"metadata profile impossible: {len(missing)} live files "
+            f"have no manifest entry (e.g. {missing[:3]})")
+    entries = [manifest[b] for b in live]
+    n_rows = sum(e["num_rows"] for e in entries)
+    out = []
+    for col in ("o_orderkey", "o_orderpriority"):
+        stats = [e["columns"][col] for e in entries]
+        nulls = sum(s["null_count"] for s in stats)
+        mins = [s["min"] for s in stats if s["min"] is not None]
+        maxs = [s["max"] for s in stats if s["max"] is not None]
+        out.append((col, n_rows, nulls,
+                    str(min(mins)) if mins else None,
+                    str(max(maxs)) if maxs else None))
+    return spark.createDataFrame(out, StructType([
+        StructField("col_name", StringType(), False),
+        StructField("n_rows", LongType(), False),
+        StructField("null_count", LongType(), False),
+        StructField("min_val", StringType(), True),
+        StructField("max_val", StringType(), True),
+    ]))
