@@ -103,6 +103,26 @@ def _dataset_stripe_rows(path: str, basenames: list[str]) -> int | None:
     return max(1, sum(srows) // len(srows))
 
 
+def _dataset_partition_cols(path: str, basenames: list[str]) -> list[str]:
+    """The dataset's partition columns when EVERY given live file's
+    manifest entry records the same partition tuple columns
+    (partitionColumns writes), else [] — a maintenance rewrite must
+    only preserve a layout the whole dataset actually has."""
+    man = load_manifest(path)
+    cols: tuple | None = None
+    for b in basenames:
+        entry = man.get(b) or {}
+        p = entry.get("partition")
+        if not p:
+            return []
+        t = tuple(p.keys())
+        if cols is None:
+            cols = t
+        elif cols != t:
+            return []
+    return list(cols or ())
+
+
 def compact(spark: SparkSession, path: str, target_files: int | None = None,
             retain: bool = False, *,
             target_file_bytes: int | None = None) -> int:
@@ -165,9 +185,21 @@ def compact(spark: SparkSession, path: str, target_files: int | None = None,
 
     live = dataset_files(path)
     ver = _read_schema(live[0]).version if live else 1
+    # partition-aware: a partitionColumns dataset compacts BY tuple
+    # (hash repartition on the partition key + the split writer), so
+    # the rewrite lands one value-homogeneous file per tuple and the
+    # layout's exact pruning survives maintenance. A tuple larger than
+    # target_file_bytes stays one file (documented limitation — the
+    # partition is the consolidation floor).
+    pcols = _dataset_partition_cols(
+        path, [os.path.basename(f) for f in live])
+    src = (df.repartition(target_files, *pcols) if pcols
+           else df.repartition(target_files))
     w = _with_bloom_opt(
-        df.repartition(target_files).write.format("colf")
+        src.write.format("colf")
         .option("version", str(ver)), path)
+    if pcols:
+        w = w.option("partitionColumns", ",".join(pcols))
     if ver == 3:
         # preserve the dataset's stripe granularity (mean stripe rows
         # from the manifest stats): compacting small v3 files into few
@@ -448,6 +480,12 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> dict:
         srows = _dataset_stripe_rows(path, touched)
         if srows:
             w = w.option("stripeRows", str(srows))
+    # a partitioned dataset's rewrites stay value-homogeneous (the
+    # survivor rows of a homogeneous file keep its tuple; the split
+    # writer re-records it in the new manifest entries)
+    pcols = _dataset_partition_cols(path, touched)
+    if pcols:
+        w = w.option("partitionColumns", ",".join(pcols))
     w.mode("overwrite").save(tmp)
     if rows_before is not None:
         # metadata-planned path: exact count from manifest arithmetic
@@ -649,6 +687,13 @@ def merge_into(spark: SparkSession, path: str, source,
                 srows = _dataset_stripe_rows(path, touched or live0)
                 if srows:
                     w = w.option("stripeRows", str(srows))
+            # preserve a partitioned layout through the upsert: both
+            # the survivors and the inserts split into their tuples'
+            # files (checked over the whole live set — inserts may
+            # carry any tuple, so every file must be partitioned)
+            pcols = _dataset_partition_cols(path, live0)
+            if pcols:
+                w = w.option("partitionColumns", ",".join(pcols))
             w.mode("overwrite").save(tmp)
             if rows_before is not None:
                 # metadata-planned path: exact replaced count from

@@ -237,3 +237,43 @@ def test_partition_columns_nulls_and_validation(colf_spark, tmp_path):
     with pytest.raises(Exception, match="float64"):
         (dff.write.format("colf").option("partitionColumns", "f")
          .mode("overwrite").save(str(tmp_path / "bad2")))
+
+
+def test_partitioned_layout_survives_maintenance(colf_spark, tmp_path):
+    """compact() and delete_where() on a partitionColumns dataset keep
+    files value-homogeneous and the manifest tuples recorded, so the
+    layout's exact pruning survives maintenance."""
+    from columnar_format_spark.colf.datasource import load_manifest
+    from columnar_format_spark.colf.maintenance import (
+        compact, delete_where)
+
+    df = colf_spark.createDataFrame(
+        [(i, ["x", "y", "z"][i % 3]) for i in range(90)],
+        StructType([
+            StructField("k", IntegerType(), False),
+            StructField("grp", StringType(), True),
+        ]),
+    )
+    path = str(tmp_path / "pm")
+    # scattered upstream: 4 tasks x 3 values = 12 small files
+    (df.repartition(4).write.format("colf")
+     .option("partitionColumns", "grp").mode("overwrite").save(path))
+    assert len(load_manifest(path)) == 12
+
+    n = compact(colf_spark, path, target_files=4)
+    manifest = load_manifest(path)
+    assert n == 3  # one file per partition tuple, not target_files
+    assert sorted(e["partition"]["grp"] for e in manifest.values()) \
+        == ["x", "y", "z"]
+    back = colf_spark.read.format("colf").load(path)
+    assert back.count() == 90
+
+    res = delete_where(colf_spark, path, "k < 30 AND grp = 'x'")
+    assert res["n_deleted_rows"] == 10
+    manifest = load_manifest(path)
+    live = colf_spark.read.format("colf").load(path)
+    assert live.count() == 80
+    for e in manifest.values():
+        part = e["partition"]["grp"]
+        cstats = e["columns"]["grp"]
+        assert cstats["min"] == cstats["max"] == part
