@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register, table
-from ..staging import run_dir, stage_once
+from ..staging import clone_dataset, run_dir, stage_once
 
 
 @register(
@@ -680,7 +680,7 @@ def q148_colf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmpl = stage_once(("cow-del", sf_dir), "colf_del_tmpl_", write)
     path = run_dir(("cow-del-run", sf_dir), "colf_del_") + "/ds"
-    shutil.copytree(tmpl + "/ds", path)
+    clone_dataset(tmpl + "/ds", path)
 
     stats = delete_where(spark, path, "l_returnflag = 'R'")
 
@@ -774,7 +774,7 @@ def q149_colf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmpl = stage_once(("cow-mrg", sf_dir), "colf_mrg_tmpl_", write)
     path = run_dir(("cow-mrg-run", sf_dir), "colf_mrg_") + "/ds"
-    shutil.copytree(tmpl + "/ds", path)
+    clone_dataset(tmpl + "/ds", path)
 
     max_key = _MERGE_MAXKEY[sf_dir]
     updates = (o.filter(F.col("o_orderkey") % 10 == 3)
@@ -873,7 +873,7 @@ def q155_colf_v3_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmpl = stage_once(("cow-v3", sf_dir), "colf_v3cow_tmpl_", write)
     path = run_dir(("cow-v3-run", sf_dir), "colf_v3cow_") + "/ds"
-    shutil.copytree(tmpl + "/ds", path)
+    clone_dataset(tmpl + "/ds", path)
     max_key, _ = _V3COW_ANCHOR[sf_dir]
 
     delete_where(spark, path, "o_orderstatus = 'F'")
@@ -1161,7 +1161,7 @@ def q167_colf_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmpl = stage_once(("colf-bloom-del", sf_dir), "colf_tdel_", write)
     path = run_dir(("colf-tdel-run", sf_dir), "colf_tdel_run_") + "/ds"
-    shutil.copytree(tmpl + "/ds", path)
+    clone_dataset(tmpl + "/ds", path)
 
     victim = int(spark.read.format("colf").load(path)
                  .agg(F.min("o_orderkey")).collect()[0][0])

@@ -62,3 +62,26 @@ def stage_once(key: Hashable, prefix: str, write: Callable[[str], None]) -> str:
         write(d)
         _STAGED[key] = d
     return _STAGED[key]
+
+
+def clone_dataset(src: str, dst: str) -> None:
+    """Clone a staged COLF dataset via HARDLINKS (fallback: copy).
+
+    Mutation queries (CoW delete/merge/upsert) stage a template once
+    and clone it per run; a byte copy of the dataset dominated those
+    queries' fixed cost. Hardlinking is sound because the format never
+    modifies a file in place: part files are immutable once renamed
+    into the dataset (rewrites create new files; vacuum/overwrite
+    os.remove() only unlinks), and every sidecar write
+    (_manifest/_snapshots/_blooms) is tmp+rename, which rebinds the
+    clone's directory entry without touching the template's inode.
+    Cross-device clones (EXDEV) fall back to a real copy."""
+    import os
+
+    def link_or_copy(a: str, b: str) -> None:
+        try:
+            os.link(a, b)
+        except OSError:
+            shutil.copy2(a, b)
+
+    shutil.copytree(src, dst, copy_function=link_or_copy)

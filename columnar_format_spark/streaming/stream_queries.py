@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import QUERIES, register, table
-from ..staging import run_dir, stage_once
+from ..staging import clone_dataset, run_dir, stage_once
 from .pipelines import (
     dedup_within_watermark,
     session_windows,
@@ -542,7 +542,7 @@ def q161_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmpl = stage_once(("stream-upsert", sf_dir), "colf_upsert_tmpl_", write)
     path = run_dir(("stream-upsert-run", sf_dir), "colf_upsert_") + "/ds"
-    shutil.copytree(tmpl + "/ds", path)
+    clone_dataset(tmpl + "/ds", path)
 
     changes = (spark.readStream
                .schema("o_orderkey int, o_totalprice double, "

@@ -370,3 +370,39 @@ def test_metadata_planned_delete_fp_candidate_is_noop(colf_spark, tmp_path):
     assert stats["n_rewritten_files"] == 0
     assert stats["version"] == 1
     assert colf_spark.read.format("colf").load(p).count() == 1000
+
+
+def test_clone_dataset_hardlinks_isolate_mutations(spark, tmp_path):
+    """clone_dataset hardlinks a staged template; a CoW delete (and a
+    vacuum) in the clone must leave the template byte-identical —
+    sound only while every mutation is new-file + tmp/rename, which
+    this pins."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from columnar_format_spark.colf.datasource import register
+    from columnar_format_spark.colf.maintenance import delete_where, vacuum
+    from columnar_format_spark.staging import clone_dataset
+
+    register(spark)
+    tmpl = str(tmp_path / "tmpl")
+    (spark.range(100).select(F.col("id").cast("int").alias("k"))
+     .repartition(4).write.format("colf").mode("overwrite").save(tmpl))
+
+    def digest(d):
+        out = {}
+        for f in sorted(os.listdir(d)):
+            with open(os.path.join(d, f), "rb") as fh:
+                out[f] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    before = digest(tmpl)
+    clone = str(tmp_path / "clone")
+    clone_dataset(tmpl, clone)
+    assert delete_where(spark, clone, "k < 50")["n_deleted_rows"] == 50
+    vacuum(clone, keep_last=1)
+    assert digest(tmpl) == before
+    assert spark.read.format("colf").load(tmpl).count() == 100
+    assert spark.read.format("colf").load(clone).count() == 50
