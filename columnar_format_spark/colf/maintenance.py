@@ -600,6 +600,62 @@ def merge_into(spark: SparkSession, path: str, source,
                 man = load_manifest(path)
                 rows_before = sum(man[b]["num_rows"] for b in touched)
 
+        if touched is None and not small and live0:
+            # LOCALIZED-big-source fast path: a source past the IN-
+            # pushdown cap can still plan from metadata when its keys
+            # are range-localized — the canonical "re-upsert one day's
+            # partition" shape, where at 100 TB a key-column scan of
+            # the whole dataset is the dominant cost. One tiny source-
+            # side agg computes EXACT per-column key bounds (the
+            # sampled kstat bounds cannot plan — keys outside the
+            # sample's span would be silently missed), and the zone
+            # maps turn the bounds into a candidate superset. Gated
+            # FIRST by the free sample: the 20k sampled keys' span is
+            # a lower bound on the true span, so if even the sample's
+            # bounds keep more than a quarter of the files, range
+            # planning cannot win and the extra agg job is skipped.
+            from pyspark.sql.datasource import (
+                GreaterThanOrEqual, LessThanOrEqual)
+
+            def bounds_filters(lo_hi: dict) -> list:
+                out = []
+                for kc in key_cols:
+                    lo, hi = lo_hi.get(kc, (None, None))
+                    if lo is not None:
+                        out.append(GreaterThanOrEqual((kc,), lo))
+                        out.append(LessThanOrEqual((kc,), hi))
+                return out
+
+            sample = {kc: ((min(vs), max(vs)) if (vs := [
+                r[kc] for r in kstat if r[kc] is not None]) else (None, None))
+                for kc in key_cols}
+            gate = _plan_candidates(path, bounds_filters(sample), live0) \
+                if any(v[0] is not None for v in sample.values()) else None
+            if gate is not None and len(gate) <= max(1, len(live0) // 4):
+                aggs = [F.sum("n").alias("__n_source"),
+                        F.max("n").alias("__max_dup")]
+                for kc in key_cols:
+                    aggs += [F.min(kc).alias(f"__mn_{kc}"),
+                             F.max(kc).alias(f"__mx_{kc}")]
+                st = (source.groupBy(*key_cols)
+                      .agg(F.count(F.lit(1)).alias("n")).agg(*aggs).first())
+                if (st["__max_dup"] or 0) > 1:
+                    dup = (source.groupBy(*key_cols).count()
+                           .filter("count > 1").limit(1).collect())
+                    raise ValueError(
+                        f"merge source has duplicate keys, e.g. "
+                        f"{[dup[0][k] for k in key_cols]} — upsert is "
+                        f"ambiguous")
+                exact = {kc: (st[f"__mn_{kc}"], st[f"__mx_{kc}"])
+                         for kc in key_cols}
+                cand = _plan_candidates(path, bounds_filters(exact), live0) \
+                    if any(v[0] is not None for v in exact.values()) else None
+                if cand is not None and len(cand) <= max(1, len(live0) // 4):
+                    touched = cand
+                    n_source = int(st["__n_source"] or 0)
+                    man = load_manifest(path)
+                    rows_before = sum(man[b]["num_rows"] for b in touched)
+
         if touched is None:
             # scan discovery: read ONLY the key columns + the virtual
             # file column (the Python datasource API has no automatic

@@ -406,3 +406,74 @@ def test_clone_dataset_hardlinks_isolate_mutations(spark, tmp_path):
     assert digest(tmpl) == before
     assert spark.read.format("colf").load(tmpl).count() == 100
     assert spark.read.format("colf").load(clone).count() == 50
+
+
+def test_merge_localized_big_source_plans_from_metadata(
+        colf_spark, tmp_path, monkeypatch):
+    """A source past the IN-pushdown cap whose keys are range-localized
+    must plan its touched files from zone-map BOUNDS (one tiny source
+    agg, no dataset key scan) and rewrite only the covered files."""
+    import columnar_format_spark.colf.maintenance as M
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(M, "MERGE_PUSHDOWN_KEYS", 50)
+    path = str(tmp_path / "loc")
+    # even keys 0..398, range-partitioned: 8 files of ~25 keys each
+    (colf_spark.range(200)
+     .select((F.col("id") * 2).cast("int").alias("k"),
+             F.lit("old").alias("val"))
+     .repartitionByRange(8, "k")
+     .write.format("colf").mode("overwrite").save(path))
+
+    calls = []
+    orig = M._plan_candidates
+    monkeypatch.setattr(M, "_plan_candidates",
+                        lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+
+    # 60 distinct keys (> patched cap), all inside [0, 99] — the span
+    # of 2 of the 8 files: 50 updates (even keys) + 10 inserts (odd)
+    src = colf_spark.createDataFrame(
+        [(k, "U") for k in range(0, 100, 2)]
+        + [(k, "N") for k in range(1, 20, 2)],
+        "k int, val string")
+    res = M.merge_into(colf_spark, path, src, ["k"])
+    assert calls, "metadata bounds planning was never consulted"
+    assert res["n_source_rows"] == 60
+    assert res["n_replaced_rows"] == 50
+    assert res["n_kept_files"] == 6       # only the 2 covered files moved
+    assert res["n_rewritten_files"] <= 3  # 2 survivors + <=1 insert file
+
+    back = colf_spark.read.format("colf").load(path)
+    rows = {r["k"]: r["val"] for r in back.collect()}
+    assert len(rows) == 210
+    assert all(rows[k] == "U" for k in range(0, 100, 2))
+    assert all(rows[k] == "N" for k in range(1, 20, 2))
+    assert all(rows[k] == "old" for k in range(100, 400, 2))
+
+
+def test_merge_scattered_big_source_still_correct(
+        colf_spark, tmp_path, monkeypatch):
+    """A big source spanning the whole key range must NOT take the
+    bounds path (gate: candidates > 1/4 of files) and still merge
+    correctly through scan discovery."""
+    import columnar_format_spark.colf.maintenance as M
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(M, "MERGE_PUSHDOWN_KEYS", 50)
+    path = str(tmp_path / "scat")
+    (colf_spark.range(200)
+     .select((F.col("id") * 2).cast("int").alias("k"),
+             F.lit("old").alias("val"))
+     .repartitionByRange(8, "k")
+     .write.format("colf").mode("overwrite").save(path))
+    # 100 keys spread over the full range
+    src = colf_spark.createDataFrame(
+        [(k, "U") for k in range(0, 400, 4)], "k int, val string")
+    res = M.merge_into(colf_spark, path, src, ["k"])
+    assert res["n_replaced_rows"] == 100
+    assert res["n_kept_files"] == 0  # every file held matches
+    back = colf_spark.read.format("colf").load(path)
+    rows = {r["k"]: r["val"] for r in back.collect()}
+    assert len(rows) == 200
+    assert all(rows[k] == "U" for k in range(0, 400, 4))
+    assert all(rows[k] == "old" for k in range(2, 400, 4))
