@@ -97,6 +97,7 @@ HEADLINE = [
     "q170_colf_size_compact",
     "q171_colf_partitioned",
     "q172_metadata_profile",
+    "q173_colf_bounds_merge",
 ]
 
 

@@ -423,6 +423,7 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> dict:
     touched: list[str] | None = None
     rows_before: int | None = None
     n_deleted: int | None = None
+    discovery = "scan"
     flts = _parse_condition(condition, types)
     if flts is not None:
         cand = _plan_candidates(path, flts, live0)
@@ -430,6 +431,7 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> dict:
             if not cand:
                 return noop()
             touched = cand
+            discovery = "metadata"
             man = load_manifest(path)
             rows_before = sum(man[b]["num_rows"] for b in touched)
 
@@ -515,7 +517,8 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> dict:
     kept = [b for b in live0 if b not in set(touched)]
     commit_snapshot(path, kept + moved, expected_parent=parent)
     return {"version": parent + 1, "n_deleted_rows": int(n_deleted),
-            "n_rewritten_files": len(moved), "n_kept_files": len(kept)}
+            "n_rewritten_files": len(moved), "n_kept_files": len(kept),
+            "discovery": discovery}
 
 
 def merge_into(spark: SparkSession, path: str, source,
@@ -578,6 +581,7 @@ def merge_into(spark: SparkSession, path: str, source,
 
         touched: list[str] | None = None
         n_source = n_replaced = rows_before = None
+        discovery = "scan"
         if small:
             # metadata-only discovery (the CDC-upsert regime): per-
             # column IN filters over the reader's OWN planning prune
@@ -597,6 +601,7 @@ def merge_into(spark: SparkSession, path: str, source,
             cand = _plan_candidates(path, flts, live0) if flts else None
             if cand is not None:
                 touched = cand
+                discovery = "metadata-in"
                 man = load_manifest(path)
                 rows_before = sum(man[b]["num_rows"] for b in touched)
 
@@ -652,6 +657,7 @@ def merge_into(spark: SparkSession, path: str, source,
                     if any(v[0] is not None for v in exact.values()) else None
                 if cand is not None and len(cand) <= max(1, len(live0) // 4):
                     touched = cand
+                    discovery = "metadata-bounds"
                     n_source = int(st["__n_source"] or 0)
                     man = load_manifest(path)
                     rows_before = sum(man[b]["num_rows"] for b in touched)
@@ -777,4 +783,5 @@ def merge_into(spark: SparkSession, path: str, source,
     commit_snapshot(path, kept + moved, expected_parent=parent)
     return {"version": parent + 1, "n_replaced_rows": int(n_replaced),
             "n_source_rows": int(n_source),
-            "n_rewritten_files": len(moved), "n_kept_files": len(kept)}
+            "n_rewritten_files": len(moved), "n_kept_files": len(kept),
+            "discovery": discovery}

@@ -1361,3 +1361,66 @@ def q172_metadata_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("min_val", StringType(), True),
         StructField("max_val", StringType(), True),
     ]))
+
+
+@register(
+    "q173_colf_bounds_merge",
+    oracle="""
+    SELECT CASE WHEN r < 22000 THEN 'U' ELSE 'old' END AS val,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(r) AS BIGINT) AS min_k,
+           CAST(MAX(r) AS BIGINT) AS max_k
+    FROM (SELECT CAST(range AS BIGINT) AS r FROM range(200000))
+    GROUP BY 1
+    """,
+)
+def q173_colf_bounds_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The localized-big-source merge tier under the correctness gate:
+    a 200k-row range-partitioned dataset (8 files) takes a 22,000-key
+    upsert — past MERGE_PUSHDOWN_KEYS, so the per-value IN planning is
+    unavailable — whose keys all lie in the first two files' span.
+    merge_into must plan the touched files from exact source key
+    BOUNDS over the zone maps (maintenance.py "metadata-bounds" tier:
+    one tiny source-side aggregate, no dataset key scan) and the query
+    ASSERTS that from the op's own reported discovery mode plus the
+    kept-file count (>= 6 of 8 untouched). The oracle rebuilds the
+    expected post-merge state from DuckDB's range() — deterministic
+    and sf-independent, like the operator it gates.
+
+    Scale: this is the "re-upsert one day's partition" shape — at
+    100 TB the bulk-but-localized source is the common maintenance
+    case, and the bounds tier turns its discovery from a dataset-wide
+    key-column scan into a metadata read.
+    """
+    from .datasource import register as register_ds
+    from .maintenance import merge_into
+
+    register_ds(spark)
+
+    def write(d: str) -> None:
+        (spark.range(200_000)
+         .select(F.col("id").cast("int").alias("k"),
+                 F.lit("old").alias("val"))
+         .repartitionByRange(8, "k")
+         .write.format("colf").mode("overwrite").save(d + "/ds"))
+
+    tmpl = stage_once(("colf-bounds-merge",), "colf_bmrg_tmpl_", write)
+    path = run_dir(("colf-bounds-merge-run", sf_dir), "colf_bmrg_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+
+    src = (spark.range(22_000)
+           .select(F.col("id").cast("int").alias("k"),
+                   F.lit("U").alias("val")))
+    res = merge_into(spark, path, src, ["k"])
+    if res["discovery"] != "metadata-bounds":
+        raise AssertionError(
+            f"localized 22k-key merge planned via {res['discovery']!r} — "
+            f"expected the zone-map bounds tier")
+    if res["n_kept_files"] < 6 or res["n_replaced_rows"] != 22_000:
+        raise AssertionError(
+            f"bounds-planned merge rewrote too much: {res}")
+    back = spark.read.format("colf").load(path)
+    return back.groupBy("val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min(F.col("k").cast("bigint")).alias("min_k"),
+        F.max(F.col("k").cast("bigint")).alias("max_k"))

@@ -438,6 +438,7 @@ def test_merge_localized_big_source_plans_from_metadata(
         "k int, val string")
     res = M.merge_into(colf_spark, path, src, ["k"])
     assert calls, "metadata bounds planning was never consulted"
+    assert res["discovery"] == "metadata-bounds"
     assert res["n_source_rows"] == 60
     assert res["n_replaced_rows"] == 50
     assert res["n_kept_files"] == 6       # only the 2 covered files moved
@@ -470,6 +471,7 @@ def test_merge_scattered_big_source_still_correct(
     src = colf_spark.createDataFrame(
         [(k, "U") for k in range(0, 400, 4)], "k int, val string")
     res = M.merge_into(colf_spark, path, src, ["k"])
+    assert res["discovery"] == "scan"
     assert res["n_replaced_rows"] == 100
     assert res["n_kept_files"] == 0  # every file held matches
     back = colf_spark.read.format("colf").load(path)
