@@ -940,6 +940,71 @@ def _write_version(options) -> int:
     return v
 
 
+def _split_write_files(path: str, colf_columns, chunks: dict,
+                       partition_cols: list[str], version: int,
+                       stripe_rows: int, bloom_cols: list[str],
+                       bloom_fpp: float, fname_stem: str) -> list[dict]:
+    """partitionColumns write path (batch AND stream sinks): one
+    value-homogeneous part file per distinct partition tuple this
+    task holds, with the tuple recorded in the manifest entry
+    (``"partition"``).
+
+    This is the Iceberg partitioning model, not Hive's: the partition
+    tuple lives in METADATA, the directory stays flat — at 100 TB the
+    planner reads one sidecar, never a recursive listing. No reader
+    change is needed for pruning, and the pruning is EXACT: a
+    value-homogeneous file's zone map has min == max == value, so the
+    existing ``_file_may_match`` keeps a file iff the predicate
+    matches its partition value (equality, IN, ranges, IsNull all
+    inherit this for free).
+
+    File-count shape: each task emits one file per tuple it SEES, so
+    total files = sum over tasks of distinct-tuples-in-task. The
+    intended pattern for low-cardinality keys is
+    ``df.repartition(partition_cols...)`` upstream (each tuple then
+    lands in exactly one task → exactly one file per tuple); without
+    it the split still bounds files at tasks × tuples and every file
+    stays homogeneous (pruning unaffected, just more files —
+    compact() folds them later)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    names = [c.name for c in colf_columns]
+    tbl = pa.table({n: pa.chunked_array(chunks[n]) for n in names})
+    # group key: stringified tuple (int32 → decimal string is
+    # injective; utf8 identity), nulls mapped to a sentinel token
+    # that no utf8 value produced by cast can collide with
+    null_token = "\x00null"
+    keyed = [pc.fill_null(pc.cast(tbl[c], pa.string()), null_token)
+             for c in partition_cols]
+    key = (keyed[0] if len(keyed) == 1
+           else pc.binary_join_element_wise(*keyed, "\x1f"))
+    if isinstance(key, pa.ChunkedArray):
+        key = (pa.concat_arrays([c.cast(pa.string())
+                                 for c in key.chunks])
+               if key.num_chunks else pa.array([], pa.string()))
+    enc = key.dictionary_encode()
+    codes = enc.indices
+    os.makedirs(path, exist_ok=True)
+    parts = []
+    for code in range(len(enc.dictionary)):
+        sub = tbl.filter(pc.equal(codes, code))
+        n = sub.num_rows
+        sub_chunks = {nm: list(sub.column(nm).chunks) for nm in names}
+        fname = f"{fname_stem}-s{code:03d}-{uuid.uuid4().hex[:8]}.colf"
+        target = os.path.join(path, fname)
+        tmp = target + ".tmp"
+        stats = _write_part_file(tmp, ColfSchema(n, colf_columns),
+                                 sub_chunks, version, stripe_rows)
+        stats["partition"] = {c: sub.column(c)[0].as_py()
+                              for c in partition_cols}
+        blooms = _build_bloom_entry(sub_chunks, colf_columns, bloom_cols,
+                                    bloom_fpp, n, version, stripe_rows)
+        os.rename(tmp, target)
+        parts.append({"file": target, "stats": stats, "blooms": blooms})
+    return parts
+
+
 def _partition_opts(options, colf_columns: list[ColfColumn]) -> list[str]:
     """Parse ``partitionColumns`` ("a,b"): each named column must exist
     and be int32/utf8 — float64 partition identity is ill-defined the
@@ -1048,66 +1113,10 @@ class ColfWriter(DataSourceArrowWriter):
         return ColfCommitMessage(file=target, stats=stats, blooms=blooms)
 
     def _write_split(self, chunks: dict, pid: int) -> "ColfCommitMessage":
-        """partitionColumns: one value-homogeneous part file per
-        distinct partition tuple this task holds, with the tuple
-        recorded in the manifest entry (``"partition"``).
-
-        This is the Iceberg partitioning model, not Hive's: the
-        partition tuple lives in METADATA, the directory stays flat —
-        at 100 TB the planner reads one sidecar, never a recursive
-        listing. No reader change is needed for pruning, and the
-        pruning is EXACT: a value-homogeneous file's zone map has
-        min == max == value, so the existing ``_file_may_match``
-        keeps a file iff the predicate matches its partition value
-        (equality, IN, ranges, IsNull all inherit this for free).
-
-        File-count shape: each task emits one file per tuple it SEES,
-        so total files = sum over tasks of distinct-tuples-in-task.
-        The intended pattern for low-cardinality keys is
-        ``df.repartition(partition_cols...)`` upstream (each tuple
-        then lands in exactly one task → exactly one file per tuple);
-        without it the split still bounds files at tasks × tuples and
-        every file stays homogeneous (pruning unaffected, just more
-        files — compact() folds them later)."""
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        names = [c.name for c in self.colf_columns]
-        tbl = pa.table({n: pa.chunked_array(chunks[n]) for n in names})
-        # group key: stringified tuple (int32 → decimal string is
-        # injective; utf8 identity), nulls mapped to a sentinel token
-        # that no utf8 value produced by cast can collide with
-        null_token = "\x00null"
-        keyed = [pc.fill_null(pc.cast(tbl[c], pa.string()), null_token)
-                 for c in self.partition_cols]
-        key = (keyed[0] if len(keyed) == 1
-               else pc.binary_join_element_wise(*keyed, "\x1f"))
-        if isinstance(key, pa.ChunkedArray):
-            key = (pa.concat_arrays([c.cast(pa.string())
-                                     for c in key.chunks])
-                   if key.num_chunks else pa.array([], pa.string()))
-        enc = key.dictionary_encode()
-        codes = enc.indices
-        os.makedirs(self.path, exist_ok=True)
-        parts = []
-        for code in range(len(enc.dictionary)):
-            sub = tbl.filter(pc.equal(codes, code))
-            n = sub.num_rows
-            sub_chunks = {nm: list(sub.column(nm).chunks) for nm in names}
-            fname = f"part-{pid:05d}-s{code:03d}-{uuid.uuid4().hex[:8]}.colf"
-            target = os.path.join(self.path, fname)
-            tmp = target + ".tmp"
-            stats = _write_part_file(
-                tmp, ColfSchema(n, self.colf_columns), sub_chunks,
-                self.version, self.stripe_rows)
-            stats["partition"] = {c: sub.column(c)[0].as_py()
-                                  for c in self.partition_cols}
-            blooms = _build_bloom_entry(
-                sub_chunks, self.colf_columns, self.bloom_cols,
-                self.bloom_fpp, n, self.version, self.stripe_rows)
-            os.rename(tmp, target)
-            parts.append({"file": target, "stats": stats, "blooms": blooms})
-        return ColfCommitMessage(file=None, parts=parts)
+        return ColfCommitMessage(file=None, parts=_split_write_files(
+            self.path, self.colf_columns, chunks, self.partition_cols,
+            self.version, self.stripe_rows, self.bloom_cols,
+            self.bloom_fpp, f"part-{pid:05d}"))
 
     def commit(self, messages):
         import json
@@ -1358,6 +1367,7 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
         self.stripe_rows = _stripe_rows_opt(options)
         self.colf_columns = spark_to_colf_columns(schema)
         self.bloom_cols, self.bloom_fpp = _bloom_opts(options, self.colf_columns)
+        self.partition_cols = _partition_opts(options, self.colf_columns)
         # a stream restarted onto an existing dataset must match it
         _check_append_schema(self.path, self.colf_columns)
 
@@ -1373,6 +1383,13 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
             col.name: [b.column(i) for b in batches]
             for i, col in enumerate(self.colf_columns)
         }
+        if self.partition_cols:
+            # partition-aware CDC sink: each micro-batch task lands
+            # one value-homogeneous file per tuple it holds
+            return ColfCommitMessage(file=None, parts=_split_write_files(
+                self.path, self.colf_columns, chunks, self.partition_cols,
+                self.version, self.stripe_rows, self.bloom_cols,
+                self.bloom_fpp, f"part-s{pid:05d}"))
         os.makedirs(self.path, exist_ok=True)
         fname = f"part-s{pid:05d}-{uuid.uuid4().hex[:8]}.colf"
         target = os.path.join(self.path, fname)
@@ -1390,9 +1407,11 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
 
         manifest = load_manifest(self.path)
         changed = False
-        for m in messages:
-            if m and m.file and m.stats:
-                manifest[os.path.basename(m.file)] = m.stats
+        batch_files = []
+        for file, stats, _b in _iter_commit_parts(messages):
+            batch_files.append(file)
+            if stats:
+                manifest[os.path.basename(file)] = stats
                 changed = True
         if changed:
             tmp = manifest_path(self.path) + ".tmp"
@@ -1407,13 +1426,13 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
             parent = snaps[-1]["version"] if snaps else 0
             commit_snapshot(self.path, [
                 os.path.basename(f) for f in live_files(self.path)
-            ] + [os.path.basename(m.file) for m in messages
-                 if m and m.file], expected_parent=parent)
+            ] + [os.path.basename(f) for f in batch_files],
+                expected_parent=parent)
 
     def abort(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m and m.file and os.path.exists(m.file):
-                os.remove(m.file)
+        for file, _s, _b in _iter_commit_parts(messages):
+            if os.path.exists(file):
+                os.remove(file)
 
 
 class ColfDataSource(DataSource):

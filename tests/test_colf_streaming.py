@@ -486,3 +486,35 @@ def test_merge_same_batch_twice_is_content_idempotent(spark, tmp_path):
     second = sorted(map(tuple, spark.read.format("colf").load(d).collect()))
     assert first == second
     assert r2["n_replaced_rows"] == 7  # replay replaces with equal rows
+
+
+def test_stream_sink_partition_columns(spark, tmp_path):
+    """The streaming sink honors partitionColumns: every micro-batch
+    file is value-homogeneous with its tuple in the manifest, so a
+    CDC-fed dataset keeps exact partition pruning as it grows."""
+    src = str(tmp_path / "psrc")
+    out = str(tmp_path / "pout")
+    ckpt = str(tmp_path / "pckpt")
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2]) for i in range(40)], "k int, grp string")
+    df.coalesce(2).write.mode("overwrite").parquet(src)
+
+    q = (
+        spark.readStream.schema("k int, grp string").parquet(src)
+        .writeStream.format("colf")
+        .option("path", out)
+        .option("partitionColumns", "grp")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    _drain(q)
+
+    manifest = load_manifest(out)
+    assert manifest
+    for entry in manifest.values():
+        part = entry["partition"]["grp"]
+        cstats = entry["columns"]["grp"]
+        assert cstats["min"] == cstats["max"] == part
+    assert {e["partition"]["grp"] for e in manifest.values()} == {"a", "b"}
+    back = spark.read.format("colf").load(out)
+    assert sorted(r["k"] for r in back.collect()) == list(range(40))
