@@ -98,6 +98,7 @@ HEADLINE = [
     "q171_colf_partitioned",
     "q172_metadata_profile",
     "q173_colf_bounds_merge",
+    "q174_partition_stats",
 ]
 
 

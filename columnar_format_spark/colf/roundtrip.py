@@ -1424,3 +1424,64 @@ def q173_colf_bounds_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.min(F.col("k").cast("bigint")).alias("min_k"),
         F.max(F.col("k").cast("bigint")).alias("max_k"))
+
+
+@register(
+    "q174_partition_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q174_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level statistics from metadata alone: row counts per
+    partition tuple folded from the manifest of the q171 staged
+    partitioned dataset — Iceberg's ``partitions`` metadata-table
+    shape, zero data I/O. The oracle recomputes the grouped counts
+    from the source parquet, proving the sidecar's per-tuple
+    accounting equals a real GROUP BY. Raises if any live file lacks
+    a partition tuple (a mixed layout cannot claim per-tuple totals —
+    the all-or-nothing rule of q172).
+
+    Scale: a 100 TB "rows per day/source" dashboard query becomes an
+    O(files) sidecar fold — the exact planning cost every scan
+    already pays — instead of a full-table aggregate.
+    """
+    import os as _os
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType)
+
+    from .datasource import live_files, load_manifest
+    from .datasource import register as register_ds
+
+    register_ds(spark)
+
+    def write(d: str) -> None:
+        (table(spark, sf_dir, "orders")
+         .select(F.col("o_orderkey").cast("int").alias("o_orderkey"),
+                 "o_orderpriority", "o_totalprice")
+         .repartition(8, "o_orderpriority")
+         .write.format("colf")
+         .option("partitionColumns", "o_orderpriority")
+         .mode("overwrite").save(d + "/ds"))
+
+    d = stage_once(("colf-partitioned", sf_dir), "colf_part_", write) + "/ds"
+    manifest = load_manifest(d)
+    live = [_os.path.basename(f) for f in live_files(d)]
+    totals: dict[str, int] = {}
+    for b in live:
+        entry = manifest.get(b) or {}
+        part = entry.get("partition")
+        if not part or entry.get("num_rows") is None:
+            raise AssertionError(
+                f"partition stats impossible: live file {b} lacks a "
+                f"partition tuple or row count in the manifest")
+        key = part["o_orderpriority"]
+        totals[key] = totals.get(key, 0) + entry["num_rows"]
+    return spark.createDataFrame(
+        sorted(totals.items()),
+        StructType([StructField("o_orderpriority", StringType(), False),
+                    StructField("n_rows", LongType(), False)]))

@@ -12,10 +12,11 @@ additionally verified the ENTIRE registry driver-style at sf0.01 and
 sf0.1 with zero failures (tools/sweep_oracle.py) before shipping the
 window.
 
-Registry size: 172 queries (q01-q173, no q123). Round-5 additions were
+Registry size: 173 queries (q01-q174, no q123). Round-5 additions were
 q154-q168 (15); round-6 additions are q169 (rank-normalized z-order),
 q170 (size-targeted compaction), q171 (partitioned layout), q172
-(metadata-only table profile), and q173 (bounds-planned merge).
+(metadata-only table profile), q173 (bounds-planned merge), and q174
+(partition-level stats from metadata).
 """
 
 from __future__ import annotations
@@ -29,15 +30,14 @@ from .registry import QUERIES, QuerySpec  # noqa: F401
 
 # Round-6 driver window, per the rotation discipline (oldest evidence
 # first; every changed query re-proves itself the round it changes):
-# - the 5 round-6 additions with no driver row yet (q169-q173);
+# - the 6 round-6 additions with no driver row yet (q169-q174);
 # - the 9 queries whose PLAN or in-query assertion changed this round:
 #   q148/q149/q155/q161/q167 (metadata-only CoW discovery replaces the
 #   scan-based pass), q165/q166/q168 (capped codebook driver sample),
 #   q164 (fpp-derived pruning bound);
-# - 36 backfill slots, oldest green evidence first: q15-q19 (displaced
+# - 35 backfill slots, oldest green evidence first: q15-q19 (displaced
 #   in round 5), the rest of the r02-era set (q20-q32, q36, q38, q39,
-#   q45-q49, q64-q66, q72, q88, q89, q92-q94 — 30), then the first of
-#   the r03-era set (q33).
+#   q45-q49, q64-q66, q72, q88, q89, q92-q94 — 30).
 # Per-query last-green ledger after round 5 (CORRECTNESS_r05 was 50/50
 # green): r02 = q01-q06, q08-q32, q36, q38, q39, q45-q49, q64-q66,
 # q72, q88, q89, q92-q94; r03 = q33-q35, q37, q40-q43, q51-q57, q69,
@@ -51,7 +51,7 @@ DRIVER_WINDOW = [
     # new this round — no driver row yet
     "q169_zorder_rank", "q170_colf_size_compact",
     "q171_colf_partitioned", "q172_metadata_profile",
-    "q173_colf_bounds_merge",
+    "q173_colf_bounds_merge", "q174_partition_stats",
     # changed this round — metadata-planned CoW / capped ANN fits /
     # fpp-derived bound
     "q148_colf_delete", "q149_colf_merge", "q155_colf_v3_cow",
@@ -73,8 +73,6 @@ DRIVER_WINDOW = [
     "q64_crossmodal_join", "q65_union_schema_evolution", "q66_redaction",
     "q72_promo_revenue", "q88_right_cross_join", "q89_grouped_collect",
     "q92_funnel", "q93_retention", "q94_variance_outliers",
-    # first of the r03-era set
-    "q33_sessionize",
 ]
 
 
