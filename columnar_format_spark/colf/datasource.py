@@ -971,14 +971,22 @@ def _split_write_files(path: str, colf_columns, chunks: dict,
 
     names = [c.name for c in colf_columns]
     tbl = pa.table({n: pa.chunked_array(chunks[n]) for n in names})
-    # group key: stringified tuple (int32 → decimal string is
-    # injective; utf8 identity), nulls mapped to a sentinel token
-    # that no utf8 value produced by cast can collide with
-    null_token = "\x00null"
-    keyed = [pc.fill_null(pc.cast(tbl[c], pa.string()), null_token)
-             for c in partition_cols]
+    # group key: per-column parts are "N" for NULL else
+    # "V<bytelen>:<value>" — the marker separates NULL from any real
+    # string (including one spelling a sentinel), and the length
+    # prefix makes the tuple concatenation injective no matter what
+    # bytes the values contain (a bare separator would let
+    # ("a<sep>b","c") collide with ("a","b<sep>c"))
+    def part_key(c: str):
+        col = pc.cast(tbl[c], pa.string())
+        lens = pc.cast(pc.binary_length(pc.cast(col, pa.binary())),
+                       pa.string())
+        tagged = pc.binary_join_element_wise("V", lens, ":", col, "")
+        return pc.fill_null(tagged, "N")  # tagged is null iff col is
+
+    keyed = [part_key(c) for c in partition_cols]
     key = (keyed[0] if len(keyed) == 1
-           else pc.binary_join_element_wise(*keyed, "\x1f"))
+           else pc.binary_join_element_wise(*keyed, ""))
     if isinstance(key, pa.ChunkedArray):
         key = (pa.concat_arrays([c.cast(pa.string())
                                  for c in key.chunks])

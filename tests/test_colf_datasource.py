@@ -277,3 +277,33 @@ def test_partitioned_layout_survives_maintenance(colf_spark, tmp_path):
         part = e["partition"]["grp"]
         cstats = e["columns"]["grp"]
         assert cstats["min"] == cstats["max"] == part
+
+
+def test_partition_columns_adversarial_values(colf_spark, tmp_path):
+    """Tuple-key encoding must be injective for arbitrary bytes: values
+    containing control characters, a value spelling a NULL-sentinel,
+    and boundary-straddling pairs like ("a\\x1fb","c") vs ("a","b\\x1fc")
+    must land in DISTINCT homogeneous files; NULL is its own tuple."""
+    from columnar_format_spark.colf.datasource import load_manifest
+
+    rows = [
+        (1, "a\x1fb", "c"),
+        (2, "a", "b\x1fc"),
+        (3, "\x00null", "x"),
+        (4, None, "x"),
+        (5, "", ""),
+        (6, "", None),
+    ]
+    df = colf_spark.createDataFrame(
+        rows, "k int, p1 string, p2 string")
+    path = str(tmp_path / "adv")
+    (df.coalesce(1).write.format("colf")
+     .option("partitionColumns", "p1,p2").mode("overwrite").save(path))
+    manifest = load_manifest(path)
+    tuples = sorted((str(e["partition"]["p1"]), str(e["partition"]["p2"]))
+                    for e in manifest.values())
+    assert len(manifest) == 6, tuples  # every distinct tuple its own file
+    back = colf_spark.read.format("colf").load(path)
+    assert sorted(r["k"] for r in back.collect()) == [1, 2, 3, 4, 5, 6]
+    got = {(r["p1"], r["p2"]) for r in back.collect()}
+    assert got == {(a, b) for _, a, b in rows}
