@@ -158,6 +158,47 @@ def cli_stats(argv: list[str]) -> int:
     return 0
 
 
+def cli_partitions(argv: list[str]) -> int:
+    """Partition tuples of a metadata-partitioned dataset with per-
+    tuple file and row counts — Iceberg's ``partitions`` metadata
+    table as a CLI, folded purely from the zone-map manifest (no data
+    bytes). Unpartitioned files (no tuple in their manifest entry) are
+    reported separately so a mixed layout is visible, not miscounted."""
+    if len(argv) != 1:
+        print("usage: ... partitions <dataset-dir>", file=sys.stderr)
+        return 2
+    import os
+
+    from .datasource import live_files, load_manifest
+
+    manifest = load_manifest(argv[0])
+    live = [os.path.basename(f) for f in live_files(argv[0])]
+    tuples: dict[str, dict] = {}
+    unpartitioned = {"n_files": 0, "num_rows": 0}
+    for b in live:
+        entry = manifest.get(b) or {}
+        part = entry.get("partition")
+        rows = entry.get("num_rows") or 0
+        if not part:
+            unpartitioned["n_files"] += 1
+            unpartitioned["num_rows"] += rows
+            continue
+        key = json.dumps(part, sort_keys=True)
+        agg = tuples.setdefault(key, {"partition": part, "n_files": 0,
+                                      "num_rows": 0})
+        agg["n_files"] += 1
+        agg["num_rows"] += rows
+    print(json.dumps({
+        "n_live_files": len(live),
+        "partitions": sorted(tuples.values(),
+                             key=lambda t: json.dumps(t["partition"],
+                                                      sort_keys=True)),
+        **({"unpartitioned": unpartitioned}
+           if unpartitioned["n_files"] else {}),
+    }, indent=2))
+    return 0
+
+
 COMMANDS = {
     "csv_to_custom": cli_csv_to_custom,
     "custom_to_csv": cli_custom_to_csv,
@@ -165,6 +206,7 @@ COMMANDS = {
     "inspect_header": cli_inspect_header,
     "snapshots": cli_snapshots,
     "stats": cli_stats,
+    "partitions": cli_partitions,
 }
 
 

@@ -169,3 +169,28 @@ def test_cli_stats_includes_bloom_summary(spark, tmp_path, capsys):
     for per_file in doc["blooms"].values():
         bl = per_file["columns"]["k"]
         assert bl["n"] > 0 and bl["m"] >= 64 and "b64" not in bl
+
+
+def test_cli_partitions(spark, tmp_path, capsys):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from columnar_format_spark.colf.cli import main
+    from columnar_format_spark.colf.datasource import register
+
+    register(spark)
+    d = str(tmp_path / "pds")
+    (spark.range(30)
+     .select(F.col("id").cast("int").alias("k"),
+             F.concat(F.lit("g"), (F.col("id") % 3).cast("int")).alias("grp"))
+     .coalesce(1).write.format("colf")
+     .option("partitionColumns", "grp").mode("overwrite").save(d))
+    assert main(["partitions", d]) == 0
+    doc = _json.loads(capsys.readouterr().out)
+    assert doc["n_live_files"] == 3
+    assert [p["partition"]["grp"] for p in doc["partitions"]] \
+        == ["g0", "g1", "g2"]
+    assert all(p["num_rows"] == 10 and p["n_files"] == 1
+               for p in doc["partitions"])
+    assert "unpartitioned" not in doc
