@@ -307,3 +307,24 @@ def test_partition_columns_adversarial_values(colf_spark, tmp_path):
     assert sorted(r["k"] for r in back.collect()) == [1, 2, 3, 4, 5, 6]
     got = {(r["p1"], r["p2"]) for r in back.collect()}
     assert got == {(a, b) for _, a, b in rows}
+
+
+def test_partition_columns_compose_with_blooms(colf_spark, tmp_path):
+    """partitionColumns and bloomColumns compose: every split file
+    carries its own Bloom sidecar entry, so a point lookup on the
+    bloom key prunes WITHIN a partition's files too."""
+    from columnar_format_spark.colf.datasource import (
+        load_blooms, load_manifest)
+
+    df = colf_spark.createDataFrame(
+        [(i, ["a", "b"][i % 2]) for i in range(40)], "k int, grp string")
+    path = str(tmp_path / "pb")
+    (df.repartition(2, "grp").write.format("colf")
+     .option("partitionColumns", "grp")
+     .option("bloomColumns", "k")
+     .mode("overwrite").save(path))
+    manifest = load_manifest(path)
+    blooms = load_blooms(path)
+    assert set(blooms) == set(manifest) and len(manifest) == 2
+    for per in blooms.values():
+        assert "k" in per["columns"]

@@ -384,3 +384,21 @@ def test_zorder_scan_prunes_files(spark):
 
     df = QUERIES["q157_zorder_pruning"].fn(spark, SF_SMALL)
     assert df.count() > 0  # assertion inside the query did not raise
+
+
+def test_zorder_rank_buckets_stay_jvm_side(spark):
+    """q169's rank-normalization (bucket cuts + Morton interleave)
+    must be built-in expressions — a Python eval node here would put
+    an interpreter in every scan task of a layout job."""
+    plan = plan_of(spark, "q169_zorder_rank")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas",
+                   "MapInPandas"):
+        assert marker not in plan
+
+
+def test_partitioned_agg_is_partial_then_final(spark):
+    """q171's filtered aggregate over the partitioned COLF dataset
+    must plan map-side partial aggregation — the shuffle carries one
+    row per (task, priority), not per order."""
+    plan = plan_of(spark, "q171_colf_partitioned")
+    assert plan.count("HashAggregate") >= 2
