@@ -940,10 +940,17 @@ def _write_version(options) -> int:
     return v
 
 
+# one file per distinct partition tuple per task: a unique-ish key
+# would silently shatter the dataset into per-row files, so the split
+# fails fast past this many tuples in a single task
+MAX_PARTITION_TUPLES_PER_TASK = 10_000
+
+
 def _split_write_files(path: str, colf_columns, chunks: dict,
                        partition_cols: list[str], version: int,
                        stripe_rows: int, bloom_cols: list[str],
-                       bloom_fpp: float, fname_stem: str) -> list[dict]:
+                       bloom_fpp: float, fname_stem: str,
+                       tuple_cap: int | None = None) -> list[dict]:
     """partitionColumns write path (batch AND stream sinks): one
     value-homogeneous part file per distinct partition tuple this
     task holds, with the tuple recorded in the manifest entry
@@ -992,6 +999,16 @@ def _split_write_files(path: str, colf_columns, chunks: dict,
                                  for c in key.chunks])
                if key.num_chunks else pa.array([], pa.string()))
     enc = key.dictionary_encode()
+    cap = (tuple_cap if tuple_cap is not None
+           else MAX_PARTITION_TUPLES_PER_TASK)
+    if len(enc.dictionary) > cap:
+        raise ColfFormatError(
+            f"partitionColumns {partition_cols} produced "
+            f"{len(enc.dictionary)} distinct tuples in one task "
+            f"(cap {cap}) — this column is "
+            f"too high-cardinality to partition by (one file per "
+            f"tuple); use a coarser key or zone-map/Bloom pruning "
+            f"instead")
     codes = enc.indices
     os.makedirs(path, exist_ok=True)
     parts = []
@@ -1011,6 +1028,16 @@ def _split_write_files(path: str, colf_columns, chunks: dict,
         os.rename(tmp, target)
         parts.append({"file": target, "stats": stats, "blooms": blooms})
     return parts
+
+
+def _partition_tuple_cap(options) -> int:
+    """``partitionTupleCap`` overrides the per-task distinct-tuple
+    guard (default MAX_PARTITION_TUPLES_PER_TASK)."""
+    cap = int(options.get("partitionTupleCap",
+                          str(MAX_PARTITION_TUPLES_PER_TASK)))
+    if cap < 1:
+        raise ColfFormatError("partitionTupleCap must be >= 1")
+    return cap
 
 
 def _partition_opts(options, colf_columns: list[ColfColumn]) -> list[str]:
@@ -1089,6 +1116,7 @@ class ColfWriter(DataSourceArrowWriter):
         self.colf_columns = spark_to_colf_columns(schema)  # validate types early
         self.bloom_cols, self.bloom_fpp = _bloom_opts(options, self.colf_columns)
         self.partition_cols = _partition_opts(options, self.colf_columns)
+        self.partition_tuple_cap = _partition_tuple_cap(options)
         if not overwrite:
             _check_append_schema(self.path, self.colf_columns)
 
@@ -1124,7 +1152,8 @@ class ColfWriter(DataSourceArrowWriter):
         return ColfCommitMessage(file=None, parts=_split_write_files(
             self.path, self.colf_columns, chunks, self.partition_cols,
             self.version, self.stripe_rows, self.bloom_cols,
-            self.bloom_fpp, f"part-{pid:05d}"))
+            self.bloom_fpp, f"part-{pid:05d}",
+            self.partition_tuple_cap))
 
     def commit(self, messages):
         import json
@@ -1376,6 +1405,7 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
         self.colf_columns = spark_to_colf_columns(schema)
         self.bloom_cols, self.bloom_fpp = _bloom_opts(options, self.colf_columns)
         self.partition_cols = _partition_opts(options, self.colf_columns)
+        self.partition_tuple_cap = _partition_tuple_cap(options)
         # a stream restarted onto an existing dataset must match it
         _check_append_schema(self.path, self.colf_columns)
 
@@ -1397,7 +1427,8 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
             return ColfCommitMessage(file=None, parts=_split_write_files(
                 self.path, self.colf_columns, chunks, self.partition_cols,
                 self.version, self.stripe_rows, self.bloom_cols,
-                self.bloom_fpp, f"part-s{pid:05d}"))
+                self.bloom_fpp, f"part-s{pid:05d}",
+                self.partition_tuple_cap))
         os.makedirs(self.path, exist_ok=True)
         fname = f"part-s{pid:05d}-{uuid.uuid4().hex[:8]}.colf"
         target = os.path.join(self.path, fname)

@@ -328,3 +328,17 @@ def test_partition_columns_compose_with_blooms(colf_spark, tmp_path):
     assert set(blooms) == set(manifest) and len(manifest) == 2
     for per in blooms.values():
         assert "k" in per["columns"]
+
+
+def test_partition_columns_cardinality_guard(colf_spark, tmp_path):
+    """A near-unique partition key must fail fast (one file per tuple
+    would shatter the dataset into per-row files), with an error that
+    names the cap. The cap rides a writer option because the split
+    runs in executor workers where a test monkeypatch cannot reach."""
+    df = colf_spark.createDataFrame(
+        [(i, f"u{i}") for i in range(50)], "k int, uid string")
+    with pytest.raises(Exception, match="too high-cardinality"):
+        (df.coalesce(1).write.format("colf")
+         .option("partitionColumns", "uid")
+         .option("partitionTupleCap", "10")
+         .mode("overwrite").save(str(tmp_path / "hc")))
