@@ -397,6 +397,11 @@ def _residual_mask(data: dict, filters: list):
                 if is_float and any(isinstance(x, float) and x != x
                                     for x in vals):
                     continue  # NaN in the IN list: leave to Spark
+                if is_float and any(x == 0.0 for x in vals):
+                    # pc.is_in matches bitwise: In(0.0) would miss a
+                    # stored -0.0 row Spark keeps (-0.0 == 0.0 in SQL).
+                    # Put both bit patterns in the value set.
+                    vals = list(vals) + [0.0, -0.0]
                 m = pc.is_in(arr, value_set=pa.array(vals, type=t))
             elif isinstance(flt, GreaterThan):
                 m = pc.greater(arr, v)

@@ -29,6 +29,7 @@ from .datasource import (
     commit_snapshot,
     dataset_files,
     dataset_union_columns,
+    live_files,
     load_blooms,
     load_manifest,
     load_snapshots,
@@ -162,7 +163,11 @@ def compact(spark: SparkSession, path: str, target_files: int | None = None,
     if target_file_bytes is not None:
         if target_file_bytes < 1:
             raise ValueError("target_file_bytes must be >= 1")
-        live_bytes = sum(os.path.getsize(f) for f in dataset_files(path))
+        # snapshot-aware live set, NOT the raw directory listing: after
+        # delete_where/merge_into/compact(retain=True) the directory
+        # holds dead-but-retained files until vacuum, and counting them
+        # would overshoot target_files (more, smaller outputs)
+        live_bytes = sum(os.path.getsize(f) for f in live_files(path))
         target_files = max(1, -(-live_bytes // target_file_bytes))
     if target_files < 1:
         raise ValueError("target_files must be >= 1")
@@ -183,7 +188,7 @@ def compact(spark: SparkSession, path: str, target_files: int | None = None,
     # datasets compact to the FIRST live file's version
     from .format import read_schema as _read_schema
 
-    live = dataset_files(path)
+    live = live_files(path)  # snapshot-aware: skip retained dead files
     ver = _read_schema(live[0]).version if live else 1
     # partition-aware: a partitionColumns dataset compacts BY tuple
     # (hash repartition on the partition key + the split writer), so

@@ -106,6 +106,17 @@ def test_mask_float64_spark_nan_semantics():
     assert _kept(_residual_mask(_fdata(), [In(("f",), (1.0, 5.0))])) == [0, 4]
 
 
+def test_mask_float_in_matches_signed_zero():
+    """Spark evaluates -0.0 = 0.0 as TRUE; pc.is_in matches bitwise.
+    The mask must keep a stored -0.0 row for In(0.0) (and vice versa) —
+    a dropped row is unrecoverable once the batch crosses to the JVM."""
+    data = {"f": pa.array([-0.0, 1.0, 0.0, 2.0], type=pa.float64())}
+    assert _kept(_residual_mask(data, [In(("f",), (0.0, 9.0))])) == [0, 2]
+    assert _kept(_residual_mask(data, [In(("f",), (-0.0, 9.0))])) == [0, 2]
+    # pc.equal is value-based (IEEE): EqualTo is already sign-blind
+    assert _kept(_residual_mask(data, [EqualTo(("f",), 0.0)])) == [0, 2]
+
+
 def test_zonemap_float_nan_never_pruned():
     """A file whose only rows satisfying `> v` are NaN must survive
     zone-map pruning: Arrow min/max skip NaN, Spark orders NaN above

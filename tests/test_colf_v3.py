@@ -271,6 +271,34 @@ def test_v3_size_targeted_compact(colf_spark, tmp_path):
     assert back.agg(F.sum("id")).first()[0] == sum(range(48_000))
 
 
+def test_size_compact_ignores_dead_retained_files(colf_spark, tmp_path):
+    """live_bytes for target_file_bytes must come from the snapshot's
+    LIVE set: after delete_where the directory still holds the old
+    (dead, time-travel-retained) part files until vacuum, and counting
+    them would overshoot target_files — more, smaller outputs than the
+    size target implies."""
+    from columnar_format_spark.colf.datasource import (
+        dataset_files, live_files)
+    from columnar_format_spark.colf.maintenance import compact, delete_where
+
+    p = str(tmp_path / "dead")
+    df = colf_spark.range(24_000).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 9).cast("double").alias("v"))
+    (df.repartition(8).write.format("colf").mode("append").save(p))
+    # CoW delete touches every file -> 8 dead + rewritten live files
+    delete_where(colf_spark, p, "id % 2 = 1")
+    live = live_files(p)
+    dead_inflation = (sum(os.path.getsize(f) for f in dataset_files(p))
+                      / sum(os.path.getsize(f) for f in live))
+    assert dead_inflation > 1.5, "fixture didn't retain dead files"
+    target = sum(os.path.getsize(f) for f in live)  # => exactly 1 file
+    n = compact(colf_spark, p, target_file_bytes=target)
+    assert n == 1, f"dead retained bytes inflated the target: {n} files"
+    back = colf_spark.read.format("colf").load(p)
+    assert back.count() == 12_000
+
+
 def test_compact_rejects_ambiguous_targets(colf_spark, tmp_path):
     from columnar_format_spark.colf.maintenance import compact
 
