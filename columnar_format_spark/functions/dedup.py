@@ -441,46 +441,91 @@ _COMPONENTS_SQL = f"""
 """
 
 
+def _two_phase_components(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
+    """Alternating large-star / small-star connected components (the
+    two-phase MapReduce CC of Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): O(log^2 n) rounds worst-case and 2-3 rounds
+    on real near-dup graphs, vs O(diameter) for one-hop min-label
+    propagation. Each phase is one groupBy + one join on the current
+    edge list; the list only shrinks (toward a forest of depth-1 stars
+    rooted at each component's minimum id).
+
+    Input: symmetric edge list (a, b). Output: (doc_id, label) for
+    every node that appears in the graph, label = component min id.
+    localCheckpoint per round truncates lineage (iterative-Spark
+    discipline); the convergence probe is one tiny aggregate per round
+    — count + order-independent hash of the edge set — instead of an
+    anti-join, because any change by either phase strictly decreases
+    the algorithm's potential function (no oscillation can hash-alias
+    a changed set back, barring a 64-bit collision; max_rounds caps
+    that, and the star-forest label read-out is correct at any
+    fixpoint)."""
+    nodes = edges.select(F.col("a").alias("doc_id")).distinct() \
+        .localCheckpoint(eager=True)
+    e = (edges.filter(F.col("a") < F.col("b"))
+         .select(F.col("a").alias("u"), F.col("b").alias("v")).distinct()
+         .localCheckpoint(eager=True))
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star: for each node, link every LARGER neighbor to the
+        # minimum of the closed neighborhood min(N(u) ∪ {u})
+        sym = e.unionAll(e.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("m"))
+        e = (sym.join(mins, "u")
+             .filter(F.col("v") > F.col("u"))
+             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct())
+        # small-star: orient every edge toward the smaller endpoint,
+        # then link each node AND its smaller neighbors to the minimum
+        down = e.select(F.greatest("u", "v").alias("u"),
+                        F.least("u", "v").alias("v"))
+        mins2 = down.groupBy("u").agg(F.min("v").alias("m"))
+        e = (down.join(mins2, "u")
+             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+             .unionAll(mins2.select("u", F.col("m").alias("v")))
+             .filter(F.col("u") != F.col("v")).distinct()
+             .select(F.least("u", "v").alias("w"),
+                     F.greatest("u", "v").alias("x"))
+             .select(F.col("x").alias("u"), F.col("w").alias("v"))
+             ).localCheckpoint(eager=True)
+        # bit_xor, not sum: order-independent over the distinct edge
+        # set and immune to ANSI-mode long-overflow on the aggregate
+        sig = tuple(e.agg(F.count(F.lit(1)),
+                          F.bit_xor(F.xxhash64("u", "v"))).first())
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # fixpoint is a star forest: u -> component-min v for every
+    # non-root; roots (the minima) have no outgoing edge. groupBy(min)
+    # instead of a bare join so a max_rounds truncation can at worst
+    # under-merge, never duplicate a node's row
+    star = e.groupBy(F.col("u").alias("doc_id")).agg(
+        F.min("v").alias("label"))
+    return (nodes.join(star, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("label", "doc_id").alias("label")))
+
+
 @register("q56_dedup_components", oracle=_COMPONENTS_SQL)
 def q56_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash candidate-pair graph
-    (q52's edges): iterative min-label propagation until fixpoint, so
-    transitively-linked near-dups share one cluster id (min doc_id in
-    the component) — the fuzzy-dedup clustering stage. The oracle is
-    a recursive-CTE transitive closure: an ITERATIVE Spark algorithm
-    still checked exactly against SQL.
+    (q52's edges) via alternating large-star/small-star (see
+    _two_phase_components), so transitively-linked near-dups share one
+    cluster id (min doc_id in the component) — the fuzzy-dedup
+    clustering stage. The oracle is a recursive-CTE transitive
+    closure: an ITERATIVE Spark algorithm still checked exactly
+    against SQL.
 
-    Scale: each round is one join + groupBy(MIN) keyed by doc —
-    O(diameter) rounds (near-dup clusters are shallow; capped at 15);
-    localCheckpoint truncates the growing lineage so round N's plan
-    does not replay rounds 1..N-1. The label-propagation loop is the
-    standard large-graph CC under hash partitioning (GraphX-free).
+    Scale: 2-3 alternations on shallow near-dup graphs and O(log^2 n)
+    worst-case — vs O(diameter) for one-hop label propagation — with
+    each phase one groupBy + one join on an only-shrinking edge list;
+    localCheckpoint per round truncates lineage (the classic
+    iterative-Spark failure mode), GraphX-free.
     """
-    edges = _candidate_edges(spark, sf_dir)  # reused across rounds
-    labels = edges.groupBy("a").agg(F.min("b").alias("nbr_min")).select(
-        F.col("a").alias("doc_id"),
-        F.least("a", "nbr_min").alias("label"))
-    for _ in range(15):
-        # label <- min(label, min over neighbors' labels)
-        prop = (
-            edges.join(labels.withColumnRenamed("doc_id", "b"), "b")
-            .groupBy("a").agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(prop.withColumnRenamed("a", "doc_id"), "doc_id", "left")
-            .select("doc_id",
-                    F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
-        )
-        # round N-1's checkpoint blocks are released by the
-        # ContextCleaner once `labels` is rebound (the only reference);
-        # the long-lived edges checkpoint is the memoized one above
-        labels = new_labels
-        if changed == 0:
-            break
+    edges = _candidate_edges(spark, sf_dir)  # memoized per session
+    labels = _two_phase_components(edges)
     from pyspark.sql import Window
 
     w = Window.partitionBy("component_id")
