@@ -172,7 +172,8 @@ def write_snapshots(path: str, snaps: list[dict]) -> None:
 
 def commit_snapshot(path: str, live_files: list[str],
                     reset: bool = False,
-                    expected_parent: int | None = None) -> int:
+                    expected_parent: int | None = None,
+                    spec: list[str] | None = None) -> int:
     """Append a snapshot whose live set is ``live_files`` (basenames);
     ``reset`` starts a fresh history at version 1 (overwrite mode —
     the old part files are physically gone, so old versions would be
@@ -197,7 +198,14 @@ def commit_snapshot(path: str, live_files: list[str],
             f"metadata log is single-writer; re-read the live set and "
             f"retry the commit.")
     version = current + 1
-    snaps.append({"version": version, "files": sorted(set(live_files))})
+    entry: dict = {"version": version, "files": sorted(set(live_files))}
+    if spec is not None:
+        # partition-spec evolution (Iceberg model): the spec is TABLE
+        # metadata carried by the snapshot that adopted it; files
+        # written under older specs keep their layout and their
+        # manifest partition tuples
+        entry["spec"] = list(spec)
+    snaps.append(entry)
     write_snapshots(path, snaps)
     return version
 
@@ -210,6 +218,45 @@ def live_files(path: str) -> list[str]:
     if snaps:
         return [os.path.join(path, b) for b in snaps[-1]["files"]]
     return dataset_files(path)
+
+
+def current_partition_spec(path: str) -> list[str] | None:
+    """The dataset's RECORDED partition spec: the most recent snapshot
+    carrying a ``"spec"`` key (written by overwrites, by appends with
+    ``evolvePartitionSpec``, and by ``maintenance.
+    evolve_partition_spec``). ``None`` when no snapshot records one —
+    legacy datasets, where callers fall back to
+    ``inferred_partition_spec``."""
+    for s in reversed(load_snapshots(path)):
+        if "spec" in s:
+            return list(s["spec"])
+    return None
+
+
+def inferred_partition_spec(path: str) -> list[str]:
+    """Legacy-dataset fallback: the partition columns EVERY live file's
+    manifest entry agrees on, else ``[]`` (mixed or unpartitioned) —
+    pre-evolution datasets never recorded a spec, so the layout itself
+    is the only evidence."""
+    man = load_manifest(path)
+    cols: tuple | None = None
+    for f in live_files(path):
+        p = (man.get(os.path.basename(f)) or {}).get("partition")
+        if not p:
+            return []
+        t = tuple(p.keys())
+        if cols is None:
+            cols = t
+        elif cols != t:
+            return []
+    return list(cols or ())
+
+
+def effective_partition_spec(path: str) -> list[str]:
+    """The spec writes should follow NOW: the recorded spec when one
+    exists, else the legacy inference."""
+    rec = current_partition_spec(path)
+    return rec if rec is not None else inferred_partition_spec(path)
 
 
 def load_manifest(path: str) -> dict:
@@ -1045,15 +1092,12 @@ def _partition_tuple_cap(options) -> int:
     return cap
 
 
-def _partition_opts(options, colf_columns: list[ColfColumn]) -> list[str]:
-    """Parse ``partitionColumns`` ("a,b"): each named column must exist
-    and be int32/utf8 — float64 partition identity is ill-defined the
-    same way float Bloom probes are (NaN/±0.0 equality differs across
-    engines), so it fails fast."""
-    cols_opt = options.get("partitionColumns")
-    if not cols_opt:
-        return []
-    wanted = [c.strip() for c in cols_opt.split(",") if c.strip()]
+def _validate_partition_cols(wanted: list[str],
+                             colf_columns: list[ColfColumn]) -> list[str]:
+    """Each named column must exist and be int32/utf8 — float64
+    partition identity is ill-defined the same way float Bloom probes
+    are (NaN/±0.0 equality differs across engines), so it fails
+    fast."""
     by_name = {c.name: c for c in colf_columns}
     for c in wanted:
         col = by_name.get(c)
@@ -1066,6 +1110,64 @@ def _partition_opts(options, colf_columns: list[ColfColumn]) -> list[str]:
                 f"partitionColumns: float64 column '{c}' is unsupported "
                 f"(float partition identity is ill-defined)")
     return wanted
+
+
+def _partition_opts(options, colf_columns: list[ColfColumn]) -> list[str]:
+    """Parse ``partitionColumns`` ("a,b")."""
+    cols_opt = options.get("partitionColumns")
+    if not cols_opt:
+        return []
+    wanted = [c.strip() for c in cols_opt.split(",") if c.strip()]
+    return _validate_partition_cols(wanted, colf_columns)
+
+
+def _resolve_append_spec(options, path: str, partition_cols: list[str],
+                         colf_columns: list[ColfColumn],
+                         ) -> tuple[list[str], list[str] | None]:
+    """Append-time partition-spec contract (Iceberg model: the spec is
+    table metadata, not a per-write choice). Returns the partition
+    columns this write must use and the spec to RECORD at commit
+    (``None`` = no spec change).
+
+    - ``partitionColumns`` absent → inherit the dataset's effective
+      spec (recorded, else legacy-inferred).
+    - present and equal to the effective spec → write as asked.
+    - present and DIFFERENT → loud failure, unless
+      ``evolvePartitionSpec=true``: then this write adopts the new
+      spec, the commit records it, and existing files keep their old
+      layout (readers prune per-file from manifest tuples either way).
+    """
+    if not (os.path.isdir(path) and dataset_files(path)):
+        return partition_cols, (partition_cols or None)
+    rec = current_partition_spec(path)
+    if rec is None and not load_manifest(path):
+        # no COMMITTED metadata at all: a brand-new dataset whose
+        # first commit is in flight (the streaming sink re-instantiates
+        # its writer between task writes and the epoch commit), or a
+        # reference-writer/by-hand directory — there is no layout
+        # evidence to contract-check, and this write's columns become
+        # the recorded spec going forward
+        return partition_cols, (partition_cols or None)
+    effective = rec if rec is not None else inferred_partition_spec(path)
+    if options.get("partitionColumns") is None:
+        if effective:
+            return _validate_partition_cols(effective, colf_columns), None
+        return [], None
+    if partition_cols == effective:
+        return partition_cols, None
+    evolve = str(options.get("evolvePartitionSpec",
+                             "false")).lower() == "true"
+    if not evolve:
+        raise ColfFormatError(
+            f"append partitionColumns {partition_cols or '[]'} does not "
+            f"match the dataset's current partition spec "
+            f"{effective or '[]'} at {path}. Append with matching (or "
+            f"absent — it is inherited) partitionColumns, or pass "
+            f".option('evolvePartitionSpec', 'true') to adopt the new "
+            f"spec for this and future writes (existing files keep "
+            f"their layout; compact() rewrites them into the current "
+            f"spec).")
+    return partition_cols, partition_cols
 
 
 DEFAULT_STRIPE_ROWS = 1_000_000
@@ -1122,8 +1224,14 @@ class ColfWriter(DataSourceArrowWriter):
         self.bloom_cols, self.bloom_fpp = _bloom_opts(options, self.colf_columns)
         self.partition_cols = _partition_opts(options, self.colf_columns)
         self.partition_tuple_cap = _partition_tuple_cap(options)
-        if not overwrite:
+        if overwrite:
+            # an overwrite DEFINES the table: record its spec (possibly
+            # empty) so later appends inherit it
+            self.commit_spec: list[str] | None = self.partition_cols
+        else:
             _check_append_schema(self.path, self.colf_columns)
+            self.partition_cols, self.commit_spec = _resolve_append_spec(
+                options, self.path, self.partition_cols, self.colf_columns)
 
     def write(self, iterator):
         """Executor-side: drain this partition's Arrow batches into one
@@ -1216,6 +1324,7 @@ class ColfWriter(DataSourceArrowWriter):
             prior + [os.path.basename(f) for f in written],
             reset=self.overwrite,
             expected_parent=parent,
+            spec=self.commit_spec,
         )
 
     def abort(self, messages):
@@ -1413,6 +1522,10 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
         self.partition_tuple_cap = _partition_tuple_cap(options)
         # a stream restarted onto an existing dataset must match it
         _check_append_schema(self.path, self.colf_columns)
+        # streaming sinks are appends: same spec contract as the batch
+        # writer (inherit / match / evolve-with-option)
+        self.partition_cols, self.commit_spec = _resolve_append_spec(
+            options, self.path, self.partition_cols, self.colf_columns)
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -1471,7 +1584,8 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
             commit_snapshot(self.path, [
                 os.path.basename(f) for f in live_files(self.path)
             ] + [os.path.basename(f) for f in batch_files],
-                expected_parent=parent)
+                expected_parent=parent, spec=self.commit_spec)
+            self.commit_spec = None  # record a spec change once
 
     def abort(self, messages, batchId: int) -> None:
         for file, _s, _b in _iter_commit_parts(messages):

@@ -105,10 +105,20 @@ def _dataset_stripe_rows(path: str, basenames: list[str]) -> int | None:
 
 
 def _dataset_partition_cols(path: str, basenames: list[str]) -> list[str]:
-    """The dataset's partition columns when EVERY given live file's
-    manifest entry records the same partition tuple columns
-    (partitionColumns writes), else [] — a maintenance rewrite must
-    only preserve a layout the whole dataset actually has."""
+    """The partition columns a maintenance REWRITE should emit. A
+    recorded spec (snapshot-log ``"spec"``, written by overwrites /
+    ``evolvePartitionSpec`` appends / ``evolve_partition_spec``) wins
+    even over a mixed layout — rewriting into the CURRENT spec is
+    exactly Iceberg's "rewrite data files to latest spec", and it is
+    how an evolved dataset converges back to one layout. Legacy
+    datasets (no recorded spec) keep the conservative rule: the
+    columns every given file agrees on, else [] — a rewrite must only
+    preserve a layout the whole touched set actually has."""
+    from .datasource import current_partition_spec
+
+    spec = current_partition_spec(path)
+    if spec is not None:
+        return spec
     man = load_manifest(path)
     cols: tuple | None = None
     for b in basenames:
@@ -122,6 +132,33 @@ def _dataset_partition_cols(path: str, basenames: list[str]) -> list[str]:
         elif cols != t:
             return []
     return list(cols or ())
+
+
+def evolve_partition_spec(path: str, columns: list[str]) -> int:
+    """Record a NEW partition spec for the dataset (Iceberg-style spec
+    evolution, no data movement): existing files keep their layout and
+    their manifest partition tuples (readers prune per-file either
+    way); future appends without explicit ``partitionColumns`` adopt
+    the new spec; ``compact()`` rewrites the whole dataset into it.
+    ``columns=[]`` un-partitions future writes. Returns the committed
+    metadata-log version.
+
+    Scale: a metadata-only commit — O(1) sidecar append, zero data
+    I/O, exactly Iceberg's ``ALTER TABLE ... WRITE ORDERED BY/
+    PARTITIONED BY`` fast path."""
+    from .datasource import _validate_partition_cols
+    from .format import ColfFormatError
+
+    live = live_files(path)
+    if not live:
+        raise ColfFormatError(f"no live .colf files at {path}")
+    _validate_partition_cols(list(columns),
+                             dataset_union_columns(path, live))
+    snaps = load_snapshots(path)
+    parent = snaps[-1]["version"] if snaps else 0
+    return commit_snapshot(
+        path, [os.path.basename(f) for f in live],
+        expected_parent=(parent or None), spec=list(columns))
 
 
 def compact(spark: SparkSession, path: str, target_files: int | None = None,

@@ -1485,3 +1485,136 @@ def q174_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(totals.items()),
         StructType([StructField("o_orderpriority", StringType(), False),
                     StructField("n_rows", LongType(), False)]))
+
+
+@register(
+    "q179_colf_spec_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q179_colf_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION under the correctness gate (the
+    Iceberg model: the spec is table metadata in the snapshot log, not
+    a per-write choice). Even-key orders are staged partitioned by
+    o_orderpriority; the odd-key half then appends with
+    ``partitionColumns=o_orderstatus`` + ``evolvePartitionSpec=true``
+    — the commit records the new spec while the old files keep their
+    priority layout and manifest tuples. The query ASSERTS that (a)
+    the recorded spec changed and BOTH tuple shapes coexist in the
+    manifest, (b) a status-equality probe opens exactly the file set
+    the manifest's own zone maps imply (old heterogeneous files can't
+    prune on status; new homogeneous files prune exactly), and (c)
+    ``compact()`` — "rewrite data files to latest spec" — converges
+    every live file to the NEW spec, after which the same probe opens
+    exactly ONE file. The oracle value-checks the final per-status
+    aggregate over the full orders table: neither the evolution nor
+    the rewrite may change an answer.
+
+    Scale: evolution itself is a metadata-only commit (zero data I/O
+    at 100 TB); mixed-spec reads stay pruned per-file from manifest
+    tuples, so an evolved table never pays a flag-day rewrite unless
+    compact() is asked for one.
+    """
+    from pyspark.sql.datasource import EqualTo
+
+    from .datasource import (ColfReader, current_partition_spec,
+                             live_files, load_manifest)
+    from .datasource import register as register_ds
+    from .maintenance import compact
+
+    register_ds(spark)
+
+    def sel(df):
+        return df.select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            "o_orderpriority", "o_orderstatus", "o_totalprice")
+
+    def write(d: str) -> None:
+        (sel(table(spark, sf_dir, "orders")
+             .filter(F.col("o_orderkey") % 2 == 0))
+         .repartition(4, "o_orderpriority")
+         .write.format("colf")
+         .option("partitionColumns", "o_orderpriority")
+         .mode("overwrite").save(d + "/ds"))
+
+    tmpl = stage_once(("colf-spec-evo", sf_dir), "colf_spec_tmpl_", write)
+    path = run_dir(("colf-spec-evo-run", sf_dir), "colf_spec_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+
+    if current_partition_spec(path) != ["o_orderpriority"]:
+        raise AssertionError(
+            f"staged overwrite must record its spec, got "
+            f"{current_partition_spec(path)}")
+
+    (sel(table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") % 2 == 1))
+     .repartition(3, "o_orderstatus")
+     .write.format("colf")
+     .option("partitionColumns", "o_orderstatus")
+     .option("evolvePartitionSpec", "true")
+     .mode("append").save(path))
+
+    if current_partition_spec(path) != ["o_orderstatus"]:
+        raise AssertionError("evolving append must record the new spec")
+    import os as _os
+
+    man = load_manifest(path)
+    shapes = {tuple(((man.get(_os.path.basename(f)) or {})
+                     .get("partition") or {}).keys())
+              for f in live_files(path)}
+    if shapes != {("o_orderpriority",), ("o_orderstatus",)}:
+        raise AssertionError(
+            f"evolution must leave both layouts in place, got {shapes}")
+
+    schema = spark.read.format("colf").load(path).schema
+
+    def opened(pruning: str) -> set:
+        r = ColfReader({"path": path, "pruning": pruning}, schema)
+        r.pushFilters([EqualTo(("o_orderstatus",), "F")])
+        return {p.file for p in r.partitions() if p.file is not None}
+
+    # the EXACT expected open set from the manifest's own zone maps:
+    # files whose o_orderstatus [min,max] covers 'F'
+    expect = set()
+    for f in live_files(path):
+        st = (man.get(_os.path.basename(f)) or {}).get(
+            "columns", {}).get("o_orderstatus", {})
+        lo, hi = st.get("min"), st.get("max")
+        if lo is None or (lo <= "F" <= hi):
+            expect.add(f)
+    got = opened("on")
+    if got != expect:
+        raise AssertionError(
+            f"mixed-spec probe opened {len(got)} files, zone maps imply "
+            f"{len(expect)}")
+
+    compact(spark, path, 2)
+    man2 = load_manifest(path)
+    shapes2 = {tuple(((man2.get(_os.path.basename(f)) or {})
+                      .get("partition") or {}).keys())
+               for f in live_files(path)}
+    if shapes2 != {("o_orderstatus",)}:
+        raise AssertionError(
+            f"compact must rewrite every file into the CURRENT spec, "
+            f"got {shapes2}")
+    after = opened("on")
+    if len(after) != 1:
+        raise AssertionError(
+            f"post-compact status probe opened {len(after)} files — a "
+            f"value-homogeneous layout must prune to exactly one")
+
+    df = spark.read.format("colf").load(path)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+         .cast("bigint").cast("double") / F.lit(100.0)).alias("sum_price"),
+        F.min(F.col("o_orderkey").cast("bigint")).alias("min_key"),
+        F.max(F.col("o_orderkey").cast("bigint")).alias("max_key"))

@@ -907,3 +907,292 @@ def q147_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("numcust"),
         (F.sum(cents("c_acctbal")).cast("double") / F.lit(100.0))
         .alias("totacctbal"))
+
+
+# ---------------------------------------------------------------------------
+# Round 7: the four remaining TPC-H shapes (Q2, Q11, Q12, Q20) — with
+# these the full 22-query suite is covered (Q1=q01, Q14=q72, rest in
+# this module). The testdata has no partsupp table, so Q2/Q11/Q20
+# derive a supply relation from lineitem — (l_partkey, l_suppkey)
+# pairs with exact-int cost/availability aggregates — keeping each
+# query's SHAPE (correlated min, scalar-subquery HAVING, nested
+# semi-joins) intact.
+
+Q2_SIZE_LO, Q2_SIZE_HI = 10, 20
+Q2_TYPE_SUFFIX = "ANDARD"
+Q2_REGION = "EUROPE"
+Q11_NATION = "NATION_19"
+Q11_MULT = 2.0  # value × n_parts > K × Σvalue, i.e. > K× the average
+Q12_LO, Q12_HI = "1996-01-01", "1997-01-01"
+Q20_NAME_PREFIX = "blue"
+Q20_LO, Q20_HI = "1996-01-01", "1997-01-01"
+
+# Derived supply relation (partsupp stand-in), shared by Q2/Q11/Q20:
+# one row per (l_partkey, l_suppkey) with exact int64 aggregates.
+_SQL_SUPPLY = """
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS ps_cost_c,
+             SUM(CAST(l_quantity AS BIGINT)) AS ps_availqty
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived partsupp: cheapest observed price (exact cents,
+    order-independent MIN) and total shipped quantity per pair.
+
+    Scale: ONE partial-agged groupBy over lineitem — at 100 TB this is
+    a map-side-combined shuffle on the (partkey, suppkey) composite,
+    output ~|partsupp| ≪ |lineitem| rows."""
+    from .relational import cents
+
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .groupBy(F.col("l_partkey").alias("ps_partkey"),
+                 F.col("l_suppkey").alias("ps_suppkey"))
+        .agg(F.min(cents("l_extendedprice")).alias("ps_cost_c"),
+             F.sum(F.col("l_quantity").cast("bigint")).alias("ps_availqty"))
+    )
+
+
+@register(
+    "q175_tpch_q2",
+    oracle=f"""
+    WITH supply AS ({_SQL_SUPPLY}),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = '{Q2_REGION}'),
+    cand AS (
+      SELECT p.p_partkey, p.p_name, ps.ps_suppkey, ps.ps_cost_c
+      FROM part p JOIN supply ps ON p.p_partkey = ps.ps_partkey
+      JOIN eu ON ps.ps_suppkey = eu.s_suppkey
+      WHERE p.p_size BETWEEN {Q2_SIZE_LO} AND {Q2_SIZE_HI}
+        AND p.p_type LIKE '%{Q2_TYPE_SUFFIX}')
+    SELECT eu.s_acctbal, eu.s_name, eu.n_name,
+           c.p_partkey, c.p_name, eu.s_suppkey,
+           (CAST(c.ps_cost_c AS DOUBLE) / 100.0) AS supplycost
+    FROM cand c JOIN eu ON c.ps_suppkey = eu.s_suppkey
+    WHERE c.ps_cost_c = (SELECT MIN(c2.ps_cost_c) FROM cand c2
+                         WHERE c2.p_partkey = c.p_partkey)
+    ORDER BY eu.s_acctbal DESC, eu.n_name, eu.s_name,
+             c.p_partkey, eu.s_suppkey
+    LIMIT 100
+    """,
+)
+def q175_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), ADAPTED: supplycost comes
+    from the lineitem-derived supply relation (_supply). The shape is
+    the classic correlated-MIN subquery — for each qualifying part,
+    keep only region suppliers achieving that part's minimum cost —
+    expressed as a window MIN over the candidate set (one pass, no
+    self-join re-scan).
+
+    Scale: part filter prunes to ~4 % before the supply join; the
+    supplier→nation→region side is dimension-sized and broadcast. The
+    window partitions by p_partkey over the already-filtered candidate
+    set (tiny), not over raw supply. Top-100 with a total order
+    (acctbal DESC, nation, name, partkey, suppkey — unique)."""
+    from pyspark.sql.window import Window
+
+    sup = _supply(spark, sf_dir)
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(Q2_SIZE_LO, Q2_SIZE_HI)
+        & F.col("p_type").endswith(Q2_TYPE_SUFFIX)
+    ).select("p_partkey", "p_name")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == Q2_REGION)
+    eu = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        sup.join(p, sup.ps_partkey == p.p_partkey)
+        .join(F.broadcast(eu), sup.ps_suppkey == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_c", F.min("ps_cost_c").over(w))
+        .filter(F.col("ps_cost_c") == F.col("min_c"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "s_suppkey",
+            (F.col("ps_cost_c").cast("double") / F.lit(100.0))
+            .alias("supplycost"))
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                 "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q176_tpch_q11",
+    oracle=f"""
+    WITH val AS (
+      SELECT l.l_partkey AS ps_partkey,
+             SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 * CAST(l.l_quantity AS BIGINT)) AS value_c
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = '{Q11_NATION}'
+      GROUP BY l.l_partkey)
+    SELECT ps_partkey, (CAST(value_c AS DOUBLE) / 100.0) AS part_value
+    FROM val
+    WHERE CAST(value_c AS DOUBLE)
+          * (SELECT CAST(COUNT(*) AS DOUBLE) FROM val) >
+          {Q11_MULT} * (SELECT CAST(SUM(value_c) AS DOUBLE) FROM val)
+    """,
+)
+def q176_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock), ADAPTED: part value is the exact
+    int64 sum of price-cents × quantity over one nation's lineitems
+    (no partsupp availqty/supplycost). The shape is the classic
+    scalar-subquery HAVING: keep parts whose value exceeds a multiple
+    of the GLOBAL average part value (value×n > K×total) — unlike the
+    spec's fixed 0.0001/SF fraction this threshold is scale-invariant,
+    so the query stays selective-but-nonempty at every SF.
+
+    Scale: one partial-agged groupBy on l_partkey after a broadcast
+    nation→supplier semi-filter; the global (total, count) is a 1-row
+    aggregate of the SAME grouped frame broadcast back as a crossJoin
+    — the fact table is scanned once. Both comparison sides are single
+    IEEE products of identical exact-int operands in both engines."""
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(table(spark, sf_dir, "nation").filter(
+            F.col("n_name") == Q11_NATION)),
+            F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    from .relational import cents
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(cents("l_extendedprice")
+                   * F.col("l_quantity").cast("bigint")).alias("value_c"))
+    )
+    total = val.agg(F.sum("value_c").alias("total_c"),
+                    F.count(F.lit(1)).alias("n_parts"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c").cast("double")
+                * F.col("n_parts").cast("double")
+                > F.lit(Q11_MULT) * F.col("total_c").cast("double"))
+        .select("ps_partkey",
+                (F.col("value_c").cast("double") / F.lit(100.0))
+                .alias("part_value"))
+    )
+
+
+@register(
+    "q177_tpch_q12",
+    oracle=f"""
+    SELECT l.l_linestatus AS ship_class,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '{Q12_LO} 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '{Q12_HI} 00:00:00'
+    GROUP BY ship_class
+    """,
+)
+def q177_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / order priority), ADAPTED: the
+    testdata lineitem has no l_shipmode/commitdate/receiptdate, so
+    l_linestatus stands in as the ship class and the late-delivery
+    predicate reduces to the ship-date year window. The shape is
+    intact: fact-to-orders join, per-class dual CASE-WHEN counts
+    splitting priorities into high (URGENT/HIGH) vs low.
+
+    Scale: the date window pushes into the lineitem scan (~1/7 of
+    rows); the join is a shuffle hash on orderkey; counts are pure
+    int64 partial aggregates — 2 output groups."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q12_LO) & (F.col("l_shipdate") < Q12_HI)
+    ).select("l_orderkey", "l_linestatus")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"))
+    )
+
+
+@register(
+    "q178_tpch_q20",
+    oracle=f"""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS BIGINT)) AS qty_y
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{Q20_LO} 00:00:00'
+        AND l_shipdate <  TIMESTAMP '{Q20_HI} 00:00:00'
+      GROUP BY l_partkey, l_suppkey),
+    supply AS ({_SQL_SUPPLY}),
+    excess AS (
+      SELECT ps.ps_suppkey
+      FROM supply ps
+      JOIN shipped sh ON ps.ps_partkey = sh.l_partkey
+                     AND ps.ps_suppkey = sh.l_suppkey
+      WHERE ps.ps_partkey IN (
+              SELECT p_partkey FROM part
+              WHERE p_name LIKE '{Q20_NAME_PREFIX}%')
+        AND 2 * ps.ps_availqty > 3 * sh.qty_y)
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (SELECT ps_suppkey FROM excess)
+    ORDER BY s.s_name, s.s_acctbal
+    """,
+)
+def q178_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), ADAPTED: availability is
+    the derived supply relation's total shipped quantity, and the
+    excess test keeps pairs whose total is more than 1.5× the one-year
+    shipped quantity (the classic availqty > 0.5×qty shape with both
+    sides exact int64 — 2·avail > 3·qty avoids any float). The nested
+    IN-subquery chain (name-prefix parts → excess pairs → suppliers)
+    is intact, expressed as semi-joins.
+
+    Scale: the part name-prefix filter pushes down as a range (prefix
+    = sortable bound) and semi-joins supply BEFORE the year-window
+    aggregate joins in; all joins after the fact-table groupBys are
+    dimension-sized. Final IN = left_semi join on suppkey."""
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith(Q20_NAME_PREFIX)).select("p_partkey")
+    shipped = (
+        table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= Q20_LO)
+                & (F.col("l_shipdate") < Q20_HI))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty_y"))
+    )
+    sup = _supply(spark, sf_dir)
+    excess = (
+        sup.join(F.broadcast(p), sup.ps_partkey == p.p_partkey, "left_semi")
+        .join(shipped, (sup.ps_partkey == shipped.l_partkey)
+              & (sup.ps_suppkey == shipped.l_suppkey))
+        .filter(F.lit(2) * F.col("ps_availqty") > F.lit(3) * F.col("qty_y"))
+        .select("ps_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal")
+    return (
+        s.join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name", "s_acctbal")
+    )

@@ -12,11 +12,13 @@ additionally verified the ENTIRE registry driver-style at sf0.01 and
 sf0.1 with zero failures (tools/sweep_oracle.py) before shipping the
 window.
 
-Registry size: 173 queries (q01-q174, no q123). Round-5 additions were
-q154-q168 (15); round-6 additions are q169 (rank-normalized z-order),
-q170 (size-targeted compaction), q171 (partitioned layout), q172
-(metadata-only table profile), q173 (bounds-planned merge), and q174
-(partition-level stats from metadata).
+Registry size: 178 queries (q01-q179, no q123). Round-6 additions were
+q169-q174 (layout/metadata tier); round-7 additions are q175-q178 —
+TPC-H Q2/Q11/Q12/Q20, completing the full 22-query TPC-H suite (Q1=q01,
+Q14=q72; partsupp-dependent shapes adapted via a lineitem-derived
+supply relation, see operators/tpch.py) — and q179 (partition-spec
+evolution: Iceberg-style spec-as-table-metadata with per-file layout
+coexistence and compact()-to-latest-spec).
 """
 
 from __future__ import annotations
@@ -28,51 +30,54 @@ from . import sources  # noqa: F401
 from .streaming import stream_queries  # noqa: F401
 from .registry import QUERIES, QuerySpec  # noqa: F401
 
-# Round-6 driver window, per the rotation discipline (oldest evidence
+# Round-7 driver window, per the rotation discipline (oldest evidence
 # first; every changed query re-proves itself the round it changes):
-# - the 6 round-6 additions with no driver row yet (q169-q174);
-# - the 9 queries whose PLAN or in-query assertion changed this round:
-#   q148/q149/q155/q161/q167 (metadata-only CoW discovery replaces the
-#   scan-based pass), q165/q166/q168 (capped codebook driver sample),
-#   q164 (fpp-derived pruning bound);
-# - 35 backfill slots, oldest green evidence first: q15-q19 (displaced
-#   in round 5), the rest of the r02-era set (q20-q32, q36, q38, q39,
-#   q45-q49, q64-q66, q72, q88, q89, q92-q94 — 30).
-# Per-query last-green ledger after round 5 (CORRECTNESS_r05 was 50/50
-# green): r02 = q01-q06, q08-q32, q36, q38, q39, q45-q49, q64-q66,
-# q72, q88, q89, q92-q94; r03 = q33-q35, q37, q40-q43, q51-q57, q69,
-# q71, q74, q77-q79, q85, q91, q95-q98, q100, q102, q103, q105, q106,
-# q108, q110; r05 = the full round-5 window (q137-q168 cohort plus
-# q07/q62/q63/q87/q128 and the q01-q14 backfill); r04 = everything
-# else. Round-7 plan: backfill the remaining r03-era set (q40-q43,
-# q51-q57, q69, q71, q74, q77-q79, q85, q91, q95-q98, q100, q102,
-# q103, q105, q106, q108, q110), then r04-era, oldest first.
+# - the 5 round-7 additions with no driver row yet: q175-q178 (TPC-H
+#   Q2/Q11/Q12/Q20 — full 22-query suite) and q179 (partition-spec
+#   evolution);
+# - the 3 queries whose staging/write path changed this round: q169
+#   (cached projection + one two-column approxQuantile pass), q170 and
+#   q171 (the writer now records the partition spec in the snapshot
+#   log, and maintenance rewrites consult it);
+# - 34 backfill slots: the ENTIRE r03-era cohort (last driver row in
+#   CORRECTNESS_r03 — the oldest evidence in the ledger): q33-q35,
+#   q37, q40-q43, q51-q57, q69, q71, q74, q77-q79, q85, q91, q95-q98,
+#   q100, q102, q103, q105, q106, q108, q110;
+# - 8 remaining slots: r04-era, lowest query number first (q44, q50,
+#   q58-q61, q67, q68).
+# Per-query last-green ledger after round 6 (CORRECTNESS_r06 50/50
+# green): r06 = the full round-6 window (q169-q174, q148/q149/q155/
+# q161/q164-q168, q15-q32, q36, q38, q39, q45-q49, q64-q66, q72, q88,
+# q89, q92-q94); r05 = q137-q168 cohort not re-proven in r06, plus
+# q01-q14, q62, q63, q87, q128; r03 = the 34 above; r04 = everything
+# else. Round-8 plan: backfill the remaining r04-era set (q70, q73,
+# q75, q76, q80-q84, q86, q90, q99, q101, q104, q107, q109, q111-q122,
+# q124-q127, q129-q136), oldest first, then r05-era.
 DRIVER_WINDOW = [
     # new this round — no driver row yet
-    "q169_zorder_rank", "q170_colf_size_compact",
-    "q171_colf_partitioned", "q172_metadata_profile",
-    "q173_colf_bounds_merge", "q174_partition_stats",
-    # changed this round — metadata-planned CoW / capped ANN fits /
-    # fpp-derived bound
-    "q148_colf_delete", "q149_colf_merge", "q155_colf_v3_cow",
-    "q161_stream_upsert", "q167_colf_targeted_delete",
-    "q165_ann_pq", "q166_ann_ivfpq", "q168_ann_index_colf",
-    "q164_colf_bloom_lookup",
-    # oldest-evidence backfill: displaced-in-round-5 first
-    "q15_star_revenue_by_region", "q16_range_join_bands", "q17_asof_join",
-    "q18_salted_skew_join", "q19_subqueries",
-    # the r02-era set
-    "q20_window_topk_per_group", "q21_window_running_sum",
-    "q22_window_lag_delta", "q23_window_range_30d",
-    "q24_window_ntile_rank", "q25_top10_orders",
-    "q26_set_union", "q27_set_intersect", "q28_set_except",
-    "q29_window_distribution", "q30_scalar_sampler", "q31_json_extract",
-    "q32_conditional_agg", "q36_time_rollup", "q38_higher_order_arrays",
-    "q39_unpivot_metrics", "q45_regex_text", "q46_from_json_typed",
-    "q47_datetime_sampler", "q48_map_functions", "q49_null_semantics",
-    "q64_crossmodal_join", "q65_union_schema_evolution", "q66_redaction",
-    "q72_promo_revenue", "q88_right_cross_join", "q89_grouped_collect",
-    "q92_funnel", "q93_retention", "q94_variance_outliers",
+    "q175_tpch_q2", "q176_tpch_q11", "q177_tpch_q12", "q178_tpch_q20",
+    "q179_colf_spec_evolution",
+    # changed this round — spec-recording writes / staging path
+    "q169_zorder_rank", "q170_colf_size_compact", "q171_colf_partitioned",
+    # oldest-evidence backfill: the whole r03-era cohort
+    "q33_sessionize", "q34_grouped_pandas_stats", "q35_udtf_tokenize",
+    "q37_grouped_agg_pandas", "q40_token_count", "q41_text_quality",
+    "q42_lang_stats", "q43_fingerprint", "q51_ngram_jaccard",
+    "q52_minhash_lsh", "q53_simhash", "q54_embedding_neardup",
+    "q55_dedup_survivors", "q56_dedup_components",
+    "q57_mapinarrow_tokenstats", "q69_multimodal_features",
+    "q71_sequence_packing", "q74_cogroup_user_orders",
+    "q77_decontamination", "q78_tfidf_keywords", "q79_repetition_quality",
+    "q85_shingle_dup_frac", "q91_hybrid_retrieval", "q95_gapfill_locf",
+    "q96_median_mode", "q97_interval_overlap",
+    "q98_fuzzy_blocked", "q100_scd2_upsert",
+    "q102_jsonl_ingest", "q103_tpch_q3", "q105_tpch_q13",
+    "q106_data_quality_audit", "q108_pagerank_integer",
+    "q110_temporal_join",
+    # r04-era, oldest first
+    "q44_multimodal_meta", "q50_dedup_exact", "q58_ngram_vocabulary",
+    "q59_length_histogram", "q60_cosine_topk", "q61_embedding_stats",
+    "q67_deterministic_split", "q68_corpus_mixture",
 ]
 
 
