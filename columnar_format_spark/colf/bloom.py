@@ -14,12 +14,17 @@ by the reference reader.
 
 Determinism contract (same reasons as SCALING.md §5): membership
 hashing derives from md5 over a fixed byte encoding of the value —
-int32 as little-endian 4 bytes, utf8 as UTF-8 — never from Python
-`hash()` (salted per process) or RNG state, so a filter built by any
-task on any executor, or rebuilt by a CoW rewrite, answers queries
-identically. float64 columns are rejected: equality probes on floats
-are ill-defined across engines (0.1 literals vs stored doubles), and
-no query here needs them.
+int32 as little-endian 4 bytes, utf8 as UTF-8, float64 as CANONICAL
+little-endian IEEE-754 bits (-0.0 normalized to 0.0 and every NaN
+payload to one quiet NaN, so SQL-equal values always share one
+encoding and a probe can never false-negative on a signed zero or an
+odd NaN bit pattern) — never from Python `hash()` (salted per
+process) or RNG state, so a filter built by any task on any executor,
+or rebuilt by a CoW rewrite, answers queries identically. Float
+equality probes remain a rare query shape (0.1-literal-vs-stored
+mismatch is the USER's problem, same as in any SQL engine), but when
+a pipeline does key on exact stored doubles — sensor ids, quantized
+scores — the bloom now serves it instead of scanning every file.
 
 False positives cost I/O only — a bloom "maybe" falls through to the
 scan and Spark re-applies the filter row-level; false NEGATIVES would
@@ -57,6 +62,18 @@ def encode_int32(v: int) -> bytes:
 
 def encode_utf8(v: str) -> bytes:
     return v.encode("utf-8")
+
+
+def encode_float64(v: float) -> bytes:
+    """Canonical IEEE-754 bits: -0.0 → 0.0 (SQL-equal, different bit
+    patterns) and any NaN → the one struct-pack quiet NaN (Spark
+    orders/compares all NaNs equal). Build and probe share this, so
+    bitwise variety can never cause a false negative."""
+    if v != v:  # NaN, any payload
+        v = float("nan")
+    elif v == 0.0:  # collapses -0.0
+        v = 0.0
+    return struct.pack("<d", v)
 
 
 def _params(n: int, fpp: float) -> tuple[int, int]:

@@ -259,6 +259,13 @@ def effective_partition_spec(path: str) -> list[str]:
     return rec if rec is not None else inferred_partition_spec(path)
 
 
+def partition_source_columns(spec: list[str]) -> list[str]:
+    """The raw source column behind each spec entry (identity entries
+    are their own source) — what maintenance rewrites repartition on:
+    co-locating raw values co-locates every derived value."""
+    return [t.col for t in parse_partition_transforms(spec)]
+
+
 def load_manifest(path: str) -> dict:
     """{file basename: {"num_rows": n, "columns": {name: {"min","max",
     "null_count"}}}} — empty when the sidecar is absent (e.g. files
@@ -339,6 +346,12 @@ def _bloom_encode(dtype, v):
         return B.encode_int32(v)
     if isinstance(dtype, StringType):
         return B.encode_utf8(v) if isinstance(v, str) else None
+    if isinstance(dtype, DoubleType):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return None
+        # canonical bits (±0.0, NaN payloads collapse) — matches the
+        # writer, and matches Spark's SQL equality for those values
+        return B.encode_float64(float(v))
     return None
 
 
@@ -387,6 +400,59 @@ def _bloom_may_match(col_blooms: dict, flt: Filter, schema: StructType) -> bool:
             return B.prefix_might_match(bl, flt.value)
     except (KeyError, TypeError, ValueError, IndexError, binascii.Error):
         return True  # malformed entry: prune nothing, stay correct
+    return True
+
+
+def _partition_may_match(partition: dict | None, flt: Filter,
+                         schema: StructType) -> bool:
+    """Bucket-transform partition pruning: a ``bucket(N,col)``
+    partitioned file holds only rows whose md5-bucket of ``col``
+    equals the manifest tuple value, so a pushed EqualTo/In probe on
+    the SOURCE column prunes the file iff the probe's bucket differs —
+    the reader maps the probe through the same bucket_of the writer
+    used. Identity and truncate transforms need nothing here: their
+    files are contiguous in the raw column and the zone maps already
+    prune them exactly. Conservative contract as everywhere in
+    planning: any unknown shape keeps the file."""
+    if not partition:
+        return True
+    attr = getattr(flt, "attribute", None)
+    if not attr or len(attr) != 1:
+        return True
+    for key, stored in partition.items():
+        m = _TRANSFORM_RE.match(key)
+        if not m or m.group(1) != "bucket" or m.group(3) != attr[0]:
+            continue
+        n = int(m.group(2))
+        try:
+            dtype = schema[attr[0]].dataType
+        except (KeyError, TypeError):
+            return True
+        if isinstance(dtype, IntegerType):
+            colf_type, ok = "int32", lambda v: (
+                isinstance(v, int) and not isinstance(v, bool)
+                and -(1 << 31) <= v < (1 << 31))
+        elif isinstance(dtype, StringType):
+            colf_type, ok = "utf8", lambda v: isinstance(v, str)
+        else:
+            return True
+        try:
+            if isinstance(flt, (EqualTo, EqualNullSafe)):
+                v = flt.value
+                if v is None or not ok(v):
+                    return True
+                # stored None = an all-null file: equality never matches
+                return (stored is not None
+                        and bucket_of(v, colf_type, n) == stored)
+            if isinstance(flt, In):
+                buckets = set()
+                for v in flt.value:
+                    if v is None or not ok(v):
+                        return True
+                    buckets.add(bucket_of(v, colf_type, n))
+                return stored in buckets
+        except (TypeError, ValueError):
+            return True
     return True
 
 
@@ -654,9 +720,13 @@ class ColfReader(DataSourceReader):
                 kept = []
                 for f in files:
                     stats = manifest.get(os.path.basename(f))
-                    if stats is None or all(
+                    if stats is None or (all(
                         _file_may_match(stats, flt) for flt in self.pushed
-                    ):
+                    ) and all(
+                        _partition_may_match(stats.get("partition"), flt,
+                                             self.schema)
+                        for flt in eq_filters
+                    )):
                         kept.append(f)
                 files = kept
             if blooms:  # Bloom pass AFTER zone maps
@@ -754,9 +824,9 @@ def _iter_commit_parts(messages):
 
 def _bloom_opts(options, colf_columns: list[ColfColumn]):
     """Parse ``bloomColumns`` ("a,b") / ``bloomFpp`` writer options.
-    Requested columns must exist and be int32/utf8 — float64 equality
-    probes are ill-defined across engines (bloom.py docstring), so they
-    fail fast here rather than silently never pruning."""
+    Requested columns must exist; all three COLF types are indexable
+    (float64 under the canonical-bits encoding, bloom.py
+    encode_float64)."""
     from .bloom import DEFAULT_FPP
 
     cols_opt = options.get("bloomColumns")
@@ -765,15 +835,10 @@ def _bloom_opts(options, colf_columns: list[ColfColumn]):
     wanted = [c.strip() for c in cols_opt.split(",") if c.strip()]
     by_name = {c.name: c for c in colf_columns}
     for c in wanted:
-        col = by_name.get(c)
-        if col is None:
+        if c not in by_name:
             raise ColfFormatError(
                 f"bloomColumns names unknown column '{c}' "
                 f"(have: {sorted(by_name)})")
-        if col.type == "float64":
-            raise ColfFormatError(
-                f"bloomColumns: float64 column '{c}' is unsupported "
-                f"(equality probes on floats are ill-defined)")
     fpp = float(options.get("bloomFpp", str(DEFAULT_FPP)))
     if not (0.0 < fpp < 0.5):
         raise ColfFormatError(f"bloomFpp must be in (0, 0.5), got {fpp}")
@@ -794,7 +859,8 @@ def _build_blooms(chunks: dict, colf_columns: list[ColfColumn],
     for name in bloom_cols:
         arr = pa.chunked_array(chunks[name])
         vals = [v for v in arr.to_pylist() if v is not None]
-        enc = B.encode_int32 if types[name] == "int32" else B.encode_utf8
+        enc = {"int32": B.encode_int32, "utf8": B.encode_utf8,
+               "float64": B.encode_float64}[types[name]]
         out[name] = B.build((enc(v) for v in vals),
                             n_hint=num_rows, fpp=fpp)
         if types[name] == "utf8":
@@ -998,6 +1064,122 @@ def _write_version(options) -> int:
 MAX_PARTITION_TUPLES_PER_TASK = 10_000
 
 
+# ---------------------------------------------------------------------------
+# Partition TRANSFORMS (Iceberg-style hidden partitioning): a
+# partitionColumns entry is either a plain column name (identity) or
+# ``bucket(N,col)`` / ``truncate(N,col)``. The derived value — never a
+# materialized column — is what the split groups on and what the
+# manifest records under the transform string as key. bucket() is THE
+# answer to the high-cardinality guard: a million-key id column
+# becomes N stable hash buckets, and a point lookup opens one of them.
+# truncate() groups by int floor-multiple / string codepoint prefix,
+# so raw-column zone maps stay contiguous per file and serve
+# equality/range pruning exactly with no new reader code; bucket files
+# are hash-scattered on the raw column, so the reader maps pushed
+# EqualTo/In probes through the SAME bucket function against the
+# manifest tuple (_partition_may_match).
+
+import re as _re
+
+_TRANSFORM_RE = _re.compile(
+    r"^(bucket|truncate)\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$")
+
+
+@dataclass(frozen=True)
+class PartitionTransform:
+    key: str   # canonical spec/manifest key: "col" or "bucket(16,col)"
+    kind: str  # "identity" | "bucket" | "truncate"
+    col: str   # source column
+    n: int = 0
+
+
+def parse_partition_transforms(specs: list[str]) -> list[PartitionTransform]:
+    out = []
+    for s in specs:
+        s = s.strip()
+        m = _TRANSFORM_RE.match(s)
+        if m:
+            kind, n, col = m.group(1), int(m.group(2)), m.group(3)
+            if n < 1:
+                raise ColfFormatError(
+                    f"partitionColumns: {kind} width/count must be >= 1 "
+                    f"in '{s}'")
+            if kind == "bucket" and n == 1:
+                raise ColfFormatError(
+                    f"partitionColumns: bucket(1,{col}) is a constant — "
+                    f"use more buckets or drop the transform")
+            out.append(PartitionTransform(f"{kind}({n},{col})", kind, col, n))
+        elif _re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", s):
+            out.append(PartitionTransform(s, "identity", s))
+        else:
+            raise ColfFormatError(
+                f"partitionColumns entry '{s}' is neither a column name "
+                f"nor bucket(N,col)/truncate(N,col)")
+    return out
+
+
+def bucket_of(value, colf_type: str, n: int) -> int:
+    """The stable bucket id of one value: md5 over the same canonical
+    byte encoding the Bloom filters use (bloom.py determinism
+    contract), mod n — identical from any task, any executor, any
+    rewrite, and from the reader's probe side."""
+    import hashlib
+
+    from . import bloom as B
+
+    enc = (B.encode_int32(value) if colf_type == "int32"
+           else B.encode_utf8(value))
+    d = hashlib.md5(enc).digest()
+    return int.from_bytes(d[:8], "little") % n
+
+
+def transform_scalar(t: PartitionTransform, value, colf_type: str):
+    """The derived partition value of one raw value (None stays None:
+    null rows form their own partition group, as with identity)."""
+    if value is None:
+        return None
+    if t.kind == "identity":
+        return value
+    if t.kind == "bucket":
+        return bucket_of(value, colf_type, t.n)
+    if colf_type == "utf8":  # truncate: codepoint prefix
+        return value[: t.n]
+    return (value // t.n) * t.n  # int floor-multiple (negatives too)
+
+
+def _derived_array(tbl, t: PartitionTransform, colf_type: str):
+    """Vectorized derived-partition-value array for the split writer:
+    identity passes through; truncate is one pyarrow kernel; bucket
+    md5-hashes each DISTINCT value once (dictionary-encode, then a
+    take through the per-unique lookup) — O(uniques) Python, O(rows)
+    Arrow."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    col = tbl[t.col]
+    if t.kind == "identity":
+        return col
+    if t.kind == "truncate":
+        if colf_type == "utf8":
+            return pc.utf8_slice_codeunits(col, 0, t.n)
+        a = col.combine_chunks()
+        mask = pc.is_null(a)
+        import numpy as np
+
+        filled = pc.fill_null(a, 0).to_numpy(zero_copy_only=False)
+        der = pa.array((np.floor_divide(filled, t.n) * t.n)
+                       .astype("int32"))
+        return pc.if_else(mask, pa.scalar(None, pa.int32()), der)
+    # bucket
+    a = col.combine_chunks()
+    enc = a.dictionary_encode()
+    lut = pa.array([bucket_of(u, colf_type, t.n)
+                    for u in enc.dictionary.to_pylist()], pa.int32())
+    if len(lut) == 0:
+        return pa.nulls(len(a), pa.int32())
+    return lut.take(enc.indices)
+
+
 def _split_write_files(path: str, colf_columns, chunks: dict,
                        partition_cols: list[str], version: int,
                        stripe_rows: int, bloom_cols: list[str],
@@ -1029,21 +1211,25 @@ def _split_write_files(path: str, colf_columns, chunks: dict,
     import pyarrow.compute as pc
 
     names = [c.name for c in colf_columns]
+    types = {c.name: c.type for c in colf_columns}
     tbl = pa.table({n: pa.chunked_array(chunks[n]) for n in names})
+    transforms = parse_partition_transforms(partition_cols)
+    derived = {t.key: _derived_array(tbl, t, types[t.col])
+               for t in transforms}
     # group key: per-column parts are "N" for NULL else
     # "V<bytelen>:<value>" — the marker separates NULL from any real
     # string (including one spelling a sentinel), and the length
     # prefix makes the tuple concatenation injective no matter what
     # bytes the values contain (a bare separator would let
     # ("a<sep>b","c") collide with ("a","b<sep>c"))
-    def part_key(c: str):
-        col = pc.cast(tbl[c], pa.string())
+    def part_key(arr):
+        col = pc.cast(arr, pa.string())
         lens = pc.cast(pc.binary_length(pc.cast(col, pa.binary())),
                        pa.string())
         tagged = pc.binary_join_element_wise("V", lens, ":", col, "")
         return pc.fill_null(tagged, "N")  # tagged is null iff col is
 
-    keyed = [part_key(c) for c in partition_cols]
+    keyed = [part_key(derived[t.key]) for t in transforms]
     key = (keyed[0] if len(keyed) == 1
            else pc.binary_join_element_wise(*keyed, ""))
     if isinstance(key, pa.ChunkedArray):
@@ -1059,8 +1245,9 @@ def _split_write_files(path: str, colf_columns, chunks: dict,
             f"{len(enc.dictionary)} distinct tuples in one task "
             f"(cap {cap}) — this column is "
             f"too high-cardinality to partition by (one file per "
-            f"tuple); use a coarser key or zone-map/Bloom pruning "
-            f"instead")
+            f"tuple); use bucket(N,{transforms[0].col}) or "
+            f"truncate(N,col) to bound the tuple count, or zone-map/"
+            f"Bloom pruning instead")
     codes = enc.indices
     os.makedirs(path, exist_ok=True)
     parts = []
@@ -1073,8 +1260,10 @@ def _split_write_files(path: str, colf_columns, chunks: dict,
         tmp = target + ".tmp"
         stats = _write_part_file(tmp, ColfSchema(n, colf_columns),
                                  sub_chunks, version, stripe_rows)
-        stats["partition"] = {c: sub.column(c)[0].as_py()
-                              for c in partition_cols}
+        stats["partition"] = {
+            t.key: transform_scalar(t, sub.column(t.col)[0].as_py(),
+                                    types[t.col])
+            for t in transforms}
         blooms = _build_bloom_entry(sub_chunks, colf_columns, bloom_cols,
                                     bloom_fpp, n, version, stripe_rows)
         os.rename(tmp, target)
@@ -1094,31 +1283,50 @@ def _partition_tuple_cap(options) -> int:
 
 def _validate_partition_cols(wanted: list[str],
                              colf_columns: list[ColfColumn]) -> list[str]:
-    """Each named column must exist and be int32/utf8 — float64
+    """Each entry is a column name or a bucket/truncate transform of
+    one; the SOURCE column must exist and be int32/utf8 — float64
     partition identity is ill-defined the same way float Bloom probes
-    are (NaN/±0.0 equality differs across engines), so it fails
-    fast."""
+    were (NaN/±0.0 bit-pattern identity vs SQL equality), so it fails
+    fast. Returns the CANONICAL spec strings (whitespace-normalized),
+    which is what the snapshot log records and what spec comparisons
+    use."""
+    transforms = parse_partition_transforms(wanted)
     by_name = {c.name: c for c in colf_columns}
-    for c in wanted:
-        col = by_name.get(c)
+    for t in transforms:
+        col = by_name.get(t.col)
         if col is None:
             raise ColfFormatError(
-                f"partitionColumns names unknown column '{c}' "
+                f"partitionColumns names unknown column '{t.col}' "
                 f"(have: {sorted(by_name)})")
         if col.type == "float64":
             raise ColfFormatError(
-                f"partitionColumns: float64 column '{c}' is unsupported "
-                f"(float partition identity is ill-defined)")
-    return wanted
+                f"partitionColumns: float64 column '{t.col}' is "
+                f"unsupported (float partition identity is ill-defined)")
+    return [t.key for t in transforms]
+
+
+def _split_spec_list(s: str) -> list[str]:
+    """Split a partitionColumns option on TOP-LEVEL commas only —
+    the comma inside ``bucket(8,k)`` is part of the entry."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+            continue
+        depth += (ch == "(") - (ch == ")")
+        cur.append(ch)
+    out.append("".join(cur))
+    return [e.strip() for e in out if e.strip()]
 
 
 def _partition_opts(options, colf_columns: list[ColfColumn]) -> list[str]:
-    """Parse ``partitionColumns`` ("a,b")."""
+    """Parse ``partitionColumns`` ("a,b" / "a,bucket(8,k)")."""
     cols_opt = options.get("partitionColumns")
     if not cols_opt:
         return []
-    wanted = [c.strip() for c in cols_opt.split(",") if c.strip()]
-    return _validate_partition_cols(wanted, colf_columns)
+    return _validate_partition_cols(_split_spec_list(cols_opt),
+                                    colf_columns)
 
 
 def _resolve_append_spec(options, path: str, partition_cols: list[str],

@@ -152,13 +152,13 @@ def evolve_partition_spec(path: str, columns: list[str]) -> int:
     live = live_files(path)
     if not live:
         raise ColfFormatError(f"no live .colf files at {path}")
-    _validate_partition_cols(list(columns),
-                             dataset_union_columns(path, live))
+    canon = _validate_partition_cols(list(columns),
+                                     dataset_union_columns(path, live))
     snaps = load_snapshots(path)
     parent = snaps[-1]["version"] if snaps else 0
     return commit_snapshot(
         path, [os.path.basename(f) for f in live],
-        expected_parent=(parent or None), spec=list(columns))
+        expected_parent=(parent or None), spec=canon)
 
 
 def compact(spark: SparkSession, path: str, target_files: int | None = None,
@@ -235,8 +235,12 @@ def compact(spark: SparkSession, path: str, target_files: int | None = None,
     # partition is the consolidation floor).
     pcols = _dataset_partition_cols(
         path, [os.path.basename(f) for f in live])
-    src = (df.repartition(target_files, *pcols) if pcols
-           else df.repartition(target_files))
+    # transform specs (bucket/truncate) repartition on their SOURCE
+    # columns: co-locating raw values co-locates every derived value
+    from .datasource import partition_source_columns
+
+    src = (df.repartition(target_files, *partition_source_columns(pcols))
+           if pcols else df.repartition(target_files))
     w = _with_bloom_opt(
         src.write.format("colf")
         .option("version", str(ver)), path)

@@ -1618,3 +1618,91 @@ def q179_colf_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("bigint").cast("double") / F.lit(100.0)).alias("sum_price"),
         F.min(F.col("o_orderkey").cast("bigint")).alias("min_key"),
         F.max(F.col("o_orderkey").cast("bigint")).alias("max_key"))
+
+
+@register(
+    "q180_colf_bucket_transform",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           (CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+    FROM lineitem
+    WHERE l_orderkey = (SELECT MAX(l_orderkey) FROM lineitem)
+    """,
+)
+def q180_colf_bucket_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-transform partitioning (Iceberg hidden partitioning)
+    under the correctness gate: lineitem lands as
+    ``partitionColumns=bucket(16,l_orderkey)`` — the split writer
+    groups rows by the md5 bucket of the key (never materializing a
+    bucket column) and records the bucket id in the manifest tuple.
+    This is THE layout for point lookups on a high-cardinality key,
+    where identity partitioning would shatter into one file per key
+    (the writer's tuple-cap guard rejects it) and zone maps can't
+    prune arrival-ordered keys. The query ASSERTS from the reader's
+    own planning that a key-equality probe opens exactly the files
+    whose manifest tuple equals the probe's bucket (~1/16 of the
+    dataset, before blooms even load); the oracle then value-checks
+    the probe aggregate — layout must never change an answer.
+
+    Scale: the bucket function is the Bloom byte-encoding contract
+    (md5, canonical bytes), so any task, executor, or CoW rewrite
+    agrees on every row's bucket; reader-side probe mapping is O(1)
+    per file against the metadata tuple. At 100 TB with N=4096
+    buckets a key lookup plans 1/4096 of the manifest to open.
+    """
+    from pyspark.sql.datasource import EqualTo
+
+    from .datasource import (ColfReader, bucket_of,
+                             current_partition_spec, live_files,
+                             load_manifest)
+    from .datasource import register as register_ds
+
+    register_ds(spark)
+
+    def write(d: str) -> None:
+        (table(spark, sf_dir, "lineitem")
+         .select(F.col("l_orderkey").cast("int").alias("l_orderkey"),
+                 F.col("l_quantity"), F.col("l_extendedprice"))
+         .coalesce(2)
+         .write.format("colf")
+         .option("partitionColumns", "bucket(16,l_orderkey)")
+         .mode("overwrite").save(d + "/ds"))
+
+    d = stage_once(("colf-bucket", sf_dir), "colf_bucket_", write) + "/ds"
+    if current_partition_spec(d) != ["bucket(16,l_orderkey)"]:
+        raise AssertionError(
+            f"bucket write must record its transform spec, got "
+            f"{current_partition_spec(d)}")
+    import os as _os
+
+    man = load_manifest(d)
+    live = [_os.path.basename(f) for f in live_files(d)]
+    buckets = {b: man[b]["partition"]["bucket(16,l_orderkey)"]
+               for b in live}
+    if not all(isinstance(v, int) and 0 <= v < 16
+               for v in buckets.values()):
+        raise AssertionError(f"bad bucket tuples: {set(buckets.values())}")
+
+    df = spark.read.format("colf").load(d)
+    probe = int(df.agg(F.max("l_orderkey")).first()[0])
+    want = bucket_of(probe, "int32", 16)
+    expect = {b for b, v in buckets.items() if v == want}
+
+    r = ColfReader({"path": d, "pruning": "on"}, df.schema)
+    r.pushFilters([EqualTo(("l_orderkey",), probe)])
+    got = {_os.path.basename(p.file) for p in r.partitions()
+           if p.file is not None}
+    if not got or not got <= expect:
+        raise AssertionError(
+            f"bucket probe opened {len(got)}/{len(live)} files; the "
+            f"probe's bucket {want} maps to {len(expect)} — planning "
+            f"must open only (a subset of) those")
+
+    return (df.filter(F.col("l_orderkey") == probe).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+         .cast("bigint").cast("double") / F.lit(100.0))
+        .alias("sum_price")))

@@ -283,12 +283,56 @@ def test_in_list_pruning(spark, bloom_dataset):
                             schema)) == 8
 
 
-def test_float_bloom_rejected(spark, bloom_dataset, tmp_path):
-    df = spark.read.format("colf").load(bloom_dataset)
-    with pytest.raises(Exception) as e:
-        (df.write.format("colf").option("bloomColumns", "o_totalprice")
-         .mode("overwrite").save(str(tmp_path / "bad")))
-    assert "float64" in str(e.value)
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True),
+                min_size=1, max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_no_false_negatives_float64(values):
+    bl = B.build((B.encode_float64(v) for v in values), n_hint=len(values))
+    for v in values:
+        assert B.might_contain(bl, B.encode_float64(v))
+
+
+def test_float64_canonical_encoding():
+    # SQL-equal values must share one encoding: ±0.0, any-NaN
+    assert B.encode_float64(0.0) == B.encode_float64(-0.0)
+    import struct
+
+    odd_nan = struct.unpack("<d", struct.pack("<Q", 0x7FF8DEADBEEF0001))[0]
+    assert B.encode_float64(odd_nan) == B.encode_float64(float("nan"))
+    assert B.encode_float64(1.5) != B.encode_float64(-1.5)
+
+
+def test_float_bloom_point_lookup_prunes(spark, tmp_path):
+    """float64 keys get real bloom pruning now (round-6 left them
+    zone-map-only): an absent-key probe on a hash-scattered double
+    column must prune every file, and present-key probes keep the
+    right file — including a stored -0.0 probed as 0.0."""
+    register(spark)
+    p = str(tmp_path / "fds")
+    df = spark.range(1, 20_001).select(
+        F.col("id").cast("int").alias("id"),
+        # hash-scattered doubles so zone maps can't prune, plus a -0.0
+        F.when(F.col("id") == 7, F.lit(-0.0))
+         .otherwise((F.col("id") * 2654435761 % 1000003) / 7.0)
+         .alias("key"))
+    (df.repartition(8).write.format("colf")
+     .option("bloomColumns", "key").mode("overwrite").save(p))
+    schema = spark.read.format("colf").load(p).schema
+
+    def opened(value, pruning="on"):
+        r = ColfReader({"path": p, "pruning": pruning}, schema)
+        r.pushFilters([EqualTo(("key",), value)])
+        return len({pt.file for pt in r.partitions() if pt.file is not None})
+
+    assert opened(-1.0) == 0        # absent key: every file pruned
+    present = df.filter("id = 12345").first().key
+    assert opened(present) >= 1
+    back = spark.read.format("colf").load(p)
+    assert back.filter(F.col("key") == present).count() >= 1
+    # signed zero: stored -0.0, probed 0.0 — SQL-equal, must survive
+    assert opened(0.0) >= 1
+    assert back.filter(F.col("key") == 0.0).count() == 1
+    assert back.filter(F.col("key") == 0.0).first().id == 7
 
 
 def test_unknown_bloom_column_rejected(spark, bloom_dataset, tmp_path):

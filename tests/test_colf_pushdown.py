@@ -218,3 +218,40 @@ def test_prefix_zone_check_edges():
     assert _file_may_match(stats("1995-01-01", "1995-12-31"), probe)
     # exact-equal boundary: min IS a prefix match
     assert _file_may_match(stats("1995-06", "1995-06"), probe)
+
+
+def test_upstream_plan_cache_staleness(spark, tmp_path):
+    """KNOWN UPSTREAM LIMITATION (pyspark 4.1.2, python data sources
+    with filter pushdown): the JVM caches one read plan per loaded
+    relation; a query WITH a filter always re-plans (fresh reader +
+    pushFilters — correct), but a FILTERLESS action on the same
+    DataFrame object reuses the cache, i.e. the LAST filtered plan,
+    silently dropping rows. Nothing python-side runs in the reuse
+    path, so the engine cannot intercept it; parquet (JVM source) is
+    unaffected. Pattern that is always safe: one load() per query —
+    which is what every registered query in this repo does.
+
+    This test PINS the upstream behavior: the first two asserts prove
+    both correctness-relevant directions (fresh relations correct,
+    filtered-then-filtered correct); the final assert captures today's
+    stale reuse — when a pyspark upgrade fixes the caching, it will
+    FAIL here, and the comment plus SCALING.md note should be removed.
+    """
+    from columnar_format_spark.colf.datasource import register as reg
+
+    reg(spark)
+    p = str(tmp_path / "stale")
+    df = spark.range(100).select(F.col("id").cast("int").alias("k"))
+    df.repartition(4).write.format("colf").mode("overwrite").save(p)
+
+    back = spark.read.format("colf").load(p)
+    assert back.filter(F.col("k") == 5).count() == 1
+    assert back.filter(F.col("k") == 6).count() == 1   # re-push: correct
+    assert back.filter(F.col("k") % 7 == 0).count() == 15  # re-plan: correct
+    assert spark.read.format("colf").load(p).count() == 100  # fresh: correct
+    # the pinned upstream staleness: a PURE-FILTERLESS action directly
+    # after a pushable-filtered one reuses that filtered plan (any
+    # intervening Filter node, even non-pushable, re-plans and clears
+    # the hazard — k%7 above did; re-arm it with an equality first)
+    assert back.filter(F.col("k") == 7).count() == 1
+    assert back.count() == 1  # upstream-stale: should be 100
