@@ -103,6 +103,14 @@ HEADLINE = [
     "q172_metadata_profile",
     "q173_colf_bounds_merge",
     "q174_partition_stats",
+    # round-7 additions: the TPC-H suite completers + spec/transform tier
+    "q175_tpch_q2",
+    "q176_tpch_q11",
+    "q177_tpch_q12",
+    "q178_tpch_q20",
+    "q179_colf_spec_evolution",
+    "q180_colf_bucket_transform",
+    "q181_partition_stats_evolved",
 ]
 
 
@@ -158,6 +166,7 @@ def main() -> None:
         "colf_compact_stripes": bench_colf_compact_stripes(spark, sf_dir),
         "colf_bloom": bench_colf_bloom(spark, sf_dir),
         "colf_float_pruning": bench_colf_float_pruning(spark, sf_dir),
+        "colf_float_bloom": bench_colf_float_bloom(spark, sf_dir),
         "colf_prefix_bloom": bench_colf_prefix_bloom(spark, sf_dir),
         "colf_bloom_write_cost": bench_colf_bloom_write_cost(spark, sf_dir),
     }
@@ -182,6 +191,7 @@ def main() -> None:
             "stripe": detail["colf_stripe_pruning"]["stripe_skip_ratio"],
             "bloom": detail["colf_bloom"]["skip_ratio"],
             "float": detail["colf_float_pruning"]["skip_ratio"],
+            "float_bloom": detail["colf_float_bloom"]["skip_ratio"],
             "prefix": detail["colf_prefix_bloom"]["skip_ratio"],
             "bloom_write_cost":
                 detail["colf_bloom_write_cost"]["bloom_write_overhead"],
@@ -563,6 +573,61 @@ def bench_colf_float_pruning(spark, sf_dir: str) -> dict:
         "skip_ratio": round(1 - opened / total, 4) if total else 0.0,
         "pruned_sec": band_time("on"),
         "unpruned_sec": band_time("off"),
+    }
+
+
+def bench_colf_float_bloom(spark, sf_dir: str) -> dict:
+    """Round-7 extension: Bloom filters on a FLOAT64 key (canonical
+    IEEE-bits encoding). The access pattern zone maps can never serve:
+    a point lookup on a hash-scattered double — every file's [min,max]
+    covers the probe, the bloom opens ~1 file."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo
+
+    from columnar_format_spark.colf.datasource import ColfReader
+    from columnar_format_spark.colf.datasource import register as _register
+    from columnar_format_spark.registry import table as _table
+    from columnar_format_spark.staging import stage_once
+
+    _register(spark)
+
+    def write(d: str) -> None:
+        # l_extendedprice in ARRIVAL order: high-cardinality, scattered
+        (_table(spark, sf_dir, "lineitem")
+         .select("l_extendedprice", "l_quantity")
+         .repartition(8)
+         .write.format("colf").option("bloomColumns", "l_extendedprice")
+         .mode("overwrite").save(d + "/ds"))
+
+    d = stage_once(("colf-floatbloom", sf_dir), "colf_fbloom_",
+                   write) + "/ds"
+    df = spark.read.format("colf").load(d)
+    probe = float(df.agg(F.max("l_extendedprice")).collect()[0][0])
+
+    def planned(pruning: str) -> int:
+        r = ColfReader({"path": d, "pruning": pruning}, df.schema)
+        r.pushFilters([EqualTo(("l_extendedprice",), probe)])
+        return len({p.file for p in r.partitions() if p.file is not None})
+
+    def lookup_time(pruning: str) -> float:
+        def one() -> float:
+            q = (spark.read.format("colf").option("pruning", pruning)
+                 .load(d).filter(F.col("l_extendedprice") == probe))
+            t0 = _t.perf_counter()
+            q.collect()
+            return _t.perf_counter() - t0
+        one()
+        return round(min(one(), one()), 4)
+
+    total, opened = planned("off"), planned("on")
+    return {
+        "files_total": total,
+        "files_opened": opened,
+        "skip_ratio": round(1 - opened / total, 4) if total else 0.0,
+        "pruned_sec": lookup_time("on"),
+        "unpruned_sec": lookup_time("off"),
     }
 
 

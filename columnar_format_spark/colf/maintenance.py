@@ -303,6 +303,17 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
 
     log_mtime = os.path.getmtime(snapshots_path(path))
     kept = snaps[-keep_last:]
+    # the partition spec is carried by the snapshot that ADOPTED it —
+    # often older than the retention horizon. Expiring that snapshot
+    # must not lose the spec (appends would stop inheriting and
+    # rewrites would drop the layout), so pin the current spec onto
+    # the oldest kept snapshot when none of the kept ones records one.
+    from .datasource import current_partition_spec
+
+    if not any("spec" in s for s in kept):
+        spec = current_partition_spec(path)
+        if spec is not None:
+            kept[0] = dict(kept[0], spec=spec)
     referenced = {b for s in kept for b in s["files"]}
     deleted = []
     for f in dataset_files(path):

@@ -1706,3 +1706,84 @@ def q180_colf_bucket_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
          .cast("bigint").cast("double") / F.lit(100.0))
         .alias("sum_price")))
+
+
+@register(
+    "q181_partition_stats_evolved",
+    oracle="""
+    SELECT 'o_orderpriority' AS spec, o_orderpriority AS part_value,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'o_orderstatus', o_orderstatus,
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderkey % 2 = 1
+    GROUP BY o_orderstatus
+    """,
+)
+def q181_partition_stats_evolved(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The ``partitions`` metadata table over a MID-EVOLUTION dataset
+    (q172/q174 fold a single-spec layout and reject mixed ones
+    all-or-nothing; this is the spec-AWARE completion): even-key
+    orders land partitioned by priority, the odd-key half appends
+    under an evolved status spec, and the per-(spec, value) row
+    counts fold purely from the manifest — zero data I/O. The oracle
+    recomputes both groupings from the source parquet: the sidecar's
+    per-tuple accounting must equal a real GROUP BY on BOTH sides of
+    the evolution boundary.
+
+    Scale: spec evolution means a 100 TB table's "rows per partition"
+    dashboard keeps working THROUGH a repartitioning migration — the
+    fold stays O(live files) over the sidecar, and each file reports
+    under the spec it was actually written with.
+    """
+    import os as _os
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType)
+
+    from .datasource import live_files, load_manifest
+    from .datasource import register as register_ds
+
+    register_ds(spark)
+
+    def sel(df):
+        return df.select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            "o_orderpriority", "o_orderstatus", "o_totalprice")
+
+    def write(d: str) -> None:
+        (sel(table(spark, sf_dir, "orders")
+             .filter(F.col("o_orderkey") % 2 == 0))
+         .repartition(4, "o_orderpriority")
+         .write.format("colf")
+         .option("partitionColumns", "o_orderpriority")
+         .mode("overwrite").save(d + "/ds"))
+        (sel(table(spark, sf_dir, "orders")
+             .filter(F.col("o_orderkey") % 2 == 1))
+         .repartition(3, "o_orderstatus")
+         .write.format("colf")
+         .option("partitionColumns", "o_orderstatus")
+         .option("evolvePartitionSpec", "true")
+         .mode("append").save(d + "/ds"))
+
+    d = stage_once(("colf-spec-mixed", sf_dir), "colf_specmix_",
+                   write) + "/ds"
+    man = load_manifest(d)
+    totals: dict[tuple, int] = {}
+    for f in live_files(d):
+        entry = man.get(_os.path.basename(f)) or {}
+        part = entry.get("partition")
+        if not part or entry.get("num_rows") is None:
+            raise AssertionError(
+                f"evolved dataset must keep every file tuple-tagged: "
+                f"{_os.path.basename(f)}")
+        (col, val), = part.items()
+        totals[(col, val)] = totals.get((col, val), 0) + entry["num_rows"]
+    rows = sorted((c, v, n) for (c, v), n in totals.items())
+    return spark.createDataFrame(rows, StructType([
+        StructField("spec", StringType(), False),
+        StructField("part_value", StringType(), False),
+        StructField("n_rows", LongType(), False)]))

@@ -168,3 +168,26 @@ def test_legacy_inference_still_works(colf_spark, tmp_path):
     (_df(colf_spark, 200, 300).repartition(2, "a").write.format("colf")
      .mode("append").save(p))
     assert set(_tuples(p).values()) == {("a",)}
+
+
+def test_vacuum_preserves_recorded_spec(colf_spark, part_a):
+    """The spec is often recorded by a snapshot OLDER than vacuum's
+    retention horizon (the defining overwrite); expiring that snapshot
+    must carry the spec forward, or appends silently stop inheriting
+    and rewrites drop the layout."""
+    from columnar_format_spark.colf.maintenance import vacuum
+
+    # several spec-less append commits push the spec-bearing v1 out of
+    # any keep_last=1 horizon
+    for lo in (300, 400):
+        (_df(colf_spark, lo, lo + 50).repartition(2, "a")
+         .write.format("colf").mode("append").save(part_a))
+    assert current_partition_spec(part_a) == ["a"]
+    vacuum(part_a, keep_last=1)
+    snaps = load_snapshots(part_a)
+    assert len(snaps) == 1
+    assert current_partition_spec(part_a) == ["a"]
+    # inheritance still works after the history truncation
+    (_df(colf_spark, 500, 550).repartition(2, "a")
+     .write.format("colf").mode("append").save(part_a))
+    assert set(_tuples(part_a).values()) == {("a",)}

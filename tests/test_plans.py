@@ -402,3 +402,49 @@ def test_partitioned_agg_is_partial_then_final(spark):
     row per (task, priority), not per order."""
     plan = plan_of(spark, "q171_colf_partitioned")
     assert plan.count("HashAggregate") >= 2
+
+
+# ---------------------------------------------------------------------------
+# round-7 pins
+
+
+def test_tpch_q2_broadcasts_dims_and_windows_candidates(spark):
+    """q175's supplier→nation→region chain must broadcast (dimension-
+    sized at every SF), and the correlated-MIN must be a window over
+    the filtered candidate set — a self-join re-scan of supply would
+    double the fact-table aggregation."""
+    plan = plan_of(spark, "q175_tpch_q2")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+
+
+def test_tpch_q11_single_scan_value_frame(spark):
+    """q176's global total must come from a 1-row broadcast of the
+    SAME grouped frame (crossJoin), never a second lineitem scan: one
+    partial+final aggregate chain and a broadcast exchange."""
+    plan = plan_of(spark, "q176_tpch_q11")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q12_pushes_window_and_partial_aggs(spark):
+    """q177's ship-date window must reach the lineitem scan, and the
+    dual CASE-WHEN counts must partial-aggregate map-side."""
+    plan = plan_of(spark, "q177_tpch_q12")
+    assert "PushedFilters" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q20_semi_joins(spark):
+    """q178's IN-subquery chain must plan as semi joins (left_semi),
+    never materialized DISTINCT inner joins."""
+    plan = plan_of(spark, "q178_tpch_q20")
+    assert "LeftSemi" in plan
+
+
+def test_round7_tpch_stay_jvm_side(spark):
+    for name in ("q175_tpch_q2", "q176_tpch_q11",
+                 "q177_tpch_q12", "q178_tpch_q20"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
