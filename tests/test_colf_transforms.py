@@ -258,3 +258,68 @@ def test_float_source_rejected(colf_spark, tmp_path):
         (df.write.format("colf").option("partitionColumns", "bucket(4,x)")
          .mode("overwrite").save(str(tmp_path / "fl")))
     assert "float64" in str(ei.value)
+
+
+# ---------- transforms through the streaming sink and CoW merge ----------
+
+
+def test_stream_sink_bucket_transform(colf_spark, tmp_path):
+    """The CDC sink shares the split writer, so a stream can land
+    bucket-partitioned: every micro-batch file carries its bucket
+    tuple and the spec is recorded on the first commit."""
+    src = str(tmp_path / "bsrc")
+    out = str(tmp_path / "bout")
+    ckpt = str(tmp_path / "bckpt")
+    df = colf_spark.range(1, 201).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 3).cast("int").alias("v"))
+    df.coalesce(2).write.mode("overwrite").parquet(src)
+    q = (colf_spark.readStream.schema("k int, v int").parquet(src)
+         .writeStream.format("colf")
+         .option("path", out)
+         .option("partitionColumns", "bucket(4,k)")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert current_partition_spec(out) == ["bucket(4,k)"]
+    man = load_manifest(out)
+    for b, e in man.items():
+        assert 0 <= e["partition"]["bucket(4,k)"] < 4
+    back = colf_spark.read.format("colf").load(out)
+    assert sorted(r.k for r in back.collect()) == list(range(1, 201))
+
+
+def test_merge_into_prunes_by_bucket(colf_spark, tmp_path):
+    """A key-UPSERT into a bucket-partitioned dataset must rewrite only
+    files of the probed keys' buckets: discovery pushes .isin(keys) on
+    the raw column, and the reader's bucket mapping prunes the rest —
+    the GDPR/point-merge cost model on a high-cardinality key."""
+    from columnar_format_spark.colf.maintenance import merge_into
+
+    p = str(tmp_path / "mds")
+    df = colf_spark.range(1, 4001).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 2).cast("int").alias("v"))
+    (df.coalesce(1).write.format("colf")
+     .option("partitionColumns", "bucket(8,k)")
+     .mode("overwrite").save(p))
+    man_before = load_manifest(p)
+    n_files = len(live_files(p))
+    assert n_files == 8  # one task → one file per bucket
+
+    # upsert three keys — at most 3 distinct buckets touched
+    src = colf_spark.createDataFrame(
+        [(5, 500), (77, 700), (3999, 900)], "k int, v int")
+    stats = merge_into(colf_spark, p, src, key_cols=["k"])
+    touched_buckets = {bucket_of(k, "int32", 8) for k in (5, 77, 3999)}
+    # discovery came from metadata and touched ONLY the probed
+    # buckets' files: untouched = kept byte-identical
+    assert stats["discovery"] == "metadata-in"
+    assert n_files - stats["n_kept_files"] <= len(touched_buckets)
+    back = colf_spark.read.format("colf").load(p)
+    assert back.count() == 4000
+    got = {r.k: r.v for r in back.filter(F.col("k").isin(5, 77, 3999)).collect()}
+    assert got == {5: 500, 77: 700, 3999: 900}
+    # rewrites stayed in-spec
+    man = load_manifest(p)
+    assert all(set(e["partition"]) == {"bucket(8,k)"} for e in man.values())
