@@ -1167,9 +1167,13 @@ def _derived_array(tbl, t: PartitionTransform, colf_type: str):
         import numpy as np
 
         filled = pc.fill_null(a, 0).to_numpy(zero_copy_only=False)
-        der = pa.array((np.floor_divide(filled, t.n) * t.n)
-                       .astype("int32"))
-        return pc.if_else(mask, pa.scalar(None, pa.int32()), der)
+        # int64 arithmetic: the floor-multiple of INT32_MIN-adjacent
+        # values leaves int32 range (e.g. truncate(100, -2^31) →
+        # -2147483700), and the derived value is metadata-only anyway —
+        # must agree with transform_scalar's unbounded Python ints
+        der = pa.array(np.floor_divide(filled.astype("int64"), t.n) * t.n,
+                       pa.int64())
+        return pc.if_else(mask, pa.scalar(None, pa.int64()), der)
     # bucket
     a = col.combine_chunks()
     enc = a.dictionary_encode()

@@ -323,3 +323,24 @@ def test_merge_into_prunes_by_bucket(colf_spark, tmp_path):
     # rewrites stayed in-spec
     man = load_manifest(p)
     assert all(set(e["partition"]) == {"bucket(8,k)"} for e in man.values())
+
+
+def test_truncate_int_min_edge(colf_spark, tmp_path):
+    """truncate() of INT32_MIN-adjacent values leaves int32 range; the
+    vectorized (group-key) path must agree with the scalar (manifest-
+    tuple) path instead of wrapping."""
+    p = str(tmp_path / "edge")
+    df = colf_spark.createDataFrame(
+        [(-2147483648,), (-2147483600,), (0,), (2147483647,)], "k int")
+    (df.coalesce(1).write.format("colf")
+     .option("partitionColumns", "truncate(100,k)")
+     .mode("overwrite").save(p))
+    man = load_manifest(p)
+    got = sorted(e["partition"]["truncate(100,k)"] for e in man.values())
+    assert got == [-2147483700, -2147483600, 0, 2147483600]
+    t = parse_partition_transforms(["truncate(100,k)"])[0]
+    for v in (-2147483648, -2147483600, 0, 2147483647):
+        assert transform_scalar(t, v, "int32") in got
+    back = colf_spark.read.format("colf").load(p)
+    assert back.count() == 4
+    assert back.filter(F.col("k") == -2147483648).count() == 1
