@@ -344,3 +344,29 @@ def test_truncate_int_min_edge(colf_spark, tmp_path):
     back = colf_spark.read.format("colf").load(p)
     assert back.count() == 4
     assert back.filter(F.col("k") == -2147483648).count() == 1
+
+
+def test_delete_where_prunes_by_bucket(colf_spark, tmp_path):
+    """A point DELETE on a bucket-partitioned dataset (the GDPR
+    erasure shape on a high-cardinality key) must plan its touched
+    files from metadata: the parsed equality probe maps through the
+    bucket function, so only the key's bucket file is rewritten."""
+    from columnar_format_spark.colf.maintenance import delete_where
+
+    p = str(tmp_path / "dds")
+    df = colf_spark.range(1, 2001).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 5).cast("string").alias("tag"))
+    (df.coalesce(1).write.format("colf")
+     .option("partitionColumns", "bucket(8,k)")
+     .mode("overwrite").save(p))
+    n_before = len(live_files(p))
+    assert n_before == 8
+    stats = delete_where(colf_spark, p, "k = 777")
+    assert stats["n_deleted_rows"] == 1
+    # exactly one input file was touched: the probe bucket's
+    assert stats.get("n_rewritten_files", 1) >= 1
+    assert n_before - stats["n_kept_files"] == 1
+    back = colf_spark.read.format("colf").load(p)
+    assert back.count() == 1999
+    assert back.filter(F.col("k") == 777).count() == 0
