@@ -370,3 +370,37 @@ def test_delete_where_prunes_by_bucket(colf_spark, tmp_path):
     back = colf_spark.read.format("colf").load(p)
     assert back.count() == 1999
     assert back.filter(F.col("k") == 777).count() == 0
+
+
+def test_composite_identity_and_bucket_spec(colf_spark, tmp_path):
+    """A spec can mix identity and transform entries — e.g. partition
+    by tenant AND bucket of user id: tuples carry both keys, equality
+    probes prune on either (zone maps for the identity key, bucket
+    mapping for the transformed one)."""
+    p = str(tmp_path / "comp")
+    df = colf_spark.range(1, 1001).select(
+        (F.col("id") % 3).cast("string").alias("tenant"),
+        F.col("id").cast("int").alias("uid"),
+        (F.col("id") * 7).cast("int").alias("v"))
+    (df.coalesce(1).write.format("colf")
+     .option("partitionColumns", "tenant,bucket(4,uid)")
+     .mode("overwrite").save(p))
+    assert current_partition_spec(p) == ["tenant", "bucket(4,uid)"]
+    man = load_manifest(p)
+    assert len(man) <= 12  # 3 tenants × 4 buckets
+    for e in man.values():
+        assert set(e["partition"]) == {"tenant", "bucket(4,uid)"}
+    schema = colf_spark.read.format("colf").load(p).schema
+    r = ColfReader({"path": p, "pruning": "on"}, schema)
+    r.pushFilters([EqualTo(("tenant",), "1"), EqualTo(("uid",), 700)])
+    opened = {os.path.basename(pt.file) for pt in r.partitions()
+              if pt.file is not None}
+    b = bucket_of(700, "int32", 4)
+    assert all(man[f]["partition"] == {"tenant": "1",
+                                       "bucket(4,uid)": b}
+               for f in opened)
+    assert len(opened) == 1
+    got = (colf_spark.read.format("colf").load(p)
+           .filter((F.col("tenant") == "1") & (F.col("uid") == 700))
+           .collect())
+    assert len(got) == 1 and got[0].v == 4900
