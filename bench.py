@@ -111,6 +111,7 @@ HEADLINE = [
     "q179_colf_spec_evolution",
     "q180_colf_bucket_transform",
     "q181_partition_stats_evolved",
+    "q182_colf_sorted_maintenance",
 ]
 
 

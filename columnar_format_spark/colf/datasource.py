@@ -173,7 +173,8 @@ def write_snapshots(path: str, snaps: list[dict]) -> None:
 def commit_snapshot(path: str, live_files: list[str],
                     reset: bool = False,
                     expected_parent: int | None = None,
-                    spec: list[str] | None = None) -> int:
+                    spec: list[str] | None = None,
+                    sort: list[str] | None = None) -> int:
     """Append a snapshot whose live set is ``live_files`` (basenames);
     ``reset`` starts a fresh history at version 1 (overwrite mode —
     the old part files are physically gone, so old versions would be
@@ -205,6 +206,9 @@ def commit_snapshot(path: str, live_files: list[str],
         # written under older specs keep their layout and their
         # manifest partition tuples
         entry["spec"] = list(spec)
+    if sort is not None:
+        entry["sort"] = list(sort)  # recorded sort order (see
+        # current_sort_order) — same carry-by-snapshot model as spec
     snaps.append(entry)
     write_snapshots(path, snaps)
     return version
@@ -264,6 +268,19 @@ def partition_source_columns(spec: list[str]) -> list[str]:
     are their own source) — what maintenance rewrites repartition on:
     co-locating raw values co-locates every derived value."""
     return [t.col for t in parse_partition_transforms(spec)]
+
+
+def current_sort_order(path: str) -> list[str] | None:
+    """The dataset's recorded SORT ORDER (snapshot-log ``"sort"``,
+    Iceberg's sort-order metadata): the columns every part file is
+    internally ascending-sorted on (nulls last). Performance metadata,
+    not identity — it exists so maintenance rewrites RE-SORT instead
+    of silently destroying the clustering a reader's stripe pruning
+    depends on. ``None`` = never recorded."""
+    for s in reversed(load_snapshots(path)):
+        if "sort" in s:
+            return list(s["sort"])
+    return None
 
 
 def load_manifest(path: str) -> dict:
@@ -1333,6 +1350,63 @@ def _partition_opts(options, colf_columns: list[ColfColumn]) -> list[str]:
                                     colf_columns)
 
 
+def _validate_sort_cols(wanted: list[str],
+                        colf_columns: list[ColfColumn]) -> list[str]:
+    by_name = {c.name for c in colf_columns}
+    for c in wanted:
+        if c not in by_name:
+            raise ColfFormatError(
+                f"sortOrder names unknown column '{c}' "
+                f"(have: {sorted(by_name)})")
+    return wanted
+
+
+def _resolve_sort_order(options, path: str,
+                        colf_columns: list[ColfColumn],
+                        overwrite: bool) -> tuple[list[str],
+                                                  list[str] | None]:
+    """The columns this write must in-file sort on and the order to
+    RECORD at commit (None = no change). Unlike the partition spec,
+    the sort order is performance metadata, not identity — an explicit
+    ``sortOrder`` simply ADOPTS (and records) a new order, an absent
+    one inherits the dataset's recorded order, and an overwrite
+    defines it (possibly empty)."""
+    opt = options.get("sortOrder")
+    cols = ([c.strip() for c in opt.split(",") if c.strip()]
+            if opt is not None else None)
+    if cols is not None:
+        cols = _validate_sort_cols(cols, colf_columns)
+    if overwrite or not (os.path.isdir(path) and dataset_files(path)):
+        return (cols or []), (cols if cols is not None else None)
+    if cols is None:
+        rec = current_sort_order(path)
+        if rec:
+            return _validate_sort_cols(rec, colf_columns), None
+        return [], None
+    rec = current_sort_order(path)
+    return cols, (cols if cols != (rec or []) else None)
+
+
+def _sort_chunks(chunks: dict, colf_columns: list[ColfColumn],
+                 sort_cols: list[str]) -> dict:
+    """In-file ascending sort (nulls last) of one part file's columns —
+    an executor-side Arrow kernel over data already in memory, so the
+    dataset-wide clustering a ``repartitionByRange`` upstream (or a
+    compaction rewrite) establishes across files continues INSIDE each
+    file, where the v3 per-stripe zone maps need it."""
+    if not sort_cols:
+        return chunks
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    names = [c.name for c in colf_columns]
+    tbl = pa.table({n: pa.chunked_array(chunks[n]) for n in names})
+    idx = pc.sort_indices(
+        tbl, sort_keys=[(c, "ascending") for c in sort_cols])
+    tbl = tbl.take(idx)
+    return {n: [tbl.column(n).combine_chunks()] for n in names}
+
+
 def _resolve_append_spec(options, path: str, partition_cols: list[str],
                          colf_columns: list[ColfColumn],
                          ) -> tuple[list[str], list[str] | None]:
@@ -1444,6 +1518,8 @@ class ColfWriter(DataSourceArrowWriter):
             _check_append_schema(self.path, self.colf_columns)
             self.partition_cols, self.commit_spec = _resolve_append_spec(
                 options, self.path, self.partition_cols, self.colf_columns)
+        self.sort_cols, self.commit_sort = _resolve_sort_order(
+            options, self.path, self.colf_columns, overwrite)
 
     def write(self, iterator):
         """Executor-side: drain this partition's Arrow batches into one
@@ -1459,6 +1535,7 @@ class ColfWriter(DataSourceArrowWriter):
             col.name: [b.column(i) for b in batches]
             for i, col in enumerate(self.colf_columns)
         }
+        chunks = _sort_chunks(chunks, self.colf_columns, self.sort_cols)
         if self.partition_cols:
             return self._write_split(chunks, pid)
         os.makedirs(self.path, exist_ok=True)
@@ -1537,6 +1614,7 @@ class ColfWriter(DataSourceArrowWriter):
             reset=self.overwrite,
             expected_parent=parent,
             spec=self.commit_spec,
+            sort=self.commit_sort,
         )
 
     def abort(self, messages):
@@ -1738,6 +1816,8 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
         # writer (inherit / match / evolve-with-option)
         self.partition_cols, self.commit_spec = _resolve_append_spec(
             options, self.path, self.partition_cols, self.colf_columns)
+        self.sort_cols, self.commit_sort = _resolve_sort_order(
+            options, self.path, self.colf_columns, overwrite=False)
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -1751,6 +1831,7 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
             col.name: [b.column(i) for b in batches]
             for i, col in enumerate(self.colf_columns)
         }
+        chunks = _sort_chunks(chunks, self.colf_columns, self.sort_cols)
         if self.partition_cols:
             # partition-aware CDC sink: each micro-batch task lands
             # one value-homogeneous file per tuple it holds
@@ -1796,8 +1877,10 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
             commit_snapshot(self.path, [
                 os.path.basename(f) for f in live_files(self.path)
             ] + [os.path.basename(f) for f in batch_files],
-                expected_parent=parent, spec=self.commit_spec)
-            self.commit_spec = None  # record a spec change once
+                expected_parent=parent, spec=self.commit_spec,
+                sort=self.commit_sort)
+            self.commit_spec = None  # record a spec/sort change once
+            self.commit_sort = None
 
     def abort(self, messages, batchId: int) -> None:
         for file, _s, _b in _iter_commit_parts(messages):

@@ -161,6 +161,29 @@ def evolve_partition_spec(path: str, columns: list[str]) -> int:
         expected_parent=(parent or None), spec=canon)
 
 
+def set_sort_order(path: str, columns: list[str]) -> int:
+    """Record a SORT ORDER for the dataset (Iceberg's sort-order
+    metadata; no data movement): future writes without an explicit
+    ``sortOrder`` in-file sort on it, CoW rewrites keep touched files
+    sorted, and ``compact()`` re-clusters the whole dataset by it
+    (range partitioning across files + in-file sort) instead of
+    round-robin scrambling — the metadata that makes a q163-style
+    sorted layout SURVIVE maintenance. ``columns=[]`` clears it.
+    Returns the committed metadata-log version."""
+    from .datasource import _validate_sort_cols
+    from .format import ColfFormatError
+
+    live = live_files(path)
+    if not live:
+        raise ColfFormatError(f"no live .colf files at {path}")
+    _validate_sort_cols(list(columns), dataset_union_columns(path, live))
+    snaps = load_snapshots(path)
+    parent = snaps[-1]["version"] if snaps else 0
+    return commit_snapshot(
+        path, [os.path.basename(f) for f in live],
+        expected_parent=(parent or None), sort=list(columns))
+
+
 def compact(spark: SparkSession, path: str, target_files: int | None = None,
             retain: bool = False, *,
             target_file_bytes: int | None = None) -> int:
@@ -237,15 +260,25 @@ def compact(spark: SparkSession, path: str, target_files: int | None = None,
         path, [os.path.basename(f) for f in live])
     # transform specs (bucket/truncate) repartition on their SOURCE
     # columns: co-locating raw values co-locates every derived value
-    from .datasource import partition_source_columns
+    from .datasource import current_sort_order, partition_source_columns
 
-    src = (df.repartition(target_files, *partition_source_columns(pcols))
-           if pcols else df.repartition(target_files))
+    sort = current_sort_order(path) or []
+    if pcols:
+        src = df.repartition(target_files, *partition_source_columns(pcols))
+    elif sort:
+        # a recorded sort order makes compaction RE-CLUSTER instead of
+        # round-robin scrambling: range partitioning across files, the
+        # writer's in-file sort within them — zone maps stay disjoint
+        src = df.repartitionByRange(target_files, *sort)
+    else:
+        src = df.repartition(target_files)
     w = _with_bloom_opt(
         src.write.format("colf")
         .option("version", str(ver)), path)
     if pcols:
         w = w.option("partitionColumns", ",".join(pcols))
+    if sort:
+        w = w.option("sortOrder", ",".join(sort))
     if ver == 3:
         # preserve the dataset's stripe granularity (mean stripe rows
         # from the manifest stats): compacting small v3 files into few
@@ -308,12 +341,16 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     # must not lose the spec (appends would stop inheriting and
     # rewrites would drop the layout), so pin the current spec onto
     # the oldest kept snapshot when none of the kept ones records one.
-    from .datasource import current_partition_spec
+    from .datasource import current_partition_spec, current_sort_order
 
     if not any("spec" in s for s in kept):
         spec = current_partition_spec(path)
         if spec is not None:
             kept[0] = dict(kept[0], spec=spec)
+    if not any("sort" in s for s in kept):
+        sort = current_sort_order(path)
+        if sort is not None:
+            kept[0] = dict(kept[0], sort=sort)
     referenced = {b for s in kept for b in s["files"]}
     deleted = []
     for f in dataset_files(path):
@@ -545,6 +582,10 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> dict:
     pcols = _dataset_partition_cols(path, touched)
     if pcols:
         w = w.option("partitionColumns", ",".join(pcols))
+    from .datasource import current_sort_order as _cso
+
+    if (sort := _cso(path)):
+        w = w.option("sortOrder", ",".join(sort))
     w.mode("overwrite").save(tmp)
     if rows_before is not None:
         # metadata-planned path: exact count from manifest arithmetic
@@ -813,6 +854,10 @@ def merge_into(spark: SparkSession, path: str, source,
             pcols = _dataset_partition_cols(path, live0)
             if pcols:
                 w = w.option("partitionColumns", ",".join(pcols))
+            from .datasource import current_sort_order as _cso
+
+            if (sort := _cso(path)):
+                w = w.option("sortOrder", ",".join(sort))
             w.mode("overwrite").save(tmp)
             if rows_before is not None:
                 # metadata-planned path: exact replaced count from

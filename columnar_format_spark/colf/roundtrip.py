@@ -1787,3 +1787,92 @@ def q181_partition_stats_evolved(spark: SparkSession,
         StructField("spec", StringType(), False),
         StructField("part_value", StringType(), False),
         StructField("n_rows", LongType(), False)]))
+
+
+@register(
+    "q182_colf_sorted_maintenance",
+    oracle="""
+    WITH b AS (SELECT (MAX(l_orderkey) * 3) // 10 AS lo,
+                      (MAX(l_orderkey) * 4) // 10 AS hi
+               FROM lineitem)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_k,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_k
+    FROM lineitem, b
+    WHERE l_orderkey BETWEEN lo AND hi
+    """,
+)
+def q182_colf_sorted_maintenance(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Recorded sort orders under the correctness gate (Iceberg's
+    sort-order metadata): lineitem lands range-partitioned AND in-file
+    sorted on l_orderkey (``option("sortOrder", ...)`` — the writer
+    sorts each part file's Arrow table before encoding and records
+    the order in the snapshot log), then ``compact()`` rewrites the
+    dataset — and because the order is RECORDED, the rewrite
+    re-clusters (repartitionByRange + in-file sort) instead of
+    round-robin scrambling. The query ASSERTS that after compaction
+    (a) the order is still recorded, (b) the per-stripe zone maps
+    stay disjoint enough that a 10% key band plans at most ~1/5 of
+    the stripes, and (c) the v3 stripe granularity survived. The
+    oracle value-checks the band aggregate — layout must never change
+    an answer.
+
+    Scale: without recorded sort metadata every 100 TB maintenance
+    cycle silently decays scan locality; with it, compaction is the
+    operation that RESTORES clustering (Delta OPTIMIZE's contract).
+    """
+    from pyspark.sql.datasource import (GreaterThanOrEqual,
+                                        LessThanOrEqual)
+
+    from .datasource import ColfReader, current_sort_order, load_manifest
+    from .datasource import register as register_ds
+    from .maintenance import compact
+
+    register_ds(spark)
+
+    def write(d: str) -> None:
+        (table(spark, sf_dir, "lineitem")
+         .select(F.col("l_orderkey").cast("int").alias("l_orderkey"),
+                 F.col("l_quantity"))
+         .repartitionByRange(4, "l_orderkey")
+         .write.format("colf").option("version", "3")
+         .option("stripeRows", "4000")
+         .option("sortOrder", "l_orderkey")
+         .mode("overwrite").save(d + "/ds"))
+
+    tmpl = stage_once(("colf-sorted-maint", sf_dir),
+                      "colf_sortm_tmpl_", write)
+    path = run_dir(("colf-sorted-maint-run", sf_dir),
+                   "colf_sortm_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+
+    compact(spark, path, 2)
+    if current_sort_order(path) != ["l_orderkey"]:
+        raise AssertionError(
+            f"compaction must preserve the recorded sort order, got "
+            f"{current_sort_order(path)}")
+
+    df = spark.read.format("colf").load(path)
+    man = load_manifest(path)
+    mx = max(s["columns"]["l_orderkey"]["max"] for s in man.values())
+    lo, hi = mx * 3 // 10, mx * 4 // 10
+
+    def stripes(pruning: str) -> int:
+        r = ColfReader({"path": path, "pruning": pruning}, df.schema)
+        r.pushFilters([GreaterThanOrEqual(("l_orderkey",), lo),
+                       LessThanOrEqual(("l_orderkey",), hi)])
+        return len([p for p in r.partitions() if p.file is not None])
+
+    total, pruned = stripes("off"), stripes("on")
+    if total < 2 or not pruned * 5 <= total:
+        raise AssertionError(
+            f"post-compaction band probe plans {pruned}/{total} stripes "
+            f"— the recorded sort order is not preserving clustering")
+
+    return (df.filter(F.col("l_orderkey").between(lo, hi)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.min(F.col("l_orderkey").cast("bigint")).alias("min_k"),
+        F.max(F.col("l_orderkey").cast("bigint")).alias("max_k")))
