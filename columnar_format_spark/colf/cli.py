@@ -169,10 +169,11 @@ def cli_partitions(argv: list[str]) -> int:
         return 2
     import os
 
-    from .datasource import (current_partition_spec, live_files,
-                             load_manifest)
+    from .datasource import (current_partition_spec, current_sort_order,
+                             live_files, load_manifest)
 
     spec = current_partition_spec(argv[0])
+    sort = current_sort_order(argv[0])
     manifest = load_manifest(argv[0])
     live = [os.path.basename(f) for f in live_files(argv[0])]
     tuples: dict[str, dict] = {}
@@ -195,6 +196,7 @@ def cli_partitions(argv: list[str]) -> int:
         # the RECORDED spec (snapshot-log "spec", Iceberg-style) —
         # files written under older specs keep their own tuples below
         **({"current_spec": spec} if spec is not None else {}),
+        **({"sort_order": sort} if sort is not None else {}),
         "partitions": sorted(tuples.values(),
                              key=lambda t: json.dumps(t["partition"],
                                                       sort_keys=True)),
