@@ -7,10 +7,12 @@ DRIVER_WINDOW list below picks them under a standing rotation rule:
 (1) queries with no driver row yet, (2) queries whose oracle or plan
 changed this round, (3) backfill by oldest green evidence first.
 Everything stays covered locally by tests/test_queries_oracle.py
-(sf0.001, every query, every run) regardless of order; rounds 5 and 6
-additionally verified the ENTIRE registry driver-style at sf0.01 and
-sf0.1 with zero failures (tools/sweep_oracle.py) before shipping the
-window.
+(sf0.001, every query, every run) regardless of order; rounds 5, 6
+and 7 additionally verified the ENTIRE registry driver-style at
+sf0.01 AND sf0.1 with zero failures (tools/sweep_oracle.py) before
+shipping the window — round 7 ran the sf0.01 full sweep twice (once
+after the last writer change) and covered all 181 at sf0.1 across
+four targeted sweeps.
 
 Registry size: 181 queries (q01-q182, no q123). Round-6 additions were
 q169-q174 (layout/metadata tier); round-7 additions are q175-q178 —
