@@ -206,6 +206,37 @@ def cli_partitions(argv: list[str]) -> int:
     return 0
 
 
+def cli_evolve_spec(argv: list[str]) -> int:
+    """Metadata-only partition-spec evolution from the shell:
+    ``evolve_spec <dataset-dir> [col-or-transform ...]`` (no args
+    after the dir = un-partition future writes). Prints the committed
+    metadata-log version."""
+    if not argv:
+        print("usage: ... evolve_spec <dataset-dir> [col|bucket(N,col)"
+              "|truncate(N,col) ...]", file=sys.stderr)
+        return 2
+    from .maintenance import evolve_partition_spec
+
+    v = evolve_partition_spec(argv[0], list(argv[1:]))
+    print(json.dumps({"version": v, "spec": argv[1:]}))
+    return 0
+
+
+def cli_set_sort_order(argv: list[str]) -> int:
+    """Metadata-only sort-order change from the shell:
+    ``set_sort_order <dataset-dir> [col ...]`` (no cols = clear).
+    Prints the committed metadata-log version."""
+    if not argv:
+        print("usage: ... set_sort_order <dataset-dir> [col ...]",
+              file=sys.stderr)
+        return 2
+    from .maintenance import set_sort_order
+
+    v = set_sort_order(argv[0], list(argv[1:]))
+    print(json.dumps({"version": v, "sort": argv[1:]}))
+    return 0
+
+
 COMMANDS = {
     "csv_to_custom": cli_csv_to_custom,
     "custom_to_csv": cli_custom_to_csv,
@@ -214,6 +245,8 @@ COMMANDS = {
     "snapshots": cli_snapshots,
     "stats": cli_stats,
     "partitions": cli_partitions,
+    "evolve_spec": cli_evolve_spec,
+    "set_sort_order": cli_set_sort_order,
 }
 
 

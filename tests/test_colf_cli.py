@@ -194,3 +194,36 @@ def test_cli_partitions(spark, tmp_path, capsys):
     assert all(p["num_rows"] == 10 and p["n_files"] == 1
                for p in doc["partitions"])
     assert "unpartitioned" not in doc
+
+
+def test_cli_evolve_spec_and_sort_order(spark, tmp_path, capsys):
+    """The two metadata-only table operations are shell-reachable:
+    evolve_spec records a new partition spec, set_sort_order a new
+    sort order, both visible in the partitions inspector."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from columnar_format_spark.colf.cli import main as cli_main
+    from columnar_format_spark.colf.datasource import register
+
+    register(spark)
+    p = str(tmp_path / "cds")
+    (spark.range(100).select(F.col("id").cast("int").alias("k"),
+                             (F.col("id") % 3).cast("string").alias("g"))
+     .coalesce(1).write.format("colf")
+     .option("partitionColumns", "g").mode("overwrite").save(p))
+
+    assert cli_main(["evolve_spec", p, "bucket(4,k)"]) == 0
+    assert cli_main(["set_sort_order", p, "k"]) == 0
+    capsys.readouterr()
+    assert cli_main(["partitions", p]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["current_spec"] == ["bucket(4,k)"]
+    assert out["sort_order"] == ["k"]
+    import pytest as _pytest
+
+    from columnar_format_spark.colf.format import ColfFormatError
+
+    with _pytest.raises(ColfFormatError):
+        cli_main(["evolve_spec", p, "nope"])
