@@ -112,6 +112,7 @@ HEADLINE = [
     "q180_colf_bucket_transform",
     "q181_partition_stats_evolved",
     "q182_colf_sorted_maintenance",
+    "q183_colf_snapshot_diff",
 ]
 
 

@@ -1876,3 +1876,83 @@ def q182_colf_sorted_maintenance(spark: SparkSession,
         F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
         F.min(F.col("l_orderkey").cast("bigint")).alias("min_k"),
         F.max(F.col("l_orderkey").cast("bigint")).alias("max_k")))
+
+
+@register(
+    "q183_colf_snapshot_diff",
+    oracle="""
+    WITH v1 AS (SELECT o_orderkey, o_orderstatus FROM orders),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE NOT (o_orderkey % 7 = 0 AND o_orderstatus = 'F')
+      UNION ALL
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders), 'N'
+      FROM orders WHERE o_orderkey % 50 = 3)
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT * FROM v2 EXCEPT ALL
+                             SELECT * FROM v1)) AS n_added,
+      (SELECT COUNT(*) FROM (SELECT * FROM v1 EXCEPT ALL
+                             SELECT * FROM v2)) AS n_removed,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM v1) AS n_v1,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM v2) AS n_v2
+    """,
+)
+def q183_colf_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-accurate SNAPSHOT DIFF between two table versions — the CDC
+    question "what changed between v1 and now?" answered from the
+    metadata log alone: two time-travel reads of the SAME dataset
+    (``option("snapshot", 1)`` vs current) anti-joined both ways with
+    exceptAll. The staged history is a CoW delete (every 7th 'F'
+    order) followed by an append (one 'N' order per 50), so the diff
+    must see through a REWRITE: rewritten survivor files carry rows
+    from both versions, which file-level diffing (q134's incremental
+    scan) intentionally over-reports — this query pins the exact
+    row-level semantics on top. The oracle recomputes both versions
+    relationally from the source parquet.
+
+    Scale: both sides are zone-map-planned scans of one dataset;
+    exceptAll is a single hash shuffle on the row key each way. The
+    file-level shortcut (q134) stays the cheap first pass at 100 TB;
+    this is the exact tier for audit/CDC-replay.
+    """
+    from .datasource import register as register_ds
+    from .maintenance import delete_where
+
+    register_ds(spark)
+
+    def sel(df):
+        return df.select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            "o_orderstatus")
+
+    def write(d: str) -> None:
+        (sel(table(spark, sf_dir, "orders")).repartition(4)
+         .write.format("colf").mode("overwrite").save(d + "/ds"))
+
+    tmpl = stage_once(("colf-snapdiff", sf_dir), "colf_sdiff_tmpl_", write)
+    path = run_dir(("colf-snapdiff-run", sf_dir), "colf_sdiff_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+
+    delete_where(spark, path,
+                 "o_orderkey % 7 = 0 AND o_orderstatus = 'F'")
+    mx = int(sel(table(spark, sf_dir, "orders"))
+             .agg(F.max("o_orderkey")).first()[0])
+    inserts = (sel(table(spark, sf_dir, "orders"))
+               .filter(F.col("o_orderkey") % 50 == 3)
+               .select((F.col("o_orderkey") + mx + 1).cast("int")
+                       .alias("o_orderkey"),
+                       F.lit("N").alias("o_orderstatus")))
+    inserts.coalesce(1).write.format("colf").mode("append").save(path)
+
+    v1 = (spark.read.format("colf").option("snapshot", "1").load(path)
+          .select("o_orderkey", "o_orderstatus"))
+    v2 = (spark.read.format("colf").load(path)
+          .select("o_orderkey", "o_orderstatus"))
+    added = v2.exceptAll(v1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_added"))
+    removed = v1.exceptAll(v2).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_removed"))
+    n1 = v1.agg(F.count(F.lit(1)).cast("bigint").alias("n_v1"))
+    n2 = v2.agg(F.count(F.lit(1)).cast("bigint").alias("n_v2"))
+    return (added.crossJoin(F.broadcast(removed))
+            .crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2)))

@@ -14,7 +14,7 @@ shipping the window — round 7 ran the sf0.01 full sweep twice (once
 after the last writer change) and covered all 181 at sf0.1 across
 four targeted sweeps.
 
-Registry size: 181 queries (q01-q182, no q123). Round-6 additions were
+Registry size: 182 queries (q01-q183, no q123). Round-6 additions were
 q169-q174 (layout/metadata tier); round-7 additions are q175-q178 —
 TPC-H Q2/Q11/Q12/Q20, completing the full 22-query TPC-H suite (Q1=q01,
 Q14=q72; partsupp-dependent shapes adapted via a lineitem-derived
@@ -24,7 +24,8 @@ coexistence and compact()-to-latest-spec), q180 (bucket(N,col)
 transform partitioning with reader-side probe-to-bucket pruning),
 q181 (spec-aware partitions metadata table over a mixed layout), and
 q182 (recorded sort orders: in-file-sorted writes, compact() re-clusters
-by the recorded order instead of scrambling it).
+by the recorded order instead of scrambling it), and q183 (row-accurate
+snapshot diff between table versions via time travel + exceptAll).
 """
 
 from __future__ import annotations
@@ -38,10 +39,11 @@ from .registry import QUERIES, QuerySpec  # noqa: F401
 
 # Round-7 driver window, per the rotation discipline (oldest evidence
 # first; every changed query re-proves itself the round it changes):
-# - the 8 round-7 additions with no driver row yet: q175-q178 (TPC-H
+# - the 9 round-7 additions with no driver row yet: q175-q178 (TPC-H
 #   Q2/Q11/Q12/Q20 — full 22-query suite), q179 (partition-spec
 #   evolution), q180 (bucket-transform partitioning), q181 (spec-aware
-#   partition stats), q182 (recorded sort orders);
+#   partition stats), q182 (recorded sort orders), q183 (snapshot
+#   diff);
 # - the 3 queries whose staging/write path changed this round: q169
 #   (cached projection + one two-column approxQuantile pass), q170 and
 #   q171 (the writer now records the partition spec in the snapshot
@@ -50,14 +52,14 @@ from .registry import QUERIES, QuerySpec  # noqa: F401
 #   CORRECTNESS_r03 — the oldest evidence in the ledger): q33-q35,
 #   q37, q40-q43, q51-q57, q69, q71, q74, q77-q79, q85, q91, q95-q98,
 #   q100, q102, q103, q105, q106, q108, q110;
-# - 5 remaining slots: r04-era, lowest query number first (q44, q50,
-#   q58-q60).
+# - 4 remaining slots: r04-era, lowest query number first (q44, q50,
+#   q58, q59).
 # Per-query last-green ledger after round 6 (CORRECTNESS_r06 50/50
 # green): r06 = the full round-6 window (q169-q174, q148/q149/q155/
 # q161/q164-q168, q15-q32, q36, q38, q39, q45-q49, q64-q66, q72, q88,
 # q89, q92-q94); r05 = q137-q168 cohort not re-proven in r06, plus
 # q01-q14, q62, q63, q87, q128; r03 = the 34 above; r04 = everything
-# else. Round-8 plan: backfill the remaining r04-era set (q61, q67, q68, q70, q73,
+# else. Round-8 plan: backfill the remaining r04-era set (q60, q61, q67, q68, q70, q73,
 # q75, q76, q80-q84, q86, q90, q99, q101, q104, q107, q109, q111-q122,
 # q124-q127, q129-q136), oldest first, then r05-era.
 DRIVER_WINDOW = [
@@ -65,6 +67,7 @@ DRIVER_WINDOW = [
     "q175_tpch_q2", "q176_tpch_q11", "q177_tpch_q12", "q178_tpch_q20",
     "q179_colf_spec_evolution", "q180_colf_bucket_transform",
     "q181_partition_stats_evolved", "q182_colf_sorted_maintenance",
+    "q183_colf_snapshot_diff",
     # changed this round — spec-recording writes / staging path
     "q169_zorder_rank", "q170_colf_size_compact", "q171_colf_partitioned",
     # oldest-evidence backfill: the whole r03-era cohort
@@ -84,7 +87,7 @@ DRIVER_WINDOW = [
     "q110_temporal_join",
     # r04-era, oldest first
     "q44_multimodal_meta", "q50_dedup_exact", "q58_ngram_vocabulary",
-    "q59_length_histogram", "q60_cosine_topk",
+    "q59_length_histogram",
 ]
 
 
