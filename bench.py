@@ -201,7 +201,15 @@ def main() -> None:
         "detail": "BENCH_DETAIL.json",
     }
     out = json.dumps(line, separators=(",", ":"))
-    assert len(out) <= 1500, f"bench summary line too long: {len(out)}"
+    # the driver records only a bounded stdout tail — degrade gracefully
+    # by shrinking the slowest-N list rather than aborting after every
+    # query already ran (an assert here would lose the whole artifact)
+    n_slow = 12
+    while len(out) > 1500 and n_slow > 0:
+        n_slow -= 1
+        line["queries"] = dict(
+            sorted(times.items(), key=lambda kv: -kv[1])[:n_slow])
+        out = json.dumps(line, separators=(",", ":"))
     print(out)
     spark.stop()
 

@@ -234,6 +234,11 @@ def current_partition_spec(path: str) -> list[str] | None:
     for s in reversed(load_snapshots(path)):
         if "spec" in s:
             return list(s["spec"])
+        if "inherited_spec" in s:
+            # vacuum's carry-forward of a spec whose adopting snapshot
+            # expired — kept under a dedicated key so the snapshot's
+            # original committed contents stay byte-faithful
+            return list(s["inherited_spec"])
     return None
 
 
@@ -280,6 +285,8 @@ def current_sort_order(path: str) -> list[str] | None:
     for s in reversed(load_snapshots(path)):
         if "sort" in s:
             return list(s["sort"])
+        if "inherited_sort" in s:  # vacuum carry-forward (see spec)
+            return list(s["inherited_sort"])
     return None
 
 
@@ -1369,14 +1376,25 @@ def _resolve_sort_order(options, path: str,
     RECORD at commit (None = no change). Unlike the partition spec,
     the sort order is performance metadata, not identity — an explicit
     ``sortOrder`` simply ADOPTS (and records) a new order, an absent
-    one inherits the dataset's recorded order, and an overwrite
-    defines it (possibly empty)."""
+    one inherits the dataset's recorded order (for OVERWRITES too —
+    Iceberg's model: sort order is table metadata and survives data
+    overwrites; pass ``sortOrder ""`` to clear it explicitly), and an
+    overwrite whose new schema drops a recorded sort column clears the
+    order (it can no longer be satisfied)."""
     opt = options.get("sortOrder")
     cols = ([c.strip() for c in opt.split(",") if c.strip()]
             if opt is not None else None)
     if cols is not None:
         cols = _validate_sort_cols(cols, colf_columns)
-    if overwrite or not (os.path.isdir(path) and dataset_files(path)):
+    exists = os.path.isdir(path) and dataset_files(path)
+    if overwrite or not exists:
+        if cols is None and overwrite and exists:
+            rec = current_sort_order(path)
+            have = {c.name for c in colf_columns}
+            if rec and all(c in have for c in rec):
+                # overwrite resets the snapshot log, so re-record the
+                # inherited order into the fresh log (and sort by it)
+                return rec, rec
         return (cols or []), (cols if cols is not None else None)
     if cols is None:
         rec = current_sort_order(path)

@@ -340,17 +340,22 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     # often older than the retention horizon. Expiring that snapshot
     # must not lose the spec (appends would stop inheriting and
     # rewrites would drop the layout), so pin the current spec onto
-    # the oldest kept snapshot when none of the kept ones records one.
+    # the oldest kept snapshot when none of the kept ones records one —
+    # under DEDICATED ``inherited_*`` keys, not ``spec``/``sort``, so
+    # the snapshot's original committed contents stay byte-faithful
+    # (a time-travel read of that version must not report table
+    # metadata it never carried; Iceberg keeps expired-lineage
+    # metadata out of snapshot summaries the same way).
     from .datasource import current_partition_spec, current_sort_order
 
-    if not any("spec" in s for s in kept):
+    if not any("spec" in s or "inherited_spec" in s for s in kept):
         spec = current_partition_spec(path)
         if spec is not None:
-            kept[0] = dict(kept[0], spec=spec)
-    if not any("sort" in s for s in kept):
+            kept[0] = dict(kept[0], inherited_spec=spec)
+    if not any("sort" in s or "inherited_sort" in s for s in kept):
         sort = current_sort_order(path)
         if sort is not None:
-            kept[0] = dict(kept[0], sort=sort)
+            kept[0] = dict(kept[0], inherited_sort=sort)
     referenced = {b for s in kept for b in s["files"]}
     deleted = []
     for f in dataset_files(path):

@@ -466,6 +466,7 @@ def _two_phase_components(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
          .select(F.col("a").alias("u"), F.col("b").alias("v")).distinct()
          .localCheckpoint(eager=True))
     prev_sig = None
+    converged = False
     for _ in range(max_rounds):
         # large-star: for each node, link every LARGER neighbor to the
         # minimum of the closed neighborhood min(N(u) ∪ {u})
@@ -495,8 +496,18 @@ def _two_phase_components(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
         sig = tuple(e.agg(F.count(F.lit(1)),
                           F.bit_xor(F.xxhash64("u", "v"))).first())
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # the star read-out is only proven correct at a true fixpoint;
+        # exhausting max_rounds would silently return under-merged
+        # component labels — fail loud instead (callers can retry with
+        # a larger budget; 12 rounds covers graphs far beyond 2^12
+        # nodes at the algorithm's O(log^2 n) bound)
+        raise RuntimeError(
+            f"connected components did not converge within {max_rounds} "
+            "large-star/small-star rounds; labels would be under-merged")
     # fixpoint is a star forest: u -> component-min v for every
     # non-root; roots (the minima) have no outgoing edge. groupBy(min)
     # instead of a bare join so a max_rounds truncation can at worst

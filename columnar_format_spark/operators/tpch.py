@@ -941,21 +941,32 @@ _SQL_SUPPLY = """
 
 def _supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The derived partsupp: cheapest observed price (exact cents,
-    order-independent MIN) and total shipped quantity per pair.
+    order-independent MIN) and total shipped quantity per pair —
+    MATERIALIZED once per (process, sf_dir) as a parquet dataset and
+    read back, so Q2/Q11/Q20 each scan a ~|partsupp| table instead of
+    re-running the lineitem groupBy per invocation.
 
-    Scale: ONE partial-agged groupBy over lineitem — at 100 TB this is
-    a map-side-combined shuffle on the (partkey, suppkey) composite,
-    output ~|partsupp| ≪ |lineitem| rows."""
+    Scale: the one-time build is ONE partial-agged groupBy over
+    lineitem — at 100 TB a map-side-combined shuffle on the
+    (partkey, suppkey) composite, output ~|partsupp| ≪ |lineitem|
+    rows; in production this staged table is exactly what a warehouse
+    would keep as a maintained derived table, clustered on ps_partkey
+    so the three consumers' part-side joins prune."""
     from .relational import cents
+    from ..staging import stage_once
 
-    return (
-        table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
-        .groupBy(F.col("l_partkey").alias("ps_partkey"),
-                 F.col("l_suppkey").alias("ps_suppkey"))
-        .agg(F.min(cents("l_extendedprice")).alias("ps_cost_c"),
-             F.sum(F.col("l_quantity").cast("bigint")).alias("ps_availqty"))
-    )
+    def write(d: str) -> None:
+        (table(spark, sf_dir, "lineitem")
+         .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+         .groupBy(F.col("l_partkey").alias("ps_partkey"),
+                  F.col("l_suppkey").alias("ps_suppkey"))
+         .agg(F.min(cents("l_extendedprice")).alias("ps_cost_c"),
+              F.sum(F.col("l_quantity").cast("bigint")).alias("ps_availqty"))
+         .repartitionByRange(4, "ps_partkey")
+         .write.mode("overwrite").parquet(d))
+
+    return spark.read.parquet(
+        stage_once(("tpch-supply", sf_dir), "tpch_supply_", write))
 
 
 @register(
@@ -1099,10 +1110,10 @@ def q176_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q177_tpch_q12",
     oracle=f"""
     SELECT l.l_linestatus AS ship_class,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '{Q12_LO} 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '{Q12_HI} 00:00:00'

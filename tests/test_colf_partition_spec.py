@@ -187,6 +187,10 @@ def test_vacuum_preserves_recorded_spec(colf_spark, part_a):
     snaps = load_snapshots(part_a)
     assert len(snaps) == 1
     assert current_partition_spec(part_a) == ["a"]
+    # carried under the DEDICATED inherited key: the kept snapshot's
+    # original contents stay byte-faithful — it never committed a
+    # "spec", so vacuum must not fabricate one (history rewrite)
+    assert "spec" not in snaps[0] and snaps[0]["inherited_spec"] == ["a"]
     # inheritance still works after the history truncation
     (_df(colf_spark, 500, 550).repartition(2, "a")
      .write.format("colf").mode("append").save(part_a))

@@ -135,6 +135,37 @@ def test_set_sort_order_api_and_vacuum_carry(colf_spark, tmp_path):
     assert _file_is_sorted(colf_spark, p, newest)
 
 
+def test_overwrite_inherits_sort_order(colf_spark, sorted_ds):
+    """Iceberg model: sort order is TABLE metadata, so a data overwrite
+    without an explicit sortOrder keeps (and re-records) it; an
+    explicit empty sortOrder clears it; an overwrite whose schema
+    drops the sort column clears it (it can't be satisfied)."""
+    (_df(colf_spark, 3000).coalesce(2).write.format("colf")
+     .mode("overwrite").save(sorted_ds))
+    assert current_sort_order(sorted_ds) == ["k"]
+    for f in live_files(sorted_ds):
+        assert _file_is_sorted(colf_spark, sorted_ds, f)
+    # appends after the overwrite still inherit
+    (_df(colf_spark, 200).coalesce(1).write.format("colf")
+     .mode("append").save(sorted_ds))
+    newest = max(live_files(sorted_ds), key=os.path.getmtime)
+    assert _file_is_sorted(colf_spark, sorted_ds, newest)
+    # explicit empty sortOrder clears
+    (_df(colf_spark, 500).coalesce(1).write.format("colf")
+     .option("sortOrder", "").mode("overwrite").save(sorted_ds))
+    assert current_sort_order(sorted_ds) in (None, [])
+
+
+def test_overwrite_new_schema_drops_stale_sort(colf_spark, tmp_path):
+    p = str(tmp_path / "schemachange")
+    (_df(colf_spark, 1000).coalesce(1).write.format("colf")
+     .option("sortOrder", "k").mode("overwrite").save(p))
+    assert current_sort_order(p) == ["k"]
+    (colf_spark.range(100).select(F.col("id").cast("int").alias("other"))
+     .coalesce(1).write.format("colf").mode("overwrite").save(p))
+    assert current_sort_order(p) in (None, [])
+
+
 def test_sort_composes_with_partition_spec(colf_spark, tmp_path):
     """sortOrder + partitionColumns: each value-homogeneous split file
     is internally sorted on the sort column."""

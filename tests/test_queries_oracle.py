@@ -5,7 +5,7 @@ runs the same comparison at sf0.01)."""
 import pytest
 
 import columnar_format_spark.queries  # noqa: F401  (registers)
-from columnar_format_spark.oracle import compare_query
+from columnar_format_spark.oracle import compare_query, pandas_dtype_parity
 from columnar_format_spark.registry import QUERIES
 
 from tests.conftest import SF_SMALL
@@ -16,6 +16,13 @@ def test_query_matches_oracle(spark, name):
     res = compare_query(spark, SF_SMALL, name)
     assert res["ok"], res["notes"]
     assert res["spark_rows"] >= 0
+    # Driver-replica dtype gate: the driver hashes values AFTER pandas
+    # materialization, where DuckDB HUGEINT becomes float64 while Spark
+    # bigint stays int64 — equality by value is not enough (q33 r01/r02,
+    # q177 r07 shipped exactly this way because this checker existed but
+    # was wired into no gate).
+    parity = pandas_dtype_parity(spark, SF_SMALL, name)
+    assert parity["ok"], parity["notes"]
 
 
 def test_percentile_sketch_within_rank_error(spark):

@@ -4,7 +4,14 @@ AND its DuckDB oracle at a scale-factor dir, compare rows/schema/values
 the way the external driver does, and print one JSON line per query
 plus a final summary. Usage:
 
-    python tools/sweep_oracle.py [sf_dir] [name_substring ...]
+    python tools/sweep_oracle.py [--dtypes] [sf_dir] [name_substring ...]
+
+`--dtypes` additionally runs the driver-replica pandas dtype-parity
+check (oracle.pandas_dtype_parity) per query — the exact-hash gate the
+driver applies materializes through pandas, where DuckDB HUGEINT
+becomes float64 while Spark bigint stays int64, so a value-equal
+query can still hash-fail (the q33 r01/r02 and q177 r07 failure
+class). Run the --dtypes pass before every ship.
 
 Defaults to /root/testdata/sf0.01. Numeric values compare with 1e-9
 tolerance (both engines compute identical doubles by the determinism
@@ -66,8 +73,10 @@ def main() -> int:
     import __spark_entry__ as entry
     from columnar_format_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2:]
+    argv = [a for a in sys.argv[1:] if a != "--dtypes"]
+    check_dtypes = "--dtypes" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = argv[1:]
     spark = get_spark(app_name="sweep")
     con = duckdb.connect()
     for t in TABLES:
@@ -104,6 +113,16 @@ def main() -> int:
                            oracle_rows=len(orows))
                 if rec["status"] == "FAIL":
                     n_fail += 1
+                if check_dtypes:
+                    from columnar_format_spark.oracle import (
+                        pandas_dtype_parity,
+                    )
+                    par = pandas_dtype_parity(spark, sf_dir, name)
+                    rec["dtype_parity"] = par["ok"]
+                    if not par["ok"]:
+                        rec["dtype_notes"] = par["notes"]
+                        rec["status"] = "FAIL"
+                        n_fail += 1
         except Exception as exc:  # noqa: BLE001 — sweep must not die mid-run
             rec.update(status="ERROR", err=f"{type(exc).__name__}: {exc}"[:300])
             n_fail += 1
