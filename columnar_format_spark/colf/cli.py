@@ -222,6 +222,82 @@ def cli_evolve_spec(argv: list[str]) -> int:
     return 0
 
 
+def cli_diff(argv: list[str]) -> int:
+    """Row-accurate snapshot diff between two table versions from the
+    shell — the CDC audit question "what changed between v1 and v2?"
+    (q183's capability, reachable outside the registry). File-level
+    first: part files common to both versions cancel exactly (they are
+    immutable), so only the files UNIQUE to each side are decoded
+    (pure-Python reader, no Spark) and their row multisets subtracted.
+    Prints added/removed row counts, per-version totals, and the
+    file-level delta. At warehouse scale the Spark exceptAll tier
+    (roundtrip.q183) does the same thing distributed; this CLI is the
+    operator's single-node twin."""
+    if len(argv) != 3:
+        print("usage: ... diff <dataset-dir> <v1> <v2|current>",
+              file=sys.stderr)
+        return 2
+    import os
+    from collections import Counter
+
+    from .datasource import load_manifest, load_snapshots
+    from .format import read_all, read_schema
+
+    path = argv[0]
+    snaps = {s["version"]: s for s in load_snapshots(path)}
+    if not snaps:
+        print("dataset has no metadata log — nothing to diff",
+              file=sys.stderr)
+        return 2
+
+    def pick(token: str) -> dict:
+        v = max(snaps) if token == "current" else int(token)
+        if v not in snaps:
+            print(f"version {v} not in metadata log "
+                  f"(have {sorted(snaps)})", file=sys.stderr)
+            raise SystemExit(2)
+        return snaps[v]
+
+    s1, s2 = pick(argv[1]), pick(argv[2])
+    f1, f2 = set(s1["files"]), set(s2["files"])
+    only1, only2 = sorted(f1 - f2), sorted(f2 - f1)
+    manifest = load_manifest(path)
+
+    def rows_of(basenames) -> Counter:
+        c: Counter = Counter()
+        for b in basenames:
+            fp = os.path.join(path, b)
+            if not os.path.exists(fp):
+                print(f"part file {b} referenced by a diffed version "
+                      f"was vacuumed — row-accurate diff impossible",
+                      file=sys.stderr)
+                raise SystemExit(2)
+            data = read_all(fp)
+            names = [c_.name for c_ in read_schema(fp).columns]
+            n = len(data[names[0]]) if names else 0
+            c.update(tuple(data[nm][i] for nm in names)
+                     for i in range(n))
+        return c
+
+    r1, r2 = rows_of(only1), rows_of(only2)
+    added = r2 - r1
+    removed = r1 - r2
+
+    def total(s) -> int | None:
+        rows = [manifest.get(b, {}).get("num_rows") for b in s["files"]]
+        return sum(rows) if all(r is not None for r in rows) else None
+
+    print(json.dumps({
+        "v1": s1["version"], "v2": s2["version"],
+        "files_added": len(only2), "files_removed": len(only1),
+        "files_common": len(f1 & f2),
+        "n_added": sum(added.values()),
+        "n_removed": sum(removed.values()),
+        "n_v1": total(s1), "n_v2": total(s2),
+    }, indent=2))
+    return 0
+
+
 def cli_set_sort_order(argv: list[str]) -> int:
     """Metadata-only sort-order change from the shell:
     ``set_sort_order <dataset-dir> [col ...]`` (no cols = clear).
@@ -247,6 +323,7 @@ COMMANDS = {
     "partitions": cli_partitions,
     "evolve_spec": cli_evolve_spec,
     "set_sort_order": cli_set_sort_order,
+    "diff": cli_diff,
 }
 
 

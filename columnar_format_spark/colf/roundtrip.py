@@ -1010,8 +1010,13 @@ def q153_colf_v3_striped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linestatus").alias("l_linestatus"),
     ).coalesce(1)
     path = run_dir(("v3-striped-run", sf_dir), "colf_v3_") + "/ds"
+    # stripeRows sized so a stripe is a real unit of work (the parquet
+    # row-group rule: big enough to amortize per-task overhead, small
+    # enough that one file still fans out to many cores) — 5k-row
+    # stripes planned 120 scan tasks whose per-task Python-worker cost
+    # dominated the query; 50k rows keeps >=12 partitions from one file
     (li.write.format("colf").option("version", "3")
-     .option("stripeRows", "5000").mode("append").save(path))
+     .option("stripeRows", "50000").mode("append").save(path))
 
     colf_files = [f for f in os.listdir(path) if f.endswith(".colf")]
     if len(colf_files) != 1:
@@ -1838,7 +1843,11 @@ def q182_colf_sorted_maintenance(spark: SparkSession,
                  F.col("l_quantity"))
          .repartitionByRange(4, "l_orderkey")
          .write.format("colf").option("version", "3")
-         .option("stripeRows", "4000")
+         # 20k-row stripes: compact() inherits the dataset's stripe
+         # size, so the post-compaction band probe still sees ~30
+         # stripes (4k stripes made every scan a 152-task fan-out
+         # whose per-task Python-worker cost dominated the query)
+         .option("stripeRows", "20000")
          .option("sortOrder", "l_orderkey")
          .mode("overwrite").save(d + "/ds"))
 

@@ -37,57 +37,65 @@ from . import sources  # noqa: F401
 from .streaming import stream_queries  # noqa: F401
 from .registry import QUERIES, QuerySpec  # noqa: F401
 
-# Round-7 driver window, per the rotation discipline (oldest evidence
+# Round-8 driver window, per the rotation discipline (oldest evidence
 # first; every changed query re-proves itself the round it changes):
-# - the 9 round-7 additions with no driver row yet: q175-q178 (TPC-H
-#   Q2/Q11/Q12/Q20 — full 22-query suite), q179 (partition-spec
-#   evolution), q180 (bucket-transform partitioning), q181 (spec-aware
-#   partition stats), q182 (recorded sort orders), q183 (snapshot
-#   diff);
-# - the 3 queries whose staging/write path changed this round: q169
-#   (cached projection + one two-column approxQuantile pass), q170 and
-#   q171 (the writer now records the partition spec in the snapshot
-#   log, and maintenance rewrites consult it);
-# - 34 backfill slots: the ENTIRE r03-era cohort (last driver row in
-#   CORRECTNESS_r03 — the oldest evidence in the ledger): q33-q35,
-#   q37, q40-q43, q51-q57, q69, q71, q74, q77-q79, q85, q91, q95-q98,
-#   q100, q102, q103, q105, q106, q108, q110;
-# - 4 remaining slots: r04-era, lowest query number first (q44, q50,
-#   q58, q59).
-# Per-query last-green ledger after round 6 (CORRECTNESS_r06 50/50
-# green): r06 = the full round-6 window (q169-q174, q148/q149/q155/
-# q161/q164-q168, q15-q32, q36, q38, q39, q45-q49, q64-q66, q72, q88,
-# q89, q92-q94); r05 = q137-q168 cohort not re-proven in r06, plus
-# q01-q14, q62, q63, q87, q128; r03 = the 34 above; r04 = everything
-# else. Round-8 plan: backfill the remaining r04-era set (q60, q61, q67, q68, q70, q73,
-# q75, q76, q80-q84, q86, q90, q99, q101, q104, q107, q109, q111-q122,
-# q124-q127, q129-q136), oldest first, then r05-era.
+# - q177_tpch_q12: round 7's one red driver row — its oracle's integer
+#   SUM(CASE...) now CASTs to BIGINT (the DuckDB-HUGEINT→pandas-float64
+#   hash-skew class; the pandas_dtype_parity checker is now wired into
+#   tests/test_queries_oracle.py AND tools/sweep_oracle.py --dtypes, so
+#   this class fails locally before it can ship);
+# - the 5 queries whose plan or staging changed this round: q175/q176/
+#   q178 (the derived supply relation is now materialized once per
+#   sf_dir as a staged parquet table), q153 and q182 (scale-realistic
+#   stripe sizing — 20k-50k rows/stripe instead of 4k-5k, cutting the
+#   120-152-task Python-datasource fan-outs that dominated them);
+# - 44 backfill slots: the ENTIRE r04-era cohort, the oldest driver
+#   evidence left in the ledger (pre-proven at sf0.1 in commit
+#   f46776e): q60, q61, q67, q68, q70, q73, q75, q76, q80-q84, q86,
+#   q90, q99, q101, q104, q107, q109, q111-q122, q124-q127, q129-q136.
+# Per-query last-green ledger after round 7 (CORRECTNESS_r07 49/50 —
+# q177's hash row red, fixed above): r07 = the full round-7 window
+# (q175-q183, q169-q171, q33-q35, q37, q40-q43, q51-q57, q69, q71,
+# q74, q77-q79, q85, q91, q95-q98, q100, q102, q103, q105, q106, q108,
+# q110, q44, q50, q58, q59); r06 = q172-q174, q148/q149/q155/q161/
+# q164-q168, q15-q32, q36, q38, q39, q45-q49, q64-q66, q72, q88, q89,
+# q92-q94; r05 = q137-q147, q150-q152, q154, q156-q160, q162, q163,
+# q01-q14, q62, q63, q87, q128; r04 = the 44 above. Round-9 plan:
+# backfill the r05-era set, lowest query number first.
+#
+# PRE-SHIP CHECKLIST (every round, after the last product commit):
+#   1. full test gate: python -m pytest tests/ -x -q (includes the
+#      per-query pandas_dtype_parity assertion at sf0.001);
+#   2. driver-style sweep WITH dtype parity at sf0.01:
+#      python tools/sweep_oracle.py --dtypes   (expect 0 fail);
+#   3. the same sweep at sf0.1 for every query in DRIVER_WINDOW;
+#   4. python bench.py — summary line must parse and stay <=1500 chars.
 DRIVER_WINDOW = [
-    # new this round — no driver row yet
-    "q175_tpch_q2", "q176_tpch_q11", "q177_tpch_q12", "q178_tpch_q20",
-    "q179_colf_spec_evolution", "q180_colf_bucket_transform",
-    "q181_partition_stats_evolved", "q182_colf_sorted_maintenance",
-    "q183_colf_snapshot_diff",
-    # changed this round — spec-recording writes / staging path
-    "q169_zorder_rank", "q170_colf_size_compact", "q171_colf_partitioned",
-    # oldest-evidence backfill: the whole r03-era cohort
-    "q33_sessionize", "q34_grouped_pandas_stats", "q35_udtf_tokenize",
-    "q37_grouped_agg_pandas", "q40_token_count", "q41_text_quality",
-    "q42_lang_stats", "q43_fingerprint", "q51_ngram_jaccard",
-    "q52_minhash_lsh", "q53_simhash", "q54_embedding_neardup",
-    "q55_dedup_survivors", "q56_dedup_components",
-    "q57_mapinarrow_tokenstats", "q69_multimodal_features",
-    "q71_sequence_packing", "q74_cogroup_user_orders",
-    "q77_decontamination", "q78_tfidf_keywords", "q79_repetition_quality",
-    "q85_shingle_dup_frac", "q91_hybrid_retrieval", "q95_gapfill_locf",
-    "q96_median_mode", "q97_interval_overlap",
-    "q98_fuzzy_blocked", "q100_scd2_upsert",
-    "q102_jsonl_ingest", "q103_tpch_q3", "q105_tpch_q13",
-    "q106_data_quality_audit", "q108_pagerank_integer",
-    "q110_temporal_join",
-    # r04-era, oldest first
-    "q44_multimodal_meta", "q50_dedup_exact", "q58_ngram_vocabulary",
-    "q59_length_histogram",
+    # red-row re-prove — oracle CAST fix (tpch.py)
+    "q177_tpch_q12",
+    # changed this round — staged supply relation / stripe sizing
+    "q175_tpch_q2", "q176_tpch_q11", "q178_tpch_q20",
+    "q153_colf_v3_striped", "q182_colf_sorted_maintenance",
+    # oldest-evidence backfill: the whole r04-era cohort (44)
+    "q60_cosine_topk", "q61_embedding_stats", "q67_deterministic_split",
+    "q68_corpus_mixture", "q70_colf_roundtrip", "q73_csv_ingest",
+    "q75_colf_selective_read", "q76_colf_zonemap_pruning",
+    "q80_stream_tumbling", "q81_stream_session", "q82_stream_dedup",
+    "q83_stream_stateful", "q84_stream_stream_join",
+    "q86_corpus_shards", "q90_training_pipeline",
+    "q99_sliding_window_batch", "q101_stream_sliding",
+    "q104_tpch_q7", "q107_incremental_agg", "q109_colf_stream_agg",
+    "q111_dedup_keep_best", "q112_colf_compact",
+    "q113_incremental_dedup", "q114_pii_redaction",
+    "q115_stratified_sample", "q116_doc_chunking",
+    "q117_percentile_exact", "q118_skew_exact_distinct",
+    "q119_rare_bigram_score", "q120_graph_triangles",
+    "q121_strict_funnel", "q122_colf_time_travel",
+    "q124_tpch_q5", "q125_tpch_q10", "q126_tpch_q18",
+    "q127_stream_incremental_dedup", "q129_dedup_verified_pairs",
+    "q130_frame_sampling", "q131_image_resize",
+    "q132_negative_sampling", "q133_budget_selection",
+    "q134_colf_incremental_read", "q135_ann_recall", "q136_colf_vacuum",
 ]
 
 

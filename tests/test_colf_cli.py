@@ -227,3 +227,40 @@ def test_cli_evolve_spec_and_sort_order(spark, tmp_path, capsys):
 
     with _pytest.raises(ColfFormatError):
         cli_main(["evolve_spec", p, "nope"])
+
+
+def test_cli_diff_row_accurate(spark, tmp_path, capsys):
+    """`diff <ds> <v1> <v2>`: row-accurate snapshot diff from the
+    shell. The history includes a CoW delete, so rewritten survivor
+    files carry rows from both versions — the diff must see through
+    the rewrite (file-level counting alone would over-report)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from columnar_format_spark.colf.cli import main as cli_main
+    from columnar_format_spark.colf.datasource import register
+    from columnar_format_spark.colf.maintenance import delete_where
+
+    register(spark)
+    p = str(tmp_path / "dds")
+    (spark.range(100).select(F.col("id").cast("int").alias("k"),
+                             (F.col("id") % 2).cast("string").alias("g"))
+     .coalesce(2).write.format("colf").mode("overwrite").save(p))
+    delete_where(spark, p, "k >= 90")                    # v2: -10 rows
+    (spark.range(200, 205).select(F.col("id").cast("int").alias("k"),
+                                  F.lit("9").alias("g"))
+     .coalesce(1).write.format("colf").mode("append").save(p))  # v3: +5
+
+    assert cli_main(["diff", p, "1", "current"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert (out["n_added"], out["n_removed"]) == (5, 10)
+    assert out["n_v1"] == 100 and out["n_v2"] == 95
+    assert cli_main(["diff", p, "1", "2"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert (out["n_added"], out["n_removed"]) == (0, 10)
+    # unknown version is a loud usage error, not a traceback
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli_main(["diff", p, "1", "99"])
