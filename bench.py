@@ -113,6 +113,10 @@ HEADLINE = [
     "q181_partition_stats_evolved",
     "q182_colf_sorted_maintenance",
     "q183_colf_snapshot_diff",
+    # round-8 additions: the CDC/refs tier
+    "q184_colf_changelog",
+    "q185_colf_tag_read",
+    "q186_colf_wap",
 ]
 
 

@@ -96,8 +96,13 @@ def cli_snapshots(argv: list[str]) -> int:
         return 2
     from .datasource import load_manifest, load_snapshots
 
+    from .datasource import load_refs
+
     snaps = load_snapshots(argv[0])
     manifest = load_manifest(argv[0])
+    by_version: dict[int, list[str]] = {}
+    for name, r in load_refs(argv[0]).items():
+        by_version.setdefault(r["version"], []).append(name)
     out = []
     for s in snaps:
         rows = [manifest.get(b, {}).get("num_rows") for b in s["files"]]
@@ -111,6 +116,11 @@ def cli_snapshots(argv: list[str]) -> int:
             # how many files the partial count covers
             "num_rows": sum(counted) if len(counted) == len(rows) else None,
             "counted_files": len(counted),
+            **({"staged": True} if s.get("staged") else {}),
+            **({"wap_source": s["wap_source"]}
+               if s.get("wap_source") is not None else {}),
+            **({"refs": sorted(by_version[s["version"]])}
+               if s["version"] in by_version else {}),
         })
     print(json.dumps(out, indent=2))
     return 0
@@ -251,7 +261,13 @@ def cli_diff(argv: list[str]) -> int:
         return 2
 
     def pick(token: str) -> dict:
-        v = max(snaps) if token == "current" else int(token)
+        if token == "current":
+            pub = [v for v, s in snaps.items() if not s.get("staged")]
+            if not pub:
+                print("no published snapshot", file=sys.stderr)
+                raise SystemExit(2)
+            return snaps[max(pub)]
+        v = int(token)
         if v not in snaps:
             print(f"version {v} not in metadata log "
                   f"(have {sorted(snaps)})", file=sys.stderr)
@@ -298,6 +314,36 @@ def cli_diff(argv: list[str]) -> int:
     return 0
 
 
+def cli_tag(argv: list[str]) -> int:
+    """Pin an immutable named tag to a snapshot version:
+    ``tag <dataset-dir> <name> [version]`` (default: published head).
+    Tagged snapshots survive vacuum and are readable via
+    ``option("ref", name)``."""
+    if len(argv) not in (2, 3):
+        print("usage: ... tag <dataset-dir> <name> [version]",
+              file=sys.stderr)
+        return 2
+    from .maintenance import create_tag
+
+    v = create_tag(argv[0], argv[1],
+                   int(argv[2]) if len(argv) == 3 else None)
+    print(json.dumps({"ref": argv[1], "version": v, "type": "tag"}))
+    return 0
+
+
+def cli_refs(argv: list[str]) -> int:
+    """List a dataset's named refs: ``refs <dataset-dir>``."""
+    if len(argv) != 1:
+        print("usage: ... refs <dataset-dir>", file=sys.stderr)
+        return 2
+    from .datasource import load_refs
+
+    refs = load_refs(argv[0])
+    print(json.dumps([{"name": n, **r}
+                      for n, r in sorted(refs.items())], indent=2))
+    return 0
+
+
 def cli_set_sort_order(argv: list[str]) -> int:
     """Metadata-only sort-order change from the shell:
     ``set_sort_order <dataset-dir> [col ...]`` (no cols = clear).
@@ -324,6 +370,8 @@ COMMANDS = {
     "evolve_spec": cli_evolve_spec,
     "set_sort_order": cli_set_sort_order,
     "diff": cli_diff,
+    "tag": cli_tag,
+    "refs": cli_refs,
 }
 
 

@@ -170,11 +170,59 @@ def write_snapshots(path: str, snaps: list[dict]) -> None:
     os.rename(tmp, snapshots_path(path))
 
 
+REFS_NAME = "_refs.json"
+
+
+def refs_path(dataset_dir: str) -> str:
+    return os.path.join(dataset_dir, REFS_NAME)
+
+
+def load_refs(path: str) -> dict:
+    """Named snapshot refs (Iceberg table refs): ``{name: {"version":
+    int, "type": "tag"}}``. Tags are immutable pointers into the
+    metadata log — vacuum retains the snapshots (and files) they pin,
+    so a tagged version stays readable past any retention horizon."""
+    import json
+
+    rp = refs_path(path)
+    if not os.path.isdir(path) or not os.path.exists(rp):
+        return {}
+    try:
+        with open(rp) as f:
+            return json.load(f)
+    except (OSError, ValueError) as exc:
+        raise ColfFormatError(f"corrupt refs sidecar at {rp}: {exc}") from exc
+
+
+def write_refs(path: str, refs: dict) -> None:
+    import json
+
+    tmp = refs_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(refs, f)
+    os.rename(tmp, refs_path(path))
+
+
+def published_snapshots(snaps: list[dict]) -> list[dict]:
+    """The main-lineage view of the log: every snapshot except staged
+    (write-audit-publish) commits, which are invisible to normal reads
+    and to append inheritance until published."""
+    return [s for s in snaps if not s.get("staged")]
+
+
+def published_head(path: str) -> dict | None:
+    pub = published_snapshots(load_snapshots(path))
+    return pub[-1] if pub else None
+
+
 def commit_snapshot(path: str, live_files: list[str],
                     reset: bool = False,
                     expected_parent: int | None = None,
                     spec: list[str] | None = None,
-                    sort: list[str] | None = None) -> int:
+                    sort: list[str] | None = None,
+                    staged: bool = False,
+                    added: list[str] | None = None,
+                    wap_source: int | None = None) -> int:
     """Append a snapshot whose live set is ``live_files`` (basenames);
     ``reset`` starts a fresh history at version 1 (overwrite mode —
     the old part files are physically gone, so old versions would be
@@ -200,6 +248,18 @@ def commit_snapshot(path: str, live_files: list[str],
             f"retry the commit.")
     version = current + 1
     entry: dict = {"version": version, "files": sorted(set(live_files))}
+    if staged:
+        # write-audit-publish: the commit exists in the log (readable
+        # via option("snapshot", v) for auditing) but is OUTSIDE the
+        # published lineage; "added" records the delta this staged
+        # append introduced so publish_wap can cherry-pick it onto
+        # whatever the published head is by then (Iceberg WAP)
+        pub = published_snapshots(snaps)
+        entry["staged"] = True
+        entry["parent"] = pub[-1]["version"] if pub else 0
+        entry["added"] = sorted(set(added or []))
+    if wap_source is not None:
+        entry["wap_source"] = wap_source  # publish provenance
     if spec is not None:
         # partition-spec evolution (Iceberg model): the spec is TABLE
         # metadata carried by the snapshot that adopted it; files
@@ -215,12 +275,19 @@ def commit_snapshot(path: str, live_files: list[str],
 
 
 def live_files(path: str) -> list[str]:
-    """Current live set as full paths: the latest snapshot when the
-    metadata log exists, else the directory listing (compat with
-    datasets produced by the reference writer or by hand)."""
+    """Current live set as full paths: the latest PUBLISHED snapshot
+    when the metadata log exists (staged write-audit-publish commits
+    are invisible until published), else the directory listing (compat
+    with datasets produced by the reference writer or by hand)."""
     snaps = load_snapshots(path)
+    pub = published_snapshots(snaps)
+    if pub:
+        return [os.path.join(path, b) for b in pub[-1]["files"]]
     if snaps:
-        return [os.path.join(path, b) for b in snaps[-1]["files"]]
+        # a log with ONLY staged commits (first-ever write was staged):
+        # the published table is empty — never fall back to the
+        # directory listing, which would leak the staged files
+        return []
     return dataset_files(path)
 
 
@@ -231,7 +298,7 @@ def current_partition_spec(path: str) -> list[str] | None:
     evolve_partition_spec``). ``None`` when no snapshot records one —
     legacy datasets, where callers fall back to
     ``inferred_partition_spec``."""
-    for s in reversed(load_snapshots(path)):
+    for s in reversed(published_snapshots(load_snapshots(path))):
         if "spec" in s:
             return list(s["spec"])
         if "inherited_spec" in s:
@@ -282,7 +349,7 @@ def current_sort_order(path: str) -> list[str] | None:
     not identity — it exists so maintenance rewrites RE-SORT instead
     of silently destroying the clustering a reader's stripe pruning
     depends on. ``None`` = never recorded."""
-    for s in reversed(load_snapshots(path)):
+    for s in reversed(published_snapshots(load_snapshots(path))):
         if "sort" in s:
             return list(s["sort"])
         if "inherited_sort" in s:  # vacuum carry-forward (see spec)
@@ -657,6 +724,20 @@ class ColfReader(DataSourceReader):
         # listing for datasets without one)
         snap_opt = options.get("snapshot")
         self.snapshot = int(snap_opt) if snap_opt is not None else None
+        # option ref=name reads the snapshot a named ref (tag) pins —
+        # Iceberg's read-by-ref; resolved at plan time via the refs
+        # sidecar, then identical to option snapshot=N
+        ref_opt = options.get("ref")
+        if ref_opt is not None:
+            if self.snapshot is not None:
+                raise ColfFormatError(
+                    "options ref and snapshot are mutually exclusive")
+            refs = load_refs(self.path)
+            if ref_opt not in refs:
+                raise ColfFormatError(
+                    f"unknown ref '{ref_opt}' in {self.path} "
+                    f"(have: {sorted(refs) or 'none'})")
+            self.snapshot = int(refs[ref_opt]["version"])
         # option incrementalFrom=N plans ONLY the part files added
         # after version N (up to `snapshot` or latest) — the CDC-style
         # incremental scan: a consumer that has processed version N
@@ -1538,6 +1619,21 @@ class ColfWriter(DataSourceArrowWriter):
                 options, self.path, self.partition_cols, self.colf_columns)
         self.sort_cols, self.commit_sort = _resolve_sort_order(
             options, self.path, self.colf_columns, overwrite)
+        # option wap=true stages this APPEND as a write-audit-publish
+        # commit: the snapshot lands in the log (auditable via
+        # option("snapshot", v)) but stays invisible to normal reads
+        # and to later appends until maintenance.publish_wap()
+        self.wap = options.get("wap", "false").lower() == "true"
+        if self.wap:
+            if overwrite:
+                raise ColfFormatError(
+                    "wap=true stages appends only; an overwrite "
+                    "redefines the table and cannot be staged")
+            if self.commit_spec is not None or self.commit_sort is not None:
+                raise ColfFormatError(
+                    "wap=true cannot change table metadata (partition "
+                    "spec / sort order); evolve the published table "
+                    "first, then stage the data write")
 
     def write(self, iterator):
         """Executor-side: drain this partition's Arrow batches into one
@@ -1633,6 +1729,9 @@ class ColfWriter(DataSourceArrowWriter):
             expected_parent=parent,
             spec=self.commit_spec,
             sort=self.commit_sort,
+            staged=self.wap,
+            added=[os.path.basename(f) for f in written]
+            if self.wap else None,
         )
 
     def abort(self, messages):

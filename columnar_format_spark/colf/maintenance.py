@@ -32,9 +32,12 @@ from .datasource import (
     live_files,
     load_blooms,
     load_manifest,
+    load_refs,
     load_snapshots,
     manifest_path,
+    published_snapshots,
     save_blooms,
+    write_refs,
     write_snapshots,
 )
 
@@ -182,6 +185,128 @@ def set_sort_order(path: str, columns: list[str]) -> int:
     return commit_snapshot(
         path, [os.path.basename(f) for f in live],
         expected_parent=(parent or None), sort=list(columns))
+
+
+def create_tag(path: str, name: str, version: int | None = None) -> int:
+    """Pin a named immutable TAG to a snapshot version (Iceberg table
+    refs): ``option("ref", name)`` reads it, and ``vacuum()`` retains
+    the pinned snapshot's files past any retention horizon — the
+    mechanism behind "keep the quarterly audit snapshot readable
+    forever" without freezing the whole history. Defaults to the
+    current published head. Returns the pinned version."""
+    from .format import ColfFormatError
+
+    snaps = load_snapshots(path)
+    if not snaps:
+        raise ColfFormatError(f"no metadata log at {path} — nothing to tag")
+    if version is None:
+        pub = published_snapshots(snaps)
+        if not pub:
+            raise ColfFormatError(f"no published snapshot at {path}")
+        version = pub[-1]["version"]
+    if version not in {s["version"] for s in snaps}:
+        raise ColfFormatError(
+            f"version {version} not in the metadata log at {path} "
+            f"(have {sorted(s['version'] for s in snaps)})")
+    refs = load_refs(path)
+    if name in refs:
+        raise ColfFormatError(
+            f"ref '{name}' already exists at {path} (tags are "
+            f"immutable; drop_ref first to re-point)")
+    refs[name] = {"version": int(version), "type": "tag"}
+    write_refs(path, refs)
+    return int(version)
+
+
+def drop_ref(path: str, name: str) -> None:
+    from .format import ColfFormatError
+
+    refs = load_refs(path)
+    if name not in refs:
+        raise ColfFormatError(f"unknown ref '{name}' at {path}")
+    del refs[name]
+    write_refs(path, refs)
+
+
+def publish_wap(path: str, version: int) -> int:
+    """PUBLISH a staged write-audit-publish snapshot (written with
+    ``option("wap", "true")``): cherry-pick its added files onto the
+    current published head as a new published snapshot. A pure
+    metadata commit — no data moves. Fast-forward when nothing
+    published since the stage; otherwise the cherry-pick is the
+    append-only union (Iceberg's WAP cherry-pick supports appends,
+    same here — staged commits are appends by construction). Returns
+    the new published version."""
+    from .format import ColfFormatError
+
+    snaps = load_snapshots(path)
+    by_v = {s["version"]: s for s in snaps}
+    st = by_v.get(version)
+    if st is None:
+        raise ColfFormatError(
+            f"version {version} not in the metadata log at {path}")
+    if not st.get("staged"):
+        raise ColfFormatError(
+            f"version {version} at {path} is not a staged commit")
+    if any(s.get("wap_source") == version for s in snaps):
+        raise ColfFormatError(
+            f"staged version {version} at {path} was already published")
+    pub = published_snapshots(snaps)
+    head_files = set(pub[-1]["files"]) if pub else set()
+    parent = snaps[-1]["version"]
+    return commit_snapshot(
+        path, sorted(head_files | set(st.get("added", []))),
+        expected_parent=parent, wap_source=version)
+
+
+def snapshot_changelog(spark: SparkSession, path: str, v_from: int,
+                       v_to: int | None = None):
+    """Row-accurate CHANGELOG between two table versions as a
+    DataFrame: every row carries ``_change_type`` ('insert' or
+    'delete'). The exact-CDC tier on top of the file-level incremental
+    scan (``option("incrementalFrom", N)``), correct ACROSS REWRITES:
+    a CoW delete rewrites survivor files, so file-level diffing
+    over-reports — here the rewritten rows cancel in ``exceptAll``.
+
+    Scale: part files common to both versions cancel at the METADATA
+    level first, so each side reads only its unique files (after a
+    small delete, that is the touched sliver, not the table); the
+    residual exceptAll is one hash shuffle per direction over those
+    slivers only."""
+    from pyspark.sql import functions as F
+
+    from .format import ColfFormatError
+
+    snaps = {s["version"]: s for s in load_snapshots(path)}
+    if v_to is None:
+        pub = published_snapshots(sorted(snaps.values(),
+                                         key=lambda s: s["version"]))
+        if not pub:
+            raise ColfFormatError(f"no published snapshot at {path}")
+        v_to = pub[-1]["version"]
+    for v in (v_from, v_to):
+        if v not in snaps:
+            raise ColfFormatError(
+                f"version {v} not in the metadata log at {path} "
+                f"(have {sorted(snaps)})")
+    f_from = set(snaps[v_from]["files"])
+    f_to = set(snaps[v_to]["files"])
+    only_from, only_to = sorted(f_from - f_to), sorted(f_to - f_from)
+
+    def side(version: int, basenames: list[str]):
+        r = (spark.read.format("colf")
+             .option("snapshot", str(version)))
+        if basenames:
+            r = r.option("files", ",".join(basenames))
+            return r.load(path)
+        return r.load(path).limit(0)
+
+    d_from, d_to = side(v_from, only_from), side(v_to, only_to)
+    ins = d_to.exceptAll(d_from).withColumn("_change_type",
+                                            F.lit("insert"))
+    del_ = d_from.exceptAll(d_to).withColumn("_change_type",
+                                             F.lit("delete"))
+    return ins.unionAll(del_)
 
 
 def compact(spark: SparkSession, path: str, target_files: int | None = None,
@@ -336,6 +461,25 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
 
     log_mtime = os.path.getmtime(snapshots_path(path))
     kept = snaps[-keep_last:]
+    # refs pin snapshots past the retention horizon (Iceberg ref
+    # retention): a tagged version must stay readable after any
+    # vacuum. Unpublished staged (WAP) commits are in-flight work —
+    # retained too, with their files.
+    pinned = {r["version"] for r in load_refs(path).values()}
+    published_from = {s.get("wap_source") for s in snaps
+                      if s.get("wap_source") is not None}
+    pinned |= {s["version"] for s in snaps
+               if s.get("staged") and s["version"] not in published_from}
+    pub = published_snapshots(snaps)
+    if pub:
+        # the published head must survive regardless of where staged
+        # commits sit in the log tail
+        pinned.add(pub[-1]["version"])
+    kept_v = {s["version"] for s in kept}
+    extra = [s for s in snaps
+             if s["version"] in pinned and s["version"] not in kept_v]
+    if extra:
+        kept = sorted(extra + kept, key=lambda s: s["version"])
     # the partition spec is carried by the snapshot that ADOPTED it —
     # often older than the retention horizon. Expiring that snapshot
     # must not lose the spec (appends would stop inheriting and

@@ -1965,3 +1965,217 @@ def q183_colf_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = v2.agg(F.count(F.lit(1)).cast("bigint").alias("n_v2"))
     return (added.crossJoin(F.broadcast(removed))
             .crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2)))
+
+
+# q184-q186 anchors (max order key per sf_dir), filled at staging
+_CDC_MAXKEY: dict[str, int] = {}
+
+
+def _stage_cdc_orders(spark: SparkSession, sf_dir: str) -> str:
+    """A 2-column orders COLF dataset shared by the round-8 CDC tier
+    (changelog / tags / WAP): staged once per process, mutated on
+    fresh hardlink clones per run."""
+    def write(d: str) -> None:
+        o = table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            "o_orderstatus")
+        (o.repartition(4).write.format("colf")
+         .mode("overwrite").save(d + "/ds"))
+        _CDC_MAXKEY[sf_dir] = int(o.agg(F.max("o_orderkey")).first()[0])
+
+    return stage_once(("colf-cdc-orders", sf_dir), "colf_cdc_tmpl_", write)
+
+
+@register(
+    "q184_colf_changelog",
+    oracle="""
+    WITH v1 AS (SELECT o_orderkey, o_orderstatus FROM orders),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE NOT (o_orderkey % 9 = 0 AND o_orderstatus = 'O')
+      UNION ALL
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders), 'C'
+      FROM orders WHERE o_orderkey % 40 = 1),
+    ins AS (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1),
+    del AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+    SELECT * FROM (
+      SELECT 'insert' AS change_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      FROM ins
+      UNION ALL
+      SELECT 'delete' AS change_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      FROM del)
+    WHERE n_rows > 0
+    """,
+)
+def q184_colf_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-accurate CHANGELOG as a consumable DataFrame
+    (maintenance.snapshot_changelog): every row between two table
+    versions tagged ``_change_type`` insert/delete — the CDC feed a
+    downstream incremental consumer replays, exact ACROSS a CoW
+    rewrite (rewritten survivor files carry rows from both versions;
+    file-level diffing over-reports them, the changelog cancels them).
+    The staged history is a CoW delete (every 9th 'O' order) then an
+    append; the oracle recomputes both versions relationally and
+    EXCEPT ALLs them.
+
+    Scale: part files common to both versions cancel at the METADATA
+    level before any I/O — after a small delete each side reads only
+    the touched sliver, not the table; the residual exceptAll is one
+    hash shuffle per direction over those slivers (see
+    maintenance.snapshot_changelog and the planning test in
+    tests/test_colf_refs_wap.py)."""
+    from .datasource import register as register_ds
+    from .maintenance import delete_where, snapshot_changelog
+
+    register_ds(spark)
+    tmpl = _stage_cdc_orders(spark, sf_dir)
+    path = run_dir(("colf-cdc-changelog-run", sf_dir), "colf_cdc_chg_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+
+    delete_where(spark, path,
+                 "o_orderkey % 9 = 0 AND o_orderstatus = 'O'")
+    mx = _CDC_MAXKEY[sf_dir]
+    inserts = (table(spark, sf_dir, "orders")
+               .filter(F.col("o_orderkey") % 40 == 1)
+               .select((F.col("o_orderkey") + mx + 1).cast("int")
+                       .alias("o_orderkey"),
+                       F.lit("C").alias("o_orderstatus")))
+    inserts.coalesce(1).write.format("colf").mode("append").save(path)
+
+    log = snapshot_changelog(spark, path, 1)
+    return (log.groupBy(F.col("_change_type").alias("change_type"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.sum(F.col("o_orderkey").cast("bigint"))
+                 .alias("key_sum")))
+
+
+@register(
+    "q185_colf_tag_read",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+                AS BIGINT) AS n_tagged,
+           CAST((SELECT SUM(o_orderkey) FROM orders
+                 WHERE o_orderkey % 2 = 0) AS BIGINT) AS key_sum_tagged,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_current
+    """,
+)
+def q185_colf_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named snapshot refs under the correctness gate (Iceberg table
+    refs): v1 (even order keys) is TAGGED ``baseline``, v2 appends the
+    odd keys, then ``vacuum(keep_last=1)`` expires untagged history —
+    and the tagged version must STILL read exactly (vacuum retains
+    ref-pinned snapshots and their files). The oracle recomputes the
+    tagged version's aggregate from the source parquet: a wrong
+    retention decision (vacuumed tag files, or a tag resolving to the
+    wrong version) changes the answer.
+
+    Scale: a tag is one sidecar entry; retention cost is the pinned
+    snapshot's files staying on disk — the "keep the quarterly audit
+    snapshot readable" contract with zero read-path overhead."""
+    from .datasource import register as register_ds
+    from .maintenance import create_tag, vacuum
+
+    register_ds(spark)
+
+    def write(d: str) -> None:
+        o = table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            "o_orderstatus")
+        (o.filter(F.col("o_orderkey") % 2 == 0).repartition(2)
+         .write.format("colf").mode("overwrite").save(d + "/ds"))
+        (o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1)
+         .write.format("colf").mode("append").save(d + "/ds"))
+        create_tag(d + "/ds", "baseline", 1)
+
+    tmpl = stage_once(("colf-tagged", sf_dir), "colf_tag_tmpl_", write)
+    path = run_dir(("colf-tagged-run", sf_dir), "colf_tag_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+
+    vacuum(path, keep_last=1)
+    tagged = (spark.read.format("colf").option("ref", "baseline")
+              .load(path))
+    current = spark.read.format("colf").load(path)
+    t = tagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tagged"),
+        F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum_tagged"))
+    c = current.agg(F.count(F.lit(1)).cast("bigint").alias("n_current"))
+    return t.crossJoin(F.broadcast(c))
+
+
+@register(
+    "q186_colf_wap",
+    oracle="""
+    WITH published AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      UNION ALL
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders)
+               AS o_orderkey,
+             'W' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 25 = 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'W' THEN 1 END)
+                AS BIGINT) AS n_wap_rows
+    FROM published
+    """,
+)
+def q186_colf_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish under the correctness gate (Iceberg WAP):
+    an append staged with ``option("wap", "true")`` lands in the
+    metadata log but is INVISIBLE to normal reads; the query audits it
+    through an explicit snapshot read (row-count gate — the "audit"
+    step a production pipeline runs before exposing data), then
+    ``publish_wap`` fast-forwards it into the published lineage. The
+    query ASSERTS the isolation property at each step (pre-publish
+    reads must not see staged rows) and returns the post-publish
+    state, which the oracle recomputes relationally — a staged row
+    leaking early or dropped at publish changes the answer.
+
+    Scale: staging is a normal parallel append plus one metadata-log
+    entry; audit reads plan from the log like any time travel;
+    publish is a pure metadata commit (no data moves) — the
+    dbt-style WAP pattern at warehouse scale."""
+    from .datasource import register as register_ds
+    from .maintenance import publish_wap
+
+    register_ds(spark)
+    tmpl = _stage_cdc_orders(spark, sf_dir)
+    path = run_dir(("colf-wap-run", sf_dir), "colf_wap_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+
+    n_published = spark.read.format("colf").load(path).count()
+    mx = _CDC_MAXKEY[sf_dir]
+    staged_rows = (table(spark, sf_dir, "orders")
+                   .filter(F.col("o_orderkey") % 25 == 2)
+                   .select((F.col("o_orderkey") + mx + 1).cast("int")
+                           .alias("o_orderkey"),
+                           F.lit("W").alias("o_orderstatus")))
+    (staged_rows.coalesce(1).write.format("colf")
+     .option("wap", "true").mode("append").save(path))
+
+    # isolation: the staged commit must be invisible pre-publish
+    n_visible = spark.read.format("colf").load(path).count()
+    if n_visible != n_published:
+        raise AssertionError(
+            f"staged WAP commit leaked into normal reads: "
+            f"{n_visible} vs {n_published} rows")
+    # audit: the staged snapshot itself, via explicit version
+    audit = (spark.read.format("colf").option("snapshot", "2")
+             .load(path))
+    n_audit = audit.count()
+    if n_audit <= n_published:
+        raise AssertionError(
+            f"staged snapshot audit read saw {n_audit} rows "
+            f"(published {n_published}) — staged data missing")
+    publish_wap(path, 2)
+
+    final = spark.read.format("colf").load(path)
+    return final.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"),
+        F.count(F.when(F.col("o_orderstatus") == "W", 1))
+        .cast("bigint").alias("n_wap_rows"))

@@ -14,7 +14,14 @@ shipping the window — round 7 ran the sf0.01 full sweep twice (once
 after the last writer change) and covered all 181 at sf0.1 across
 four targeted sweeps.
 
-Registry size: 182 queries (q01-q183, no q123). Round-6 additions were
+Registry size: 185 queries (q01-q186, no q123). Round-8 additions are
+q184 (row-accurate changelog: per-row _change_type insert/delete
+between versions, common files cancelling at the metadata level),
+q185 (named snapshot refs — tags pin versions past vacuum, read via
+option("ref", name)), and q186 (write-audit-publish: option("wap",
+"true") stages an append invisible to normal reads until
+maintenance.publish_wap cherry-picks it onto the published head).
+Round-6 additions were
 q169-q174 (layout/metadata tier); round-7 additions are q175-q178 —
 TPC-H Q2/Q11/Q12/Q20, completing the full 22-query TPC-H suite (Q1=q01,
 Q14=q72; partsupp-dependent shapes adapted via a lineitem-derived
@@ -71,6 +78,9 @@ from .registry import QUERIES, QuerySpec  # noqa: F401
 #   3. the same sweep at sf0.1 for every query in DRIVER_WINDOW;
 #   4. python bench.py — summary line must parse and stay <=1500 chars.
 DRIVER_WINDOW = [
+    # new this round — no driver row yet (CDC/refs tier: row-accurate
+    # changelog, tag reads surviving vacuum, write-audit-publish)
+    "q184_colf_changelog", "q185_colf_tag_read", "q186_colf_wap",
     # red-row re-prove — oracle CAST fix (tpch.py)
     "q177_tpch_q12",
     # changed this round — staged supply relation / stripe sizing
@@ -94,8 +104,12 @@ DRIVER_WINDOW = [
     "q124_tpch_q5", "q125_tpch_q10", "q126_tpch_q18",
     "q127_stream_incremental_dedup", "q129_dedup_verified_pairs",
     "q130_frame_sampling", "q131_image_resize",
-    "q132_negative_sampling", "q133_budget_selection",
-    "q134_colf_incremental_read", "q135_ann_recall", "q136_colf_vacuum",
+    "q132_negative_sampling",
+    # (q133/q134/q135 yield their backfill slots to the three new
+    #  CDC-tier queries this round — they stay r04-era, first in the
+    #  round-9 backfill; q136 keeps its slot because vacuum() changed
+    #  this round: ref/staged retention + inherited_* carry keys)
+    "q136_colf_vacuum",
 ]
 
 

@@ -1,0 +1,216 @@
+"""Named snapshot refs (tags), write-audit-publish staged commits, and
+the row-accurate changelog — the Iceberg ref/WAP/CDC surfaces on the
+COLF metadata log: tags pin versions past vacuum, staged commits stay
+invisible to normal reads and to append inheritance until published,
+and the changelog sees through CoW rewrites."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_format_spark.colf.datasource import (
+    live_files,
+    load_refs,
+    load_snapshots,
+    register,
+)
+from columnar_format_spark.colf.format import ColfFormatError
+from columnar_format_spark.colf.maintenance import (
+    create_tag,
+    delete_where,
+    drop_ref,
+    publish_wap,
+    snapshot_changelog,
+    vacuum,
+)
+
+
+@pytest.fixture(scope="module")
+def colf_spark(spark):
+    register(spark)
+    return spark
+
+
+def _df(colf_spark, lo, hi):
+    return colf_spark.range(lo, hi).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 5).cast("string").alias("g"))
+
+
+@pytest.fixture()
+def ds(colf_spark, tmp_path):
+    p = str(tmp_path / "refds")
+    _df(colf_spark, 0, 100).coalesce(2).write.format("colf") \
+        .mode("overwrite").save(p)                      # v1: 100 rows
+    _df(colf_spark, 100, 150).coalesce(1).write.format("colf") \
+        .mode("append").save(p)                         # v2: 150 rows
+    return p
+
+
+# ---------------------------------------------------------------- tags
+
+def test_tag_read_and_immutability(colf_spark, ds):
+    assert create_tag(ds, "baseline", 1) == 1
+    got = colf_spark.read.format("colf").option("ref", "baseline").load(ds)
+    assert got.count() == 100
+    # default pins the published head
+    assert create_tag(ds, "head") == 2
+    # tags are immutable
+    with pytest.raises(ColfFormatError):
+        create_tag(ds, "baseline", 2)
+    # unknown ref / version are loud (reader errors cross the JVM
+    # boundary as AnalysisException wrapping the ColfFormatError text)
+    with pytest.raises(Exception, match="unknown ref 'nope'"):
+        colf_spark.read.format("colf").option("ref", "nope").load(ds).count()
+    with pytest.raises(ColfFormatError):
+        create_tag(ds, "x", 99)
+    drop_ref(ds, "head")
+    assert sorted(load_refs(ds)) == ["baseline"]
+    with pytest.raises(ColfFormatError):
+        drop_ref(ds, "head")
+
+
+def test_ref_and_snapshot_options_exclusive(colf_spark, ds):
+    create_tag(ds, "t1", 1)
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (colf_spark.read.format("colf").option("ref", "t1")
+         .option("snapshot", "2").load(ds).count())
+
+
+def test_vacuum_retains_tagged_snapshot(colf_spark, ds):
+    """THE point of tags: the pinned version stays readable past the
+    retention horizon — vacuum must keep both its log entry and its
+    part files, even when a retained COMPACTION has made them
+    non-live (the case where vacuum otherwise deletes them)."""
+    from columnar_format_spark.colf.maintenance import compact
+
+    create_tag(ds, "audit", 1)
+    compact(colf_spark, ds, 1, retain=True)             # v3: all rewritten
+    deleted = vacuum(ds, keep_last=1)
+    versions = [s["version"] for s in load_snapshots(ds)]
+    assert 1 in versions and 3 in versions and 2 not in versions
+    # v2's only-its-own file (the appended one) was reclaimable; v1's
+    # two files were pinned by the tag and must survive
+    assert len(deleted) == 1
+    got = colf_spark.read.format("colf").option("ref", "audit").load(ds)
+    assert got.count() == 100
+    assert got.agg(F.sum("k")).first()[0] == sum(range(100))
+    # current read unaffected
+    assert colf_spark.read.format("colf").load(ds).count() == 150
+
+
+# ----------------------------------------------------------------- WAP
+
+def test_wap_staged_commit_invisible_until_published(colf_spark, ds):
+    (_df(colf_spark, 150, 175).coalesce(1).write.format("colf")
+     .option("wap", "true").mode("append").save(ds))    # v3 staged
+    snaps = load_snapshots(ds)
+    st = snaps[-1]
+    assert st["staged"] and st["version"] == 3 and st["parent"] == 2
+    assert len(st["added"]) == 1
+    # invisible to normal reads and to live_files
+    assert colf_spark.read.format("colf").load(ds).count() == 150
+    assert len(live_files(ds)) == 3
+    # auditable by explicit snapshot
+    audit = (colf_spark.read.format("colf")
+             .option("snapshot", "3").load(ds))
+    assert audit.count() == 175
+    # publish = fast-forward; now visible
+    v = publish_wap(ds, 3)
+    assert v == 4
+    assert colf_spark.read.format("colf").load(ds).count() == 175
+    # double-publish is loud
+    with pytest.raises(ColfFormatError):
+        publish_wap(ds, 3)
+    # publishing a normal commit is loud
+    with pytest.raises(ColfFormatError):
+        publish_wap(ds, 2)
+
+
+def test_wap_cherry_pick_after_interim_append(colf_spark, ds):
+    (_df(colf_spark, 150, 175).coalesce(1).write.format("colf")
+     .option("wap", "true").mode("append").save(ds))    # v3 staged
+    # an interim PUBLISHED append builds on v2, not on the staged v3
+    _df(colf_spark, 200, 210).coalesce(1).write.format("colf") \
+        .mode("append").save(ds)                        # v4 published
+    assert colf_spark.read.format("colf").load(ds).count() == 160
+    publish_wap(ds, 3)                                  # cherry-pick
+    assert colf_spark.read.format("colf").load(ds).count() == 185
+
+
+def test_wap_rejects_overwrite_and_metadata_change(colf_spark, ds):
+    with pytest.raises(Exception):
+        (_df(colf_spark, 0, 10).write.format("colf")
+         .option("wap", "true").mode("overwrite").save(ds))
+    with pytest.raises(Exception):
+        (_df(colf_spark, 0, 10).coalesce(1).write.format("colf")
+         .option("wap", "true").option("sortOrder", "k")
+         .mode("append").save(ds))
+
+
+def test_wap_only_log_reads_empty(colf_spark, tmp_path):
+    """First-ever commit staged: the published table is EMPTY — the
+    reader must not leak the staged files via the listing fallback."""
+    p = str(tmp_path / "wapfirst")
+    (_df(colf_spark, 0, 10).coalesce(1).write.format("colf")
+     .option("wap", "true").mode("append").save(p))
+    assert live_files(p) == []
+    assert colf_spark.read.format("colf").load(p).count() == 0
+    publish_wap(p, 1)
+    assert colf_spark.read.format("colf").load(p).count() == 10
+
+
+def test_vacuum_retains_unpublished_staged(colf_spark, ds):
+    (_df(colf_spark, 150, 175).coalesce(1).write.format("colf")
+     .option("wap", "true").mode("append").save(ds))    # v3 staged
+    _df(colf_spark, 200, 210).coalesce(1).write.format("colf") \
+        .mode("append").save(ds)                        # v4 published
+    vacuum(ds, keep_last=1)
+    versions = [s["version"] for s in load_snapshots(ds)]
+    assert 3 in versions and 4 in versions
+    publish_wap(ds, 3)
+    assert colf_spark.read.format("colf").load(ds).count() == 185
+
+
+# ----------------------------------------------------------- changelog
+
+def test_changelog_sees_through_cow_rewrite(colf_spark, ds):
+    delete_where(colf_spark, ds, "k >= 140")            # v3: -10 rows
+    _df(colf_spark, 300, 305).coalesce(1).write.format("colf") \
+        .mode("append").save(ds)                        # v4: +5 rows
+    log = snapshot_changelog(colf_spark, ds, 2)
+    rows = {(r["_change_type"], r["k"]) for r in log.collect()}
+    assert {t for t, _ in rows} == {"insert", "delete"}
+    assert {k for t, k in rows if t == "delete"} == set(range(140, 150))
+    assert {k for t, k in rows if t == "insert"} == set(range(300, 305))
+    # pure-insert increment: no deletes reported
+    log2 = snapshot_changelog(colf_spark, ds, 3, 4).collect()
+    assert all(r["_change_type"] == "insert" for r in log2)
+    assert len(log2) == 5
+    # identical versions diff to nothing
+    assert snapshot_changelog(colf_spark, ds, 2, 2).count() == 0
+    with pytest.raises(ColfFormatError):
+        snapshot_changelog(colf_spark, ds, 99)
+
+
+def test_changelog_reads_only_unique_files(colf_spark, ds):
+    """The metadata-level cancellation: a pure append's changelog must
+    plan scans over ONLY the per-side-unique files — the files common
+    to both versions cancel before any I/O."""
+    from columnar_format_spark.colf.datasource import ColfReader
+
+    _df(colf_spark, 300, 310).coalesce(1).write.format("colf") \
+        .mode("append").save(ds)                        # v3
+    snaps = {s["version"]: set(s["files"]) for s in load_snapshots(ds)}
+    common = snaps[2] & snaps[3]
+    only_to = snaps[3] - snaps[2]
+    assert common and only_to  # the appended-to files really are shared
+    # the exact reader configuration changelog's v_to side uses
+    schema = colf_spark.read.format("colf").load(ds).schema
+    r = ColfReader({"path": ds, "snapshot": "3",
+                    "files": ",".join(sorted(only_to))}, schema)
+    planned = {os.path.basename(p.file) for p in r.partitions()
+               if p.file is not None}
+    assert planned == only_to
+    assert not planned & common
