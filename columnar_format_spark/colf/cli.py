@@ -331,6 +331,20 @@ def cli_tag(argv: list[str]) -> int:
     return 0
 
 
+def cli_rollback(argv: list[str]) -> int:
+    """Restore an earlier version as the published head (metadata
+    only): ``rollback <dataset-dir> <version>``."""
+    if len(argv) != 2:
+        print("usage: ... rollback <dataset-dir> <version>",
+              file=sys.stderr)
+        return 2
+    from .maintenance import rollback
+
+    v = rollback(argv[0], int(argv[1]))
+    print(json.dumps({"restored": int(argv[1]), "version": v}))
+    return 0
+
+
 def cli_refs(argv: list[str]) -> int:
     """List a dataset's named refs: ``refs <dataset-dir>``."""
     if len(argv) != 1:
@@ -372,6 +386,7 @@ COMMANDS = {
     "diff": cli_diff,
     "tag": cli_tag,
     "refs": cli_refs,
+    "rollback": cli_rollback,
 }
 
 

@@ -259,6 +259,36 @@ def publish_wap(path: str, version: int) -> int:
         expected_parent=parent, wap_source=version)
 
 
+def rollback(path: str, version: int) -> int:
+    """Restore an earlier table version as the new published head
+    (Iceberg's rollback): a pure metadata commit re-publishing that
+    snapshot's file set — no data moves, and the abandoned versions
+    stay in the log (time-travel-able, vacuum-reclaimable). The target
+    must still be fully on disk (not vacuumed). Returns the new
+    version."""
+    from .format import ColfFormatError
+
+    snaps = load_snapshots(path)
+    by_v = {s["version"]: s for s in snaps}
+    tgt = by_v.get(version)
+    if tgt is None:
+        raise ColfFormatError(
+            f"version {version} not in the metadata log at {path} "
+            f"(have {sorted(by_v)})")
+    if tgt.get("staged"):
+        raise ColfFormatError(
+            f"version {version} at {path} is a staged commit — "
+            f"publish_wap it instead of rolling back to it")
+    missing = [b for b in tgt["files"]
+               if not os.path.exists(os.path.join(path, b))]
+    if missing:
+        raise ColfFormatError(
+            f"cannot roll back to version {version}: part files "
+            f"{missing} were vacuumed")
+    return commit_snapshot(path, list(tgt["files"]),
+                           expected_parent=snaps[-1]["version"])
+
+
 def snapshot_changelog(spark: SparkSession, path: str, v_from: int,
                        v_to: int | None = None):
     """Row-accurate CHANGELOG between two table versions as a

@@ -214,3 +214,38 @@ def test_changelog_reads_only_unique_files(colf_spark, ds):
                if p.file is not None}
     assert planned == only_to
     assert not planned & common
+
+
+# ------------------------------------------------------------ rollback
+
+def test_rollback_restores_earlier_version(colf_spark, ds):
+    delete_where(colf_spark, ds, "k >= 100")            # v3: back to 100
+    assert colf_spark.read.format("colf").load(ds).count() == 100
+    from columnar_format_spark.colf.maintenance import rollback
+
+    v = rollback(ds, 2)                                 # undo the delete
+    assert v == 4
+    assert colf_spark.read.format("colf").load(ds).count() == 150
+    # abandoned version still time-travels
+    assert (colf_spark.read.format("colf").option("snapshot", "3")
+            .load(ds).count() == 100)
+    with pytest.raises(ColfFormatError):
+        rollback(ds, 99)
+    # rolling back to a staged commit is loud — publish it instead
+    (_df(colf_spark, 500, 510).coalesce(1).write.format("colf")
+     .option("wap", "true").mode("append").save(ds))    # v5 staged
+    with pytest.raises(ColfFormatError):
+        rollback(ds, 5)
+
+
+def test_rollback_cli(colf_spark, ds, capsys):
+    from columnar_format_spark.colf.cli import main as cli_main
+
+    _df(colf_spark, 900, 910).coalesce(1).write.format("colf") \
+        .mode("append").save(ds)                        # v3: 160
+    assert cli_main(["rollback", ds, "2"]) == 0
+    import json as _json
+
+    out = _json.loads(capsys.readouterr().out)
+    assert out == {"restored": 2, "version": 4}
+    assert colf_spark.read.format("colf").load(ds).count() == 150
