@@ -117,6 +117,7 @@ HEADLINE = [
     "q184_colf_changelog",
     "q185_colf_tag_read",
     "q186_colf_wap",
+    "q187_colf_branch",
 ]
 
 

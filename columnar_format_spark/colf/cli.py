@@ -117,8 +117,10 @@ def cli_snapshots(argv: list[str]) -> int:
             "num_rows": sum(counted) if len(counted) == len(rows) else None,
             "counted_files": len(counted),
             **({"staged": True} if s.get("staged") else {}),
+            **({"branch": s["branch"]} if s.get("branch") else {}),
             **({"wap_source": s["wap_source"]}
                if s.get("wap_source") is not None else {}),
+            **({"ff_from": s["ff_from"]} if s.get("ff_from") else {}),
             **({"refs": sorted(by_version[s["version"]])}
                if s["version"] in by_version else {}),
         })
@@ -331,6 +333,37 @@ def cli_tag(argv: list[str]) -> int:
     return 0
 
 
+def cli_branch(argv: list[str]) -> int:
+    """Create a branch lineage: ``branch <dataset-dir> <name>
+    [version]`` (default fork point: published head). Append to it
+    with writer ``option("branch", name)``; land it with
+    ``fast_forward``."""
+    if len(argv) not in (2, 3):
+        print("usage: ... branch <dataset-dir> <name> [version]",
+              file=sys.stderr)
+        return 2
+    from .maintenance import create_branch
+
+    v = create_branch(argv[0], argv[1],
+                      int(argv[2]) if len(argv) == 3 else None)
+    print(json.dumps({"ref": argv[1], "forked_at": v, "type": "branch"}))
+    return 0
+
+
+def cli_fast_forward(argv: list[str]) -> int:
+    """Land a branch on the published lineage (metadata only):
+    ``fast_forward <dataset-dir> <name>``."""
+    if len(argv) != 2:
+        print("usage: ... fast_forward <dataset-dir> <name>",
+              file=sys.stderr)
+        return 2
+    from .maintenance import fast_forward
+
+    v = fast_forward(argv[0], argv[1])
+    print(json.dumps({"ref": argv[1], "version": v}))
+    return 0
+
+
 def cli_rollback(argv: list[str]) -> int:
     """Restore an earlier version as the published head (metadata
     only): ``rollback <dataset-dir> <version>``."""
@@ -387,6 +420,8 @@ COMMANDS = {
     "tag": cli_tag,
     "refs": cli_refs,
     "rollback": cli_rollback,
+    "branch": cli_branch,
+    "fast_forward": cli_fast_forward,
 }
 
 

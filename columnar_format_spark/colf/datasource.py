@@ -205,9 +205,10 @@ def write_refs(path: str, refs: dict) -> None:
 
 def published_snapshots(snaps: list[dict]) -> list[dict]:
     """The main-lineage view of the log: every snapshot except staged
-    (write-audit-publish) commits, which are invisible to normal reads
-    and to append inheritance until published."""
-    return [s for s in snaps if not s.get("staged")]
+    (write-audit-publish) commits and branch commits, which are
+    invisible to normal reads and to append inheritance until
+    published / fast-forwarded."""
+    return [s for s in snaps if not s.get("staged") and not s.get("branch")]
 
 
 def published_head(path: str) -> dict | None:
@@ -222,7 +223,9 @@ def commit_snapshot(path: str, live_files: list[str],
                     sort: list[str] | None = None,
                     staged: bool = False,
                     added: list[str] | None = None,
-                    wap_source: int | None = None) -> int:
+                    wap_source: int | None = None,
+                    branch: str | None = None,
+                    ff_from: str | None = None) -> int:
     """Append a snapshot whose live set is ``live_files`` (basenames);
     ``reset`` starts a fresh history at version 1 (overwrite mode —
     the old part files are physically gone, so old versions would be
@@ -260,6 +263,13 @@ def commit_snapshot(path: str, live_files: list[str],
         entry["added"] = sorted(set(added or []))
     if wap_source is not None:
         entry["wap_source"] = wap_source  # publish provenance
+    if branch is not None:
+        # a commit on a named BRANCH lineage: outside the published
+        # view (like staged), its delta recorded for fast-forward
+        entry["branch"] = branch
+        entry["added"] = sorted(set(added or []))
+    if ff_from is not None:
+        entry["ff_from"] = ff_from  # fast-forward provenance
     if spec is not None:
         # partition-spec evolution (Iceberg model): the spec is TABLE
         # metadata carried by the snapshot that adopted it; files
@@ -1624,16 +1634,31 @@ class ColfWriter(DataSourceArrowWriter):
         # option("snapshot", v)) but stays invisible to normal reads
         # and to later appends until maintenance.publish_wap()
         self.wap = options.get("wap", "false").lower() == "true"
-        if self.wap:
+        # option branch=name appends onto a named BRANCH lineage
+        # (maintenance.create_branch): the branch head advances, the
+        # published table is untouched until maintenance.fast_forward
+        self.branch = options.get("branch")
+        if self.wap or self.branch is not None:
+            what = "wap=true" if self.wap else "branch writes"
+            if self.wap and self.branch is not None:
+                raise ColfFormatError(
+                    "options wap and branch are mutually exclusive "
+                    "(a WAP stage is an anonymous single-commit branch)")
             if overwrite:
                 raise ColfFormatError(
-                    "wap=true stages appends only; an overwrite "
-                    "redefines the table and cannot be staged")
+                    f"{what} stage appends only; an overwrite "
+                    f"redefines the table and cannot be staged")
             if self.commit_spec is not None or self.commit_sort is not None:
                 raise ColfFormatError(
-                    "wap=true cannot change table metadata (partition "
-                    "spec / sort order); evolve the published table "
-                    "first, then stage the data write")
+                    f"{what} cannot change table metadata (partition "
+                    f"spec / sort order); evolve the published table "
+                    f"first, then stage the data write")
+        if self.branch is not None:
+            ref = load_refs(self.path).get(self.branch)
+            if ref is None or ref.get("type") != "branch":
+                raise ColfFormatError(
+                    f"unknown branch '{self.branch}' at {self.path} "
+                    f"(create it with maintenance.create_branch)")
 
     def write(self, iterator):
         """Executor-side: drain this partition's Arrow batches into one
@@ -1682,6 +1707,24 @@ class ColfWriter(DataSourceArrowWriter):
         # the other writer's files (single-writer contract, enforced).
         if self.overwrite or not os.path.isdir(self.path):
             prior, parent = [], None
+        elif self.branch is not None:
+            # a branch append bases on the BRANCH head, not the
+            # published head; CAS still guards the whole log
+            refs = load_refs(self.path)
+            ref = refs.get(self.branch)
+            if ref is None or ref.get("type") != "branch":
+                raise ColfFormatError(
+                    f"branch '{self.branch}' disappeared from "
+                    f"{self.path} between plan and commit")
+            snaps = load_snapshots(self.path)
+            by_v = {s["version"]: s for s in snaps}
+            head = by_v.get(ref["version"])
+            if head is None:
+                raise ColfFormatError(
+                    f"branch '{self.branch}' head version "
+                    f"{ref['version']} was vacuumed from the log")
+            parent = snaps[-1]["version"] if snaps else 0
+            prior = list(head["files"])
         else:
             snaps = load_snapshots(self.path)
             parent = snaps[-1]["version"] if snaps else 0
@@ -1722,7 +1765,7 @@ class ColfWriter(DataSourceArrowWriter):
         # metadata-log commit: the new live set is this write's files
         # plus (append only) the prior live set. Overwrite physically
         # removed the old part files, so its history restarts at v1.
-        commit_snapshot(
+        new_version = commit_snapshot(
             self.path,
             prior + [os.path.basename(f) for f in written],
             reset=self.overwrite,
@@ -1731,8 +1774,18 @@ class ColfWriter(DataSourceArrowWriter):
             sort=self.commit_sort,
             staged=self.wap,
             added=[os.path.basename(f) for f in written]
-            if self.wap else None,
+            if (self.wap or self.branch is not None) else None,
+            branch=self.branch,
         )
+        if self.branch is not None:
+            # advance the branch head and accumulate its delta (what
+            # fast_forward will cherry-pick onto the published head)
+            refs = load_refs(self.path)
+            ref = refs[self.branch]
+            ref["version"] = new_version
+            ref["added"] = sorted(set(ref.get("added", []))
+                                  | {os.path.basename(f) for f in written})
+            write_refs(self.path, refs)
 
     def abort(self, messages):
         for file, _s, _b in _iter_commit_parts(messages):

@@ -218,6 +218,62 @@ def create_tag(path: str, name: str, version: int | None = None) -> int:
     return int(version)
 
 
+def create_branch(path: str, name: str, version: int | None = None) -> int:
+    """Create a named BRANCH lineage forked at ``version`` (default:
+    published head). Appends with ``option("branch", name)`` advance
+    the branch head without touching the published table; read the
+    branch via ``option("ref", name)``; land it with
+    ``fast_forward()``. Branches support appends only (the WAP model
+    generalized to multi-commit staging). Returns the fork version."""
+    from .format import ColfFormatError
+
+    snaps = load_snapshots(path)
+    if not snaps:
+        raise ColfFormatError(
+            f"no metadata log at {path} — nothing to branch")
+    if version is None:
+        pub = published_snapshots(snaps)
+        if not pub:
+            raise ColfFormatError(f"no published snapshot at {path}")
+        version = pub[-1]["version"]
+    if version not in {s["version"] for s in snaps}:
+        raise ColfFormatError(
+            f"version {version} not in the metadata log at {path} "
+            f"(have {sorted(s['version'] for s in snaps)})")
+    refs = load_refs(path)
+    if name in refs:
+        raise ColfFormatError(f"ref '{name}' already exists at {path}")
+    refs[name] = {"version": int(version), "type": "branch", "added": []}
+    write_refs(path, refs)
+    return int(version)
+
+
+def fast_forward(path: str, name: str) -> int:
+    """Land a branch on the published lineage (Iceberg fast-forward /
+    cherry-pick): one metadata commit whose file set is the published
+    head plus every file the branch added since its fork — no data
+    moves. The branch is then RE-BASED onto the new head (its
+    accumulated delta resets), so further branch appends stage on top
+    of what just landed. Returns the new published version."""
+    from .format import ColfFormatError
+
+    refs = load_refs(path)
+    ref = refs.get(name)
+    if ref is None or ref.get("type") != "branch":
+        raise ColfFormatError(f"unknown branch '{name}' at {path}")
+    snaps = load_snapshots(path)
+    pub = published_snapshots(snaps)
+    head_files = set(pub[-1]["files"]) if pub else set()
+    parent = snaps[-1]["version"] if snaps else None
+    v = commit_snapshot(
+        path, sorted(head_files | set(ref.get("added", []))),
+        expected_parent=parent, ff_from=name)
+    ref["version"] = v
+    ref["added"] = []
+    write_refs(path, refs)
+    return v
+
+
 def drop_ref(path: str, name: str) -> None:
     from .format import ColfFormatError
 
@@ -275,10 +331,10 @@ def rollback(path: str, version: int) -> int:
         raise ColfFormatError(
             f"version {version} not in the metadata log at {path} "
             f"(have {sorted(by_v)})")
-    if tgt.get("staged"):
+    if tgt.get("staged") or tgt.get("branch"):
         raise ColfFormatError(
-            f"version {version} at {path} is a staged commit — "
-            f"publish_wap it instead of rolling back to it")
+            f"version {version} at {path} is a staged/branch commit — "
+            f"publish_wap / fast_forward it instead of rolling back")
     missing = [b for b in tgt["files"]
                if not os.path.exists(os.path.join(path, b))]
     if missing:

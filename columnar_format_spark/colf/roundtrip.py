@@ -2179,3 +2179,82 @@ def q186_colf_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"),
         F.count(F.when(F.col("o_orderstatus") == "W", 1))
         .cast("bigint").alias("n_wap_rows"))
+
+
+@register(
+    "q187_colf_branch",
+    oracle="""
+    WITH landed AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      UNION ALL
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders)
+               AS o_orderkey,
+             'B' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 30 = 4
+      UNION ALL
+      SELECT o_orderkey + 2 * (SELECT MAX(o_orderkey) + 1 FROM orders)
+               AS o_orderkey,
+             'B' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 30 = 5)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'B' THEN 1 END)
+                AS BIGINT) AS n_branch_rows
+    FROM landed
+    """,
+)
+def q187_colf_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch lineages under the correctness gate (Iceberg branch +
+    fast-forward — WAP generalized to MULTI-COMMIT staging): two
+    appends land on a named branch (``option("branch", "dev")``),
+    each advancing the branch head while the published table stays
+    byte-identical; the query ASSERTS the isolation after every
+    staged commit, audits the accumulated branch via
+    ``option("ref", "dev")``, then ``fast_forward`` lands both
+    commits as ONE published metadata commit. The oracle recomputes
+    the landed state relationally — a staged row leaking early, a
+    lost branch commit, or a wrong cherry-pick changes the answer.
+
+    Scale: branch appends are ordinary parallel appends plus a ref
+    update; the fast-forward is a pure metadata commit regardless of
+    how many commits (or TBs) the branch accumulated — the multi-step
+    ingestion-pipeline staging pattern at warehouse scale."""
+    from .datasource import register as register_ds
+    from .maintenance import create_branch, fast_forward
+
+    register_ds(spark)
+    tmpl = _stage_cdc_orders(spark, sf_dir)
+    path = run_dir(("colf-branch-run", sf_dir), "colf_branch_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+
+    n_published = spark.read.format("colf").load(path).count()
+    mx = _CDC_MAXKEY[sf_dir]
+    create_branch(path, "dev")
+    o = table(spark, sf_dir, "orders")
+    for i, mod in enumerate((4, 5), start=1):
+        staged = (o.filter(F.col("o_orderkey") % 30 == mod)
+                  .select((F.col("o_orderkey") + i * (mx + 1)).cast("int")
+                          .alias("o_orderkey"),
+                          F.lit("B").alias("o_orderstatus")))
+        (staged.coalesce(1).write.format("colf")
+         .option("branch", "dev").mode("append").save(path))
+        n_visible = spark.read.format("colf").load(path).count()
+        if n_visible != n_published:
+            raise AssertionError(
+                f"branch commit {i} leaked into the published table: "
+                f"{n_visible} vs {n_published} rows")
+    # audit the accumulated branch before landing it
+    n_branch = (spark.read.format("colf").option("ref", "dev")
+                .load(path).count())
+    if n_branch <= n_published:
+        raise AssertionError(
+            f"branch read saw {n_branch} rows (published "
+            f"{n_published}) — staged commits missing")
+    fast_forward(path, "dev")
+
+    final = spark.read.format("colf").load(path)
+    return final.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"),
+        F.count(F.when(F.col("o_orderstatus") == "B", 1))
+        .cast("bigint").alias("n_branch_rows"))

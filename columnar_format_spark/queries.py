@@ -14,14 +14,16 @@ shipping the window — round 7 ran the sf0.01 full sweep twice (once
 after the last writer change) and covered all 181 at sf0.1 across
 four targeted sweeps.
 
-Registry size: 185 queries (q01-q186, no q123). Round-8 additions are
+Registry size: 186 queries (q01-q187, no q123). Round-8 additions are
 q184 (row-accurate changelog: per-row _change_type insert/delete
 between versions, common files cancelling at the metadata level),
 q185 (named snapshot refs — tags pin versions past vacuum, read via
-option("ref", name)), and q186 (write-audit-publish: option("wap",
+option("ref", name)), q186 (write-audit-publish: option("wap",
 "true") stages an append invisible to normal reads until
-maintenance.publish_wap cherry-picks it onto the published head).
-Round-6 additions were
+maintenance.publish_wap cherry-picks it onto the published head), and
+q187 (branch lineages: multi-commit staging on option("branch",
+name), landed by one fast_forward metadata commit; plus metadata-only
+rollback()). Round-6 additions were
 q169-q174 (layout/metadata tier); round-7 additions are q175-q178 —
 TPC-H Q2/Q11/Q12/Q20, completing the full 22-query TPC-H suite (Q1=q01,
 Q14=q72; partsupp-dependent shapes adapted via a lineitem-derived
@@ -79,8 +81,10 @@ from .registry import QUERIES, QuerySpec  # noqa: F401
 #   4. python bench.py — summary line must parse and stay <=1500 chars.
 DRIVER_WINDOW = [
     # new this round — no driver row yet (CDC/refs tier: row-accurate
-    # changelog, tag reads surviving vacuum, write-audit-publish)
+    # changelog, tag reads surviving vacuum, write-audit-publish,
+    # branch lineages with fast-forward)
     "q184_colf_changelog", "q185_colf_tag_read", "q186_colf_wap",
+    "q187_colf_branch",
     # red-row re-prove — oracle CAST fix (tpch.py)
     "q177_tpch_q12",
     # changed this round — staged supply relation / stripe sizing
@@ -104,8 +108,7 @@ DRIVER_WINDOW = [
     "q124_tpch_q5", "q125_tpch_q10", "q126_tpch_q18",
     "q127_stream_incremental_dedup", "q129_dedup_verified_pairs",
     "q130_frame_sampling", "q131_image_resize",
-    "q132_negative_sampling",
-    # (q133/q134/q135 yield their backfill slots to the three new
+    # (q132/q133/q134/q135 yield their backfill slots to the four new
     #  CDC-tier queries this round — they stay r04-era, first in the
     #  round-9 backfill; q136 keeps its slot because vacuum() changed
     #  this round: ref/staged retention + inherited_* carry keys)

@@ -249,3 +249,100 @@ def test_rollback_cli(colf_spark, ds, capsys):
     out = _json.loads(capsys.readouterr().out)
     assert out == {"restored": 2, "version": 4}
     assert colf_spark.read.format("colf").load(ds).count() == 150
+
+
+# ------------------------------------------------------------- branches
+
+def test_branch_appends_isolated_until_fast_forward(colf_spark, ds):
+    from columnar_format_spark.colf.maintenance import (create_branch,
+                                                        fast_forward)
+
+    assert create_branch(ds, "dev") == 2        # fork at published head
+    for lo in (500, 600):                       # two staged appends
+        (_df(colf_spark, lo, lo + 20).coalesce(1).write.format("colf")
+         .option("branch", "dev").mode("append").save(ds))
+    # published table untouched; branch accumulates both commits
+    assert colf_spark.read.format("colf").load(ds).count() == 150
+    br = colf_spark.read.format("colf").option("ref", "dev").load(ds)
+    assert br.count() == 190
+    refs = load_refs(ds)
+    assert refs["dev"]["version"] == 4 and len(refs["dev"]["added"]) == 2
+    # land it: one metadata commit, all 190 rows published
+    v = fast_forward(ds, "dev")
+    assert colf_spark.read.format("colf").load(ds).count() == 190
+    # the branch re-based onto the landed head: empty delta, new head
+    refs = load_refs(ds)
+    assert refs["dev"]["version"] == v and refs["dev"]["added"] == []
+    # further branch appends stage on the landed state
+    (_df(colf_spark, 700, 705).coalesce(1).write.format("colf")
+     .option("branch", "dev").mode("append").save(ds))
+    assert colf_spark.read.format("colf").load(ds).count() == 190
+    assert (colf_spark.read.format("colf").option("ref", "dev")
+            .load(ds).count() == 195)
+
+
+def test_branch_cherry_pick_over_interim_publish(colf_spark, ds):
+    from columnar_format_spark.colf.maintenance import (create_branch,
+                                                        fast_forward)
+
+    create_branch(ds, "dev")
+    (_df(colf_spark, 500, 520).coalesce(1).write.format("colf")
+     .option("branch", "dev").mode("append").save(ds))
+    # main moves while the branch is in flight
+    _df(colf_spark, 800, 810).coalesce(1).write.format("colf") \
+        .mode("append").save(ds)
+    assert colf_spark.read.format("colf").load(ds).count() == 160
+    fast_forward(ds, "dev")                     # cherry-pick union
+    assert colf_spark.read.format("colf").load(ds).count() == 180
+
+
+def test_branch_guards(colf_spark, ds):
+    from columnar_format_spark.colf.maintenance import (create_branch,
+                                                        fast_forward,
+                                                        rollback)
+
+    with pytest.raises(Exception, match="unknown branch"):
+        (_df(colf_spark, 0, 5).coalesce(1).write.format("colf")
+         .option("branch", "nope").mode("append").save(ds))
+    create_branch(ds, "dev")
+    with pytest.raises(ColfFormatError):
+        create_branch(ds, "dev")                # name collision
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (_df(colf_spark, 0, 5).coalesce(1).write.format("colf")
+         .option("branch", "dev").option("wap", "true")
+         .mode("append").save(ds))
+    with pytest.raises(Exception):
+        (_df(colf_spark, 0, 5).write.format("colf")
+         .option("branch", "dev").mode("overwrite").save(ds))
+    with pytest.raises(ColfFormatError):
+        fast_forward(ds, "nope")
+    # a tag is not fast-forwardable; a branch commit is not a rollback
+    # target
+    create_tag(ds, "t", 1)
+    with pytest.raises(ColfFormatError):
+        fast_forward(ds, "t")
+    (_df(colf_spark, 500, 505).coalesce(1).write.format("colf")
+     .option("branch", "dev").mode("append").save(ds))     # v3 branch
+    with pytest.raises(ColfFormatError):
+        rollback(ds, 3)
+
+
+def test_vacuum_keeps_branch_head_expires_intermediates(colf_spark, ds):
+    from columnar_format_spark.colf.maintenance import (create_branch,
+                                                        fast_forward)
+
+    create_branch(ds, "dev")
+    for lo in (500, 600):
+        (_df(colf_spark, lo, lo + 20).coalesce(1).write.format("colf")
+         .option("branch", "dev").mode("append").save(ds))  # v3, v4
+    _df(colf_spark, 800, 810).coalesce(1).write.format("colf") \
+        .mode("append").save(ds)                            # v5 published
+    vacuum(ds, keep_last=1)
+    versions = [s["version"] for s in load_snapshots(ds)]
+    assert 4 in versions and 5 in versions      # head + published kept
+    assert 3 not in versions                    # intermediate expired
+    # the branch still reads and still lands
+    assert (colf_spark.read.format("colf").option("ref", "dev")
+            .load(ds).count() == 190)
+    fast_forward(ds, "dev")
+    assert colf_spark.read.format("colf").load(ds).count() == 200
