@@ -971,6 +971,9 @@ def q160_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+_LINEITEM_ROWS: dict[str, int] = {}  # per-sf row count (q153 striping)
+
+
 @register(
     "q153_colf_v3_striped",
     oracle="""
@@ -1013,10 +1016,14 @@ def q153_colf_v3_striped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stripeRows sized so a stripe is a real unit of work (the parquet
     # row-group rule: big enough to amortize per-task overhead, small
     # enough that one file still fans out to many cores) — 5k-row
-    # stripes planned 120 scan tasks whose per-task Python-worker cost
-    # dominated the query; 50k rows keeps >=12 partitions from one file
+    # stripes planned 120 scan tasks at sf0.1 whose per-task
+    # Python-worker cost dominated the query; adaptive ~n/8 (capped at
+    # 50k) keeps >=8 partitions from one file at EVERY test SF
+    if sf_dir not in _LINEITEM_ROWS:
+        _LINEITEM_ROWS[sf_dir] = table(spark, sf_dir, "lineitem").count()
+    srows = max(500, min(50_000, _LINEITEM_ROWS[sf_dir] // 8))
     (li.write.format("colf").option("version", "3")
-     .option("stripeRows", "50000").mode("append").save(path))
+     .option("stripeRows", str(srows)).mode("append").save(path))
 
     colf_files = [f for f in os.listdir(path) if f.endswith(".colf")]
     if len(colf_files) != 1:
