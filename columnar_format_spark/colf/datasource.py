@@ -1988,6 +1988,16 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
             options, self.path, self.partition_cols, self.colf_columns)
         self.sort_cols, self.commit_sort = _resolve_sort_order(
             options, self.path, self.colf_columns, overwrite=False)
+        if (options.get("wap", "false").lower() == "true"
+                or options.get("branch") is not None):
+            # staged lineages are a batch-writer surface; silently
+            # committing a stream's micro-batches to the published
+            # table under a wap/branch option would violate the
+            # isolation the caller asked for — refuse loudly
+            raise ColfFormatError(
+                "wap/branch staging is not supported on the streaming "
+                "sink; land micro-batches normally or stage via "
+                "foreachBatch with the batch writer")
 
     def write(self, iterator):
         from pyspark import TaskContext

@@ -346,3 +346,17 @@ def test_vacuum_keeps_branch_head_expires_intermediates(colf_spark, ds):
             .load(ds).count() == 190)
     fast_forward(ds, "dev")
     assert colf_spark.read.format("colf").load(ds).count() == 200
+
+
+def test_stream_sink_rejects_staging_options(colf_spark, ds, tmp_path):
+    """The streaming sink must not silently publish micro-batches a
+    caller asked to stage."""
+    from columnar_format_spark.colf.datasource import ColfStreamArrowWriter
+
+    schema = colf_spark.read.format("colf").load(ds).schema
+    with pytest.raises(ColfFormatError, match="not supported on the"
+                       " streaming sink"):
+        ColfStreamArrowWriter({"path": ds, "wap": "true"}, schema, False)
+    with pytest.raises(ColfFormatError, match="not supported on the"
+                       " streaming sink"):
+        ColfStreamArrowWriter({"path": ds, "branch": "dev"}, schema, False)
