@@ -578,14 +578,21 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     # metadata out of snapshot summaries the same way).
     from .datasource import current_partition_spec, current_sort_order
 
-    if not any("spec" in s or "inherited_spec" in s for s in kept):
-        spec = current_partition_spec(path)
-        if spec is not None:
-            kept[0] = dict(kept[0], inherited_spec=spec)
-    if not any("sort" in s or "inherited_sort" in s for s in kept):
-        sort = current_sort_order(path)
-        if sort is not None:
-            kept[0] = dict(kept[0], inherited_sort=sort)
+    # carry onto the oldest kept PUBLISHED snapshot: staged/branch
+    # entries are filtered out of the spec/sort reverse scans, so an
+    # inherited_* key landing on one would be invisible (silent loss)
+    pub_idx = [i for i, s in enumerate(kept)
+               if not s.get("staged") and not s.get("branch")]
+    if pub_idx:
+        i0 = pub_idx[0]
+        if not any("spec" in s or "inherited_spec" in s for s in kept):
+            spec = current_partition_spec(path)
+            if spec is not None:
+                kept[i0] = dict(kept[i0], inherited_spec=spec)
+        if not any("sort" in s or "inherited_sort" in s for s in kept):
+            sort = current_sort_order(path)
+            if sort is not None:
+                kept[i0] = dict(kept[i0], inherited_sort=sort)
     referenced = {b for s in kept for b in s["files"]}
     deleted = []
     for f in dataset_files(path):

@@ -1986,7 +1986,10 @@ def _stage_cdc_orders(spark: SparkSession, sf_dir: str) -> str:
         o = table(spark, sf_dir, "orders").select(
             F.col("o_orderkey").cast("int").alias("o_orderkey"),
             "o_orderstatus")
-        (o.repartition(4).write.format("colf")
+        # range-partitioned on the key (the dataset convention for
+        # retention-managed tables): key-localized deletes touch one
+        # file and their discovery is metadata-planned via zone maps
+        (o.repartitionByRange(4, "o_orderkey").write.format("colf")
          .mode("overwrite").save(d + "/ds"))
         _CDC_MAXKEY[sf_dir] = int(o.agg(F.max("o_orderkey")).first()[0])
 
@@ -1996,10 +1999,11 @@ def _stage_cdc_orders(spark: SparkSession, sf_dir: str) -> str:
 @register(
     "q184_colf_changelog",
     oracle="""
-    WITH v1 AS (SELECT o_orderkey, o_orderstatus FROM orders),
+    WITH cut AS (SELECT MAX(o_orderkey) // 4 AS c FROM orders),
+    v1 AS (SELECT o_orderkey, o_orderstatus FROM orders),
     v2 AS (
-      SELECT o_orderkey, o_orderstatus FROM orders
-      WHERE NOT (o_orderkey % 9 = 0 AND o_orderstatus = 'O')
+      SELECT o_orderkey, o_orderstatus FROM orders, cut
+      WHERE NOT (o_orderkey <= cut.c AND o_orderstatus = 'O')
       UNION ALL
       SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders), 'C'
       FROM orders WHERE o_orderkey % 40 = 1),
@@ -2025,15 +2029,18 @@ def q184_colf_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream incremental consumer replays, exact ACROSS a CoW
     rewrite (rewritten survivor files carry rows from both versions;
     file-level diffing over-reports them, the changelog cancels them).
-    The staged history is a CoW delete (every 9th 'O' order) then an
+    The staged history is a KEY-LOCALIZED CoW delete ('O' orders in
+    the lowest key quartile — the retention-delete shape) then an
     append; the oracle recomputes both versions relationally and
     EXCEPT ALLs them.
 
-    Scale: part files common to both versions cancel at the METADATA
-    level before any I/O — after a small delete each side reads only
-    the touched sliver, not the table; the residual exceptAll is one
-    hash shuffle per direction over those slivers (see
-    maintenance.snapshot_changelog and the planning test in
+    Scale: the delete's discovery is metadata-planned (range predicate
+    over the range-partitioned layout's zone maps — no data scan) and
+    rewrites ~1 of 4 files; then part files common to both versions
+    cancel at the METADATA level before any changelog I/O — each side
+    reads only the touched sliver, not the table; the residual
+    exceptAll is one hash shuffle per direction over those slivers
+    (see maintenance.snapshot_changelog and the planning test in
     tests/test_colf_refs_wap.py)."""
     from .datasource import register as register_ds
     from .maintenance import delete_where, snapshot_changelog
@@ -2043,9 +2050,9 @@ def q184_colf_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = run_dir(("colf-cdc-changelog-run", sf_dir), "colf_cdc_chg_") + "/ds"
     clone_dataset(tmpl + "/ds", path)
 
-    delete_where(spark, path,
-                 "o_orderkey % 9 = 0 AND o_orderstatus = 'O'")
     mx = _CDC_MAXKEY[sf_dir]
+    delete_where(spark, path,
+                 f"o_orderkey <= {mx // 4} AND o_orderstatus = 'O'")
     inserts = (table(spark, sf_dir, "orders")
                .filter(F.col("o_orderkey") % 40 == 1)
                .select((F.col("o_orderkey") + mx + 1).cast("int")

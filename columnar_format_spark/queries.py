@@ -7,12 +7,13 @@ DRIVER_WINDOW list below picks them under a standing rotation rule:
 (1) queries with no driver row yet, (2) queries whose oracle or plan
 changed this round, (3) backfill by oldest green evidence first.
 Everything stays covered locally by tests/test_queries_oracle.py
-(sf0.001, every query, every run) regardless of order; rounds 5, 6
-and 7 additionally verified the ENTIRE registry driver-style at
+(sf0.001, every query, every run — WITH the driver-replica
+pandas-dtype-parity assertion since round 8) regardless of order;
+rounds 5-8 additionally verified the ENTIRE registry driver-style at
 sf0.01 AND sf0.1 with zero failures (tools/sweep_oracle.py) before
-shipping the window — round 7 ran the sf0.01 full sweep twice (once
-after the last writer change) and covered all 181 at sf0.1 across
-four targeted sweeps.
+shipping the window — round 8 ran the sf0.01 sweep with --dtypes
+(182/182 parity-clean early, full re-sweep after the last product
+commit) and the 50-query window at sf0.1 with --dtypes (50/50).
 
 Registry size: 186 queries (q01-q187, no q123). Round-8 additions are
 q184 (row-accurate changelog: per-row _change_type insert/delete

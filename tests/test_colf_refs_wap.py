@@ -360,3 +360,28 @@ def test_stream_sink_rejects_staging_options(colf_spark, ds, tmp_path):
     with pytest.raises(ColfFormatError, match="not supported on the"
                        " streaming sink"):
         ColfStreamArrowWriter({"path": ds, "branch": "dev"}, schema, False)
+
+
+def test_vacuum_spec_carry_skips_staged_oldest(colf_spark, tmp_path):
+    """The inherited_* vacuum carry must land on a PUBLISHED kept
+    snapshot: staged/branch entries are invisible to the spec/sort
+    scans, so pinning onto one would silently lose the metadata."""
+    from columnar_format_spark.colf.datasource import (
+        current_sort_order, load_snapshots as _ls)
+    from columnar_format_spark.colf.maintenance import set_sort_order
+
+    p = str(tmp_path / "carryds")
+    _df(colf_spark, 0, 100).coalesce(2).write.format("colf") \
+        .mode("overwrite").save(p)                      # v1
+    set_sort_order(p, ["k"])                            # v2 carries sort
+    (_df(colf_spark, 100, 120).coalesce(1).write.format("colf")
+     .option("wap", "true").mode("append").save(p))     # v3 staged
+    _df(colf_spark, 200, 210).coalesce(1).write.format("colf") \
+        .mode("append").save(p)                         # v4 published
+    # keep_last=2 keeps v3 (staged, also pinned) + v4; the sort-bearing
+    # v2 expires — the carry must land on v4, not the staged v3
+    vacuum(p, keep_last=2)
+    assert current_sort_order(p) == ["k"]
+    for s in _ls(p):
+        if s.get("staged"):
+            assert "inherited_sort" not in s and "sort" not in s
