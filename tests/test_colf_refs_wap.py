@@ -385,3 +385,30 @@ def test_vacuum_spec_carry_skips_staged_oldest(colf_spark, tmp_path):
     for s in _ls(p):
         if s.get("staged"):
             assert "inherited_sort" not in s and "sort" not in s
+
+
+def test_changelog_audits_staged_snapshot(colf_spark, ds):
+    """The WAP audit tier: diff the STAGED snapshot against the
+    published head before publishing — exactly the staged rows, all
+    inserts, none leaked."""
+    (_df(colf_spark, 150, 170).coalesce(1).write.format("colf")
+     .option("wap", "true").mode("append").save(ds))    # v3 staged
+    log = snapshot_changelog(colf_spark, ds, 2, 3).collect()
+    assert all(r["_change_type"] == "insert" for r in log)
+    assert sorted(r["k"] for r in log) == list(range(150, 170))
+
+
+def test_cli_diff_staged_version(colf_spark, ds, capsys):
+    import json as _json
+
+    from columnar_format_spark.colf.cli import main as cli_main
+
+    (_df(colf_spark, 150, 170).coalesce(1).write.format("colf")
+     .option("wap", "true").mode("append").save(ds))    # v3 staged
+    # 'current' resolves to the published head (v2), not the staged v3
+    assert cli_main(["diff", ds, "2", "current"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["v2"] == 2 and out["n_added"] == 0 and out["n_removed"] == 0
+    assert cli_main(["diff", ds, "2", "3"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert (out["n_added"], out["n_removed"]) == (20, 0)
