@@ -118,6 +118,7 @@ HEADLINE = [
     "q185_colf_tag_read",
     "q186_colf_wap",
     "q187_colf_branch",
+    "q188_colf_update",
 ]
 
 

@@ -2272,3 +2272,60 @@ def q187_colf_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"),
         F.count(F.when(F.col("o_orderstatus") == "B", 1))
         .cast("bigint").alias("n_branch_rows"))
+
+
+@register(
+    "q188_colf_update",
+    oracle="""
+    WITH cut AS (SELECT MAX(o_orderkey) // 4 AS c FROM orders),
+    updated AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey <= cut.c AND o_orderstatus = 'O'
+                  THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+      FROM orders, cut)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM updated
+    GROUP BY o_orderstatus
+    """,
+)
+def q188_colf_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write row-level UPDATE under the correctness gate
+    (maintenance.update_where — the remaining DML verb next to
+    q148 DELETE and q149 MERGE): 'O' orders in the lowest key
+    quartile flip to status 'X'. Matches the oracle iff exactly the
+    matching rows changed, every NULL/non-matching row survived
+    byte-equal, and no row was lost or duplicated by the rewrite. The
+    query ASSERTS the CoW cost model from the op's own stats:
+    metadata-planned discovery (zone maps over the range-partitioned
+    layout — no discovery scan) and a 1-of-4-file rewrite.
+
+    Scale: the retention/backfill-update shape — discovery is free
+    (sidecar metadata), cost is one read+write of the touched sliver;
+    a full-scan UPDATE engine pays the whole table every time."""
+    from .datasource import register as register_ds
+    from .maintenance import update_where
+
+    register_ds(spark)
+    tmpl = _stage_cdc_orders(spark, sf_dir)
+    path = run_dir(("colf-update-run", sf_dir), "colf_upd_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+
+    mx = _CDC_MAXKEY[sf_dir]
+    stats = update_where(spark, path, {"o_orderstatus": "'X'"},
+                         f"o_orderkey <= {mx // 4} AND o_orderstatus = 'O'")
+    if stats["discovery"] != "metadata":
+        raise AssertionError(
+            f"key-range update should be metadata-planned, got "
+            f"{stats['discovery']}")
+    if not (1 <= stats["n_rewritten_files"] <= 2
+            and stats["n_kept_files"] >= 2):
+        raise AssertionError(
+            f"key-quartile update should rewrite ~1 of 4 files, got "
+            f"{stats['n_rewritten_files']} rewritten / "
+            f"{stats['n_kept_files']} kept")
+    back = spark.read.format("colf").load(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"))
