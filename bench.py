@@ -119,6 +119,7 @@ HEADLINE = [
     "q186_colf_wap",
     "q187_colf_branch",
     "q188_colf_update",
+    "q189_colf_clustered_maintenance",
 ]
 
 

@@ -181,11 +181,12 @@ def cli_partitions(argv: list[str]) -> int:
         return 2
     import os
 
-    from .datasource import (current_partition_spec, current_sort_order,
-                             live_files, load_manifest)
+    from .datasource import (current_clustering, current_partition_spec,
+                             current_sort_order, live_files, load_manifest)
 
     spec = current_partition_spec(argv[0])
     sort = current_sort_order(argv[0])
+    cluster = current_clustering(argv[0])
     manifest = load_manifest(argv[0])
     live = [os.path.basename(f) for f in live_files(argv[0])]
     tuples: dict[str, dict] = {}
@@ -208,7 +209,8 @@ def cli_partitions(argv: list[str]) -> int:
         # the RECORDED spec (snapshot-log "spec", Iceberg-style) —
         # files written under older specs keep their own tuples below
         **({"current_spec": spec} if spec is not None else {}),
-        **({"sort_order": sort} if sort is not None else {}),
+        **({"sort_order": sort} if sort else {}),
+        **({"clustering": cluster} if cluster else {}),
         "partitions": sorted(tuples.values(),
                              key=lambda t: json.dumps(t["partition"],
                                                       sort_keys=True)),
@@ -316,6 +318,22 @@ def cli_diff(argv: list[str]) -> int:
     return 0
 
 
+def cli_set_clustering(argv: list[str]) -> int:
+    """Metadata-only z-order clustering change from the shell:
+    ``set_clustering <dataset-dir> [col col ...]`` (no cols = clear;
+    >=2 numeric cols otherwise). compact() then re-clusters by the
+    rank-normalized Morton interleave. Prints the committed version."""
+    if not argv:
+        print("usage: ... set_clustering <dataset-dir> [col col ...]",
+              file=sys.stderr)
+        return 2
+    from .maintenance import set_clustering
+
+    v = set_clustering(argv[0], list(argv[1:]))
+    print(json.dumps({"version": v, "cluster": argv[1:]}))
+    return 0
+
+
 def cli_tag(argv: list[str]) -> int:
     """Pin an immutable named tag to a snapshot version:
     ``tag <dataset-dir> <name> [version]`` (default: published head).
@@ -416,6 +434,7 @@ COMMANDS = {
     "partitions": cli_partitions,
     "evolve_spec": cli_evolve_spec,
     "set_sort_order": cli_set_sort_order,
+    "set_clustering": cli_set_clustering,
     "diff": cli_diff,
     "tag": cli_tag,
     "refs": cli_refs,

@@ -1,0 +1,69 @@
+"""Rank-normalized z-order helpers for RECORDED clustering
+(maintenance.set_clustering + compact — the Delta OPTIMIZE ZORDER
+model: clustering is table metadata; writes land in arrival order and
+maintenance re-establishes the layout).
+
+All expressions are JVM-side built-ins (no UDFs in the layout path):
+rank buckets come from distributed approxQuantile cut points applied
+via a higher-order array filter, and the Morton interleave is bit
+arithmetic — the same approach q169_zorder_rank proves out, here
+generalized to N dimensions for the maintenance tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_BITS = 8  # 256 equal-population buckets per dimension
+
+
+def rank_cuts(df: DataFrame, cols: list[str],
+              bits: int = RANK_BITS) -> list[list[float]]:
+    """Per-dimension equal-population cut points from ONE distributed
+    approxQuantile pass (multi-column form: every sketch built in a
+    single scan). Driver receives (2**bits - 1) doubles per column —
+    metadata-sized at any corpus scale."""
+    n = (1 << bits) - 1
+    probs = [(i + 1) / (n + 1) for i in range(n)]
+    return df.stat.approxQuantile(list(cols), probs, 0.001)
+
+
+def rank_bucket(col: str, cuts: list[float]) -> F.Column:
+    """Value -> rank bucket = #cuts <= value, as a JVM-side
+    higher-order filter over the literal cut array. Monotone in the
+    value, so range predicates on the original column stay range
+    predicates in the rank domain."""
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    return F.size(F.filter(arr, lambda c: F.col(col).cast("double") >= c))
+
+
+def interleave_ranks(cols: list[str], bits: int = RANK_BITS) -> F.Column:
+    """Morton/z-value of N non-negative rank columns: bit i of column j
+    lands at position i*N + j. With N*bits <= 62 the value fits a
+    BIGINT (8-bit ranks support up to 7 dimensions)."""
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"{n} dimensions x {bits} bits overflow BIGINT")
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            terms.append(
+                f"shiftleft(CAST(shiftright({c}, {i}) & 1 AS BIGINT), "
+                f"{i * n + j})")
+    return F.expr(" + ".join(terms))
+
+
+def with_zorder(df: DataFrame, cols: list[str],
+                bits: int = RANK_BITS) -> DataFrame:
+    """Append a ``_zval`` column: the Morton interleave of each
+    dimension's rank bucket. One quantile scan + pure codegen
+    expressions per row."""
+    cuts = rank_cuts(df, cols, bits)
+    rk_cols = []
+    for c, cut in zip(cols, cuts):
+        rk = f"_rk_{c}"
+        df = df.withColumn(rk, rank_bucket(c, cut))
+        rk_cols.append(rk)
+    df = df.withColumn("_zval", interleave_ranks(rk_cols, bits))
+    return df.drop(*rk_cols)

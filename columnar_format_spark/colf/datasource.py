@@ -225,7 +225,8 @@ def commit_snapshot(path: str, live_files: list[str],
                     added: list[str] | None = None,
                     wap_source: int | None = None,
                     branch: str | None = None,
-                    ff_from: str | None = None) -> int:
+                    ff_from: str | None = None,
+                    cluster: list[str] | None = None) -> int:
     """Append a snapshot whose live set is ``live_files`` (basenames);
     ``reset`` starts a fresh history at version 1 (overwrite mode —
     the old part files are physically gone, so old versions would be
@@ -279,6 +280,8 @@ def commit_snapshot(path: str, live_files: list[str],
     if sort is not None:
         entry["sort"] = list(sort)  # recorded sort order (see
         # current_sort_order) — same carry-by-snapshot model as spec
+    if cluster is not None:
+        entry["cluster"] = list(cluster)  # recorded z-order clustering
     snaps.append(entry)
     write_snapshots(path, snaps)
     return version
@@ -364,6 +367,22 @@ def current_sort_order(path: str) -> list[str] | None:
             return list(s["sort"])
         if "inherited_sort" in s:  # vacuum carry-forward (see spec)
             return list(s["inherited_sort"])
+    return None
+
+
+def current_clustering(path: str) -> list[str] | None:
+    """The dataset's recorded Z-ORDER CLUSTERING (snapshot-log
+    ``"cluster"``, Delta OPTIMIZE ZORDER's model): the numeric columns
+    whose rank-normalized Morton interleave ``compact()`` re-clusters
+    the layout by. Writes land in arrival order (Delta parity: DML
+    never re-z-orders); maintenance restores the layout. ``None`` =
+    never recorded. Mutually exclusive with the recorded sort order —
+    both describe THE layout, so recording one clears the other."""
+    for s in reversed(published_snapshots(load_snapshots(path))):
+        if "cluster" in s:
+            return list(s["cluster"])
+        if "inherited_cluster" in s:  # vacuum carry-forward
+            return list(s["inherited_cluster"])
     return None
 
 

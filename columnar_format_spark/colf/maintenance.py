@@ -184,7 +184,49 @@ def set_sort_order(path: str, columns: list[str]) -> int:
     parent = snaps[-1]["version"] if snaps else 0
     return commit_snapshot(
         path, [os.path.basename(f) for f in live],
-        expected_parent=(parent or None), sort=list(columns))
+        expected_parent=(parent or None), sort=list(columns),
+        cluster=[])  # clustering and sort are one layout slot
+
+
+def set_clustering(path: str, columns: list[str]) -> int:
+    """Record a Z-ORDER CLUSTERING for the dataset (Delta OPTIMIZE
+    ZORDER's model; no data movement): ``compact()`` then re-clusters
+    the layout by the rank-normalized Morton interleave of these
+    NUMERIC columns — range partitioning across files on the z-value,
+    z-value order within them — so multi-column rectangle predicates
+    prune from the zone maps alone, and maintenance RESTORES that
+    power instead of scrambling it. Writes land in arrival order
+    (Delta parity: DML never re-z-orders). Mutually exclusive with the
+    recorded sort order — both describe THE layout, so recording one
+    clears the other. ``columns=[]`` clears. Returns the committed
+    metadata-log version."""
+    from .format import ColfFormatError
+
+    live = live_files(path)
+    if not live:
+        raise ColfFormatError(f"no live .colf files at {path}")
+    types = {c.name: c.type for c in dataset_union_columns(path, live)}
+    for c in columns:
+        if c not in types:
+            raise ColfFormatError(
+                f"set_clustering names unknown column '{c}' "
+                f"(have: {sorted(types)})")
+        if types[c] == "utf8":
+            raise ColfFormatError(
+                f"set_clustering: utf8 column '{c}' is unsupported "
+                f"(rank normalization needs a numeric domain; use the "
+                f"recorded sort order for string keys)")
+    if len(columns) < 2 and columns:
+        raise ColfFormatError(
+            "set_clustering needs >=2 columns (a single key is better "
+            "served by set_sort_order: plain range clustering beats a "
+            "1-dimensional z-order)")
+    snaps = load_snapshots(path)
+    parent = snaps[-1]["version"] if snaps else 0
+    return commit_snapshot(
+        path, [os.path.basename(f) for f in live],
+        expected_parent=(parent or None), cluster=list(columns),
+        sort=[])  # clustering and sort are one layout slot
 
 
 def create_tag(path: str, name: str, version: int | None = None) -> int:
@@ -471,11 +513,26 @@ def compact(spark: SparkSession, path: str, target_files: int | None = None,
         path, [os.path.basename(f) for f in live])
     # transform specs (bucket/truncate) repartition on their SOURCE
     # columns: co-locating raw values co-locates every derived value
-    from .datasource import current_sort_order, partition_source_columns
+    from .datasource import (current_clustering, current_sort_order,
+                             partition_source_columns)
 
     sort = current_sort_order(path) or []
+    cluster = current_clustering(path) or []
     if pcols:
         src = df.repartition(target_files, *partition_source_columns(pcols))
+    elif cluster:
+        # recorded Z-ORDER clustering (Delta OPTIMIZE ZORDER): one
+        # quantile scan for rank cuts, then range partitioning across
+        # files on the z-value and z-order WITHIN each file, so every
+        # file's zone maps cover a small rectangle of the key space —
+        # maintenance RESTORES multi-column pruning instead of
+        # scrambling it
+        from .cluster import with_zorder
+
+        src = (with_zorder(df, cluster)
+               .repartitionByRange(target_files, "_zval")
+               .sortWithinPartitions("_zval")
+               .drop("_zval"))
     elif sort:
         # a recorded sort order makes compaction RE-CLUSTER instead of
         # round-robin scrambling: range partitioning across files, the
@@ -506,6 +563,15 @@ def compact(spark: SparkSession, path: str, target_files: int | None = None,
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)
+        if cluster:
+            # the swap started a fresh log (the writer records spec and
+            # sort itself, but clustering is maintenance metadata) —
+            # re-record it so the NEXT compaction keeps re-clustering
+            snaps1 = load_snapshots(path)
+            commit_snapshot(
+                path, [os.path.basename(f) for f in dataset_files(path)],
+                expected_parent=snaps1[-1]["version"] if snaps1 else None,
+                cluster=cluster)
         return len(dataset_files(path))
     # retention mode: adopt the rewritten files into the live dir
     moved = []
@@ -593,6 +659,13 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
             sort = current_sort_order(path)
             if sort is not None:
                 kept[i0] = dict(kept[i0], inherited_sort=sort)
+        if not any("cluster" in s or "inherited_cluster" in s
+                   for s in kept):
+            from .datasource import current_clustering
+
+            cluster = current_clustering(path)
+            if cluster is not None:
+                kept[i0] = dict(kept[i0], inherited_cluster=cluster)
     referenced = {b for s in kept for b in s["files"]}
     deleted = []
     for f in dataset_files(path):

@@ -2329,3 +2329,94 @@ def q188_colf_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"))
+
+
+@register(
+    "q189_colf_clustered_maintenance",
+    oracle="""
+    WITH bounds AS (
+      SELECT (MAX(l_partkey) * 3) // 10 AS lo_p,
+             (MAX(l_partkey) * 4) // 10 AS hi_p,
+             (MAX(l_suppkey) * 3) // 10 AS lo_s,
+             (MAX(l_suppkey) * 4) // 10 AS hi_s
+      FROM lineitem)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price,
+           CAST(MIN(l_partkey) AS BIGINT) AS min_p,
+           CAST(MAX(l_suppkey) AS BIGINT) AS max_s
+    FROM lineitem, bounds
+    WHERE l_partkey BETWEEN lo_p AND hi_p
+      AND l_suppkey BETWEEN lo_s AND hi_s
+    """,
+)
+def q189_colf_clustered_maintenance(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """RECORDED z-order clustering under the correctness gate (Delta
+    OPTIMIZE ZORDER's model, completing the recorded-layout family
+    next to q182's sort orders): lineitem lands HASH-SCATTERED on two
+    keys (every file's zone maps span everything — a 10%x10% rectangle
+    predicate prunes nothing), ``set_clustering`` records the layout
+    as table metadata (one commit, no data), and ``compact()``
+    re-clusters by the rank-normalized Morton interleave. The query
+    ASSERTS from the manifest sidecar alone that the rectangle now
+    overlaps at most half the files, that the clustering survived into
+    the post-compaction log (the NEXT maintenance cycle keeps it), and
+    returns the rectangle aggregate the oracle value-checks — layout
+    must never change an answer.
+
+    Scale: this is the maintenance-tier form of q169's write-side
+    layout: at 100 TB the layout decision lives in table metadata, so
+    every future OPTIMIZE restores multi-column pruning without any
+    operator re-specifying it; the quantile pass is one scan and the
+    cut points are metadata-sized."""
+    from .datasource import current_clustering, load_manifest
+    from .datasource import register as register_ds
+    from .maintenance import compact, set_clustering
+
+    register_ds(spark)
+
+    def write(d: str) -> None:
+        (table(spark, sf_dir, "lineitem")
+         .select(F.col("l_partkey").cast("int").alias("l_partkey"),
+                 F.col("l_suppkey").cast("int").alias("l_suppkey"),
+                 F.col("l_extendedprice"))
+         .repartition(8)
+         .write.format("colf").option("version", "2")
+         .mode("overwrite").save(d + "/ds"))
+        set_clustering(d + "/ds", ["l_partkey", "l_suppkey"])
+
+    tmpl = stage_once(("colf-clustered", sf_dir), "colf_clus_tmpl_", write)
+    path = run_dir(("colf-clustered-run", sf_dir), "colf_clus_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+
+    n_files = 8
+    compact(spark, path, n_files)
+    if current_clustering(path) != ["l_partkey", "l_suppkey"]:
+        raise AssertionError(
+            f"compaction must carry the recorded clustering, got "
+            f"{current_clustering(path)}")
+    man = load_manifest(path)
+    mx_p = max(s["columns"]["l_partkey"]["max"] for s in man.values())
+    mx_s = max(s["columns"]["l_suppkey"]["max"] for s in man.values())
+    lo_p, hi_p = mx_p * 3 // 10, mx_p * 4 // 10
+    lo_s, hi_s = mx_s * 3 // 10, mx_s * 4 // 10
+    hit = sum(
+        1 for s in man.values()
+        if (s["columns"]["l_partkey"]["min"] <= hi_p
+            and s["columns"]["l_partkey"]["max"] >= lo_p
+            and s["columns"]["l_suppkey"]["min"] <= hi_s
+            and s["columns"]["l_suppkey"]["max"] >= lo_s))
+    if hit * 2 > n_files:
+        raise AssertionError(
+            f"post-compaction rectangle overlaps {hit}/{n_files} files "
+            f"— recorded clustering is not restoring pruning")
+    back = spark.read.format("colf").load(path).filter(
+        (F.col("l_partkey") >= lo_p) & (F.col("l_partkey") <= hi_p)
+        & (F.col("l_suppkey") >= lo_s) & (F.col("l_suppkey") <= hi_s))
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+         .cast("bigint").cast("double") / F.lit(100.0)).alias("sum_price"),
+        F.min("l_partkey").cast("bigint").alias("min_p"),
+        F.max("l_suppkey").cast("bigint").alias("max_s"))
