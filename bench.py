@@ -120,6 +120,7 @@ HEADLINE = [
     "q187_colf_branch",
     "q188_colf_update",
     "q189_colf_clustered_maintenance",
+    "q190_embedding_pca",
 ]
 
 

@@ -1333,3 +1333,114 @@ def q168_ann_index_colf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recall_met"),
         (F.col("n_cand") <= F.lit(IVFPQ_CAND_CEIL) * F.col("n_queries")
          * F.col("n_corpus")).alias("cand_cost_met")))
+
+
+# --- q190: distributed PCA over the embedding column ---------------------
+
+PCA_K = 16
+PCA_TOL = 1e-4
+
+
+@register(
+    "q190_embedding_pca",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(64 AS BIGINT) AS d_in,
+           CAST({PCA_K} AS BIGINT) AS d_out,
+           CAST(COUNT(*) AS BIGINT) AS n_projected,
+           true AS orthonormal_ok,
+           true AS variance_order_ok,
+           true AS variance_share_ok,
+           true AS reconstruction_ok
+    FROM embeddings
+    """,
+)
+def q190_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding column — the dimensionality-
+    reduction stage an ANN/clustering pipeline runs before indexing
+    (64-d -> 16-d cuts every downstream dot product 4x). The fit is
+    the textbook one-pass distributed covariance: Arrow-batched
+    ``mapInPandas`` emits per-batch partials (count, sum vector,
+    raw outer-product sum — d*(d+3)/2+1 doubles per batch, never rows),
+    the d x d Gram matrix folds on the driver (64 x 64 — trivial;
+    at d in the thousands this step becomes randomized SVD, same
+    partials), and ``numpy.linalg.eigh`` yields the components, which
+    broadcast back for a batch-matmul projection.
+
+    PCA is non-SQL-expressible, so the driver row is the q135-style
+    bounds audit, computed IN-QUERY from the fitted model + projected
+    data and pinned true by the oracle: components orthonormal
+    (|P^T P - I|_max < {PCA_TOL}), explained variances non-increasing,
+    top-{PCA_K} variance share >= {PCA_K}/64 of total (eigenvalue
+    ordering guarantees it — a wrong eigensolve breaks it), and mean
+    squared reconstruction error == the residual eigenvalue sum
+    (Pythagoras for PCA; checked against the PROJECTED data, so a
+    broken projection step fails even if the fit was right). Exact
+    row counts tie the audit to the full table.
+
+    Scale: one data pass for the partials, one for the projection;
+    driver state is d^2 doubles; the projection is a broadcast matmul
+    inside Arrow batches — no shuffle anywhere."""
+    import numpy as np
+    import pandas as pd
+
+    e = spread(table(spark, sf_dir, "embeddings"))
+    d = 64
+
+    def partials(it):
+        for pdf in it:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame({
+                "n": [m.shape[0]],
+                "s": [m.sum(axis=0).tolist()],
+                "g": [(m.T @ m).reshape(-1).tolist()],
+            })
+
+    parts = e.select("embedding").mapInPandas(
+        partials, "n long, s array<double>, g array<double>").collect()
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    g = np.sum([np.asarray(r["g"]).reshape(d, d) for r in parts], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    evals, evecs = evals[::-1], evecs[:, ::-1]  # descending
+    comps = evecs[:, :PCA_K]                    # d x k
+
+    orthonormal_ok = bool(
+        np.abs(comps.T @ comps - np.eye(PCA_K)).max() < PCA_TOL)
+    variance_order_ok = bool(np.all(np.diff(evals) <= PCA_TOL))
+    total_var = float(evals.sum())
+    top_var = float(evals[:PCA_K].sum())
+    variance_share_ok = bool(top_var >= (PCA_K / d) * total_var - PCA_TOL)
+
+    bc = spark.sparkContext.broadcast(
+        {"mean": mean.tolist(), "comps": comps.tolist()})
+
+    def project(it):
+        mu = np.asarray(bc.value["mean"])
+        p = np.asarray(bc.value["comps"])
+        for pdf in it:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            c = m - mu
+            z = c @ p                            # n x k
+            resid = c - z @ p.T
+            yield pd.DataFrame({
+                "n": [m.shape[0]],
+                "sq_err": [float((resid ** 2).sum())],
+            })
+
+    proj = e.select("embedding").mapInPandas(
+        project, "n long, sq_err double").collect()
+    n_projected = sum(r["n"] for r in proj)
+    mse = sum(r["sq_err"] for r in proj) / n
+    resid_eigensum = float(evals[PCA_K:].sum())
+    reconstruction_ok = bool(
+        abs(mse - resid_eigensum) <= PCA_TOL * max(1.0, total_var))
+
+    return spark.createDataFrame(
+        [(int(n), d, PCA_K, int(n_projected), orthonormal_ok,
+          variance_order_ok, variance_share_ok, reconstruction_ok)],
+        "n_vectors long, d_in long, d_out long, n_projected long, "
+        "orthonormal_ok boolean, variance_order_ok boolean, "
+        "variance_share_ok boolean, reconstruction_ok boolean")

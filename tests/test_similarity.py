@@ -110,3 +110,29 @@ def test_persisted_index_meets_bounds(spark):
     assert r["n_queries"] == 10 and r["exact_pairs"] == 50
     assert r["recall_met"], "persisted-index recall fell below the floor"
     assert r["cand_cost_met"]
+
+
+def test_pca_recovers_planted_low_rank(spark, tmp_path):
+    """q190's fit on EXACTLY rank-3 data: the residual eigenvalue sum
+    is ~0, so reconstruction error must be ~0 and the audit booleans
+    all hold — a broken covariance fold or projection fails loudly."""
+    import numpy as np
+    import pandas as pd
+
+    from columnar_format_spark.registry import QUERIES
+
+    rng = np.random.RandomState(7)
+    basis = np.linalg.qr(rng.randn(64, 3))[0]        # 64x3 orthonormal
+    coords = rng.randn(400, 3) * [5.0, 2.0, 0.5]
+    emb = (coords @ basis.T).astype(np.float32)      # exactly rank 3
+    d = str(tmp_path)
+    pd.DataFrame({
+        "vec_id": np.arange(400, dtype=np.int64),
+        "embedding": [row.tolist() for row in emb],
+        "label": np.zeros(400, dtype=np.int32),
+    }).to_parquet(f"{d}/embeddings.parquet")
+
+    row = QUERIES["q190_embedding_pca"].fn(spark, d).first()
+    assert row["n_vectors"] == 400 and row["n_projected"] == 400
+    assert row["orthonormal_ok"] and row["variance_order_ok"]
+    assert row["variance_share_ok"] and row["reconstruction_ok"]
