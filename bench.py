@@ -121,6 +121,7 @@ HEADLINE = [
     "q188_colf_update",
     "q189_colf_clustered_maintenance",
     "q190_embedding_pca",
+    "q191_exact_substring_dedup",
 ]
 
 

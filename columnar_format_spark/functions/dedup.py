@@ -786,3 +786,103 @@ def q120_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return nodes.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+# --- q191: exact substring dedup with span removal -----------------------
+
+SPAN_K = 8  # duplicated-span width in whitespace tokens
+
+
+@register(
+    "q191_exact_substring_dedup",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, u.i AS pos,
+             array_to_string(t[u.i:u.i+{SPAN_K - 1}], ' ') AS gram
+      FROM tk CROSS JOIN UNNEST(range(1, len(t) - {SPAN_K - 2})) AS u(i)
+    ), marked AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY gram
+                                  ORDER BY doc_id, pos) AS rn
+        FROM g) WHERE rn > 1
+    ), removed AS (
+      SELECT DISTINCT m.doc_id, p.p
+      FROM marked m
+      CROSS JOIN UNNEST(range(m.pos, m.pos + {SPAN_K})) AS p(p)
+    ), rmc AS (
+      SELECT doc_id, COUNT(*) AS n_rm FROM removed GROUP BY doc_id
+    )
+    SELECT tk.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(tk.t)) AS BIGINT) AS total_tokens,
+           CAST(SUM(COALESCE(rmc.n_rm, 0)) AS BIGINT) AS removed_tokens,
+           CAST(SUM(CASE WHEN COALESCE(rmc.n_rm, 0) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_affected
+    FROM tk LEFT JOIN rmc USING (doc_id)
+    GROUP BY tk.source
+    """,
+)
+def q191_exact_substring_dedup(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup with span REMOVAL (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better"
+    ExactSubstr policy, hash-gram formulation): every {SPAN_K}-token
+    span that occurs anywhere else in the corpus keeps its FIRST
+    occurrence (global (doc_id, pos) order) and is excised from every
+    other location — overlapping duplicated spans coalesce naturally
+    because removal is position-set union, not per-span. Differs from
+    q85 (which MEASURES duplicated-shingle fractions) and q50/q52
+    (which drop whole documents): this is the token-level surgery that
+    keeps the unique remainder of boilerplate-carrying documents.
+    Output: per-source token totals, removed-token counts, and
+    affected-doc counts — all exact integers.
+
+    Scale: one shuffle keyed by the gram string decides keep-first
+    (row_number over (doc_id, pos) — the paper's suffix array replaced
+    by a distributed hash-gram pass, the standard scale adaptation);
+    marked occurrences expand to at most {SPAN_K} positions each and
+    dedupe per (doc, position) map-side before the per-doc count. No
+    driver state, no cartesian anywhere.
+    """
+    from pyspark.sql import Window
+
+    from .text import ws_tokens
+
+    d = (spread(table(spark, sf_dir, "documents"))
+         .select("doc_id", "source", ws_tokens(F.col("text")).alias("t")))
+    n = F.size("t")
+    k = SPAN_K
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(" ", F.slice("t", i, k)).alias("gram"))),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    g = (d.select("doc_id", F.explode(grams).alias("o"))
+         .select("doc_id", F.col("o.pos").alias("pos"),
+                 F.col("o.gram").alias("gram")))
+    w = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    marked = (g.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") > 1).select("doc_id", "pos"))
+    removed = (marked.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"),
+                             F.col("pos") + (k - 1))).alias("p"))
+        .distinct())
+    rmc = removed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_rm"))
+    docs = d.select("doc_id", "source", n.alias("n_tok"))
+    return (docs.join(rmc, "doc_id", "left")
+            .withColumn("n_rm", F.coalesce("n_rm", F.lit(0)))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("total_tokens"),
+                 F.sum("n_rm").cast("bigint").alias("removed_tokens"),
+                 F.sum(F.when(F.col("n_rm") > 0, 1).otherwise(0))
+                 .cast("bigint").alias("docs_affected")))

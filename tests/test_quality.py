@@ -269,3 +269,30 @@ def test_variance_oracle_on_crafted_events(spark):
     ])
     res = compare_query(spark, sf, "q94_variance_outliers")
     assert res["ok"], res["notes"]
+
+
+def test_exact_substring_dedup_known_spans(spark, tmp_path):
+    """q191 on a crafted corpus with a KNOWN duplicated 8-token span:
+    the first occurrence survives, every other occurrence is excised,
+    and a doc with no duplicated span loses nothing."""
+    import pandas as pd
+
+    from columnar_format_spark.registry import QUERIES
+
+    span = "a b c d e f g h"                     # the duplicated span
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "source": ["s", "s", "s"],
+        "text": [
+            f"{span} tail1 tail2",               # first occurrence: kept
+            f"lead1 lead2 {span} tail3",         # dup: 8 tokens excised
+            "q r s t u v w x y z",               # unique: untouched
+        ],
+    })
+    d = str(tmp_path)
+    docs.to_parquet(f"{d}/documents.parquet")
+    row = QUERIES["q191_exact_substring_dedup"].fn(spark, d).first()
+    assert row["n_docs"] == 3
+    assert row["total_tokens"] == 10 + 11 + 10
+    assert row["removed_tokens"] == 8            # only doc 2's copy
+    assert row["docs_affected"] == 1
