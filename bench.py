@@ -122,6 +122,7 @@ HEADLINE = [
     "q189_colf_clustered_maintenance",
     "q190_embedding_pca",
     "q191_exact_substring_dedup",
+    "q192_ann_pca",
 ]
 
 

@@ -15,7 +15,7 @@ shipping the window — round 8 ran the sf0.01 sweep with --dtypes
 (182/182 parity-clean early, full re-sweep after the last product
 commit) and the 50-query window at sf0.1 with --dtypes (50/50).
 
-Registry size: 190 queries (q01-q191, no q123). Round-8 additions are
+Registry size: 191 queries (q01-q192, no q123). Round-8 additions are
 q184 (row-accurate changelog: per-row _change_type insert/delete
 between versions, common files cancelling at the metadata level),
 q185 (named snapshot refs — tags pin versions past vacuum, read via
@@ -36,7 +36,10 @@ batch-matmul projection, audited by the q135-style in-query bounds
 the oracle pins), and q191 (exact-substring dedup with span REMOVAL —
 the Lee et al. ExactSubstr policy as a distributed hash-gram pass:
 keep-first per duplicated 8-token span, excise every other occurrence
-via position-set union). Round-6 additions were
+via position-set union), and q192 (PCA-compressed ANN: 32-d reduced
+scan + corpus/10 shortlist + exact int64 rerank, recall>=0.9 audited
+against the exact full-space answer — FAISS's PCAR pre-transform
+tier). Round-6 additions were
 q169-q174 (layout/metadata tier); round-7 additions are q175-q178 —
 TPC-H Q2/Q11/Q12/Q20, completing the full 22-query TPC-H suite (Q1=q01,
 Q14=q72; partsupp-dependent shapes adapted via a lineitem-derived
@@ -99,7 +102,7 @@ DRIVER_WINDOW = [
     "q184_colf_changelog", "q185_colf_tag_read", "q186_colf_wap",
     "q187_colf_branch", "q188_colf_update",
     "q189_colf_clustered_maintenance", "q190_embedding_pca",
-    "q191_exact_substring_dedup",
+    "q191_exact_substring_dedup", "q192_ann_pca",
     # red-row re-prove — oracle CAST fix (tpch.py)
     "q177_tpch_q12",
     # changed this round — staged supply relation / stripe sizing
@@ -120,8 +123,8 @@ DRIVER_WINDOW = [
     "q117_percentile_exact", "q118_skew_exact_distinct",
     "q119_rare_bigram_score", "q120_graph_triangles",
     "q121_strict_funnel", "q122_colf_time_travel",
-    "q124_tpch_q5", "q125_tpch_q10", "q126_tpch_q18",
-    # (q127, q129-q135 yield their backfill slots to the new
+    "q124_tpch_q5", "q125_tpch_q10",
+    # (q126, q127, q129-q135 yield their backfill slots to the new
     #  CDC-tier queries this round — they stay r04-era, first in the
     #  round-9 backfill; q136 keeps its slot because vacuum() changed
     #  this round: ref/staged retention + inherited_* carry keys)
