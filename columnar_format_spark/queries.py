@@ -108,6 +108,7 @@ DRIVER_WINDOW = [
     # changed this round — staged supply relation / stripe sizing
     "q175_tpch_q2", "q176_tpch_q11", "q178_tpch_q20",
     "q153_colf_v3_striped", "q182_colf_sorted_maintenance",
+    "q168_ann_index_colf",
     # oldest-evidence backfill: the whole r04-era cohort (44)
     "q60_cosine_topk", "q61_embedding_stats", "q67_deterministic_split",
     "q68_corpus_mixture", "q70_colf_roundtrip", "q73_csv_ingest",
@@ -123,8 +124,8 @@ DRIVER_WINDOW = [
     "q117_percentile_exact", "q118_skew_exact_distinct",
     "q119_rare_bigram_score", "q120_graph_triangles",
     "q121_strict_funnel", "q122_colf_time_travel",
-    "q124_tpch_q5", "q125_tpch_q10",
-    # (q126, q127, q129-q135 yield their backfill slots to the new
+    "q124_tpch_q5",
+    # (q125, q126, q127, q129-q135 yield their backfill slots to the new
     #  CDC-tier queries this round — they stay r04-era, first in the
     #  round-9 backfill; q136 keeps its slot because vacuum() changed
     #  this round: ref/staged retention + inherited_* carry keys)
