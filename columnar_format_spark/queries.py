@@ -11,9 +11,11 @@ Everything stays covered locally by tests/test_queries_oracle.py
 pandas-dtype-parity assertion since round 8) regardless of order;
 rounds 5-8 additionally verified the ENTIRE registry driver-style at
 sf0.01 AND sf0.1 with zero failures (tools/sweep_oracle.py) before
-shipping the window — round 8 ran the sf0.01 sweep with --dtypes
-(182/182 parity-clean early, full re-sweep after the last product
-commit) and the 50-query window at sf0.1 with --dtypes (50/50).
+shipping the window — round 8's final-tree gates: full pytest 717/717,
+sf0.01 sweep with --dtypes 191/191 parity-clean, sf0.1 sweep 191/191,
+plus an earlier 50-query window sweep at sf0.1 with --dtypes (50/50)
+and per-query three-SF driver-style checks on every query added or
+changed after the mid-round full sweep.
 
 Registry size: 191 queries (q01-q192, no q123). Round-8 additions are
 q184 (row-accurate changelog: per-row _change_type insert/delete
