@@ -2051,8 +2051,12 @@ def q184_colf_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     clone_dataset(tmpl + "/ds", path)
 
     mx = _CDC_MAXKEY[sf_dir]
-    delete_where(spark, path,
-                 f"o_orderkey <= {mx // 4} AND o_orderstatus = 'O'")
+    stats = delete_where(spark, path,
+                         f"o_orderkey <= {mx // 4} AND o_orderstatus = 'O'")
+    if stats["discovery"] != "metadata" or stats["n_rewritten_files"] > 2:
+        raise AssertionError(
+            f"key-quartile delete should be metadata-planned and touch "
+            f"~1 of 4 files, got {stats}")
     inserts = (table(spark, sf_dir, "orders")
                .filter(F.col("o_orderkey") % 40 == 1)
                .select((F.col("o_orderkey") + mx + 1).cast("int")

@@ -134,3 +134,49 @@ def test_set_clustering_cli(colf_spark, ds, capsys):
     assert cli_main(["partitions", ds]) == 0
     out = _json.loads(capsys.readouterr().out)
     assert out["clustering"] == ["a", "b"]
+
+
+def test_zorder_helpers_match_numpy_reference(colf_spark):
+    """cluster.py's JVM-side rank-bucket and Morton interleave must
+    agree with a plain numpy re-implementation on the same data."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from columnar_format_spark.colf.cluster import (
+        interleave_ranks, rank_bucket, rank_cuts, with_zorder)
+
+    rng = np.random.RandomState(3)
+    a = (rng.randn(2000) * 1000).astype(int)
+    b = rng.randint(0, 10, 2000)  # heavy ties: bucket must still work
+    df = colf_spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(a, b)], "a long, b long")
+
+    cuts = rank_cuts(df, ["a", "b"], bits=4)
+    got = (df.withColumn("ra", rank_bucket("a", cuts[0]))
+           .withColumn("rb", rank_bucket("b", cuts[1]))
+           .withColumn("z", interleave_ranks(["ra", "rb"], bits=4))
+           .collect())
+    for r in got:
+        ra = int(np.sum(np.asarray(cuts[0]) <= r["a"]))
+        rb = int(np.sum(np.asarray(cuts[1]) <= r["b"]))
+        assert (r["ra"], r["rb"]) == (ra, rb)
+        z = 0
+        for i in range(4):
+            z |= ((ra >> i) & 1) << (2 * i)
+            z |= ((rb >> i) & 1) << (2 * i + 1)
+        assert r["z"] == z
+    # rank_bucket is monotone -> range predicates survive the transform
+    rows = sorted((r["a"], r["ra"]) for r in got)
+    assert all(x[1] <= y[1] for x, y in zip(rows, rows[1:]))
+    # with_zorder adds exactly _zval and drops its scratch columns
+    cols = with_zorder(df, ["a", "b"], bits=4).columns
+    assert cols == ["a", "b", "_zval"]
+
+
+def test_interleave_dimension_cap():
+    import pytest as _pytest
+
+    from columnar_format_spark.colf.cluster import interleave_ranks
+
+    with _pytest.raises(ValueError):
+        interleave_ranks([f"c{i}" for i in range(8)], bits=8)  # 64 > 62
