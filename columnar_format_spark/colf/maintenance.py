@@ -529,7 +529,14 @@ def compact(spark: SparkSession, path: str, target_files: int | None = None,
         # scrambling it
         from .cluster import with_zorder
 
-        src = (with_zorder(df, cluster)
+        # quantile cuts from a ~200k-row sample, sized from manifest
+        # metadata (cut placement steers layout quality, not
+        # correctness — caching or fully scanning a 100 TB table for
+        # cut points would be the real mistake)
+        est = sum((load_manifest(path).get(os.path.basename(f), {})
+                   .get("num_rows") or 0) for f in live)
+        frac = min(1.0, 200_000 / est) if est > 200_000 else None
+        src = (with_zorder(df, cluster, sample_fraction=frac)
                .repartitionByRange(target_files, "_zval")
                .sortWithinPartitions("_zval")
                .drop("_zval"))
