@@ -1878,11 +1878,15 @@ class ColfStreamReader(DataSourceStreamReader):
     # -- offset plumbing ---------------------------------------------------
 
     def _log_entries(self) -> list[tuple[int, list[str]]]:
-        """(version, sorted NEW basenames of that commit) per log
-        entry — the deterministic expansion basis for cursor offsets."""
+        """(version, sorted NEW basenames of that commit) per PUBLISHED
+        log entry — the deterministic expansion basis for cursor
+        offsets. Staged (WAP) and branch commits are excluded: their
+        files must reach a streaming consumer only when the publishing
+        / fast-forward commit lands them on the published lineage —
+        the same isolation batch reads get."""
         prev: set[str] = set()
         out = []
-        for s in load_snapshots(self.path):
+        for s in published_snapshots(load_snapshots(self.path)):
             cur = set(s["files"])
             out.append((s["version"], sorted(cur - prev)))
             prev = cur

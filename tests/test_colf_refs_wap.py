@@ -412,3 +412,28 @@ def test_cli_diff_staged_version(colf_spark, ds, capsys):
     assert cli_main(["diff", ds, "2", "3"]) == 0
     out = _json.loads(capsys.readouterr().out)
     assert (out["n_added"], out["n_removed"]) == (20, 0)
+
+
+def test_stream_source_skips_staged_until_published(colf_spark, ds,
+                                                    tmp_path):
+    """A streaming consumer tailing the dataset must NOT receive a
+    staged (WAP) commit's rows until publish — then it gets exactly
+    them, once."""
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        (colf_spark.readStream.format("colf").load(ds)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start().awaitTermination(120))
+        import glob
+        files = glob.glob(out + "/*.parquet")
+        return (colf_spark.read.parquet(out).count() if files else 0)
+
+    assert drain() == 150                               # v1+v2
+    (_df(colf_spark, 500, 520).coalesce(1).write.format("colf")
+     .option("wap", "true").mode("append").save(ds))    # staged
+    assert drain() == 150                               # nothing new
+    publish_wap(ds, 3)
+    assert drain() == 170                               # exactly once
