@@ -120,3 +120,30 @@ def test_update_scan_fallback_and_sorted_v3(colf_spark, tmp_path):
     back = colf_spark.read.format("colf").load(p)
     assert back.filter("k % 2 = 0 AND v < 100").count() == 0
     assert back.filter("k % 2 = 1 AND v >= 100").count() == 0
+
+
+def test_update_preserves_partition_tuples(colf_spark, tmp_path):
+    """An UPDATE touching one partition's file must keep the rewritten
+    file value-homogeneous (its manifest tuple intact) so exact
+    partition pruning survives the rewrite — as long as the SET does
+    not touch the partition column itself."""
+    from columnar_format_spark.colf.datasource import (live_files,
+                                                       load_manifest)
+
+    p = str(tmp_path / "pupds")
+    (colf_spark.range(300).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("int").alias("k"),
+        F.lit(1.0).alias("v"))
+     .coalesce(1).write.format("colf")
+     .option("partitionColumns", "g").mode("overwrite").save(p))
+    stats = update_where(colf_spark, p, {"v": "2.0"}, "g = '1'")
+    assert stats["n_updated_rows"] == 100
+    assert stats["n_rewritten_files"] == 1  # only g=1's file
+    man = load_manifest(p)
+    tuples = sorted(man[__import__("os").path.basename(f)]
+                    ["partition"]["g"] for f in live_files(p))
+    assert tuples == ["0", "1", "2"]
+    back = colf_spark.read.format("colf").load(p)
+    assert back.filter("g = '1' AND v = 2.0").count() == 100
+    assert back.filter("g <> '1' AND v = 2.0").count() == 0
