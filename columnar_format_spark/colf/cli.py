@@ -382,6 +382,26 @@ def cli_fast_forward(argv: list[str]) -> int:
     return 0
 
 
+def cli_vacuum(argv: list[str]) -> int:
+    """Expire old snapshots and reclaim their part files (pure
+    metadata + filesystem, no Spark): ``vacuum <dataset-dir>
+    [keep_last] [older_than_seconds]``. Ref-pinned, staged-unpublished,
+    the published head, and (with an age bound) recent snapshots are
+    always retained."""
+    if len(argv) not in (1, 2, 3):
+        print("usage: ... vacuum <dataset-dir> [keep_last] "
+              "[older_than_seconds]", file=sys.stderr)
+        return 2
+    from .maintenance import vacuum
+
+    deleted = vacuum(argv[0],
+                     keep_last=int(argv[1]) if len(argv) >= 2 else 1,
+                     older_than_s=float(argv[2]) if len(argv) == 3
+                     else None)
+    print(json.dumps({"deleted_files": deleted}))
+    return 0
+
+
 def cli_rollback(argv: list[str]) -> int:
     """Restore an earlier version as the published head (metadata
     only): ``rollback <dataset-dir> <version>``."""
@@ -441,6 +461,7 @@ COMMANDS = {
     "rollback": cli_rollback,
     "branch": cli_branch,
     "fast_forward": cli_fast_forward,
+    "vacuum": cli_vacuum,
 }
 
 

@@ -251,7 +251,12 @@ def commit_snapshot(path: str, live_files: list[str],
             f"metadata log is single-writer; re-read the live set and "
             f"retry the commit.")
     version = current + 1
-    entry: dict = {"version": version, "files": sorted(set(live_files))}
+    import time as _time
+
+    # commit wall-clock, for AGE-based retention (vacuum older_than_s —
+    # Iceberg's expire_snapshots(older_than)); never read by queries
+    entry: dict = {"version": version, "files": sorted(set(live_files)),
+                   "ts": _time.time()}
     if staged:
         # write-audit-publish: the commit exists in the log (readable
         # via option("snapshot", v) for auditing) but is OUTSIDE the

@@ -598,11 +598,20 @@ def compact(spark: SparkSession, path: str, target_files: int | None = None,
     return len(moved)
 
 
-def vacuum(path: str, keep_last: int = 1) -> list[str]:
+def vacuum(path: str, keep_last: int = 1,
+           older_than_s: float | None = None) -> list[str]:
     """Physically delete part files referenced only by expired
     snapshots, keeping the most recent ``keep_last`` versions (and
     pruning the metadata log to them). Returns the deleted basenames.
     A dataset without a metadata log has nothing to vacuum.
+
+    ``older_than_s`` adds AGE-based retention (Iceberg's
+    expire_snapshots(olderThan)): every snapshot committed within the
+    last ``older_than_s`` seconds is ALSO kept, whatever keep_last
+    says — the production contract "any reader that started in the
+    last N hours can still finish". Snapshots from logs predating the
+    commit timestamp (no ``ts`` key) have unknown age and only expire
+    via keep_last. keep_last stays the floor either way.
 
     Part files NEWER than the latest snapshot are never touched: an
     in-flight append writes its .colf files before its metadata-log
@@ -610,6 +619,7 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     work, not garbage (Iceberg's orphan-file grace period, with the
     log's mtime as the cutoff)."""
     import json
+    import time as _time
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -620,6 +630,14 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
 
     log_mtime = os.path.getmtime(snapshots_path(path))
     kept = snaps[-keep_last:]
+    if older_than_s is not None:
+        cutoff = _time.time() - older_than_s
+        kept_v0 = {s["version"] for s in kept}
+        young = [s for s in snaps
+                 if s["version"] not in kept_v0
+                 and s.get("ts") is not None and s["ts"] >= cutoff]
+        if young:
+            kept = sorted(young + kept, key=lambda s: s["version"])
     # refs pin snapshots past the retention horizon (Iceberg ref
     # retention): a tagged version must stay readable after any
     # vacuum. Unpublished staged (WAP) commits are in-flight work —

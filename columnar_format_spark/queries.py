@@ -88,7 +88,10 @@ from .registry import QUERIES, QuerySpec  # noqa: F401
 # q164-q168, q15-q32, q36, q38, q39, q45-q49, q64-q66, q72, q88, q89,
 # q92-q94; r05 = q137-q147, q150-q152, q154, q156-q160, q162, q163,
 # q01-q14, q62, q63, q87, q128; r04 = the 44 above. Round-9 plan:
-# backfill the r05-era set, lowest query number first.
+# FIRST the ten r04-era stragglers that yielded their round-8 slots
+# (q125, q126, q127, q129, q130, q131, q132, q133, q134, q135 — all
+# green in round 8's three full-registry sf0.1 sweeps, so risk is
+# low), then the r05-era set, lowest query number first.
 #
 # PRE-SHIP CHECKLIST (every round, after the last product commit):
 #   1. full test gate: python -m pytest tests/ -x -q (includes the

@@ -271,3 +271,63 @@ def test_cli_snapshots_flags_partial_row_counts(colf_spark, tmp_path, capsys):
     assert out[0]["num_rows"] == 10 and out[0]["counted_files"] == 1
     assert out[1]["num_rows"] is None  # partial — not a fake total
     assert out[1]["counted_files"] == 1 and out[1]["n_files"] == 2
+
+
+def test_vacuum_age_based_retention(colf_spark, tmp_path):
+    """older_than_s keeps every snapshot younger than the bound even
+    past keep_last; an aged-out history collapses to keep_last; legacy
+    entries without a commit timestamp only expire via keep_last."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from columnar_format_spark.colf.datasource import (load_snapshots,
+                                                       snapshots_path)
+    from columnar_format_spark.colf.maintenance import vacuum
+
+    p = str(tmp_path / "ageds")
+    for i, mode in enumerate(["overwrite", "append", "append", "append"]):
+        (colf_spark.range(i * 10, i * 10 + 10)
+         .select(F.col("id").cast("int").alias("k"))
+         .coalesce(1).write.format("colf").mode(mode).save(p))
+    assert len(load_snapshots(p)) == 4
+    # everything committed seconds ago: a 1-hour bound keeps all 4
+    assert vacuum(p, keep_last=1, older_than_s=3600) == []
+    assert len(load_snapshots(p)) == 4
+    # age the first three snapshots artificially, keep the newest young
+    snaps = load_snapshots(p)
+    for s in snaps[:3]:
+        s["ts"] = s["ts"] - 7200
+    _json.dump(snaps, open(snapshots_path(p), "w"))
+    vacuum(p, keep_last=1, older_than_s=3600)
+    assert [s["version"] for s in load_snapshots(p)] == [4]
+    assert colf_spark.read.format("colf").load(p).count() == 40
+    # legacy entries (no ts): age bound never expires them
+    snaps = load_snapshots(p)
+    (colf_spark.range(100, 105).select(F.col("id").cast("int").alias("k"))
+     .coalesce(1).write.format("colf").mode("append").save(p))
+    snaps = load_snapshots(p)
+    for s in snaps:
+        s.pop("ts", None)
+    _json.dump(snaps, open(snapshots_path(p), "w"))
+    vacuum(p, keep_last=2, older_than_s=1)
+    assert len(load_snapshots(p)) == 2  # keep_last floor, not age
+
+
+def test_vacuum_cli(colf_spark, tmp_path, capsys):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from columnar_format_spark.colf.cli import main as cli_main
+    from columnar_format_spark.colf.maintenance import compact
+
+    p = str(tmp_path / "vcli")
+    for mode in ("overwrite", "append"):
+        (colf_spark.range(50).select(F.col("id").cast("int").alias("k"))
+         .coalesce(1).write.format("colf").mode(mode).save(p))
+    compact(colf_spark, p, 1, retain=True)
+    assert cli_main(["vacuum", p, "1"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert len(out["deleted_files"]) == 2  # both pre-compaction files
+    assert colf_spark.read.format("colf").load(p).count() == 100
