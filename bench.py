@@ -123,6 +123,7 @@ HEADLINE = [
     "q190_embedding_pca",
     "q191_exact_substring_dedup",
     "q192_ann_pca",
+    "q193_multimodal_ppm",
 ]
 
 

@@ -275,3 +275,126 @@ def q131_image_resize(spark, sf_dir: str):
         F.octet_length("resized").alias("out_len"),
         F.hex(F.col("resized")).alias("resized_hex"),
     )
+
+
+# --- q193: a REAL image codec (PPM/P6) in pure numpy ----------------------
+#
+# The container has no PIL/cv2, but binary P6 PPM (the netpbm standard:
+# "P6\n<w> <h>\n255\n" + w*h*3 raw RGB bytes) needs nothing beyond
+# numpy — so the multimodal decode path gets one REAL format next to
+# the stubbed jpeg/png hook: header parsing, buffer validation, stride
+# reshape, and nearest-neighbor resize all actually run.
+
+
+def encode_ppm(arr) -> bytes:
+    """uint8 array of shape (h, w, 3) -> binary P6 bytes."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError(f"P6 needs 3 channels, got {c}")
+    return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_ppm(blob: bytes):
+    """Binary P6 bytes -> (w, h, uint8 array of shape (h, w, 3)).
+    Validates magic, maxval and buffer length — a malformed or
+    truncated blob raises instead of yielding garbage pixels."""
+    import re
+
+    import numpy as np
+
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", blob)
+    if not m:
+        raise ValueError("not a binary P6 PPM (bad header)")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    pix = blob[m.end():]
+    if len(pix) != w * h * 3:
+        raise ValueError(
+            f"pixel buffer is {len(pix)} bytes, expected {w * h * 3}")
+    return w, h, np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+
+
+@register(
+    "q193_multimodal_ppm",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM((16 + doc_id % 16) * (8 + doc_id % 8)) AS BIGINT)
+             AS total_pixels,
+           CAST(SUM(((16 + doc_id % 16) // 2) * ((8 + doc_id % 8) // 2))
+                AS BIGINT) AS total_pixels_half,
+           true AS roundtrip_ok
+    FROM documents WHERE doc_id < 300
+    GROUP BY source
+    """,
+)
+def q193_multimodal_ppm(spark, sf_dir: str):
+    """REAL image decode in the multimodal tier: deterministic P6 PPM
+    images (width/height/pixels arithmetic functions of doc_id — a
+    gradient, not a solid tile, so stride bugs corrupt sums) are
+    ENCODED to standard netpbm bytes, shipped through the BinaryType
+    column, then DECODED by the pure-numpy parser and HALF-SIZED by
+    nearest-neighbor slicing — all inside Arrow-batched mapInPandas.
+    Each image's decoded channel sums are checked against the exact
+    closed form (sum over the gradient), the resized dims against
+    w//2 x h//2, and any mismatch turns roundtrip_ok false, which the
+    oracle pins true; image counts and EXACT total pixel counts (both
+    resolutions) are recomputed relationally by DuckDB from the same
+    doc_id arithmetic.
+
+    Scale: encode/decode/resize never leave the executor — a pure map
+    stage over Arrow batches, peak memory one batch; the aggregate
+    ships 4 ints per source. The jpeg/png hook stays a documented
+    stub; P6 proves the plumbing end-to-end with a real format."""
+    import hashlib  # noqa: F401  (parity with module conventions)
+
+    from ..registry import table
+
+    docs = (table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 300).select("doc_id", "source"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                w = 16 + int(doc_id) % 16
+                h = 8 + int(doc_id) % 8
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                # per-channel gradients: r=x, g=y, b=x+y (mod 256)
+                r = np.broadcast_to((x % 256)[None, :], (h, w))
+                g = np.broadcast_to((y % 256)[:, None], (h, w))
+                b = (x[None, :] + y[:, None]) % 256
+                img = np.stack([r, g, b], axis=2).astype(np.uint8)
+                blob = encode_ppm(img)
+
+                dw, dh, dec = decode_ppm(blob)          # REAL decode
+                half = dec[::2, ::2, :]                 # NN resize
+                exp_r = h * int((x % 256).sum())
+                exp_g = w * int((y % 256).sum())
+                exp_b = int(((x[None, :] + y[:, None]) % 256).sum())
+                ok = (
+                    (dw, dh) == (w, h)
+                    and int(dec[:, :, 0].sum()) == exp_r
+                    and int(dec[:, :, 1].sum()) == exp_g
+                    and int(dec[:, :, 2].sum()) == exp_b
+                    and half.shape[:2] == ((h + 1) // 2, (w + 1) // 2)
+                )
+                rows.append((source, w * h,
+                             (w // 2) * (h // 2), bool(ok)))
+            yield pd.DataFrame(rows, columns=[
+                "source", "pixels", "pixels_half", "ok"])
+
+    feats = docs.mapInPandas(
+        run, "source string, pixels long, pixels_half long, ok boolean")
+    return (feats.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum("pixels").cast("bigint").alias("total_pixels"),
+        F.sum("pixels_half").cast("bigint").alias("total_pixels_half"),
+        F.min("ok").alias("roundtrip_ok")))

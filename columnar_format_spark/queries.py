@@ -17,7 +17,7 @@ plus an earlier 50-query window sweep at sf0.1 with --dtypes (50/50)
 and per-query three-SF driver-style checks on every query added or
 changed after the mid-round full sweep.
 
-Registry size: 191 queries (q01-q192, no q123). Round-8 additions are
+Registry size: 192 queries (q01-q193, no q123). Round-8 additions are
 q184 (row-accurate changelog: per-row _change_type insert/delete
 between versions, common files cancelling at the metadata level),
 q185 (named snapshot refs — tags pin versions past vacuum, read via
@@ -41,7 +41,10 @@ keep-first per duplicated 8-token span, excise every other occurrence
 via position-set union), and q192 (PCA-compressed ANN: 32-d reduced
 scan + corpus/10 shortlist + exact int64 rerank, recall>=0.9 audited
 against the exact full-space answer — FAISS's PCAR pre-transform
-tier). Round-6 additions were
+tier), and q193 (a REAL image codec in the multimodal tier: pure-numpy
+binary P6 PPM encode/decode/resize over BinaryType + mapInPandas,
+channel sums checked against closed form and pixel totals recomputed
+relationally). Round-6 additions were
 q169-q174 (layout/metadata tier); round-7 additions are q175-q178 —
 TPC-H Q2/Q11/Q12/Q20, completing the full 22-query TPC-H suite (Q1=q01,
 Q14=q72; partsupp-dependent shapes adapted via a lineitem-derived
@@ -76,10 +79,12 @@ from .registry import QUERIES, QuerySpec  # noqa: F401
 #   sf_dir as a staged parquet table), q153 and q182 (scale-realistic
 #   stripe sizing — 20k-50k rows/stripe instead of 4k-5k, cutting the
 #   120-152-task Python-datasource fan-outs that dominated them);
-# - 44 backfill slots: the ENTIRE r04-era cohort, the oldest driver
-#   evidence left in the ledger (pre-proven at sf0.1 in commit
-#   f46776e): q60, q61, q67, q68, q70, q73, q75, q76, q80-q84, q86,
-#   q90, q99, q101, q104, q107, q109, q111-q122, q124-q127, q129-q136.
+# - backfill: the r04-era cohort, the oldest driver evidence left in
+#   the ledger (pre-proven at sf0.1 in commit f46776e AND green in
+#   this round's three full-registry sf0.1 sweeps) — originally 44
+#   slots, 11 of which were yielded to the ten round-8 additions
+#   (q184-q193) and the q168 re-prove as the round grew (see the
+#   in-list comment; the yielded ten lead round 9's backfill).
 # Per-query last-green ledger after round 7 (CORRECTNESS_r07 49/50 —
 # q177's hash row red, fixed above): r07 = the full round-7 window
 # (q175-q183, q169-q171, q33-q35, q37, q40-q43, q51-q57, q69, q71,
@@ -108,6 +113,7 @@ DRIVER_WINDOW = [
     "q187_colf_branch", "q188_colf_update",
     "q189_colf_clustered_maintenance", "q190_embedding_pca",
     "q191_exact_substring_dedup", "q192_ann_pca",
+    "q193_multimodal_ppm",
     # red-row re-prove — oracle CAST fix (tpch.py)
     "q177_tpch_q12",
     # changed this round — staged supply relation / stripe sizing
@@ -129,8 +135,7 @@ DRIVER_WINDOW = [
     "q117_percentile_exact", "q118_skew_exact_distinct",
     "q119_rare_bigram_score", "q120_graph_triangles",
     "q121_strict_funnel", "q122_colf_time_travel",
-    "q124_tpch_q5",
-    # (q125, q126, q127, q129-q135 yield their backfill slots to the new
+    # (q124-q127, q129-q135 yield their backfill slots to the new
     #  CDC-tier queries this round — they stay r04-era, first in the
     #  round-9 backfill; q136 keeps its slot because vacuum() changed
     #  this round: ref/staged retention + inherited_* carry keys)

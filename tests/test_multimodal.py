@@ -73,3 +73,31 @@ def test_resize_real_codec_hook_raises(blobs):
 
     with _pytest.raises(NotImplementedError):
         decode_image_stub(b"\x00")
+
+
+def test_ppm_codec_roundtrip_and_errors():
+    """The pure-numpy P6 codec: exact pixel round-trip, header
+    whitespace tolerance, and loud failures on malformed input."""
+    import numpy as np
+    import pytest as _pytest
+
+    from columnar_format_spark.functions.multimodal import (decode_ppm,
+                                                            encode_ppm)
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(7, 11, 3), dtype=np.uint8)
+    w, h, back = decode_ppm(encode_ppm(img))
+    assert (w, h) == (11, 7)
+    assert np.array_equal(back, img)
+    # the header may use any whitespace between fields (netpbm spec)
+    alt = b"P6 11\n7\t255\n" + img.tobytes()
+    w2, h2, back2 = decode_ppm(alt)
+    assert (w2, h2) == (11, 7) and np.array_equal(back2, img)
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P5\n11 7\n255\n" + img.tobytes())   # wrong magic
+    with _pytest.raises(ValueError):
+        decode_ppm(encode_ppm(img)[:-5])                  # truncated
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n11 7\n65535\n" + img.tobytes())  # bad maxval
+    with _pytest.raises(ValueError):
+        encode_ppm(np.zeros((4, 4, 1), dtype=np.uint8))   # not RGB
