@@ -124,6 +124,7 @@ HEADLINE = [
     "q191_exact_substring_dedup",
     "q192_ann_pca",
     "q193_multimodal_ppm",
+    "q194_multimodal_wav",
 ]
 
 

@@ -398,3 +398,117 @@ def q193_multimodal_ppm(spark, sf_dir: str):
         F.sum("pixels").cast("bigint").alias("total_pixels"),
         F.sum("pixels_half").cast("bigint").alias("total_pixels_half"),
         F.min("ok").alias("roundtrip_ok")))
+
+
+# --- q194: a REAL audio codec (WAV/RIFF PCM16 mono) in pure numpy ---------
+
+
+def encode_wav(samples, rate: int) -> bytes:
+    """int16 mono samples -> canonical 44-byte-header RIFF/WAVE PCM."""
+    import struct
+
+    import numpy as np
+
+    s = np.ascontiguousarray(samples, dtype=np.int16)
+    data = s.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(data))
+    return hdr + data
+
+
+def decode_wav(blob: bytes):
+    """RIFF/WAVE PCM bytes -> (rate, int16 sample array). Validates
+    magic, PCM16-mono format and the data-chunk length — truncated or
+    non-PCM input raises instead of yielding garbage samples."""
+    import struct
+
+    import numpy as np
+
+    if len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    (_, _, _, _, fmt_size, audio_fmt, n_ch, rate, _, _, bits,
+     data_tag, data_len) = struct.unpack("<4sI4s4sIHHIIHH4sI", blob[:44])
+    if fmt_size != 16 or audio_fmt != 1 or n_ch != 1 or bits != 16 \
+            or data_tag != b"data":
+        raise ValueError(
+            f"unsupported WAV: fmt_size={fmt_size} fmt={audio_fmt} "
+            f"channels={n_ch} bits={bits}")
+    data = blob[44:]
+    if len(data) != data_len:
+        raise ValueError(
+            f"data chunk is {len(data)} bytes, header says {data_len}")
+    return rate, np.frombuffer(data, dtype=np.int16)
+
+
+@register(
+    "q194_multimodal_wav",
+    oracle="""
+    WITH clips AS (
+      SELECT doc_id, source, 8000 + (doc_id % 32) * 250 AS n,
+             (SELECT CAST(SUM(CAST((u.i * 37) % 65536 - 32768 AS BIGINT)
+                              * CAST((u.i * 37) % 65536 - 32768 AS BIGINT))
+                          AS BIGINT)
+              FROM UNNEST(range(0, 8000 + (doc_id % 32) * 250)) AS u(i))
+               AS energy
+      FROM documents WHERE doc_id < 200)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_clips,
+           CAST(SUM(n) AS BIGINT) AS total_samples,
+           CAST(SUM(energy) AS BIGINT) AS total_energy,
+           true AS roundtrip_ok
+    FROM clips GROUP BY source
+    """,
+)
+def q194_multimodal_wav(spark, sf_dir: str):
+    """REAL audio decode in the multimodal tier (the q193 pattern for
+    sound): deterministic 16 kHz PCM16 sawtooth clips (length and
+    samples arithmetic functions of doc_id) are ENCODED to standard
+    RIFF/WAVE bytes, shipped through BinaryType, then DECODED by the
+    pure-numpy parser inside Arrow-batched mapInPandas. Per-clip
+    sample counts and EXACT int64 energy (sum of squared samples —
+    order-independent integer math) are recomputed relationally by
+    DuckDB from the same index arithmetic, so a header off-by-one,
+    endianness mistake, or dtype slip changes the answer; a
+    2x-decimation resample property folds into roundtrip_ok, which
+    the oracle pins true.
+
+    Scale: pure map stage, no shuffle; per-task memory one Arrow
+    batch — the only safe shape for long audio. Real mp3/flac plug
+    into the same hook; PCM16 proves the full plumbing with a real
+    container format."""
+    from ..registry import table
+
+    docs = (table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200).select("doc_id", "source"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                n = 8000 + int(doc_id) % 32 * 250
+                i = np.arange(n, dtype=np.int64)
+                s = ((i * 37) % 65536 - 32768).astype(np.int16)
+                blob = encode_wav(s, 16000)
+
+                rate, dec = decode_wav(blob)            # REAL decode
+                energy = int((dec.astype(np.int64) ** 2).sum())
+                half = dec[::2]                         # decimate 2x
+                ok = (rate == 16000 and dec.shape[0] == n
+                      and np.array_equal(dec, s)
+                      and half.shape[0] == (n + 1) // 2)
+                rows.append((source, n, energy, bool(ok)))
+            yield pd.DataFrame(rows, columns=[
+                "source", "n", "energy", "ok"])
+
+    feats = docs.mapInPandas(
+        run, "source string, n long, energy long, ok boolean")
+    return (feats.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+        F.sum("n").cast("bigint").alias("total_samples"),
+        F.sum("energy").cast("bigint").alias("total_energy"),
+        F.min("ok").alias("roundtrip_ok")))

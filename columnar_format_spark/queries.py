@@ -17,7 +17,7 @@ plus an earlier 50-query window sweep at sf0.1 with --dtypes (50/50)
 and per-query three-SF driver-style checks on every query added or
 changed after the mid-round full sweep.
 
-Registry size: 192 queries (q01-q193, no q123). Round-8 additions are
+Registry size: 193 queries (q01-q194, no q123). Round-8 additions are
 q184 (row-accurate changelog: per-row _change_type insert/delete
 between versions, common files cancelling at the metadata level),
 q185 (named snapshot refs — tags pin versions past vacuum, read via
@@ -44,7 +44,9 @@ against the exact full-space answer — FAISS's PCAR pre-transform
 tier), and q193 (a REAL image codec in the multimodal tier: pure-numpy
 binary P6 PPM encode/decode/resize over BinaryType + mapInPandas,
 channel sums checked against closed form and pixel totals recomputed
-relationally). Round-6 additions were
+relationally), and q194 (REAL audio: RIFF/WAVE PCM16 encode/decode in
+pure numpy, exact int64 per-clip energy recomputed relationally).
+Round-6 additions were
 q169-q174 (layout/metadata tier); round-7 additions are q175-q178 —
 TPC-H Q2/Q11/Q12/Q20, completing the full 22-query TPC-H suite (Q1=q01,
 Q14=q72; partsupp-dependent shapes adapted via a lineitem-derived
@@ -74,11 +76,12 @@ from .registry import QUERIES, QuerySpec  # noqa: F401
 #   hash-skew class; the pandas_dtype_parity checker is now wired into
 #   tests/test_queries_oracle.py AND tools/sweep_oracle.py --dtypes, so
 #   this class fails locally before it can ship);
-# - the 5 queries whose plan or staging changed this round: q175/q176/
+# - the 6 queries whose plan or staging changed this round: q175/q176/
 #   q178 (the derived supply relation is now materialized once per
 #   sf_dir as a staged parquet table), q153 and q182 (scale-realistic
-#   stripe sizing — 20k-50k rows/stripe instead of 4k-5k, cutting the
-#   120-152-task Python-datasource fan-outs that dominated them);
+#   stripe sizing — adaptive ~n/8 rows/stripe instead of 4k-5k,
+#   cutting the 120-152-task Python-datasource fan-outs that dominated
+#   them), and q168 (memoized deterministic codebook fit);
 # - backfill: the r04-era cohort, the oldest driver evidence left in
 #   the ledger (pre-proven at sf0.1 in commit f46776e AND green in
 #   this round's three full-registry sf0.1 sweeps) — originally 44
@@ -93,10 +96,10 @@ from .registry import QUERIES, QuerySpec  # noqa: F401
 # q164-q168, q15-q32, q36, q38, q39, q45-q49, q64-q66, q72, q88, q89,
 # q92-q94; r05 = q137-q147, q150-q152, q154, q156-q160, q162, q163,
 # q01-q14, q62, q63, q87, q128; r04 = the 44 above. Round-9 plan:
-# FIRST the ten r04-era stragglers that yielded their round-8 slots
-# (q125, q126, q127, q129, q130, q131, q132, q133, q134, q135 — all
-# green in round 8's three full-registry sf0.1 sweeps, so risk is
-# low), then the r05-era set, lowest query number first.
+# FIRST the twelve r04-era stragglers that yielded their round-8
+# slots (q122, q124, q125, q126, q127, q129, q130, q131, q132, q133,
+# q134, q135 — all green in round 8's full-registry sf0.1 sweeps, so
+# risk is low), then the r05-era set, lowest query number first.
 #
 # PRE-SHIP CHECKLIST (every round, after the last product commit):
 #   1. full test gate: python -m pytest tests/ -x -q (includes the
@@ -113,7 +116,7 @@ DRIVER_WINDOW = [
     "q187_colf_branch", "q188_colf_update",
     "q189_colf_clustered_maintenance", "q190_embedding_pca",
     "q191_exact_substring_dedup", "q192_ann_pca",
-    "q193_multimodal_ppm",
+    "q193_multimodal_ppm", "q194_multimodal_wav",
     # red-row re-prove — oracle CAST fix (tpch.py)
     "q177_tpch_q12",
     # changed this round — staged supply relation / stripe sizing
@@ -134,8 +137,8 @@ DRIVER_WINDOW = [
     "q115_stratified_sample", "q116_doc_chunking",
     "q117_percentile_exact", "q118_skew_exact_distinct",
     "q119_rare_bigram_score", "q120_graph_triangles",
-    "q121_strict_funnel", "q122_colf_time_travel",
-    # (q124-q127, q129-q135 yield their backfill slots to the new
+    "q121_strict_funnel",
+    # (q122, q124-q127, q129-q135 yield their backfill slots to the new
     #  CDC-tier queries this round — they stay r04-era, first in the
     #  round-9 backfill; q136 keeps its slot because vacuum() changed
     #  this round: ref/staged retention + inherited_* carry keys)

@@ -101,3 +101,20 @@ def test_ppm_codec_roundtrip_and_errors():
         decode_ppm(b"P6\n11 7\n65535\n" + img.tobytes())  # bad maxval
     with _pytest.raises(ValueError):
         encode_ppm(np.zeros((4, 4, 1), dtype=np.uint8))   # not RGB
+
+
+def test_wav_codec_roundtrip_and_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    from columnar_format_spark.functions.multimodal import (decode_wav,
+                                                            encode_wav)
+
+    rng = np.random.RandomState(9)
+    s = rng.randint(-32768, 32768, size=4321, dtype=np.int16)
+    rate, back = decode_wav(encode_wav(s, 22050))
+    assert rate == 22050 and np.array_equal(back, s)
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFX" + encode_wav(s, 8000)[4:])   # wrong magic
+    with _pytest.raises(ValueError):
+        decode_wav(encode_wav(s, 8000)[:-3])            # truncated
