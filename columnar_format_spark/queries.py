@@ -11,11 +11,12 @@ Everything stays covered locally by tests/test_queries_oracle.py
 pandas-dtype-parity assertion since round 8) regardless of order;
 rounds 5-8 additionally verified the ENTIRE registry driver-style at
 sf0.01 AND sf0.1 with zero failures (tools/sweep_oracle.py) before
-shipping the window — round 8's final-tree gates: full pytest 717/717,
-sf0.01 sweep with --dtypes 191/191 parity-clean, sf0.1 sweep 191/191,
-plus an earlier 50-query window sweep at sf0.1 with --dtypes (50/50)
+shipping the window — round 8's endgame gates on the final registry:
+full pytest 727/727, sf0.01 sweep with --dtypes 193/193 parity-clean,
+sf0.1 sweep 193/193 (the fourth full-registry double sweep of the
+round), plus a 50-query window sweep at sf0.1 with --dtypes (50/50)
 and per-query three-SF driver-style checks on every query added or
-changed after the mid-round full sweep.
+changed mid-round.
 
 Registry size: 193 queries (q01-q194, no q123). Round-8 additions are
 q184 (row-accurate changelog: per-row _change_type insert/delete
