@@ -334,6 +334,82 @@ def cli_set_clustering(argv: list[str]) -> int:
     return 0
 
 
+def cli_changelog(argv: list[str]) -> int:
+    """Row-level changelog between two versions from the shell:
+    ``changelog <dataset-dir> <v1> <v2|current> [limit]`` — one JSON
+    line per changed row, ``{"op": "insert"|"delete", ...columns}``,
+    deletes first then inserts, each side ordered by its column
+    values. Same metadata-level file cancellation as ``diff`` (only
+    per-side-unique files decode); the Spark tier
+    (maintenance.snapshot_changelog) is the distributed twin."""
+    if len(argv) not in (3, 4):
+        print("usage: ... changelog <dataset-dir> <v1> <v2|current> "
+              "[limit]", file=sys.stderr)
+        return 2
+    import os
+    from collections import Counter
+
+    from .datasource import load_snapshots
+    from .format import read_all, read_schema
+
+    path = argv[0]
+    limit = int(argv[3]) if len(argv) == 4 else None
+    snaps = {s["version"]: s for s in load_snapshots(path)}
+    if not snaps:
+        print("dataset has no metadata log", file=sys.stderr)
+        return 2
+
+    def pick(token: str) -> dict:
+        if token == "current":
+            pub = [v for v, s in snaps.items() if not s.get("staged")
+                   and not s.get("branch")]
+            if not pub:
+                print("no published snapshot", file=sys.stderr)
+                raise SystemExit(2)
+            return snaps[max(pub)]
+        v = int(token)
+        if v not in snaps:
+            print(f"version {v} not in metadata log "
+                  f"(have {sorted(snaps)})", file=sys.stderr)
+            raise SystemExit(2)
+        return snaps[v]
+
+    s1, s2 = pick(argv[1]), pick(argv[2])
+    f1, f2 = set(s1["files"]), set(s2["files"])
+    names: list[str] = []
+
+    def rows_of(basenames) -> Counter:
+        c: Counter = Counter()
+        for b in sorted(basenames):
+            fp = os.path.join(path, b)
+            if not os.path.exists(fp):
+                print(f"part file {b} was vacuumed — changelog "
+                      f"impossible", file=sys.stderr)
+                raise SystemExit(2)
+            data = read_all(fp)
+            cols = [c_.name for c_ in read_schema(fp).columns]
+            if cols and not names:
+                names.extend(cols)
+            n = len(data[cols[0]]) if cols else 0
+            c.update(tuple(data[nm][i] for nm in cols) for i in range(n))
+        return c
+
+    r1, r2 = rows_of(f1 - f2), rows_of(f2 - f1)
+    emitted = 0
+    for op, delta in (("delete", r1 - r2), ("insert", r2 - r1)):
+        for row in sorted(delta, key=lambda t: tuple(
+                (x is None, str(x)) for x in t)):
+            for _ in range(delta[row]):
+                if limit is not None and emitted >= limit:
+                    print(json.dumps({"truncated": True,
+                                      "limit": limit}))
+                    return 0
+                print(json.dumps({"op": op,
+                                  **dict(zip(names, row))}))
+                emitted += 1
+    return 0
+
+
 def cli_tag(argv: list[str]) -> int:
     """Pin an immutable named tag to a snapshot version:
     ``tag <dataset-dir> <name> [version]`` (default: published head).
@@ -456,6 +532,7 @@ COMMANDS = {
     "set_sort_order": cli_set_sort_order,
     "set_clustering": cli_set_clustering,
     "diff": cli_diff,
+    "changelog": cli_changelog,
     "tag": cli_tag,
     "refs": cli_refs,
     "rollback": cli_rollback,

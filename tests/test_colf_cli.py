@@ -264,3 +264,36 @@ def test_cli_diff_row_accurate(spark, tmp_path, capsys):
 
     with _pytest.raises(SystemExit):
         cli_main(["diff", p, "1", "99"])
+
+
+def test_cli_changelog_rows(spark, tmp_path, capsys):
+    """`changelog <ds> <v1> <v2>` prints one JSON line per changed row
+    (deletes then inserts), sees through a CoW rewrite, and honors the
+    limit."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from columnar_format_spark.colf.cli import main as cli_main
+    from columnar_format_spark.colf.datasource import register
+    from columnar_format_spark.colf.maintenance import delete_where
+
+    register(spark)
+    p = str(tmp_path / "chds")
+    (spark.range(20).select(F.col("id").cast("int").alias("k"))
+     .coalesce(2).write.format("colf").mode("overwrite").save(p))
+    delete_where(spark, p, "k >= 17")                   # v2: -3
+    (spark.range(100, 102).select(F.col("id").cast("int").alias("k"))
+     .coalesce(1).write.format("colf").mode("append").save(p))  # v3: +2
+
+    assert cli_main(["changelog", p, "1", "current"]) == 0
+    lines = [_json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert [(r["op"], r["k"]) for r in lines] == [
+        ("delete", 17), ("delete", 18), ("delete", 19),
+        ("insert", 100), ("insert", 101)]
+    # limit truncates with an explicit marker
+    assert cli_main(["changelog", p, "1", "current", "2"]) == 0
+    lines = [_json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 3 and lines[-1] == {"truncated": True, "limit": 2}
