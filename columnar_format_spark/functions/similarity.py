@@ -1355,16 +1355,28 @@ def _pca_fit(e: DataFrame, d: int, k: int):
     import pandas as pd
 
     def partials(it):
-        for pdf in it:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        for j, pdf in enumerate(it):
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             yield pd.DataFrame({
+                "pid": [pid * 100_000 + j],  # deterministic fold order
                 "n": [m.shape[0]],
                 "s": [m.sum(axis=0).tolist()],
                 "g": [(m.T @ m).reshape(-1).tolist()],
             })
 
-    parts = e.select("embedding").mapInPandas(
-        partials, "n long, s array<double>, g array<double>").collect()
+    parts = sorted(
+        e.select("embedding").mapInPandas(
+            partials,
+            "pid long, n long, s array<double>, g array<double>"
+        ).collect(),
+        key=lambda r: r["pid"])
+    # the fold is float addition (non-associative); sorting the
+    # partials by (partition, batch) makes the driver fold — and so
+    # the eigenvectors and every shortlist computed from them —
+    # bit-stable across runs regardless of collect() arrival order
     n = sum(r["n"] for r in parts)
     s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
     g = np.sum([np.asarray(r["g"]).reshape(d, d) for r in parts], axis=0)
