@@ -437,3 +437,33 @@ def test_stream_source_skips_staged_until_published(colf_spark, ds,
     assert drain() == 150                               # nothing new
     publish_wap(ds, 3)
     assert drain() == 170                               # exactly once
+
+
+def test_fast_forward_recovers_from_crash_before_ref_update(colf_spark,
+                                                            ds):
+    """Crash-window recovery: fast_forward commits the published
+    snapshot FIRST and re-bases the ref second. If the process dies
+    between the two, the branch ref still carries its delta — a
+    retried fast_forward must land a byte-identical file set (an
+    idempotent no-op version), never lose or duplicate rows."""
+    from columnar_format_spark.colf.datasource import (commit_snapshot,
+                                                       published_snapshots)
+    from columnar_format_spark.colf.maintenance import (create_branch,
+                                                        fast_forward)
+
+    create_branch(ds, "dev")
+    (_df(colf_spark, 500, 520).coalesce(1).write.format("colf")
+     .option("branch", "dev").mode("append").save(ds))
+    # simulate the crash: replay ONLY the commit half of fast_forward
+    snaps = load_snapshots(ds)
+    ref = load_refs(ds)["dev"]
+    pub = published_snapshots(snaps)
+    commit_snapshot(ds, sorted(set(pub[-1]["files"]) | set(ref["added"])),
+                    expected_parent=snaps[-1]["version"], ff_from="dev")
+    assert colf_spark.read.format("colf").load(ds).count() == 170
+    # the ref was never re-based — recovery is just calling it again
+    fast_forward(ds, "dev")
+    assert colf_spark.read.format("colf").load(ds).count() == 170
+    snaps = load_snapshots(ds)
+    assert snaps[-1]["files"] == snaps[-2]["files"]  # idempotent union
+    assert load_refs(ds)["dev"]["added"] == []
