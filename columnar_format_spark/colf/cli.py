@@ -236,6 +236,103 @@ def cli_evolve_spec(argv: list[str]) -> int:
     return 0
 
 
+def _pick_published(snaps: dict, token: str) -> dict:
+    """Resolve a version token for diff/changelog. ``current`` is the
+    newest PUBLISHED snapshot — staged (write-audit-publish) and
+    branch commits are outside the published lineage, exactly the
+    predicate datasource.published_snapshots applies, so a dataset
+    whose newest commit is an unpublished branch append diffs against
+    the published table, not the branch head. Explicit version numbers
+    may name any commit (auditing a staged write is legitimate)."""
+    if token == "current":
+        pub = [v for v, s in snaps.items()
+               if not s.get("staged") and not s.get("branch")]
+        if not pub:
+            print("no published snapshot", file=sys.stderr)
+            raise SystemExit(2)
+        return snaps[max(pub)]
+    v = int(token)
+    if v not in snaps:
+        print(f"version {v} not in metadata log "
+              f"(have {sorted(snaps)})", file=sys.stderr)
+        raise SystemExit(2)
+    return snaps[v]
+
+
+def _union_names(path: str, basenames) -> list[str]:
+    """First-seen column-name union over the given part files (the
+    dataset schema under additive evolution), refusing when a file was
+    vacuumed. Row tuples for diff/changelog must be built against ONE
+    fixed column order: binding each file's own header would mislabel
+    values and produce never-cancelling tuples of different arity when
+    the two diffed versions' files carry different column sets."""
+    import os
+
+    names: list[str] = []
+    seen: set[str] = set()
+    for b in sorted(basenames):
+        fp = os.path.join(path, b)
+        if not os.path.exists(fp):
+            print(f"part file {b} referenced by a diffed version was "
+                  f"vacuumed — row-accurate diff impossible",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        for c in read_schema(fp).columns:
+            if c.name not in seen:
+                seen.add(c.name)
+                names.append(c.name)
+    return names
+
+
+def _rows_of(path: str, basenames, names: list[str], dmap=None):
+    """Row multiset of the given part files as tuples in the fixed
+    ``names`` order; columns a file lacks read as None (typed NULLs —
+    the same semantics the Spark reader gives evolved datasets).
+    ``dmap`` ({basename: deleted position array}) masks merge-on-read
+    position deletes so each side reflects its version's VISIBLE
+    rows."""
+    import os
+    from collections import Counter
+
+    c: Counter = Counter()
+    for b in sorted(basenames):
+        fp = os.path.join(path, b)
+        data = read_all(fp)
+        n = read_schema(fp).num_rows
+        dropped = (set(int(p) for p in dmap[b])
+                   if dmap and b in dmap else ())
+        c.update(
+            tuple(data[nm][i] if nm in data else None for nm in names)
+            for i in range(n) if i not in dropped)
+    return c
+
+
+def _delete_view(path: str, s1: dict, s2: dict, f1: set, f2: set):
+    """Merge-on-read awareness for diff/changelog: returns
+    (changed_common_files, dmap1, dmap2). A common file addressed by a
+    delete sidecar present in only one version changed ROWS without
+    changing identity — it must decode on both sides, each masked by
+    its own version's positions. Refuses (like a vacuumed part file)
+    when a referenced sidecar is gone."""
+    import os
+
+    from .datasource import _load_delete_file, delete_positions_map
+
+    d1, d2 = set(s1.get("deletes", [])), set(s2.get("deletes", []))
+    try:
+        changed: set = set()
+        for d in d1 ^ d2:
+            changed |= set(_load_delete_file(os.path.join(path, d)))
+        dmap1 = delete_positions_map(path, sorted(d1))
+        dmap2 = delete_positions_map(path, sorted(d2))
+    except OSError as exc:
+        print(f"delete sidecar referenced by a diffed version was "
+              f"vacuumed — row-accurate diff impossible ({exc})",
+              file=sys.stderr)
+        raise SystemExit(2) from exc
+    return changed & f1 & f2, dmap1, dmap2
+
+
 def cli_diff(argv: list[str]) -> int:
     """Row-accurate snapshot diff between two table versions from the
     shell — the CDC audit question "what changed between v1 and v2?"
@@ -251,11 +348,7 @@ def cli_diff(argv: list[str]) -> int:
         print("usage: ... diff <dataset-dir> <v1> <v2|current>",
               file=sys.stderr)
         return 2
-    import os
-    from collections import Counter
-
     from .datasource import load_manifest, load_snapshots
-    from .format import read_all, read_schema
 
     path = argv[0]
     snaps = {s["version"]: s for s in load_snapshots(path)}
@@ -264,56 +357,36 @@ def cli_diff(argv: list[str]) -> int:
               file=sys.stderr)
         return 2
 
-    def pick(token: str) -> dict:
-        if token == "current":
-            pub = [v for v, s in snaps.items() if not s.get("staged")]
-            if not pub:
-                print("no published snapshot", file=sys.stderr)
-                raise SystemExit(2)
-            return snaps[max(pub)]
-        v = int(token)
-        if v not in snaps:
-            print(f"version {v} not in metadata log "
-                  f"(have {sorted(snaps)})", file=sys.stderr)
-            raise SystemExit(2)
-        return snaps[v]
-
-    s1, s2 = pick(argv[1]), pick(argv[2])
+    s1 = _pick_published(snaps, argv[1])
+    s2 = _pick_published(snaps, argv[2])
     f1, f2 = set(s1["files"]), set(s2["files"])
-    only1, only2 = sorted(f1 - f2), sorted(f2 - f1)
+    changed, dmap1, dmap2 = _delete_view(path, s1, s2, f1, f2)
+    only1 = sorted((f1 - f2) | changed)
+    only2 = sorted((f2 - f1) | changed)
     manifest = load_manifest(path)
 
-    def rows_of(basenames) -> Counter:
-        c: Counter = Counter()
-        for b in basenames:
-            fp = os.path.join(path, b)
-            if not os.path.exists(fp):
-                print(f"part file {b} referenced by a diffed version "
-                      f"was vacuumed — row-accurate diff impossible",
-                      file=sys.stderr)
-                raise SystemExit(2)
-            data = read_all(fp)
-            names = [c_.name for c_ in read_schema(fp).columns]
-            n = len(data[names[0]]) if names else 0
-            c.update(tuple(data[nm][i] for nm in names)
-                     for i in range(n))
-        return c
-
-    r1, r2 = rows_of(only1), rows_of(only2)
+    names = _union_names(path, only1 + only2)
+    r1 = _rows_of(path, only1, names, dmap1)
+    r2 = _rows_of(path, only2, names, dmap2)
     added = r2 - r1
     removed = r1 - r2
 
-    def total(s) -> int | None:
+    def total(s, dmap) -> int | None:
         rows = [manifest.get(b, {}).get("num_rows") for b in s["files"]]
-        return sum(rows) if all(r is not None for r in rows) else None
+        if not all(r is not None for r in rows):
+            return None
+        fset = set(s["files"])
+        return sum(rows) - sum(len(v) for b, v in dmap.items()
+                               if b in fset)
 
     print(json.dumps({
         "v1": s1["version"], "v2": s2["version"],
-        "files_added": len(only2), "files_removed": len(only1),
+        "files_added": len(f2 - f1), "files_removed": len(f1 - f2),
+        "files_row_changed": len(changed),
         "files_common": len(f1 & f2),
         "n_added": sum(added.values()),
         "n_removed": sum(removed.values()),
-        "n_v1": total(s1), "n_v2": total(s2),
+        "n_v1": total(s1, dmap1), "n_v2": total(s2, dmap2),
     }, indent=2))
     return 0
 
@@ -346,11 +419,7 @@ def cli_changelog(argv: list[str]) -> int:
         print("usage: ... changelog <dataset-dir> <v1> <v2|current> "
               "[limit]", file=sys.stderr)
         return 2
-    import os
-    from collections import Counter
-
     from .datasource import load_snapshots
-    from .format import read_all, read_schema
 
     path = argv[0]
     limit = int(argv[3]) if len(argv) == 4 else None
@@ -359,42 +428,15 @@ def cli_changelog(argv: list[str]) -> int:
         print("dataset has no metadata log", file=sys.stderr)
         return 2
 
-    def pick(token: str) -> dict:
-        if token == "current":
-            pub = [v for v, s in snaps.items() if not s.get("staged")
-                   and not s.get("branch")]
-            if not pub:
-                print("no published snapshot", file=sys.stderr)
-                raise SystemExit(2)
-            return snaps[max(pub)]
-        v = int(token)
-        if v not in snaps:
-            print(f"version {v} not in metadata log "
-                  f"(have {sorted(snaps)})", file=sys.stderr)
-            raise SystemExit(2)
-        return snaps[v]
-
-    s1, s2 = pick(argv[1]), pick(argv[2])
+    s1 = _pick_published(snaps, argv[1])
+    s2 = _pick_published(snaps, argv[2])
     f1, f2 = set(s1["files"]), set(s2["files"])
-    names: list[str] = []
-
-    def rows_of(basenames) -> Counter:
-        c: Counter = Counter()
-        for b in sorted(basenames):
-            fp = os.path.join(path, b)
-            if not os.path.exists(fp):
-                print(f"part file {b} was vacuumed — changelog "
-                      f"impossible", file=sys.stderr)
-                raise SystemExit(2)
-            data = read_all(fp)
-            cols = [c_.name for c_ in read_schema(fp).columns]
-            if cols and not names:
-                names.extend(cols)
-            n = len(data[cols[0]]) if cols else 0
-            c.update(tuple(data[nm][i] for nm in cols) for i in range(n))
-        return c
-
-    r1, r2 = rows_of(f1 - f2), rows_of(f2 - f1)
+    changed, dmap1, dmap2 = _delete_view(path, s1, s2, f1, f2)
+    only1 = sorted((f1 - f2) | changed)
+    only2 = sorted((f2 - f1) | changed)
+    names = _union_names(path, only1 + only2)
+    r1 = _rows_of(path, only1, names, dmap1)
+    r2 = _rows_of(path, only2, names, dmap2)
     emitted = 0
     for op, delta in (("delete", r1 - r2), ("insert", r2 - r1)):
         for row in sorted(delta, key=lambda t: tuple(

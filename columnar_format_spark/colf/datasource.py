@@ -82,6 +82,12 @@ from .format import (
 
 SPARK_TO_COLF = {"int": "int32", "double": "float64", "string": "utf8"}
 FILE_COLUMN = "_colf_file"  # virtual column, option withFileColumn=true
+POS_COLUMN = "_colf_pos"  # virtual column, option withPosColumn=true:
+# the row's ordinal within its part file BEFORE any delete/filter mask
+# — the coordinate system position-delete files address
+DELETE_SUFFIX = ".colfd"  # position-delete sidecar files (Iceberg v2
+# position deletes): regular COLF files [file utf8, pos int32] whose
+# extension keeps them out of the data-file listing
 COLF_TO_SPARK = {"int32": IntegerType(), "float64": DoubleType(), "utf8": StringType()}
 
 
@@ -116,6 +122,10 @@ def spark_to_colf_columns(schema: StructType) -> list[ColfColumn]:
 class ColfInputPartition(InputPartition):
     file: str
     stripe: int | None = None  # v3 striped files: one partition/stripe
+    # position-delete sidecar basenames that MAY address this file
+    # (pruned at plan time by the sidecars' own file-column zone maps);
+    # the task reads them and masks the deleted ordinals out
+    deletes: tuple = ()
 
 
 MANIFEST_NAME = "_manifest.json"
@@ -226,7 +236,8 @@ def commit_snapshot(path: str, live_files: list[str],
                     wap_source: int | None = None,
                     branch: str | None = None,
                     ff_from: str | None = None,
-                    cluster: list[str] | None = None) -> int:
+                    cluster: list[str] | None = None,
+                    deletes: list[str] | None = None) -> int:
     """Append a snapshot whose live set is ``live_files`` (basenames);
     ``reset`` starts a fresh history at version 1 (overwrite mode —
     the old part files are physically gone, so old versions would be
@@ -287,6 +298,21 @@ def commit_snapshot(path: str, live_files: list[str],
         # current_sort_order) — same carry-by-snapshot model as spec
     if cluster is not None:
         entry["cluster"] = list(cluster)  # recorded z-order clustering
+    # position-delete sidecars (merge-on-read DML): ``deletes`` lists
+    # the .colfd files active for this snapshot's live set. None =
+    # INHERIT the parent lineage's list (an append must not resurrect
+    # rows a prior MoR delete removed); [] clears explicitly (compact
+    # materializes deletes away); a list sets it (the MoR delete
+    # commit itself).
+    if deletes is None and not reset:
+        lineage = ([s for s in snaps if s.get("branch") == branch]
+                   if branch is not None else [])
+        if not lineage:
+            lineage = published_snapshots(snaps)
+        if lineage:
+            deletes = lineage[-1].get("deletes")
+    if deletes:
+        entry["deletes"] = sorted(set(deletes))
     snaps.append(entry)
     write_snapshots(path, snaps)
     return version
@@ -407,6 +433,62 @@ def load_manifest(path: str) -> dict:
             return json.load(f)
     except (OSError, ValueError):
         return {}  # corrupt manifest → prune nothing, stay correct
+
+
+def _load_delete_file(fp: str):
+    """{data-file basename: sorted unique int64 position array} from
+    one position-delete sidecar. The sidecar is itself a COLF file
+    ([file utf8, pos int32]) so the decode is the ordinary vectorized
+    codec; delete files are write-once under uuid names, so the
+    process-level cache never goes stale (same immutability contract
+    as Iceberg delete files)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .format import read_columns_arrow
+
+    if fp in _DELETE_FILE_CACHE:
+        return _DELETE_FILE_CACHE[fp]
+    tbl = pa.table(read_columns_arrow(fp, ["file", "pos"]))
+    grouped = tbl.group_by("file").aggregate([("pos", "list")])
+    out = {f: np.unique(np.asarray(ps, dtype=np.int64))
+           for f, ps in zip(grouped["file"].to_pylist(),
+                            grouped["pos_list"].to_pylist())}
+    if len(_DELETE_FILE_CACHE) > 64:
+        _DELETE_FILE_CACHE.clear()
+    _DELETE_FILE_CACHE[fp] = out
+    return out
+
+
+_DELETE_FILE_CACHE: dict = {}
+
+
+def deleted_positions(dataset_dir: str, deletes, base: str):
+    """Merged deleted-position array for one data file across the
+    snapshot's delete sidecars (None = no deletions for that file)."""
+    import numpy as np
+
+    arrs = [a for d in deletes
+            if (a := _load_delete_file(
+                os.path.join(dataset_dir, d)).get(base)) is not None]
+    if not arrs:
+        return None
+    return arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+
+
+def delete_positions_map(path: str, deletes) -> dict:
+    """{data-file basename: position array} over a whole snapshot's
+    delete list — the driver-side view diff/changelog cancellation
+    needs."""
+    import numpy as np
+
+    out: dict = {}
+    for d in deletes or []:
+        for f, a in _load_delete_file(os.path.join(path, d)).items():
+            prev = out.get(f)
+            out[f] = a if prev is None else np.unique(
+                np.concatenate([prev, a]))
+    return out
 
 
 BLOOMS_NAME = "_blooms.json"
@@ -810,6 +892,7 @@ class ColfReader(DataSourceReader):
         return filters
 
     def partitions(self):
+        dels: list[str] = []
         if self.snapshot is not None:
             snaps = {s["version"]: s for s in load_snapshots(self.path)}
             if self.snapshot not in snaps:
@@ -824,8 +907,11 @@ class ColfReader(DataSourceReader):
                 raise ColfFormatError(
                     f"snapshot {self.snapshot} references vacuumed files: "
                     f"{[os.path.basename(f) for f in missing]}")
+            dels = snaps[self.snapshot].get("deletes") or []
         else:
             files = live_files(self.path)
+            head = published_head(self.path)
+            dels = (head.get("deletes") or []) if head else []
         if self.incremental_from is not None:
             snaps = {s["version"]: s for s in load_snapshots(self.path)}
             if self.incremental_from not in snaps:
@@ -880,6 +966,23 @@ class ColfReader(DataSourceReader):
             # the API requires >= 1 partition; a None-file sentinel
             # yields zero batches (empty increment / all files pruned)
             return [ColfInputPartition(None)]
+
+        def _dels_for(f: str) -> tuple:
+            # prune the snapshot's delete sidecars per data file via
+            # the sidecars' OWN file-column zone maps in the manifest —
+            # a task only opens delete files that may address its file
+            if not dels:
+                return ()
+            base = os.path.basename(f)
+            out = []
+            for d in dels:
+                fcol = ((manifest.get(d) or {}).get("columns")
+                        or {}).get("file")
+                if (fcol and fcol.get("min") is not None
+                        and not (fcol["min"] <= base <= fcol["max"])):
+                    continue
+                out.append(d)
+            return tuple(out)
         # v3 striped files plan one partition per STRIPE, pruned by the
         # per-stripe zone maps (and per-stripe blooms) when the
         # sidecars carry them — all from metadata; a file header is
@@ -892,7 +995,7 @@ class ColfReader(DataSourceReader):
             if stripes is None and entry is None                     and file_version(f) == VERSION_V3:
                 stripes = [{"num_rows": n} for n in read_stripes_info(f)]
             if stripes is None:
-                parts.append(ColfInputPartition(f))
+                parts.append(ColfInputPartition(f, deletes=_dels_for(f)))
                 continue
             sblooms = (blooms.get(os.path.basename(f), {})
                        .get("stripes") or [])
@@ -908,7 +1011,8 @@ class ColfReader(DataSourceReader):
                                for flt in eq_filters)
                 return True
 
-            parts.extend(ColfInputPartition(f, si)
+            fd = _dels_for(f)
+            parts.extend(ColfInputPartition(f, si, deletes=fd)
                          for si, st in enumerate(stripes)
                          if _stripe_may_match(si, st))
         return parts or [ColfInputPartition(None)]
@@ -919,13 +1023,46 @@ class ColfReader(DataSourceReader):
         if partition.file is None:
             return
         wanted = self.columns or [f.name for f in self.schema.fields]
-        file_cols = [c for c in wanted if c != FILE_COLUMN]
+        file_cols = [c for c in wanted
+                     if c not in (FILE_COLUMN, POS_COLUMN)]
         # row count for metadata-only projections comes from the
         # stripe footer / header, not 0 (per-file counts via the
         # virtual column must be exact); evolved-away columns decode
         # as typed nulls
         data, n = _read_file_columns(partition.file, file_cols,
                                      partition.stripe, self.schema)
+        base = os.path.basename(partition.file)
+        pos_np = None
+        start = 0
+        if POS_COLUMN in wanted or partition.deletes:
+            import numpy as np
+
+            if partition.stripe is not None:
+                # the header is already open for this task; its stripe
+                # row counts give the stripe's base ordinal
+                counts = read_stripes_info(partition.file)
+                start = int(sum(counts[:partition.stripe]))
+            if POS_COLUMN in wanted:
+                pos_np = np.arange(start, start + n, dtype=np.int64)
+        # merge-on-read position deletes FIRST: sidecar positions
+        # address ORIGINAL file ordinals, so the delete mask must
+        # precede the residual filter (which re-bases row indices)
+        if partition.deletes:
+            import numpy as np
+
+            dpos = deleted_positions(os.path.dirname(partition.file),
+                                     partition.deletes, base)
+            if dpos is not None:
+                sel = dpos[(dpos >= start) & (dpos < start + n)] - start
+                if len(sel):
+                    keep = np.ones(n, dtype=bool)
+                    keep[sel] = False
+                    kmask = pa.array(keep)
+                    data = {c: arr.filter(kmask)
+                            for c, arr in data.items()}
+                    if pos_np is not None:
+                        pos_np = pos_np[keep]
+                    n -= len(sel)
         if self.row_filter and self.pushed and file_cols:
             mask = _residual_mask(data, self.pushed)
             # all-true mask: skip the survivor copy — a non-selective
@@ -933,9 +1070,12 @@ class ColfReader(DataSourceReader):
             if mask is not None and mask.false_count > 0:
                 data = {c: arr.filter(mask) for c, arr in data.items()}
                 n = len(data[file_cols[0]])
+                if pos_np is not None:
+                    pos_np = pos_np[mask.to_numpy(zero_copy_only=False)]
         if FILE_COLUMN in wanted:
-            base = os.path.basename(partition.file)
             data[FILE_COLUMN] = pa.array([base] * n, type=pa.string())
+        if POS_COLUMN in wanted:
+            data[POS_COLUMN] = pa.array(pos_np, type=pa.int64())
         yield pa.RecordBatch.from_arrays([data[c] for c in wanted], names=wanted)
 
 
@@ -1796,6 +1936,13 @@ class ColfWriter(DataSourceArrowWriter):
             expected_parent=parent,
             spec=self.commit_spec,
             sort=self.commit_sort,
+            # sort and clustering are ONE layout slot (the
+            # set_sort_order/set_clustering invariant): recording a new
+            # sort order must clear a previously recorded clustering,
+            # or compact() would keep z-ordering by the stale keys
+            cluster=([] if self.commit_sort is not None
+                     and not self.overwrite
+                     and current_clustering(self.path) else None),
             staged=self.wap,
             added=[os.path.basename(f) for f in written]
             if (self.wap or self.branch is not None) else None,
@@ -2086,7 +2233,10 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
                 os.path.basename(f) for f in live_files(self.path)
             ] + [os.path.basename(f) for f in batch_files],
                 expected_parent=parent, spec=self.commit_spec,
-                sort=self.commit_sort)
+                sort=self.commit_sort,
+                # one layout slot: a recorded sort clears clustering
+                cluster=([] if self.commit_sort is not None
+                         and current_clustering(self.path) else None))
             self.commit_spec = None  # record a spec/sort change once
             self.commit_sort = None
 
@@ -2109,7 +2259,30 @@ class ColfDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ColfFormatError("colf source requires a path")
-        files = dataset_files(path)
+        # The dataset schema comes from the files the READ will
+        # actually plan: the named snapshot/ref when time-traveling,
+        # else the PUBLISHED live set when a metadata log exists — a
+        # staged (WAP) or branch append that adds a column must not
+        # leak that column into published reads as all-NULL before
+        # publish (staged-isolation contract). The raw directory
+        # listing remains the logless-dataset fallback, and the
+        # fallback of last resort when the published set is empty
+        # (first-ever write was staged: reads plan zero batches, but
+        # the API still needs a schema).
+        snap_opt = self.options.get("snapshot")
+        ref_opt = self.options.get("ref")
+        if ref_opt is not None and snap_opt is None:
+            refs = load_refs(path)
+            if ref_opt in refs:
+                snap_opt = refs[ref_opt]["version"]
+        if snap_opt is not None:
+            snaps = {s["version"]: s for s in load_snapshots(path)}
+            snap = snaps.get(int(snap_opt))
+            files = ([os.path.join(path, b) for b in snap["files"]]
+                     if snap else [])
+        else:
+            files = live_files(path)
+        files = [f for f in files if os.path.exists(f)] or dataset_files(path)
         if not files:
             raise ColfFormatError(f"No .colf files found at {path}")
         # the dataset schema is the UNION of the live files' columns
@@ -2118,13 +2291,15 @@ class ColfDataSource(DataSource):
         file_schema = ColfSchema(0, dataset_union_columns(path, files))
         cols_opt = self.options.get("columns")
         with_file = self.options.get("withFileColumn", "false").lower() == "true"
+        with_pos = self.options.get("withPosColumn", "false").lower() == "true"
         if cols_opt:
             wanted = [c.strip() for c in cols_opt.split(",") if c.strip()]
             index = {c.name: c for c in file_schema.columns}
-            # the virtual file column is legal here (metadata-only
-            # projections like per-file row counts select ONLY it)
+            # the virtual file/pos columns are legal here (metadata-only
+            # projections like per-file row counts select ONLY them)
             missing = [c for c in wanted if c not in index
-                       and not (with_file and c == FILE_COLUMN)]
+                       and not (with_file and c == FILE_COLUMN)
+                       and not (with_pos and c == POS_COLUMN)]
             if missing:
                 raise KeyError(f"Column not found: {missing[0]}")
             file_schema = ColfSchema(file_schema.num_rows,
@@ -2141,6 +2316,10 @@ class ColfDataSource(DataSource):
         fields = [StructField(f.name, f.dataType, True) for f in base.fields]
         if with_file:
             fields.append(StructField(FILE_COLUMN, StringType(), False))
+        if with_pos:
+            from pyspark.sql.types import LongType
+
+            fields.append(StructField(POS_COLUMN, LongType(), False))
         return StructType(fields)
 
     def reader(self, schema: StructType) -> DataSourceReader:
@@ -2168,6 +2347,20 @@ def register(spark) -> None:
     by this package's ``get_spark()`` factory. Pinned by
     tests/test_vanilla_session_compat.py, which runs COLF queries in a
     bare subprocess SparkSession exactly like an external driver.
+
+    KNOWN UPSTREAM HAZARD (PySpark 4.1.2): the Scala TableProvider
+    behind Python data sources caches ONE planned scan per
+    ``spark.read...load()`` call, and a filtered query's pushdown
+    OVERWRITES it — so on the SAME DataFrame object, an unfiltered
+    action after a filtered action replays the filtered scan (wrong
+    rows). Filtered→filtered reuse re-plans and is safe; fresh loads
+    are always safe (one load per logical query is this package's
+    internal rule). If you must reuse one DataFrame across filtered
+    AND unfiltered actions — or in ONE plan with multiple scan
+    subtrees over the same load — make its scans filter-neutral with
+    ``option("pruning", "off").option("rowFilter", "off")``, or load
+    once per subtree. Pinned — with a canary that fails when an
+    upgrade fixes it — in tests/test_pushdown_scan_reuse.py.
     """
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ColfDataSource)

@@ -383,8 +383,11 @@ def rollback(path: str, version: int) -> int:
         raise ColfFormatError(
             f"cannot roll back to version {version}: part files "
             f"{missing} were vacuumed")
+    # restore the TARGET's delete list too (explicit, not inherited:
+    # the head may carry position deletes the target predates)
     return commit_snapshot(path, list(tgt["files"]),
-                           expected_parent=snaps[-1]["version"])
+                           expected_parent=snaps[-1]["version"],
+                           deletes=list(tgt.get("deletes", [])))
 
 
 def snapshot_changelog(spark: SparkSession, path: str, v_from: int,
@@ -419,7 +422,22 @@ def snapshot_changelog(spark: SparkSession, path: str, v_from: int,
                 f"(have {sorted(snaps)})")
     f_from = set(snaps[v_from]["files"])
     f_to = set(snaps[v_to]["files"])
-    only_from, only_to = sorted(f_from - f_to), sorted(f_to - f_from)
+    # merge-on-read position deletes change a file's ROWS without
+    # changing its identity: a common file addressed by a delete
+    # sidecar present in one version but not the other must be read on
+    # BOTH sides (each side's reader masks with its own version's
+    # deletes; the unchanged rows cancel in exceptAll). Only the DELTA
+    # sidecars are opened — and only their file column.
+    from .datasource import _load_delete_file
+
+    d_from = set(snaps[v_from].get("deletes", []))
+    d_to = set(snaps[v_to].get("deletes", []))
+    changed: set = set()
+    for d in d_from ^ d_to:
+        changed |= set(_load_delete_file(os.path.join(path, d)))
+    changed &= f_from & f_to
+    only_from = sorted((f_from - f_to) | changed)
+    only_to = sorted((f_to - f_from) | changed)
 
     def side(version: int, basenames: list[str]):
         r = (spark.read.format("colf")
@@ -495,6 +513,27 @@ def compact(spark: SparkSession, path: str, target_files: int | None = None,
     else:
         snaps0 = load_snapshots(path)
         parent = snaps0[-1]["version"] if snaps0 else 0
+        # swap mode rebuilds the directory from the published live set
+        # and rmtree's the old one — which would silently destroy the
+        # _refs.json sidecar (tags are documented to stay readable past
+        # any retention horizon) and every unpublished staged/branch
+        # part file, all of which vacuum() carefully pins as in-flight
+        # work. Refuse loudly; retain=True preserves all of it.
+        from .format import ColfFormatError
+
+        published_from = {s.get("wap_source") for s in snaps0
+                          if s.get("wap_source") is not None}
+        pinned = [s["version"] for s in snaps0
+                  if s.get("staged") and s["version"] not in published_from]
+        refs = load_refs(path)
+        if refs or pinned:
+            raise ColfFormatError(
+                f"swap-mode compact() on {path} would destroy "
+                f"{'named refs ' + str(sorted(refs)) + ' ' if refs else ''}"
+                f"{'unpublished staged/branch commits ' + str(pinned) if pinned else ''}"
+                f"— they live outside the published lineage the swap "
+                f"rebuilds. Use compact(..., retain=True), which keeps "
+                f"the metadata log, refs, and staged files intact.")
     df = spark.read.format("colf").load(path)
     # preserve the dataset's format version (a v2/v3 dataset must not
     # silently downgrade to v1 through a compaction); mixed-version
@@ -594,7 +633,10 @@ def compact(spark: SparkSession, path: str, target_files: int | None = None,
     os.rename(mtmp, manifest_path(path))
     _merge_bloom_files(path, tmp)
     shutil.rmtree(tmp)
-    commit_snapshot(path, moved, expected_parent=parent)
+    # the rewrite read through the MoR reader, so position deletes are
+    # MATERIALIZED into the compacted files — clear the list explicitly
+    # (the sidecars themselves are reclaimed by vacuum)
+    commit_snapshot(path, moved, expected_parent=parent, deletes=[])
     return len(moved)
 
 
@@ -692,8 +734,15 @@ def vacuum(path: str, keep_last: int = 1,
             if cluster is not None:
                 kept[i0] = dict(kept[i0], inherited_cluster=cluster)
     referenced = {b for s in kept for b in s["files"]}
+    # position-delete sidecars referenced by kept snapshots must
+    # survive (their absence would silently resurrect deleted rows);
+    # unreferenced ones are reclaimable garbage like any part file
+    referenced |= {d for s in kept for d in s.get("deletes", [])}
+    from .datasource import DELETE_SUFFIX
     deleted = []
-    for f in dataset_files(path):
+    delete_sidecars = [os.path.join(path, f) for f in os.listdir(path)
+                       if f.endswith(DELETE_SUFFIX)]
+    for f in dataset_files(path) + delete_sidecars:
         base = os.path.basename(f)
         if base not in referenced and os.path.getmtime(f) < log_mtime:
             os.remove(f)
@@ -810,10 +859,106 @@ def _plan_candidates(path: str, flts, live0: list[str]):
     return cands
 
 
-def delete_where(spark: SparkSession, path: str, condition: str) -> dict:
-    """Copy-on-write row-level DELETE (Iceberg CoW semantics): rewrite
-    ONLY the part files that contain matching rows, commit one new
-    snapshot whose live set is (old live − touched files) + rewrites.
+def _delete_where_mor(spark: SparkSession, path: str,
+                      condition: str) -> dict:
+    """Merge-on-read DELETE (Iceberg v2 position deletes; see
+    delete_where). One zone-map/Bloom-prunable scan finds the matching
+    rows' (file, pos) coordinates — the reader's virtual
+    ``_colf_file``/``_colf_pos`` columns, with existing deletes already
+    masked so re-deleting is impossible — and writes them through the
+    ordinary COLF writer (one sidecar per scan task holding matches,
+    each internally sorted, its file-column zone maps landing in the
+    dataset manifest so readers prune sidecars per data file). The
+    commit is metadata-only: live set unchanged, ``deletes`` extended.
+
+    Streams tailing the dataset do NOT observe MoR deletes
+    (file-granularity offsets can't retract emitted rows — the same
+    contract as every streaming-CDC source); compact() materializes
+    them for late joiners."""
+    import json
+    import re
+
+    from pyspark.sql import functions as F
+
+    from .datasource import POS_COLUMN, published_head
+
+    parent, live0 = _bootstrap_log(path)
+
+    def noop() -> dict:
+        return {"version": parent, "n_deleted_rows": 0,
+                "n_rewritten_files": 0, "n_kept_files": len(live0),
+                "n_delete_files": 0, "mode": "merge-on-read"}
+
+    if not live0:
+        return noop()
+    union_cols = dataset_union_columns(
+        path, [os.path.join(path, b) for b in live0])
+    fields = [c.name for c in union_cols]
+    # column-pruned scan: only the condition's columns decode (the
+    # Python datasource has no automatic pruning), plus the virtuals
+    cond_cols = [c for c in fields
+                 if re.search(rf"\b{re.escape(c)}\b", condition)] \
+        or fields[:1]
+    matches = (spark.read.format("colf")
+               .option("withFileColumn", "true")
+               .option("withPosColumn", "true")
+               .option("columns",
+                       ",".join([*cond_cols, "_colf_file", POS_COLUMN]))
+               .load(path)
+               # a positive filter keeps only TRUE rows — NULL-condition
+               # rows survive (SQL DELETE semantics) with no coalesce
+               # wrapper, so the bare conjuncts stay pushable and the
+               # scan zone-map/Bloom-prunes to the touched sliver
+               .filter(condition)
+               .select(F.col("_colf_file").alias("file"),
+                       F.col(POS_COLUMN).cast("int").alias("pos")))
+    tmp = f"{path.rstrip(os.sep)}.mordel-{uuid.uuid4().hex[:8]}"
+    (matches.sortWithinPartitions("file", "pos")
+     .write.format("colf").mode("overwrite").save(tmp))
+    man_tmp = load_manifest(tmp)
+    n_deleted = sum(m.get("num_rows") or 0 for m in man_tmp.values())
+    if n_deleted == 0:
+        shutil.rmtree(tmp)
+        return noop()
+    merged = load_manifest(path)
+    moved = []
+    run = uuid.uuid4().hex[:8]
+    for i, f in enumerate(dataset_files(tmp)):
+        if (man_tmp.get(os.path.basename(f)) or {}).get("num_rows") == 0:
+            continue  # the all-empty-partitions sentinel carries nothing
+        base = f"delete-{run}-{i:05d}.colfd"
+        os.rename(f, os.path.join(path, base))
+        st = man_tmp.get(os.path.basename(f))
+        if st:
+            merged[base] = st  # sidecar zone maps: per-data-file pruning
+        moved.append(base)
+    mtmp = manifest_path(path) + ".tmp"
+    with open(mtmp, "w") as fh:
+        json.dump(merged, fh)
+    os.rename(mtmp, manifest_path(path))
+    shutil.rmtree(tmp)
+    head = published_head(path)
+    prior = head.get("deletes", []) if head else []
+    v = commit_snapshot(path, live0, expected_parent=parent,
+                        deletes=sorted(set(prior) | set(moved)))
+    return {"version": v, "n_deleted_rows": int(n_deleted),
+            "n_rewritten_files": 0, "n_kept_files": len(live0),
+            "n_delete_files": len(moved), "mode": "merge-on-read"}
+
+
+def delete_where(spark: SparkSession, path: str, condition: str,
+                 mode: str = "cow") -> dict:
+    """Row-level DELETE. ``mode="cow"`` (default) is copy-on-write
+    (Iceberg v1 semantics): rewrite ONLY the part files that contain
+    matching rows, commit one new snapshot whose live set is
+    (old live − touched files) + rewrites. ``mode="mor"`` is
+    MERGE-ON-READ (Iceberg v2 position deletes): no data file is
+    rewritten at all — the matching rows' (file, position) pairs land
+    in position-delete sidecars (themselves COLF files, ``.colfd``)
+    and one metadata commit lists them; every subsequent read masks
+    the deleted ordinals out at decode time. At 100 TB that turns a
+    one-row delete from a ~128 MB file rewrite into a KB-sized sidecar
+    write; ``compact()`` later materializes the deletes away.
     Untouched files stay byte-identical; the pre-delete version remains
     time-travel-readable until vacuum(). Returns
     {"version", "n_deleted_rows", "n_rewritten_files", "n_kept_files"}.
@@ -839,6 +984,10 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> dict:
 
     if not os.path.isdir(path):
         raise ValueError(f"delete_where() needs a dataset directory, got {path}")
+    if mode not in ("cow", "mor", "merge-on-read"):
+        raise ValueError(f"delete_where mode must be 'cow' or 'mor', got {mode!r}")
+    if mode != "cow":
+        return _delete_where_mor(spark, path, condition)
     parent, live0 = _bootstrap_log(path)
 
     def noop() -> dict:
@@ -868,6 +1017,15 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> dict:
             discovery = "metadata"
             man = load_manifest(path)
             rows_before = sum(man[b]["num_rows"] for b in touched)
+            # manifest counts are ORIGINAL file rows; rows already
+            # masked by merge-on-read position deletes must not be
+            # counted as deleted again by this rewrite
+            from .datasource import delete_positions_map, published_head
+
+            head = published_head(path)
+            dmap = delete_positions_map(
+                path, head.get("deletes", []) if head else [])
+            rows_before -= sum(len(dmap.get(b, ())) for b in touched)
 
     if touched is None:
         # scan discovery: pass 1 reads only the columns the condition

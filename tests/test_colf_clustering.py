@@ -180,3 +180,22 @@ def test_interleave_dimension_cap():
 
     with _pytest.raises(ValueError):
         interleave_ranks([f"c{i}" for i in range(8)], bits=8)  # 64 > 62
+
+
+def test_append_sort_order_clears_clustering(colf_spark, ds):
+    """The one-layout-slot invariant holds for WRITER-recorded sort
+    orders too: an append carrying an explicit ``sortOrder`` records
+    the new sort AND clears a previously recorded clustering —
+    otherwise compact() would keep z-ordering by the stale keys,
+    ignoring the newer recorded sort."""
+    set_clustering(ds, ["a", "b"])
+    _df(colf_spark).limit(10).coalesce(1).write.format("colf") \
+        .option("sortOrder", "a").mode("append").save(ds)
+    assert current_sort_order(ds) == ["a"]
+    assert current_clustering(ds) in (None, [])
+    # and an append with NO sortOrder (inheriting) must not touch the
+    # recorded clustering
+    set_clustering(ds, ["a", "b"])
+    _df(colf_spark).limit(10).coalesce(1).write.format("colf") \
+        .mode("append").save(ds)
+    assert current_clustering(ds) == ["a", "b"]

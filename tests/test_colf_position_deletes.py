@@ -1,0 +1,190 @@
+"""Merge-on-read position deletes (Iceberg v2's model): a
+``delete_where(..., mode="mor")`` writes (file, pos) sidecars and one
+metadata commit — NO data file is rewritten — and every reader masks
+the deleted ordinals at decode time. compact() materializes deletes
+away; vacuum() reclaims expired sidecars; rollback restores the
+target's delete list."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_format_spark.colf.datasource import (
+    load_snapshots,
+    register,
+)
+from columnar_format_spark.colf.maintenance import (
+    compact,
+    delete_where,
+    rollback,
+    snapshot_changelog,
+    update_where,
+    vacuum,
+)
+
+
+@pytest.fixture(scope="module")
+def colf_spark(spark):
+    register(spark)
+    return spark
+
+
+def _df(colf_spark, lo, hi):
+    return colf_spark.range(lo, hi).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+        (F.col("id") % 3).cast("string").alias("g"))
+
+
+@pytest.fixture()
+def ds(colf_spark, tmp_path):
+    p = str(tmp_path / "mords")
+    _df(colf_spark, 0, 200).repartition(4).write.format("colf") \
+        .mode("overwrite").save(p)
+    return p
+
+
+def _data_files(p):
+    return {f: os.path.getmtime(os.path.join(p, f))
+            for f in os.listdir(p) if f.endswith(".colf")}
+
+
+def test_mor_delete_rewrites_nothing(colf_spark, ds):
+    """THE merge-on-read contract: the delete commits without touching
+    any data file — same basenames, same mtimes, same bytes — yet
+    reads mask the rows out, and the pre-delete snapshot still time
+    travels to the full count."""
+    before = _data_files(ds)
+    stats = delete_where(colf_spark, ds, "k >= 150", mode="mor")
+    assert stats["mode"] == "merge-on-read"
+    assert stats["n_deleted_rows"] == 50
+    assert stats["n_rewritten_files"] == 0
+    assert stats["n_delete_files"] >= 1
+    assert _data_files(ds) == before          # zero data-file churn
+    got = colf_spark.read.format("colf").load(ds)
+    assert got.count() == 150
+    assert got.agg(F.max("k")).first()[0] == 149
+    tt = (colf_spark.read.format("colf").option("snapshot", "1")
+          .load(ds))
+    assert tt.count() == 200                   # time travel unaffected
+    # the sidecars are regular COLF files, listed in the snapshot
+    snaps = load_snapshots(ds)
+    assert all(b.endswith(".colfd") for b in snaps[-1]["deletes"])
+
+
+def test_mor_deletes_stack_and_appends_inherit(colf_spark, ds):
+    delete_where(colf_spark, ds, "k < 10", mode="mor")
+    delete_where(colf_spark, ds, "k >= 190", mode="mor")
+    assert colf_spark.read.format("colf").load(ds).count() == 180
+    _df(colf_spark, 500, 510).coalesce(1).write.format("colf") \
+        .mode("append").save(ds)
+    got = colf_spark.read.format("colf").load(ds)
+    assert got.count() == 190                  # append inherits masks
+    # a re-delete of already-masked rows is an exact noop (the scan
+    # itself reads through the masks)
+    s = delete_where(colf_spark, ds, "k < 10", mode="mor")
+    assert s["n_deleted_rows"] == 0 and s["n_delete_files"] == 0
+    assert len(load_snapshots(ds)) == 4        # noop did not commit
+
+
+def test_mor_on_v3_striped_files(colf_spark, tmp_path):
+    """Positions address ORIGINAL file ordinals; a v3 scan plans one
+    task per stripe, so each task must re-base the mask by its
+    stripe's start ordinal. Wrong re-basing would delete the wrong
+    rows in every stripe but the first."""
+    p = str(tmp_path / "morv3")
+    (_df(colf_spark, 0, 10_000).coalesce(1).write.format("colf")
+     .option("version", "3").option("stripeRows", "1000")
+     .mode("overwrite").save(p))
+    stats = delete_where(colf_spark, p, "k % 100 = 7", mode="mor")
+    assert stats["n_deleted_rows"] == 100
+    got = colf_spark.read.format("colf").load(p)
+    assert got.count() == 9_900
+    assert got.filter("k % 100 = 7").count() == 0
+    # sums prove exactly the right rows vanished
+    expect = sum(k for k in range(10_000) if k % 100 != 7)
+    assert got.agg(F.sum(F.col("k").cast("bigint"))).first()[0] == expect
+    # a filtered read composes with the mask (residual filter path)
+    assert got.filter("k >= 9000").count() == 990
+
+
+def test_mor_update_and_cow_interplay(colf_spark, ds):
+    """CoW verbs on a MoR-carrying dataset: the rewrite materializes
+    the touched files' masks (reader-applied), keeps untouched files'
+    masks live, and counts only VISIBLE rows as deleted/updated."""
+    delete_where(colf_spark, ds, "k >= 100 and k < 150", mode="mor")
+    assert colf_spark.read.format("colf").load(ds).count() == 150
+    # CoW delete overlapping the masked range: only visible rows count
+    s = delete_where(colf_spark, ds, "k >= 120")  # 120-149 masked already
+    assert s["n_deleted_rows"] == 50              # 150-199 visible only
+    assert colf_spark.read.format("colf").load(ds).count() == 100
+    # CoW update over the survivor set stays exact (fresh load per
+    # action — the upstream scan-cache hazard pinned in
+    # test_pushdown_scan_reuse.py forbids filtered-then-unfiltered
+    # reuse of ONE DataFrame object)
+    u = update_where(colf_spark, ds, {"v": "v + 1000"}, "k < 5")
+    assert u["n_updated_rows"] == 5
+    got = colf_spark.read.format("colf").load(ds)
+    assert got.filter("v >= 1000").count() == 5
+    assert colf_spark.read.format("colf").load(ds).count() == 100
+
+
+def test_mor_changelog_and_rollback(colf_spark, ds):
+    delete_where(colf_spark, ds, "k >= 195", mode="mor")   # v2: -5
+    cl = snapshot_changelog(colf_spark, ds, 1, 2).collect()
+    assert sorted((r["_change_type"], r["k"]) for r in cl) == [
+        ("delete", k) for k in range(195, 200)]
+    # rollback restores the pre-delete visibility (the head's delete
+    # list must NOT leak into the restored version)
+    rollback(ds, 1)
+    assert colf_spark.read.format("colf").load(ds).count() == 200
+    # and rolling forward again restores the masks
+    rollback(ds, 2)
+    assert colf_spark.read.format("colf").load(ds).count() == 195
+
+
+def test_mor_compact_materializes_vacuum_reclaims(colf_spark, ds):
+    delete_where(colf_spark, ds, "k < 20", mode="mor")
+    assert compact(colf_spark, ds, 2, retain=True) == 2
+    got = colf_spark.read.format("colf").load(ds)
+    assert got.count() == 180
+    assert got.agg(F.min("k")).first()[0] == 20
+    snaps = load_snapshots(ds)
+    assert "deletes" not in snaps[-1]          # materialized away
+    removed = vacuum(ds, keep_last=1)
+    assert any(b.endswith(".colfd") for b in removed)
+    assert not any(f.endswith(".colfd") for f in os.listdir(ds))
+    assert colf_spark.read.format("colf").load(ds).count() == 180
+    # vacuum with the delete-carrying snapshot still retained keeps
+    # the sidecars (their loss would resurrect rows)
+    delete_where(colf_spark, ds, "k >= 170", mode="mor")
+    vacuum(ds, keep_last=2)
+    assert colf_spark.read.format("colf").load(ds).count() == 150
+
+
+def test_pos_column_is_original_ordinal(colf_spark, ds):
+    """The virtual _colf_pos column addresses pre-mask ordinals: after
+    a MoR delete, surviving rows keep their ORIGINAL positions (so a
+    second delete's sidecar coordinates stay valid), and it composes
+    with pushed filters."""
+    import pyspark.sql.functions as Fx
+
+    delete_where(colf_spark, ds, "k < 50", mode="mor")
+    got = (colf_spark.read.format("colf")
+           .option("withFileColumn", "true")
+           .option("withPosColumn", "true").load(ds))
+    rows = got.select("k", "_colf_file", "_colf_pos").collect()
+    assert len(rows) == 150
+    # per file, positions are unique and within the file's row count
+    seen = {}
+    for r in rows:
+        key = (r["_colf_file"], r["_colf_pos"])
+        assert key not in seen
+        seen[key] = r["k"]
+    # filtered read keeps the same (file, pos) → k mapping
+    sub = (got.filter(Fx.col("k") >= 180)
+           .select("k", "_colf_file", "_colf_pos").collect())
+    assert len(sub) == 20
+    for r in sub:
+        assert seen[(r["_colf_file"], r["_colf_pos"])] == r["k"]

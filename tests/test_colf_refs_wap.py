@@ -467,3 +467,151 @@ def test_fast_forward_recovers_from_crash_before_ref_update(colf_spark,
     snaps = load_snapshots(ds)
     assert snaps[-1]["files"] == snaps[-2]["files"]  # idempotent union
     assert load_refs(ds)["dev"]["added"] == []
+
+
+def test_swap_compact_refuses_with_refs_or_staged(colf_spark, ds):
+    """Default (swap-mode) compact() rebuilds the directory from the
+    published live set — it must REFUSE when named refs or unpublished
+    staged/branch commits exist, because the rmtree would silently
+    destroy the _refs.json sidecar (tags are documented to survive any
+    retention horizon) and the staged part files vacuum() pins.
+    retain=True preserves all of it and must keep working."""
+    from columnar_format_spark.colf.maintenance import compact, create_branch
+
+    create_tag(ds, "keep", 1)
+    with pytest.raises(ColfFormatError, match="swap-mode"):
+        compact(colf_spark, ds, 1)
+    drop_ref(ds, "keep")
+    (_df(colf_spark, 500, 520).coalesce(1).write.format("colf")
+     .option("wap", "true").mode("append").save(ds))    # staged v3
+    with pytest.raises(ColfFormatError, match="swap-mode"):
+        compact(colf_spark, ds, 1)
+    # retain mode keeps the log/refs/staged files — and the staged
+    # commit still publishes cleanly after the compaction
+    assert compact(colf_spark, ds, 1, retain=True) == 1
+    assert colf_spark.read.format("colf").load(ds).count() == 150
+    publish_wap(ds, 3)
+    assert colf_spark.read.format("colf").load(ds).count() == 170
+    # a live branch ref refuses too (the swap would destroy the
+    # branch's lineage); once the ref is dropped and the staged commit
+    # is published, nothing is pinned and swap mode works again
+    create_branch(ds, "dev")
+    with pytest.raises(ColfFormatError, match="swap-mode"):
+        compact(colf_spark, ds, 1)
+    drop_ref(ds, "dev")
+    assert compact(colf_spark, ds, 1) == 1
+    assert colf_spark.read.format("colf").load(ds).count() == 170
+
+
+def test_staged_new_column_stays_out_of_published_schema(colf_spark, ds):
+    """A WAP/branch append that ADDS a column must not leak it into
+    published reads before publish (it would surface as all-NULL) —
+    the dataset schema derives from the published live set, not the
+    raw directory listing."""
+    (colf_spark.range(500, 520)
+     .select(F.col("id").cast("int").alias("k"),
+             (F.col("id") % 5).cast("string").alias("g"),
+             F.col("id").cast("double").alias("extra"))
+     .coalesce(1).write.format("colf")
+     .option("wap", "true").mode("append").save(ds))    # staged v3
+    pub = colf_spark.read.format("colf").load(ds)
+    assert pub.columns == ["k", "g"] and pub.count() == 150
+    # auditing the staged snapshot itself DOES see the new column
+    aud = (colf_spark.read.format("colf")
+           .option("snapshot", "3").load(ds))
+    assert "extra" in aud.columns
+    # after publish the column joins the published schema (older files
+    # read it as typed NULLs)
+    publish_wap(ds, 3)
+    pub2 = colf_spark.read.format("colf").load(ds)
+    assert "extra" in pub2.columns and pub2.count() == 170
+    assert pub2.filter(F.col("extra").isNull()).count() == 150
+
+
+def test_cli_diff_current_excludes_branch_commit(colf_spark, ds, capsys):
+    """`diff <ds> v current` on a dataset whose NEWEST commit is an
+    unpublished branch append must diff against the published table,
+    not the branch head (same predicate as published_snapshots)."""
+    import json as _json
+
+    from columnar_format_spark.colf.cli import main as cli_main
+    from columnar_format_spark.colf.maintenance import create_branch
+
+    create_branch(ds, "dev")
+    (_df(colf_spark, 500, 560).coalesce(1).write.format("colf")
+     .option("branch", "dev").mode("append").save(ds))  # branch v3
+    assert cli_main(["diff", ds, "1", "current"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    # published head is v2 (+50 rows over v1); the branch's +60 rows
+    # must not appear
+    assert (out["n_added"], out["n_removed"]) == (50, 0)
+    assert out["v2"] == 2
+    assert cli_main(["changelog", ds, "2", "current"]) == 0
+    assert capsys.readouterr().out.strip() == ""        # v2 == current
+
+
+def test_cli_diff_changelog_schema_evolution_union(colf_spark, ds,
+                                                   capsys):
+    """Diff/changelog across versions whose unique files carry
+    DIFFERENT column sets (additive evolution): rows decode against
+    the fixed union schema — missing columns as None — so values are
+    never mislabeled and tuples of equal arity cancel correctly."""
+    import json as _json
+
+    from columnar_format_spark.colf.cli import main as cli_main
+
+    (colf_spark.range(200, 203)
+     .select(F.col("id").cast("int").alias("k"),
+             (F.col("id") % 5).cast("string").alias("g"),
+             F.col("id").cast("double").alias("extra"))
+     .coalesce(1).write.format("colf").mode("append").save(ds))  # v3
+    assert cli_main(["changelog", ds, "2", "current"]) == 0
+    lines = [_json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert [(r["op"], r["k"], r["extra"]) for r in lines] == [
+        ("insert", 200, 200.0), ("insert", 201, 201.0),
+        ("insert", 202, 202.0)]
+    # and the older side of an evolved diff labels its rows with
+    # extra=None instead of shifting values into the wrong columns
+    assert cli_main(["changelog", ds, "1", "current"]) == 0
+    lines = [_json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    inserts = [r for r in lines if r["op"] == "insert"]
+    assert {r["extra"] for r in inserts if r["k"] >= 200} == {200.0,
+                                                              201.0,
+                                                              202.0}
+    assert all(r["extra"] is None for r in inserts if r["k"] < 200)
+
+
+def test_cli_diff_refuses_vacuumed_unless_tag_pins(colf_spark, ds,
+                                                   capsys):
+    """The CDC cross-version guarantee: diff/changelog REFUSE (loud
+    SystemExit, not wrong numbers) when a diffed version's part file
+    was vacuumed — and a tag pinning that version keeps it diffable
+    past the retention horizon."""
+    import json as _json
+
+    from columnar_format_spark.colf.cli import main as cli_main
+
+    from columnar_format_spark.colf.maintenance import compact
+
+    compact(colf_spark, ds, 1, retain=True)            # v3: all-new files
+    create_tag(ds, "pin1", 1)
+    vacuum(ds, keep_last=1)                            # keeps v3 + pinned v1
+    capsys.readouterr()
+    # the tag keeps v1 in the log AND its part files on disk: the diff
+    # stays row-accurate past the retention horizon
+    snaps = {s["version"] for s in load_snapshots(ds)}
+    assert snaps == {1, 3}                             # v2 expired
+    assert cli_main(["diff", ds, "1", "current"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert (out["n_added"], out["n_removed"]) == (50, 0)
+    # a part file lost OUT OF BAND (partial restore, manual cleanup):
+    # refusal with a loud message, never silently wrong numbers
+    victim = sorted(set(load_snapshots(ds)[0]["files"]))[0]
+    os.remove(os.path.join(ds, victim))
+    with pytest.raises(SystemExit):
+        cli_main(["diff", ds, "1", "current"])
+    assert "vacuum" in capsys.readouterr().err
+    with pytest.raises(SystemExit):
+        cli_main(["changelog", ds, "1", "current"])
