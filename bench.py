@@ -125,6 +125,9 @@ HEADLINE = [
     "q192_ann_pca",
     "q193_multimodal_ppm",
     "q194_multimodal_wav",
+    # round-9 additions: merge-on-read deletes + semantic dedup
+    "q195_colf_mor_delete",
+    "q196_semantic_dedup",
 ]
 
 

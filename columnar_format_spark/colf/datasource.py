@@ -2361,6 +2361,16 @@ def register(spark) -> None:
     ``option("pruning", "off").option("rowFilter", "off")``, or load
     once per subtree. Pinned — with a canary that fails when an
     upgrade fixes it — in tests/test_pushdown_scan_reuse.py.
+
+    MULTI-THREADED DRIVERS: PySpark 4 pins each Python thread to its
+    own JVM thread, whose thread-local active session starts unset —
+    and Python data source lookup resolves through the active session,
+    so a child thread's first ``format("colf")`` access dies with
+    DATA_SOURCE_NOT_FOUND (any Python source, not just COLF). Bind the
+    session once per thread:
+    ``spark._jvm.org.apache.spark.sql.classic.SparkSession
+    .setActiveSession(spark._jsparkSession)``
+    (exercised by tests/test_colf_concurrency.py).
     """
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ColfDataSource)

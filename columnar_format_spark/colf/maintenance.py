@@ -1310,6 +1310,14 @@ def merge_into(spark: SparkSession, path: str, source,
             raise ValueError(
                 f"merge source has duplicate keys, e.g. "
                 f"{[dup[k] for k in key_cols]} — upsert is ambiguous")
+        if small and kstat:
+            # the CDC-sized key set is already on the driver — rebuild
+            # the anti-join side as a local relation so the rewrite job
+            # broadcasts it directly instead of re-shuffling the source
+            # through a distinct exchange
+            keys = spark.createDataFrame(
+                [tuple(r[kc] for kc in key_cols) for r in kstat],
+                source.select(*key_cols).schema)
 
         touched: list[str] | None = None
         n_source = n_replaced = rows_before = None

@@ -2424,3 +2424,97 @@ def q189_colf_clustered_maintenance(spark: SparkSession,
          .cast("bigint").cast("double") / F.lit(100.0)).alias("sum_price"),
         F.min("l_partkey").cast("bigint").alias("min_p"),
         F.max("l_suppkey").cast("bigint").alias("max_s"))
+
+
+@register(
+    "q195_colf_mor_delete",
+    oracle="""
+    WITH cut AS (SELECT MAX(o_orderkey) // 4 AS c FROM orders),
+    survivors AS (
+      SELECT o_orderkey, o_orderstatus FROM orders, cut
+      WHERE NOT (o_orderkey <= cut.c AND o_orderstatus = 'O')),
+    appended AS (
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders)
+               AS o_orderkey,
+             'M' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 50 = 3)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM (SELECT * FROM survivors UNION ALL SELECT * FROM appended)
+    GROUP BY o_orderstatus
+    """,
+)
+def q195_colf_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ row-level DELETE under the correctness gate
+    (maintenance.delete_where(mode="mor") — Iceberg v2 position
+    deletes, the scale answer to the CoW family q148/q188): 'O'
+    orders in the lowest key quartile are deleted by writing
+    (file, position) sidecars and ONE metadata commit. The query
+    ASSERTS the merge-on-read cost model from the op's stats and the
+    filesystem itself: zero files rewritten, every data file
+    byte-untouched (same set, same mtimes/sizes), >=1 sidecar
+    committed — then proves the masks: the read sees exactly the
+    survivors, the pre-delete snapshot still time-travels to the full
+    count, and a subsequent APPEND inherits the delete list (masked
+    rows must not resurrect). Matches the oracle iff the masked scan
+    is row-exact per status group.
+
+    Scale: at 100 TB a CoW delete of one row rewrites a ~128 MB file;
+    this writes a KB-sized sidecar and a metadata commit. Readers pay
+    one tiny decode per (delete file × addressed data file) — pruned
+    per task by the sidecars' own file-column zone maps in the
+    manifest — until compact() materializes the deletes away
+    (pinned end-to-end in tests/test_colf_position_deletes.py).
+    """
+    import os
+
+    from .datasource import live_files, load_snapshots
+    from .datasource import register as register_ds
+    from .maintenance import delete_where
+
+    register_ds(spark)
+    tmpl = _stage_cdc_orders(spark, sf_dir)
+    path = run_dir(("colf-mor-run", sf_dir), "colf_mor_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+
+    mx = _CDC_MAXKEY[sf_dir]
+    before = {f: (os.path.getmtime(f), os.path.getsize(f))
+              for f in live_files(path)}
+    stats = delete_where(
+        spark, path,
+        f"o_orderkey <= {mx // 4} AND o_orderstatus = 'O'", mode="mor")
+    if stats["mode"] != "merge-on-read" or stats["n_rewritten_files"]:
+        raise AssertionError(f"expected a pure metadata commit: {stats}")
+    if stats["n_delete_files"] < 1 or stats["n_deleted_rows"] < 1:
+        raise AssertionError(f"no positions were committed: {stats}")
+    after = {f: (os.path.getmtime(f), os.path.getsize(f))
+             for f in live_files(path)}
+    if after != before:
+        raise AssertionError(
+            "merge-on-read delete touched data files: "
+            f"{sorted(set(before) ^ set(after))}")
+    snaps = load_snapshots(path)
+    if not snaps[-1].get("deletes"):
+        raise AssertionError("commit carries no delete sidecars")
+    # the masks are exact: visible + deleted == the pre-delete
+    # snapshot, counted through the reader itself
+    n_now = spark.read.format("colf").load(path).count()
+    n_v1 = (spark.read.format("colf").option("snapshot", "1")
+            .option("columns", "o_orderkey").load(path).count())
+    if n_now + stats["n_deleted_rows"] != n_v1:
+        raise AssertionError(
+            f"mask arithmetic broken: {n_now} visible + "
+            f"{stats['n_deleted_rows']} deleted != {n_v1} at v1")
+    # an append INHERITS the delete list — deleted rows stay masked
+    o = table(spark, sf_dir, "orders")
+    (o.filter(F.col("o_orderkey") % 50 == 3)
+     .select((F.col("o_orderkey") + (mx + 1)).cast("int")
+             .alias("o_orderkey"),
+             F.lit("M").alias("o_orderstatus"))
+     .coalesce(1).write.format("colf").mode("append").save(path))
+
+    back = spark.read.format("colf").load(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"))

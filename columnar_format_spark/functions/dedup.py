@@ -841,12 +841,17 @@ def q191_exact_substring_dedup(spark: SparkSession,
     Output: per-source token totals, removed-token counts, and
     affected-doc counts — all exact integers.
 
-    Scale: one shuffle keyed by the gram string decides keep-first
-    (row_number over (doc_id, pos) — the paper's suffix array replaced
-    by a distributed hash-gram pass, the standard scale adaptation);
-    marked occurrences expand to at most {SPAN_K} positions each and
-    dedupe per (doc, position) map-side before the per-doc count. No
-    driver state, no cartesian anywhere.
+    Scale: one shuffle keyed by the gram's 128-bit fingerprint (two
+    independent xxhash64 values — the ~40-60-byte gram STRING is
+    dropped before the exchange, roughly halving shuffle bytes)
+    decides keep-first (row_number over (doc_id, pos) — the paper's
+    suffix array replaced by a distributed hash-gram pass, the
+    standard scale adaptation). At 128 bits a corpus of 10^12 grams
+    has ~10^-15 collision odds (a 64-bit key alone would already
+    expect thousands of false excisions at that scale — that is why
+    there are two). Marked occurrences expand to at most {SPAN_K}
+    positions each and dedupe per (doc, position) map-side before the
+    per-doc count. No driver state, no cartesian anywhere.
     """
     from pyspark.sql import Window
 
@@ -866,8 +871,9 @@ def q191_exact_substring_dedup(spark: SparkSession,
     ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
     g = (d.select("doc_id", F.explode(grams).alias("o"))
          .select("doc_id", F.col("o.pos").alias("pos"),
-                 F.col("o.gram").alias("gram")))
-    w = Window.partitionBy("gram").orderBy("doc_id", "pos")
+                 F.xxhash64(F.col("o.gram")).alias("h1"),
+                 F.xxhash64(F.col("o.gram"), F.lit(1)).alias("h2")))
+    w = Window.partitionBy("h1", "h2").orderBy("doc_id", "pos")
     marked = (g.withColumn("rn", F.row_number().over(w))
               .filter(F.col("rn") > 1).select("doc_id", "pos"))
     removed = (marked.select(

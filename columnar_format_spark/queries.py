@@ -18,7 +18,18 @@ round), plus a 50-query window sweep at sf0.1 with --dtypes (50/50)
 and per-query three-SF driver-style checks on every query added or
 changed mid-round.
 
-Registry size: 193 queries (q01-q194, no q123). Round-8 additions are
+Registry size: 195 queries (q01-q196, no q123). Round-9 additions are
+q195 (merge-on-read position deletes — Iceberg v2's model: the delete
+writes (file, pos) sidecars, themselves COLF files, plus ONE metadata
+commit; every reader masks deleted ordinals at decode time,
+stripe-aware; appends inherit the delete list, rollback restores the
+target's, compact() materializes deletes away and vacuum() reclaims
+expired sidecars — the answer to "a one-row delete at 100 TB rewrites
+a 128 MB file") and q196 (SemDeDup semantic dedup — k-means in PCA
+space on a capped deterministic sample, greedy keep-one-per-semantic-
+group within each cluster in (centroid-distance, vec_id) order,
+re-proved in-query by an independent pairwise audit). Round-8
+additions were
 q184 (row-accurate changelog: per-row _change_type insert/delete
 between versions, common files cancelling at the metadata level),
 q185 (named snapshot refs — tags pin versions past vacuum, read via
@@ -70,37 +81,32 @@ from . import sources  # noqa: F401
 from .streaming import stream_queries  # noqa: F401
 from .registry import QUERIES, QuerySpec  # noqa: F401
 
-# Round-8 driver window, per the rotation discipline (oldest evidence
+# Round-9 driver window, per the rotation discipline (oldest evidence
 # first; every changed query re-proves itself the round it changes):
-# - q177_tpch_q12: round 7's one red driver row — its oracle's integer
-#   SUM(CASE...) now CASTs to BIGINT (the DuckDB-HUGEINT→pandas-float64
-#   hash-skew class; the pandas_dtype_parity checker is now wired into
-#   tests/test_queries_oracle.py AND tools/sweep_oracle.py --dtypes, so
-#   this class fails locally before it can ship);
-# - the 6 queries whose plan or staging changed this round: q175/q176/
-#   q178 (the derived supply relation is now materialized once per
-#   sf_dir as a staged parquet table), q153 and q182 (scale-realistic
-#   stripe sizing — adaptive ~n/8 rows/stripe instead of 4k-5k,
-#   cutting the 120-152-task Python-datasource fan-outs that dominated
-#   them), and q168 (memoized deterministic codebook fit);
-# - backfill: the r04-era cohort, the oldest driver evidence left in
-#   the ledger (pre-proven at sf0.1 in commit f46776e AND green in
-#   this round's three full-registry sf0.1 sweeps) — originally 44
-#   slots, 11 of which were yielded to the ten round-8 additions
-#   (q184-q193) and the q168 re-prove as the round grew (see the
-#   in-list comment; the yielded ten lead round 9's backfill).
-# Per-query last-green ledger after round 7 (CORRECTNESS_r07 49/50 —
-# q177's hash row red, fixed above): r07 = the full round-7 window
-# (q175-q183, q169-q171, q33-q35, q37, q40-q43, q51-q57, q69, q71,
-# q74, q77-q79, q85, q91, q95-q98, q100, q102, q103, q105, q106, q108,
-# q110, q44, q50, q58, q59); r06 = q172-q174, q148/q149/q155/q161/
-# q164-q168, q15-q32, q36, q38, q39, q45-q49, q64-q66, q72, q88, q89,
-# q92-q94; r05 = q137-q147, q150-q152, q154, q156-q160, q162, q163,
-# q01-q14, q62, q63, q87, q128; r04 = the 44 above. Round-9 plan:
-# FIRST the twelve r04-era stragglers that yielded their round-8
-# slots (q122, q124, q125, q126, q127, q129, q130, q131, q132, q133,
-# q134, q135 — all green in round 8's full-registry sf0.1 sweeps, so
-# risk is low), then the r05-era set, lowest query number first.
+# - q195 (merge-on-read position deletes — Iceberg v2: delete sidecars
+#   + reader masks, zero data-file rewrites) and q196 (SemDeDup
+#   semantic dedup: k-means in PCA space, keep-one-per-semantic-group,
+#   q135-style in-query bounds audit) are new this round;
+# - 7 queries whose plan or oracle-adjacent machinery changed this
+#   round: q191 (keep-first shuffle now keyed on a 128-bit
+#   two-xxhash64 gram fingerprint, gram string dropped pre-exchange),
+#   q165/q166 (codebook fits memoized per sf_dir — q166 shares q168's
+#   _IVFPQ_FIT_CACHE), q155/q149 (merge_into's anti-join side rebuilt
+#   from the already-collected key set — one less distinct exchange),
+#   q148 (CoW delete count subtracts already-MoR-masked positions),
+#   q184 (snapshot_changelog treats delete-delta files as row-changed);
+# - backfill: FIRST the twelve r04-era stragglers that yielded their
+#   round-8 slots (q122, q124-q127, q129-q135 — the oldest driver
+#   evidence in the ledger), then the r05-era cohort lowest-number
+#   first (q01-q14, q62, q63, q87, q128, q137-q147) to fill 50.
+# Per-query last-green ledger after round 8 (CORRECTNESS_r08 50/50):
+# r08 = the full round-8 window (q184-q194, q177, q175/q176/q178,
+# q153, q182, q168, q60, q61, q67, q68, q70, q73, q75, q76, q80-q84,
+# q86, q90, q99, q101, q104, q107, q109, q111-q121, q136); r07 =
+# q169-q171, q172-q174 are r06... see git history of this block for
+# the full per-round trail; the REMAINING r05-era cohort after this
+# window (q150-q152, q154, q156-q160, q162, q163) leads round 10's
+# backfill, then the r06 cohort.
 #
 # PRE-SHIP CHECKLIST (every round, after the last product commit):
 #   1. full test gate: python -m pytest tests/ -x -q (includes the
@@ -110,40 +116,60 @@ from .registry import QUERIES, QuerySpec  # noqa: F401
 #   3. the same sweep at sf0.1 for every query in DRIVER_WINDOW;
 #   4. python bench.py — summary line must parse and stay <=1500 chars.
 DRIVER_WINDOW = [
-    # new this round — no driver row yet (CDC/refs tier: row-accurate
-    # changelog, tag reads surviving vacuum, write-audit-publish,
-    # branch lineages with fast-forward)
-    "q184_colf_changelog", "q185_colf_tag_read", "q186_colf_wap",
-    "q187_colf_branch", "q188_colf_update",
-    "q189_colf_clustered_maintenance", "q190_embedding_pca",
-    "q191_exact_substring_dedup", "q192_ann_pca",
-    "q193_multimodal_ppm", "q194_multimodal_wav",
-    # red-row re-prove — oracle CAST fix (tpch.py)
-    "q177_tpch_q12",
-    # changed this round — staged supply relation / stripe sizing
-    "q175_tpch_q2", "q176_tpch_q11", "q178_tpch_q20",
-    "q153_colf_v3_striped", "q182_colf_sorted_maintenance",
-    "q168_ann_index_colf",
-    # oldest-evidence backfill: the whole r04-era cohort (44)
-    "q60_cosine_topk", "q61_embedding_stats", "q67_deterministic_split",
-    "q68_corpus_mixture", "q70_colf_roundtrip", "q73_csv_ingest",
-    "q75_colf_selective_read", "q76_colf_zonemap_pruning",
-    "q80_stream_tumbling", "q81_stream_session", "q82_stream_dedup",
-    "q83_stream_stateful", "q84_stream_stream_join",
-    "q86_corpus_shards", "q90_training_pipeline",
-    "q99_sliding_window_batch", "q101_stream_sliding",
-    "q104_tpch_q7", "q107_incremental_agg", "q109_colf_stream_agg",
-    "q111_dedup_keep_best", "q112_colf_compact",
-    "q113_incremental_dedup", "q114_pii_redaction",
-    "q115_stratified_sample", "q116_doc_chunking",
-    "q117_percentile_exact", "q118_skew_exact_distinct",
-    "q119_rare_bigram_score", "q120_graph_triangles",
-    "q121_strict_funnel",
-    # (q122, q124-q127, q129-q135 yield their backfill slots to the new
-    #  CDC-tier queries this round — they stay r04-era, first in the
-    #  round-9 backfill; q136 keeps its slot because vacuum() changed
-    #  this round: ref/staged retention + inherited_* carry keys)
-    "q136_colf_vacuum",
+    # new this round — no driver row yet
+    "q195_colf_mor_delete",
+    "q196_semantic_dedup",
+    # changed this round — re-prove
+    "q191_exact_substring_dedup",
+    "q165_ann_pq",
+    "q166_ann_ivfpq",
+    "q155_colf_v3_cow",
+    "q149_colf_merge",
+    "q148_colf_delete",
+    "q184_colf_changelog",
+    # oldest-evidence backfill: the r04-era stragglers (yielded r08)
+    "q122_colf_time_travel",
+    "q124_tpch_q5",
+    "q125_tpch_q10",
+    "q126_tpch_q18",
+    "q127_stream_incremental_dedup",
+    "q129_dedup_verified_pairs",
+    "q130_frame_sampling",
+    "q131_image_resize",
+    "q132_negative_sampling",
+    "q133_budget_selection",
+    "q134_colf_incremental_read",
+    "q135_ann_recall",
+    # r05-era cohort, lowest query number first
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_agg_rollup",
+    "q04_agg_cube",
+    "q05_grouping_sets",
+    "q06_count_distinct",
+    "q07_approx_count_distinct",
+    "q08_exact_quartiles",
+    "q09_pivot_status_priority",
+    "q10_join_broadcast_star",
+    "q11_join_left",
+    "q12_join_semi",
+    "q13_join_anti",
+    "q14_join_full_outer",
+    "q62_ann_lsh",
+    "q63_ann_ivf",
+    "q87_bm25_search",
+    "q128_percentile_sketch",
+    "q137_colf_v2_roundtrip",
+    "q138_tpch_q4",
+    "q139_tpch_q6",
+    "q140_tpch_q8",
+    "q141_tpch_q9",
+    "q142_tpch_q15",
+    "q143_tpch_q16",
+    "q144_tpch_q17",
+    "q145_tpch_q19",
+    "q146_tpch_q21",
+    "q147_tpch_q22",
 ]
 
 
