@@ -128,6 +128,7 @@ HEADLINE = [
     # round-9 additions: merge-on-read deletes + semantic dedup
     "q195_colf_mor_delete",
     "q196_semantic_dedup",
+    "q197_colf_mor_update",
 ]
 
 

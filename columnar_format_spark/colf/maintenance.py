@@ -1120,13 +1120,150 @@ def delete_where(spark: SparkSession, path: str, condition: str,
 _COLF_TO_SPARK = {"int32": "int", "float64": "double", "utf8": "string"}
 
 
+def _update_where_mor(spark: SparkSession, path: str,
+                      assignments: dict[str, str],
+                      condition: str) -> dict:
+    """Merge-on-read UPDATE (Iceberg v2's delete-plus-append; see
+    update_where): the matched rows' coordinates land in position-
+    delete sidecars and their UPDATED images land in ordinary appended
+    data files — ONE metadata commit, zero existing bytes rewritten.
+    One zone-map/Bloom-prunable scan finds the matched sliver (full
+    row width — the new images need every column) with existing masks
+    already applied; the sliver persists and feeds two small writes
+    (sidecar + new files, the new files sized/partitioned/sorted like
+    the dataset's own convention). At 100 TB that turns "update one
+    row in a 128 MB file" into two KB-sized writes; compact()
+    materializes the masks away later. Same stream caveat as MoR
+    delete."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from .datasource import POS_COLUMN, published_head
+
+    parent, live0 = _bootstrap_log(path)
+
+    def noop() -> dict:
+        return {"version": parent, "n_updated_rows": 0,
+                "n_rewritten_files": 0, "n_kept_files": len(live0),
+                "n_delete_files": 0, "n_new_files": 0,
+                "mode": "merge-on-read"}
+
+    if not live0:
+        return noop()
+    union_cols = dataset_union_columns(
+        path, [os.path.join(path, b) for b in live0])
+    types = {c.name: c.type for c in union_cols}
+    from .format import ColfFormatError, read_schema
+
+    for col in assignments:
+        if col not in types:
+            raise ColfFormatError(
+                f"update_where assigns unknown column '{col}' "
+                f"(have: {sorted(types)})")
+    fields = list(types)
+
+    matched = (spark.read.format("colf")
+               .option("withFileColumn", "true")
+               .option("withPosColumn", "true")
+               .load(path)
+               .filter(condition)   # TRUE rows only: NULL-condition
+               .persist())          # rows stay untouched in place
+    try:
+        tmpd = f"{path.rstrip(os.sep)}.morupd-{uuid.uuid4().hex[:8]}"
+        (matched.select(F.col("_colf_file").alias("file"),
+                        F.col(POS_COLUMN).cast("int").alias("pos"))
+         .sortWithinPartitions("file", "pos")
+         .write.format("colf").mode("overwrite").save(tmpd))
+        man_d = load_manifest(tmpd)
+        n_updated = sum(m.get("num_rows") or 0 for m in man_d.values())
+        if n_updated == 0:
+            shutil.rmtree(tmpd)
+            return noop()
+        # the updated images: assignments applied, virtuals dropped,
+        # dataset column order restored, files shaped like the
+        # dataset's own (size target from manifest row counts, the
+        # recorded partition spec and sort order respected)
+        upd = matched
+        for col, expr in assignments.items():
+            upd = upd.withColumn(
+                col, F.expr(expr).cast(_COLF_TO_SPARK[types[col]]))
+        upd = upd.select(*fields)
+        man0 = load_manifest(path)
+        mrows = [m.get("num_rows") for b in live0
+                 for m in [man0.get(b, {})] if m.get("num_rows")]
+        per_file = max(1, sum(mrows) // len(mrows)) if mrows else 500_000
+        n_files = max(1, min(int(spark.sparkContext.defaultParallelism),
+                             (n_updated + per_file - 1) // per_file))
+        ver = read_schema(os.path.join(path, live0[0])).version
+        tmpn = f"{path.rstrip(os.sep)}.morupd-new-{uuid.uuid4().hex[:8]}"
+        w = _with_bloom_opt(
+            upd.repartition(n_files).write.format("colf")
+            .option("version", str(ver)), path)
+        if ver == 3:
+            srows = _dataset_stripe_rows(path, live0)
+            if srows:
+                w = w.option("stripeRows", str(srows))
+        pcols = _dataset_partition_cols(path, live0)
+        if pcols:
+            w = w.option("partitionColumns", ",".join(pcols))
+        from .datasource import current_sort_order as _cso
+
+        if (sort := _cso(path)):
+            w = w.option("sortOrder", ",".join(sort))
+        w.mode("overwrite").save(tmpn)
+    finally:
+        matched.unpersist()
+    merged = load_manifest(path)
+    run = uuid.uuid4().hex[:8]
+    sidecars = []
+    for i, f in enumerate(dataset_files(tmpd)):
+        if (man_d.get(os.path.basename(f)) or {}).get("num_rows") == 0:
+            continue
+        base = f"delete-{run}-{i:05d}.colfd"
+        os.rename(f, os.path.join(path, base))
+        st = man_d.get(os.path.basename(f))
+        if st:
+            merged[base] = st
+        sidecars.append(base)
+    man_n = load_manifest(tmpn)
+    new_files = []
+    for f in dataset_files(tmpn):
+        base = os.path.basename(f)
+        if (man_n.get(base) or {}).get("num_rows") == 0 \
+                and len(dataset_files(tmpn)) > 1:
+            continue
+        os.rename(f, os.path.join(path, base))
+        if man_n.get(base):
+            merged[base] = man_n[base]
+        new_files.append(base)
+    mtmp = manifest_path(path) + ".tmp"
+    with open(mtmp, "w") as fh:
+        json.dump(merged, fh)
+    os.rename(mtmp, manifest_path(path))
+    _merge_bloom_files(path, tmpn)
+    shutil.rmtree(tmpd)
+    shutil.rmtree(tmpn)
+    head = published_head(path)
+    prior = head.get("deletes", []) if head else []
+    v = commit_snapshot(path, live0 + new_files, expected_parent=parent,
+                        deletes=sorted(set(prior) | set(sidecars)))
+    return {"version": v, "n_updated_rows": int(n_updated),
+            "n_rewritten_files": 0, "n_kept_files": len(live0),
+            "n_delete_files": len(sidecars),
+            "n_new_files": len(new_files), "mode": "merge-on-read"}
+
+
 def update_where(spark: SparkSession, path: str,
-                 assignments: dict[str, str], condition: str) -> dict:
-    """Copy-on-write row-level UPDATE (the remaining DML verb next to
-    delete_where / merge_into): rewrite ONLY the part files containing
-    matching rows, applying each ``assignments[col] = <SQL expr>`` to
-    the rows where ``condition`` is TRUE (NULL-condition rows survive
-    UNCHANGED, SQL semantics) and keeping every other row byte-equal.
+                 assignments: dict[str, str], condition: str,
+                 mode: str = "cow") -> dict:
+    """Row-level UPDATE. ``mode="cow"`` (default, Iceberg v1): rewrite
+    ONLY the part files containing matching rows, applying each
+    ``assignments[col] = <SQL expr>`` to the rows where ``condition``
+    is TRUE (NULL-condition rows survive UNCHANGED, SQL semantics) and
+    keeping every other row byte-equal. ``mode="mor"`` (Iceberg v2):
+    no rewrite at all — the matched rows are position-delete-masked
+    and their updated images appended (_update_where_mor).
     One snapshot commit; the pre-update version stays time-travel-
     readable until vacuum(). Returns {"version", "n_updated_rows",
     "n_rewritten_files", "n_kept_files", "discovery"}.
@@ -1147,6 +1284,10 @@ def update_where(spark: SparkSession, path: str,
         raise ValueError(f"update_where() needs a dataset directory, got {path}")
     if not assignments:
         raise ValueError("update_where() needs at least one assignment")
+    if mode not in ("cow", "mor", "merge-on-read"):
+        raise ValueError(f"update_where mode must be 'cow' or 'mor', got {mode!r}")
+    if mode != "cow":
+        return _update_where_mor(spark, path, assignments, condition)
     parent, live0 = _bootstrap_log(path)
 
     def noop() -> dict:

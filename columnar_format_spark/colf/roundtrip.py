@@ -2518,3 +2518,88 @@ def q195_colf_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"))
+
+
+@register(
+    "q197_colf_mor_update",
+    oracle="""
+    WITH cut AS (SELECT MAX(o_orderkey) // 4 AS c FROM orders),
+    updated AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey <= cut.c AND o_orderstatus = 'O'
+                  THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+      FROM orders, cut)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM updated
+    GROUP BY o_orderstatus
+    """,
+)
+def q197_colf_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ row-level UPDATE under the correctness gate
+    (maintenance.update_where(mode="mor") — Iceberg v2's
+    delete-plus-append, the MoR twin of q188's CoW update): the same
+    lowest-quartile 'O'→'X' flip, executed as position-delete sidecars
+    masking the old images plus ordinary appended files carrying the
+    new ones, in ONE metadata commit. The query ASSERTS the cost model
+    from the op's stats and the filesystem: zero files rewritten,
+    every pre-existing data file byte-untouched (same mtimes/sizes),
+    >=1 sidecar AND >=1 appended file committed — then proves
+    visibility algebra through the reader: updated images visible
+    exactly once, old images masked, the pre-update snapshot
+    time-travels to zero 'X' rows. Same oracle as q188: HOW the verb
+    executes must never change WHAT it answers.
+
+    Scale: the CoW update's cost is a read+write of every touched
+    ~128 MB file; this writes the matched sliver twice (KB-sized
+    coordinates + new images) regardless of how many file-fulls of
+    rows sit around the matches. The trade is read-side: every scan
+    until the next compact() pays the mask decode — exactly Iceberg's
+    documented MoR trade."""
+    import os
+
+    from .datasource import live_files, load_snapshots
+    from .datasource import register as register_ds
+    from .maintenance import update_where
+
+    register_ds(spark)
+    tmpl = _stage_cdc_orders(spark, sf_dir)
+    path = run_dir(("colf-mor-upd-run", sf_dir), "colf_morupd_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+
+    mx = _CDC_MAXKEY[sf_dir]
+    before = {f: (os.path.getmtime(f), os.path.getsize(f))
+              for f in live_files(path)}
+    stats = update_where(
+        spark, path, {"o_orderstatus": "'X'"},
+        f"o_orderkey <= {mx // 4} AND o_orderstatus = 'O'", mode="mor")
+    if stats["mode"] != "merge-on-read" or stats["n_rewritten_files"]:
+        raise AssertionError(f"expected a pure MoR commit: {stats}")
+    if stats["n_delete_files"] < 1 or stats["n_new_files"] < 1 \
+            or stats["n_updated_rows"] < 1:
+        raise AssertionError(f"MoR update committed nothing: {stats}")
+    untouched = {f: m for f, m in
+                 ((f, (os.path.getmtime(f), os.path.getsize(f)))
+                  for f in live_files(path)) if f in before}
+    if untouched != before:
+        raise AssertionError("MoR update touched pre-existing files")
+    snaps = load_snapshots(path)
+    if not snaps[-1].get("deletes"):
+        raise AssertionError("commit carries no delete sidecars")
+    # old images masked, new visible once, time travel clean
+    back = spark.read.format("colf").load(path)
+    n_x = back.filter("o_orderstatus = 'X'").count()
+    if n_x != stats["n_updated_rows"]:
+        raise AssertionError(
+            f"{stats['n_updated_rows']} rows updated but {n_x} 'X' "
+            f"rows visible")
+    n_x_v1 = (spark.read.format("colf").option("snapshot", "1")
+              .load(path).filter("o_orderstatus = 'X'").count())
+    if n_x_v1 != 0:
+        raise AssertionError("updated images leaked into version 1")
+
+    back = spark.read.format("colf").load(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"))

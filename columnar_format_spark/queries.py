@@ -18,7 +18,7 @@ round), plus a 50-query window sweep at sf0.1 with --dtypes (50/50)
 and per-query three-SF driver-style checks on every query added or
 changed mid-round.
 
-Registry size: 195 queries (q01-q196, no q123). Round-9 additions are
+Registry size: 196 queries (q01-q197, no q123). Round-9 additions are
 q195 (merge-on-read position deletes — Iceberg v2's model: the delete
 writes (file, pos) sidecars, themselves COLF files, plus ONE metadata
 commit; every reader masks deleted ordinals at decode time,
@@ -28,7 +28,10 @@ expired sidecars — the answer to "a one-row delete at 100 TB rewrites
 a 128 MB file") and q196 (SemDeDup semantic dedup — k-means in PCA
 space on a capped deterministic sample, greedy keep-one-per-semantic-
 group within each cluster in (centroid-distance, vec_id) order,
-re-proved in-query by an independent pairwise audit). Round-8
+re-proved in-query by an independent pairwise audit), plus q197
+(merge-on-read UPDATE: position-delete sidecars masking the old
+images + appended files carrying the new ones, one metadata commit —
+q188's CoW twin, same oracle, zero rewritten bytes). Round-8
 additions were
 q184 (row-accurate changelog: per-row _change_type insert/delete
 between versions, common files cancelling at the metadata level),
@@ -84,7 +87,8 @@ from .registry import QUERIES, QuerySpec  # noqa: F401
 # Round-9 driver window, per the rotation discipline (oldest evidence
 # first; every changed query re-proves itself the round it changes):
 # - q195 (merge-on-read position deletes — Iceberg v2: delete sidecars
-#   + reader masks, zero data-file rewrites) and q196 (SemDeDup
+#   + reader masks, zero data-file rewrites), q197 (the MoR UPDATE
+#   twin: masks + appended images, one commit) and q196 (SemDeDup
 #   semantic dedup: k-means in PCA space, keep-one-per-semantic-group,
 #   q135-style in-query bounds audit) are new this round;
 # - 7 queries whose plan or oracle-adjacent machinery changed this
@@ -98,7 +102,8 @@ from .registry import QUERIES, QuerySpec  # noqa: F401
 # - backfill: FIRST the twelve r04-era stragglers that yielded their
 #   round-8 slots (q122, q124-q127, q129-q135 — the oldest driver
 #   evidence in the ledger), then the r05-era cohort lowest-number
-#   first (q01-q14, q62, q63, q87, q128, q137-q147) to fill 50.
+#   first (q01-q14, q62, q63, q87, q128, q137-q146) to fill 50
+#   (q147 yielded its slot to q197).
 # Per-query last-green ledger after round 8 (CORRECTNESS_r08 50/50):
 # r08 = the full round-8 window (q184-q194, q177, q175/q176/q178,
 # q153, q182, q168, q60, q61, q67, q68, q70, q73, q75, q76, q80-q84,
@@ -119,6 +124,7 @@ DRIVER_WINDOW = [
     # new this round — no driver row yet
     "q195_colf_mor_delete",
     "q196_semantic_dedup",
+    "q197_colf_mor_update",
     # changed this round — re-prove
     "q191_exact_substring_dedup",
     "q165_ann_pq",
@@ -169,7 +175,8 @@ DRIVER_WINDOW = [
     "q144_tpch_q17",
     "q145_tpch_q19",
     "q146_tpch_q21",
-    "q147_tpch_q22",
+    # (q147 yields its slot to q197; it stays r05-era and leads the
+    #  round-10 backfill together with q150-q152, q154, q156-q163)
 ]
 
 

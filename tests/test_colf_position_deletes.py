@@ -188,3 +188,37 @@ def test_pos_column_is_original_ordinal(colf_spark, ds):
     assert len(sub) == 20
     for r in sub:
         assert seen[(r["_colf_file"], r["_colf_pos"])] == r["k"]
+
+
+def test_mor_update_delete_plus_append(colf_spark, ds):
+    """update_where(mode="mor"): matched rows masked via sidecars, new
+    images appended, pre-existing files byte-untouched — and the verb
+    algebra (exactly-once visibility of images, time-travel isolation,
+    stacking with MoR deletes) holds through the reader."""
+    before = _data_files(ds)
+    s = update_where(colf_spark, ds, {"v": "v + 1000"}, "k < 10",
+                     mode="mor")
+    assert s["mode"] == "merge-on-read"
+    assert (s["n_updated_rows"], s["n_rewritten_files"]) == (10, 0)
+    assert s["n_delete_files"] >= 1 and s["n_new_files"] >= 1
+    # pre-existing files untouched; the appended image files are new
+    after = _data_files(ds)
+    assert all(after[f] == m for f, m in before.items())
+    assert len(after) == len(before) + s["n_new_files"]
+    got = colf_spark.read.format("colf").load(ds)
+    assert got.count() == 200
+    assert got.filter("v >= 1000").count() == 10
+    assert got.filter("k < 10 and v < 1000").count() == 0
+    assert (colf_spark.read.format("colf").option("snapshot", "1")
+            .load(ds).filter("v >= 1000").count()) == 0
+    # an updated image can itself be MoR-deleted
+    d = delete_where(colf_spark, ds, "k = 3", mode="mor")
+    assert d["n_deleted_rows"] == 1
+    got2 = colf_spark.read.format("colf").load(ds)
+    assert got2.count() == 199 and got2.filter("k = 3").count() == 0
+    # compact materializes the whole stack; vacuum reclaims
+    compact(colf_spark, ds, 2, retain=True)
+    vacuum(ds, keep_last=1)
+    assert not any(f.endswith(".colfd") for f in os.listdir(ds))
+    got3 = colf_spark.read.format("colf").load(ds)
+    assert got3.count() == 199 and got3.filter("v >= 1000").count() == 9
