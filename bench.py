@@ -129,6 +129,7 @@ HEADLINE = [
     "q195_colf_mor_delete",
     "q196_semantic_dedup",
     "q197_colf_mor_update",
+    "q198_colf_eq_delete",
 ]
 
 

@@ -284,13 +284,65 @@ def _union_names(path: str, basenames) -> list[str]:
     return names
 
 
-def _rows_of(path: str, basenames, names: list[str], dmap=None):
+def _eq_row_match(group, get) -> bool:
+    """Pure-Python twin of the reader's equality-delete evaluation
+    (Spark SQL semantics: NULL comparisons FALSE except IS NULL; float
+    NaN sorts ABOVE every value, so NaN matches > / >= probes). Same
+    conjunct set _delete_where_eq validates at delete time."""
+    for s in group:
+        x = get(s["col"])
+        op, v = s["op"], s.get("value")
+        if op == "IsNull":
+            if x is not None:
+                return False
+            continue
+        if op == "IsNotNull":
+            if x is None:
+                return False
+            continue
+        if op == "EqualNullSafe" and v is None:
+            if x is not None:
+                return False
+            continue
+        if x is None:
+            return False
+        nan = isinstance(x, float) and x != x
+        if op in ("EqualTo", "EqualNullSafe"):
+            if nan or x != v:
+                return False
+        elif op == "In":
+            if nan or x not in v:
+                return False
+        elif op == "GreaterThan":
+            if not (nan or x > v):
+                return False
+        elif op == "GreaterThanOrEqual":
+            if not (nan or x >= v):
+                return False
+        elif op == "LessThan":
+            if nan or not (x < v):
+                return False
+        elif op == "LessThanOrEqual":
+            if nan or not (x <= v):
+                return False
+        elif op == "StringStartsWith":
+            if not (isinstance(x, str) and x.startswith(v)):
+                return False
+        else:
+            print(f"unknown equality-delete op {op!r} — refusing a "
+                  f"possibly wrong diff", file=sys.stderr)
+            raise SystemExit(2)
+    return True
+
+
+def _rows_of(path: str, basenames, names: list[str], dmap=None,
+             eqs=(), fseq=None):
     """Row multiset of the given part files as tuples in the fixed
     ``names`` order; columns a file lacks read as None (typed NULLs —
     the same semantics the Spark reader gives evolved datasets).
     ``dmap`` ({basename: deleted position array}) masks merge-on-read
-    position deletes so each side reflects its version's VISIBLE
-    rows."""
+    position deletes and ``eqs``/``fseq`` the sequence-gated equality
+    deletes, so each side reflects its version's VISIBLE rows."""
     import os
     from collections import Counter
 
@@ -301,22 +353,34 @@ def _rows_of(path: str, basenames, names: list[str], dmap=None):
         n = read_schema(fp).num_rows
         dropped = (set(int(p) for p in dmap[b])
                    if dmap and b in dmap else ())
-        c.update(
-            tuple(data[nm][i] if nm in data else None for nm in names)
-            for i in range(n) if i not in dropped)
+        groups = [e["filters"] for e in eqs
+                  if (fseq or {}).get(b, 10 ** 18) < e["seq"]]
+        for i in range(n):
+            if i in dropped:
+                continue
+            if groups and any(_eq_row_match(
+                    g, lambda nm: data[nm][i] if nm in data else None)
+                    for g in groups):
+                continue
+            c[tuple(data[nm][i] if nm in data else None
+                    for nm in names)] += 1
     return c
 
 
-def _delete_view(path: str, s1: dict, s2: dict, f1: set, f2: set):
+def _delete_view(path: str, s1: dict, s2: dict, f1: set, f2: set,
+                 snaps_all: list[dict]):
     """Merge-on-read awareness for diff/changelog: returns
-    (changed_common_files, dmap1, dmap2). A common file addressed by a
-    delete sidecar present in only one version changed ROWS without
-    changing identity — it must decode on both sides, each masked by
-    its own version's positions. Refuses (like a vacuumed part file)
-    when a referenced sidecar is gone."""
+    (changed_common_files, (dmap1, eq1), (dmap2, eq2), fseq). A common
+    file addressed by a position-delete sidecar OR sequence-covered by
+    an equality predicate present in only one version changed ROWS
+    without changing identity — it must decode on both sides, each
+    masked by its own version's deletes. Refuses (like a vacuumed part
+    file) when a referenced sidecar is gone."""
+    import json as _json
     import os
 
-    from .datasource import _load_delete_file, delete_positions_map
+    from .datasource import (_load_delete_file, delete_positions_map,
+                             file_first_versions)
 
     d1, d2 = set(s1.get("deletes", [])), set(s2.get("deletes", []))
     try:
@@ -330,7 +394,20 @@ def _delete_view(path: str, s1: dict, s2: dict, f1: set, f2: set):
               f"vacuumed — row-accurate diff impossible ({exc})",
               file=sys.stderr)
         raise SystemExit(2) from exc
-    return changed & f1 & f2, dmap1, dmap2
+    eq1 = s1.get("eq_deletes") or []
+    eq2 = s2.get("eq_deletes") or []
+    fseq = (file_first_versions(snaps_all)
+            if eq1 or eq2 else {})
+
+    def _ek(e):
+        return (e["seq"], _json.dumps(e["filters"], sort_keys=True))
+
+    k1, k2 = {_ek(e) for e in eq1}, {_ek(e) for e in eq2}
+    for e in eq1 + eq2:
+        if (_ek(e) in k1) != (_ek(e) in k2):
+            changed |= {b for b in f1 & f2
+                        if fseq.get(b, 10 ** 18) < e["seq"]}
+    return changed & f1 & f2, (dmap1, eq1), (dmap2, eq2), fseq
 
 
 def cli_diff(argv: list[str]) -> int:
@@ -360,18 +437,22 @@ def cli_diff(argv: list[str]) -> int:
     s1 = _pick_published(snaps, argv[1])
     s2 = _pick_published(snaps, argv[2])
     f1, f2 = set(s1["files"]), set(s2["files"])
-    changed, dmap1, dmap2 = _delete_view(path, s1, s2, f1, f2)
+    snaps_all = sorted(snaps.values(), key=lambda s_: s_["version"])
+    changed, (dmap1, eq1), (dmap2, eq2), fseq = _delete_view(
+        path, s1, s2, f1, f2, snaps_all)
     only1 = sorted((f1 - f2) | changed)
     only2 = sorted((f2 - f1) | changed)
     manifest = load_manifest(path)
 
     names = _union_names(path, only1 + only2)
-    r1 = _rows_of(path, only1, names, dmap1)
-    r2 = _rows_of(path, only2, names, dmap2)
+    r1 = _rows_of(path, only1, names, dmap1, eq1, fseq)
+    r2 = _rows_of(path, only2, names, dmap2, eq2, fseq)
     added = r2 - r1
     removed = r1 - r2
 
-    def total(s, dmap) -> int | None:
+    def total(s, dmap, eqs) -> int | None:
+        if eqs:
+            return None  # predicate masks defeat metadata arithmetic
         rows = [manifest.get(b, {}).get("num_rows") for b in s["files"]]
         if not all(r is not None for r in rows):
             return None
@@ -386,7 +467,7 @@ def cli_diff(argv: list[str]) -> int:
         "files_common": len(f1 & f2),
         "n_added": sum(added.values()),
         "n_removed": sum(removed.values()),
-        "n_v1": total(s1, dmap1), "n_v2": total(s2, dmap2),
+        "n_v1": total(s1, dmap1, eq1), "n_v2": total(s2, dmap2, eq2),
     }, indent=2))
     return 0
 
@@ -431,12 +512,14 @@ def cli_changelog(argv: list[str]) -> int:
     s1 = _pick_published(snaps, argv[1])
     s2 = _pick_published(snaps, argv[2])
     f1, f2 = set(s1["files"]), set(s2["files"])
-    changed, dmap1, dmap2 = _delete_view(path, s1, s2, f1, f2)
+    snaps_all = sorted(snaps.values(), key=lambda s_: s_["version"])
+    changed, (dmap1, eq1), (dmap2, eq2), fseq = _delete_view(
+        path, s1, s2, f1, f2, snaps_all)
     only1 = sorted((f1 - f2) | changed)
     only2 = sorted((f2 - f1) | changed)
     names = _union_names(path, only1 + only2)
-    r1 = _rows_of(path, only1, names, dmap1)
-    r2 = _rows_of(path, only2, names, dmap2)
+    r1 = _rows_of(path, only1, names, dmap1, eq1, fseq)
+    r2 = _rows_of(path, only2, names, dmap2, eq2, fseq)
     emitted = 0
     for op, delta in (("delete", r1 - r2), ("insert", r2 - r1)):
         for row in sorted(delta, key=lambda t: tuple(

@@ -126,6 +126,10 @@ class ColfInputPartition(InputPartition):
     # (pruned at plan time by the sidecars' own file-column zone maps);
     # the task reads them and masks the deleted ordinals out
     deletes: tuple = ()
+    # equality-delete predicate groups applying to this file (each a
+    # tuple of serialized filter specs — AND within a group, any group
+    # matching masks the row); already sequence-filtered at plan time
+    eq: tuple = ()
 
 
 MANIFEST_NAME = "_manifest.json"
@@ -237,7 +241,8 @@ def commit_snapshot(path: str, live_files: list[str],
                     branch: str | None = None,
                     ff_from: str | None = None,
                     cluster: list[str] | None = None,
-                    deletes: list[str] | None = None) -> int:
+                    deletes: list[str] | None = None,
+                    eq_deletes: list[dict] | None = None) -> int:
     """Append a snapshot whose live set is ``live_files`` (basenames);
     ``reset`` starts a fresh history at version 1 (overwrite mode —
     the old part files are physically gone, so old versions would be
@@ -304,15 +309,26 @@ def commit_snapshot(path: str, live_files: list[str],
     # rows a prior MoR delete removed); [] clears explicitly (compact
     # materializes deletes away); a list sets it (the MoR delete
     # commit itself).
-    if deletes is None and not reset:
+    if (deletes is None or eq_deletes is None) and not reset:
         lineage = ([s for s in snaps if s.get("branch") == branch]
                    if branch is not None else [])
         if not lineage:
             lineage = published_snapshots(snaps)
         if lineage:
-            deletes = lineage[-1].get("deletes")
+            if deletes is None:
+                deletes = lineage[-1].get("deletes")
+            if eq_deletes is None:
+                eq_deletes = lineage[-1].get("eq_deletes")
     if deletes:
         entry["deletes"] = sorted(set(deletes))
+    # EQUALITY deletes (Iceberg v2's other delete flavor): pure
+    # predicate metadata ``{"seq": committing version, "filters":
+    # [...]}``; a reader masks matching rows in files whose first-
+    # appearance version is OLDER than seq (appends after the delete
+    # are not masked — sequence-number semantics). Same
+    # inherit/set/clear protocol as ``deletes``.
+    if eq_deletes:
+        entry["eq_deletes"] = list(eq_deletes)
     snaps.append(entry)
     write_snapshots(path, snaps)
     return version
@@ -474,6 +490,55 @@ def deleted_positions(dataset_dir: str, deletes, base: str):
     if not arrs:
         return None
     return arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+
+
+_EQ_FILTER_CLASSES = {
+    "EqualTo": EqualTo, "EqualNullSafe": EqualNullSafe,
+    "GreaterThan": GreaterThan, "GreaterThanOrEqual": GreaterThanOrEqual,
+    "LessThan": LessThan, "LessThanOrEqual": LessThanOrEqual,
+    "In": In, "IsNull": IsNull, "IsNotNull": IsNotNull,
+    "StringStartsWith": StringStartsWith,
+}
+
+
+def serialize_eq_filters(filters) -> list[dict]:
+    """Pushed-Filter conjunction -> JSON-stable specs for the snapshot
+    log (equality-delete predicates are TABLE METADATA, so they must
+    round-trip bytes-exactly through json)."""
+    out = []
+    for f in filters:
+        spec: dict = {"op": type(f).__name__,
+                      "col": getattr(f, "attribute")[0]}
+        if isinstance(f, In):
+            spec["value"] = list(f.value)
+        elif not isinstance(f, (IsNull, IsNotNull)):
+            spec["value"] = f.value
+        out.append(spec)
+    return out
+
+
+def deserialize_eq_filters(specs) -> list:
+    out = []
+    for s in specs:
+        cls = _EQ_FILTER_CLASSES[s["op"]]
+        if cls in (IsNull, IsNotNull):
+            out.append(cls((s["col"],)))
+        elif cls is In:
+            out.append(cls((s["col"],), tuple(s["value"])))
+        else:
+            out.append(cls((s["col"],), s["value"]))
+    return out
+
+
+def file_first_versions(snaps: list[dict]) -> dict[str, int]:
+    """{basename: first log version containing it} — the data file's
+    SEQUENCE NUMBER in the Iceberg sense: an equality delete committed
+    at version v masks only files first appearing BEFORE v."""
+    seq: dict[str, int] = {}
+    for s in snaps:  # ascending
+        for b in s["files"]:
+            seq.setdefault(b, s["version"])
+    return seq
 
 
 def delete_positions_map(path: str, deletes) -> dict:
@@ -893,8 +958,11 @@ class ColfReader(DataSourceReader):
 
     def partitions(self):
         dels: list[str] = []
+        eqs: list[dict] = []
+        all_snaps: list[dict] = []
         if self.snapshot is not None:
-            snaps = {s["version"]: s for s in load_snapshots(self.path)}
+            all_snaps = load_snapshots(self.path)
+            snaps = {s["version"]: s for s in all_snaps}
             if self.snapshot not in snaps:
                 raise ColfFormatError(
                     f"snapshot {self.snapshot} not found in {self.path} "
@@ -908,10 +976,18 @@ class ColfReader(DataSourceReader):
                     f"snapshot {self.snapshot} references vacuumed files: "
                     f"{[os.path.basename(f) for f in missing]}")
             dels = snaps[self.snapshot].get("deletes") or []
+            eqs = snaps[self.snapshot].get("eq_deletes") or []
         else:
             files = live_files(self.path)
-            head = published_head(self.path)
+            all_snaps = load_snapshots(self.path)
+            pub = published_snapshots(all_snaps)
+            head = pub[-1] if pub else None
             dels = (head.get("deletes") or []) if head else []
+            eqs = (head.get("eq_deletes") or []) if head else []
+        # equality deletes mask by SEQUENCE: only files first committed
+        # before the delete's version are affected (a later append may
+        # legally re-introduce matching rows)
+        file_seq = file_first_versions(all_snaps) if eqs else {}
         if self.incremental_from is not None:
             snaps = {s["version"]: s for s in load_snapshots(self.path)}
             if self.incremental_from not in snaps:
@@ -983,6 +1059,13 @@ class ColfReader(DataSourceReader):
                     continue
                 out.append(d)
             return tuple(out)
+
+        def _eqs_for(f: str) -> tuple:
+            if not eqs:
+                return ()
+            fseq = file_seq.get(os.path.basename(f))
+            return tuple(tuple(e["filters"]) for e in eqs
+                         if fseq is not None and fseq < e["seq"])
         # v3 striped files plan one partition per STRIPE, pruned by the
         # per-stripe zone maps (and per-stripe blooms) when the
         # sidecars carry them — all from metadata; a file header is
@@ -995,7 +1078,8 @@ class ColfReader(DataSourceReader):
             if stripes is None and entry is None                     and file_version(f) == VERSION_V3:
                 stripes = [{"num_rows": n} for n in read_stripes_info(f)]
             if stripes is None:
-                parts.append(ColfInputPartition(f, deletes=_dels_for(f)))
+                parts.append(ColfInputPartition(f, deletes=_dels_for(f),
+                                                eq=_eqs_for(f)))
                 continue
             sblooms = (blooms.get(os.path.basename(f), {})
                        .get("stripes") or [])
@@ -1011,8 +1095,8 @@ class ColfReader(DataSourceReader):
                                for flt in eq_filters)
                 return True
 
-            fd = _dels_for(f)
-            parts.extend(ColfInputPartition(f, si, deletes=fd)
+            fd, fe = _dels_for(f), _eqs_for(f)
+            parts.extend(ColfInputPartition(f, si, deletes=fd, eq=fe)
                          for si, st in enumerate(stripes)
                          if _stripe_may_match(si, st))
         return parts or [ColfInputPartition(None)]
@@ -1025,11 +1109,20 @@ class ColfReader(DataSourceReader):
         wanted = self.columns or [f.name for f in self.schema.fields]
         file_cols = [c for c in wanted
                      if c not in (FILE_COLUMN, POS_COLUMN)]
+        # live equality deletes must evaluate their predicate columns
+        # even when the projection excludes them: decode the union,
+        # mask, and let the final projection drop the extras (the
+        # extra decode lasts only until compact() materializes)
+        decode_cols = list(file_cols)
+        for group in partition.eq:
+            for spec in group:
+                if spec["col"] not in decode_cols:
+                    decode_cols.append(spec["col"])
         # row count for metadata-only projections comes from the
         # stripe footer / header, not 0 (per-file counts via the
         # virtual column must be exact); evolved-away columns decode
         # as typed nulls
-        data, n = _read_file_columns(partition.file, file_cols,
+        data, n = _read_file_columns(partition.file, decode_cols,
                                      partition.stripe, self.schema)
         base = os.path.basename(partition.file)
         pos_np = None
@@ -1063,6 +1156,34 @@ class ColfReader(DataSourceReader):
                     if pos_np is not None:
                         pos_np = pos_np[keep]
                     n -= len(sel)
+        if partition.eq:
+            # equality-delete masks: within a predicate group the
+            # conjuncts AND (all must be TRUE — NULL comparisons are
+            # FALSE, SQL DELETE semantics, so NULL-bearing rows
+            # survive); any group matching drops the row. Every
+            # conjunct was validated evaluable at delete time; an
+            # unevaluable one here means corrupted metadata — refuse
+            # loudly rather than resurrect deleted rows.
+            import pyarrow.compute as pc
+
+            drop = None
+            for group in partition.eq:
+                gm = None
+                for flt in deserialize_eq_filters(group):
+                    m1 = _residual_mask(data, [flt])
+                    if m1 is None:
+                        raise ColfFormatError(
+                            f"equality-delete predicate not evaluable "
+                            f"at read time: {flt} (corrupt metadata?)")
+                    gm = m1 if gm is None else pc.and_(gm, m1)
+                if gm is not None:
+                    drop = gm if drop is None else pc.or_(drop, gm)
+            if drop is not None and drop.true_count > 0:
+                keepm = pc.invert(drop)
+                data = {c: arr.filter(keepm) for c, arr in data.items()}
+                n -= drop.true_count
+                if pos_np is not None:
+                    pos_np = pos_np[keepm.to_numpy(zero_copy_only=False)]
         if self.row_filter and self.pushed and file_cols:
             mask = _residual_mask(data, self.pushed)
             # all-true mask: skip the survivor copy — a non-selective

@@ -383,11 +383,12 @@ def rollback(path: str, version: int) -> int:
         raise ColfFormatError(
             f"cannot roll back to version {version}: part files "
             f"{missing} were vacuumed")
-    # restore the TARGET's delete list too (explicit, not inherited:
-    # the head may carry position deletes the target predates)
+    # restore the TARGET's delete lists too (explicit, not inherited:
+    # the head may carry position/equality deletes the target predates)
     return commit_snapshot(path, list(tgt["files"]),
                            expected_parent=snaps[-1]["version"],
-                           deletes=list(tgt.get("deletes", [])))
+                           deletes=list(tgt.get("deletes", [])),
+                           eq_deletes=list(tgt.get("eq_deletes", [])))
 
 
 def snapshot_changelog(spark: SparkSession, path: str, v_from: int,
@@ -428,13 +429,31 @@ def snapshot_changelog(spark: SparkSession, path: str, v_from: int,
     # BOTH sides (each side's reader masks with its own version's
     # deletes; the unchanged rows cancel in exceptAll). Only the DELTA
     # sidecars are opened — and only their file column.
-    from .datasource import _load_delete_file
+    import json as _json
+
+    from .datasource import _load_delete_file, file_first_versions
 
     d_from = set(snaps[v_from].get("deletes", []))
     d_to = set(snaps[v_to].get("deletes", []))
     changed: set = set()
     for d in d_from ^ d_to:
         changed |= set(_load_delete_file(os.path.join(path, d)))
+    # equality-delete deltas: an eq predicate present in only one
+    # version changes the rows of every common file whose sequence
+    # predates it
+    def _ek(e: dict):
+        return (e["seq"], _json.dumps(e["filters"], sort_keys=True))
+
+    e_from = {_ek(e): e for e in snaps[v_from].get("eq_deletes") or []}
+    e_to = {_ek(e): e for e in snaps[v_to].get("eq_deletes") or []}
+    eq_delta = [v for k, v in {**e_from, **e_to}.items()
+                if (k in e_from) != (k in e_to)]
+    if eq_delta:
+        fseq = file_first_versions(sorted(snaps.values(),
+                                          key=lambda s: s["version"]))
+        for e in eq_delta:
+            changed |= {b for b in f_from & f_to
+                        if fseq.get(b, 10 ** 18) < e["seq"]}
     changed &= f_from & f_to
     only_from = sorted((f_from - f_to) | changed)
     only_to = sorted((f_to - f_from) | changed)
@@ -633,10 +652,12 @@ def compact(spark: SparkSession, path: str, target_files: int | None = None,
     os.rename(mtmp, manifest_path(path))
     _merge_bloom_files(path, tmp)
     shutil.rmtree(tmp)
-    # the rewrite read through the MoR reader, so position deletes are
-    # MATERIALIZED into the compacted files — clear the list explicitly
-    # (the sidecars themselves are reclaimed by vacuum)
-    commit_snapshot(path, moved, expected_parent=parent, deletes=[])
+    # the rewrite read through the MoR reader, so position AND equality
+    # deletes are MATERIALIZED into the compacted files — clear both
+    # lists explicitly (position sidecars are reclaimed by vacuum;
+    # equality predicates were pure metadata)
+    commit_snapshot(path, moved, expected_parent=parent, deletes=[],
+                    eq_deletes=[])
     return len(moved)
 
 
@@ -837,6 +858,27 @@ def _parse_condition(condition: str, types: dict):
     return flts or None
 
 
+def _visible_rows(spark: SparkSession, path: str, touched: list[str],
+                  man: dict, any_col: str) -> int:
+    """VISIBLE row count of the touched files — what CoW count
+    arithmetic must start from on a dataset carrying merge-on-read
+    masks: manifest counts minus position-masked ordinals, or (when
+    equality deletes are live — predicates defeat metadata arithmetic)
+    one single-column reader count over just the touched sliver."""
+    from .datasource import delete_positions_map, published_head
+
+    head = published_head(path)
+    if head and head.get("eq_deletes"):
+        return (spark.read.format("colf")
+                .option("files", ",".join(touched))
+                .option("columns", any_col).load(path).count())
+    total = sum(man[b]["num_rows"] for b in touched)
+    if head and head.get("deletes"):
+        dmap = delete_positions_map(path, head["deletes"])
+        total -= sum(len(dmap.get(b, ())) for b in touched)
+    return total
+
+
 def _plan_candidates(path: str, flts, live0: list[str]):
     """Candidate touched files from the reader's OWN planning (zone
     maps, Bloom sidecars, stripe stats — metadata only, no data scan).
@@ -857,6 +899,79 @@ def _plan_candidates(path: str, flts, live0: list[str]):
     if any(man.get(b, {}).get("num_rows") is None for b in cands):
         return None
     return cands
+
+
+def _delete_where_eq(path: str, condition: str) -> dict:
+    """EQUALITY delete (Iceberg v2's second delete flavor; see
+    delete_where): the predicate ITSELF is the delete — one metadata
+    commit carrying the parsed conjunction plus its sequence number,
+    zero scans, zero data jobs, zero sidecar files. Readers mask
+    matching rows in every file whose first-appearance version
+    predates the delete (sequence semantics: a later append may
+    legally re-introduce matching rows — this is what streaming upsert
+    sinks need, where positions are unknowable at write time).
+
+    The condition must parse into the exactly-evaluable filter subset
+    (top-level AND of col-vs-literal comparisons, IN, IS [NOT] NULL;
+    no NaN probes) — validated HERE against the dataset schema with a
+    0-row probe of the very evaluator reads will use, so a committed
+    equality delete can never fail to apply. The deleted-row count is
+    unknowable without a scan (that is the point); the stat reports
+    None."""
+    from pyspark.sql.datasource import EqualNullSafe, EqualTo, In
+
+    from .datasource import published_head, serialize_eq_filters
+    from .format import ColfFormatError
+
+    parent, live0 = _bootstrap_log(path)
+    if not live0 and parent == 0:
+        raise ColfFormatError(
+            f"equality delete needs a dataset with a metadata log at "
+            f"{path} (sequence numbers come from the log)")
+    union_cols = dataset_union_columns(
+        path, [os.path.join(path, b) for b in live0]) if live0 else []
+    types = {c.name: c.type for c in union_cols}
+    flts = _parse_condition(condition, types)
+    if flts is None:
+        raise ColfFormatError(
+            f"equality delete requires an exactly-evaluable condition "
+            f"(AND of col-op-literal / IN / IS [NOT] NULL); got: "
+            f"{condition!r}. Use mode='mor' or 'cow' for arbitrary "
+            f"conditions.")
+    for f in flts:
+        vals = (list(f.value) if isinstance(f, In)
+                else [getattr(f, "value", None)])
+        for v in vals:
+            if isinstance(v, float) and v != v:
+                raise ColfFormatError(
+                    "equality delete cannot probe NaN (Spark's NaN "
+                    "total order is not exactly evaluable); use "
+                    "mode='cow'")
+            if v is None and isinstance(f, (EqualTo,)) \
+                    and not isinstance(f, EqualNullSafe):
+                raise ColfFormatError(
+                    "equality delete: use IS NULL, not = NULL")
+    # 0-row probe of the READ-TIME evaluator: a filter the reader
+    # cannot evaluate must be rejected now, not at scan time
+    import pyarrow as pa
+
+    from .datasource import _residual_mask
+    probe = {c.name: pa.array(
+        [], type={"int32": pa.int32(), "float64": pa.float64(),
+                  "utf8": pa.string()}[c.type]) for c in union_cols}
+    for f in flts:
+        if _residual_mask(probe, [f]) is None:
+            raise ColfFormatError(
+                f"equality delete conjunct is not exactly evaluable "
+                f"by the reader: {f}")
+    head = published_head(path)
+    prior = (head.get("eq_deletes") or []) if head else []
+    entry = {"seq": parent + 1, "filters": serialize_eq_filters(flts)}
+    v = commit_snapshot(path, live0, expected_parent=parent,
+                        eq_deletes=prior + [entry])
+    return {"version": v, "n_deleted_rows": None,
+            "n_rewritten_files": 0, "n_kept_files": len(live0),
+            "n_delete_files": 0, "mode": "merge-on-read-eq"}
 
 
 def _delete_where_mor(spark: SparkSession, path: str,
@@ -959,6 +1074,11 @@ def delete_where(spark: SparkSession, path: str, condition: str,
     the deleted ordinals out at decode time. At 100 TB that turns a
     one-row delete from a ~128 MB file rewrite into a KB-sized sidecar
     write; ``compact()`` later materializes the deletes away.
+    ``mode="eq"`` is the EQUALITY flavor (Iceberg v2 equality
+    deletes): the predicate itself commits as table metadata — zero
+    scans, zero files — and masks matching rows in files whose
+    first-appearance version predates it (sequence gating: later
+    appends may re-introduce matching rows), see _delete_where_eq.
     Untouched files stay byte-identical; the pre-delete version remains
     time-travel-readable until vacuum(). Returns
     {"version", "n_deleted_rows", "n_rewritten_files", "n_kept_files"}.
@@ -984,8 +1104,11 @@ def delete_where(spark: SparkSession, path: str, condition: str,
 
     if not os.path.isdir(path):
         raise ValueError(f"delete_where() needs a dataset directory, got {path}")
-    if mode not in ("cow", "mor", "merge-on-read"):
-        raise ValueError(f"delete_where mode must be 'cow' or 'mor', got {mode!r}")
+    if mode not in ("cow", "mor", "merge-on-read", "eq", "equality"):
+        raise ValueError(
+            f"delete_where mode must be 'cow', 'mor' or 'eq', got {mode!r}")
+    if mode in ("eq", "equality"):
+        return _delete_where_eq(path, condition)
     if mode != "cow":
         return _delete_where_mor(spark, path, condition)
     parent, live0 = _bootstrap_log(path)
@@ -1015,17 +1138,11 @@ def delete_where(spark: SparkSession, path: str, condition: str,
                 return noop()
             touched = cand
             discovery = "metadata"
-            man = load_manifest(path)
-            rows_before = sum(man[b]["num_rows"] for b in touched)
-            # manifest counts are ORIGINAL file rows; rows already
-            # masked by merge-on-read position deletes must not be
-            # counted as deleted again by this rewrite
-            from .datasource import delete_positions_map, published_head
-
-            head = published_head(path)
-            dmap = delete_positions_map(
-                path, head.get("deletes", []) if head else [])
-            rows_before -= sum(len(dmap.get(b, ())) for b in touched)
+            # VISIBLE rows, not raw manifest counts: rows already
+            # masked by merge-on-read position/equality deletes must
+            # not be counted as deleted again by this rewrite
+            rows_before = _visible_rows(spark, path, touched,
+                                        load_manifest(path), fields[0])
 
     if touched is None:
         # scan discovery: pass 1 reads only the columns the condition
@@ -1483,8 +1600,9 @@ def merge_into(spark: SparkSession, path: str, source,
             if cand is not None:
                 touched = cand
                 discovery = "metadata-in"
-                man = load_manifest(path)
-                rows_before = sum(man[b]["num_rows"] for b in touched)
+                rows_before = _visible_rows(
+                    spark, path, touched, load_manifest(path),
+                    key_cols[0])
 
         if touched is None and not small and live0:
             # LOCALIZED-big-source fast path: a source past the IN-
@@ -1540,8 +1658,9 @@ def merge_into(spark: SparkSession, path: str, source,
                     touched = cand
                     discovery = "metadata-bounds"
                     n_source = int(st["__n_source"] or 0)
-                    man = load_manifest(path)
-                    rows_before = sum(man[b]["num_rows"] for b in touched)
+                    rows_before = _visible_rows(
+                        spark, path, touched, load_manifest(path),
+                        key_cols[0])
 
         if touched is None:
             # scan discovery: read ONLY the key columns + the virtual

@@ -2603,3 +2603,99 @@ def q197_colf_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"))
+
+
+@register(
+    "q198_colf_eq_delete",
+    oracle="""
+    WITH cut AS (SELECT MAX(o_orderkey) // 4 AS c FROM orders),
+    survivors AS (
+      SELECT o_orderkey, o_orderstatus FROM orders, cut
+      WHERE NOT (o_orderkey <= cut.c AND o_orderstatus = 'O')),
+    appended AS (
+      SELECT -o_orderkey AS o_orderkey, 'O' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 40 = 1)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM (SELECT * FROM survivors UNION ALL SELECT * FROM appended)
+    GROUP BY o_orderstatus
+    """,
+)
+def q198_colf_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUALITY delete under the correctness gate
+    (maintenance.delete_where(mode="eq") — Iceberg v2's second delete
+    flavor, completing the delete triad next to CoW q148 and
+    position-MoR q195): the low-quartile 'O' orders are deleted by
+    committing THE PREDICATE ITSELF as table metadata — zero scans,
+    zero data jobs, zero sidecar files, one log append. The query
+    ASSERTS that radical cost model (the directory listing is
+    byte-for-byte unchanged, n_delete_files == 0, the deleted count is
+    honestly None — unknowable without a scan), then proves the two
+    load-bearing semantics through the reader: (a) masking — matching
+    rows vanish from every pre-delete file, even under a projection
+    that EXCLUDES the predicate columns (the scan decodes them for the
+    mask and drops them after); (b) SEQUENCE gating — appended rows
+    that MATCH the predicate survive, because an equality delete masks
+    only files whose first-appearance version predates it. That
+    sequence rule is what makes this flavor safe for streaming upsert
+    sinks, which cannot know positions at write time.
+
+    Scale: the write side is O(predicate) — nothing else is touchable
+    at any corpus size. The read side pays the predicate evaluation
+    per batch (plus decoding the predicate columns when projected
+    away) until compact() materializes; the evaluator is validated
+    CLOSED at delete time (0-row probe of the reader's own kernel), so
+    a committed equality delete can never fail to apply."""
+    import os
+
+    from .datasource import load_snapshots
+    from .datasource import register as register_ds
+    from .maintenance import delete_where
+
+    register_ds(spark)
+    tmpl = _stage_cdc_orders(spark, sf_dir)
+    path = run_dir(("colf-eq-run", sf_dir), "colf_eq_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+
+    mx = _CDC_MAXKEY[sf_dir]
+    listing_before = sorted(os.listdir(path))
+    stats = delete_where(
+        spark, path,
+        f"o_orderkey <= {mx // 4} AND o_orderstatus = 'O'", mode="eq")
+    if stats["mode"] != "merge-on-read-eq" \
+            or stats["n_deleted_rows"] is not None \
+            or stats["n_delete_files"] or stats["n_rewritten_files"]:
+        raise AssertionError(f"expected a pure predicate commit: {stats}")
+    if sorted(os.listdir(path)) != listing_before:
+        raise AssertionError("equality delete wrote files")
+    if not load_snapshots(path)[-1].get("eq_deletes"):
+        raise AssertionError("commit carries no equality predicate")
+    # masking holds under a projection excluding the predicate columns
+    n_proj = (spark.read.format("colf").option("columns", "o_orderkey")
+              .load(path).count())
+    n_full = spark.read.format("colf").load(path).count()
+    if n_proj != n_full:
+        raise AssertionError(
+            f"projected scan saw {n_proj} rows, full scan {n_full} — "
+            f"the mask must not depend on the projection")
+    n_v1 = (spark.read.format("colf").option("snapshot", "1")
+            .option("columns", "o_orderkey").load(path).count())
+    if n_full >= n_v1:
+        raise AssertionError("the equality delete masked nothing")
+    # sequence semantics: appended rows MATCHING the predicate survive
+    o = table(spark, sf_dir, "orders")
+    (o.filter(F.col("o_orderkey") % 40 == 1)
+     .select((-F.col("o_orderkey")).cast("int").alias("o_orderkey"),
+             F.lit("O").alias("o_orderstatus"))
+     .coalesce(1).write.format("colf").mode("append").save(path))
+    back = spark.read.format("colf").load(path)
+    n_neg = back.filter("o_orderkey < 0").count()
+    if n_neg == 0:
+        raise AssertionError(
+            "post-delete append was masked — sequence gating broken")
+
+    back = spark.read.format("colf").load(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"))

@@ -18,7 +18,7 @@ round), plus a 50-query window sweep at sf0.1 with --dtypes (50/50)
 and per-query three-SF driver-style checks on every query added or
 changed mid-round.
 
-Registry size: 196 queries (q01-q197, no q123). Round-9 additions are
+Registry size: 197 queries (q01-q198, no q123). Round-9 additions are
 q195 (merge-on-read position deletes — Iceberg v2's model: the delete
 writes (file, pos) sidecars, themselves COLF files, plus ONE metadata
 commit; every reader masks deleted ordinals at decode time,
@@ -31,7 +31,12 @@ group within each cluster in (centroid-distance, vec_id) order,
 re-proved in-query by an independent pairwise audit), plus q197
 (merge-on-read UPDATE: position-delete sidecars masking the old
 images + appended files carrying the new ones, one metadata commit —
-q188's CoW twin, same oracle, zero rewritten bytes). Round-8
+q188's CoW twin, same oracle, zero rewritten bytes) and q198
+(EQUALITY deletes — the predicate itself committed as table metadata
+with a sequence number: zero scans, zero files; readers mask matching
+rows in files whose first-appearance version predates the delete, so
+later appends legally re-introduce matching rows — the streaming-
+upsert-sink flavor, completing the delete triad). Round-8
 additions were
 q184 (row-accurate changelog: per-row _change_type insert/delete
 between versions, common files cancelling at the metadata level),
@@ -88,7 +93,8 @@ from .registry import QUERIES, QuerySpec  # noqa: F401
 # first; every changed query re-proves itself the round it changes):
 # - q195 (merge-on-read position deletes — Iceberg v2: delete sidecars
 #   + reader masks, zero data-file rewrites), q197 (the MoR UPDATE
-#   twin: masks + appended images, one commit) and q196 (SemDeDup
+#   twin: masks + appended images, one commit), q198 (equality
+#   deletes: predicate-as-metadata, sequence-gated) and q196 (SemDeDup
 #   semantic dedup: k-means in PCA space, keep-one-per-semantic-group,
 #   q135-style in-query bounds audit) are new this round;
 # - 7 queries whose plan or oracle-adjacent machinery changed this
@@ -125,6 +131,7 @@ DRIVER_WINDOW = [
     "q195_colf_mor_delete",
     "q196_semantic_dedup",
     "q197_colf_mor_update",
+    "q198_colf_eq_delete",
     # changed this round — re-prove
     "q191_exact_substring_dedup",
     "q165_ann_pq",
@@ -174,9 +181,8 @@ DRIVER_WINDOW = [
     "q143_tpch_q16",
     "q144_tpch_q17",
     "q145_tpch_q19",
-    "q146_tpch_q21",
-    # (q147 yields its slot to q197; it stays r05-era and leads the
-    #  round-10 backfill together with q150-q152, q154, q156-q163)
+    # (q146/q147 yield their slots to q197/q198; they stay r05-era
+    #  and lead the round-10 backfill with q150-q152, q154, q156-q163)
 ]
 
 
