@@ -645,6 +645,26 @@ def cli_set_sort_order(argv: list[str]) -> int:
     return 0
 
 
+def cli_eq_delete(argv: list[str]) -> int:
+    """Equality DELETE from the shell — no Spark session at all:
+    ``eq_delete <dataset-dir> "<condition>"`` commits the predicate as
+    table metadata with a sequence number (Iceberg v2 equality
+    deletes; maintenance._delete_where_eq is spark-free by
+    construction). Every reader — Spark scans and the pure-Python
+    codec twins alike — masks matching rows in files predating the
+    delete. The single-file-tool spirit of the reference's CLIs
+    (writer.py/reader.py), extended to row-level DML."""
+    if len(argv) != 2:
+        print('usage: ... eq_delete <dataset-dir> "<condition>"',
+              file=sys.stderr)
+        return 2
+    from .maintenance import _delete_where_eq
+
+    stats = _delete_where_eq(argv[0], argv[1])
+    print(json.dumps(stats))
+    return 0
+
+
 COMMANDS = {
     "csv_to_custom": cli_csv_to_custom,
     "custom_to_csv": cli_custom_to_csv,
@@ -664,6 +684,7 @@ COMMANDS = {
     "branch": cli_branch,
     "fast_forward": cli_fast_forward,
     "vacuum": cli_vacuum,
+    "eq_delete": cli_eq_delete,
 }
 
 

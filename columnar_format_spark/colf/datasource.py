@@ -2145,6 +2145,24 @@ class ColfStreamReader(DataSourceStreamReader):
                 "trigger for rate-limited drains",
                 stacklevel=2,
             )
+        # merge-on-read deletes cannot be retracted through a
+        # file-granularity stream (an already-emitted row has no
+        # "unsend"), so a dataset whose PUBLISHED head carries live
+        # position/equality deletes refuses to start streaming unless
+        # the consumer explicitly opts in — Delta's ignoreDeletes
+        # contract, word for word. compact() materializes the masks
+        # and clears the lists, after which streams start cleanly.
+        head = published_head(self.path) if os.path.isdir(self.path) else None
+        if head and (head.get("deletes") or head.get("eq_deletes")) \
+                and options.get("ignoreDeletes", "false").lower() != "true":
+            raise ColfFormatError(
+                f"dataset {self.path} carries live merge-on-read "
+                f"deletes; a stream cannot retract already-emitted "
+                f"rows, and newly streamed files would ignore the "
+                f"masks. Materialize them first — compact(retain=True) "
+                f"then vacuum() so the log's replayable lineage is "
+                f"mask-free — or opt in to mask-blind streaming with "
+                f"option('ignoreDeletes', 'true').")
         self._seen: set[str] = set()   # legacy-offset baseline (no-log dirs)
         self._cursor: tuple[int, int] = (0, 0)  # log-cursor baseline
 

@@ -165,3 +165,35 @@ def test_eq_rollback_restores_predicates(colf_spark, ds):
     assert colf_spark.read.format("colf").load(ds).count() == 200
     rollback(ds, 2)
     assert colf_spark.read.format("colf").load(ds).count() == 100
+
+
+def test_eq_delete_cli_sparkless(colf_spark, ds, capsys):
+    """`eq_delete <ds> "<condition>"` — row-level DML from the shell
+    with NO Spark session (the equality path is spark-free by
+    construction), visible to every reader."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    from columnar_format_spark.colf.cli import main as cli_main
+
+    assert cli_main(["eq_delete", ds, "k >= 150"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["mode"] == "merge-on-read-eq" and out["version"] == 2
+    assert colf_spark.read.format("colf").load(ds).count() == 150
+    # and it genuinely needs no JVM: run it as a bare subprocess
+    r = subprocess.run(
+        [_sys.executable, "-m", "columnar_format_spark.colf.cli",
+         "eq_delete", ds, "k < 10"],
+        capture_output=True, text=True, timeout=120,
+        env={"PATH": "/usr/bin:/bin", "PYTHONPATH": "/root/repo"})
+    assert r.returncode == 0, r.stderr
+    assert _json.loads(r.stdout)["version"] == 3
+    assert colf_spark.read.format("colf").load(ds).count() == 140
+    # bad condition refuses loudly from the shell too
+    r2 = subprocess.run(
+        [_sys.executable, "-m", "columnar_format_spark.colf.cli",
+         "eq_delete", ds, "k < 5 OR g = '1'"],
+        capture_output=True, text=True, timeout=120,
+        env={"PATH": "/usr/bin:/bin", "PYTHONPATH": "/root/repo"})
+    assert r2.returncode != 0

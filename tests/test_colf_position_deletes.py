@@ -222,3 +222,48 @@ def test_mor_update_delete_plus_append(colf_spark, ds):
     assert not any(f.endswith(".colfd") for f in os.listdir(ds))
     got3 = colf_spark.read.format("colf").load(ds)
     assert got3.count() == 199 and got3.filter("v >= 1000").count() == 9
+
+
+def test_stream_refuses_live_deletes_unless_opted_in(colf_spark, ds,
+                                                     tmp_path):
+    """A file-granularity stream cannot retract already-emitted rows,
+    so a dataset whose published head carries live MoR masks refuses
+    to start streaming (Delta's ignoreDeletes contract); compacting
+    the masks away unblocks it; option('ignoreDeletes','true') is the
+    explicit mask-blind opt-in."""
+    import glob
+
+    from columnar_format_spark.colf.format import ColfFormatError
+
+    delete_where(colf_spark, ds, "k < 50", mode="mor")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(reader):
+        q = (reader.load(ds).writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        files = glob.glob(out + "/*.parquet")
+        return colf_spark.read.parquet(out).count() if files else 0
+
+    with pytest.raises(Exception, match="ignoreDeletes"):
+        drain(colf_spark.readStream.format("colf"))
+    # opt-in streams mask-blind (documented): all 200 original rows
+    n = drain(colf_spark.readStream.format("colf")
+              .option("ignoreDeletes", "true"))
+    assert n == 200
+    # materializing the masks AND pruning the replayable lineage
+    # (compact + vacuum — a fresh stream replays per-commit file
+    # additions, so pre-compaction commits would re-deliver the old
+    # files mask-blind) unblocks clean streaming
+    compact(colf_spark, ds, 2, retain=True)
+    vacuum(ds, keep_last=1)
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+
+    q = (colf_spark.readStream.format("colf").load(ds)
+         .writeStream.format("parquet").option("path", out2)
+         .option("checkpointLocation", ckpt2)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert colf_spark.read.parquet(out2).count() == 150
