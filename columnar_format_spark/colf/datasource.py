@@ -1109,21 +1109,34 @@ class ColfReader(DataSourceReader):
         wanted = self.columns or [f.name for f in self.schema.fields]
         file_cols = [c for c in wanted
                      if c not in (FILE_COLUMN, POS_COLUMN)]
-        # live equality deletes must evaluate their predicate columns
-        # even when the projection excludes them: decode the union,
-        # mask, and let the final projection drop the extras (the
-        # extra decode lasts only until compact() materializes)
-        decode_cols = list(file_cols)
-        for group in partition.eq:
-            for spec in group:
-                if spec["col"] not in decode_cols:
-                    decode_cols.append(spec["col"])
         # row count for metadata-only projections comes from the
         # stripe footer / header, not 0 (per-file counts via the
         # virtual column must be exact); evolved-away columns decode
         # as typed nulls
-        data, n = _read_file_columns(partition.file, decode_cols,
+        data, n = _read_file_columns(partition.file, file_cols,
                                      partition.stripe, self.schema)
+        if partition.eq:
+            # live equality deletes must evaluate their predicate
+            # columns even when the projection excludes them: decode
+            # the extras here (typed NULLs when an evolved file
+            # predates the column — each spec carries its coltype, so
+            # this never depends on the projected schema), mask, and
+            # let the final projection drop them. The extra decode
+            # lasts only until compact() materializes the predicates.
+            need = {spec["col"]: spec["coltype"]
+                    for group in partition.eq for spec in group}
+            missing = [c for c in need if c not in data]
+            if missing:
+                avail = {c.name for c in read_schema(partition.file).columns}
+                present = [c for c in missing if c in avail]
+                if present:
+                    data.update(read_columns_arrow(
+                        partition.file, present, stripe=partition.stripe))
+                for c in missing:
+                    if c not in avail:
+                        data[c] = pa.nulls(n, type={
+                            "int32": pa.int32(), "float64": pa.float64(),
+                            "utf8": pa.string()}[need[c]])
         base = os.path.basename(partition.file)
         pos_np = None
         start = 0

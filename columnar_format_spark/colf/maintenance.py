@@ -966,7 +966,13 @@ def _delete_where_eq(path: str, condition: str) -> dict:
                 f"by the reader: {f}")
     head = published_head(path)
     prior = (head.get("eq_deletes") or []) if head else []
-    entry = {"seq": parent + 1, "filters": serialize_eq_filters(flts)}
+    specs = serialize_eq_filters(flts)
+    for spec in specs:
+        # each spec carries its column's COLF type so the reader can
+        # typed-NULL-fill an evolved file that predates the column,
+        # independent of whatever the query projected
+        spec["coltype"] = types[spec["col"]]
+    entry = {"seq": parent + 1, "filters": specs}
     v = commit_snapshot(path, live0, expected_parent=parent,
                         eq_deletes=prior + [entry])
     return {"version": v, "n_deleted_rows": None,

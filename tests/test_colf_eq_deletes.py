@@ -197,3 +197,27 @@ def test_eq_delete_cli_sparkless(colf_spark, ds, capsys):
         capture_output=True, text=True, timeout=120,
         env={"PATH": "/usr/bin:/bin", "PYTHONPATH": "/root/repo"})
     assert r2.returncode != 0
+
+
+def test_eq_projection_away_on_evolved_file(colf_spark, tmp_path):
+    """The nastiest composition: the eq predicate column is BOTH
+    projected away by the query AND absent from an old evolved file —
+    the mask must still be exact (typed-NULL fill from the spec's own
+    coltype, never from the projected schema)."""
+    p = str(tmp_path / "eqproj")
+    (colf_spark.range(100).select(F.col("id").cast("int").alias("k"))
+     .coalesce(1).write.format("colf").mode("overwrite").save(p))
+    (colf_spark.range(100, 150)
+     .select(F.col("id").cast("int").alias("k"),
+             (F.col("id") % 2).cast("double").alias("extra"))
+     .coalesce(1).write.format("colf").mode("append").save(p))
+    delete_where(colf_spark, p, "extra = 0.0", mode="eq")
+    # project ONLY k: the old file's rows all survive (extra is NULL
+    # there), the new file loses its 25 extra=0.0 rows
+    got = (colf_spark.read.format("colf").option("columns", "k")
+           .load(p))
+    assert got.count() == 125
+    full = colf_spark.read.format("colf").load(p)
+    assert full.count() == 125
+    assert full.filter("extra = 0.0").count() == 0
+    assert full.filter("k < 100").count() == 100
