@@ -130,6 +130,7 @@ HEADLINE = [
     "q196_semantic_dedup",
     "q197_colf_mor_update",
     "q198_colf_eq_delete",
+    "q199_colf_mor_merge",
 ]
 
 

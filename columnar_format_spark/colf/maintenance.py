@@ -1517,9 +1517,157 @@ def update_where(spark: SparkSession, path: str,
             "discovery": discovery}
 
 
+def _merge_into_mor(spark: SparkSession, path: str, source,
+                    key_cols: list[str]) -> dict:
+    """Merge-on-read key-UPSERT (see merge_into): matched target rows
+    are position-delete-masked and the WHOLE source appends as new
+    data files — one metadata commit, zero existing bytes rewritten
+    (Iceberg v2's MoR MERGE shape). Position deletes (not equality)
+    carry the masks so multi-column keys stay EXACT: a per-column
+    equality predicate would mask the cross product of the key
+    columns' value sets, not the key tuples. The matched-coordinate
+    scan is one zone-map/Bloom-prunable pass (pushed per-column IN
+    probes prune files; the broadcast semi join against the exact key
+    tuples decides membership); existing MoR masks apply during it, so
+    re-merging is idempotent on counts. Same stream caveat as MoR
+    delete."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from .datasource import POS_COLUMN, published_head
+
+    if not os.path.isdir(path):
+        raise ValueError(f"merge_into() needs a dataset directory, got {path}")
+    if not key_cols:
+        raise ValueError("merge_into() needs at least one key column")
+    parent, live0 = _bootstrap_log(path)
+    target_fields = ([c.name for c in dataset_union_columns(
+        path, [os.path.join(path, b) for b in live0])] if live0 else
+        spark.read.format("colf").load(path).schema.fieldNames())
+    if source.schema.fieldNames() != target_fields:
+        raise ValueError(
+            f"merge source columns {source.schema.fieldNames()} must match "
+            f"the dataset's {target_fields} (same names, same order)")
+    source = source.persist()
+    try:
+        kstat = (source.groupBy(*key_cols)
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .limit(MERGE_PUSHDOWN_KEYS + 1).collect())
+        small = len(kstat) <= MERGE_PUSHDOWN_KEYS
+        if small and any(r["n"] > 1 for r in kstat):
+            dup = next(r for r in kstat if r["n"] > 1)
+            raise ValueError(
+                f"merge source has duplicate keys, e.g. "
+                f"{[dup[k] for k in key_cols]} — upsert is ambiguous")
+        if not small:
+            dups = (source.groupBy(*key_cols).count()
+                    .filter("count > 1").limit(1).collect())
+            if dups:
+                raise ValueError(
+                    f"merge source has duplicate keys, e.g. "
+                    f"{[dups[0][k] for k in key_cols]} — upsert is "
+                    f"ambiguous")
+        if small and kstat:
+            keys = spark.createDataFrame(
+                [tuple(r[kc] for kc in key_cols) for r in kstat],
+                source.select(*key_cols).schema)
+            n_source = int(sum(r["n"] for r in kstat))
+        else:
+            keys = source.select(*key_cols).distinct()
+            n_source = source.count()
+
+        tagged = (spark.read.format("colf")
+                  .option("withFileColumn", "true")
+                  .option("withPosColumn", "true")
+                  .option("columns", ",".join(
+                      [*key_cols, "_colf_file", POS_COLUMN]))
+                  .load(path))
+        if small:
+            for kc in key_cols:
+                vals = [r[kc] for r in kstat if r[kc] is not None]
+                if vals:
+                    tagged = tagged.filter(F.col(kc).isin(vals))
+        matched = (tagged.join(F.broadcast(keys), key_cols, "left_semi")
+                   .select(F.col("_colf_file").alias("file"),
+                           F.col(POS_COLUMN).cast("int").alias("pos")))
+        tmpd = f"{path.rstrip(os.sep)}.mormrg-{uuid.uuid4().hex[:8]}"
+        (matched.sortWithinPartitions("file", "pos")
+         .write.format("colf").mode("overwrite").save(tmpd))
+        man_d = load_manifest(tmpd)
+        n_replaced = sum(m.get("num_rows") or 0 for m in man_d.values())
+        # the source appends shaped like the dataset's own files
+        man0 = load_manifest(path)
+        mrows = [m.get("num_rows") for b in live0
+                 for m in [man0.get(b, {})] if m.get("num_rows")]
+        per_file = max(1, sum(mrows) // len(mrows)) if mrows else 500_000
+        n_files = max(1, min(int(spark.sparkContext.defaultParallelism),
+                             (int(n_source) + per_file - 1) // per_file))
+        from .format import read_schema
+
+        ver = (read_schema(os.path.join(path, live0[0])).version
+               if live0 else 1)
+        tmpn = f"{path.rstrip(os.sep)}.mormrg-new-{uuid.uuid4().hex[:8]}"
+        w = _with_bloom_opt(
+            source.repartition(n_files).write.format("colf")
+            .option("version", str(ver)), path)
+        if ver == 3:
+            srows = _dataset_stripe_rows(path, live0)
+            if srows:
+                w = w.option("stripeRows", str(srows))
+        pcols = _dataset_partition_cols(path, live0)
+        if pcols:
+            w = w.option("partitionColumns", ",".join(pcols))
+        from .datasource import current_sort_order as _cso
+
+        if (sort := _cso(path)):
+            w = w.option("sortOrder", ",".join(sort))
+        w.mode("overwrite").save(tmpn)
+    finally:
+        source.unpersist()
+    merged = load_manifest(path)
+    run = uuid.uuid4().hex[:8]
+    sidecars = []
+    for i, f in enumerate(dataset_files(tmpd)):
+        if (man_d.get(os.path.basename(f)) or {}).get("num_rows") == 0:
+            continue
+        base = f"delete-{run}-{i:05d}.colfd"
+        os.rename(f, os.path.join(path, base))
+        if man_d.get(os.path.basename(f)):
+            merged[base] = man_d[os.path.basename(f)]
+        sidecars.append(base)
+    man_n = load_manifest(tmpn)
+    new_files = []
+    for f in dataset_files(tmpn):
+        base = os.path.basename(f)
+        os.rename(f, os.path.join(path, base))
+        if man_n.get(base):
+            merged[base] = man_n[base]
+        new_files.append(base)
+    mtmp = manifest_path(path) + ".tmp"
+    with open(mtmp, "w") as fh:
+        json.dump(merged, fh)
+    os.rename(mtmp, manifest_path(path))
+    _merge_bloom_files(path, tmpn)
+    shutil.rmtree(tmpd)
+    shutil.rmtree(tmpn)
+    head = published_head(path)
+    prior = head.get("deletes", []) if head else []
+    v = commit_snapshot(path, live0 + new_files, expected_parent=parent,
+                        deletes=sorted(set(prior) | set(sidecars)))
+    return {"version": v, "n_replaced_rows": int(n_replaced),
+            "n_source_rows": int(n_source),
+            "n_rewritten_files": 0, "n_kept_files": len(live0),
+            "n_delete_files": len(sidecars),
+            "n_new_files": len(new_files), "mode": "merge-on-read"}
+
+
 def merge_into(spark: SparkSession, path: str, source,
-               key_cols: list[str]) -> dict:
-    """Copy-on-write key-UPSERT (primary-key MERGE semantics): after
+               key_cols: list[str], mode: str = "cow") -> dict:
+    """Copy-on-write key-UPSERT (primary-key MERGE semantics; pass
+    ``mode="mor"`` for the merge-on-read execution — position-delete
+    masks on matched rows plus appended source files, one metadata
+    commit, zero rewritten bytes, _merge_into_mor): after
     the merge the dataset contains every ``source`` row plus every
     pre-existing row whose key is absent from ``source``. Matched
     target rows (all of them, if the target held duplicates for a key)
@@ -1547,6 +1695,11 @@ def merge_into(spark: SparkSession, path: str, source,
         raise ValueError(f"merge_into() needs a dataset directory, got {path}")
     if not key_cols:
         raise ValueError("merge_into() needs at least one key column")
+    if mode not in ("cow", "mor", "merge-on-read"):
+        raise ValueError(
+            f"merge_into mode must be 'cow' or 'mor', got {mode!r}")
+    if mode != "cow":
+        return _merge_into_mor(spark, path, source, key_cols)
     parent, live0 = _bootstrap_log(path)
 
     # dataset fields from driver-side header+manifest reads — no Spark

@@ -2699,3 +2699,117 @@ def q198_colf_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"))
+
+
+@register(
+    "q199_colf_mor_merge",
+    oracle="""
+    WITH tgt AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    src AS (
+      SELECT o_orderkey,
+             o_totalprice * 2 AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+             o_totalprice,
+             'N'
+      FROM orders WHERE o_orderkey % 100 = 7),
+    merged AS (
+      SELECT * FROM src
+      UNION ALL
+      SELECT * FROM tgt
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+)
+def q199_colf_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ key-UPSERT under the correctness gate
+    (maintenance.merge_into(mode="mor") — completing the MoR DML triad
+    next to q195 DELETE and q197 UPDATE, and the CoW/MoR matrix
+    against q149): the same updates-plus-inserts source as q149,
+    executed as position-delete sidecars masking every matched target
+    row plus the WHOLE source appended as ordinary data files, in ONE
+    metadata commit. Position deletes (never per-column equality
+    predicates) carry the masks so multi-column keys would stay exact
+    too. The query ASSERTS the MoR cost model — zero rewritten files,
+    every pre-existing data file byte-untouched, >=1 sidecar and >=1
+    appended file, the exact replaced-row count from the sidecar
+    manifest alone — and the same oracle as q149 proves HOW the verb
+    executes never changes WHAT it answers.
+
+    Scale: the matched-coordinate scan is one zone-map/Bloom-prunable
+    pass over the key columns only; the writes are sliver-sized
+    (coordinates + source). A CoW merge pays a read+write of every
+    touched ~128 MB file; at CDC cadence (many small upserts between
+    compactions) MoR is the only shape that holds — exactly why
+    Iceberg v2 streaming upserts write this way."""
+    import os
+
+    from .datasource import live_files, load_snapshots
+    from .datasource import register as register_ds
+    from .maintenance import merge_into
+
+    register_ds(spark)
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        F.col("o_totalprice").alias("o_totalprice"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
+    )
+
+    def write(d: str) -> None:
+        (o.repartitionByRange(4, "o_orderkey").write.format("colf")
+         .option("version", "2").mode("append").save(d + "/ds"))
+        _MERGE_MAXKEY[sf_dir] = o.agg(F.max("o_orderkey")).first()[0]
+
+    tmpl = stage_once(("cow-mrg", sf_dir), "colf_mrg_tmpl_", write)
+    path = run_dir(("mor-mrg-run", sf_dir), "colf_mormrg_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+
+    max_key = _MERGE_MAXKEY[sf_dir]
+    updates = (o.filter(F.col("o_orderkey") % 10 == 3)
+               .select("o_orderkey",
+                       (F.col("o_totalprice") * 2).alias("o_totalprice"),
+                       F.lit("U").alias("o_orderstatus")))
+    inserts = (o.filter(F.col("o_orderkey") % 100 == 7)
+               .select((F.col("o_orderkey") + F.lit(int(max_key) + 1))
+                       .cast("int").alias("o_orderkey"),
+                       "o_totalprice",
+                       F.lit("N").alias("o_orderstatus")))
+    before = {f: (os.path.getmtime(f), os.path.getsize(f))
+              for f in live_files(path)}
+    stats = merge_into(spark, path, updates.unionAll(inserts),
+                       ["o_orderkey"], mode="mor")
+    if stats["mode"] != "merge-on-read" or stats["n_rewritten_files"]:
+        raise AssertionError(f"expected a pure MoR commit: {stats}")
+    if stats["n_delete_files"] < 1 or stats["n_new_files"] < 1:
+        raise AssertionError(f"MoR merge committed nothing: {stats}")
+    if stats["n_replaced_rows"] < 1 \
+            or stats["n_replaced_rows"] >= stats["n_source_rows"]:
+        raise AssertionError(
+            f"replaced-count shape wrong (updates are a strict subset "
+            f"of the source): {stats}")
+    untouched = {f: m for f, m in
+                 ((f, (os.path.getmtime(f), os.path.getsize(f)))
+                  for f in live_files(path)) if f in before}
+    if untouched != before:
+        raise AssertionError("MoR merge touched pre-existing files")
+    if not load_snapshots(path)[-1].get("deletes"):
+        raise AssertionError("commit carries no delete sidecars")
+
+    back = spark.read.format("colf").load(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+         .cast("bigint").cast("double") / F.lit(100.0)).alias("sum_price"),
+        F.min(F.col("o_orderkey").cast("bigint")).alias("min_key"),
+        F.max(F.col("o_orderkey").cast("bigint")).alias("max_key"),
+    )

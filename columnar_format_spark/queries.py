@@ -18,7 +18,7 @@ round), plus a 50-query window sweep at sf0.1 with --dtypes (50/50)
 and per-query three-SF driver-style checks on every query added or
 changed mid-round.
 
-Registry size: 197 queries (q01-q198, no q123). Round-9 additions are
+Registry size: 198 queries (q01-q199, no q123). Round-9 additions are
 q195 (merge-on-read position deletes — Iceberg v2's model: the delete
 writes (file, pos) sidecars, themselves COLF files, plus ONE metadata
 commit; every reader masks deleted ordinals at decode time,
@@ -36,7 +36,11 @@ q188's CoW twin, same oracle, zero rewritten bytes) and q198
 with a sequence number: zero scans, zero files; readers mask matching
 rows in files whose first-appearance version predates the delete, so
 later appends legally re-introduce matching rows — the streaming-
-upsert-sink flavor, completing the delete triad). Round-8
+upsert-sink flavor, completing the delete triad) and q199
+(merge-on-read MERGE: position sidecars mask every matched target row
+— exact for key tuples, unlike per-column predicates — and the whole
+source appends, one commit; with q195/q197 this completes the full
+CoW x MoR DML matrix). Round-8
 additions were
 q184 (row-accurate changelog: per-row _change_type insert/delete
 between versions, common files cancelling at the metadata level),
@@ -94,7 +98,9 @@ from .registry import QUERIES, QuerySpec  # noqa: F401
 # - q195 (merge-on-read position deletes — Iceberg v2: delete sidecars
 #   + reader masks, zero data-file rewrites), q197 (the MoR UPDATE
 #   twin: masks + appended images, one commit), q198 (equality
-#   deletes: predicate-as-metadata, sequence-gated) and q196 (SemDeDup
+#   deletes: predicate-as-metadata, sequence-gated), q199 (MoR MERGE:
+#   masks + appended source, the CoW x MoR matrix's last cell) and
+#   q196 (SemDeDup
 #   semantic dedup: k-means in PCA space, keep-one-per-semantic-group,
 #   q135-style in-query bounds audit) are new this round;
 # - 7 queries whose plan or oracle-adjacent machinery changed this
@@ -108,8 +114,8 @@ from .registry import QUERIES, QuerySpec  # noqa: F401
 # - backfill: FIRST the twelve r04-era stragglers that yielded their
 #   round-8 slots (q122, q124-q127, q129-q135 — the oldest driver
 #   evidence in the ledger), then the r05-era cohort lowest-number
-#   first (q01-q14, q62, q63, q87, q128, q137-q146) to fill 50
-#   (q147 yielded its slot to q197).
+#   first (q01-q14, q62, q63, q87, q128, q137-q144) to fill 50
+#   (q145-q147 yielded their slots to q197-q199).
 # Per-query last-green ledger after round 8 (CORRECTNESS_r08 50/50):
 # r08 = the full round-8 window (q184-q194, q177, q175/q176/q178,
 # q153, q182, q168, q60, q61, q67, q68, q70, q73, q75, q76, q80-q84,
@@ -132,6 +138,7 @@ DRIVER_WINDOW = [
     "q196_semantic_dedup",
     "q197_colf_mor_update",
     "q198_colf_eq_delete",
+    "q199_colf_mor_merge",
     # changed this round — re-prove
     "q191_exact_substring_dedup",
     "q165_ann_pq",
@@ -180,8 +187,7 @@ DRIVER_WINDOW = [
     "q142_tpch_q15",
     "q143_tpch_q16",
     "q144_tpch_q17",
-    "q145_tpch_q19",
-    # (q146/q147 yield their slots to q197/q198; they stay r05-era
+    # (q145-q147 yield their slots to q197-q199; they stay r05-era
     #  and lead the round-10 backfill with q150-q152, q154, q156-q163)
 ]
 

@@ -267,3 +267,101 @@ def test_stream_refuses_live_deletes_unless_opted_in(colf_spark, ds,
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert colf_spark.read.parquet(out2).count() == 150
+
+
+def test_mor_merge_masks_matches_appends_source(colf_spark, ds):
+    """merge_into(mode="mor"): matched rows masked via position
+    sidecars (exact for key TUPLES — not per-column predicates), whole
+    source appended, pre-existing files untouched; re-merging the same
+    source is idempotent on the visible state."""
+    from columnar_format_spark.colf.maintenance import merge_into
+
+    src = (colf_spark.range(10, 20)
+           .select(F.col("id").cast("int").alias("k"),
+                   F.lit(1000.0).alias("v"),
+                   F.lit("U").alias("g"))
+           .unionAll(colf_spark.range(500, 505)
+                     .select(F.col("id").cast("int").alias("k"),
+                             F.lit(-1.0).alias("v"),
+                             F.lit("N").alias("g"))))
+    before = _data_files(ds)
+    s = merge_into(colf_spark, ds, src, ["k"], mode="mor")
+    assert s["mode"] == "merge-on-read"
+    assert (s["n_replaced_rows"], s["n_source_rows"]) == (10, 15)
+    assert s["n_rewritten_files"] == 0
+    assert s["n_delete_files"] >= 1 and s["n_new_files"] >= 1
+    after = _data_files(ds)
+    assert all(after[f] == m for f, m in before.items())
+    got = colf_spark.read.format("colf").load(ds)
+    assert got.count() == 205
+    assert got.filter("g = 'U'").count() == 10
+    assert got.filter("k >= 10 and k < 20 and g != 'U'").count() == 0
+    assert got.filter("k >= 500").count() == 5
+    # duplicate source keys rejected in MoR mode too
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_into(colf_spark, ds, src.unionAll(src.limit(1)), ["k"],
+                   mode="mor")
+    # idempotent re-merge: its own appended rows now match and mask
+    s2 = merge_into(colf_spark, ds, src, ["k"], mode="mor")
+    assert s2["n_replaced_rows"] == 15
+    got2 = colf_spark.read.format("colf").load(ds)
+    assert got2.count() == 205
+    assert got2.filter("g = 'U'").count() == 10
+    # the full stack compacts + vacuums away
+    compact(colf_spark, ds, 2, retain=True)
+    vacuum(ds, keep_last=1)
+    got3 = colf_spark.read.format("colf").load(ds)
+    assert got3.count() == 205 and got3.filter("g = 'U'").count() == 10
+
+
+def test_mor_streaming_cdc_upsert(colf_spark, ds, tmp_path):
+    """The shape MoR exists for: a streaming CDC feed upserted into a
+    live COLF table via foreachBatch + merge_into(mode='mor') — every
+    micro-batch is one metadata commit (masks + appended batch), no
+    file is ever rewritten, and the table converges to last-write-wins
+    per key."""
+    import glob
+    import json
+
+    from columnar_format_spark.colf.maintenance import merge_into
+
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    files_before = set(_data_files(ds))
+
+    def upsert(batch_df, batch_id):
+        merge_into(batch_df.sparkSession, ds, batch_df, ["k"],
+                   mode="mor")
+
+    # two CDC batches: both touch key 5; batch 2 must win
+    rows1 = [{"k": 5, "v": 100.0, "g": "b1"},
+             {"k": 600, "v": 1.0, "g": "b1"}]
+    rows2 = [{"k": 5, "v": 200.0, "g": "b2"},
+             {"k": 601, "v": 2.0, "g": "b2"}]
+    with open(feed_dir + "/b1.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows1))
+    q = (colf_spark.readStream.schema("k int, v double, g string")
+         .json(feed_dir)
+         .writeStream.foreachBatch(upsert)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    with open(feed_dir + "/b2.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows2))
+    q = (colf_spark.readStream.schema("k int, v double, g string")
+         .json(feed_dir)
+         .writeStream.foreachBatch(upsert)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = colf_spark.read.format("colf").load(ds)
+    assert got.count() == 202                    # 200 + 2 new keys
+    assert [(r["v"], r["g"]) for r in
+            got.filter("k = 5").collect()] == [(200.0, "b2")]
+    assert got.filter("k >= 600").count() == 2
+    # not one pre-existing data file was rewritten across the batches
+    assert files_before <= set(_data_files(ds))
+    for f, m in _data_files(ds).items():
+        if f in files_before:
+            assert _data_files(ds)[f] == m
