@@ -533,9 +533,16 @@ def deserialize_eq_filters(specs) -> list:
 def file_first_versions(snaps: list[dict]) -> dict[str, int]:
     """{basename: first log version containing it} — the data file's
     SEQUENCE NUMBER in the Iceberg sense: an equality delete committed
-    at version v masks only files first appearing BEFORE v."""
+    at version v masks only files first appearing BEFORE v.
+    ``inherited_fseq`` entries (vacuum's carry-forward of TRUE first
+    versions whose original snapshots expired) take precedence over
+    what the pruned log would derive: without them, pruning the log
+    would make old files look newer than the deletes that mask them —
+    silently resurrecting deleted rows."""
     seq: dict[str, int] = {}
     for s in snaps:  # ascending
+        for b, v in (s.get("inherited_fseq") or {}).items():
+            seq.setdefault(b, v)
         for b in s["files"]:
             seq.setdefault(b, s["version"])
     return seq

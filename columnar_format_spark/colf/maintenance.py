@@ -754,6 +754,19 @@ def vacuum(path: str, keep_last: int = 1,
             cluster = current_clustering(path)
             if cluster is not None:
                 kept[i0] = dict(kept[i0], inherited_cluster=cluster)
+        if any(s.get("eq_deletes") for s in kept):
+            # equality deletes gate by each file's FIRST log version;
+            # pruning the log would make surviving old files look
+            # newer than the deletes that mask them (resurrected
+            # rows). Carry the true first versions of every kept file
+            # forward — file_first_versions reads them back with
+            # precedence. Bounded by the kept file count.
+            from .datasource import file_first_versions
+
+            true_fseq = file_first_versions(snaps)  # full pre-prune log
+            kept_files = {b for s in kept for b in s["files"]}
+            kept[i0] = dict(kept[i0], inherited_fseq={
+                b: true_fseq[b] for b in kept_files if b in true_fseq})
     referenced = {b for s in kept for b in s["files"]}
     # position-delete sidecars referenced by kept snapshots must
     # survive (their absence would silently resurrect deleted rows);

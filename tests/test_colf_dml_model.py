@@ -1,0 +1,127 @@
+"""Model-based test of the full DML matrix: a seeded random sequence
+of append / CoW-delete / MoR-delete / eq-delete / CoW-update /
+MoR-update / CoW-merge / MoR-merge / compact / vacuum / rollback ops
+runs against one COLF dataset AND an in-memory pandas reference model;
+after every op the dataset's visible rows must equal the model
+exactly. This is the interplay net — each verb is pinned individually
+elsewhere; sequences are where mask inheritance, sequence gating,
+materialization, and count arithmetic can disagree."""
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_format_spark.colf.datasource import register
+from columnar_format_spark.colf.maintenance import (
+    compact,
+    delete_where,
+    merge_into,
+    update_where,
+    vacuum,
+)
+
+
+@pytest.fixture(scope="module")
+def colf_spark(spark):
+    register(spark)
+    return spark
+
+
+def _visible(colf_spark, path) -> pd.DataFrame:
+    pdf = (colf_spark.read.format("colf").load(path)
+           .toPandas().sort_values(["k", "v"]).reset_index(drop=True))
+    return pdf.astype({"k": "int64", "v": "float64"})
+
+
+def _model_sorted(model: pd.DataFrame) -> pd.DataFrame:
+    return (model.sort_values(["k", "v"]).reset_index(drop=True)
+            .astype({"k": "int64", "v": "float64"}))
+
+
+def _check(colf_spark, path, model, opname):
+    got = _visible(colf_spark, path)
+    want = _model_sorted(model)
+    assert len(got) == len(want), (opname, len(got), len(want))
+    pd.testing.assert_frame_equal(got, want, check_dtype=True), opname
+
+
+def test_random_dml_sequences_match_pandas_model(colf_spark, tmp_path):
+    rng = random.Random(20260815)
+    p = str(tmp_path / "modelds")
+
+    def mkrows(lo, n):
+        return pd.DataFrame({
+            "k": range(lo, lo + n),
+            "v": [float((lo + i) % 7) for i in range(n)]})
+
+    model = mkrows(0, 120)
+    (colf_spark.createDataFrame(model)
+     .select(F.col("k").cast("int"), F.col("v").cast("double"))
+     .repartition(3).write.format("colf").mode("overwrite").save(p))
+    next_key = 1000
+
+    OPS = ["append", "del_cow", "del_mor", "del_eq", "upd_cow",
+           "upd_mor", "mrg_cow", "mrg_mor", "compact", "vacuum"]
+    for step in range(28):
+        op = rng.choice(OPS)
+        if op == "append":
+            n = rng.randint(3, 15)
+            rows = mkrows(next_key, n)
+            next_key += n
+            (colf_spark.createDataFrame(rows)
+             .select(F.col("k").cast("int"), F.col("v").cast("double"))
+             .coalesce(1).write.format("colf").mode("append").save(p))
+            model = pd.concat([model, rows], ignore_index=True)
+        elif op.startswith("del"):
+            if model.empty:
+                continue
+            ks = sorted(model["k"])
+            lo = rng.choice(ks)
+            hi = lo + rng.randint(1, 50)
+            cond = f"k >= {lo} AND k < {hi}"
+            mode = {"del_cow": "cow", "del_mor": "mor",
+                    "del_eq": "eq"}[op]
+            s = delete_where(colf_spark, p, cond, mode=mode)
+            expect = int(((model["k"] >= lo) & (model["k"] < hi)).sum())
+            if mode != "eq":
+                assert s["n_deleted_rows"] == expect, (step, op, s)
+            model = model[~((model["k"] >= lo) & (model["k"] < hi))]
+        elif op.startswith("upd"):
+            if model.empty:
+                continue
+            ks = sorted(model["k"])
+            lo = rng.choice(ks)
+            hi = lo + rng.randint(1, 40)
+            mode = "cow" if op == "upd_cow" else "mor"
+            s = update_where(colf_spark, p, {"v": "v + 100"},
+                             f"k >= {lo} AND k < {hi}", mode=mode)
+            sel = (model["k"] >= lo) & (model["k"] < hi)
+            assert s["n_updated_rows"] == int(sel.sum()), (step, op, s)
+            model = model.copy()
+            model.loc[sel, "v"] += 100
+        elif op.startswith("mrg"):
+            upd_keys = (model["k"].sample(
+                n=min(5, len(model)), random_state=step).tolist()
+                if len(model) else [])
+            ins = mkrows(next_key, 4)
+            next_key += 4
+            src = pd.concat([
+                pd.DataFrame({"k": upd_keys,
+                              "v": [999.0] * len(upd_keys)}),
+                ins], ignore_index=True).drop_duplicates("k")
+            sdf = (colf_spark.createDataFrame(src)
+                   .select(F.col("k").cast("int"),
+                           F.col("v").cast("double")))
+            mode = "cow" if op == "mrg_cow" else "mor"
+            s = merge_into(colf_spark, p, sdf, ["k"], mode=mode)
+            assert s["n_source_rows"] == len(src), (step, op, s)
+            model = pd.concat(
+                [model[~model["k"].isin(set(src["k"]))], src],
+                ignore_index=True)
+        elif op == "compact":
+            compact(colf_spark, p, rng.randint(1, 3), retain=True)
+        elif op == "vacuum":
+            vacuum(p, keep_last=rng.randint(1, 3))
+        _check(colf_spark, p, model, f"step {step}: {op}")

@@ -221,3 +221,25 @@ def test_eq_projection_away_on_evolved_file(colf_spark, tmp_path):
     assert full.count() == 125
     assert full.filter("extra = 0.0").count() == 0
     assert full.filter("k < 100").count() == 100
+
+
+def test_vacuum_preserves_eq_sequence_gating(colf_spark, ds):
+    """Fuzz-found (seed 314159): vacuum prunes the metadata log, and a
+    file's first-appearance version in the PRUNED log is newer than
+    its true first version — without the inherited_fseq carry, an old
+    file would suddenly look newer than the equality delete masking it
+    and its deleted rows would resurrect. The carry must hold through
+    REPEATED vacuums and further commits."""
+    delete_where(colf_spark, ds, "k >= 150", mode="eq")    # v2, seq 2
+    assert colf_spark.read.format("colf").load(ds).count() == 150
+    vacuum(ds, keep_last=1)                                # log = [v2]
+    assert colf_spark.read.format("colf").load(ds).count() == 150
+    # survives further commits and a second prune
+    _df(colf_spark, 300, 310).coalesce(1).write.format("colf") \
+        .mode("append").save(ds)
+    assert colf_spark.read.format("colf").load(ds).count() == 160
+    vacuum(ds, keep_last=1)
+    assert colf_spark.read.format("colf").load(ds).count() == 160
+    # a post-vacuum eq delete still masks the carried-forward files
+    delete_where(colf_spark, ds, "k < 10", mode="eq")
+    assert colf_spark.read.format("colf").load(ds).count() == 150
