@@ -1590,25 +1590,50 @@ def _merge_into_mor(spark: SparkSession, path: str, source,
             keys = source.select(*key_cols).distinct()
             n_source = source.count()
 
-        tagged = (spark.read.format("colf")
-                  .option("withFileColumn", "true")
-                  .option("withPosColumn", "true")
-                  .option("columns", ",".join(
-                      [*key_cols, "_colf_file", POS_COLUMN]))
-                  .load(path))
-        if small:
+        # file-level pruning via the reader's OWN planning (zone maps +
+        # Blooms probed with driver-side In filters — the CoW merge's
+        # discovery machinery), NEVER a Catalyst isin over the key
+        # list: a 15k-literal In in the plan costs more to analyze
+        # than the scan it prunes (measured 10.7 s -> ~2 s on q199).
+        # The broadcast semi join against the exact key tuples decides
+        # membership either way, so pruning is purely an optimization.
+        r = (spark.read.format("colf")
+             .option("withFileColumn", "true")
+             .option("withPosColumn", "true")
+             .option("columns", ",".join(
+                 [*key_cols, "_colf_file", POS_COLUMN])))
+        if small and kstat:
+            from pyspark.sql.datasource import In
+
+            flts = []
             for kc in key_cols:
-                vals = [r[kc] for r in kstat if r[kc] is not None]
+                vals = tuple(x[kc] for x in kstat if x[kc] is not None)
                 if vals:
-                    tagged = tagged.filter(F.col(kc).isin(vals))
-        matched = (tagged.join(F.broadcast(keys), key_cols, "left_semi")
-                   .select(F.col("_colf_file").alias("file"),
-                           F.col(POS_COLUMN).cast("int").alias("pos")))
-        tmpd = f"{path.rstrip(os.sep)}.mormrg-{uuid.uuid4().hex[:8]}"
-        (matched.sortWithinPartitions("file", "pos")
-         .write.format("colf").mode("overwrite").save(tmpd))
-        man_d = load_manifest(tmpd)
-        n_replaced = sum(m.get("num_rows") or 0 for m in man_d.values())
+                    flts.append(In((kc,), vals))
+            cand = _plan_candidates(path, flts, live0) if flts else None
+            if cand is not None and cand and len(cand) < len(live0):
+                r = r.option("files", ",".join(cand))
+        else:
+            cand = None
+        if cand == []:
+            # the sidecars' zone maps prove NO file can hold a source
+            # key: pure-insert merge, no coordinate scan at all
+            man_d: dict = {}
+            tmpd = None
+            n_replaced = 0
+        else:
+            tagged = r.load(path)
+            matched = (tagged.join(F.broadcast(keys), key_cols,
+                                   "left_semi")
+                       .select(F.col("_colf_file").alias("file"),
+                               F.col(POS_COLUMN).cast("int")
+                               .alias("pos")))
+            tmpd = f"{path.rstrip(os.sep)}.mormrg-{uuid.uuid4().hex[:8]}"
+            (matched.sortWithinPartitions("file", "pos")
+             .write.format("colf").mode("overwrite").save(tmpd))
+            man_d = load_manifest(tmpd)
+            n_replaced = sum(m.get("num_rows") or 0
+                             for m in man_d.values())
         # the source appends shaped like the dataset's own files
         man0 = load_manifest(path)
         mrows = [m.get("num_rows") for b in live0
@@ -1641,7 +1666,7 @@ def _merge_into_mor(spark: SparkSession, path: str, source,
     merged = load_manifest(path)
     run = uuid.uuid4().hex[:8]
     sidecars = []
-    for i, f in enumerate(dataset_files(tmpd)):
+    for i, f in enumerate(dataset_files(tmpd) if tmpd else []):
         if (man_d.get(os.path.basename(f)) or {}).get("num_rows") == 0:
             continue
         base = f"delete-{run}-{i:05d}.colfd"
@@ -1662,7 +1687,8 @@ def _merge_into_mor(spark: SparkSession, path: str, source,
         json.dump(merged, fh)
     os.rename(mtmp, manifest_path(path))
     _merge_bloom_files(path, tmpn)
-    shutil.rmtree(tmpd)
+    if tmpd:
+        shutil.rmtree(tmpd)
     shutil.rmtree(tmpn)
     head = published_head(path)
     prior = head.get("deletes", []) if head else []
