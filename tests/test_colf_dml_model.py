@@ -13,11 +13,13 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from columnar_format_spark.colf.datasource import register
+from columnar_format_spark.colf.datasource import load_snapshots, register
+from columnar_format_spark.colf.format import ColfFormatError
 from columnar_format_spark.colf.maintenance import (
     compact,
     delete_where,
     merge_into,
+    rollback,
     update_where,
     vacuum,
 )
@@ -62,8 +64,13 @@ def test_random_dml_sequences_match_pandas_model(colf_spark, tmp_path):
      .repartition(3).write.format("colf").mode("overwrite").save(p))
     next_key = 1000
 
+    # per-version model history: rollback restores version v ⇒ the
+    # visible rows must equal what the model showed when v committed
+    history: dict[int, pd.DataFrame] = {1: model.copy()}
+
     OPS = ["append", "del_cow", "del_mor", "del_eq", "upd_cow",
-           "upd_mor", "mrg_cow", "mrg_mor", "compact", "vacuum"]
+           "upd_mor", "mrg_cow", "mrg_mor", "compact", "vacuum",
+           "rollback"]
     for step in range(28):
         op = rng.choice(OPS)
         if op == "append":
@@ -124,4 +131,17 @@ def test_random_dml_sequences_match_pandas_model(colf_spark, tmp_path):
             compact(colf_spark, p, rng.randint(1, 3), retain=True)
         elif op == "vacuum":
             vacuum(p, keep_last=rng.randint(1, 3))
+        elif op == "rollback":
+            snaps = load_snapshots(p)
+            target = rng.choice([s["version"] for s in snaps])
+            try:
+                rollback(p, target)
+                assert target in history, (step, target, sorted(history))
+                model = history[target].copy()
+            except ColfFormatError as exc:
+                # vacuumed target: the documented loud refusal is the
+                # other acceptable outcome — never wrong rows
+                assert "vacuumed" in str(exc), (step, str(exc))
+        head = load_snapshots(p)[-1]["version"]
+        history[head] = model.copy()
         _check(colf_spark, p, model, f"step {step}: {op}")

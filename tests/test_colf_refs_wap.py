@@ -615,3 +615,25 @@ def test_cli_diff_refuses_vacuumed_unless_tag_pins(colf_spark, ds,
     assert "vacuum" in capsys.readouterr().err
     with pytest.raises(SystemExit):
         cli_main(["changelog", ds, "1", "current"])
+
+
+def test_branch_ref_read_sees_branch_schema(colf_spark, ds):
+    """schema() resolves the SAME snapshot/ref options the reader
+    does: a branch append that ADDS a column is invisible to published
+    reads, but a read by the branch ref (or its snapshot) must carry
+    the new column."""
+    from columnar_format_spark.colf.maintenance import create_branch
+
+    create_branch(ds, "dev")
+    (colf_spark.range(500, 520)
+     .select(F.col("id").cast("int").alias("k"),
+             (F.col("id") % 5).cast("string").alias("g"),
+             F.col("id").cast("double").alias("extra"))
+     .coalesce(1).write.format("colf")
+     .option("branch", "dev").mode("append").save(ds))
+    pub = colf_spark.read.format("colf").load(ds)
+    assert pub.columns == ["k", "g"] and pub.count() == 150
+    br = colf_spark.read.format("colf").option("ref", "dev").load(ds)
+    assert "extra" in br.columns
+    assert br.count() == 170
+    assert br.filter(F.col("extra").isNotNull()).count() == 20
