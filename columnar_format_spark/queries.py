@@ -11,12 +11,11 @@ Everything stays covered locally by tests/test_queries_oracle.py
 pandas-dtype-parity assertion since round 8) regardless of order;
 rounds 5-8 additionally verified the ENTIRE registry driver-style at
 sf0.01 AND sf0.1 with zero failures (tools/sweep_oracle.py) before
-shipping the window — round 8's endgame gates on the final registry:
-full pytest 727/727, sf0.01 sweep with --dtypes 193/193 parity-clean,
-sf0.1 sweep 193/193 (the fourth full-registry double sweep of the
-round), plus a 50-query window sweep at sf0.1 with --dtypes (50/50)
-and per-query three-SF driver-style checks on every query added or
-changed mid-round.
+shipping the window — round 9's endgame gates on the final registry:
+full pytest 769/769, sf0.01 sweep with --dtypes 198/198 parity-clean,
+sf0.1 sweep 198/198, plus a 50-query window sweep at sf0.1 with
+--dtypes (50/50) and per-query driver-style checks on every query
+added or changed mid-round (three full gate passes this round).
 
 Registry size: 198 queries (q01-q199, no q123). Round-9 additions are
 q195 (merge-on-read position deletes — Iceberg v2's model: the delete
