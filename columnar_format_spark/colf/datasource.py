@@ -543,6 +543,17 @@ def file_first_versions(snaps: list[dict]) -> dict[str, int]:
     for s in snaps:  # ascending
         for b, v in (s.get("inherited_fseq") or {}).items():
             seq.setdefault(b, v)
+        if s.get("staged") or s.get("branch") is not None:
+            # a WAP-staged / branch file's sequence number is assigned
+            # at PUBLISH (Iceberg cherry-pick semantics): an equality
+            # delete committed between stage and publish must not mask
+            # the published rows, so the file first "appears" at the
+            # publish_wap / fast_forward commit, not the staging one.
+            # Branch-ref readers see branch files with NO seq entry —
+            # deliberately unmasked, since branch commits only inherit
+            # eq-deletes from the fork point, whose seqs predate the
+            # fork and therefore predate every branch-written file.
+            continue
         for b in s["files"]:
             seq.setdefault(b, s["version"])
     return seq
@@ -2010,6 +2021,7 @@ class ColfWriter(DataSourceArrowWriter):
         # it was computed against becomes the CAS expected-parent, so
         # a concurrent append fails loudly instead of silently losing
         # the other writer's files (single-writer contract, enforced).
+        branch_deletes = branch_eq_deletes = None
         if self.overwrite or not os.path.isdir(self.path):
             prior, parent = [], None
         elif self.branch is not None:
@@ -2030,6 +2042,18 @@ class ColfWriter(DataSourceArrowWriter):
                     f"{ref['version']} was vacuumed from the log")
             parent = snaps[-1]["version"] if snaps else 0
             prior = list(head["files"])
+            # a branch commit inherits delete state from the BRANCH
+            # HEAD (the fork-point snapshot on the first branch
+            # commit), never from whatever the published head mutated
+            # to since the fork — otherwise a MoR delete on main after
+            # the fork would mask branch reads of rows never deleted
+            # on the branch, and a compact on main (deletes=[]) would
+            # resurrect rows masked at the fork. Pass explicitly:
+            # commit_snapshot's None-means-inherit fallback resolves
+            # against the published lineage when the branch has no
+            # prior commits, which is exactly the wrong lineage here.
+            branch_deletes = list(head.get("deletes") or [])
+            branch_eq_deletes = list(head.get("eq_deletes") or [])
         else:
             snaps = load_snapshots(self.path)
             parent = snaps[-1]["version"] if snaps else 0
@@ -2088,6 +2112,8 @@ class ColfWriter(DataSourceArrowWriter):
             added=[os.path.basename(f) for f in written]
             if (self.wap or self.branch is not None) else None,
             branch=self.branch,
+            deletes=branch_deletes,
+            eq_deletes=branch_eq_deletes,
         )
         if self.branch is not None:
             # advance the branch head and accumulate its delta (what
@@ -2172,9 +2198,27 @@ class ColfStreamReader(DataSourceStreamReader):
         # the consumer explicitly opts in — Delta's ignoreDeletes
         # contract, word for word. compact() materializes the masks
         # and clears the lists, after which streams start cleanly.
+        self._ignore_deletes = (
+            options.get("ignoreDeletes", "false").lower() == "true")
+        self._changelog = (
+            options.get("readChangeFeed", "false").lower() == "true")
+        self._refuse_live_deletes()
+        self._seen: set[str] = set()   # legacy-offset baseline (no-log dirs)
+        self._cursor: tuple[int, int] = (0, 0)  # log-cursor baseline
+
+    def _refuse_live_deletes(self) -> None:
+        """Raise when the PUBLISHED head carries live merge-on-read
+        deletes and the consumer has not opted in. Called at stream
+        START and again at every ``latestOffset`` — a MoR delete
+        committed mid-stream must fail the stream at the offending
+        commit (Delta's contract), not be silently ignored by
+        mask-blind batches planned after it. ``readChangeFeed`` streams
+        are exempt: the changelog REPRESENTS deletes as retraction
+        rows instead of refusing them."""
+        if self._ignore_deletes or self._changelog:
+            return
         head = published_head(self.path) if os.path.isdir(self.path) else None
-        if head and (head.get("deletes") or head.get("eq_deletes")) \
-                and options.get("ignoreDeletes", "false").lower() != "true":
+        if head and (head.get("deletes") or head.get("eq_deletes")):
             raise ColfFormatError(
                 f"dataset {self.path} carries live merge-on-read "
                 f"deletes; a stream cannot retract already-emitted "
@@ -2183,8 +2227,6 @@ class ColfStreamReader(DataSourceStreamReader):
                 f"then vacuum() so the log's replayable lineage is "
                 f"mask-free — or opt in to mask-blind streaming with "
                 f"option('ignoreDeletes', 'true').")
-        self._seen: set[str] = set()   # legacy-offset baseline (no-log dirs)
-        self._cursor: tuple[int, int] = (0, 0)  # log-cursor baseline
 
     # -- offset plumbing ---------------------------------------------------
 
@@ -2230,6 +2272,7 @@ class ColfStreamReader(DataSourceStreamReader):
         return {"v": 0, "k": 0}
 
     def latestOffset(self) -> dict:
+        self._refuse_live_deletes()  # fail AT a mid-stream MoR commit
         entries = self._log_entries()
         if not entries:
             # no metadata log: legacy listing mode, list offsets

@@ -84,7 +84,16 @@ def _bootstrap_log(path: str) -> tuple[int, list[str]]:
     write-then-swap ordering, enforced for every dataset)."""
     snaps = load_snapshots(path)
     if snaps:
-        return snaps[-1]["version"], list(snaps[-1]["files"])
+        # the PUBLISHED head's live set, never snaps[-1]: if the most
+        # recent commit is WAP-staged or a branch append, basing a DML
+        # commit on its file list would implicitly PUBLISH the staged
+        # files (WAP isolation violation). The CAS expected-parent
+        # stays the whole-log tail, guarding concurrent writers of any
+        # kind.
+        from .datasource import published_snapshots
+
+        pub = published_snapshots(snaps)
+        return snaps[-1]["version"], list(pub[-1]["files"]) if pub else []
     live = [os.path.basename(f) for f in dataset_files(path)]
     version = commit_snapshot(path, live)
     return version, live
@@ -1678,6 +1687,18 @@ def _merge_into_mor(spark: SparkSession, path: str, source,
     new_files = []
     for f in dataset_files(tmpn):
         base = os.path.basename(f)
+        # an empty merge SOURCE materializes the writer's 0-row
+        # part-00000-empty.colf sentinel (written by commit() itself,
+        # so it has NO manifest stats); moving it into the dataset
+        # would plant a collision-prone fixed-name junk live file —
+        # skip 0-row outputs (the _update_where_mor guard, plus a
+        # header probe for the stats-less sentinel)
+        n_rows = (man_n.get(base) or {}).get("num_rows")
+        if n_rows is None:
+            from .format import read_schema as _rs
+            n_rows = _rs(f).num_rows
+        if n_rows == 0:
+            continue
         os.rename(f, os.path.join(path, base))
         if man_n.get(base):
             merged[base] = man_n[base]

@@ -365,3 +365,56 @@ def test_mor_streaming_cdc_upsert(colf_spark, ds, tmp_path):
     for f, m in _data_files(ds).items():
         if f in files_before:
             assert _data_files(ds)[f] == m
+
+
+def test_stream_fails_at_mid_stream_mor_commit(colf_spark, ds):
+    """The ignoreDeletes contract must hold MID-stream too: a MoR
+    delete committed after the stream starts fails the next trigger at
+    the offending commit (Delta's behavior), instead of silently
+    emitting mask-blind batches."""
+    from columnar_format_spark.colf.datasource import ColfStreamReader
+    from columnar_format_spark.colf.format import ColfFormatError
+
+    schema = colf_spark.read.format("colf").load(ds).schema
+    rdr = ColfStreamReader({"path": ds}, schema)   # clean start: no masks
+    end = rdr.latestOffset()
+    assert rdr._offset_files(end)                  # initial files planned
+    delete_where(colf_spark, ds, "k < 50", mode="mor")
+    with pytest.raises(ColfFormatError, match="ignoreDeletes"):
+        rdr.latestOffset()
+    # the opted-in reader keeps going past the same commit
+    rdr2 = ColfStreamReader({"path": ds, "ignoreDeletes": "true"}, schema)
+    rdr2.latestOffset()
+
+
+def test_mor_merge_empty_source_adds_no_junk_file(colf_spark, ds):
+    """An empty merge source must be a no-op commit: the writer's
+    0-row part-00000-empty.colf sentinel must NOT be moved into the
+    dataset as a collision-prone fixed-name live file."""
+    from columnar_format_spark.colf.datasource import live_files
+    from columnar_format_spark.colf.maintenance import merge_into
+
+    src = _df(colf_spark, 0, 0)                    # empty, right schema
+    s = merge_into(colf_spark, ds, src, ["k"], mode="mor")
+    assert s["n_source_rows"] == 0 and s["n_replaced_rows"] == 0
+    assert s["n_new_files"] == 0
+    basenames = {os.path.basename(f) for f in live_files(ds)}
+    assert "part-00000-empty.colf" not in basenames
+    assert colf_spark.read.format("colf").load(ds).count() == 200
+
+
+def test_dml_after_staged_commit_keeps_wap_isolation(colf_spark, ds):
+    """A DML commit landing while a WAP stage is in flight must base
+    its live set on the PUBLISHED head — not snaps[-1] — or the staged
+    files would leak into published reads before publish_wap."""
+    (_df(colf_spark, 900, 910).coalesce(1).write.format("colf")
+     .option("wap", "true").mode("append").save(ds))
+    staged_v = None
+    from columnar_format_spark.colf.datasource import load_snapshots as _ls
+    staged_v = _ls(ds)[-1]["version"]
+    delete_where(colf_spark, ds, "k < 20", mode="mor")
+    got = colf_spark.read.format("colf").load(ds)
+    assert got.count() == 180                      # staged rows invisible
+    from columnar_format_spark.colf.maintenance import publish_wap
+    publish_wap(ds, staged_v)
+    assert colf_spark.read.format("colf").load(ds).count() == 190

@@ -637,3 +637,57 @@ def test_branch_ref_read_sees_branch_schema(colf_spark, ds):
     assert "extra" in br.columns
     assert br.count() == 170
     assert br.filter(F.col("extra").isNotNull()).count() == 20
+
+
+def test_branch_first_commit_inherits_fork_point_deletes(colf_spark, ds):
+    """A branch's FIRST commit inherits delete state from the fork
+    point, never from whatever the published head mutated to after the
+    fork: a MoR delete on main post-fork must not mask branch reads of
+    rows never deleted on the branch."""
+    from columnar_format_spark.colf.maintenance import create_branch
+
+    create_branch(ds, "dev")                       # fork at v2 (150 rows)
+    delete_where(colf_spark, ds, "k < 10", mode="mor")   # main: 140 visible
+    (_df(colf_spark, 500, 510).coalesce(1).write.format("colf")
+     .option("branch", "dev").mode("append").save(ds))   # first branch commit
+    br = colf_spark.read.format("colf").option("ref", "dev").load(ds)
+    assert br.count() == 160                       # 150 fork + 10 appended
+    assert br.filter("k < 10").count() == 10       # never deleted on branch
+    # main unaffected by the branch append
+    assert colf_spark.read.format("colf").load(ds).count() == 140
+
+
+def test_branch_first_commit_keeps_fork_point_masks(colf_spark, ds):
+    """The converse: masks live AT the fork survive a main-side
+    compact (which clears the published head's delete list) — the
+    branch must not resurrect rows deleted before the fork."""
+    from columnar_format_spark.colf.maintenance import compact, create_branch
+
+    delete_where(colf_spark, ds, "k < 10", mode="mor")   # v3: 140 visible
+    create_branch(ds, "dev")                             # fork at v3
+    compact(colf_spark, ds, 2, retain=True)              # main: deletes=[]
+    (_df(colf_spark, 500, 510).coalesce(1).write.format("colf")
+     .option("branch", "dev").mode("append").save(ds))
+    br = colf_spark.read.format("colf").option("ref", "dev").load(ds)
+    assert br.count() == 150                       # 140 fork-visible + 10
+    assert br.filter("k < 10").count() == 0        # masks NOT resurrected
+
+
+def test_eq_delete_between_stage_and_publish_spares_published_rows(
+        colf_spark, ds):
+    """Iceberg cherry-pick sequence semantics: a WAP-staged file's
+    sequence number is assigned at PUBLISH, so an equality delete
+    committed between stage and publish does not mask the published
+    rows (they are 'newer' than the delete)."""
+    (_df(colf_spark, 500, 510).coalesce(1).write.format("colf")
+     .option("wap", "true").mode("append").save(ds))
+    staged_v = load_snapshots(ds)[-1]["version"]
+    # eq delete on main, committed AFTER the stage, matching staged keys
+    delete_where(colf_spark, ds, "k >= 500", mode="eq")
+    publish_wap(ds, staged_v)
+    # fresh read per action (the pinned PythonDataSourceV2 scan-reuse
+    # hazard: a pushed filter replays into a later unfiltered action
+    # on the same DataFrame — see tests/test_pushdown_scan_reuse.py)
+    assert (colf_spark.read.format("colf").load(ds)
+            .filter("k >= 500").count() == 10)     # cherry-pick survives
+    assert colf_spark.read.format("colf").load(ds).count() == 160
