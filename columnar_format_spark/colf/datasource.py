@@ -242,7 +242,8 @@ def commit_snapshot(path: str, live_files: list[str],
                     ff_from: str | None = None,
                     cluster: list[str] | None = None,
                     deletes: list[str] | None = None,
-                    eq_deletes: list[dict] | None = None) -> int:
+                    eq_deletes: list[dict] | None = None,
+                    data_change: bool | None = None) -> int:
     """Append a snapshot whose live set is ``live_files`` (basenames);
     ``reset`` starts a fresh history at version 1 (overwrite mode —
     the old part files are physically gone, so old versions would be
@@ -329,6 +330,12 @@ def commit_snapshot(path: str, live_files: list[str],
     # inherit/set/clear protocol as ``deletes``.
     if eq_deletes:
         entry["eq_deletes"] = list(eq_deletes)
+    if data_change is False:
+        # Delta's dataChange=false: this commit REORGANIZES files
+        # (compact(retain), rewrite_delete_files) without changing the
+        # visible rows — streams skip its added files (no re-delivery)
+        # and the changelog emits zero rows for it
+        entry["data_change"] = False
     snaps.append(entry)
     write_snapshots(path, snaps)
     return version
@@ -572,6 +579,260 @@ def delete_positions_map(path: str, deletes) -> dict:
             out[f] = a if prev is None else np.unique(
                 np.concatenate([prev, a]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed (Delta CDF / Iceberg changelog-scan model): a read
+# with ``option("readChangeFeed", "true")`` — batch or stream — emits
+# the table's row-level changes per PUBLISHED commit, each row carrying
+# ``_change_type`` ('insert' | 'delete'), ``_commit_version``, and
+# ``_commit_timestamp``. Unlike Delta, no CDC files are written at DML
+# time: every change class this engine commits is METADATA-REPLAYABLE —
+#   append / publish_wap / fast_forward  → added files, all inserts;
+#   MoR delete / update / merge          → delta position sidecars give
+#                                          the exact deleted ordinals
+#                                          (plus appended image files);
+#   equality delete                      → the predicate itself selects
+#                                          the deleted rows among those
+#                                          still visible at the parent;
+#   compact(retain)/rewrites marked data_change=False → zero rows.
+# The one class that is NOT replayable from metadata is an unmarked
+# copy-on-write rewrite (CoW delete/update/merge, rollback): exact CDC
+# there needs row-level cancellation, which maintenance.
+# snapshot_changelog() provides as a batch diff. The changelog read
+# REFUSES those commits loudly (or skips them with
+# option("skipChangeCommits", "true") — Delta's knob, same name).
+
+CHANGE_TYPE_COLUMN = "_change_type"
+COMMIT_VERSION_COLUMN = "_commit_version"
+COMMIT_TS_COLUMN = "_commit_timestamp"
+CDC_COLUMNS = (CHANGE_TYPE_COLUMN, COMMIT_VERSION_COLUMN, COMMIT_TS_COLUMN)
+
+
+@dataclass
+class ColfChangePartition(InputPartition):
+    file: str
+    version: int                 # commit version → _commit_version
+    ts: float | None             # commit epoch-seconds → _commit_timestamp
+    change: str                  # 'insert' | 'delete'
+    stripe: int | None = None    # inserts split per v3 stripe
+    # 'delete' via MoR: the commit's DELTA sidecars that may address
+    # this file (zone-map pruned at plan time) — their positions ARE
+    # the deleted rows (delete_where only ever targets visible rows)
+    del_sidecars: tuple = ()
+    # 'delete' via a NEW equality predicate: serialized filter groups
+    # that SELECT the deleted rows ...
+    sel_eq: tuple = ()
+    # ... among rows still visible at the PARENT version: its position
+    # masks and applicable equality groups exclude already-dead rows
+    mask_deletes: tuple = ()
+    mask_eq: tuple = ()
+
+
+def _eq_entry_key(e: dict) -> tuple:
+    import json as _json
+
+    return (e["seq"], _json.dumps(e["filters"], sort_keys=True))
+
+
+def _sidecar_may_address(manifest: dict, sidecar: str, base: str) -> bool:
+    """Zone-map prune: may this delete sidecar address data file
+    ``base``? (Sidecars are written file-sorted, so their file-column
+    min/max is tight.)"""
+    fcol = ((manifest.get(sidecar) or {}).get("columns") or {}).get("file")
+    if fcol and fcol.get("min") is not None:
+        return fcol["min"] <= base <= fcol["max"]
+    return True
+
+
+def _eq_groups_mask(data: dict, groups: tuple):
+    """Boolean Arrow mask: True where a row matches ANY serialized
+    equality-delete group (conjuncts AND within a group — NULL
+    comparisons are FALSE, SQL DELETE semantics). None when no group
+    produced a mask."""
+    import pyarrow.compute as pc
+
+    hit = None
+    for group in groups:
+        gm = None
+        for flt in deserialize_eq_filters(group):
+            m1 = _residual_mask(data, [flt])
+            if m1 is None:
+                raise ColfFormatError(
+                    f"equality-delete predicate not evaluable at read "
+                    f"time: {flt} (corrupt metadata?)")
+            gm = m1 if gm is None else pc.and_(gm, m1)
+        if gm is not None:
+            hit = gm if hit is None else pc.or_(hit, gm)
+    return hit
+
+
+def plan_changelog_partitions(path: str, v_from: int, v_to: int | None,
+                              skip_change_commits: bool = False) -> list:
+    """CDC input partitions for every published commit in
+    ``(v_from, v_to]`` (``v_to=None`` = published head). Pure metadata
+    planning: the log, the manifest (zone maps prune sidecars per data
+    file), and file sequence numbers — no data file is opened on the
+    driver, so planning cost is log-sized regardless of table size."""
+    snaps = load_snapshots(path)
+    if not snaps:
+        raise ColfFormatError(
+            f"readChangeFeed needs a dataset with a metadata log at "
+            f"{path} (reference-writer/logless dirs have no commit "
+            f"history to replay)")
+    pub = published_snapshots(snaps)
+    fseq = file_first_versions(snaps)
+    manifest = load_manifest(path)
+    parts: list = []
+    prev: dict | None = None
+    for s in pub:
+        if s["version"] <= v_from:
+            prev = s
+            continue
+        if v_to is not None and s["version"] > v_to:
+            break
+        parts.extend(_commit_change_partitions(
+            path, s, prev, fseq, manifest, skip_change_commits))
+        prev = s
+    return parts
+
+
+def _commit_change_partitions(path: str, s: dict, p: dict | None,
+                              fseq: dict, manifest: dict,
+                              skip_change_commits: bool) -> list:
+    ver, ts = s["version"], s.get("ts")
+    if s.get("data_change") is False:
+        # a marked rewrite (compact(retain), rewrite_delete_files):
+        # file set reorganized, visible rows identical — zero CDC rows
+        return []
+    f_p = set(p["files"]) if p else set()
+    f_v = set(s["files"])
+    d_p = set(p.get("deletes") or []) if p else set()
+    d_v = set(s.get("deletes") or [])
+    e_p = {_eq_entry_key(e): e for e in (p.get("eq_deletes") or [])} \
+        if p else {}
+    e_v = {_eq_entry_key(e): e for e in (s.get("eq_deletes") or [])}
+    removed = f_p - f_v
+    vanished = (d_p - d_v) or (set(e_p) - set(e_v))
+    if removed or vanished:
+        if skip_change_commits:
+            return []
+        raise ColfFormatError(
+            f"version {ver} at {path} is a copy-on-write rewrite / "
+            f"rollback commit (files or delete metadata removed); its "
+            f"exact row changes need row-level cancellation, which the "
+            f"streaming changelog cannot do. Use maintenance."
+            f"snapshot_changelog() for an exact batch diff across it, "
+            f"or option('skipChangeCommits', 'true') to skip it.")
+    parts: list = []
+    # inserts: this commit's added files, split per v3 stripe
+    for b in sorted(f_v - f_p):
+        full = os.path.join(path, b)
+        entry = manifest.get(b)
+        stripes = entry.get("stripes") if entry else None
+        if stripes is None and entry is None \
+                and file_version(full) == VERSION_V3:
+            stripes = [{"num_rows": n} for n in read_stripes_info(full)]
+        if stripes is None:
+            parts.append(ColfChangePartition(full, ver, ts, "insert"))
+        else:
+            parts.extend(ColfChangePartition(full, ver, ts, "insert", si)
+                         for si in range(len(stripes)))
+    # deletes via this commit's DELTA position sidecars
+    delta = sorted(d_v - d_p)
+    if delta:
+        for b in sorted(f_v):
+            cands = tuple(d for d in delta
+                          if _sidecar_may_address(manifest, d, b))
+            if cands:
+                parts.append(ColfChangePartition(
+                    os.path.join(path, b), ver, ts, "delete",
+                    del_sidecars=cands))
+    # deletes via this commit's NEW equality predicates
+    new_eq = [e for k, e in e_v.items() if k not in e_p]
+    if new_eq:
+        prior_eq = list(e_p.values())
+        for b in sorted(f_v):
+            fs = fseq.get(b)
+            groups = tuple(tuple(e["filters"]) for e in new_eq
+                           if fs is not None and fs < e["seq"])
+            if not groups:
+                continue
+            parts.append(ColfChangePartition(
+                os.path.join(path, b), ver, ts, "delete",
+                sel_eq=groups,
+                mask_deletes=tuple(d for d in sorted(d_p)
+                                   if _sidecar_may_address(manifest, d, b)),
+                mask_eq=tuple(tuple(e["filters"]) for e in prior_eq
+                              if fs is not None and fs < e["seq"])))
+    return parts
+
+
+def read_change_partition(partition: ColfChangePartition,
+                          schema: StructType):
+    """Executor-side CDC decode: one Arrow batch of this partition's
+    change rows (insert = the added file/stripe verbatim; delete = the
+    exact rows a MoR sidecar or new equality predicate killed, with the
+    parent version's masks excluding rows already dead)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    data_fields = [f for f in schema.fields if f.name not in CDC_COLUMNS]
+    names = [f.name for f in data_fields]
+    dschema = StructType(data_fields)
+    data, n = _read_file_columns(partition.file, names, partition.stripe,
+                                 dschema)
+    base = os.path.basename(partition.file)
+    ddir = os.path.dirname(partition.file)
+    if partition.change == "delete":
+        if partition.del_sidecars:
+            dpos = deleted_positions(ddir, partition.del_sidecars, base)
+            if dpos is None or not len(dpos):
+                return
+            take = pa.array(dpos[(dpos >= 0) & (dpos < n)],
+                            type=pa.int64())
+            if not len(take):
+                return
+            data = {c: arr.take(take) for c, arr in data.items()}
+            n = len(take)
+        else:
+            if partition.mask_deletes:
+                dpos = deleted_positions(ddir, partition.mask_deletes, base)
+                if dpos is not None and len(dpos):
+                    keep = np.ones(n, dtype=bool)
+                    keep[dpos[(dpos >= 0) & (dpos < n)]] = False
+                    km = pa.array(keep)
+                    data = {c: arr.filter(km) for c, arr in data.items()}
+                    n = int(keep.sum())
+            if partition.mask_eq and n:
+                m = _eq_groups_mask(data, partition.mask_eq)
+                if m is not None and m.true_count > 0:
+                    km = pc.invert(m)
+                    data = {c: arr.filter(km) for c, arr in data.items()}
+                    n -= m.true_count
+            if not n:
+                return
+            m = _eq_groups_mask(data, partition.sel_eq)
+            if m is None or m.true_count == 0:
+                return
+            data = {c: arr.filter(m) for c, arr in data.items()}
+            n = m.true_count
+    out = dict(data)
+    out[CHANGE_TYPE_COLUMN] = pa.array([partition.change] * n,
+                                       type=pa.string())
+    out[COMMIT_VERSION_COLUMN] = pa.array(
+        np.full(n, partition.version, dtype=np.int64), type=pa.int64())
+    ts_type = pa.timestamp("us", tz="UTC")
+    if partition.ts is None:
+        out[COMMIT_TS_COLUMN] = pa.nulls(n, type=ts_type)
+    else:
+        out[COMMIT_TS_COLUMN] = pa.array(
+            np.full(n, int(partition.ts * 1_000_000), dtype=np.int64),
+            type=ts_type)
+    wanted = [f.name for f in schema.fields]
+    yield pa.RecordBatch.from_arrays([out[c] for c in wanted],
+                                     names=wanted)
 
 
 BLOOMS_NAME = "_blooms.json"
@@ -958,6 +1219,30 @@ class ColfReader(DataSourceReader):
         self.only_files = (
             {b.strip() for b in files_opt.split(",") if b.strip()}
             if files_opt else None)
+        # option readChangeFeed=true turns the batch read into a CDC
+        # scan over (startingVersion, endingVersion] — see
+        # plan_changelog_partitions; Delta CDF's batch surface
+        self.changelog = (
+            options.get("readChangeFeed", "false").lower() == "true")
+        self.cdc_from = int(options.get("startingVersion", "0"))
+        end_opt = options.get("endingVersion")
+        self.cdc_to = int(end_opt) if end_opt is not None else None
+        self.skip_change_commits = (
+            options.get("skipChangeCommits", "false").lower() == "true")
+        if self.changelog:
+            clash = [o for o in ("snapshot", "ref", "incrementalFrom",
+                                 "files", "columns", "withFileColumn",
+                                 "withPosColumn")
+                     if options.get(o) is not None]
+            if clash:
+                raise ColfFormatError(
+                    f"readChangeFeed is incompatible with options "
+                    f"{clash}; the changelog is planned per commit "
+                    f"from the metadata log")
+            if self.cdc_to is not None and self.cdc_to < self.cdc_from:
+                raise ColfFormatError(
+                    f"endingVersion {self.cdc_to} < startingVersion "
+                    f"{self.cdc_from}")
 
     def pushFilters(self, filters):
         """Record conjuncts usable for manifest file-skipping. ALL
@@ -975,6 +1260,11 @@ class ColfReader(DataSourceReader):
         return filters
 
     def partitions(self):
+        if self.changelog:
+            parts = plan_changelog_partitions(
+                self.path, self.cdc_from, self.cdc_to,
+                self.skip_change_commits)
+            return parts or [ColfInputPartition(None)]
         dels: list[str] = []
         eqs: list[dict] = []
         all_snaps: list[dict] = []
@@ -1122,6 +1412,9 @@ class ColfReader(DataSourceReader):
     def read(self, partition: ColfInputPartition):
         import pyarrow as pa
 
+        if isinstance(partition, ColfChangePartition):
+            yield from read_change_partition(partition, self.schema)
+            return
         if partition.file is None:
             return
         wanted = self.columns or [f.name for f in self.schema.fields]
@@ -1197,18 +1490,7 @@ class ColfReader(DataSourceReader):
             # loudly rather than resurrect deleted rows.
             import pyarrow.compute as pc
 
-            drop = None
-            for group in partition.eq:
-                gm = None
-                for flt in deserialize_eq_filters(group):
-                    m1 = _residual_mask(data, [flt])
-                    if m1 is None:
-                        raise ColfFormatError(
-                            f"equality-delete predicate not evaluable "
-                            f"at read time: {flt} (corrupt metadata?)")
-                    gm = m1 if gm is None else pc.and_(gm, m1)
-                if gm is not None:
-                    drop = gm if drop is None else pc.or_(drop, gm)
+            drop = _eq_groups_mask(data, partition.eq)
             if drop is not None and drop.true_count > 0:
                 keepm = pc.invert(drop)
                 data = {c: arr.filter(keepm) for c, arr in data.items()}
@@ -2202,6 +2484,19 @@ class ColfStreamReader(DataSourceStreamReader):
             options.get("ignoreDeletes", "false").lower() == "true")
         self._changelog = (
             options.get("readChangeFeed", "false").lower() == "true")
+        # changelog mode: per-COMMIT offsets {"cv": version}; the
+        # stream emits each published commit's row-level changes (see
+        # plan_changelog_partitions). startingVersion=N skips history
+        # up to and including N (default 0 = replay from the first
+        # commit — a consumer reconstructing state wants the inserts).
+        self._cdc_start = int(options.get("startingVersion", "0"))
+        self._skip_change = (
+            options.get("skipChangeCommits", "false").lower() == "true")
+        if self._changelog and self.max_files > 0:
+            raise ColfFormatError(
+                "maxFilesPerTrigger is not supported with "
+                "readChangeFeed: changelog offsets are per commit, "
+                "and splitting a commit would tear its atomicity")
         self._refuse_live_deletes()
         self._seen: set[str] = set()   # legacy-offset baseline (no-log dirs)
         self._cursor: tuple[int, int] = (0, 0)  # log-cursor baseline
@@ -2241,7 +2536,17 @@ class ColfStreamReader(DataSourceStreamReader):
         out = []
         for s in published_snapshots(load_snapshots(self.path)):
             cur = set(s["files"])
-            out.append((s["version"], sorted(cur - prev)))
+            if s.get("data_change") is False and prev:
+                # a marked rewrite (compact(retain)/rewrite_delete_
+                # files): its "new" files are reorganizations of rows
+                # already delivered — a tailing stream must NOT
+                # re-deliver them (Delta's dataChange=false skip). The
+                # baseline exception (prev empty): when vacuum pruned
+                # the log down to such a commit, it IS the replay
+                # basis, so a fresh stream takes its full set.
+                out.append((s["version"], []))
+            else:
+                out.append((s["version"], sorted(cur - prev)))
             prev = cur
         return out
 
@@ -2263,15 +2568,23 @@ class ColfStreamReader(DataSourceStreamReader):
         checkpoint replay calls partitions()/commit() before the first
         latestOffset, which is what keeps capped offsets from ever
         re-admitting already-consumed files."""
+        if "cv" in off:
+            return                      # changelog offsets are stateless
         if "files" in off:
             self._seen |= set(off["files"])
         else:
             self._cursor = max(self._cursor, (off["v"], off["k"]))
 
     def initialOffset(self) -> dict:
+        if self._changelog:
+            return {"cv": self._cdc_start}
         return {"v": 0, "k": 0}
 
     def latestOffset(self) -> dict:
+        if self._changelog:
+            pub = published_snapshots(load_snapshots(self.path))
+            head_v = pub[-1]["version"] if pub else 0
+            return {"cv": max(self._cdc_start, head_v)}
         self._refuse_live_deletes()  # fail AT a mid-stream MoR commit
         entries = self._log_entries()
         if not entries:
@@ -2301,6 +2614,10 @@ class ColfStreamReader(DataSourceStreamReader):
         return {"v": v, "k": k}
 
     def partitions(self, start: dict, end: dict):
+        if "cv" in start:
+            parts = plan_changelog_partitions(
+                self.path, start["cv"], end["cv"], self._skip_change)
+            return parts or [ColfInputPartition(None)]
         prev = self._offset_files(start)
         batch = sorted(self._offset_files(end) - prev)
         self._fold(start)
@@ -2329,6 +2646,11 @@ class ColfStreamReader(DataSourceStreamReader):
         # row pivot
         import pyarrow as pa
 
+        if isinstance(partition, ColfChangePartition):
+            yield from read_change_partition(partition, self.schema)
+            return
+        if partition.file is None:
+            return                      # empty changelog micro-batch
         names = [f.name for f in self.schema.fields]
         data, _ = _read_file_columns(partition.file, names,
                                      partition.stripe, self.schema)
@@ -2516,6 +2838,20 @@ class ColfDataSource(DataSource):
         # exact in the COLF headers.
         base = colf_to_spark_schema(file_schema)
         fields = [StructField(f.name, f.dataType, True) for f in base.fields]
+        if self.options.get("readChangeFeed", "false").lower() == "true":
+            from pyspark.sql.types import LongType, TimestampType
+
+            if cols_opt or with_file or with_pos:
+                raise ColfFormatError(
+                    "readChangeFeed is incompatible with columns/"
+                    "withFileColumn/withPosColumn options")
+            fields.append(StructField(CHANGE_TYPE_COLUMN, StringType(),
+                                      False))
+            fields.append(StructField(COMMIT_VERSION_COLUMN, LongType(),
+                                      False))
+            fields.append(StructField(COMMIT_TS_COLUMN, TimestampType(),
+                                      True))
+            return StructType(fields)
         if with_file:
             fields.append(StructField(FILE_COLUMN, StringType(), False))
         if with_pos:

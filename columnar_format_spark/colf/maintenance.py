@@ -665,8 +665,11 @@ def compact(spark: SparkSession, path: str, target_files: int | None = None,
     # deletes are MATERIALIZED into the compacted files — clear both
     # lists explicitly (position sidecars are reclaimed by vacuum;
     # equality predicates were pure metadata)
+    # data_change=False: the compaction reorganizes bytes, visible rows
+    # are identical — tailing streams skip the rewritten files and the
+    # changelog emits zero rows for this commit
     commit_snapshot(path, moved, expected_parent=parent, deletes=[],
-                    eq_deletes=[])
+                    eq_deletes=[], data_change=False)
     return len(moved)
 
 

@@ -2813,3 +2813,106 @@ def q199_colf_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("o_orderkey").cast("bigint")).alias("min_key"),
         F.max(F.col("o_orderkey").cast("bigint")).alias("max_key"),
     )
+
+
+@register(
+    "q200_colf_cdc_stream",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    v1 AS (  -- initial load replays as inserts
+      SELECT 1 AS _commit_version, 'insert' AS _change_type, o_orderkey
+      FROM orders),
+    v2 AS (  -- MoR position delete: low-quartile 'O' orders
+      SELECT 2, 'delete', o_orderkey FROM orders, mx
+      WHERE o_orderkey <= mx.m // 4 AND o_orderstatus = 'O'),
+    v3d AS ( -- MoR merge masks matched keys still visible at v2
+      SELECT 3, 'delete', o_orderkey FROM orders, mx
+      WHERE o_orderkey % 50 = 3
+        AND NOT (o_orderkey <= mx.m // 4 AND o_orderstatus = 'O')),
+    v3i AS ( -- ... and appends the whole source (updates + inserts)
+      SELECT 3, 'insert', o_orderkey FROM orders WHERE o_orderkey % 50 = 3
+      UNION ALL
+      SELECT 3, 'insert', o_orderkey + mx.m + 1 FROM orders, mx
+      WHERE o_orderkey % 50 = 7),
+    v4 AS (  -- equality delete among rows still visible at v3
+      SELECT 4, 'delete', o_orderkey FROM orders, mx
+      WHERE o_orderkey > 3 * (mx.m // 4) AND o_orderstatus = 'F'
+        AND o_orderkey % 50 <> 3),
+    chg AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+            UNION ALL SELECT * FROM v3d UNION ALL SELECT * FROM v3i
+            UNION ALL SELECT * FROM v4)
+    SELECT _commit_version, _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM chg GROUP BY _commit_version, _change_type
+    """,
+)
+def q200_colf_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CHANGE DATA FEED over a merge-on-read-mutated dataset
+    (``spark.readStream.format("colf").option("readChangeFeed",
+    "true")`` — the Delta CDF / Iceberg changelog-scan surface): the
+    table takes a MoR position delete, a MoR MERGE (masks + appended
+    images), and an equality delete; the stream then replays the whole
+    history as row-level ``_change_type`` insert/delete rows, one
+    micro-batch planning unit per commit, and the per-commit counts and
+    key sums must match the oracle's independent reconstruction.
+
+    No CDC files are written at DML time: every commit class here is
+    METADATA-REPLAYABLE (added files → inserts; delta sidecars → the
+    exact deleted ordinals; a new equality predicate → its matches
+    among rows still visible at the parent, parent masks applied
+    executor-side). Copy-on-write rewrite commits are the one
+    non-replayable class — the stream refuses them loudly (or skips
+    with skipChangeCommits), and batch maintenance.snapshot_changelog
+    covers them via exceptAll cancellation (q184's exact tier).
+
+    Scale: planning is log+manifest-sized on the driver (zone maps
+    prune delete sidecars per data file; no data file opened); each
+    partition decodes one file/stripe's changes Arrow-side. A tailing
+    consumer pays per-commit deltas, never a table rescan — the shape
+    a 100 TB CDC pipeline needs. compact(retain=True) commits are
+    marked data_change=false and replay as ZERO change rows (pinned in
+    tests/test_colf_cdc.py)."""
+    from ..streaming.stream_queries import _drain
+    from .datasource import register as register_ds
+    from .maintenance import delete_where, merge_into
+
+    register_ds(spark)
+    tmpl = _stage_cdc_orders(spark, sf_dir)
+    path = run_dir(("colf-cdcstream-run", sf_dir), "colf_cdcstream_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+    mx = _CDC_MAXKEY[sf_dir]
+
+    # v2: MoR position delete (sidecars + one metadata commit)
+    s2 = delete_where(
+        spark, path,
+        f"o_orderkey <= {mx // 4} AND o_orderstatus = 'O'", mode="mor")
+    if s2["mode"] != "merge-on-read" or s2["n_rewritten_files"]:
+        raise AssertionError(f"expected a pure metadata commit: {s2}")
+    # v3: MoR MERGE — update every %50==3 key to status 'M', insert
+    # fresh keys shifted above the key space
+    o = table(spark, sf_dir, "orders")
+    src = (o.filter(F.col("o_orderkey") % 50 == 3)
+           .select(F.col("o_orderkey").cast("int").alias("o_orderkey"),
+                   F.lit("M").alias("o_orderstatus"))
+           .unionAll(
+               o.filter(F.col("o_orderkey") % 50 == 7)
+               .select((F.col("o_orderkey") + (mx + 1)).cast("int")
+                       .alias("o_orderkey"),
+                       F.lit("M").alias("o_orderstatus"))))
+    s3 = merge_into(spark, path, src, ["o_orderkey"], mode="mor")
+    if s3["n_rewritten_files"]:
+        raise AssertionError(f"MoR merge rewrote data files: {s3}")
+    # v4: equality delete — pure predicate metadata, zero scans
+    delete_where(
+        spark, path,
+        f"o_orderkey > {3 * (mx // 4)} AND o_orderstatus = 'F'", mode="eq")
+
+    cdc = (spark.readStream.format("colf")
+           .option("readChangeFeed", "true").load(path))
+    got = _drain(cdc, "append")
+    return got.groupBy(
+        F.col("_commit_version").cast("bigint").alias("_commit_version"),
+        "_change_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+          F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"))
