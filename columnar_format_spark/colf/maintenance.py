@@ -673,6 +673,109 @@ def compact(spark: SparkSession, path: str, target_files: int | None = None,
     return len(moved)
 
 
+def rewrite_delete_files(spark: SparkSession, path: str,
+                         target_files: int | None = None) -> dict:
+    """MINOR compaction of merge-on-read position deletes (Iceberg's
+    RewritePositionDeleteFiles): every MoR delete/update/merge commit
+    adds one sidecar per scan task, so a hot table accumulates
+    sidecars that every read must consult. This merges them —
+    coalescing the published head's ``.colfd`` files down to
+    ``target_files`` (default: one per ~1M positions) and dropping
+    entries that address files no longer live (a CoW rewrite removes
+    a data file but the delete lists carry forward) — in ONE metadata
+    commit that touches ZERO data-file bytes. The full cleanup,
+    ``compact()``, rewrites data; this is the cheap scheduled
+    maintenance between compactions.
+
+    Scale: the sidecars are read EXECUTOR-side (one Arrow decode per
+    sidecar via mapInArrow, never driver-collected); dead entries drop
+    via a broadcast join against the metadata-sized live list (never a
+    giant ``isin`` literal — the q199 plan-blowup lesson); outputs are
+    range-partitioned on (file, pos) so each new sidecar covers a
+    contiguous data-file range and its file-column zone maps prune
+    tightly. Old sidecars stay on disk for time travel until vacuum().
+    Same single-writer contract as compact(). Returns {"version",
+    "n_delete_files_before", "n_delete_files_after", "n_positions",
+    "n_dead_entries_dropped"}.
+    """
+    import json
+    import math
+
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from .datasource import published_head
+    from .format import ColfFormatError, read_columns_arrow
+
+    if not os.path.isdir(path):
+        raise ValueError(
+            f"rewrite_delete_files() needs a dataset directory, got {path}")
+    parent, live0 = _bootstrap_log(path)
+    head = published_head(path)
+    dels = list((head or {}).get("deletes") or [])
+    if not dels:
+        return {"version": parent, "n_delete_files_before": 0,
+                "n_delete_files_after": 0, "n_positions": 0,
+                "n_dead_entries_dropped": 0}
+    man = load_manifest(path)
+    n_before = sum((man.get(d) or {}).get("num_rows") or 0 for d in dels)
+
+    paths_df = spark.createDataFrame(
+        [(os.path.join(path, d),) for d in dels], "p string"
+    ).repartition(min(len(dels), spark.sparkContext.defaultParallelism))
+
+    def _read_sidecars(batches):
+        for b in batches:
+            for p in b.column(0).to_pylist():
+                data = read_columns_arrow(p, ["file", "pos"])
+                yield pa.RecordBatch.from_arrays(
+                    [data["file"], data["pos"]], ["file", "pos"])
+
+    positions = paths_df.mapInArrow(_read_sidecars, "file string, pos int")
+    live_df = F.broadcast(
+        spark.createDataFrame([(b,) for b in live0], "file string"))
+    kept = positions.join(live_df, "file", "left_semi")
+    # (file, pos) pairs are unique by construction — every MoR commit
+    # masks only rows still VISIBLE under the prior masks — so no
+    # distinct() shuffle is needed; the only exchange is the range
+    # partitioning that shapes the output sidecars.
+    if target_files is None:
+        target_files = max(1, math.ceil(max(n_before, 1) / 1_000_000))
+    tmp = f"{path.rstrip(os.sep)}.rdel-{uuid.uuid4().hex[:8]}"
+    (kept.repartitionByRange(target_files, "file", "pos")
+     .sortWithinPartitions("file", "pos")
+     .write.format("colf").mode("overwrite").save(tmp))
+    man_tmp = load_manifest(tmp)
+    merged = load_manifest(path)
+    moved = []
+    run = uuid.uuid4().hex[:8]
+    n_after = 0
+    for i, f in enumerate(dataset_files(tmp)):
+        st = man_tmp.get(os.path.basename(f))
+        if (st or {}).get("num_rows") == 0:
+            continue                    # all-entries-dead sentinel
+        base = f"delete-{run}-{i:05d}.colfd"
+        os.rename(f, os.path.join(path, base))
+        if st:
+            merged[base] = st
+            n_after += st.get("num_rows") or 0
+        moved.append(base)
+    mtmp = manifest_path(path) + ".tmp"
+    with open(mtmp, "w") as fh:
+        json.dump(merged, fh)
+    os.rename(mtmp, manifest_path(path))
+    shutil.rmtree(tmp)
+    # data_change=False: the same rows stay masked through different
+    # sidecars — tailing streams and the changelog see zero changes
+    v = commit_snapshot(path, live0, expected_parent=parent,
+                        deletes=sorted(moved), data_change=False)
+    return {"version": v, "n_delete_files_before": len(dels),
+            "n_delete_files_after": len(moved),
+            "n_positions": int(n_after),
+            "n_dead_entries_dropped": int(n_before - n_after)}
+
+
 def vacuum(path: str, keep_last: int = 1,
            older_than_s: float | None = None) -> list[str]:
     """Physically delete part files referenced only by expired

@@ -2916,3 +2916,98 @@ def q200_colf_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_change_type",
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
           F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"))
+
+
+@register(
+    "q201_colf_rewrite_deletes",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    s1 AS (  -- v2: MoR delete of low-quartile 'O' orders
+      SELECT o_orderkey, o_orderstatus FROM orders, mx
+      WHERE NOT (o_orderkey <= mx.m // 4 AND o_orderstatus = 'O')),
+    s2 AS (  -- v3: MoR update flips every visible %50==3 key to 'U'
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 50 = 3 THEN 'U'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM s1),
+    s3 AS (  -- v4: MoR delete of top-quartile 'F' orders
+      SELECT s2.o_orderkey, s2.o_orderstatus FROM s2, mx
+      WHERE NOT (s2.o_orderkey > 3 * (mx.m // 4)
+                 AND s2.o_orderstatus = 'F'))
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM s3 GROUP BY o_orderstatus
+    """,
+)
+def q201_colf_rewrite_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINOR compaction of position-delete sidecars
+    (maintenance.rewrite_delete_files — Iceberg's
+    RewritePositionDeleteFiles): three MoR DML commits (delete,
+    update, delete) each add per-scan-task sidecars; the rewrite
+    coalesces them to ONE sidecar in a single metadata commit. The
+    query ASSERTS the maintenance contract from the stats, the
+    manifest, and the filesystem — strictly fewer sidecar files, every
+    data file byte-untouched (same set, same mtimes/sizes), visible
+    row count unchanged, data_change=false recorded — then aggregates
+    through the rewritten masks; it matches the oracle iff the merged
+    sidecars mask exactly the rows the three DMLs killed.
+
+    Scale: sidecars decode EXECUTOR-side (mapInArrow, one Arrow decode
+    each, never collected); dead entries drop via a broadcast semi
+    join against the metadata-sized live list; outputs are
+    range-partitioned on (file, pos) so each rewritten sidecar covers
+    a contiguous data-file range and zone-map-prunes tightly. This is
+    the scheduled cheap maintenance between full compact() runs: reads
+    consult one sidecar instead of one per historical DML commit
+    (fuzzed against the pandas DML model in
+    tests/test_colf_dml_model.py; pinned in
+    tests/test_colf_position_deletes.py)."""
+    import os
+
+    from .datasource import live_files, load_snapshots
+    from .datasource import register as register_ds
+    from .maintenance import delete_where, rewrite_delete_files, update_where
+
+    register_ds(spark)
+    tmpl = _stage_cdc_orders(spark, sf_dir)
+    path = run_dir(("colf-rdel-run", sf_dir), "colf_rdel_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+    mx = _CDC_MAXKEY[sf_dir]
+
+    delete_where(spark, path,
+                 f"o_orderkey <= {mx // 4} AND o_orderstatus = 'O'",
+                 mode="mor")
+    update_where(spark, path, {"o_orderstatus": "'U'"},
+                 "o_orderkey % 50 = 3", mode="mor")
+    delete_where(spark, path,
+                 f"o_orderkey > {3 * (mx // 4)} AND o_orderstatus = 'F'",
+                 mode="mor")
+    dels_before = load_snapshots(path)[-1].get("deletes") or []
+    if len(dels_before) < 3:
+        raise AssertionError(
+            f"expected >=3 sidecars from 3 MoR commits: {dels_before}")
+    before = {f: (os.path.getmtime(f), os.path.getsize(f))
+              for f in live_files(path)}
+    n_visible = spark.read.format("colf").load(path).count()
+
+    stats = rewrite_delete_files(spark, path)
+    if stats["n_delete_files_after"] >= stats["n_delete_files_before"]:
+        raise AssertionError(f"sidecars did not shrink: {stats}")
+    after = {f: (os.path.getmtime(f), os.path.getsize(f))
+             for f in live_files(path)}
+    if after != before:
+        raise AssertionError(
+            "rewrite_delete_files touched data files: "
+            f"{sorted(set(before) ^ set(after))}")
+    head = load_snapshots(path)[-1]
+    if head.get("data_change") is not False:
+        raise AssertionError("rewrite commit not marked data_change=false")
+    if len(head.get("deletes") or []) != stats["n_delete_files_after"]:
+        raise AssertionError("committed delete list != rewrite output")
+    back = spark.read.format("colf").load(path)
+    if back.count() != n_visible:
+        raise AssertionError("visible rows changed across the rewrite")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"))

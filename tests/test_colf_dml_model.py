@@ -19,6 +19,7 @@ from columnar_format_spark.colf.maintenance import (
     compact,
     delete_where,
     merge_into,
+    rewrite_delete_files,
     rollback,
     update_where,
     vacuum,
@@ -70,7 +71,7 @@ def test_random_dml_sequences_match_pandas_model(colf_spark, tmp_path):
 
     OPS = ["append", "del_cow", "del_mor", "del_eq", "upd_cow",
            "upd_mor", "mrg_cow", "mrg_mor", "compact", "vacuum",
-           "rollback"]
+           "rollback", "rewrite_dels"]
     for step in range(28):
         op = rng.choice(OPS)
         if op == "append":
@@ -129,6 +130,12 @@ def test_random_dml_sequences_match_pandas_model(colf_spark, tmp_path):
                 ignore_index=True)
         elif op == "compact":
             compact(colf_spark, p, rng.randint(1, 3), retain=True)
+        elif op == "rewrite_dels":
+            # minor compaction is invisible to the model: the same
+            # rows stay masked through coalesced sidecars
+            s = rewrite_delete_files(colf_spark, p)
+            assert s["n_delete_files_after"] <= max(
+                1, s["n_delete_files_before"]), (step, s)
         elif op == "vacuum":
             vacuum(p, keep_last=rng.randint(1, 3))
         elif op == "rollback":

@@ -418,3 +418,60 @@ def test_dml_after_staged_commit_keeps_wap_isolation(colf_spark, ds):
     from columnar_format_spark.colf.maintenance import publish_wap
     publish_wap(ds, staged_v)
     assert colf_spark.read.format("colf").load(ds).count() == 190
+
+
+def test_rewrite_delete_files_coalesces_sidecars(colf_spark, ds):
+    """Minor compaction (Iceberg RewritePositionDeleteFiles): three MoR
+    commits' sidecars merge to one, visible rows identical, zero
+    data-file bytes touched, dead entries dropped after a CoW rewrite
+    removes their target file."""
+    from columnar_format_spark.colf.datasource import (live_files,
+                                                       load_snapshots)
+    from columnar_format_spark.colf.maintenance import rewrite_delete_files
+
+    delete_where(colf_spark, ds, "k < 10", mode="mor")
+    delete_where(colf_spark, ds, "k >= 190", mode="mor")
+    update_where(colf_spark, ds, {"v": "-1.0"}, "k = 100", mode="mor")
+    head = load_snapshots(ds)[-1]
+    assert len(head["deletes"]) >= 3
+    # CoW-delete a sliver: rewrites its file, leaving sidecar entries
+    # that address the now-dead file
+    delete_where(colf_spark, ds, "k = 101", mode="cow")
+    visible = sorted(r["k"] for r in
+                     colf_spark.read.format("colf").load(ds).collect())
+    before = {f: (os.path.getmtime(f), os.path.getsize(f))
+              for f in live_files(ds)}
+    n_dels_before = len(load_snapshots(ds)[-1]["deletes"])
+    stats = rewrite_delete_files(colf_spark, ds)
+    assert stats["n_delete_files_after"] == 1
+    assert stats["n_delete_files_before"] == n_dels_before
+    assert stats["n_dead_entries_dropped"] >= 1
+    after = {f: (os.path.getmtime(f), os.path.getsize(f))
+             for f in live_files(ds)}
+    assert after == before              # zero data-file bytes touched
+    head = load_snapshots(ds)[-1]
+    assert len(head["deletes"]) == 1
+    assert head.get("data_change") is False
+    got = sorted(r["k"] for r in
+                 colf_spark.read.format("colf").load(ds).collect())
+    assert got == visible               # same rows through new sidecars
+    # pre-rewrite version still time-travels through the OLD sidecars
+    tv = (colf_spark.read.format("colf")
+          .option("snapshot", str(stats["version"] - 1)).load(ds))
+    assert sorted(r["k"] for r in tv.collect()) == visible
+    # idempotent-ish: a second rewrite is a single-sidecar no-op shape
+    stats2 = rewrite_delete_files(colf_spark, ds)
+    assert stats2["n_delete_files_after"] == 1
+    assert stats2["n_positions"] == stats["n_positions"]
+
+
+def test_rewrite_delete_files_noop_without_masks(colf_spark, ds):
+    from columnar_format_spark.colf.datasource import load_snapshots
+    from columnar_format_spark.colf.maintenance import rewrite_delete_files
+
+    v0 = load_snapshots(ds)[-1]["version"]
+    stats = rewrite_delete_files(colf_spark, ds)
+    assert stats == {"version": v0, "n_delete_files_before": 0,
+                     "n_delete_files_after": 0, "n_positions": 0,
+                     "n_dead_entries_dropped": 0}
+    assert load_snapshots(ds)[-1]["version"] == v0
