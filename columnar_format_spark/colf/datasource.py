@@ -130,6 +130,11 @@ class ColfInputPartition(InputPartition):
     # tuple of serialized filter specs — AND within a group, any group
     # matching masks the row); already sequence-filtered at plan time
     eq: tuple = ()
+    # field-ID schema-evolution resolution, when the dataset records a
+    # table schema: (fields tuple of (id, name, type), name_mapping
+    # tuple of (historical name, id)) — None for pre-evolution
+    # datasets (the by-name fast path)
+    evo: tuple | None = None
 
 
 MANIFEST_NAME = "_manifest.json"
@@ -243,7 +248,8 @@ def commit_snapshot(path: str, live_files: list[str],
                     cluster: list[str] | None = None,
                     deletes: list[str] | None = None,
                     eq_deletes: list[dict] | None = None,
-                    data_change: bool | None = None) -> int:
+                    data_change: bool | None = None,
+                    table_schema: dict | None = None) -> int:
     """Append a snapshot whose live set is ``live_files`` (basenames);
     ``reset`` starts a fresh history at version 1 (overwrite mode —
     the old part files are physically gone, so old versions would be
@@ -336,6 +342,13 @@ def commit_snapshot(path: str, live_files: list[str],
         # visible rows — streams skip its added files (no re-delivery)
         # and the changelog emits zero rows for it
         entry["data_change"] = False
+    if table_schema is not None:
+        # field-ID TABLE SCHEMA (Iceberg schema evolution): carried by
+        # the snapshot that adopted it, same model as spec/sort —
+        # {"fields": [{"id","name","type"}], "name_mapping":
+        # {historical name: id}} where the mapping resolves columns of
+        # ID-less files (reference-written / pre-evolution)
+        entry["table_schema"] = table_schema
     snaps.append(entry)
     write_snapshots(path, snaps)
     return version
@@ -373,6 +386,40 @@ def current_partition_spec(path: str) -> list[str] | None:
             # expired — kept under a dedicated key so the snapshot's
             # original committed contents stay byte-faithful
             return list(s["inherited_spec"])
+    return None
+
+
+def dataset_logical_columns(path: str, files: list[str]):
+    """The dataset's LOGICAL columns: the recorded field-ID table
+    schema when evolution has run (renames/drops/widening are table
+    metadata — DML conditions, assignments, merge schemas, and layout
+    validation must resolve against it, never against the files'
+    physical names), else the live files' union (the additive model).
+    Returns ColfColumn list either way."""
+    meta = current_table_schema(path)
+    if meta is not None:
+        return [ColfColumn(f["name"], f["type"], True, None, f["id"])
+                for f in meta["fields"]]
+    return dataset_union_columns(path, files)
+
+
+def current_table_schema(path: str, at_version: int | None = None,
+                         snaps: list[dict] | None = None) -> dict | None:
+    """The dataset's RECORDED field-ID table schema: the most recent
+    published snapshot (<= ``at_version`` when time-traveling) carrying
+    a ``"table_schema"`` key — written by the schema-evolution ops
+    (maintenance.rename_column / drop_column / widen_column) and kept
+    current by appends that add columns. ``None`` for pre-evolution
+    datasets, where reads resolve columns by NAME (the union model)."""
+    if snaps is None:
+        snaps = load_snapshots(path)
+    for s in reversed(published_snapshots(snaps)):
+        if at_version is not None and s["version"] > at_version:
+            continue
+        if "table_schema" in s:
+            return s["table_schema"]
+        if "inherited_table_schema" in s:
+            return s["inherited_table_schema"]  # vacuum carry-forward
     return None
 
 
@@ -627,6 +674,10 @@ class ColfChangePartition(InputPartition):
     # masks and applicable equality groups exclude already-dead rows
     mask_deletes: tuple = ()
     mask_eq: tuple = ()
+    # field-ID schema-evolution resolution (see ColfInputPartition.evo):
+    # the CURRENT table schema — CDC output is in the table's current
+    # shape, like Delta CDF
+    evo: tuple | None = None
 
 
 def _eq_entry_key(e: dict) -> tuple:
@@ -683,6 +734,14 @@ def plan_changelog_partitions(path: str, v_from: int, v_to: int | None,
     pub = published_snapshots(snaps)
     fseq = file_first_versions(snaps)
     manifest = load_manifest(path)
+    evo = None
+    meta = current_table_schema(path, snaps=snaps)
+    if meta is not None:
+        # CDC emits in the table's CURRENT shape (Delta CDF model):
+        # historical commits' files resolve by field id
+        evo = (tuple((f["id"], f["name"], f["type"])
+                     for f in meta["fields"]),
+               tuple(meta["name_mapping"].items()))
     parts: list = []
     prev: dict | None = None
     for s in pub:
@@ -692,14 +751,15 @@ def plan_changelog_partitions(path: str, v_from: int, v_to: int | None,
         if v_to is not None and s["version"] > v_to:
             break
         parts.extend(_commit_change_partitions(
-            path, s, prev, fseq, manifest, skip_change_commits))
+            path, s, prev, fseq, manifest, skip_change_commits, evo))
         prev = s
     return parts
 
 
 def _commit_change_partitions(path: str, s: dict, p: dict | None,
                               fseq: dict, manifest: dict,
-                              skip_change_commits: bool) -> list:
+                              skip_change_commits: bool,
+                              evo: tuple | None = None) -> list:
     ver, ts = s["version"], s.get("ts")
     if s.get("data_change") is False:
         # a marked rewrite (compact(retain), rewrite_delete_files):
@@ -734,9 +794,11 @@ def _commit_change_partitions(path: str, s: dict, p: dict | None,
                 and file_version(full) == VERSION_V3:
             stripes = [{"num_rows": n} for n in read_stripes_info(full)]
         if stripes is None:
-            parts.append(ColfChangePartition(full, ver, ts, "insert"))
+            parts.append(ColfChangePartition(full, ver, ts, "insert",
+                                             evo=evo))
         else:
-            parts.extend(ColfChangePartition(full, ver, ts, "insert", si)
+            parts.extend(ColfChangePartition(full, ver, ts, "insert", si,
+                                             evo=evo)
                          for si in range(len(stripes)))
     # deletes via this commit's DELTA position sidecars
     delta = sorted(d_v - d_p)
@@ -747,7 +809,7 @@ def _commit_change_partitions(path: str, s: dict, p: dict | None,
             if cands:
                 parts.append(ColfChangePartition(
                     os.path.join(path, b), ver, ts, "delete",
-                    del_sidecars=cands))
+                    del_sidecars=cands, evo=evo))
     # deletes via this commit's NEW equality predicates
     new_eq = [e for k, e in e_v.items() if k not in e_p]
     if new_eq:
@@ -760,7 +822,7 @@ def _commit_change_partitions(path: str, s: dict, p: dict | None,
                 continue
             parts.append(ColfChangePartition(
                 os.path.join(path, b), ver, ts, "delete",
-                sel_eq=groups,
+                evo=evo, sel_eq=groups,
                 mask_deletes=tuple(d for d in sorted(d_p)
                                    if _sidecar_may_address(manifest, d, b)),
                 mask_eq=tuple(tuple(e["filters"]) for e in prior_eq
@@ -782,7 +844,7 @@ def read_change_partition(partition: ColfChangePartition,
     names = [f.name for f in data_fields]
     dschema = StructType(data_fields)
     data, n = _read_file_columns(partition.file, names, partition.stripe,
-                                 dschema)
+                                 dschema, partition.evo)
     base = os.path.basename(partition.file)
     ddir = os.path.dirname(partition.file)
     if partition.change == "delete":
@@ -1318,6 +1380,16 @@ class ColfReader(DataSourceReader):
         # conjunct exists (point lookups / IN probes / startswith
         # prefixes) — the sidecar read costs nothing on range scans
         pruning_on = bool(self.pushed and self.pruning)
+        # field-ID schema evolution: resolve the table schema AT the
+        # read's snapshot (time travel sees the schema of its era) and
+        # carry it on every partition; None keeps the by-name fast path
+        evo = None
+        meta = current_table_schema(self.path, at_version=self.snapshot,
+                                    snaps=all_snaps)
+        if meta is not None:
+            evo = (tuple((f["id"], f["name"], f["type"])
+                         for f in meta["fields"]),
+                   tuple(meta["name_mapping"].items()))
         eq_filters = [f for f in self.pushed
                       if isinstance(f, (EqualTo, EqualNullSafe, In,
                                         StringStartsWith))] \
@@ -1387,7 +1459,7 @@ class ColfReader(DataSourceReader):
                 stripes = [{"num_rows": n} for n in read_stripes_info(f)]
             if stripes is None:
                 parts.append(ColfInputPartition(f, deletes=_dels_for(f),
-                                                eq=_eqs_for(f)))
+                                                eq=_eqs_for(f), evo=evo))
                 continue
             sblooms = (blooms.get(os.path.basename(f), {})
                        .get("stripes") or [])
@@ -1404,7 +1476,8 @@ class ColfReader(DataSourceReader):
                 return True
 
             fd, fe = _dels_for(f), _eqs_for(f)
-            parts.extend(ColfInputPartition(f, si, deletes=fd, eq=fe)
+            parts.extend(ColfInputPartition(f, si, deletes=fd, eq=fe,
+                                            evo=evo)
                          for si, st in enumerate(stripes)
                          if _stripe_may_match(si, st))
         return parts or [ColfInputPartition(None)]
@@ -1420,13 +1493,23 @@ class ColfReader(DataSourceReader):
         wanted = self.columns or [f.name for f in self.schema.fields]
         file_cols = [c for c in wanted
                      if c not in (FILE_COLUMN, POS_COLUMN)]
+        read_cols = file_cols
+        if partition.eq and partition.evo is not None:
+            # evolved datasets: live equality-delete predicate columns
+            # resolve by field id like any other — fold them into the
+            # one evo read (the final projection drops the extras)
+            need_eq = {spec["col"] for group in partition.eq
+                       for spec in group}
+            read_cols = file_cols + [c for c in need_eq
+                                     if c not in file_cols]
         # row count for metadata-only projections comes from the
         # stripe footer / header, not 0 (per-file counts via the
         # virtual column must be exact); evolved-away columns decode
         # as typed nulls
-        data, n = _read_file_columns(partition.file, file_cols,
-                                     partition.stripe, self.schema)
-        if partition.eq:
+        data, n = _read_file_columns(partition.file, read_cols,
+                                     partition.stripe, self.schema,
+                                     partition.evo)
+        if partition.eq and partition.evo is None:
             # live equality deletes must evaluate their predicate
             # columns even when the projection excludes them: decode
             # the extras here (typed NULLs when an evolved file
@@ -1691,15 +1774,77 @@ def _arrow_type_for(field):
             "utf8": pa.string()}[tag]
 
 
+_ARROW_BY_COLF = None
+
+
+def _read_file_columns_evo(path: str, cols: list[str], stripe, evo: tuple):
+    """Field-ID column resolution (Iceberg schema evolution): map each
+    requested TABLE column to this file's physical column by field id —
+    embedded "id" for post-evolution files, the dataset name mapping
+    for ID-less (reference-written / pre-evolution) files — then
+    decode, RENAME to the table name, and WIDEN int32→float64 where
+    the table type promoted. A table column with no match in this file
+    (added or re-added after the file was written) decodes as typed
+    nulls; a file column absent from the table schema (dropped) is
+    never read. Returns (data dict keyed by table names, n_rows)."""
+    import pyarrow as pa
+
+    global _ARROW_BY_COLF
+    if _ARROW_BY_COLF is None:
+        _ARROW_BY_COLF = {"int32": pa.int32(), "float64": pa.float64(),
+                          "utf8": pa.string()}
+    fields, nm = dict(), dict(evo[1])
+    for fid, name, typ in evo[0]:
+        fields[name] = (fid, typ)
+    fsch = read_schema(path)
+    by_id: dict[int, tuple] = {}
+    for c in fsch.columns:
+        cid = c.fid if c.fid is not None else nm.get(c.name)
+        if cid is not None:
+            by_id[cid] = (c.name, c.type)
+    src: dict[str, tuple] = {}
+    for col in cols:
+        fid, _typ = fields[col]
+        hit = by_id.get(fid)
+        if hit is not None:
+            src[col] = hit
+    raw = read_columns_arrow(path, [s[0] for s in src.values()],
+                             stripe=stripe)
+    if src:
+        n = len(raw[next(iter(src.values()))[0]])
+    else:
+        n = (read_stripes_info(path)[stripe] if stripe is not None
+             else fsch.num_rows)
+    data = {}
+    for col in cols:
+        fid, ttyp = fields[col]
+        hit = src.get(col)
+        if hit is None:
+            data[col] = pa.nulls(n, type=_ARROW_BY_COLF[ttyp])
+            continue
+        arr = raw[hit[0]]
+        if hit[1] != ttyp:
+            # the only legal promotion is int32 → float64
+            # (maintenance.widen_column guards this at commit time)
+            arr = arr.cast(_ARROW_BY_COLF[ttyp])
+        data[col] = arr
+    return data, n
+
+
 def _read_file_columns(path: str, cols: list[str], stripe,
-                       spark_schema: StructType):
+                       spark_schema: StructType, evo: tuple | None = None):
     """read_columns_arrow plus additive-evolution null fill: columns
     the DATASET schema carries but this (older) file does not decode
     as typed all-null arrays of the file's/stripe's row count. Returns
     (data dict, n_rows). The fast path (file has every column — all
-    files of a never-evolved dataset) is a single file open."""
+    files of a never-evolved dataset) is a single file open. ``evo``
+    (a recorded field-ID table schema) switches to by-ID resolution —
+    renames, drops, and int32→float64 widening, see
+    _read_file_columns_evo."""
     import pyarrow as pa
 
+    if evo is not None:
+        return _read_file_columns_evo(path, cols, stripe, evo)
     try:
         data = read_columns_arrow(path, cols, stripe=stripe)
         if cols:
@@ -1736,7 +1881,15 @@ def _check_append_schema(path: str, cols) -> None:
     existing = live_files(path) if os.path.isdir(path) else []
     if not existing:
         return
-    have = [(c.name, c.type) for c in dataset_union_columns(path, existing)]
+    meta = current_table_schema(path)
+    if meta is not None:
+        # evolved dataset: the RECORDED table schema is authoritative
+        # (a widened column must be appended at its widened type; a
+        # dropped column must not be required)
+        have = [(f["name"], f["type"]) for f in meta["fields"]]
+    else:
+        have = [(c.name, c.type)
+                for c in dataset_union_columns(path, existing)]
     want = {c.name: c.type for c in cols}
     for name, typ in have:
         wt = want.get(name)
@@ -2257,6 +2410,55 @@ class ColfWriter(DataSourceArrowWriter):
                 raise ColfFormatError(
                     f"unknown branch '{self.branch}' at {self.path} "
                     f"(create it with maintenance.create_branch)")
+        # FIELD-ID table schema (Iceberg schema evolution): writes
+        # against an evolved dataset embed each column's id in the file
+        # schema JSON so reads resolve across renames/drops/widening.
+        # Appends that ADD columns extend the recorded schema in the
+        # same commit. option("tableSchemaFrom", dsdir) lets the
+        # maintenance rewrites (CoW delete/update/merge, compact),
+        # which write to a TMP dir before renaming files in, embed the
+        # LIVE dataset's ids — without it their id-less outputs would
+        # resolve only through the bootstrap name mapping, losing
+        # columns re-added after a drop.
+        self.commit_table_schema = None
+        meta_src = options.get("tableSchemaFrom") or (
+            None if (overwrite or not os.path.isdir(self.path))
+            else self.path)
+        meta = current_table_schema(meta_src) if meta_src else None
+        if meta is not None:
+            by_name = {f["name"]: f for f in meta["fields"]}
+            # fresh ids start past last_id, the ever-assigned high-water
+            # mark — never past max(current ids), which would REUSE a
+            # dropped column's id and resurrect its old data
+            next_id = meta.get("last_id", max(
+                (f["id"] for f in meta["fields"]), default=0)) + 1
+            new_fields = []
+            for c in self.colf_columns:
+                f = by_name.get(c.name)
+                if f is not None:
+                    c.fid = f["id"]
+                else:
+                    c.fid = next_id
+                    next_id += 1
+                    new_fields.append(
+                        {"id": c.fid, "name": c.name, "type": c.type})
+            if new_fields and options.get("tableSchemaFrom"):
+                raise ColfFormatError(
+                    f"maintenance rewrite would add columns "
+                    f"{[f['name'] for f in new_fields]} missing from "
+                    f"the evolved table schema")
+            if new_fields and (self.wap or self.branch is not None):
+                raise ColfFormatError(
+                    f"staged/branch appends cannot extend an evolved "
+                    f"table's schema (new columns "
+                    f"{[f['name'] for f in new_fields]}): the recorded "
+                    f"field-ID schema lives on the published lineage. "
+                    f"Add the columns with a published append first.")
+            if new_fields and not options.get("tableSchemaFrom"):
+                self.commit_table_schema = {
+                    "fields": list(meta["fields"]) + new_fields,
+                    "last_id": next_id - 1,
+                    "name_mapping": dict(meta["name_mapping"])}
 
     def write(self, iterator):
         """Executor-side: drain this partition's Arrow batches into one
@@ -2396,6 +2598,7 @@ class ColfWriter(DataSourceArrowWriter):
             branch=self.branch,
             deletes=branch_deletes,
             eq_deletes=branch_eq_deletes,
+            table_schema=self.commit_table_schema,
         )
         if self.branch is not None:
             # advance the branch head and accumulate its delta (what
@@ -2627,6 +2830,12 @@ class ColfStreamReader(DataSourceStreamReader):
         # available) — a micro-batch delivering one big striped file
         # decodes on every core instead of one task
         manifest = load_manifest(self.path)
+        evo = None
+        meta = current_table_schema(self.path)
+        if meta is not None:
+            evo = (tuple((f["id"], f["name"], f["type"])
+                         for f in meta["fields"]),
+                   tuple(meta["name_mapping"].items()))
         parts: list[ColfInputPartition] = []
         for b in batch:
             full = os.path.join(self.path, b)
@@ -2635,9 +2844,9 @@ class ColfStreamReader(DataSourceStreamReader):
             if stripes is None and entry is None                     and file_version(full) == VERSION_V3:
                 stripes = [{"num_rows": n} for n in read_stripes_info(full)]
             if stripes is None:
-                parts.append(ColfInputPartition(full))
+                parts.append(ColfInputPartition(full, evo=evo))
             else:
-                parts.extend(ColfInputPartition(full, si)
+                parts.extend(ColfInputPartition(full, si, evo=evo)
                              for si in range(len(stripes)))
         return parts
 
@@ -2653,7 +2862,8 @@ class ColfStreamReader(DataSourceStreamReader):
             return                      # empty changelog micro-batch
         names = [f.name for f in self.schema.fields]
         data, _ = _read_file_columns(partition.file, names,
-                                     partition.stripe, self.schema)
+                                     partition.stripe, self.schema,
+                                     partition.evo)
         yield pa.RecordBatch.from_arrays([data[n] for n in names], names=names)
 
     def commit(self, end: dict) -> None:
@@ -2809,10 +3019,22 @@ class ColfDataSource(DataSource):
         files = [f for f in files if os.path.exists(f)] or dataset_files(path)
         if not files:
             raise ColfFormatError(f"No .colf files found at {path}")
-        # the dataset schema is the UNION of the live files' columns
+        # field-ID schema evolution: a RECORDED table schema (resolved
+        # at the read's snapshot, so time travel sees the schema of its
+        # era) is authoritative — renames show the new name, drops hide
+        # the column, widening shows the promoted type. Otherwise the
+        # dataset schema is the UNION of the live files' columns
         # (additive evolution) — one header read unless the manifest
         # shows files carrying extra columns
-        file_schema = ColfSchema(0, dataset_union_columns(path, files))
+        meta = current_table_schema(
+            path, at_version=int(snap_opt) if snap_opt is not None
+            else None)
+        if meta is not None:
+            file_schema = ColfSchema(0, [
+                ColfColumn(f["name"], f["type"], True, None, f["id"])
+                for f in meta["fields"]])
+        else:
+            file_schema = ColfSchema(0, dataset_union_columns(path, files))
         cols_opt = self.options.get("columns")
         with_file = self.options.get("withFileColumn", "false").lower() == "true"
         with_pos = self.options.get("withPosColumn", "false").lower() == "true"

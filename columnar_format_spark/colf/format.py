@@ -106,11 +106,21 @@ class ColfColumn:
     type: str  # int32 | float64 | utf8
     nullable: bool
     encoding: str | None = None  # v2 files only; absent in v1 JSON
+    # FIELD ID (Iceberg's schema-evolution key): embedded in the schema
+    # JSON as "id" for files written against a dataset with a recorded
+    # table schema, so readers resolve columns by identity across
+    # renames. Absent (None) in reference-written and pre-evolution
+    # files — those resolve through the dataset's name mapping. An
+    # extra JSON key is ignored by the reference reader (it indexes
+    # "name"/"type" only), keeping v1 files reference-readable.
+    fid: int | None = None
 
     def to_json(self) -> dict:
         doc = {"name": self.name, "type": self.type, "nullable": self.nullable}
         if self.encoding is not None:
             doc["encoding"] = self.encoding
+        if self.fid is not None:
+            doc["id"] = self.fid
         return doc
 
 
@@ -128,7 +138,7 @@ class ColfSchema:
     @classmethod
     def from_json(cls, doc: dict) -> "ColfSchema":
         cols = [ColfColumn(c["name"], c["type"], bool(c.get("nullable", False)),
-                           c.get("encoding"))
+                           c.get("encoding"), c.get("id"))
                 for c in doc.get("columns", [])]
         return cls(num_rows=int(doc.get("num_rows", 0)), columns=cols)
 

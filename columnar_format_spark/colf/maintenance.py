@@ -28,6 +28,7 @@ from .datasource import (
     bloom_columns,
     commit_snapshot,
     dataset_files,
+    dataset_logical_columns,
     dataset_union_columns,
     live_files,
     load_blooms,
@@ -45,9 +46,20 @@ from .datasource import (
 def _with_bloom_opt(writer, path: str):
     """Rewrites (compaction, CoW survivor passes) must preserve the
     dataset's Bloom-filter columns — a compacted or delete-rewritten
-    file with no bloom would silently stop pruning point lookups."""
+    file with no bloom would silently stop pruning point lookups —
+    and, on a schema-evolved dataset, must embed the table's FIELD IDS
+    in their outputs (option tableSchemaFrom): the rewrites write to a
+    tmp dir before renaming files in, and an id-less rewrite would
+    resolve only through the bootstrap name mapping, losing columns
+    re-added after a drop."""
+    from .datasource import current_table_schema
+
     cols = bloom_columns(path)
-    return writer.option("bloomColumns", ",".join(cols)) if cols else writer
+    if cols:
+        writer = writer.option("bloomColumns", ",".join(cols))
+    if current_table_schema(path) is not None:
+        writer = writer.option("tableSchemaFrom", path)
+    return writer
 
 
 def _merge_bloom_files(path: str, tmp: str) -> None:
@@ -165,7 +177,7 @@ def evolve_partition_spec(path: str, columns: list[str]) -> int:
     if not live:
         raise ColfFormatError(f"no live .colf files at {path}")
     canon = _validate_partition_cols(list(columns),
-                                     dataset_union_columns(path, live))
+                                     dataset_logical_columns(path, live))
     snaps = load_snapshots(path)
     parent = snaps[-1]["version"] if snaps else 0
     return commit_snapshot(
@@ -188,7 +200,7 @@ def set_sort_order(path: str, columns: list[str]) -> int:
     live = live_files(path)
     if not live:
         raise ColfFormatError(f"no live .colf files at {path}")
-    _validate_sort_cols(list(columns), dataset_union_columns(path, live))
+    _validate_sort_cols(list(columns), dataset_logical_columns(path, live))
     snaps = load_snapshots(path)
     parent = snaps[-1]["version"] if snaps else 0
     return commit_snapshot(
@@ -214,7 +226,7 @@ def set_clustering(path: str, columns: list[str]) -> int:
     live = live_files(path)
     if not live:
         raise ColfFormatError(f"no live .colf files at {path}")
-    types = {c.name: c.type for c in dataset_union_columns(path, live)}
+    types = {c.name: c.type for c in dataset_logical_columns(path, live)}
     for c in columns:
         if c not in types:
             raise ColfFormatError(
@@ -673,6 +685,154 @@ def compact(spark: SparkSession, path: str, target_files: int | None = None,
     return len(moved)
 
 
+def _bootstrap_table_schema(path: str) -> dict:
+    """The dataset's field-ID table schema, BOOTSTRAPPING it from the
+    live files' union when no evolution has run yet: ids assigned in
+    union order, and the name mapping frozen at the then-current names
+    (it resolves columns of ID-less files — reference-written and
+    pre-evolution — and never grows afterwards, so historical names
+    can even be reused for new columns without ambiguity: resolution
+    is always old-name → id → current-name)."""
+    from .datasource import current_table_schema
+
+    meta = current_table_schema(path)
+    if meta is not None:
+        return {"fields": [dict(f) for f in meta["fields"]],
+                "last_id": meta.get("last_id",
+                                    max(f["id"] for f in meta["fields"])),
+                "name_mapping": dict(meta["name_mapping"])}
+    live = live_files(path)
+    if not live:
+        from .format import ColfFormatError
+
+        raise ColfFormatError(
+            f"schema evolution needs a non-empty dataset at {path}")
+    cols = dataset_union_columns(path, live)
+    fields = [{"id": i + 1, "name": c.name, "type": c.type}
+              for i, c in enumerate(cols)]
+    # last_id is Iceberg's last-column-id: the high-water mark of ids
+    # EVER assigned, kept monotone so a dropped column's id is never
+    # reused (reuse would resurrect the old data under the new column)
+    return {"fields": fields, "last_id": len(fields),
+            "name_mapping": {f["name"]: f["id"] for f in fields}}
+
+
+def _guard_schema_change(path: str, name: str, what: str) -> None:
+    """A column referenced by CURRENT table layout metadata (partition
+    spec, sort order, z-order clustering) or by LIVE equality-delete
+    predicates cannot be renamed/dropped/widened — those reference
+    columns BY NAME, so the change would silently break pruning or,
+    worse, fail delete-mask evaluation at read time. compact() first
+    (materializes eq deletes), or evolve the layout first."""
+    import re
+
+    from .datasource import (current_clustering, current_partition_spec,
+                             current_sort_order, published_head)
+    from .format import ColfFormatError
+
+    pat = re.compile(rf"\b{re.escape(name)}\b")
+    for kind, entries in (
+            ("partition spec", current_partition_spec(path) or []),
+            ("sort order", current_sort_order(path) or []),
+            ("clustering", current_clustering(path) or [])):
+        if any(pat.search(e) for e in entries):
+            raise ColfFormatError(
+                f"cannot {what} column '{name}' at {path}: the current "
+                f"{kind} {entries} references it. Evolve the layout "
+                f"first (evolve_partition_spec / set_sort_order / "
+                f"set_clustering).")
+    head = published_head(path)
+    eqs = (head or {}).get("eq_deletes") or []
+    if any(spec["col"] == name for e in eqs for spec in e["filters"]):
+        raise ColfFormatError(
+            f"cannot {what} column '{name}' at {path}: live equality "
+            f"deletes reference it by name and would stop applying. "
+            f"compact(retain=True) first to materialize them.")
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """RENAME a column (Iceberg schema evolution, field-ID based): one
+    metadata commit recording the updated table schema — zero data
+    files touched. Old files keep their physical name and resolve by
+    field id (embedded for post-evolution files, via the frozen
+    bootstrap name mapping for reference-written/pre-evolution files),
+    so reads across old+new files see ONE column under the new name.
+    Time travel to pre-rename versions still shows the old name (the
+    schema is resolved at the read's snapshot). Returns the new
+    version."""
+    import re
+
+    from .format import ColfFormatError
+
+    meta = _bootstrap_table_schema(path)
+    names = [f["name"] for f in meta["fields"]]
+    if old not in names:
+        raise ColfFormatError(
+            f"unknown column '{old}' at {path} (have {names})")
+    if new in names:
+        raise ColfFormatError(
+            f"cannot rename '{old}' to '{new}' at {path}: the name is "
+            f"taken (drop it first)")
+    if not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", new):
+        raise ColfFormatError(f"invalid column name {new!r}")
+    _guard_schema_change(path, old, "rename")
+    for f in meta["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    parent, live0 = _bootstrap_log(path)
+    return commit_snapshot(path, live0, expected_parent=parent,
+                           table_schema=meta)
+
+
+def drop_column(path: str, name: str) -> int:
+    """DROP a column: one metadata commit — the data stays in the
+    files (time travel still sees it) but reads project it away. A
+    later append may re-add the name; it gets a FRESH field id, so the
+    old files' data never resurrects under it (Iceberg semantics).
+    Returns the new version."""
+    from .format import ColfFormatError
+
+    meta = _bootstrap_table_schema(path)
+    names = [f["name"] for f in meta["fields"]]
+    if name not in names:
+        raise ColfFormatError(
+            f"unknown column '{name}' at {path} (have {names})")
+    if len(meta["fields"]) == 1:
+        raise ColfFormatError(
+            f"cannot drop the only column of {path}")
+    _guard_schema_change(path, name, "drop")
+    meta["fields"] = [f for f in meta["fields"] if f["name"] != name]
+    parent, live0 = _bootstrap_log(path)
+    return commit_snapshot(path, live0, expected_parent=parent,
+                           table_schema=meta)
+
+
+def widen_column(path: str, name: str, to: str = "float64") -> int:
+    """WIDEN a column's type (Iceberg type promotion). The format has
+    one legal promotion — int32 → float64 (every int32 is exactly
+    representable); old files decode their int32 blocks and cast at
+    read time, new appends must write float64. One metadata commit.
+    Returns the new version."""
+    from .format import ColfFormatError
+
+    meta = _bootstrap_table_schema(path)
+    by_name = {f["name"]: f for f in meta["fields"]}
+    if name not in by_name:
+        raise ColfFormatError(
+            f"unknown column '{name}' at {path} "
+            f"(have {sorted(by_name)})")
+    cur = by_name[name]["type"]
+    if (cur, to) != ("int32", "float64"):
+        raise ColfFormatError(
+            f"unsupported widening {cur} -> {to} for '{name}' at "
+            f"{path}: the only legal promotion is int32 -> float64")
+    _guard_schema_change(path, name, "widen")
+    by_name[name]["type"] = to
+    parent, live0 = _bootstrap_log(path)
+    return commit_snapshot(path, live0, expected_parent=parent,
+                           table_schema=meta)
+
+
 def rewrite_delete_files(spark: SparkSession, path: str,
                          target_files: int | None = None) -> dict:
     """MINOR compaction of merge-on-read position deletes (Iceberg's
@@ -869,6 +1029,13 @@ def vacuum(path: str, keep_last: int = 1,
             cluster = current_clustering(path)
             if cluster is not None:
                 kept[i0] = dict(kept[i0], inherited_cluster=cluster)
+        if not any("table_schema" in s or "inherited_table_schema" in s
+                   for s in kept):
+            from .datasource import current_table_schema
+
+            ts = current_table_schema(path)
+            if ts is not None:
+                kept[i0] = dict(kept[i0], inherited_table_schema=ts)
         if any(s.get("eq_deletes") for s in kept):
             # equality deletes gate by each file's FIRST log version;
             # pruning the log would make surviving old files look
@@ -1056,7 +1223,7 @@ def _delete_where_eq(path: str, condition: str) -> dict:
         raise ColfFormatError(
             f"equality delete needs a dataset with a metadata log at "
             f"{path} (sequence numbers come from the log)")
-    union_cols = dataset_union_columns(
+    union_cols = dataset_logical_columns(
         path, [os.path.join(path, b) for b in live0]) if live0 else []
     types = {c.name: c.type for c in union_cols}
     flts = _parse_condition(condition, types)
@@ -1140,7 +1307,7 @@ def _delete_where_mor(spark: SparkSession, path: str,
 
     if not live0:
         return noop()
-    union_cols = dataset_union_columns(
+    union_cols = dataset_logical_columns(
         path, [os.path.join(path, b) for b in live0])
     fields = [c.name for c in union_cols]
     # column-pruned scan: only the condition's columns decode (the
@@ -1255,7 +1422,7 @@ def delete_where(spark: SparkSession, path: str, condition: str,
         return noop()
     # dataset fields/types from driver-side header+manifest reads —
     # no Spark job for schema
-    union_cols = dataset_union_columns(
+    union_cols = dataset_logical_columns(
         path, [os.path.join(path, b) for b in live0])
     types = {c.name: c.type for c in union_cols}
     fields = list(types)
@@ -1402,7 +1569,7 @@ def _update_where_mor(spark: SparkSession, path: str,
 
     if not live0:
         return noop()
-    union_cols = dataset_union_columns(
+    union_cols = dataset_logical_columns(
         path, [os.path.join(path, b) for b in live0])
     types = {c.name: c.type for c in union_cols}
     from .format import ColfFormatError, read_schema
@@ -1547,7 +1714,7 @@ def update_where(spark: SparkSession, path: str,
 
     if not live0:
         return noop()
-    union_cols = dataset_union_columns(
+    union_cols = dataset_logical_columns(
         path, [os.path.join(path, b) for b in live0])
     types = {c.name: c.type for c in union_cols}
     from .format import ColfFormatError
@@ -1670,7 +1837,7 @@ def _merge_into_mor(spark: SparkSession, path: str, source,
     if not key_cols:
         raise ValueError("merge_into() needs at least one key column")
     parent, live0 = _bootstrap_log(path)
-    target_fields = ([c.name for c in dataset_union_columns(
+    target_fields = ([c.name for c in dataset_logical_columns(
         path, [os.path.join(path, b) for b in live0])] if live0 else
         spark.read.format("colf").load(path).schema.fieldNames())
     if source.schema.fieldNames() != target_fields:
@@ -1870,7 +2037,7 @@ def merge_into(spark: SparkSession, path: str, source,
 
     # dataset fields from driver-side header+manifest reads — no Spark
     # job for schema
-    target_fields = ([c.name for c in dataset_union_columns(
+    target_fields = ([c.name for c in dataset_logical_columns(
         path, [os.path.join(path, b) for b in live0])] if live0 else
         spark.read.format("colf").load(path).schema.fieldNames())
     if source.schema.fieldNames() != target_fields:

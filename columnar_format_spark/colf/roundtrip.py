@@ -3011,3 +3011,80 @@ def q201_colf_rewrite_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"))
+
+
+@register(
+    "q202_colf_schema_evolution",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    base AS (
+      SELECT o_orderkey, o_orderstatus AS status FROM orders
+      UNION ALL
+      SELECT o_orderkey + mx.m + 1, 'M' FROM orders, mx
+      WHERE o_orderkey % 50 = 7),
+    vis AS (
+      SELECT base.o_orderkey, base.status FROM base, mx
+      WHERE NOT (base.status = 'O' AND base.o_orderkey <= mx.m // 4))
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM vis GROUP BY status
+    """,
+)
+def q202_colf_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIELD-ID schema evolution (maintenance.rename_column /
+    widen_column — the Iceberg model): the status column is RENAMED and
+    the key column WIDENED int32→float64 as pure metadata commits; an
+    append then lands files under the NEW schema next to the old-named
+    int32 files, and a merge-on-read delete (condition written in the
+    new names) masks rows across BOTH file generations. The aggregate
+    matches the oracle iff by-ID resolution unifies old and new files
+    exactly: old files' 'o_orderstatus' surfaces as 'status' via the
+    frozen bootstrap name mapping, their int32 keys cast to float64 at
+    decode, and the new files resolve by their embedded ids.
+
+    Scale: rename/drop/widen are one metadata commit each — zero data
+    bytes at any table size (a name-based engine rewrites the table).
+    Readers pay one extra dict lookup per column per file; zone-map
+    pruning keeps working for new-name files and degrades to
+    keep-everything (never wrong) for old-name files. Time travel
+    resolves the schema of its era (asserted in-query). Pinned with
+    drop/re-add no-resurrection and guard coverage in
+    tests/test_colf_schema_evolution.py; fuzzed as a rename op in
+    tests/test_colf_dml_model.py."""
+    from .datasource import register as register_ds
+    from .maintenance import delete_where, rename_column, widen_column
+
+    register_ds(spark)
+    tmpl = _stage_cdc_orders(spark, sf_dir)
+    path = run_dir(("colf-evo-run", sf_dir), "colf_evo_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+    mx = _CDC_MAXKEY[sf_dir]
+
+    rename_column(path, "o_orderstatus", "status")      # v2: metadata only
+    widen_column(path, "o_orderkey")                    # v3: int32→float64
+    got = spark.read.format("colf").load(path)
+    if got.columns != ["o_orderkey", "status"] \
+            or dict(got.dtypes)["o_orderkey"] != "double":
+        raise AssertionError(f"evolved schema wrong: {got.dtypes}")
+    # time travel sees the schema of its era
+    tv = spark.read.format("colf").option("snapshot", "1").load(path)
+    if tv.columns != ["o_orderkey", "o_orderstatus"]:
+        raise AssertionError(f"v1 schema not preserved: {tv.columns}")
+    # append under the NEW schema (float64 key, new column name)
+    o = table(spark, sf_dir, "orders")
+    (o.filter(F.col("o_orderkey") % 50 == 7)
+     .select((F.col("o_orderkey") + (mx + 1)).cast("double")
+             .alias("o_orderkey"),
+             F.lit("M").alias("status"))
+     .coalesce(1).write.format("colf").mode("append").save(path))  # v4
+    # MoR delete in the NEW names masks rows in OLD-named int32 files
+    s = delete_where(spark, path,
+                     f"status = 'O' AND o_orderkey <= {mx // 4}",
+                     mode="mor")
+    if s["n_rewritten_files"] or s["n_deleted_rows"] < 1:
+        raise AssertionError(f"MoR delete under evolved schema: {s}")
+    back = spark.read.format("colf").load(path)
+    return back.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"))

@@ -19,6 +19,7 @@ from columnar_format_spark.colf.maintenance import (
     compact,
     delete_where,
     merge_into,
+    rename_column,
     rewrite_delete_files,
     rollback,
     update_where,
@@ -32,9 +33,13 @@ def colf_spark(spark):
     return spark
 
 
-def _visible(colf_spark, path) -> pd.DataFrame:
-    pdf = (colf_spark.read.format("colf").load(path)
-           .toPandas().sort_values(["k", "v"]).reset_index(drop=True))
+def _visible(colf_spark, path, vname="v") -> pd.DataFrame:
+    pdf = colf_spark.read.format("colf").load(path).toPandas()
+    if vname != "v":
+        # the fuzz may have renamed the value column; compare under
+        # the canonical name (rename is pure metadata)
+        pdf = pdf.rename(columns={vname: "v"})
+    pdf = pdf.sort_values(["k", "v"]).reset_index(drop=True)
     return pdf.astype({"k": "int64", "v": "float64"})
 
 
@@ -43,8 +48,8 @@ def _model_sorted(model: pd.DataFrame) -> pd.DataFrame:
             .astype({"k": "int64", "v": "float64"}))
 
 
-def _check(colf_spark, path, model, opname):
-    got = _visible(colf_spark, path)
+def _check(colf_spark, path, model, opname, vname="v"):
+    got = _visible(colf_spark, path, vname)
     want = _model_sorted(model)
     assert len(got) == len(want), (opname, len(got), len(want))
     pd.testing.assert_frame_equal(got, want, check_dtype=True), opname
@@ -71,7 +76,8 @@ def test_random_dml_sequences_match_pandas_model(colf_spark, tmp_path):
 
     OPS = ["append", "del_cow", "del_mor", "del_eq", "upd_cow",
            "upd_mor", "mrg_cow", "mrg_mor", "compact", "vacuum",
-           "rollback", "rewrite_dels"]
+           "rollback", "rewrite_dels", "rename"]
+    vname = "v"  # current physical name of the value column
     for step in range(28):
         op = rng.choice(OPS)
         if op == "append":
@@ -79,7 +85,8 @@ def test_random_dml_sequences_match_pandas_model(colf_spark, tmp_path):
             rows = mkrows(next_key, n)
             next_key += n
             (colf_spark.createDataFrame(rows)
-             .select(F.col("k").cast("int"), F.col("v").cast("double"))
+             .select(F.col("k").cast("int"),
+                     F.col("v").cast("double").alias(vname))
              .coalesce(1).write.format("colf").mode("append").save(p))
             model = pd.concat([model, rows], ignore_index=True)
         elif op.startswith("del"):
@@ -103,7 +110,7 @@ def test_random_dml_sequences_match_pandas_model(colf_spark, tmp_path):
             lo = rng.choice(ks)
             hi = lo + rng.randint(1, 40)
             mode = "cow" if op == "upd_cow" else "mor"
-            s = update_where(colf_spark, p, {"v": "v + 100"},
+            s = update_where(colf_spark, p, {vname: f"{vname} + 100"},
                              f"k >= {lo} AND k < {hi}", mode=mode)
             sel = (model["k"] >= lo) & (model["k"] < hi)
             assert s["n_updated_rows"] == int(sel.sum()), (step, op, s)
@@ -121,7 +128,7 @@ def test_random_dml_sequences_match_pandas_model(colf_spark, tmp_path):
                 ins], ignore_index=True).drop_duplicates("k")
             sdf = (colf_spark.createDataFrame(src)
                    .select(F.col("k").cast("int"),
-                           F.col("v").cast("double")))
+                           F.col("v").cast("double").alias(vname)))
             mode = "cow" if op == "mrg_cow" else "mor"
             s = merge_into(colf_spark, p, sdf, ["k"], mode=mode)
             assert s["n_source_rows"] == len(src), (step, op, s)
@@ -136,6 +143,18 @@ def test_random_dml_sequences_match_pandas_model(colf_spark, tmp_path):
             s = rewrite_delete_files(colf_spark, p)
             assert s["n_delete_files_after"] <= max(
                 1, s["n_delete_files_before"]), (step, s)
+        elif op == "rename":
+            # field-ID rename is pure metadata and invisible to the
+            # model (compared under the canonical name); it must
+            # refuse while live eq-deletes reference the column
+            new = "v2" if vname == "v" else "v"
+            head = load_snapshots(p)[-1]
+            try:
+                rename_column(p, vname, new)
+                vname = new
+            except ColfFormatError as exc:
+                assert head.get("eq_deletes"), (step, str(exc))
+                assert "equality deletes" in str(exc), (step, str(exc))
         elif op == "vacuum":
             vacuum(p, keep_last=rng.randint(1, 3))
         elif op == "rollback":
@@ -151,4 +170,4 @@ def test_random_dml_sequences_match_pandas_model(colf_spark, tmp_path):
                 assert "vacuumed" in str(exc), (step, str(exc))
         head = load_snapshots(p)[-1]["version"]
         history[head] = model.copy()
-        _check(colf_spark, p, model, f"step {step}: {op}")
+        _check(colf_spark, p, model, f"step {step}: {op}", vname)

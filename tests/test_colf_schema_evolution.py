@@ -142,3 +142,165 @@ def test_stream_read_of_evolved_dataset(colf_spark, evolved, tmp_path):
     back = colf_spark.read.parquet(out)
     assert back.count() == 12_000
     assert back.filter("tag IS NULL").count() == 8000
+
+
+# ---------------------------------------------------------------------------
+# FIELD-ID schema evolution (rename / drop / widen): the Iceberg model
+# on top of the additive union — ids embedded in post-evolution files,
+# a frozen bootstrap name mapping resolving reference-written/
+# pre-evolution files, schema resolved at the read's snapshot.
+
+def _evo_ds(colf_spark, tmp_path, name="evods"):
+    p = str(tmp_path / name)
+    (colf_spark.range(0, 100)
+     .select(F.col("id").cast("int").alias("k"),
+             (F.col("id") % 7).cast("double").alias("v"),
+             (F.col("id") % 3).cast("string").alias("g"))
+     .repartition(2).write.format("colf").mode("overwrite").save(p))
+    return p
+
+
+def test_rename_reads_across_old_and_new_files(colf_spark, tmp_path):
+    from columnar_format_spark.colf.maintenance import rename_column
+
+    p = _evo_ds(colf_spark, tmp_path)
+    rename_column(p, "v", "score")
+    # new-name append lands next to old-name files
+    (colf_spark.range(100, 150)
+     .select(F.col("id").cast("int").alias("k"),
+             (F.col("id") % 7).cast("double").alias("score"),
+             (F.col("id") % 3).cast("string").alias("g"))
+     .coalesce(1).write.format("colf").mode("append").save(p))
+    got = colf_spark.read.format("colf").load(p)
+    assert got.columns == ["k", "score", "g"]
+    assert got.count() == 150
+    # the renamed column is ONE column across both file generations
+    assert (colf_spark.read.format("colf").load(p)
+            .filter("score IS NULL").count() == 0)
+    # filters push down by the new name; old files stay correct
+    assert (colf_spark.read.format("colf").load(p)
+            .filter("score >= 3").count()
+            == sum(1 for i in range(150) if i % 7 >= 3))
+    # time travel to the pre-rename version shows the old name
+    tv = colf_spark.read.format("colf").option("snapshot", "1").load(p)
+    assert tv.columns == ["k", "v", "g"]
+    assert tv.count() == 100
+
+
+def test_rename_guards(colf_spark, tmp_path):
+    from columnar_format_spark.colf.maintenance import (delete_where,
+                                                        rename_column)
+
+    p = _evo_ds(colf_spark, tmp_path)
+    with pytest.raises(ColfFormatError, match="unknown column"):
+        rename_column(p, "nope", "x")
+    with pytest.raises(ColfFormatError, match="taken"):
+        rename_column(p, "v", "g")
+    with pytest.raises(ColfFormatError, match="invalid column name"):
+        rename_column(p, "v", "bad name")
+    delete_where(colf_spark, p, "g = '0'", mode="eq")
+    with pytest.raises(ColfFormatError, match="equality deletes"):
+        rename_column(p, "g", "grp")
+    # other columns still evolvable
+    rename_column(p, "v", "score")
+
+
+def test_rename_guard_on_layout_columns(colf_spark, tmp_path):
+    from columnar_format_spark.colf.maintenance import (rename_column,
+                                                        set_sort_order)
+
+    p = str(tmp_path / "layoutds")
+    (colf_spark.range(0, 50)
+     .select(F.col("id").cast("int").alias("k"),
+             (F.col("id") % 5).cast("string").alias("g"))
+     .write.format("colf").option("partitionColumns", "g")
+     .mode("overwrite").save(p))
+    with pytest.raises(ColfFormatError, match="partition spec"):
+        rename_column(p, "g", "grp")
+    set_sort_order(p, ["k"])
+    with pytest.raises(ColfFormatError, match="sort order"):
+        rename_column(p, "k", "key")
+
+
+def test_drop_hides_without_resurrection(colf_spark, tmp_path):
+    from columnar_format_spark.colf.maintenance import compact, drop_column
+
+    p = _evo_ds(colf_spark, tmp_path)
+    drop_column(p, "g")
+    got = colf_spark.read.format("colf").load(p)
+    assert got.columns == ["k", "v"]
+    # re-adding the NAME creates a fresh field: old data stays hidden,
+    # even after a compaction rewrites the old files
+    (colf_spark.range(100, 110)
+     .select(F.col("id").cast("int").alias("k"),
+             (F.col("id") % 7).cast("double").alias("v"),
+             F.lit(9.0).alias("g"))
+     .coalesce(1).write.format("colf").mode("append").save(p))
+    assert (colf_spark.read.format("colf").load(p)
+            .filter("g IS NOT NULL").count() == 10)
+    compact(colf_spark, p, 2, retain=True)
+    assert (colf_spark.read.format("colf").load(p)
+            .filter("g IS NOT NULL").count() == 10)
+    # time travel pre-drop still sees the old column
+    tv = colf_spark.read.format("colf").option("snapshot", "1").load(p)
+    assert "g" in tv.columns
+    with pytest.raises(ColfFormatError, match="only column"):
+        ds2 = str(tmp_path / "one")
+        (colf_spark.range(3).select(F.col("id").cast("int").alias("k"))
+         .write.format("colf").mode("overwrite").save(ds2))
+        drop_column(ds2, "k")
+
+
+def test_widen_int32_to_float64(colf_spark, tmp_path):
+    from columnar_format_spark.colf.maintenance import widen_column
+
+    p = _evo_ds(colf_spark, tmp_path)
+    widen_column(p, "k")
+    got = colf_spark.read.format("colf").load(p)
+    assert dict(got.dtypes)["k"] == "double"
+    assert got.agg(F.sum("k")).first()[0] == sum(range(100))
+    # appends must write the widened type
+    with pytest.raises(Exception, match="float64"):
+        (colf_spark.range(100, 110)
+         .select(F.col("id").cast("int").alias("k"),
+                 F.lit(0.0).alias("v"), F.lit("x").alias("g"))
+         .coalesce(1).write.format("colf").mode("append").save(p))
+    (colf_spark.range(100, 110)
+     .select(F.col("id").cast("double").alias("k"),
+             F.lit(0.0).alias("v"), F.lit("x").alias("g"))
+     .coalesce(1).write.format("colf").mode("append").save(p))
+    assert (colf_spark.read.format("colf").load(p)
+            .agg(F.sum("k")).first()[0] == sum(range(110)))
+    with pytest.raises(ColfFormatError, match="only legal promotion"):
+        widen_column(p, "g")
+
+
+def test_evolved_dataset_mor_masks_and_cdc(colf_spark, tmp_path):
+    """Interplay: MoR deletes, the change feed, and a rename all on one
+    dataset — masks stay exact through by-ID resolution and CDC emits
+    in the CURRENT schema."""
+    from columnar_format_spark.colf.maintenance import (delete_where,
+                                                        rename_column)
+
+    p = _evo_ds(colf_spark, tmp_path)
+    delete_where(colf_spark, p, "v >= 5", mode="mor")     # v2: id%7 in {5,6}
+    rename_column(p, "v", "score")                        # v3
+    (colf_spark.range(100, 120)
+     .select(F.col("id").cast("int").alias("k"),
+             (F.col("id") % 7).cast("double").alias("score"),
+             (F.col("id") % 3).cast("string").alias("g"))
+     .coalesce(1).write.format("colf").mode("append").save(p))  # v4
+    # position deletes address the ORIGINAL files only; the v4 append
+    # is untouched by them
+    expect = sum(1 for i in range(100) if i % 7 < 5) + 20
+    assert colf_spark.read.format("colf").load(p).count() == expect
+    cdc = (colf_spark.read.format("colf")
+           .option("readChangeFeed", "true").load(p))
+    assert "score" in cdc.columns and "v" not in cdc.columns
+    rows = cdc.collect()
+    n_del = sum(1 for r in rows if r["_change_type"] == "delete")
+    n_ins = sum(1 for r in rows if r["_change_type"] == "insert")
+    assert (n_ins - n_del) == expect
+    # deleted rows surface under the current name with their values
+    assert all(r["score"] >= 5 for r in rows
+               if r["_change_type"] == "delete")
