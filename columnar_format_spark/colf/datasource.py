@@ -118,6 +118,22 @@ def spark_to_colf_columns(schema: StructType) -> list[ColfColumn]:
     return cols
 
 
+
+
+def _local_path(p):
+    """Normalize a Spark-supplied path option to a local filesystem
+    path: the SQL surface (CREATE TABLE ... USING colf OPTIONS (path
+    ...)) hands the source a qualified file: URI, while the DataFrame
+    API passes the raw string. (A real deployment would dispatch other
+    schemes to a filesystem abstraction; this engine is
+    local/NFS-posix by contract.)"""
+    if p and p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(p).path)
+    return p
+
+
 @dataclass
 class ColfInputPartition(InputPartition):
     file: str
@@ -1225,9 +1241,11 @@ def _file_may_match(stats: dict, flt: Filter) -> bool:
 
 class ColfReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
-        self.path = options.get("path")
+        self.path = _local_path(options.get("path"))
         if not self.path:
-            raise ColfFormatError("colf reader requires a path")
+            raise ColfFormatError(
+                f"colf reader requires a path "
+                f"(got options: {sorted(options)})")
         cols_opt = options.get("columns")
         self.columns = [c.strip() for c in cols_opt.split(",") if c.strip()] if cols_opt else None
         self.schema = schema
@@ -2359,7 +2377,7 @@ def _stripe_stats(chunks: dict, num_rows: int, stripe_rows: int) -> list:
 
 class ColfWriter(DataSourceArrowWriter):
     def __init__(self, options, schema: StructType, overwrite: bool):
-        self.path = options.get("path")
+        self.path = _local_path(options.get("path"))
         if not self.path:
             raise ColfFormatError("colf writer requires a path")
         self.schema = schema
@@ -2661,7 +2679,7 @@ class ColfStreamReader(DataSourceStreamReader):
     """
 
     def __init__(self, options, schema: StructType):
-        self.path = options.get("path")
+        self.path = _local_path(options.get("path"))
         if not self.path:
             raise ColfFormatError("colf stream reader requires a path")
         self.schema = schema
@@ -2879,7 +2897,7 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
     retried micro-batch cannot double-append."""
 
     def __init__(self, options, schema: StructType, overwrite: bool):
-        self.path = options.get("path")
+        self.path = _local_path(options.get("path"))
         if not self.path:
             raise ColfFormatError("colf stream writer requires a path")
         self.schema = schema
@@ -2990,7 +3008,7 @@ class ColfDataSource(DataSource):
         return "colf"
 
     def schema(self):
-        path = self.options.get("path")
+        path = _local_path(self.options.get("path"))
         if not path:
             raise ColfFormatError("colf source requires a path")
         # The dataset schema comes from the files the READ will
@@ -3134,6 +3152,31 @@ def register(spark) -> None:
     """
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ColfDataSource)
+
+
+def register_table(spark, name: str, path: str, **options):
+    """SQL surface for a COLF dataset: register it under ``name`` so
+    ``spark.sql`` queries it like any table — filters push down into
+    the zone-map/Bloom planning identically to the DataFrame API, and
+    every read option (snapshot/ref time travel, readChangeFeed,
+    columns, ...) is accepted as a keyword.
+
+    Implemented as a temp view over the DataFrame read, NOT a catalog
+    table: ``CREATE TABLE ... USING colf OPTIONS (path ...)`` CREATES
+    fine (schema inference receives the options), but upstream PySpark
+    4.1.2 does not plumb catalog-table options into Python data source
+    SCANS — the reader is constructed with an empty options map, so
+    the first SELECT fails with "requires a path". The gap is pinned
+    with an upgrade canary in tests/test_colf_sql.py (same practice as
+    the pushdown scan-reuse hazard); when a Spark upgrade starts
+    passing table options through, switch this to a real catalog
+    table. Returns the registered DataFrame."""
+    r = spark.read.format("colf")
+    for k, v in options.items():
+        r = r.option(k, str(v))
+    df = r.load(path)
+    df.createOrReplaceTempView(name)
+    return df
 
 
 def read_colf(spark, path: str, columns: list[str] | None = None):

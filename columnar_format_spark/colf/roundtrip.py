@@ -3088,3 +3088,53 @@ def q202_colf_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("status").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"))
+
+
+@register(
+    "q203_colf_sql_surface",
+    oracle="""
+    SELECT l_linenumber,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 2 = 0)
+                AS BIGINT) AS n_v1
+    FROM lineitem WHERE l_orderkey > 1000
+    GROUP BY l_linenumber
+    """,
+)
+def q203_colf_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point (datasource.register_table): a real user's
+    first act is often ``spark.sql``, so the staged three-version COLF
+    dataset is registered as TABLES — the current version, and a
+    TIME-TRAVEL view pinned at v1 — and ONE SQL statement aggregates
+    the current table under a pushable key predicate while a scalar
+    subquery counts the v1 table. Matches the oracle iff the SQL
+    surface sees exactly the DataFrame API's semantics: same zone-map
+    pruned scan, same snapshot resolution.
+
+    Why views, not catalog tables: upstream PySpark 4.1.2 does not
+    plumb ``CREATE TABLE ... USING colf OPTIONS (path ...)`` options
+    into Python data source SCANS (the reader is constructed with an
+    empty options map), so catalog tables create but cannot select.
+    The gap is pinned with an upgrade canary in tests/test_colf_sql.py
+    (the same discipline as the pushdown scan-reuse hazard); this
+    query is the switch point when a Spark upgrade fixes it.
+
+    Scale: nothing here is view-specific — Catalyst plans the exact
+    scan the DataFrame API gets, so pushdown, stripe planning, and
+    snapshot pinning are identical at any table size."""
+    from .datasource import register as register_ds
+    from .datasource import register_table
+
+    register_ds(spark)
+    path = _stage_timetravel_colf(spark, sf_dir)
+    register_table(spark, "colf_li_sql", path)
+    register_table(spark, "colf_li_sql_v1", path, snapshot=1)
+    return spark.sql("""
+        SELECT l_linenumber,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               (SELECT COUNT(*) FROM colf_li_sql_v1) AS n_v1
+        FROM colf_li_sql WHERE l_orderkey > 1000
+        GROUP BY l_linenumber
+    """)
