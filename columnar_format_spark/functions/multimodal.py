@@ -512,3 +512,156 @@ def q194_multimodal_wav(spark, sf_dir: str):
         F.sum("n").cast("bigint").alias("total_samples"),
         F.sum("energy").cast("bigint").alias("total_energy"),
         F.min("ok").alias("roundtrip_ok")))
+
+
+# --- q204: a REAL video codec (YUV4MPEG2 / Y4M, C444) in pure numpy -------
+
+
+def encode_y4m(frames, fps: int) -> bytes:
+    """uint8 frames of shape (n, h, w, 3) — planes Y, Cb, Cr in the
+    last axis — to a standard YUV4MPEG2 stream (C444: full-resolution
+    chroma, one w*h plane per component per frame). Y4M is THE
+    uncompressed interchange container (ffmpeg/x264 pipe format), and
+    C444 keeps the bytes loss-free, so the round trip is exact."""
+    import numpy as np
+
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    if f.ndim != 4 or f.shape[3] != 3:
+        raise ValueError(f"expected (n, h, w, 3) frames, got {f.shape}")
+    n, h, w, _ = f.shape
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C444\n" % (w, h, fps)]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        # plane-major: all Y bytes, then Cb, then Cr (C444 layout)
+        out.append(np.transpose(f[i], (2, 0, 1)).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(blob: bytes):
+    """Y4M bytes -> (w, h, fps, uint8 frames (n, h, w, 3)). Validates
+    the stream magic, the C444 colorspace tag, every FRAME marker, and
+    the total length — truncated or subsampled input raises instead of
+    yielding garbage planes."""
+    import re
+
+    import numpy as np
+
+    m = re.match(rb"YUV4MPEG2 ([^\n]*)\n", blob)
+    if not m:
+        raise ValueError("not a YUV4MPEG2 stream (bad magic)")
+    params = {p[:1]: p[1:] for p in m.group(1).split(b" ") if p}
+    try:
+        w, h = int(params[b"W"]), int(params[b"H"])
+        fps = int(params[b"F"].split(b":")[0])
+    except (KeyError, ValueError) as exc:
+        raise ValueError(f"bad Y4M header params: {m.group(1)!r}") from exc
+    if params.get(b"C", b"444") not in (b"444",):
+        raise ValueError(
+            f"unsupported colorspace C{params[b'C'].decode()} "
+            f"(only C444 round-trips losslessly)")
+    frame_bytes = 3 * w * h
+    body = blob[m.end():]
+    step = 6 + frame_bytes          # b"FRAME\n" + planes
+    if len(body) % step:
+        raise ValueError(
+            f"stream body is {len(body)} bytes, not a multiple of "
+            f"FRAME marker + {frame_bytes}-byte C444 payload")
+    n = len(body) // step
+    frames = np.empty((n, h, w, 3), dtype=np.uint8)
+    for i in range(n):
+        chunk = body[i * step:(i + 1) * step]
+        if chunk[:6] != b"FRAME\n":
+            raise ValueError(f"frame {i}: missing FRAME marker")
+        planes = np.frombuffer(chunk[6:], dtype=np.uint8).reshape(3, h, w)
+        frames[i] = np.transpose(planes, (1, 2, 0))
+    return w, h, fps, frames
+
+
+@register(
+    "q204_multimodal_y4m",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id, source,
+             16 + doc_id % 8 AS w,
+             8 + doc_id % 4 AS h,
+             4 + doc_id % 4 AS n,
+             (4 + doc_id % 4 + 1) // 2 AS cnt
+      FROM documents WHERE doc_id < 200)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_videos,
+           CAST(SUM(n) AS BIGINT) AS total_frames,
+           CAST(SUM(cnt) AS BIGINT) AS sampled_frames,
+           CAST(SUM(cnt * (h * w * (w - 1) // 2)
+                    + 3 * w * h * cnt * (cnt - 1)) AS BIGINT)
+             AS sampled_y_sum,
+           true AS roundtrip_ok
+    FROM vids GROUP BY source
+    """,
+)
+def q204_multimodal_y4m(spark, sf_dir: str):
+    """REAL video decode in the multimodal tier (the q193/q194 pattern,
+    third modality): deterministic Y4M/C444 clips — per-frame planes
+    Y=x+3t, Cb=y+5t, Cr=x+y+7t, gradients so stride or frame-order
+    bugs corrupt sums — are ENCODED to standard YUV4MPEG2 bytes,
+    shipped through the BinaryType column, DECODED by the pure-numpy
+    parser, and FRAME-SAMPLED (every 2nd frame, the training-pipeline
+    op) — all inside Arrow-batched mapInPandas. Every frame's three
+    plane sums are checked against exact closed forms, the sampled
+    Y-plane total is recomputed relationally by DuckDB from the same
+    doc_id arithmetic, and any mismatch turns roundtrip_ok false.
+
+    Scale: encode/decode/sample never leave the executor — a pure map
+    stage over Arrow batches, peak memory one clip; the aggregate
+    ships 5 values per source. Compressed codecs (H.264 etc.) stay a
+    documented stub behind the same blob-in/frames-out signature; Y4M
+    is the real uncompressed interchange format (the ffmpeg pipe
+    container), so the plumbing is proven end-to-end on real bytes."""
+    from ..registry import table
+
+    docs = (table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200).select("doc_id", "source"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                d = int(doc_id)
+                w, h, n = 16 + d % 8, 8 + d % 4, 4 + d % 4
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                frames = np.stack([
+                    np.stack([np.broadcast_to(x + 3 * t, (h, w)),
+                              np.broadcast_to(y + 5 * t, (h, w)),
+                              x + y + 7 * t], axis=2)
+                    for t in range(n)]).astype(np.uint8)
+                blob = encode_y4m(frames, fps=24)
+
+                dw, dh, fps, dec = decode_y4m(blob)     # REAL decode
+                sampled = dec[::2]                      # frame sampling
+                sum_x = int(x.sum())
+                sum_y = int(y.sum())
+                ok = (dw, dh, fps) == (w, h, 24) and len(dec) == n
+                for t in range(n):
+                    ok = ok and (
+                        int(dec[t, :, :, 0].sum()) == h * sum_x + 3 * t * w * h
+                        and int(dec[t, :, :, 1].sum()) == w * sum_y + 5 * t * w * h
+                        and int(dec[t, :, :, 2].sum())
+                        == h * sum_x + w * sum_y + 7 * t * w * h)
+                ok = ok and len(sampled) == (n + 1) // 2
+                ysum = int(sampled[:, :, :, 0].sum())
+                rows.append((source, n, len(sampled), ysum, bool(ok)))
+            yield pd.DataFrame(rows, columns=[
+                "source", "n_frames", "n_sampled", "y_sum", "ok"])
+
+    feats = docs.mapInPandas(
+        run,
+        "source string, n_frames long, n_sampled long, y_sum long, "
+        "ok boolean")
+    return (feats.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_videos"),
+        F.sum("n_frames").cast("bigint").alias("total_frames"),
+        F.sum("n_sampled").cast("bigint").alias("sampled_frames"),
+        F.sum("y_sum").cast("bigint").alias("sampled_y_sum"),
+        F.min("ok").alias("roundtrip_ok")))

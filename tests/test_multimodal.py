@@ -118,3 +118,35 @@ def test_wav_codec_roundtrip_and_errors():
         decode_wav(b"RIFX" + encode_wav(s, 8000)[4:])   # wrong magic
     with _pytest.raises(ValueError):
         decode_wav(encode_wav(s, 8000)[:-3])            # truncated
+
+
+def test_y4m_codec_roundtrip_and_errors():
+    """Pure-numpy Y4M/C444 video codec: exact round trip (incl. frame
+    order and plane layout), and loud failures on bad magic, truncated
+    payloads, broken FRAME markers, and subsampled colorspaces."""
+    import numpy as np
+    import pytest
+
+    from columnar_format_spark.functions.multimodal import (decode_y4m,
+                                                            encode_y4m)
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(3, 5, 7, 3), dtype=np.uint8)
+    blob = encode_y4m(frames, fps=30)
+    w, h, fps, back = decode_y4m(blob)
+    assert (w, h, fps) == (7, 5, 30)
+    assert np.array_equal(back, frames)
+    # single frame, degenerate 1x1
+    one = np.arange(3, dtype=np.uint8).reshape(1, 1, 1, 3)
+    assert np.array_equal(decode_y4m(encode_y4m(one, 1))[3], one)
+    with pytest.raises(ValueError, match="bad magic"):
+        decode_y4m(b"JUNK" + blob)
+    with pytest.raises(ValueError, match="multiple"):
+        decode_y4m(blob[:-3])                          # truncated frame
+    with pytest.raises(ValueError, match="FRAME marker"):
+        head = blob.index(b"\n") + 1
+        decode_y4m(blob[:head] + b"FRUME\n" + blob[head + 6:])
+    with pytest.raises(ValueError, match="C420"):
+        decode_y4m(blob.replace(b"C444", b"C420"))     # subsampled
+    with pytest.raises(ValueError, match="frames"):
+        encode_y4m(np.zeros((2, 4, 4), dtype=np.uint8), 24)  # no planes
