@@ -205,6 +205,59 @@ def write_snapshots(path: str, snaps: list[dict]) -> None:
     os.rename(tmp, snapshots_path(path))
 
 
+COMMIT_MARKERS_DIR = "_commits"
+
+_COMMIT_LOCKS: dict[str, object] = {}
+_COMMIT_LOCKS_GUARD = None  # initialized lazily to keep import cheap
+
+
+def dataset_commit_lock(path: str):
+    """Per-dataset in-process mutex serializing the metadata log's
+    read-check-write. Spark local[*] drives concurrent writers as
+    THREADS of one driver process (each Spark write task commits from
+    the driver-side Python data source), so an in-process lock makes
+    the optimistic ``expected_parent`` check atomic for every writer
+    this process hosts; _claim_commit_version extends the guarantee
+    across processes."""
+    import threading
+
+    global _COMMIT_LOCKS_GUARD
+    if _COMMIT_LOCKS_GUARD is None:
+        _COMMIT_LOCKS_GUARD = threading.Lock()
+    key = os.path.realpath(path)
+    with _COMMIT_LOCKS_GUARD:
+        return _COMMIT_LOCKS.setdefault(key, threading.Lock())
+
+
+def _claim_commit_version(path: str, version: int, reset: bool) -> None:
+    """Cross-process CAS on the version number — the Iceberg
+    HadoopTableOperations model: each commit must atomically create
+    ``_commits/v<N>`` (``O_CREAT|O_EXCL``, atomic on POSIX) before it
+    may write version N into the log. Two processes that both pass the
+    ``expected_parent`` read-check race to this create; exactly one
+    wins, the loser gets the documented retryable error instead of
+    silently clobbering the winner's snapshot. Markers are empty
+    files; ``vacuum()`` sweeps the ones at-or-below the retained
+    horizon. A marker orphaned by a writer that crashed between claim
+    and log write blocks that version until removed by hand — the same
+    manual-intervention window Iceberg has on plain filesystems."""
+    d = os.path.join(path, COMMIT_MARKERS_DIR)
+    if reset:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    marker = os.path.join(d, f"v{version:012d}")
+    try:
+        os.close(os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    except FileExistsError:
+        raise ColfFormatError(
+            f"concurrent commit detected at {path}: version {version} "
+            f"is already claimed by another writer. The metadata log "
+            f"is single-writer; re-read the live set and retry the "
+            f"commit.") from None
+
+
 REFS_NAME = "_refs.json"
 
 
@@ -280,7 +333,26 @@ def commit_snapshot(path: str, live_files: list[str],
     turning a silent lost-update (the other append's files dropped
     from the live set, then physically deleted by vacuum) into a loud
     retryable failure. ``expected_parent=None`` skips the check (first
-    commit / reset paths)."""
+    commit / reset paths).
+
+    The check itself is made ATOMIC two ways: a per-dataset in-process
+    lock (all of local[*]'s writers are threads of one driver process)
+    and a cross-process ``O_EXCL`` version-marker claim
+    (_claim_commit_version, the Iceberg HadoopTableOperations CAS) —
+    without them check-then-write interleavings could clobber a
+    concurrent commit the check was meant to catch."""
+    with dataset_commit_lock(path):
+        return _commit_snapshot_locked(
+            path, live_files, reset, expected_parent, spec, sort,
+            staged, added, wap_source, branch, ff_from, cluster,
+            deletes, eq_deletes, data_change, table_schema)
+
+
+def _commit_snapshot_locked(path, live_files, reset, expected_parent,
+                            spec, sort, staged, added, wap_source,
+                            branch, ff_from, cluster, deletes,
+                            eq_deletes, data_change,
+                            table_schema) -> int:
     snaps = [] if reset else load_snapshots(path)
     current = snaps[-1]["version"] if snaps else 0
     if not reset and expected_parent is not None and current != expected_parent:
@@ -290,6 +362,7 @@ def commit_snapshot(path: str, live_files: list[str],
             f"metadata log is single-writer; re-read the live set and "
             f"retry the commit.")
     version = current + 1
+    _claim_commit_version(path, version, reset)
     import time as _time
 
     # commit wall-clock, for AGE-based retention (vacuum older_than_s —

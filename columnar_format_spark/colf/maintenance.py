@@ -64,13 +64,63 @@ def _with_bloom_opt(writer, path: str):
 
 def _merge_bloom_files(path: str, tmp: str) -> None:
     """Adopt a rewrite tmp dir's _blooms.json into the live dataset's
-    (mirrors the manifest merge beside every call site)."""
+    (mirrors the manifest merge beside every call site). Runs under
+    the dataset commit lock: concurrent DML writers each read-modify-
+    write this shared sidecar, and an unserialized interleaving would
+    drop the other writer's entries (keys are unique uuid basenames,
+    so locked merges commute)."""
+    from .datasource import dataset_commit_lock
+
     add = load_blooms(tmp)
     if not add:
         return
-    merged = load_blooms(path)
-    merged.update(add)
-    save_blooms(path, merged)
+    with dataset_commit_lock(path):
+        merged = load_blooms(path)
+        merged.update(add)
+        save_blooms(path, merged)
+
+
+def _merge_manifest_entries(path: str, entries: dict) -> None:
+    """Adopt per-file stats into the LIVE dataset's manifest under the
+    dataset commit lock. Every DML/compaction path funnels its new
+    entries (keyed by fresh uuid basenames, so merges commute) through
+    here — a bare read-modify-write would let two concurrent writers
+    drop each other's entries. A lost stats entry is never WRONG
+    (planning falls back to the scan path, _plan_candidates returns
+    None) but it is a silent perf cliff at 100 TB; the lock plus a
+    uuid'd tmp name (two processes must not share manifest.json.tmp)
+    close it in-process and keep cross-process losers from clobbering
+    a half-renamed file."""
+    import json
+
+    from .datasource import dataset_commit_lock
+
+    if not entries:
+        return
+    with dataset_commit_lock(path):
+        merged = load_manifest(path)
+        merged.update(entries)
+        mtmp = manifest_path(path) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(mtmp, "w") as fh:
+            json.dump(merged, fh)
+        os.rename(mtmp, manifest_path(path))
+
+
+def _drop_manifest_entries(path: str, basenames: list[str]) -> None:
+    """Remove reclaimed files' stats from the live manifest under the
+    dataset commit lock (vacuum's half of _merge_manifest_entries)."""
+    import json
+
+    from .datasource import dataset_commit_lock
+
+    with dataset_commit_lock(path):
+        manifest = load_manifest(path)
+        for base in basenames:
+            manifest.pop(base, None)
+        mtmp = manifest_path(path) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(mtmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(mtmp, manifest_path(path))
 
 
 # merge_into plans its touched files from the source's key VALUES (IN
@@ -665,12 +715,7 @@ def compact(spark: SparkSession, path: str, target_files: int | None = None,
         base = os.path.basename(f)
         os.rename(f, os.path.join(path, base))
         moved.append(base)
-    merged = load_manifest(path)
-    merged.update(load_manifest(tmp))  # stats of the compacted files
-    mtmp = manifest_path(path) + ".tmp"
-    with open(mtmp, "w") as fh:
-        json.dump(merged, fh)
-    os.rename(mtmp, manifest_path(path))
+    _merge_manifest_entries(path, load_manifest(tmp))  # compacted stats
     _merge_bloom_files(path, tmp)
     shutil.rmtree(tmp)
     # the rewrite read through the MoR reader, so position AND equality
@@ -907,7 +952,7 @@ def rewrite_delete_files(spark: SparkSession, path: str,
      .sortWithinPartitions("file", "pos")
      .write.format("colf").mode("overwrite").save(tmp))
     man_tmp = load_manifest(tmp)
-    merged = load_manifest(path)
+    added = {}
     moved = []
     run = uuid.uuid4().hex[:8]
     n_after = 0
@@ -918,13 +963,10 @@ def rewrite_delete_files(spark: SparkSession, path: str,
         base = f"delete-{run}-{i:05d}.colfd"
         os.rename(f, os.path.join(path, base))
         if st:
-            merged[base] = st
+            added[base] = st
             n_after += st.get("num_rows") or 0
         moved.append(base)
-    mtmp = manifest_path(path) + ".tmp"
-    with open(mtmp, "w") as fh:
-        json.dump(merged, fh)
-    os.rename(mtmp, manifest_path(path))
+    _merge_manifest_entries(path, added)
     shutil.rmtree(tmp)
     # data_change=False: the same rows stay masked through different
     # sidecars — tailing streams and the changelog see zero changes
@@ -1064,19 +1106,40 @@ def vacuum(path: str, keep_last: int = 1,
             os.remove(f)
             deleted.append(base)
     if deleted:
-        manifest = load_manifest(path)
-        for base in deleted:
-            manifest.pop(base, None)
-        mtmp = manifest_path(path) + ".tmp"
-        with open(mtmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.rename(mtmp, manifest_path(path))
-        blooms = load_blooms(path)
-        if any(b in blooms for b in deleted):
-            for base in deleted:
-                blooms.pop(base, None)
-            save_blooms(path, blooms)
-    write_snapshots(path, kept)
+        _drop_manifest_entries(path, deleted)
+        from .datasource import dataset_commit_lock
+
+        with dataset_commit_lock(path):
+            blooms = load_blooms(path)
+            if any(b in blooms for b in deleted):
+                for base in deleted:
+                    blooms.pop(base, None)
+                save_blooms(path, blooms)
+    from .datasource import COMMIT_MARKERS_DIR, dataset_commit_lock
+    from .format import ColfFormatError
+
+    with dataset_commit_lock(path):
+        # the log prune is itself a read-modify-write of the metadata
+        # log: refuse (retryable) if a writer committed since we
+        # planned which snapshots survive, else we'd silently drop its
+        # commit from the history we write back
+        head_now = load_snapshots(path)[-1]["version"]
+        if head_now != snaps[-1]["version"]:
+            raise ColfFormatError(
+                f"concurrent commit detected at {path}: vacuum planned "
+                f"against version {snaps[-1]['version']} but the log is "
+                f"at {head_now}. Retry the vacuum.")
+        write_snapshots(path, kept)
+        # sweep dead commit markers: every version <= head is in the
+        # log (or pruned); only a claim for head+1 can be in flight
+        mdir = os.path.join(path, COMMIT_MARKERS_DIR)
+        if os.path.isdir(mdir):
+            for m in os.listdir(mdir):
+                try:
+                    if int(m.lstrip("v")) <= head_now:
+                        os.remove(os.path.join(mdir, m))
+                except ValueError:
+                    continue
     return sorted(deleted)
 
 
@@ -1336,7 +1399,7 @@ def _delete_where_mor(spark: SparkSession, path: str,
     if n_deleted == 0:
         shutil.rmtree(tmp)
         return noop()
-    merged = load_manifest(path)
+    added = {}
     moved = []
     run = uuid.uuid4().hex[:8]
     for i, f in enumerate(dataset_files(tmp)):
@@ -1346,12 +1409,9 @@ def _delete_where_mor(spark: SparkSession, path: str,
         os.rename(f, os.path.join(path, base))
         st = man_tmp.get(os.path.basename(f))
         if st:
-            merged[base] = st  # sidecar zone maps: per-data-file pruning
+            added[base] = st  # sidecar zone maps: per-data-file pruning
         moved.append(base)
-    mtmp = manifest_path(path) + ".tmp"
-    with open(mtmp, "w") as fh:
-        json.dump(merged, fh)
-    os.rename(mtmp, manifest_path(path))
+    _merge_manifest_entries(path, added)
     shutil.rmtree(tmp)
     head = published_head(path)
     prior = head.get("deletes", []) if head else []
@@ -1520,12 +1580,7 @@ def delete_where(spark: SparkSession, path: str, condition: str,
         base = os.path.basename(f)
         moved.append(base)
         os.rename(f, os.path.join(path, base))
-    merged = load_manifest(path)
-    merged.update(load_manifest(tmp))
-    mtmp = manifest_path(path) + ".tmp"
-    with open(mtmp, "w") as fh:
-        json.dump(merged, fh)
-    os.rename(mtmp, manifest_path(path))
+    _merge_manifest_entries(path, load_manifest(tmp))
     _merge_bloom_files(path, tmp)
     shutil.rmtree(tmp)
     kept = [b for b in live0 if b not in set(touched)]
@@ -1632,7 +1687,7 @@ def _update_where_mor(spark: SparkSession, path: str,
         w.mode("overwrite").save(tmpn)
     finally:
         matched.unpersist()
-    merged = load_manifest(path)
+    added = {}
     run = uuid.uuid4().hex[:8]
     sidecars = []
     for i, f in enumerate(dataset_files(tmpd)):
@@ -1642,7 +1697,7 @@ def _update_where_mor(spark: SparkSession, path: str,
         os.rename(f, os.path.join(path, base))
         st = man_d.get(os.path.basename(f))
         if st:
-            merged[base] = st
+            added[base] = st
         sidecars.append(base)
     man_n = load_manifest(tmpn)
     new_files = []
@@ -1653,12 +1708,9 @@ def _update_where_mor(spark: SparkSession, path: str,
             continue
         os.rename(f, os.path.join(path, base))
         if man_n.get(base):
-            merged[base] = man_n[base]
+            added[base] = man_n[base]
         new_files.append(base)
-    mtmp = manifest_path(path) + ".tmp"
-    with open(mtmp, "w") as fh:
-        json.dump(merged, fh)
-    os.rename(mtmp, manifest_path(path))
+    _merge_manifest_entries(path, added)
     _merge_bloom_files(path, tmpn)
     shutil.rmtree(tmpd)
     shutil.rmtree(tmpn)
@@ -1797,12 +1849,7 @@ def update_where(spark: SparkSession, path: str,
         base = os.path.basename(f)
         moved.append(base)
         os.rename(f, os.path.join(path, base))
-    merged = load_manifest(path)
-    merged.update(load_manifest(tmp))
-    mtmp = manifest_path(path) + ".tmp"
-    with open(mtmp, "w") as fh:
-        json.dump(merged, fh)
-    os.rename(mtmp, manifest_path(path))
+    _merge_manifest_entries(path, load_manifest(tmp))
     _merge_bloom_files(path, tmp)
     shutil.rmtree(tmp)
     kept = [b for b in live0 if b not in set(touched)]
@@ -1945,7 +1992,7 @@ def _merge_into_mor(spark: SparkSession, path: str, source,
         w.mode("overwrite").save(tmpn)
     finally:
         source.unpersist()
-    merged = load_manifest(path)
+    added = {}
     run = uuid.uuid4().hex[:8]
     sidecars = []
     for i, f in enumerate(dataset_files(tmpd) if tmpd else []):
@@ -1954,7 +2001,7 @@ def _merge_into_mor(spark: SparkSession, path: str, source,
         base = f"delete-{run}-{i:05d}.colfd"
         os.rename(f, os.path.join(path, base))
         if man_d.get(os.path.basename(f)):
-            merged[base] = man_d[os.path.basename(f)]
+            added[base] = man_d[os.path.basename(f)]
         sidecars.append(base)
     man_n = load_manifest(tmpn)
     new_files = []
@@ -1974,12 +2021,9 @@ def _merge_into_mor(spark: SparkSession, path: str, source,
             continue
         os.rename(f, os.path.join(path, base))
         if man_n.get(base):
-            merged[base] = man_n[base]
+            added[base] = man_n[base]
         new_files.append(base)
-    mtmp = manifest_path(path) + ".tmp"
-    with open(mtmp, "w") as fh:
-        json.dump(merged, fh)
-    os.rename(mtmp, manifest_path(path))
+    _merge_manifest_entries(path, added)
     _merge_bloom_files(path, tmpn)
     if tmpd:
         shutil.rmtree(tmpd)
@@ -2260,16 +2304,11 @@ def merge_into(spark: SparkSession, path: str, source,
                 rows_after = sum(m.get("num_rows") or 0
                                  for m in load_manifest(tmp).values())
                 n_replaced = rows_before - (rows_after - n_source)
-            merged = load_manifest(path)
             for f in dataset_files(tmp):
                 base = os.path.basename(f)
                 moved.append(base)
                 os.rename(f, os.path.join(path, base))
-            merged.update(load_manifest(tmp))
-            mtmp = manifest_path(path) + ".tmp"
-            with open(mtmp, "w") as fh:
-                json.dump(merged, fh)
-            os.rename(mtmp, manifest_path(path))
+            _merge_manifest_entries(path, load_manifest(tmp))
             _merge_bloom_files(path, tmp)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
