@@ -2,10 +2,11 @@
 from the operator/function modules into registry.QUERIES.
 
 Registration ORDER matters: the driver's per-round CORRECTNESS gate
-checks exactly the first 50 queries in registration order; the
-DRIVER_WINDOW list below picks them under a standing rotation rule:
-(1) queries with no driver row yet, (2) queries whose oracle or plan
-changed this round, (3) backfill by oldest green evidence first.
+checks exactly the first 50 queries in registration order; the window
+is GENERATED from LEDGER.json (driver_window below) under a standing
+rotation rule: (1) queries with no driver row yet, (2) queries whose
+latest driver row failed, (3) the CHANGED_THIS_ROUND re-prove list,
+(4) backfill by oldest green evidence first.
 Everything stays covered locally by tests/test_queries_oracle.py
 (sf0.001, every query, every run — WITH the driver-replica
 pandas-dtype-parity assertion since round 8) regardless of order;
@@ -17,7 +18,18 @@ sf0.1 sweep 198/198, plus a 50-query window sweep at sf0.1 with
 --dtypes (50/50) and per-query driver-style checks on every query
 added or changed mid-round (three full gate passes this round).
 
-Registry size: 198 queries (q01-q199, no q123). Round-9 additions are
+Registry size: 203 queries (q01-q204, no q123; the count is pinned
+live by tests/test_driver_ledger.py). Round-10 additions are q200
+(Change Data Feed: row-level _change_type/_commit_version CDC reads of
+a DML'd table, batch AND streaming — the changelog-stream answer to
+the round-9 refusal on live MoR masks), q201 (rewrite_delete_files:
+minor compaction coalescing position-delete sidecars per target file,
+zero data bytes rewritten, data_change=false), q202 (field-ID schema
+evolution: rename/drop/widen as table metadata with name-mapping
+fallback for ID-less files), q203 (SQL surface: register_table +
+spark.sql over colf views including time travel), and q204 (real Y4M
+video codec: YUV4MPEG2/C444 encode-decode in pure numpy, per-frame
+checksums recomputed relationally). Round-9 additions were
 q195 (merge-on-read position deletes — Iceberg v2's model: the delete
 writes (file, pos) sidecars, themselves COLF files, plus ONE metadata
 commit; every reader masks deleted ordinals at decode time,
@@ -92,110 +104,93 @@ from . import sources  # noqa: F401
 from .streaming import stream_queries  # noqa: F401
 from .registry import QUERIES, QuerySpec  # noqa: F401
 
-# Round-9 driver window, per the rotation discipline (oldest evidence
-# first; every changed query re-proves itself the round it changes):
-# - q195 (merge-on-read position deletes — Iceberg v2: delete sidecars
-#   + reader masks, zero data-file rewrites), q197 (the MoR UPDATE
-#   twin: masks + appended images, one commit), q198 (equality
-#   deletes: predicate-as-metadata, sequence-gated), q199 (MoR MERGE:
-#   masks + appended source, the CoW x MoR matrix's last cell) and
-#   q196 (SemDeDup
-#   semantic dedup: k-means in PCA space, keep-one-per-semantic-group,
-#   q135-style in-query bounds audit) are new this round;
-# - 7 queries whose plan or oracle-adjacent machinery changed this
-#   round: q191 (keep-first shuffle now keyed on a 128-bit
-#   two-xxhash64 gram fingerprint, gram string dropped pre-exchange),
-#   q165/q166 (codebook fits memoized per sf_dir — q166 shares q168's
-#   _IVFPQ_FIT_CACHE), q155/q149 (merge_into's anti-join side rebuilt
-#   from the already-collected key set — one less distinct exchange),
-#   q148 (CoW delete count subtracts already-MoR-masked positions),
-#   q184 (snapshot_changelog treats delete-delta files as row-changed);
-# - backfill: FIRST the twelve r04-era stragglers that yielded their
-#   round-8 slots (q122, q124-q127, q129-q135 — the oldest driver
-#   evidence in the ledger), then the r05-era cohort lowest-number
-#   first (q01-q14, q62, q63, q87, q128, q137-q144) to fill 50
-#   (q145-q147 yielded their slots to q197-q199).
-# Per-query last-green ledger after round 8 (CORRECTNESS_r08 50/50):
-# r08 = the full round-8 window (q184-q194, q177, q175/q176/q178,
-# q153, q182, q168, q60, q61, q67, q68, q70, q73, q75, q76, q80-q84,
-# q86, q90, q99, q101, q104, q107, q109, q111-q121, q136); r07 =
-# q169-q171, q172-q174 are r06... see git history of this block for
-# the full per-round trail; the REMAINING r05-era cohort after this
-# window (q150-q152, q154, q156-q160, q162, q163) leads round 10's
-# backfill, then the r06 cohort.
+# The driver window is GENERATED, not hand-maintained (the round-9
+# review flagged the prose ledger as rot-prone): LEDGER.json records
+# each query's most recent driver evidence (regenerated from the
+# CORRECTNESS_r*.json files by tools/ledger.py), and the window is
+# derived from it under the standing rotation rule — (1) queries with
+# no driver row yet, (2) queries whose latest driver row FAILED,
+# (3) the CHANGED_THIS_ROUND re-prove list below, (4) backfill by
+# oldest evidence first (ties by name, so cohorts go lowest query
+# number first). `python tools/ledger.py --check` (run by
+# tools/ship_gates.sh and tests/test_driver_ledger.py) fails the build
+# if the ledger is stale or the window violates the rotation.
 #
-# PRE-SHIP CHECKLIST (every round, after the last product commit):
+# PRE-SHIP CHECKLIST (every round, after the last product commit) —
+# executable as tools/ship_gates.sh:
 #   1. full test gate: python -m pytest tests/ -x -q (includes the
-#      per-query pandas_dtype_parity assertion at sf0.001);
+#      per-query pandas_dtype_parity assertion at sf0.001 and the
+#      ledger/window consistency check);
 #   2. driver-style sweep WITH dtype parity at sf0.01:
 #      python tools/sweep_oracle.py --dtypes   (expect 0 fail);
-#   3. the same sweep at sf0.1 for every query in DRIVER_WINDOW;
+#   3. the same sweep at sf0.1 for every query in the window;
 #   4. python bench.py — summary line must parse and stay <=1500 chars.
-DRIVER_WINDOW = [
-    # new this round — no driver row yet
+WINDOW_SIZE = 50
+
+# Queries whose plan, oracle, or underlying machinery changed this
+# round — they re-prove themselves in the driver window even when they
+# have recent green evidence. Round 10: the commit path itself changed
+# (atomic version claim + locked manifest/bloom merges under every DML
+# and compaction), the branch/WAP delete-state lineage and
+# file_first_versions sequencing were fixed, the streaming source
+# re-checks live masks mid-stream, and changelog machinery gained CDC
+# (q200) — so every DML/maintenance/lineage query re-proves, as does
+# q134 (stream reader) and q184 (changelog).
+CHANGED_THIS_ROUND = [
+    "q100_scd2_upsert",
+    "q122_colf_time_travel",
+    "q134_colf_incremental_read",
+    "q148_colf_delete",
+    "q149_colf_merge",
+    "q153_colf_v3_striped",
+    "q155_colf_v3_cow",
+    "q167_colf_targeted_delete",
+    "q182_colf_sorted_maintenance",
+    "q184_colf_changelog",
+    "q186_colf_wap",
+    "q187_colf_branch",
+    "q188_colf_update",
+    "q189_colf_clustered_maintenance",
     "q195_colf_mor_delete",
-    "q196_semantic_dedup",
     "q197_colf_mor_update",
     "q198_colf_eq_delete",
     "q199_colf_mor_merge",
-    # changed this round — re-prove
-    "q191_exact_substring_dedup",
-    "q165_ann_pq",
-    "q166_ann_ivfpq",
-    "q155_colf_v3_cow",
-    "q149_colf_merge",
-    "q148_colf_delete",
-    "q184_colf_changelog",
-    # oldest-evidence backfill: the r04-era stragglers (yielded r08)
-    "q122_colf_time_travel",
-    "q124_tpch_q5",
-    "q125_tpch_q10",
-    "q126_tpch_q18",
-    "q127_stream_incremental_dedup",
-    "q129_dedup_verified_pairs",
-    "q130_frame_sampling",
-    "q131_image_resize",
-    "q132_negative_sampling",
-    "q133_budget_selection",
-    "q134_colf_incremental_read",
-    "q135_ann_recall",
-    # r05-era cohort, lowest query number first
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_agg_rollup",
-    "q04_agg_cube",
-    "q05_grouping_sets",
-    "q06_count_distinct",
-    "q07_approx_count_distinct",
-    "q08_exact_quartiles",
-    "q09_pivot_status_priority",
-    "q10_join_broadcast_star",
-    "q11_join_left",
-    "q12_join_semi",
-    "q13_join_anti",
-    "q14_join_full_outer",
-    "q62_ann_lsh",
-    "q63_ann_ivf",
-    "q87_bm25_search",
-    "q128_percentile_sketch",
-    "q137_colf_v2_roundtrip",
-    "q138_tpch_q4",
-    "q139_tpch_q6",
-    "q140_tpch_q8",
-    "q141_tpch_q9",
-    "q142_tpch_q15",
-    "q143_tpch_q16",
-    "q144_tpch_q17",
-    # (q145-q147 yield their slots to q197-q199; they stay r05-era
-    #  and lead the round-10 backfill with q150-q152, q154, q156-q163)
 ]
 
 
+def _load_ledger() -> dict:
+    import json
+    import os
+
+    p = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "LEDGER.json")
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except OSError:
+        return {}
+
+
+def driver_window() -> list[str]:
+    """The first WINDOW_SIZE queries the driver will gate this round,
+    derived from LEDGER.json under the rotation rule (see module
+    docstring). Deterministic given the ledger + CHANGED_THIS_ROUND."""
+    ledger = _load_ledger()
+    new = [n for n in QUERIES if n not in ledger]
+    failed = [n for n in QUERIES
+              if n in ledger and ledger[n]["status"] == "fail"
+              and n not in set(new)]
+    head = set(new) | set(failed)
+    changed = [n for n in CHANGED_THIS_ROUND
+               if n in QUERIES and n not in head]
+    head |= set(changed)
+    rest = sorted((n for n in QUERIES if n not in head),
+                  key=lambda n: (ledger[n]["round"], n))
+    return (new + failed + changed + rest)[:WINDOW_SIZE]
+
+
 def _reorder() -> None:
-    window = [n for n in DRIVER_WINDOW if n in QUERIES]
-    missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
-    if missing:
-        raise RuntimeError(f"DRIVER_WINDOW names not registered: {missing}")
+    window = driver_window()
     rest = [n for n in QUERIES if n not in set(window)]
     ordered = {n: QUERIES[n] for n in window + rest}
     QUERIES.clear()

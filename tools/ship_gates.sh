@@ -6,6 +6,9 @@
 set -u
 cd "$(dirname "$0")/.."
 
+echo "== gate 0/4: ledger/window consistency =="
+python tools/ledger.py --check || { echo "LEDGER RED"; exit 1; }
+
 echo "== gate 1/4: full pytest =="
 out=$(python -m pytest tests/ -q 2>&1 | tail -2)
 echo "$out"
