@@ -603,6 +603,28 @@ def cli_vacuum(argv: list[str]) -> int:
     return 0
 
 
+def cli_remove_orphans(argv: list[str]) -> int:
+    """Delete files no snapshot references — crashed-writer leftovers
+    and abandoned rewrite scratch dirs — WITHOUT expiring snapshots
+    (pure metadata + filesystem, no Spark): ``remove_orphans
+    <dataset-dir> [older_than_seconds] [--dry-run]``. Grace period
+    defaults to Iceberg's 3 days."""
+    dry = "--dry-run" in argv
+    argv = [a for a in argv if a != "--dry-run"]
+    if len(argv) not in (1, 2):
+        print("usage: ... remove_orphans <dataset-dir> "
+              "[older_than_seconds] [--dry-run]", file=sys.stderr)
+        return 2
+    from .maintenance import remove_orphan_files
+
+    removed = remove_orphan_files(
+        argv[0],
+        older_than_s=float(argv[1]) if len(argv) == 2 else 3 * 86400.0,
+        dry_run=dry)
+    print(json.dumps({"orphans": removed, "dry_run": dry}))
+    return 0
+
+
 def cli_rollback(argv: list[str]) -> int:
     """Restore an earlier version as the published head (metadata
     only): ``rollback <dataset-dir> <version>``."""
@@ -684,6 +706,7 @@ COMMANDS = {
     "branch": cli_branch,
     "fast_forward": cli_fast_forward,
     "vacuum": cli_vacuum,
+    "remove_orphans": cli_remove_orphans,
     "eq_delete": cli_eq_delete,
 }
 

@@ -362,7 +362,15 @@ def _commit_snapshot_locked(path, live_files, reset, expected_parent,
             f"metadata log is single-writer; re-read the live set and "
             f"retry the commit.")
     version = current + 1
-    _claim_commit_version(path, version, reset)
+    # a dataset with NO log but leftover markers is a dead lineage's
+    # remnant (the documented delete-the-log-to-adopt-listing path, or
+    # a bootstrap of a reference-writer dir that was once managed):
+    # the first commit of the fresh lineage sweeps them like reset
+    # does, else a stale v1 marker would block adoption forever. This
+    # trades away the cross-process first-commit CAS (threads are
+    # still serialized by the dataset lock) — exactly the guarantee
+    # overwrite-mode already forgoes, and only for version 1.
+    _claim_commit_version(path, version, reset or not snaps)
     import time as _time
 
     # commit wall-clock, for AGE-based retention (vacuum older_than_s —

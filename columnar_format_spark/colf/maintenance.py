@@ -35,6 +35,7 @@ from .datasource import (
     load_manifest,
     load_refs,
     load_snapshots,
+    MANIFEST_NAME,
     manifest_path,
     published_snapshots,
     save_blooms,
@@ -1141,6 +1142,83 @@ def vacuum(path: str, keep_last: int = 1,
                 except ValueError:
                     continue
     return sorted(deleted)
+
+
+def remove_orphan_files(path: str, older_than_s: float = 3 * 86400.0,
+                        dry_run: bool = False) -> list[str]:
+    """Delete files in the dataset directory that NO snapshot in the
+    metadata log references — crashed-writer leftovers (part files
+    written before a metadata commit that never happened) and
+    abandoned rewrite scratch dirs — without expiring a single
+    snapshot (Iceberg's remove_orphan_files, the complement of
+    ``vacuum``'s expire_snapshots). History, refs, staged WAP commits
+    and branches all keep every file they reference; the snapshot log
+    is not rewritten at all.
+
+    ``older_than_s`` is the grace period (Iceberg's default 3 days):
+    only files last modified more than that many seconds ago are
+    eligible, so an in-flight writer's not-yet-committed output is
+    never swept. ``dry_run=True`` reports without deleting.
+
+    Also reclaims this engine's own crash artifacts: sibling
+    ``{path}.compact-*`` / ``{path}.rdel-*`` scratch dirs and stray
+    ``_manifest.json.tmp-*`` rename leftovers past the grace period.
+
+    Returns the deleted basenames (scratch dirs by their dir name).
+    Datasets without a metadata log have directory-listing semantics —
+    every file is live by definition — and return []."""
+    import time as _time
+
+    snaps = load_snapshots(path)
+    if not snaps:
+        return []
+    from .datasource import DELETE_SUFFIX, dataset_commit_lock
+
+    cutoff = _time.time() - older_than_s
+    referenced = {b for s in snaps for b in s["files"]}
+    referenced |= {d for s in snaps for d in s.get("deletes", [])}
+    removed = []
+    for f in os.listdir(path):
+        if not (f.endswith(".colf") or f.endswith(DELETE_SUFFIX)
+                or f.startswith(MANIFEST_NAME + ".tmp-")):
+            continue
+        fp = os.path.join(path, f)
+        is_meta_tmp = f.startswith(MANIFEST_NAME + ".tmp-")
+        if (is_meta_tmp or f not in referenced) \
+                and os.path.getmtime(fp) < cutoff:
+            removed.append(f)
+            if not dry_run:
+                os.remove(fp)
+    # abandoned whole-dataset rewrite scratch dirs live as SIBLINGS of
+    # the dataset dir (compact()/rewrite_delete_files write there and
+    # swap in; a crash strands the dir)
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    stem = os.path.basename(os.path.abspath(path).rstrip(os.sep))
+    for d in os.listdir(parent):
+        if not (d.startswith(stem + ".compact-")
+                or d.startswith(stem + ".rdel-")):
+            continue
+        dp = os.path.join(parent, d)
+        if os.path.isdir(dp) and os.path.getmtime(dp) < cutoff:
+            removed.append(d)
+            if not dry_run:
+                import shutil
+
+                shutil.rmtree(dp)
+    swept_parts = [b for b in removed
+                   if b.endswith(".colf") or b.endswith(DELETE_SUFFIX)]
+    if swept_parts and not dry_run:
+        # orphans never committed, so they should have no manifest or
+        # bloom entries — but a crash BETWEEN stats merge and log
+        # commit can strand them; drop any to keep sidecars consistent
+        _drop_manifest_entries(path, swept_parts)
+        with dataset_commit_lock(path):
+            blooms = load_blooms(path)
+            if any(b in blooms for b in swept_parts):
+                for b in swept_parts:
+                    blooms.pop(b, None)
+                save_blooms(path, blooms)
+    return sorted(removed)
 
 
 _NUM = r"-?\d+(?:\.\d+)?"

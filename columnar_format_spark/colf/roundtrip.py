@@ -3138,3 +3138,105 @@ def q203_colf_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM colf_li_sql WHERE l_orderkey > 1000
         GROUP BY l_linenumber
     """)
+
+
+@register(
+    "q206_colf_orphan_cleanup",
+    oracle="""
+    WITH cut AS (SELECT MAX(o_orderkey) // 4 AS c FROM orders)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders, cut
+    WHERE NOT (o_orderkey <= cut.c AND o_orderstatus = 'O')
+    GROUP BY o_orderstatus
+    """,
+)
+def q206_colf_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORPHAN-file cleanup (maintenance.remove_orphan_files —
+    Iceberg's remove_orphan_files action, the complement of vacuum's
+    expire_snapshots): files NO snapshot references — a crashed
+    writer's pre-commit part file, an abandoned compact() scratch dir,
+    a stranded manifest rename temp — are reclaimed WITHOUT expiring a
+    single snapshot. The query stages a CoW delete (so v1's
+    rewritten-away files are referenced only by HISTORY), plants all
+    three crash artifacts plus one recent orphan, then asserts the
+    four-way contract in-query: (1) dry_run reports exactly the aged
+    artifacts and deletes nothing; (2) the real run removes exactly
+    them; (3) the snapshot log is byte-identical and v1 still
+    time-travels to the pre-delete count — history files are NOT
+    orphans, the distinction from vacuum; (4) the recent orphan
+    survives the grace period (Iceberg's in-flight-writer guard).
+    It then aggregates the table, matching the oracle iff cleanup
+    changed nothing visible.
+
+    Scale: the whole operation is metadata + directory-listing bound —
+    no data file is opened, no Spark job runs; on an object store this
+    is the one maintenance action that needs only LIST + DELETE. The
+    grace period (default 3 days, Iceberg's) is what makes it safe to
+    run concurrently with writers at any scale."""
+    import os
+    import shutil
+    import time as _time
+
+    from .datasource import register as register_ds
+    from .datasource import snapshots_path
+    from .maintenance import delete_where, remove_orphan_files
+
+    register_ds(spark)
+    tmpl = _stage_cdc_orders(spark, sf_dir)
+    path = run_dir(("colf-orphan-run", sf_dir), "colf_orphan_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+    mx = _CDC_MAXKEY[sf_dir]
+
+    delete_where(spark, path,
+                 f"o_orderkey <= {mx // 4} AND o_orderstatus = 'O'")
+    n_v1 = spark.read.format("colf").option("snapshot", 1).load(path).count()
+    n_now = spark.read.format("colf").load(path).count()
+
+    # plant the crash artifacts, aged past the grace period
+    live0 = sorted(f for f in os.listdir(path) if f.endswith(".colf"))
+    old_t = _time.time() - 7200
+    aged = "part-orphan-crashed.colf"
+    shutil.copy2(os.path.join(path, live0[0]), os.path.join(path, aged))
+    os.utime(os.path.join(path, aged), (old_t, old_t))
+    scratch = path + ".compact-deadcafe"
+    os.makedirs(scratch)
+    with open(os.path.join(scratch, "junk.colf"), "wb") as fh:
+        fh.write(b"junk")
+    os.utime(scratch, (old_t, old_t))
+    mtmp = "_manifest.json.tmp-dead0"
+    with open(os.path.join(path, mtmp), "w") as fh:
+        fh.write("{}")
+    os.utime(os.path.join(path, mtmp), (old_t, old_t))
+    recent = "part-orphan-recent.colf"
+    shutil.copy2(os.path.join(path, live0[0]), os.path.join(path, recent))
+
+    expect = {aged, os.path.basename(scratch), mtmp}
+    with open(snapshots_path(path), "rb") as fh:
+        log_before = fh.read()
+
+    dry = set(remove_orphan_files(path, older_than_s=3600, dry_run=True))
+    if dry != expect:
+        raise AssertionError(f"dry_run reported {dry}, expected {expect}")
+    if not os.path.exists(os.path.join(path, aged)):
+        raise AssertionError("dry_run deleted a file")
+    removed = set(remove_orphan_files(path, older_than_s=3600))
+    if removed != expect:
+        raise AssertionError(f"removed {removed}, expected {expect}")
+    if os.path.exists(os.path.join(path, aged)) or os.path.isdir(scratch):
+        raise AssertionError("aged orphan artifacts survived the sweep")
+    if not os.path.exists(os.path.join(path, recent)):
+        raise AssertionError("grace period violated: recent orphan swept")
+    with open(snapshots_path(path), "rb") as fh:
+        if fh.read() != log_before:
+            raise AssertionError("remove_orphan_files rewrote the log")
+    v1 = spark.read.format("colf").option("snapshot", 1).load(path)
+    if v1.count() != n_v1:
+        raise AssertionError("history files swept: v1 no longer readable")
+    back = spark.read.format("colf").load(path)
+    if back.count() != n_now:
+        raise AssertionError("visible rows changed across the cleanup")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"))

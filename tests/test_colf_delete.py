@@ -392,10 +392,15 @@ def test_clone_dataset_hardlinks_isolate_mutations(spark, tmp_path):
      .repartition(4).write.format("colf").mode("overwrite").save(tmpl))
 
     def digest(d):
+        # walk INTO subdirs (_commits markers) rather than skip them:
+        # a clone mutation leaking a marker into the template must fail
         out = {}
-        for f in sorted(os.listdir(d)):
-            with open(os.path.join(d, f), "rb") as fh:
-                out[f] = hashlib.md5(fh.read()).hexdigest()
+        for root, _dirs, files in sorted(os.walk(d)):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, d)] = hashlib.md5(
+                        fh.read()).hexdigest()
         return out
 
     before = digest(tmpl)

@@ -331,3 +331,67 @@ def test_vacuum_cli(colf_spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out)
     assert len(out["deleted_files"]) == 2  # both pre-compaction files
     assert colf_spark.read.format("colf").load(p).count() == 100
+
+
+def test_remove_orphan_files_contract(colf_spark, tmp_path):
+    """Iceberg remove_orphan_files: sweeps unreferenced crash
+    artifacts past the grace period without expiring any snapshot —
+    history-only files, staged/WAP files and recent orphans all
+    survive."""
+    import shutil
+    import time
+
+    from columnar_format_spark.colf.datasource import snapshots_path
+    from columnar_format_spark.colf.maintenance import remove_orphan_files
+
+    path = str(tmp_path / "ds")
+    _ints(colf_spark, 0, 20).repartition(4).write.format("colf") \
+        .mode("overwrite").save(path)
+    compact(colf_spark, path, 2, retain=True)  # v1 files history-only
+    # a WAP-staged append: outside the published lineage, still pinned
+    _ints(colf_spark, 100, 105).coalesce(1).write.format("colf") \
+        .option("wap", "true").mode("append").save(path)
+
+    old_t = time.time() - 7200
+    live = sorted(f for f in os.listdir(path) if f.endswith(".colf"))
+    orphan = os.path.join(path, "part-crashed.colf")
+    shutil.copy2(os.path.join(path, live[0]), orphan)
+    os.utime(orphan, (old_t, old_t))
+    recent = os.path.join(path, "part-recent.colf")
+    shutil.copy2(os.path.join(path, live[0]), recent)
+    scratch = path + ".rdel-beef0000"
+    os.makedirs(scratch)
+    os.utime(scratch, (old_t, old_t))
+
+    with open(snapshots_path(path), "rb") as fh:
+        log0 = fh.read()
+    assert set(remove_orphan_files(path, older_than_s=3600,
+                                   dry_run=True)) == \
+        {"part-crashed.colf", os.path.basename(scratch)}
+    assert os.path.exists(orphan)  # dry run deletes nothing
+    assert set(remove_orphan_files(path, older_than_s=3600)) == \
+        {"part-crashed.colf", os.path.basename(scratch)}
+    assert not os.path.exists(orphan) and not os.path.isdir(scratch)
+    assert os.path.exists(recent)  # grace period
+    with open(snapshots_path(path), "rb") as fh:
+        assert fh.read() == log0  # zero snapshots expired
+    # v1 (history-only files) and the staged files all still read
+    assert _vals(_read(colf_spark, path, snapshot=1)) == list(range(20))
+    assert _vals(_read(colf_spark, path)) == list(range(20))
+    staged_v = load_snapshots(path)[-1]["version"]
+    assert sorted(_vals(_read(colf_spark, path, snapshot=staged_v))) == \
+        list(range(20)) + list(range(100, 105))
+
+
+def test_remove_orphan_files_logless_is_noop(colf_spark, tmp_path):
+    """Without a metadata log the directory listing IS the live set —
+    nothing can be an orphan."""
+    from columnar_format_spark.colf.datasource import snapshots_path
+    from columnar_format_spark.colf.maintenance import remove_orphan_files
+
+    path = str(tmp_path / "ds")
+    _ints(colf_spark, 0, 5).coalesce(1).write.format("colf") \
+        .mode("overwrite").save(path)
+    os.remove(snapshots_path(path))
+    assert remove_orphan_files(path, older_than_s=0) == []
+    assert _vals(_read(colf_spark, path)) == list(range(5))
