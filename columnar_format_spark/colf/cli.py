@@ -625,6 +625,25 @@ def cli_remove_orphans(argv: list[str]) -> int:
     return 0
 
 
+def cli_constraints(argv: list[str]) -> int:
+    """List or drop table CHECK constraints (sparkless; ADDING one
+    requires the validation scan, so it lives in
+    maintenance.add_constraint): ``constraints <dataset-dir>`` lists,
+    ``constraints <dataset-dir> drop <name>`` drops."""
+    if len(argv) not in (1, 3) or (len(argv) == 3 and argv[1] != "drop"):
+        print("usage: ... constraints <dataset-dir> [drop <name>]",
+              file=sys.stderr)
+        return 2
+    if len(argv) == 3:
+        from .maintenance import drop_constraint
+
+        drop_constraint(argv[0], argv[2])
+    from .datasource import load_constraints
+
+    print(json.dumps({"constraints": load_constraints(argv[0])}))
+    return 0
+
+
 def cli_rollback(argv: list[str]) -> int:
     """Restore an earlier version as the published head (metadata
     only): ``rollback <dataset-dir> <version>``."""
@@ -707,6 +726,7 @@ COMMANDS = {
     "fast_forward": cli_fast_forward,
     "vacuum": cli_vacuum,
     "remove_orphans": cli_remove_orphans,
+    "constraints": cli_constraints,
     "eq_delete": cli_eq_delete,
 }
 

@@ -291,6 +291,42 @@ def write_refs(path: str, refs: dict) -> None:
     os.rename(tmp, refs_path(path))
 
 
+CONSTRAINTS_NAME = "_constraints.json"
+
+
+def constraints_path(dataset_dir: str) -> str:
+    return os.path.join(dataset_dir, CONSTRAINTS_NAME)
+
+
+def load_constraints(path: str) -> dict:
+    """Table CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT
+    model): ``{name: sql_condition}``. A current-state sidecar like
+    refs — constraints gate future WRITES, never reads, so they have
+    no place in time-travel semantics (and they survive vacuum and
+    overwrite the way Delta's do: dropping one is an explicit
+    maintenance.drop_constraint)."""
+    import json
+
+    cp = constraints_path(path)
+    if not os.path.isdir(path) or not os.path.exists(cp):
+        return {}
+    try:
+        with open(cp) as f:
+            return json.load(f)
+    except (OSError, ValueError) as exc:
+        raise ColfFormatError(
+            f"corrupt constraints sidecar at {cp}: {exc}") from exc
+
+
+def write_constraints(path: str, constraints: dict) -> None:
+    import json
+
+    tmp = constraints_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(constraints, f)
+    os.rename(tmp, constraints_path(path))
+
+
 def published_snapshots(snaps: list[dict]) -> list[dict]:
     """The main-lineage view of the log: every snapshot except staged
     (write-audit-publish) commits and branch commits, which are
@@ -2456,6 +2492,41 @@ def _stripe_stats(chunks: dict, num_rows: int, stripe_rows: int) -> list:
     return out or [_chunk_stats(chunks, 0)]
 
 
+def _check_constraint_batches(batches, constraints: dict) -> None:
+    """Executor-side CHECK-constraint validation of one partition's
+    Arrow batches, before any byte hits disk. SQL-standard CHECK
+    semantics (Delta's): a row violates only when the condition
+    evaluates to FALSE — NULL satisfies. Evaluation is DuckDB over
+    the zero-copy Arrow table, so arbitrary SQL conditions come for
+    free, vectorized, with no per-row Python and no extra shuffle;
+    a violation fails this write task, which fails the job before the
+    snapshot commit — the table is untouched."""
+    import duckdb
+    import pyarrow as pa
+
+    tbl = pa.Table.from_batches(batches)
+    con = duckdb.connect()
+    try:
+        con.register("_colf_write_batch", tbl)
+        for name, cond in sorted(constraints.items()):
+            try:
+                bad = con.execute(
+                    f"SELECT COUNT(*) FROM _colf_write_batch "
+                    f"WHERE NOT COALESCE(({cond}), TRUE)").fetchone()[0]
+            except duckdb.Error as exc:
+                raise ColfFormatError(
+                    f"CHECK constraint {name!r} ({cond}) failed to "
+                    f"evaluate against the written schema: {exc}"
+                ) from exc
+            if bad:
+                raise ColfFormatError(
+                    f"CHECK constraint {name!r} violated by {bad} "
+                    f"row(s) in this write: ({cond}) is false for "
+                    f"them. Nothing was committed.")
+    finally:
+        con.close()
+
+
 class ColfWriter(DataSourceArrowWriter):
     def __init__(self, options, schema: StructType, overwrite: bool):
         self.path = _local_path(options.get("path"))
@@ -2469,6 +2540,17 @@ class ColfWriter(DataSourceArrowWriter):
         self.bloom_cols, self.bloom_fpp = _bloom_opts(options, self.colf_columns)
         self.partition_cols = _partition_opts(options, self.colf_columns)
         self.partition_tuple_cap = _partition_tuple_cap(options)
+        # CHECK constraints (Delta model): resolved DRIVER-side from
+        # the table's sidecar (or, for maintenance rewrites that write
+        # to a tmp dir, from the live dataset via constraintsFrom) and
+        # shipped to executors inside this pickled writer — every
+        # partition validates its batches BEFORE writing any file, so
+        # a violating write fails with zero on-disk residue and zero
+        # committed state. Overwrites of a constrained table stay
+        # constrained (Delta semantics: constraints survive overwrite;
+        # removal is an explicit drop_constraint).
+        csrc = options.get("constraintsFrom") or self.path
+        self.constraints = load_constraints(csrc)
         if overwrite:
             # an overwrite DEFINES the table: record its spec (possibly
             # empty) so later appends inherit it
@@ -2569,6 +2651,8 @@ class ColfWriter(DataSourceArrowWriter):
         num_rows = sum(b.num_rows for b in batches)
         if num_rows == 0:
             return ColfCommitMessage(file=None)  # no empty part files
+        if self.constraints:
+            _check_constraint_batches(batches, self.constraints)
         chunks = {
             col.name: [b.column(i) for b in batches]
             for i, col in enumerate(self.colf_columns)
@@ -2996,6 +3080,10 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
             options, self.path, self.partition_cols, self.colf_columns)
         self.sort_cols, self.commit_sort = _resolve_sort_order(
             options, self.path, self.colf_columns, overwrite=False)
+        # streaming micro-batches honor table CHECK constraints like
+        # any append (Delta's sink behavior): a violating micro-batch
+        # fails before its files land, and abort() owes nothing
+        self.constraints = load_constraints(self.path)
         if (options.get("wap", "false").lower() == "true"
                 or options.get("branch") is not None):
             # staged lineages are a batch-writer surface; silently
@@ -3015,6 +3103,8 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
         num_rows = sum(b.num_rows for b in batches)
         if num_rows == 0:
             return ColfCommitMessage(file=None)
+        if self.constraints:
+            _check_constraint_batches(batches, self.constraints)
         chunks = {
             col.name: [b.column(i) for b in batches]
             for i, col in enumerate(self.colf_columns)
@@ -3251,7 +3341,18 @@ def register_table(spark, name: str, path: str, **options):
     with an upgrade canary in tests/test_colf_sql.py (same practice as
     the pushdown scan-reuse hazard); when a Spark upgrade starts
     passing table options through, switch this to a real catalog
-    table. Returns the registered DataFrame."""
+    table. Returns the registered DataFrame.
+
+    ``metadata="files"|"snapshots"|"refs"`` registers the named
+    METADATA table instead (Iceberg's ``table$files`` SQL surface) —
+    see maintenance.metadata_table."""
+    meta_kind = options.pop("metadata", None)
+    if meta_kind is not None:
+        from .maintenance import metadata_table
+
+        df = metadata_table(spark, path, str(meta_kind))
+        df.createOrReplaceTempView(name)
+        return df
     r = spark.read.format("colf")
     for k, v in options.items():
         r = r.option(k, str(v))

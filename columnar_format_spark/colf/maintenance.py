@@ -60,6 +60,13 @@ def _with_bloom_opt(writer, path: str):
         writer = writer.option("bloomColumns", ",".join(cols))
     if current_table_schema(path) is not None:
         writer = writer.option("tableSchemaFrom", path)
+    from .datasource import load_constraints
+
+    if load_constraints(path):
+        # DML rewrites (UPDATE/MERGE) must honor the table's CHECK
+        # constraints even though they write to a tmp dir first — the
+        # writer resolves them from the LIVE dataset via this option
+        writer = writer.option("constraintsFrom", path)
     return writer
 
 
@@ -1219,6 +1226,142 @@ def remove_orphan_files(path: str, older_than_s: float = 3 * 86400.0,
                     blooms.pop(b, None)
                 save_blooms(path, blooms)
     return sorted(removed)
+
+
+def add_constraint(spark: SparkSession, path: str, name: str,
+                   condition: str) -> dict:
+    """Add a named CHECK constraint to the table (Delta's ``ALTER
+    TABLE ADD CONSTRAINT``): every future write — append, overwrite,
+    streaming micro-batch, and DML rewrite — validates its rows
+    against ``condition`` (SQL-standard semantics: NULL satisfies)
+    executor-side before any file lands, failing the write with
+    nothing committed on violation.
+
+    Like Delta, adding the constraint first validates EXISTING data:
+    if any live row violates it, the add is refused — a constraint
+    the table already breaks would make every subsequent rewrite of
+    old rows unwritable. Returns ``{"name", "condition",
+    "n_checked_rows"}``."""
+    from .datasource import (dataset_commit_lock, load_constraints,
+                             write_constraints)
+    from .format import ColfFormatError
+
+    existing = load_constraints(path)
+    if name in existing:
+        raise ColfFormatError(
+            f"constraint {name!r} already exists on {path} "
+            f"({existing[name]}); drop it first to replace it")
+    df = spark.read.format("colf").load(path)
+    from pyspark.sql import functions as F
+
+    # violation = condition IS FALSE (NULL satisfies, SQL standard)
+    n_bad = df.filter(~F.coalesce(F.expr(condition), F.lit(True))).count()
+    if n_bad:
+        raise ColfFormatError(
+            f"cannot add CHECK constraint {name!r}: {n_bad} existing "
+            f"row(s) violate ({condition})")
+    with dataset_commit_lock(path):
+        cur = load_constraints(path)
+        if name in cur:
+            raise ColfFormatError(
+                f"constraint {name!r} was added concurrently")
+        cur[name] = condition
+        write_constraints(path, cur)
+    return {"name": name, "condition": condition,
+            "n_checked_rows": df.count()}
+
+
+def drop_constraint(path: str, name: str) -> None:
+    """Remove a CHECK constraint (Delta's ``ALTER TABLE DROP
+    CONSTRAINT``). Unknown names raise."""
+    from .datasource import (dataset_commit_lock, load_constraints,
+                             write_constraints)
+    from .format import ColfFormatError
+
+    with dataset_commit_lock(path):
+        cur = load_constraints(path)
+        if name not in cur:
+            raise ColfFormatError(
+                f"no constraint {name!r} on {path} "
+                f"(have: {sorted(cur) or 'none'})")
+        del cur[name]
+        write_constraints(path, cur)
+
+
+def metadata_table(spark: SparkSession, path: str, kind: str):
+    """The dataset's metadata as a queryable DataFrame — Iceberg's
+    ``table$files`` / ``table$snapshots`` / ``table$refs`` metadata
+    tables (Delta's DESCRIBE DETAIL / HISTORY shape). Three kinds:
+
+    - ``files``: one row per LIVE data file of the published head —
+      ``(file, n_rows, size_bytes, n_columns, first_version)``.
+      n_rows comes from the stats manifest; first_version is the
+      file's sequence number (the log version that introduced it —
+      rewritten CoW survivors carry the rewrite's version).
+    - ``snapshots``: one row per log commit — ``(version, ts,
+      n_files, n_delete_files, staged, branch, data_change)``; staged
+      WAP commits and branch commits appear flagged, exactly as the
+      CLI ``snapshots`` command annotates them.
+    - ``refs``: one row per named ref — ``(name, version)``.
+
+    Everything here is metadata-sized (file count, commit count, ref
+    count — never row count), so building the DataFrame driver-side
+    is the same boundedness class as planning a scan; at the file
+    counts where even this is big (10^7+ files) Iceberg itself moves
+    manifest reading off the driver, and this table would parallelize
+    the same way."""
+    from pyspark.sql.types import (BooleanType, DoubleType, IntegerType,
+                                   LongType, StringType, StructField,
+                                   StructType)
+
+    from .datasource import file_first_versions, live_files
+    from .format import read_header
+
+    snaps = load_snapshots(path)
+    if kind == "files":
+        man = load_manifest(path)
+        fseq = file_first_versions(snaps)
+        rows = []
+        for f in live_files(path):
+            b = os.path.basename(f)
+            ent = man.get(b) or {}
+            n_rows = ent.get("num_rows")
+            if n_rows is None:  # manifest-less (reference-writer) file
+                with open(f, "rb") as fh:
+                    n_rows = read_header(fh)[0].num_rows
+            rows.append((b, int(n_rows), int(os.path.getsize(f)),
+                         len(ent.get("columns") or {}) or None,
+                         fseq.get(b)))
+        return spark.createDataFrame(rows, StructType([
+            StructField("file", StringType(), False),
+            StructField("n_rows", LongType(), False),
+            StructField("size_bytes", LongType(), False),
+            StructField("n_columns", IntegerType(), True),
+            StructField("first_version", IntegerType(), True),
+        ]))
+    if kind == "snapshots":
+        rows = [(int(s["version"]), s.get("ts"), len(s["files"]),
+                 len(s.get("deletes") or []), bool(s.get("staged")),
+                 s.get("branch"), s.get("data_change"))
+                for s in snaps]
+        return spark.createDataFrame(rows, StructType([
+            StructField("version", IntegerType(), False),
+            StructField("ts", DoubleType(), True),
+            StructField("n_files", IntegerType(), False),
+            StructField("n_delete_files", IntegerType(), False),
+            StructField("staged", BooleanType(), False),
+            StructField("branch", StringType(), True),
+            StructField("data_change", BooleanType(), True),
+        ]))
+    if kind == "refs":
+        rows = [(n, int(r["version"]))
+                for n, r in sorted(load_refs(path).items())]
+        return spark.createDataFrame(rows, StructType([
+            StructField("name", StringType(), False),
+            StructField("version", IntegerType(), False),
+        ]))
+    raise ValueError(f"unknown metadata table kind {kind!r} "
+                     f"(have: files, snapshots, refs)")
 
 
 _NUM = r"-?\d+(?:\.\d+)?"

@@ -3240,3 +3240,183 @@ def q206_colf_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"))
+
+
+@register(
+    "q207_colf_metadata_tables",
+    oracle="""
+    WITH cut AS (SELECT MAX(o_orderkey) // 4 AS c FROM orders),
+    appended AS (
+      SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 40 = 1),
+    head AS (
+      SELECT (SELECT COUNT(*) FROM orders, cut
+              WHERE NOT (o_orderkey <= cut.c AND o_orderstatus = 'O'))
+             + (SELECT n FROM appended) AS n)
+    SELECT 'appended_rows' AS metric, CAST(n AS BIGINT) AS n FROM appended
+    UNION ALL
+    SELECT 'head_rows' AS metric, CAST(n AS BIGINT) AS n FROM head
+    """,
+)
+def q207_colf_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA TABLES as queryable DataFrames
+    (maintenance.metadata_table; SQL via register_table(...,
+    metadata="files") — Iceberg's ``table$files`` / ``$snapshots`` /
+    ``$refs``, Delta's DESCRIBE DETAIL/HISTORY): the table's own
+    manifest and log become relations. Staged history: append (v2,
+    keys above the original range) then a key-localized CoW delete
+    (v3). The query asserts the catalog contract in-query — three
+    snapshot rows with the right file counts, the delete commit
+    flagged data_change, the tag visible in ``refs`` at v3, every
+    live file carrying stats — then answers ENTIRELY FROM METADATA:
+    total visible rows (sum of per-file n_rows — exact because CoW
+    leaves no masks) and rows introduced by the append (files whose
+    first_version is 2, i.e. their Iceberg sequence number). The
+    oracle recomputes both relationally; a match proves the manifest
+    row counts and sequence numbers are exact, not advisory.
+
+    Scale: both answers aggregate the FILES table — manifest-sized
+    input (one row per file), zero data I/O; this is the Delta/Iceberg
+    statistics fast path exposed as a relation instead of a special
+    case (q172's profile is the widened twin)."""
+    from .datasource import register as register_ds
+    from .datasource import register_table
+    from .maintenance import create_tag, delete_where, metadata_table
+
+    register_ds(spark)
+    tmpl = _stage_cdc_orders(spark, sf_dir)
+    path = run_dir(("colf-metatables-run", sf_dir), "colf_meta_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+    mx = _CDC_MAXKEY[sf_dir]
+
+    inserts = (table(spark, sf_dir, "orders")
+               .filter(F.col("o_orderkey") % 40 == 1)
+               .select((F.col("o_orderkey") + mx + 1).cast("int")
+                       .alias("o_orderkey"),
+                       F.lit("C").alias("o_orderstatus")))
+    inserts.coalesce(1).write.format("colf").mode("append").save(path)
+    delete_where(spark, path,
+                 f"o_orderkey <= {mx // 4} AND o_orderstatus = 'O'")
+    create_tag(path, "audited")
+
+    snaps = metadata_table(spark, path, "snapshots").collect()
+    if [r.version for r in snaps] != [1, 2, 3]:
+        raise AssertionError(f"expected versions 1..3: {snaps}")
+    if any(r.staged or r.branch is not None for r in snaps):
+        raise AssertionError("no commit here is staged or on a branch")
+    if snaps[-1].data_change is False:
+        raise AssertionError("a CoW delete IS a data change")
+    refs = metadata_table(spark, path, "refs").collect()
+    if [(r.name, r.version) for r in refs] != [("audited", 3)]:
+        raise AssertionError(f"refs table wrong: {refs}")
+    files = register_table(spark, "colf_meta_files", path,
+                           metadata="files")
+    rows = files.collect()
+    if len(rows) != snaps[-1].n_files:
+        raise AssertionError(
+            f"files table has {len(rows)} rows, head snapshot says "
+            f"{snaps[-1].n_files} files")
+    if any(r.n_rows <= 0 or r.size_bytes <= 0 or r.first_version is None
+           for r in rows):
+        raise AssertionError(f"files table missing stats: {rows}")
+
+    appended = spark.sql("""
+        SELECT CAST(SUM(n_rows) AS BIGINT) AS n FROM colf_meta_files
+        WHERE first_version = 2""").select(
+        F.lit("appended_rows").alias("metric"), "n")
+    head = files.agg(F.sum("n_rows").cast("bigint").alias("n")).select(
+        F.lit("head_rows").alias("metric"), "n")
+    return appended.unionAll(head)
+
+
+@register(
+    "q208_colf_check_constraints",
+    oracle="""
+    WITH app AS (
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders)
+               AS o_orderkey,
+             'P' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 40 = 1),
+    allr AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      UNION ALL SELECT o_orderkey, o_orderstatus FROM app)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM allr GROUP BY o_orderstatus
+    """,
+)
+def q208_colf_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table CHECK constraints (maintenance.add_constraint /
+    drop_constraint — Delta's ALTER TABLE ADD CONSTRAINT): named SQL
+    conditions become table metadata that every write path — append,
+    overwrite, DML rewrite, streaming micro-batch — validates
+    EXECUTOR-side before a single byte lands; a violating write fails
+    the job with nothing committed. The query asserts the contract
+    in-query: (1) a constraint existing rows violate is refused at
+    add time (Delta's validation scan); (2) a violating append raises
+    and leaves version + row count untouched; (3) a violating CoW
+    UPDATE raises through the rewrite path and the table keeps zero
+    mutated rows; (4) a conforming append lands. It then aggregates
+    the final table; matching the oracle proves the failed writes
+    left no partial state behind.
+
+    Scale: enforcement is DuckDB over each write task's own Arrow
+    batches — vectorized, zero-copy, no added shuffle, no driver
+    involvement, arbitrary SQL conditions; the add-time validation
+    scan is one pushdown-filtered count over the table. Violations
+    fail BEFORE file creation, so aborted writes leave nothing for
+    remove_orphan_files to sweep."""
+    from .datasource import register as register_ds
+    from .datasource import load_snapshots
+    from .format import ColfFormatError
+    from .maintenance import add_constraint, update_where
+
+    register_ds(spark)
+    tmpl = _stage_cdc_orders(spark, sf_dir)
+    path = run_dir(("colf-constraints-run", sf_dir), "colf_chk_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+    mx = _CDC_MAXKEY[sf_dir]
+
+    add_constraint(spark, path, "status_domain",
+                   "o_orderstatus IN ('O','F','P')")
+    add_constraint(spark, path, "key_nonneg", "o_orderkey >= 0")
+    try:
+        add_constraint(spark, path, "impossible", f"o_orderkey > {mx}")
+        raise AssertionError("violated-by-existing-data add not refused")
+    except ColfFormatError:
+        pass
+
+    head0 = load_snapshots(path)[-1]["version"]
+    n0 = spark.read.format("colf").load(path).count()
+    bad = (table(spark, sf_dir, "orders")
+           .filter(F.col("o_orderkey") % 40 == 1)
+           .select((F.col("o_orderkey") + mx + 1).cast("int")
+                   .alias("o_orderkey"),
+                   F.lit("X").alias("o_orderstatus")))
+    try:
+        bad.coalesce(1).write.format("colf").mode("append").save(path)
+        raise AssertionError("violating append was not refused")
+    except Exception as exc:
+        if "status_domain" not in str(exc):
+            raise
+    if (load_snapshots(path)[-1]["version"] != head0
+            or spark.read.format("colf").load(path).count() != n0):
+        raise AssertionError("failed append left committed state")
+
+    try:
+        update_where(spark, path, {"o_orderstatus": "'X'"},
+                     f"o_orderkey <= {mx // 4}")
+        raise AssertionError("violating UPDATE was not refused")
+    except Exception as exc:
+        if "status_domain" not in str(exc):
+            raise
+    cur = spark.read.format("colf").load(path)
+    if cur.filter(F.col("o_orderstatus") == "X").count() != 0:
+        raise AssertionError("failed UPDATE leaked mutated rows")
+
+    good = bad.withColumn("o_orderstatus", F.lit("P"))
+    good.coalesce(1).write.format("colf").mode("append").save(path)
+    back = spark.read.format("colf").load(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"))

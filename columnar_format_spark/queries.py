@@ -18,7 +18,7 @@ sf0.1 sweep 198/198, plus a 50-query window sweep at sf0.1 with
 --dtypes (50/50) and per-query driver-style checks on every query
 added or changed mid-round (three full gate passes this round).
 
-Registry size: 205 queries (q01-q206, no q123; the count is pinned
+Registry size: 207 queries (q01-q208, no q123; the count is pinned
 live by tests/test_driver_ledger.py). Round-10 additions are q200
 (Change Data Feed: row-level _change_type/_commit_version CDC reads of
 a DML'd table, batch AND streaming — the changelog-stream answer to
@@ -32,7 +32,12 @@ video codec: YUV4MPEG2/C444 encode-decode in pure numpy, per-frame
 checksums recomputed relationally), then q205 (TPC-H Q14, completing
 22/22 classic TPC-H coverage) and q206 (remove_orphan_files:
 Iceberg's orphan cleanup — unreferenced crash artifacts swept past a
-grace period with zero snapshots expired). Round-9 additions were
+grace period with zero snapshots expired), q207 (metadata tables:
+files/snapshots/refs as queryable DataFrames — Iceberg's table$files,
+answered entirely from the manifest), and q208 (CHECK constraints:
+Delta's ADD CONSTRAINT — executor-side Arrow-batch validation on
+every write path, violations committing nothing). Round-9 additions
+were
 q195 (merge-on-read position deletes — Iceberg v2's model: the delete
 writes (file, pos) sidecars, themselves COLF files, plus ONE metadata
 commit; every reader masks deleted ordinals at decode time,

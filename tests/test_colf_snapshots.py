@@ -395,3 +395,37 @@ def test_remove_orphan_files_logless_is_noop(colf_spark, tmp_path):
     os.remove(snapshots_path(path))
     assert remove_orphan_files(path, older_than_s=0) == []
     assert _vals(_read(colf_spark, path)) == list(range(5))
+
+
+def test_metadata_tables(colf_spark, tmp_path):
+    """files/snapshots/refs metadata tables reflect the manifest and
+    log exactly; manifest-less (reference-writer-style) files fall
+    back to reading n_rows from the COLF header."""
+    from columnar_format_spark.colf.datasource import manifest_path
+    from columnar_format_spark.colf.maintenance import (
+        create_tag, metadata_table)
+
+    path = str(tmp_path / "ds")
+    _ints(colf_spark, 0, 20).repartition(2).write.format("colf") \
+        .mode("overwrite").save(path)
+    _ints(colf_spark, 20, 25).coalesce(1).write.format("colf") \
+        .mode("append").save(path)
+    create_tag(path, "t1", version=1)
+
+    snaps = metadata_table(colf_spark, path, "snapshots").collect()
+    assert [(r.version, r.n_files) for r in snaps] == [(1, 2), (2, 3)]
+    assert all(r.ts is not None and not r.staged for r in snaps)
+    files = metadata_table(colf_spark, path, "files").collect()
+    assert sorted(r.first_version for r in files) == [1, 1, 2]
+    assert sum(r.n_rows for r in files) == 25
+    assert all(r.size_bytes > 0 and r.n_columns == 1 for r in files)
+    refs = metadata_table(colf_spark, path, "refs").collect()
+    assert [(r.name, r.version) for r in refs] == [("t1", 1)]
+
+    # manifest-less fallback: n_rows read from the file header
+    os.remove(manifest_path(path))
+    files2 = metadata_table(colf_spark, path, "files").collect()
+    assert sum(r.n_rows for r in files2) == 25
+
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        metadata_table(colf_spark, path, "manifests")
