@@ -738,6 +738,90 @@ def compact(spark: SparkSession, path: str, target_files: int | None = None,
     return len(moved)
 
 
+def binpack(spark: SparkSession, path: str, *, smaller_than: int,
+            target_file_bytes: int | None = None) -> dict:
+    """SELECTIVE small-file compaction (Iceberg RewriteDataFiles
+    binpack): rewrite only the live files under ``smaller_than`` bytes
+    into ~``target_file_bytes`` outputs (default: the threshold
+    itself), leaving every other file byte-untouched, in ONE retained
+    snapshot commit. This is the scheduled maintenance a
+    streaming-ingested table runs at 100 TB: micro-batches accumulate
+    small files continuously, and the nightly job must touch the
+    small-file TAIL, not rewrite the table — ``compact()`` (the full
+    rewrite) is the layout-change tool, this is the cheap one.
+
+    MoR interaction: the rewrite reads candidates through the masking
+    reader, so their position/equality deletes are MATERIALIZED into
+    the outputs; untouched files keep the inherited sidecars and
+    sequence gating (entries addressing rewritten basenames go inert —
+    rewrite_delete_files reclaims them). data_change=False, so tailing
+    CDC/changelog consumers emit nothing for this commit. Fewer than
+    two candidates is a no-op (nothing to coalesce).
+
+    Returns ``{"n_candidates", "n_outputs", "n_live_after",
+    "version"}`` (version None on no-op)."""
+    from .datasource import partition_source_columns
+
+    if smaller_than < 1:
+        raise ValueError("smaller_than must be >= 1")
+    target = target_file_bytes or smaller_than
+    parent, _ = _bootstrap_log(path)
+    live = live_files(path)
+    cand = [f for f in live if os.path.getsize(f) < smaller_than]
+    if len(cand) < 2:
+        return {"n_candidates": len(cand), "n_outputs": 0,
+                "n_live_after": len(live), "version": None}
+    keep = [os.path.basename(f) for f in live
+            if os.path.basename(f) not in
+            {os.path.basename(c) for c in cand}]
+    cand_bytes = sum(os.path.getsize(f) for f in cand)
+    n_out = max(1, -(-cand_bytes // target))
+    from .format import read_schema as _read_schema
+
+    ver = _read_schema(cand[0]).version
+    df = (spark.read.format("colf")
+          .option("files", ",".join(os.path.basename(f) for f in cand))
+          .load(path))
+    pcols = _dataset_partition_cols(
+        path, [os.path.basename(f) for f in live])
+    from .datasource import current_sort_order
+
+    sort = current_sort_order(path) or []
+    if pcols:
+        src = df.repartition(n_out, *partition_source_columns(pcols))
+    elif sort:
+        src = df.repartitionByRange(n_out, *sort)
+    else:
+        src = df.repartition(n_out)
+    w = _with_bloom_opt(
+        src.write.format("colf").option("version", str(ver)), path)
+    if pcols:
+        w = w.option("partitionColumns", ",".join(pcols))
+    if sort:
+        w = w.option("sortOrder", ",".join(sort))
+    if ver == 3:
+        srows = _dataset_stripe_rows(
+            path, [os.path.basename(f) for f in cand])
+        if srows:
+            w = w.option("stripeRows", str(srows))
+    tmp = f"{path.rstrip(os.sep)}.compact-{uuid.uuid4().hex[:8]}"
+    w.mode("overwrite").save(tmp)
+    moved = []
+    for f in dataset_files(tmp):
+        base = os.path.basename(f)
+        os.rename(f, os.path.join(path, base))
+        moved.append(base)
+    _merge_manifest_entries(path, load_manifest(tmp))
+    _merge_bloom_files(path, tmp)
+    shutil.rmtree(tmp)
+    # deletes/eq_deletes INHERIT (untouched files still need their
+    # masks; the candidates' masks were materialized by the read)
+    v = commit_snapshot(path, keep + moved, expected_parent=parent,
+                        data_change=False)
+    return {"n_candidates": len(cand), "n_outputs": len(moved),
+            "n_live_after": len(keep) + len(moved), "version": v}
+
+
 def _bootstrap_table_schema(path: str) -> dict:
     """The dataset's field-ID table schema, BOOTSTRAPPING it from the
     live files' union when no evolution has run yet: ids assigned in

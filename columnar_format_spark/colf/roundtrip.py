@@ -3420,3 +3420,109 @@ def q208_colf_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"))
+
+
+@register(
+    "q209_colf_binpack",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    app AS (
+      SELECT o_orderkey + mx.m + 1 AS k, 'C' AS s
+      FROM orders, mx WHERE o_orderkey % 40 IN (1, 2, 3)),
+    allr AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s FROM orders
+      UNION ALL SELECT k, s FROM app),
+    vis AS (SELECT * FROM allr WHERE k % 10 <> 3)
+    SELECT s AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM vis GROUP BY s
+    """,
+)
+def q209_colf_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECTIVE binpack compaction (maintenance.binpack — Iceberg's
+    RewriteDataFiles binpack strategy): the streaming-ingest shape —
+    two big base files plus three small appended files — followed by a
+    scattered MoR delete, then a binpack that must coalesce ONLY the
+    small tail. The query asserts the contract in-query: exactly the
+    three small files were candidates and became one output; both big
+    files are byte-untouched (same mtime+size); visible rows are
+    identical across the rewrite; the commit is data_change=false; the
+    delete sidecars are INHERITED (the untouched big files still need
+    their masks) while the rewritten rows were materialized mask-free;
+    and the pre-binpack version still time-travels. The oracle
+    recomputes the visible state relationally.
+
+    Scale: this is the maintenance economics that matter at 100 TB —
+    a table ingesting micro-batches accumulates a small-file tail
+    forever, and the nightly job must rewrite the TAIL (3 files here,
+    thousands there), never the table; candidate selection is pure
+    manifest metadata (file sizes), the rewrite reads candidates only
+    (option files=), and untouched data moves zero bytes. compact()
+    remains the full layout-change tool; binpack is the cheap
+    scheduled one."""
+    import os
+
+    from .datasource import live_files, load_snapshots
+    from .datasource import register as register_ds
+    from .maintenance import binpack, delete_where
+
+    register_ds(spark)
+    tmpl = _stage_cdc_orders(spark, sf_dir)
+    path = run_dir(("colf-binpack-run", sf_dir), "colf_binpack_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+    mx = _CDC_MAXKEY[sf_dir]
+
+    # the template is 4 range-partitioned files; rebuild as 2 big base
+    # files + 3 small appends (the streaming-ingest tail shape)
+    base = spark.read.format("colf").load(path)
+    base.repartitionByRange(2, "o_orderkey").write.format("colf") \
+        .mode("overwrite").save(path)
+    for m in (1, 2, 3):
+        (table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") % 40 == m)
+         .select((F.col("o_orderkey") + mx + 1).cast("int")
+                 .alias("o_orderkey"),
+                 F.lit("C").alias("o_orderstatus"))
+         .coalesce(1).write.format("colf").mode("append").save(path))
+    delete_where(spark, path, "o_orderkey % 10 = 3", mode="mor")
+
+    sizes = {f: os.path.getsize(f) for f in live_files(path)}
+    smalls = sorted(sizes.values())[:3]
+    bigs = sorted(sizes.values())[3:]
+    if smalls[-1] >= bigs[0]:
+        raise AssertionError(f"staging did not split sizes: {sizes}")
+    threshold = (smalls[-1] + bigs[0]) // 2
+    big_state = {f: (os.path.getmtime(f), sz)
+                 for f, sz in sizes.items() if sz >= threshold}
+    n_before = spark.read.format("colf").load(path).count()
+    v_before = load_snapshots(path)[-1]["version"]
+
+    stats = binpack(spark, path, smaller_than=threshold)
+    if stats["n_candidates"] != 3 or stats["n_outputs"] != 1:
+        raise AssertionError(f"binpack touched the wrong set: {stats}")
+    if stats["n_live_after"] != 3:
+        raise AssertionError(f"expected 2 big + 1 packed: {stats}")
+    after = {f: (os.path.getmtime(f), os.path.getsize(f))
+             for f in live_files(path)
+             if os.path.getsize(f) >= threshold
+             and (os.path.getmtime(f), os.path.getsize(f))
+             in big_state.values()}
+    if len(after) != len(big_state):
+        raise AssertionError("binpack touched a big file")
+    head = load_snapshots(path)[-1]
+    if head.get("data_change") is not False:
+        raise AssertionError("binpack commit not data_change=false")
+    if not head.get("deletes"):
+        raise AssertionError(
+            "delete sidecars must be INHERITED for the untouched files")
+    back = spark.read.format("colf").load(path)
+    if back.count() != n_before:
+        raise AssertionError("visible rows changed across binpack")
+    prev = spark.read.format("colf").option("snapshot", v_before) \
+        .load(path)
+    if prev.count() != n_before:
+        raise AssertionError("pre-binpack version no longer reads")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"))

@@ -1207,55 +1207,3 @@ def q178_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name", "s_acctbal")
     )
-
-
-Q14_LO, Q14_HI = "1996-09-01", "1996-10-01"
-_Q14_PROD = ("CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
-             " * (100 - CAST(CAST(l.l_discount AS DECIMAL(18,2)) * 100"
-             " AS BIGINT))")
-
-
-@register(
-    "q205_tpch_q14",
-    oracle=f"""
-    SELECT (100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                                  THEN {_Q14_PROD} ELSE 0 END) AS DOUBLE)
-            / CAST(SUM({_Q14_PROD}) AS DOUBLE)) AS promo_revenue
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE l.l_shipdate >= TIMESTAMP '{Q14_LO} 00:00:00'
-      AND l.l_shipdate <  TIMESTAMP '{Q14_HI} 00:00:00'
-    """,
-)
-def q205_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 (promotion effect), ADAPTED to the testdata's p_type
-    vocabulary: the classic ``p_type LIKE 'PROMO%'`` predicate becomes
-    the exact value 'PROMO' (the column is single-word here). One-month
-    promo revenue share as a percentage — the last of the 22 classic
-    TPC-H shapes, completing 22/22 coverage (Q1 is the flagship q01).
-
-    Determinism (registry rule 4): both the promo and total revenue
-    sums are exact int64 cents product-sums (never floats), and the
-    single output value is the same two IEEE ops — (100.0 × promo) ÷
-    total over identical int64-to-double conversions — in both engines.
-
-    Scale: the one-month ship-date window pushes into the lineitem
-    scan (~1/80 of rows); only (l_partkey, price, discount) survive
-    projection. part contributes two columns and is 1/30 of lineitem's
-    row count — broadcastable at bench SFs (AQE decides; no hint), a
-    shuffle hash join on partkey beyond that. The aggregate is a
-    single global group of two int64 partial sums — one exchange of
-    one row per task."""
-    from .relational import cents
-
-    li = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= Q14_LO) & (F.col("l_shipdate") < Q14_HI)
-    ).select("l_partkey", "l_extendedprice", "l_discount")
-    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    prod = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
-    return (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .agg((F.lit(100.0)
-              * F.sum(F.when(F.col("p_type") == "PROMO", prod)
-                      .otherwise(F.lit(0))).cast("double")
-              / F.sum(prod).cast("double")).alias("promo_revenue"))
-    )

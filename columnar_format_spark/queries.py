@@ -18,7 +18,7 @@ sf0.1 sweep 198/198, plus a 50-query window sweep at sf0.1 with
 --dtypes (50/50) and per-query driver-style checks on every query
 added or changed mid-round (three full gate passes this round).
 
-Registry size: 207 queries (q01-q208, no q123; the count is pinned
+Registry size: 207 queries (q01-q209, no q123/q205; the count is pinned
 live by tests/test_driver_ledger.py). Round-10 additions are q200
 (Change Data Feed: row-level _change_type/_commit_version CDC reads of
 a DML'd table, batch AND streaming — the changelog-stream answer to
@@ -29,14 +29,16 @@ evolution: rename/drop/widen as table metadata with name-mapping
 fallback for ID-less files), q203 (SQL surface: register_table +
 spark.sql over colf views including time travel), and q204 (real Y4M
 video codec: YUV4MPEG2/C444 encode-decode in pure numpy, per-frame
-checksums recomputed relationally), then q205 (TPC-H Q14, completing
-22/22 classic TPC-H coverage) and q206 (remove_orphan_files:
+checksums recomputed relationally), then q206 (remove_orphan_files:
 Iceberg's orphan cleanup — unreferenced crash artifacts swept past a
 grace period with zero snapshots expired), q207 (metadata tables:
 files/snapshots/refs as queryable DataFrames — Iceberg's table$files,
 answered entirely from the manifest), and q208 (CHECK constraints:
 Delta's ADD CONSTRAINT — executor-side Arrow-batch validation on
-every write path, violations committing nothing). Round-9 additions
+every write path, violations committing nothing), and q209 (binpack:
+Iceberg's selective RewriteDataFiles — only the small-file tail is
+rewritten, big files move zero bytes, MoR masks inherited).
+Round-9 additions
 were
 q195 (merge-on-read position deletes — Iceberg v2's model: the delete
 writes (file, pos) sidecars, themselves COLF files, plus ONE metadata

@@ -429,3 +429,32 @@ def test_metadata_tables(colf_spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown metadata table"):
         metadata_table(colf_spark, path, "manifests")
+
+
+def test_binpack_selective_and_noop(colf_spark, tmp_path):
+    """binpack coalesces only sub-threshold files in one retained
+    commit; fewer than two candidates is a no-op."""
+    from columnar_format_spark.colf.maintenance import binpack
+
+    path = str(tmp_path / "ds")
+    _ints(colf_spark, 0, 5000).coalesce(1).write.format("colf") \
+        .mode("overwrite").save(path)
+    for lo in (5000, 5010, 5020):
+        _ints(colf_spark, lo, lo + 10).coalesce(1).write.format("colf") \
+            .mode("append").save(path)
+    sizes = sorted(os.path.getsize(f) for f in dataset_files(path))
+    thr = (sizes[-2] + sizes[-1]) // 2  # 3 small + 1 big
+
+    stats = binpack(colf_spark, path, smaller_than=thr)
+    assert stats["n_candidates"] == 3 and stats["n_outputs"] == 1
+    assert stats["n_live_after"] == 2
+    assert sorted(_vals(_read(colf_spark, path))) == list(range(5030))
+    # old versions still read; binpack commit is data_change=false
+    snaps = load_snapshots(path)
+    assert snaps[-1]["data_change"] is False
+    assert sorted(_vals(_read(colf_spark, path, snapshot=4))) == \
+        list(range(5030))
+    # one surviving small-ish packed file + the big one: no-op now
+    stats2 = binpack(colf_spark, path, smaller_than=thr)
+    assert stats2 == {"n_candidates": 1, "n_outputs": 0,
+                      "n_live_after": 2, "version": None}
