@@ -772,3 +772,82 @@ def q133_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("score").cast("bigint").alias("worst_score"),
         )
     )
+
+
+# --- q210: sequence packing (concat-and-chunk) ---------------------------
+
+PACK_CAPACITY = 128  # tokens per training sequence (context window)
+PACK_BUCKETS = 32    # independent packing streams
+
+
+@register(
+    "q210_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % {PACK_BUCKETS} AS bucket,
+             CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents),
+    c AS (
+      SELECT bucket, n_tok,
+             SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(CEIL(CAST(SUM(n_tok) AS DOUBLE) / {PACK_CAPACITY})
+                AS BIGINT) AS n_seqs,
+           (CAST(SUM(n_tok) AS DOUBLE)
+            / (CEIL(CAST(SUM(n_tok) AS DOUBLE) / {PACK_CAPACITY})
+               * {PACK_CAPACITY}.0)) AS fill_frac,
+           CAST(SUM(CASE WHEN (cum - n_tok) // {PACK_CAPACITY}
+                              <> (cum - 1) // {PACK_CAPACITY}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+    FROM c GROUP BY bucket
+    """,
+)
+def q210_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING for pretraining (the GPT concat-and-chunk
+    recipe): within each of {PACK_BUCKETS} independent packing streams
+    (doc_id mod bucket — the distributed unit), documents are
+    concatenated in doc_id order and chunked into fixed
+    {PACK_CAPACITY}-token training sequences. Per stream: sequence
+    count, fill fraction (concat-chunk wastes padding only in the last
+    chunk, so fill approaches 1 — the reason pretraining uses it over
+    first-fit), and how many documents straddle a chunk boundary (the
+    attention-mask/document-separator cost of the recipe).
+
+    Everything is closed-form from a per-bucket running token count —
+    a document straddles a boundary iff its start and end-1 offsets
+    land in different chunks — so the whole operator is two JVM window
+    passes, no UDF, no recursion, and the oracle expresses the exact
+    same prefix-sum relationally.
+
+    Scale: one hash shuffle on the bucket key (32 streams here, tens
+    of thousands in production — the stream count is the parallelism
+    knob and packing quality is bucket-local, so no global order is
+    ever needed); the window runs per bucket in one pass. At 100 TB
+    this is scan + one exchange of (bucket, n_tok) pairs — the text
+    itself never moves."""
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        (F.col("doc_id") % PACK_BUCKETS).alias("bucket"),
+        F.size(F.split(F.col("text"), "\\s+")).cast("bigint")
+        .alias("n_tok"))
+    w = (Window.partitionBy("bucket").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    cap = F.lit(PACK_CAPACITY).cast("bigint")
+    straddles = (((F.col("cum") - F.col("n_tok")) / cap).cast("bigint")
+                 != ((F.col("cum") - 1) / cap).cast("bigint"))
+    n_seqs = F.ceil(F.sum("n_tok").cast("double") / cap)
+    return c.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        n_seqs.cast("bigint").alias("n_seqs"),
+        (F.sum("n_tok").cast("double")
+         / (n_seqs * cap).cast("double")).alias("fill_frac"),
+        F.sum(F.when(straddles, 1).otherwise(0)).cast("bigint")
+        .alias("n_split_docs"))

@@ -18,7 +18,7 @@ sf0.1 sweep 198/198, plus a 50-query window sweep at sf0.1 with
 --dtypes (50/50) and per-query driver-style checks on every query
 added or changed mid-round (three full gate passes this round).
 
-Registry size: 207 queries (q01-q209, no q123/q205; the count is pinned
+Registry size: 208 queries (q01-q210, no q123/q205; the count is pinned
 live by tests/test_driver_ledger.py). Round-10 additions are q200
 (Change Data Feed: row-level _change_type/_commit_version CDC reads of
 a DML'd table, batch AND streaming — the changelog-stream answer to
@@ -37,7 +37,10 @@ answered entirely from the manifest), and q208 (CHECK constraints:
 Delta's ADD CONSTRAINT — executor-side Arrow-batch validation on
 every write path, violations committing nothing), and q209 (binpack:
 Iceberg's selective RewriteDataFiles — only the small-file tail is
-rewritten, big files move zero bytes, MoR masks inherited).
+rewritten, big files move zero bytes, MoR masks inherited), and
+q210 (sequence packing: the GPT concat-and-chunk pretraining
+recipe as two JVM window passes — per-stream fill fraction and
+boundary-straddling doc counts in closed form).
 Round-9 additions
 were
 q195 (merge-on-read position deletes — Iceberg v2's model: the delete
