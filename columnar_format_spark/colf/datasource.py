@@ -2825,7 +2825,10 @@ class ColfStreamReader(DataSourceStreamReader):
     tests/test_colf_streaming.py::test_stream_offsets_upgrade_from_legacy).
 
     ``maxFilesPerTrigger`` (0 = unlimited) caps how many new files each
-    ``latestOffset`` call admits.  Caveats, pinned by
+    ``latestOffset`` call admits; ``maxBytesPerTrigger`` is the byte
+    form (Delta's soft cap: the crossing file is included, and one
+    file always admits so an over-cap file still makes progress) —
+    both caps compose.  Caveats, pinned by
     tests/test_colf_streaming.py:
 
     - ``Trigger.AvailableNow`` snapshots ONE end offset at query start
@@ -2849,14 +2852,21 @@ class ColfStreamReader(DataSourceStreamReader):
             raise ColfFormatError("colf stream reader requires a path")
         self.schema = schema
         self.max_files = int(options.get("maxFilesPerTrigger", "0"))
-        if self.max_files > 0:
+        # maxBytesPerTrigger (Delta's soft byte cap): admit files until
+        # the batch's cumulative size reaches the cap — the crossing
+        # file is included, and the first file always admits so a
+        # single over-cap file still makes progress. Composes with
+        # maxFilesPerTrigger (both caps enforced).
+        self.max_bytes = int(options.get("maxBytesPerTrigger", "0"))
+        if self.max_files > 0 or self.max_bytes > 0:
             import warnings
 
             warnings.warn(
-                "colf maxFilesPerTrigger rate-limits each micro-batch; "
-                "Trigger.AvailableNow snapshots a single capped end offset "
-                "and will NOT drain the backlog — use a processingTime "
-                "trigger for rate-limited drains",
+                "colf maxFilesPerTrigger/maxBytesPerTrigger rate-limit "
+                "each micro-batch; Trigger.AvailableNow snapshots a "
+                "single capped end offset and will NOT drain the "
+                "backlog — use a processingTime trigger for "
+                "rate-limited drains",
                 stacklevel=2,
             )
         # merge-on-read deletes cannot be retracted through a
@@ -2878,11 +2888,12 @@ class ColfStreamReader(DataSourceStreamReader):
         self._cdc_start = int(options.get("startingVersion", "0"))
         self._skip_change = (
             options.get("skipChangeCommits", "false").lower() == "true")
-        if self._changelog and self.max_files > 0:
+        if self._changelog and (self.max_files > 0 or self.max_bytes > 0):
             raise ColfFormatError(
-                "maxFilesPerTrigger is not supported with "
-                "readChangeFeed: changelog offsets are per commit, "
-                "and splitting a commit would tear its atomicity")
+                "maxFilesPerTrigger/maxBytesPerTrigger are not "
+                "supported with readChangeFeed: changelog offsets are "
+                "per commit, and splitting a commit would tear its "
+                "atomicity")
         self._refuse_live_deletes()
         self._seen: set[str] = set()   # legacy-offset baseline (no-log dirs)
         self._cursor: tuple[int, int] = (0, 0)  # log-cursor baseline
@@ -2979,10 +2990,19 @@ class ColfStreamReader(DataSourceStreamReader):
             new = sorted(now - self._seen)
             if self.max_files > 0:
                 new = new[: self.max_files]
+            if self.max_bytes > 0:
+                capped, done = [], 0
+                for f in new:
+                    if capped and done >= self.max_bytes:
+                        break
+                    capped.append(f)
+                    done += os.path.getsize(os.path.join(self.path, f))
+                new = capped
             self._seen |= set(new)
             return {"files": sorted(self._seen)}
         v, k = self._cursor
         admitted = 0
+        admitted_bytes = 0
         for ver, new in entries:
             if ver < v:
                 continue
@@ -2990,10 +3010,15 @@ class ColfStreamReader(DataSourceStreamReader):
             while i < len(new):
                 f = new[i]
                 if f not in self._seen:  # legacy-consumed files advance free
-                    if self.max_files > 0 and admitted >= self.max_files:
+                    if ((self.max_files > 0 and admitted >= self.max_files)
+                            or (self.max_bytes > 0 and admitted > 0
+                                and admitted_bytes >= self.max_bytes)):
                         self._cursor = (ver, i)
                         return {"v": ver, "k": i}
                     admitted += 1
+                    if self.max_bytes > 0:
+                        admitted_bytes += os.path.getsize(
+                            os.path.join(self.path, f))
                 i += 1
             v, k = ver, len(new)
         self._cursor = (v, k)

@@ -518,3 +518,39 @@ def test_stream_sink_partition_columns(spark, tmp_path):
     assert {e["partition"]["grp"] for e in manifest.values()} == {"a", "b"}
     back = spark.read.format("colf").load(out)
     assert sorted(r["k"] for r in back.collect()) == list(range(40))
+
+
+def test_stream_reader_byte_capping(spark, tmp_path):
+    """maxBytesPerTrigger is a soft cap (Delta semantics): files admit
+    until the batch's cumulative size reaches the cap — the crossing
+    file included — and the first file always admits. Composes with
+    maxFilesPerTrigger."""
+    d = str(tmp_path / "ds")
+    _seed_files(spark, d, 5)  # one commit, 5 similar-size files
+    sz = min(os.path.getsize(os.path.join(d, f))
+             for f in os.listdir(d) if f.endswith(".colf"))
+
+    # cap below one file: exactly one file per offset (progress holds)
+    r = _mk_reader(spark, d, maxBytesPerTrigger=str(sz // 2))
+    o1 = r.latestOffset()
+    assert o1 == {"v": 1, "k": 1}
+    assert len(r.partitions({"v": 0, "k": 0}, o1)) == 1
+
+    # cap at ~1.5 files: two files admit (the crossing file included)
+    r2 = _mk_reader(spark, d, maxBytesPerTrigger=str(sz + sz // 2))
+    o = r2.latestOffset()
+    assert o == {"v": 1, "k": 2}
+
+    # file cap tighter than byte cap wins
+    r3 = _mk_reader(spark, d, maxFilesPerTrigger="1",
+                    maxBytesPerTrigger=str(10 * sz))
+    assert r3.latestOffset() == {"v": 1, "k": 1}
+
+    # changelog mode refuses byte caps (per-commit atomicity)
+    import pytest as _pytest
+
+    from columnar_format_spark.colf.format import ColfFormatError
+
+    with _pytest.raises(ColfFormatError, match="maxBytesPerTrigger"):
+        _mk_reader(spark, d, readChangeFeed="true",
+                   maxBytesPerTrigger="100")
