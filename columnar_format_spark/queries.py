@@ -150,6 +150,11 @@ WINDOW_SIZE = 50
 # (q200) — so every DML/maintenance/lineage query re-proves, as does
 # q134 (stream reader) and q184 (changelog).
 CHANGED_THIS_ROUND = [
+    # round-10 late additions: the stream reader's latestOffset gained
+    # byte capping (q109 exercises the offset plumbing end-to-end) and
+    # the batch/stream writers gained the constraints check
+    "q109_colf_stream_agg",
+    "q70_colf_roundtrip",
     "q100_scd2_upsert",
     "q122_colf_time_travel",
     "q134_colf_incremental_read",
