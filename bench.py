@@ -131,6 +131,18 @@ HEADLINE = [
     "q197_colf_mor_update",
     "q198_colf_eq_delete",
     "q199_colf_mor_merge",
+    # round-10 additions: CDC, table-format completeness, cheap
+    # maintenance, sequence packing
+    "q200_colf_cdc_stream",
+    "q201_colf_rewrite_deletes",
+    "q202_colf_schema_evolution",
+    "q203_colf_sql_surface",
+    "q204_multimodal_y4m",
+    "q206_colf_orphan_cleanup",
+    "q207_colf_metadata_tables",
+    "q208_colf_check_constraints",
+    "q209_colf_binpack",
+    "q210_sequence_packing",
 ]
 
 
