@@ -809,15 +809,20 @@ PACK_BUCKETS = 32    # independent packing streams
     """,
 )
 def q210_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SEQUENCE PACKING for pretraining (the GPT concat-and-chunk
-    recipe): within each of {PACK_BUCKETS} independent packing streams
-    (doc_id mod bucket — the distributed unit), documents are
-    concatenated in doc_id order and chunked into fixed
-    {PACK_CAPACITY}-token training sequences. Per stream: sequence
-    count, fill fraction (concat-chunk wastes padding only in the last
-    chunk, so fill approaches 1 — the reason pretraining uses it over
-    first-fit), and how many documents straddle a chunk boundary (the
-    attention-mask/document-separator cost of the recipe).
+    """SEQUENCE PACKING for pretraining, concat-and-chunk policy (the
+    GPT recipe — q71 is the OTHER policy, greedy whole-doc first-fit
+    where no document splits; the two answer different training
+    setups and have opposite execution shapes, iterative
+    applyInPandas there vs closed-form windows here): within each of
+    {PACK_BUCKETS} independent packing streams (doc_id mod bucket —
+    the distributed unit), documents are concatenated in doc_id order
+    and chunked into fixed {PACK_CAPACITY}-token training sequences.
+    Per stream: sequence count, fill fraction (concat-chunk wastes
+    padding only in the last chunk, so fill approaches 1 — the reason
+    pretraining uses it over first-fit), and how many documents
+    straddle a chunk boundary (the attention-mask/document-separator
+    cost of the recipe, the number q71's no-split policy drives to
+    zero at the price of padding).
 
     Everything is closed-form from a per-bucket running token count —
     a document straddles a boundary iff its start and end-1 offsets
