@@ -143,6 +143,7 @@ HEADLINE = [
     "q208_colf_check_constraints",
     "q209_colf_binpack",
     "q210_sequence_packing",
+    "q211_colf_ndv_stats",
 ]
 
 

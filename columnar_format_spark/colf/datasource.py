@@ -1078,6 +1078,20 @@ def bloom_columns(path: str) -> list[str]:
                    for c in per_file.get("columns", {})})
 
 
+def ndv_columns(path: str) -> tuple[list[str], int]:
+    """(columns carrying a KMV NDV sketch in any live file's manifest
+    entry, the smallest recorded k) — what maintenance rewrites must
+    pass through as ndvColumns/ndvK so stats stay maintained through
+    CoW/compaction."""
+    cols: set[str] = set()
+    ks: set[int] = set()
+    for ent in load_manifest(path).values():
+        for c, s in (ent.get("kmv") or {}).items():
+            cols.add(c)
+            ks.add(int(s["k"]))
+    return sorted(cols), (min(ks) if ks else NDV_K_DEFAULT)
+
+
 def _bloom_encode(dtype, v):
     """Probe-value byte encoding matching the writer's (bloom.py
     contract). None = not encodable (type mismatch / unsupported) →
@@ -1776,6 +1790,88 @@ def _bloom_opts(options, colf_columns: list[ColfColumn]):
     return wanted, fpp
 
 
+NDV_K_DEFAULT = 256  # KMV sketch size; rsd ~ 1/sqrt(k-2)
+
+
+def _ndv_opts(options, colf_columns: list[ColfColumn]):
+    """Parse ``ndvColumns`` ("a,b") / ``ndvK`` writer options — per-file
+    KMV (k-minimum-values) distinct-count sketches recorded in the
+    manifest entry, the Iceberg Puffin theta-sketch role: mergeable
+    across any file subset, so table/partition NDV comes from metadata
+    alone and stays fresh through DML (rewrites recompute their files'
+    sketches in the same write)."""
+    cols_opt = options.get("ndvColumns")
+    if not cols_opt:
+        return [], NDV_K_DEFAULT
+    wanted = [c.strip() for c in cols_opt.split(",") if c.strip()]
+    by_name = {c.name: c for c in colf_columns}
+    for c in wanted:
+        if c not in by_name:
+            raise ColfFormatError(
+                f"ndvColumns names unknown column '{c}' "
+                f"(have: {sorted(by_name)})")
+    k = int(options.get("ndvK", str(NDV_K_DEFAULT)))
+    if k < 16:
+        raise ColfFormatError(f"ndvK must be >= 16, got {k}")
+    return wanted, k
+
+
+def _build_kmv(chunks: dict, colf_columns: list[ColfColumn],
+               ndv_cols: list[str], k: int) -> dict | None:
+    """One KMV sketch per requested column over this part file: the k
+    smallest distinct 64-bit value hashes (md5 prefix over the bloom
+    encoders' canonical bytes, so ±0.0 / NaN-payload collapse rules
+    match the rest of the stats machinery), base64-packed little-endian
+    for the manifest. A file with fewer than k distinct values stores
+    them all — its sketch is EXACT."""
+    import base64
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from . import bloom as B
+
+    if not ndv_cols:
+        return None
+    types = {c.name: c.type for c in colf_columns}
+    out = {}
+    for name in ndv_cols:
+        enc = {"int32": B.encode_int32, "utf8": B.encode_utf8,
+               "float64": B.encode_float64}[types[name]]
+        arr = pa.chunked_array(chunks[name])
+        hashes = {
+            int.from_bytes(hashlib.md5(enc(v)).digest()[:8], "little")
+            for v in set(arr.to_pylist()) if v is not None}
+        kmin = np.sort(np.fromiter(hashes, dtype=np.uint64,
+                                   count=len(hashes)))[:k]
+        out[name] = {"k": k, "h": base64.b64encode(
+            kmin.astype("<u8").tobytes()).decode("ascii")}
+    return out
+
+
+def kmv_merge_estimate(sketches: list[dict]) -> dict:
+    """Merge per-file KMV sketches of ONE column and estimate its NDV:
+    union the hash sets, dedup, keep the min(k) smallest; if the union
+    holds fewer than k values the count is exact, else the standard
+    KMV estimator (k-1)·2^64/kth_min. Returns {"estimate", "exact",
+    "rsd"} (rsd 0.0 when exact)."""
+    import base64
+
+    import numpy as np
+
+    k = min(s["k"] for s in sketches)
+    allh = np.concatenate([
+        np.frombuffer(base64.b64decode(s["h"]), dtype="<u8")
+        for s in sketches])
+    uniq = np.unique(allh)  # sorted ascending
+    if uniq.size < k:
+        return {"estimate": float(uniq.size), "exact": True, "rsd": 0.0}
+    kth = float(uniq[k - 1])
+    return {"estimate": (k - 1) * (2.0 ** 64) / kth, "exact": False,
+            "rsd": 1.0 / (k - 2) ** 0.5}
+
+
 def _build_blooms(chunks: dict, colf_columns: list[ColfColumn],
                   bloom_cols: list[str], fpp: float, num_rows: int) -> dict:
     """Executor-side: one Bloom filter per requested column over this
@@ -2189,7 +2285,9 @@ def _split_write_files(path: str, colf_columns, chunks: dict,
                        partition_cols: list[str], version: int,
                        stripe_rows: int, bloom_cols: list[str],
                        bloom_fpp: float, fname_stem: str,
-                       tuple_cap: int | None = None) -> list[dict]:
+                       tuple_cap: int | None = None,
+                       ndv_cols: list[str] | None = None,
+                       ndv_k: int = NDV_K_DEFAULT) -> list[dict]:
     """partitionColumns write path (batch AND stream sinks): one
     value-homogeneous part file per distinct partition tuple this
     task holds, with the tuple recorded in the manifest entry
@@ -2269,6 +2367,9 @@ def _split_write_files(path: str, colf_columns, chunks: dict,
             t.key: transform_scalar(t, sub.column(t.col)[0].as_py(),
                                     types[t.col])
             for t in transforms}
+        kmv = _build_kmv(sub_chunks, colf_columns, ndv_cols or [], ndv_k)
+        if kmv:
+            stats["kmv"] = kmv
         blooms = _build_bloom_entry(sub_chunks, colf_columns, bloom_cols,
                                     bloom_fpp, n, version, stripe_rows)
         os.rename(tmp, target)
@@ -2551,6 +2652,7 @@ class ColfWriter(DataSourceArrowWriter):
         # removal is an explicit drop_constraint).
         csrc = options.get("constraintsFrom") or self.path
         self.constraints = load_constraints(csrc)
+        self.ndv_cols, self.ndv_k = _ndv_opts(options, self.colf_columns)
         if overwrite:
             # an overwrite DEFINES the table: record its spec (possibly
             # empty) so later appends inherit it
@@ -2666,6 +2768,10 @@ class ColfWriter(DataSourceArrowWriter):
         tmp = target + ".tmp"
         stats = _write_part_file(tmp, ColfSchema(num_rows, self.colf_columns),
                                  chunks, self.version, self.stripe_rows)
+        kmv = _build_kmv(chunks, self.colf_columns, self.ndv_cols,
+                         self.ndv_k)
+        if kmv:
+            stats["kmv"] = kmv
         blooms = _build_bloom_entry(chunks, self.colf_columns,
                                     self.bloom_cols, self.bloom_fpp,
                                     num_rows, self.version, self.stripe_rows)
@@ -2677,7 +2783,7 @@ class ColfWriter(DataSourceArrowWriter):
             self.path, self.colf_columns, chunks, self.partition_cols,
             self.version, self.stripe_rows, self.bloom_cols,
             self.bloom_fpp, f"part-{pid:05d}",
-            self.partition_tuple_cap))
+            self.partition_tuple_cap, self.ndv_cols, self.ndv_k))
 
     def commit(self, messages):
         import json
@@ -3105,6 +3211,7 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
             options, self.path, self.partition_cols, self.colf_columns)
         self.sort_cols, self.commit_sort = _resolve_sort_order(
             options, self.path, self.colf_columns, overwrite=False)
+        self.ndv_cols, self.ndv_k = _ndv_opts(options, self.colf_columns)
         # streaming micro-batches honor table CHECK constraints like
         # any append (Delta's sink behavior): a violating micro-batch
         # fails before its files land, and abort() owes nothing
@@ -3142,13 +3249,17 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
                 self.path, self.colf_columns, chunks, self.partition_cols,
                 self.version, self.stripe_rows, self.bloom_cols,
                 self.bloom_fpp, f"part-s{pid:05d}",
-                self.partition_tuple_cap))
+                self.partition_tuple_cap, self.ndv_cols, self.ndv_k))
         os.makedirs(self.path, exist_ok=True)
         fname = f"part-s{pid:05d}-{uuid.uuid4().hex[:8]}.colf"
         target = os.path.join(self.path, fname)
         tmp = target + ".tmp"
         stats = _write_part_file(tmp, ColfSchema(num_rows, self.colf_columns),
                                  chunks, self.version, self.stripe_rows)
+        kmv = _build_kmv(chunks, self.colf_columns, self.ndv_cols,
+                         self.ndv_k)
+        if kmv:
+            stats["kmv"] = kmv
         blooms = _build_bloom_entry(chunks, self.colf_columns,
                                     self.bloom_cols, self.bloom_fpp,
                                     num_rows, self.version, self.stripe_rows)

@@ -60,13 +60,19 @@ def _with_bloom_opt(writer, path: str):
         writer = writer.option("bloomColumns", ",".join(cols))
     if current_table_schema(path) is not None:
         writer = writer.option("tableSchemaFrom", path)
-    from .datasource import load_constraints
+    from .datasource import load_constraints, ndv_columns
 
     if load_constraints(path):
         # DML rewrites (UPDATE/MERGE) must honor the table's CHECK
         # constraints even though they write to a tmp dir first — the
         # writer resolves them from the LIVE dataset via this option
         writer = writer.option("constraintsFrom", path)
+    ncols, nk = ndv_columns(path)
+    if ncols:
+        # NDV sketches stay maintained through rewrites: the new files
+        # carry fresh sketches computed in the same write
+        writer = writer.option("ndvColumns", ",".join(ncols)) \
+                       .option("ndvK", str(nk))
     return writer
 
 
@@ -1370,6 +1376,49 @@ def drop_constraint(path: str, name: str) -> None:
                 f"(have: {sorted(cur) or 'none'})")
         del cur[name]
         write_constraints(path, cur)
+
+
+def table_ndv(path: str, columns: list[str] | None = None) -> dict:
+    """Distinct-value estimates for the table's sketch-carrying
+    columns, from METADATA alone (the Iceberg Puffin theta-sketch
+    role): per-file KMV sketches recorded by the writer
+    (``option("ndvColumns", ...)``) merge across the LIVE file set —
+    any subset of files merges, which is exactly why the sketch lives
+    per file: appends add sketches, CoW rewrites/compactions recompute
+    their files', vacuum drops dead ones, and this function never
+    opens a data file. Returns ``{col: {"estimate", "exact", "rsd"}}``
+    — exact (rsd 0) when the union holds fewer than k hashes.
+
+    MoR caveat (Iceberg's too): sketches describe PHYSICAL file
+    contents, so live position/equality deletes can make the true
+    visible NDV lower than the estimate; compact() re-syncs them."""
+    from .datasource import kmv_merge_estimate, live_files
+
+    man = load_manifest(path)
+    live_kmv = [(man.get(os.path.basename(f)) or {}).get("kmv") or {}
+                for f in live_files(path)]
+    per_col: dict[str, list[dict]] = {}
+    for kmv in live_kmv:
+        for c, s in kmv.items():
+            per_col.setdefault(c, []).append(s)
+    missing = {c for c in per_col
+               for kmv in live_kmv if c not in kmv}
+    if columns is not None:
+        unknown = [c for c in columns if c not in per_col]
+        if unknown:
+            raise ValueError(
+                f"no NDV sketches for columns {unknown} at {path} "
+                f"(have: {sorted(per_col) or 'none'})")
+        per_col = {c: per_col[c] for c in columns}
+        missing &= set(columns)
+    if missing:
+        # a live file without a sketch (written before ndvColumns was
+        # adopted) makes the merged estimate a lie — refuse, like the
+        # spec-mismatch guards elsewhere
+        raise ValueError(
+            f"columns {sorted(missing)} lack sketches in some live "
+            f"files at {path}; rewrite them (compact) to backfill")
+    return {c: kmv_merge_estimate(sk) for c, sk in per_col.items()}
 
 
 def metadata_table(spark: SparkSession, path: str, kind: str):

@@ -458,3 +458,47 @@ def test_binpack_selective_and_noop(colf_spark, tmp_path):
     stats2 = binpack(colf_spark, path, smaller_than=thr)
     assert stats2 == {"n_candidates": 1, "n_outputs": 0,
                       "n_live_after": 2, "version": None}
+
+
+def test_ndv_sketches_metadata_only(colf_spark, tmp_path):
+    """Per-file KMV sketches merge to table NDV from metadata alone,
+    stay maintained through append + CoW delete + compaction, and go
+    exact below k."""
+    from columnar_format_spark.colf.maintenance import (
+        delete_where, table_ndv)
+
+    path = str(tmp_path / "ds")
+    df = colf_spark.range(0, 3000).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 7).cast("int").alias("small"))
+    (df.repartitionByRange(3, "k").write.format("colf")
+     .option("ndvColumns", "k,small").option("ndvK", "256")
+     .mode("overwrite").save(path))
+
+    nd = table_ndv(path)
+    assert nd["small"] == {"estimate": 7.0, "exact": True, "rsd": 0.0}
+    assert not nd["k"]["exact"]
+    assert abs(nd["k"]["estimate"] - 3000) / 3000 < 5 * nd["k"]["rsd"]
+
+    # append with sketches: merge covers both commits
+    (colf_spark.range(3000, 4000).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 7).cast("int").alias("small"))
+     .coalesce(1).write.format("colf")
+     .option("ndvColumns", "k,small").option("ndvK", "256")
+     .mode("append").save(path))
+    assert abs(table_ndv(path)["k"]["estimate"] - 4000) / 4000 < 0.16
+
+    # CoW delete + compact: rewrites re-sketch automatically
+    delete_where(colf_spark, path, "k < 2000")
+    compact(colf_spark, path, 2, retain=True)
+    nd2 = table_ndv(path, columns=["k"])
+    assert abs(nd2["k"]["estimate"] - 2000) / 2000 < 0.16
+
+    # a live file without sketches poisons the merge: loud refusal
+    colf_spark.range(0, 5).select(
+        F.col("id").cast("int").alias("k"),
+        F.lit(0).alias("small")).coalesce(1) \
+        .write.format("colf").mode("append").save(path)
+    with pytest.raises(ValueError, match="lack sketches"):
+        table_ndv(path)

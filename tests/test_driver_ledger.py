@@ -62,3 +62,17 @@ def test_readme_query_count_is_live():
     assert m, "README no longer states the registry size"
     assert int(m.group(1)) == len(QUERIES), (
         f"README says {m.group(1)} queries, registry has {len(QUERIES)}")
+
+
+def test_docstring_query_count_is_live():
+    """queries.py's own docstring count must match too (it rotted
+    silently mid-round-10 when a text replace missed)."""
+    sys.path.insert(0, REPO)
+    import columnar_format_spark.queries as Q
+    from columnar_format_spark.queries import QUERIES
+
+    m = re.search(r"Registry size: (\d+) queries", Q.__doc__)
+    assert m, "queries.py docstring no longer states the registry size"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"docstring says {m.group(1)} queries, registry has "
+        f"{len(QUERIES)}")
