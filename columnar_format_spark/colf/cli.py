@@ -586,20 +586,24 @@ def cli_fast_forward(argv: list[str]) -> int:
 def cli_vacuum(argv: list[str]) -> int:
     """Expire old snapshots and reclaim their part files (pure
     metadata + filesystem, no Spark): ``vacuum <dataset-dir>
-    [keep_last] [older_than_seconds]``. Ref-pinned, staged-unpublished,
-    the published head, and (with an age bound) recent snapshots are
-    always retained."""
+    [keep_last] [older_than_seconds] [--dry-run]``. Ref-pinned,
+    staged-unpublished, the published head, and (with an age bound)
+    recent snapshots are always retained; ``--dry-run`` reports the
+    reclaimable set without touching anything."""
+    dry = "--dry-run" in argv
+    argv = [a for a in argv if a != "--dry-run"]
     if len(argv) not in (1, 2, 3):
         print("usage: ... vacuum <dataset-dir> [keep_last] "
-              "[older_than_seconds]", file=sys.stderr)
+              "[older_than_seconds] [--dry-run]", file=sys.stderr)
         return 2
     from .maintenance import vacuum
 
     deleted = vacuum(argv[0],
                      keep_last=int(argv[1]) if len(argv) >= 2 else 1,
                      older_than_s=float(argv[2]) if len(argv) == 3
-                     else None)
-    print(json.dumps({"deleted_files": deleted}))
+                     else None,
+                     dry_run=dry)
+    print(json.dumps({"deleted_files": deleted, "dry_run": dry}))
     return 0
 
 

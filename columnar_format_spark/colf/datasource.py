@@ -1370,6 +1370,41 @@ def _file_may_match(stats: dict, flt: Filter) -> bool:
     return True
 
 
+def _resolve_timestamp_as_of(path: str, ts_opt: str) -> int:
+    """Resolve a timestampAsOf option to a snapshot version: the
+    latest PUBLISHED commit with ts <= the instant. Accepts epoch
+    seconds (int/float) or ISO "YYYY-MM-DD[ HH:MM:SS]" interpreted as
+    UTC (Delta resolves against the session zone; a file format with
+    no session carries the unambiguous choice instead). Commits from
+    logs predating commit timestamps (no ts key) cannot be resolved by
+    time and are skipped. Before-the-first-commit raises, like Delta's
+    timestampAsOf underflow."""
+    import datetime as _dt
+
+    s = ts_opt.strip()
+    try:
+        cutoff = float(s)
+    except ValueError:
+        try:
+            iso = s if " " in s or "T" in s else s + " 00:00:00"
+            cutoff = _dt.datetime.fromisoformat(iso.replace("T", " ")) \
+                .replace(tzinfo=_dt.timezone.utc).timestamp()
+        except ValueError:
+            raise ColfFormatError(
+                f"timestampAsOf {ts_opt!r} is neither epoch seconds "
+                f"nor ISO YYYY-MM-DD[ HH:MM:SS]") from None
+    pub = published_snapshots(load_snapshots(path))
+    cands = [s_ for s_ in pub
+             if s_.get("ts") is not None and s_["ts"] <= cutoff]
+    if not cands:
+        known = [s_["version"] for s_ in pub if s_.get("ts") is not None]
+        raise ColfFormatError(
+            f"no published snapshot at or before timestampAsOf "
+            f"{ts_opt!r} in {path} (time-resolvable versions: "
+            f"{known or 'none'})")
+    return int(cands[-1]["version"])
+
+
 class ColfReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
         self.path = _local_path(options.get("path"))
@@ -1409,6 +1444,18 @@ class ColfReader(DataSourceReader):
                     f"unknown ref '{ref_opt}' in {self.path} "
                     f"(have: {sorted(refs) or 'none'})")
             self.snapshot = int(refs[ref_opt]["version"])
+        # option timestampAsOf reads the table as of a WALL-CLOCK time
+        # (Delta's timestampAsOf): the latest PUBLISHED snapshot whose
+        # commit ts is <= the given instant — epoch seconds or ISO
+        # "YYYY-MM-DD[ HH:MM:SS]" (UTC). Resolved at plan time to a
+        # version, then identical to option snapshot=N.
+        ts_opt = options.get("timestampAsOf")
+        if ts_opt is not None:
+            if self.snapshot is not None:
+                raise ColfFormatError(
+                    "options timestampAsOf and snapshot/ref are "
+                    "mutually exclusive")
+            self.snapshot = _resolve_timestamp_as_of(self.path, ts_opt)
         # option incrementalFrom=N plans ONLY the part files added
         # after version N (up to `snapshot` or latest) — the CDC-style
         # incremental scan: a consumer that has processed version N

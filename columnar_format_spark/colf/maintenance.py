@@ -1077,7 +1077,8 @@ def rewrite_delete_files(spark: SparkSession, path: str,
 
 
 def vacuum(path: str, keep_last: int = 1,
-           older_than_s: float | None = None) -> list[str]:
+           older_than_s: float | None = None,
+           dry_run: bool = False) -> list[str]:
     """Physically delete part files referenced only by expired
     snapshots, keeping the most recent ``keep_last`` versions (and
     pruning the metadata log to them). Returns the deleted basenames.
@@ -1095,7 +1096,10 @@ def vacuum(path: str, keep_last: int = 1,
     in-flight append writes its .colf files before its metadata-log
     commit, so an unreferenced-but-recent file is likely uncommitted
     work, not garbage (Iceberg's orphan-file grace period, with the
-    log's mtime as the cutoff)."""
+    log's mtime as the cutoff).
+
+    ``dry_run=True`` (Delta's VACUUM DRY RUN) returns the reclaimable
+    basenames without deleting anything or pruning the log."""
     import json
     import time as _time
 
@@ -1201,8 +1205,13 @@ def vacuum(path: str, keep_last: int = 1,
     for f in dataset_files(path) + delete_sidecars:
         base = os.path.basename(f)
         if base not in referenced and os.path.getmtime(f) < log_mtime:
-            os.remove(f)
+            if not dry_run:
+                os.remove(f)
             deleted.append(base)
+    if dry_run:
+        # report the reclaimable set; no files removed, no manifest or
+        # bloom entries dropped, no log prune — Delta's VACUUM DRY RUN
+        return sorted(deleted)
     if deleted:
         _drop_manifest_entries(path, deleted)
         from .datasource import dataset_commit_lock

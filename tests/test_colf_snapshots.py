@@ -502,3 +502,63 @@ def test_ndv_sketches_metadata_only(colf_spark, tmp_path):
         .write.format("colf").mode("append").save(path)
     with pytest.raises(ValueError, match="lack sketches"):
         table_ndv(path)
+
+
+def test_timestamp_as_of(colf_spark, tmp_path):
+    """option timestampAsOf resolves to the latest published snapshot
+    at or before the instant (epoch or ISO, UTC); before-the-first
+    raises; mutually exclusive with snapshot/ref."""
+    import datetime
+    import json
+
+    from columnar_format_spark.colf.datasource import snapshots_path
+
+    path = str(tmp_path / "ds")
+    _ints(colf_spark, 0, 10).coalesce(1).write.format("colf") \
+        .mode("overwrite").save(path)
+    _ints(colf_spark, 10, 20).coalesce(1).write.format("colf") \
+        .mode("append").save(path)
+    # pin commit times to known instants (v1 @1000, v2 @2000)
+    with open(snapshots_path(path)) as f:
+        snaps = json.load(f)
+    for s, ts in zip(sorted(snaps, key=lambda s: s["version"]),
+                     (1000.0, 2000.0)):
+        s["ts"] = ts
+    with open(snapshots_path(path), "w") as f:
+        json.dump(snaps, f)
+
+    def read_at(ts):
+        return colf_spark.read.format("colf") \
+            .option("timestampAsOf", ts).load(path)
+
+    assert read_at("1500").count() == 10    # between commits -> v1
+    assert read_at("2000").count() == 20    # boundary inclusive -> v2
+    assert read_at("999999999").count() == 20
+    iso = datetime.datetime.fromtimestamp(
+        1999, datetime.timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+    assert read_at(iso).count() == 10
+    with pytest.raises(Exception, match="no published snapshot"):
+        read_at("999").count()
+    with pytest.raises(Exception, match="mutually exclusive"):
+        colf_spark.read.format("colf").option("snapshot", "1") \
+            .option("timestampAsOf", "2000").load(path).count()
+    with pytest.raises(Exception, match="neither epoch"):
+        read_at("not-a-time").count()
+
+
+def test_vacuum_dry_run(colf_spark, tmp_path):
+    """vacuum(dry_run=True) reports the reclaimable set and touches
+    nothing — files, manifest, and log all intact."""
+    path = str(tmp_path / "ds")
+    _ints(colf_spark, 0, 20).repartition(4).write.format("colf") \
+        .mode("overwrite").save(path)
+    compact(colf_spark, path, 2, retain=True)
+    with open(os.path.join(path, "_snapshots.json"), "rb") as f:
+        log0 = f.read()
+    would = vacuum(path, keep_last=1, dry_run=True)
+    assert len(would) == 4
+    assert len(dataset_files(path)) == 6  # nothing deleted
+    with open(os.path.join(path, "_snapshots.json"), "rb") as f:
+        assert f.read() == log0  # log not pruned
+    assert vacuum(path, keep_last=1) == would  # real run matches
+    assert len(dataset_files(path)) == 2
