@@ -144,6 +144,7 @@ HEADLINE = [
     "q209_colf_binpack",
     "q210_sequence_packing",
     "q211_colf_ndv_stats",
+    "q212_colf_cdf_replay",
 ]
 
 

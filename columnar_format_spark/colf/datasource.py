@@ -3544,6 +3544,40 @@ def register_table(spark, name: str, path: str, **options):
     return df
 
 
+def cdf_replay(spark, path: str, starting_version: int = 0,
+               ending_version: int | None = None):
+    """Reconstruct table state PURELY from the Change Data Feed — the
+    consumer side of ``readChangeFeed``: net multiset of every row's
+    insert/delete appearances over ``(starting_version,
+    ending_version]``. From version 0 this must equal a direct read of
+    ``ending_version`` — the completeness property a downstream CDC
+    consumer (sink replica, cache, index) relies on; q212 proves it
+    after a full MoR DML history. From a later version it yields the
+    DELTA to apply onto a base state.
+
+    Scale: one hash shuffle grouping on the full row — the honest
+    cost of exact multiset replay with no key assumption. A KEYED
+    table replays cheaper (group on the key, keep the latest image by
+    ``_commit_version``), which is what a real sink connector does;
+    this helper is the assumption-free referee."""
+    from pyspark.sql import functions as F
+
+    r = (spark.read.format("colf").option("readChangeFeed", "true")
+         .option("startingVersion", str(starting_version)))
+    if ending_version is not None:
+        r = r.option("endingVersion", str(ending_version))
+    df = r.load(path)
+    cols = [c for c in df.columns if c not in CDC_COLUMNS]
+    net = (df.groupBy(*cols)
+           .agg(F.sum(F.when(F.col(CHANGE_TYPE_COLUMN) == "insert",
+                             F.lit(1)).otherwise(F.lit(-1)))
+                .alias("_net")))
+    return (net.filter(F.col("_net") > 0)
+            .withColumn("_dup", F.explode(
+                F.sequence(F.lit(1), F.col("_net"))))
+            .select(*cols))
+
+
 def read_colf(spark, path: str, columns: list[str] | None = None):
     """Helper mirroring the reference's selective read entry point
     (reader.py:165): only the named blocks are read from disk."""

@@ -3634,3 +3634,77 @@ def q211_colf_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("sketch_exact", BooleanType(), False),
         StructField("nd_within_bound", BooleanType(), False),
     ]))
+
+
+@register(
+    "q212_colf_cdf_replay",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    s1 AS (  -- v2: append shifted 'C' rows
+      SELECT o_orderkey, o_orderstatus FROM orders
+      UNION ALL
+      SELECT o_orderkey + mx.m + 1, 'C' FROM orders, mx
+      WHERE o_orderkey % 40 = 1),
+    s2 AS (  -- v3: MoR delete of low-quartile 'O' orders
+      SELECT s1.o_orderkey, s1.o_orderstatus FROM s1, mx
+      WHERE NOT (s1.o_orderkey <= mx.m // 4 AND s1.o_orderstatus = 'O')),
+    s3 AS (  -- v4: MoR update flips visible %50==3 keys to 'U'
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 50 = 3 THEN 'U'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM s2)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM s3 GROUP BY o_orderstatus
+    """,
+)
+def q212_colf_cdf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE-FEED REPLAY — the consumer-side completeness proof for
+    q200's Change Data Feed (datasource.cdf_replay): after a full
+    CDF-replayable history (append, MoR delete, MoR update — the
+    update arrives as delete+insert pairs), the state reconstructed
+    PURELY from the feed's insert/delete rows must equal a direct
+    read of the head, row for row. The query asserts exactly that
+    in-query (exceptAll in both directions is empty — the property a
+    downstream replica, cache, or index builder relies on), then
+    aggregates the REPLAYED frame; the oracle recomputes the final
+    state relationally, so a pass pins both the feed's completeness
+    and the replay's multiset semantics.
+
+    Scale: the replay groups on the full row — the honest cost of
+    exact no-key-assumption replay (a keyed sink replays cheaper by
+    keeping the max-_commit_version image per key); the feed itself
+    is planned from metadata — per-commit partitions, delta sidecars
+    as the deleted ordinals, zero CDC files written at DML time."""
+    from .datasource import cdf_replay
+    from .datasource import register as register_ds
+    from .maintenance import delete_where, update_where
+
+    register_ds(spark)
+    tmpl = _stage_cdc_orders(spark, sf_dir)
+    path = run_dir(("colf-cdf-replay-run", sf_dir), "colf_replay_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+    mx = _CDC_MAXKEY[sf_dir]
+
+    (table(spark, sf_dir, "orders")
+     .filter(F.col("o_orderkey") % 40 == 1)
+     .select((F.col("o_orderkey") + mx + 1).cast("int")
+             .alias("o_orderkey"),
+             F.lit("C").alias("o_orderstatus"))
+     .coalesce(1).write.format("colf").mode("append").save(path))
+    delete_where(spark, path,
+                 f"o_orderkey <= {mx // 4} AND o_orderstatus = 'O'",
+                 mode="mor")
+    update_where(spark, path, {"o_orderstatus": "'U'"},
+                 "o_orderkey % 50 = 3", mode="mor")
+
+    replayed = cdf_replay(spark, path)
+    head = spark.read.format("colf").load(path)
+    if replayed.exceptAll(head).count() != 0 \
+            or head.exceptAll(replayed).count() != 0:
+        raise AssertionError(
+            "CDF replay does not reconstruct the head state")
+    return replayed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"))

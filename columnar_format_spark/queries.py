@@ -18,7 +18,7 @@ sf0.1 sweep 198/198, plus a 50-query window sweep at sf0.1 with
 --dtypes (50/50) and per-query driver-style checks on every query
 added or changed mid-round (three full gate passes this round).
 
-Registry size: 209 queries (q01-q211, no q123/q205; the count is pinned
+Registry size: 210 queries (q01-q212, no q123/q205; the count is pinned
 live by tests/test_driver_ledger.py). Round-10 additions are q200
 (Change Data Feed: row-level _change_type/_commit_version CDC reads of
 a DML'd table, batch AND streaming — the changelog-stream answer to
@@ -44,7 +44,9 @@ boundary-straddling doc counts in closed form), and q211 (NDV
 statistics from metadata: per-file KMV sketches in the manifest —
 the Iceberg Puffin role — merged to table NDV with zero data I/O,
 kept fresh through DML by the rewrite plumbing, 5-sigma-audited
-against exact counts).
+against exact counts), and q212 (CDF replay: head state
+reconstructed purely from the change feed equals a direct read —
+the consumer-side completeness proof for q200).
 Round-9 additions
 were
 q195 (merge-on-read position deletes — Iceberg v2's model: the delete
