@@ -875,6 +875,19 @@ def plan_changelog_partitions(path: str, v_from: int, v_to: int | None,
         evo = (tuple((f["id"], f["name"], f["type"])
                      for f in meta["fields"]),
                tuple(meta["name_mapping"].items()))
+    if v_from > 0 and pub and not any(s["version"] <= v_from
+                                      for s in pub):
+        # the baseline commit was vacuum-pruned: diffing the first
+        # retained snapshot against an EMPTY set would re-deliver the
+        # whole retained live set as inserts — silent duplicates at a
+        # downstream replica. Fail like Delta's out-of-retention CDF
+        # error; the consumer must re-bootstrap from a full read.
+        raise ColfFormatError(
+            f"startingVersion {v_from} predates the retained log at "
+            f"{path} (oldest published: {pub[0]['version']}): the "
+            f"baseline needed to diff against was vacuumed, so the "
+            f"change feed cannot resume without re-delivering rows. "
+            f"Re-bootstrap the consumer from a full snapshot read.")
     parts: list = []
     prev: dict | None = None
     for s in pub:
@@ -1064,7 +1077,7 @@ def save_blooms(path: str, blooms: dict) -> None:
     written, shared by writers, maintenance rewrites, and vacuum."""
     import json
 
-    tmp = blooms_path(path) + ".tmp"
+    tmp = blooms_path(path) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(blooms, f)
     os.rename(tmp, blooms_path(path))
@@ -1976,15 +1989,43 @@ def _build_bloom_entry(chunks: dict, colf_columns: list[ColfColumn],
 
 
 def _merge_bloom_sidecar(path: str, messages, reset: bool = False) -> None:
-    """Fold the tasks' per-file blooms into ``_blooms.json``."""
-    blooms = {} if reset else load_blooms(path)
-    changed = reset and os.path.exists(blooms_path(path))
-    for file, _stats, per in _iter_commit_parts(messages):
-        if per:
-            blooms[os.path.basename(file)] = per
-            changed = True
-    if changed:
-        save_blooms(path, blooms)
+    """Fold the tasks' per-file blooms into ``_blooms.json`` — under
+    the dataset commit lock: the read-modify-write would otherwise
+    lose a concurrent appender's entries even when its snapshot CAS
+    succeeds (pruning silently stops for those files — the same
+    lost-entry class _merge_bloom_files guards in maintenance)."""
+    with dataset_commit_lock(path):
+        blooms = {} if reset else load_blooms(path)
+        changed = reset and os.path.exists(blooms_path(path))
+        for file, _stats, per in _iter_commit_parts(messages):
+            if per:
+                blooms[os.path.basename(file)] = per
+                changed = True
+        if changed:
+            save_blooms(path, blooms)
+
+
+def _merge_manifest_sidecar(path: str, messages,
+                            reset: bool = False) -> None:
+    """Fold the tasks' per-file stats into ``_manifest.json`` — locked
+    and uuid-tmp'd like every other sidecar read-modify-write. The
+    writers' commit() previously did this bare with a FIXED '.tmp'
+    name: two concurrent appenders could interleave (or even corrupt
+    the half-written tmp) and one commit's zone maps vanished."""
+    import json
+
+    entries = {os.path.basename(f): stats
+               for f, stats, _b in _iter_commit_parts(messages) if stats}
+    if not entries and not reset:
+        return
+    with dataset_commit_lock(path):
+        manifest = {} if reset else load_manifest(path)
+        manifest.update(entries)
+        if manifest or reset:
+            tmp = manifest_path(path) + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.rename(tmp, manifest_path(path))
 
 
 def _chunk_stats(chunks: list, num_rows: int) -> dict:
@@ -2640,6 +2681,54 @@ def _stripe_stats(chunks: dict, num_rows: int, stripe_rows: int) -> list:
     return out or [_chunk_stats(chunks, 0)]
 
 
+def _assign_field_ids(options, path: str, colf_columns, overwrite: bool,
+                      staged: bool) -> dict | None:
+    """Resolve the evolved table's field IDs onto this write's columns
+    (mutating each ColfColumn's ``fid``) and return the EXTENDED table
+    schema to commit when the write adds columns (else None). Shared
+    by the batch AND streaming writers — a sink that skipped this
+    would write ID-less files whose renamed columns silently decode
+    as NULL through the frozen bootstrap name mapping."""
+    meta_src = options.get("tableSchemaFrom") or (
+        None if (overwrite or not os.path.isdir(path)) else path)
+    meta = current_table_schema(meta_src) if meta_src else None
+    if meta is None:
+        return None
+    by_name = {f["name"]: f for f in meta["fields"]}
+    # fresh ids start past last_id, the ever-assigned high-water
+    # mark — never past max(current ids), which would REUSE a
+    # dropped column's id and resurrect its old data
+    next_id = meta.get("last_id", max(
+        (f["id"] for f in meta["fields"]), default=0)) + 1
+    new_fields = []
+    for c in colf_columns:
+        f = by_name.get(c.name)
+        if f is not None:
+            c.fid = f["id"]
+        else:
+            c.fid = next_id
+            next_id += 1
+            new_fields.append(
+                {"id": c.fid, "name": c.name, "type": c.type})
+    if new_fields and options.get("tableSchemaFrom"):
+        raise ColfFormatError(
+            f"maintenance rewrite would add columns "
+            f"{[f['name'] for f in new_fields]} missing from "
+            f"the evolved table schema")
+    if new_fields and staged:
+        raise ColfFormatError(
+            f"staged/branch appends cannot extend an evolved "
+            f"table's schema (new columns "
+            f"{[f['name'] for f in new_fields]}): the recorded "
+            f"field-ID schema lives on the published lineage. "
+            f"Add the columns with a published append first.")
+    if new_fields and not options.get("tableSchemaFrom"):
+        return {"fields": list(meta["fields"]) + new_fields,
+                "last_id": next_id - 1,
+                "name_mapping": dict(meta["name_mapping"])}
+    return None
+
+
 def _check_constraint_batches(batches, constraints: dict) -> None:
     """Executor-side CHECK-constraint validation of one partition's
     Arrow batches, before any byte hits disk. SQL-standard CHECK
@@ -2750,45 +2839,9 @@ class ColfWriter(DataSourceArrowWriter):
         # LIVE dataset's ids — without it their id-less outputs would
         # resolve only through the bootstrap name mapping, losing
         # columns re-added after a drop.
-        self.commit_table_schema = None
-        meta_src = options.get("tableSchemaFrom") or (
-            None if (overwrite or not os.path.isdir(self.path))
-            else self.path)
-        meta = current_table_schema(meta_src) if meta_src else None
-        if meta is not None:
-            by_name = {f["name"]: f for f in meta["fields"]}
-            # fresh ids start past last_id, the ever-assigned high-water
-            # mark — never past max(current ids), which would REUSE a
-            # dropped column's id and resurrect its old data
-            next_id = meta.get("last_id", max(
-                (f["id"] for f in meta["fields"]), default=0)) + 1
-            new_fields = []
-            for c in self.colf_columns:
-                f = by_name.get(c.name)
-                if f is not None:
-                    c.fid = f["id"]
-                else:
-                    c.fid = next_id
-                    next_id += 1
-                    new_fields.append(
-                        {"id": c.fid, "name": c.name, "type": c.type})
-            if new_fields and options.get("tableSchemaFrom"):
-                raise ColfFormatError(
-                    f"maintenance rewrite would add columns "
-                    f"{[f['name'] for f in new_fields]} missing from "
-                    f"the evolved table schema")
-            if new_fields and (self.wap or self.branch is not None):
-                raise ColfFormatError(
-                    f"staged/branch appends cannot extend an evolved "
-                    f"table's schema (new columns "
-                    f"{[f['name'] for f in new_fields]}): the recorded "
-                    f"field-ID schema lives on the published lineage. "
-                    f"Add the columns with a published append first.")
-            if new_fields and not options.get("tableSchemaFrom"):
-                self.commit_table_schema = {
-                    "fields": list(meta["fields"]) + new_fields,
-                    "last_id": next_id - 1,
-                    "name_mapping": dict(meta["name_mapping"])}
+        self.commit_table_schema = _assign_field_ids(
+            options, self.path, self.colf_columns, overwrite,
+            staged=self.wap or self.branch is not None)
 
     def write(self, iterator):
         """Executor-side: drain this partition's Arrow batches into one
@@ -2901,15 +2954,8 @@ class ColfWriter(DataSourceArrowWriter):
             written = {target}
         # sidecar zone-map manifest for reader-side file skipping
         # (format-compatible: extra file, not a format change — M6)
-        manifest = {} if self.overwrite else load_manifest(self.path)
-        for file, stats, _b in _iter_commit_parts(messages):
-            if stats:
-                manifest[os.path.basename(file)] = stats
-        if manifest:
-            tmp = manifest_path(self.path) + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(manifest, f)
-            os.rename(tmp, manifest_path(self.path))
+        _merge_manifest_sidecar(self.path, messages,
+                                reset=self.overwrite)
         _merge_bloom_sidecar(self.path, messages, reset=self.overwrite)
         # metadata-log commit: the new live set is this write's files
         # plus (append only) the prior live set. Overwrite physically
@@ -3259,6 +3305,15 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
         self.sort_cols, self.commit_sort = _resolve_sort_order(
             options, self.path, self.colf_columns, overwrite=False)
         self.ndv_cols, self.ndv_k = _ndv_opts(options, self.colf_columns)
+        # field-ID embedding, same contract as the batch writer: a
+        # micro-batch append to a schema-evolved dataset must carry
+        # the table's ids or its renamed columns would silently decode
+        # as NULL through the frozen bootstrap name mapping. A stream
+        # that ADDS columns extends the recorded schema in its first
+        # commit, exactly like a batch append.
+        self.commit_table_schema = _assign_field_ids(
+            options, self.path, self.colf_columns, overwrite=False,
+            staged=False)
         # streaming micro-batches honor table CHECK constraints like
         # any append (Delta's sink behavior): a violating micro-batch
         # fails before its files land, and abort() owes nothing
@@ -3314,21 +3369,14 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
         return ColfCommitMessage(file=target, stats=stats, blooms=blooms)
 
     def commit(self, messages, batchId: int) -> None:
-        import json
-
-        manifest = load_manifest(self.path)
-        changed = False
         batch_files = []
+        changed = False
         for file, stats, _b in _iter_commit_parts(messages):
             batch_files.append(file)
             if stats:
-                manifest[os.path.basename(file)] = stats
                 changed = True
         if changed:
-            tmp = manifest_path(self.path) + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(manifest, f)
-            os.rename(tmp, manifest_path(self.path))
+            _merge_manifest_sidecar(self.path, messages)
             _merge_bloom_sidecar(self.path, messages)
             # every micro-batch is a metadata-log commit too, so batch
             # readers can time-travel across stream appends; the CAS
@@ -3342,9 +3390,11 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
                 sort=self.commit_sort,
                 # one layout slot: a recorded sort clears clustering
                 cluster=([] if self.commit_sort is not None
-                         and current_clustering(self.path) else None))
+                         and current_clustering(self.path) else None),
+                table_schema=self.commit_table_schema)
             self.commit_spec = None  # record a spec/sort change once
             self.commit_sort = None
+            self.commit_table_schema = None
 
     def abort(self, messages, batchId: int) -> None:
         for file, _s, _b in _iter_commit_parts(messages):
@@ -3381,6 +3431,14 @@ class ColfDataSource(DataSource):
             refs = load_refs(path)
             if ref_opt in refs:
                 snap_opt = refs[ref_opt]["version"]
+        ts_opt = self.options.get("timestampAsOf")
+        if ts_opt is not None and snap_opt is None:
+            # same resolution the reader will do — schema() must see
+            # the SAME era, or a timestampAsOf read of an evolved
+            # dataset would declare head columns that the asOf-era
+            # files resolve to all-NULL (the ref path above exists for
+            # the identical reason)
+            snap_opt = _resolve_timestamp_as_of(path, ts_opt)
         if snap_opt is not None:
             snaps = {s["version"]: s for s in load_snapshots(path)}
             snap = snaps.get(int(snap_opt))

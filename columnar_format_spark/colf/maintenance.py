@@ -813,11 +813,34 @@ def binpack(spark: SparkSession, path: str, *, smaller_than: int,
     tmp = f"{path.rstrip(os.sep)}.compact-{uuid.uuid4().hex[:8]}"
     w.mode("overwrite").save(tmp)
     moved = []
+    man_tmp = load_manifest(tmp)
     for f in dataset_files(tmp):
         base = os.path.basename(f)
+        # an all-rows-masked candidate set writes the 0-row fixed-name
+        # sentinel — moving it in would plant a collision-prone junk
+        # live file (the _merge_into_mor / _update_where_mor guard).
+        # The sentinel is written OUTSIDE the stats path, so it has no
+        # manifest entry — fall back to its header's row count.
+        n_rows = (man_tmp.get(base) or {}).get("num_rows")
+        if n_rows is None:
+            from .format import read_header
+
+            with open(f, "rb") as fh:
+                n_rows = read_header(fh)[0].num_rows
+        if n_rows == 0:
+            continue
         os.rename(f, os.path.join(path, base))
         moved.append(base)
-    _merge_manifest_entries(path, load_manifest(tmp))
+    if not keep and not moved:
+        # every file was a fully-masked candidate: adopt ONE sentinel
+        # so the dataset never commits a file-less live set (the
+        # empty-dataset contract every other rewrite keeps)
+        for f in dataset_files(tmp)[:1]:
+            base = os.path.basename(f)
+            os.rename(f, os.path.join(path, base))
+            moved.append(base)
+    _merge_manifest_entries(path, {b: man_tmp[b] for b in moved
+                                   if b in man_tmp})
     _merge_bloom_files(path, tmp)
     shutil.rmtree(tmp)
     # deletes/eq_deletes INHERIT (untouched files still need their
@@ -891,6 +914,24 @@ def _guard_schema_change(path: str, name: str, what: str) -> None:
             f"cannot {what} column '{name}' at {path}: live equality "
             f"deletes reference it by name and would stop applying. "
             f"compact(retain=True) first to materialize them.")
+    # HISTORICAL eq-delete commits still in the retained log matter
+    # too: a change-feed replay from version 0 re-evaluates their
+    # predicates against data keyed by the CURRENT schema, so renaming
+    # or dropping the predicate column would permanently break
+    # full-history CDC (the q212 completeness contract) even after
+    # compact() cleared the live list. vacuum() past the commit
+    # removes the constraint.
+    hist = {spec["col"]
+            for s in published_snapshots(load_snapshots(path))
+            for e in (s.get("eq_deletes") or [])
+            for spec in e["filters"]}
+    if name in hist:
+        raise ColfFormatError(
+            f"cannot {what} column '{name}' at {path}: a retained "
+            f"equality-delete commit references it by name, and a "
+            f"change-feed replay of that history would re-evaluate "
+            f"the predicate against the changed schema. vacuum() the "
+            f"log past that commit first.")
 
 
 def rename_column(path: str, old: str, new: str) -> int:
@@ -1353,8 +1394,12 @@ def add_constraint(spark: SparkSession, path: str, name: str,
     df = spark.read.format("colf").load(path)
     from pyspark.sql import functions as F
 
-    # violation = condition IS FALSE (NULL satisfies, SQL standard)
-    n_bad = df.filter(~F.coalesce(F.expr(condition), F.lit(True))).count()
+    # violation = condition IS FALSE (NULL satisfies, SQL standard);
+    # one scan yields both the violation count and the audited total
+    n_rows, n_bad = df.agg(
+        F.count(F.lit(1)),
+        F.sum(F.when(~F.coalesce(F.expr(condition), F.lit(True)),
+                     F.lit(1)).otherwise(F.lit(0)))).first()
     if n_bad:
         raise ColfFormatError(
             f"cannot add CHECK constraint {name!r}: {n_bad} existing "
@@ -1367,7 +1412,7 @@ def add_constraint(spark: SparkSession, path: str, name: str,
         cur[name] = condition
         write_constraints(path, cur)
     return {"name": name, "condition": condition,
-            "n_checked_rows": df.count()}
+            "n_checked_rows": int(n_rows)}
 
 
 def drop_constraint(path: str, name: str) -> None:

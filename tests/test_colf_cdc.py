@@ -236,3 +236,24 @@ def test_streaming_cdc_rejects_rate_cap(colf_spark, ds):
         q.awaitTermination(60)
         if q.exception():
             raise q.exception()
+
+
+def test_cdc_refuses_vacuumed_baseline(colf_spark, ds):
+    """A checkpointed CDC consumer whose startingVersion predates the
+    vacuum-pruned log must fail loudly (Delta's out-of-retention CDF
+    error), never silently re-deliver the retained live set as
+    inserts; startingVersion=0 (explicit full bootstrap) stays
+    legal."""
+    _df(colf_spark, 200, 240).coalesce(1).write.format("colf") \
+        .mode("append").save(ds)
+    _df(colf_spark, 240, 260).coalesce(1).write.format("colf") \
+        .mode("append").save(ds)
+    # consumer checkpointed at v1; vacuum prunes to the head only
+    vacuum(ds, keep_last=1)
+    with pytest.raises(Exception, match="predates the retained log"):
+        _cdc(colf_spark, ds, startingVersion=1).count()
+    # full bootstrap from scratch is still the documented path: the
+    # retained head replays as pure inserts of the live set
+    rows = _cdc(colf_spark, ds, startingVersion=0).collect()
+    assert all(r["_change_type"] == "insert" for r in rows)
+    assert len(rows) == 260

@@ -304,3 +304,67 @@ def test_evolved_dataset_mor_masks_and_cdc(colf_spark, tmp_path):
     # deleted rows surface under the current name with their values
     assert all(r["score"] >= 5 for r in rows
                if r["_change_type"] == "delete")
+
+
+def test_timestamp_as_of_resolves_era_schema(colf_spark, tmp_path):
+    """timestampAsOf on an EVOLVED dataset must declare (and read) the
+    asOf era's schema, exactly like option snapshot=N — schema() used
+    to ignore the option and leak the head schema into the past."""
+    import json
+
+    from columnar_format_spark.colf.datasource import snapshots_path
+    from columnar_format_spark.colf.maintenance import rename_column
+
+    p = str(tmp_path / "ds")
+    colf_spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "k int, v double") \
+        .coalesce(1).write.format("colf").mode("overwrite").save(p)
+    rename_column(p, "v", "score")
+    colf_spark.createDataFrame(
+        [(10, 1.5)], "k int, score double").coalesce(1) \
+        .write.format("colf").mode("append").save(p)
+    # pin commit times: v1 @1000, later commits @2000+
+    with open(snapshots_path(p)) as f:
+        snaps = json.load(f)
+    for s in snaps:
+        s["ts"] = 1000.0 if s["version"] == 1 else 2000.0 + s["version"]
+    with open(snapshots_path(p), "w") as f:
+        json.dump(snaps, f)
+
+    past = colf_spark.read.format("colf") \
+        .option("timestampAsOf", "1500").load(p)
+    assert past.columns == ["k", "v"]  # era schema, PRE-rename name
+    assert sorted(r["v"] for r in past.collect()) == [float(i)
+                                                      for i in range(6)]
+    now = colf_spark.read.format("colf").load(p)
+    assert now.columns == ["k", "score"]
+    assert now.filter("score IS NULL").count() == 0
+
+
+def test_rename_refused_while_historical_eq_delete_retained(
+        colf_spark, tmp_path):
+    """Even after compact() materializes an equality delete, the
+    retained log still holds its predicate — a CDC replay from 0
+    re-evaluates it against the CURRENT schema, so renaming/dropping
+    the predicate column is refused until the commit is vacuumed."""
+    from columnar_format_spark.colf.format import ColfFormatError
+    from columnar_format_spark.colf.maintenance import (
+        compact, delete_where, rename_column, vacuum)
+
+    p = str(tmp_path / "ds")
+    colf_spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k int, v double") \
+        .coalesce(1).write.format("colf").mode("overwrite").save(p)
+    delete_where(colf_spark, p, "k < 5", mode="eq")
+    compact(colf_spark, p, 1, retain=True)  # live eq list now empty
+
+    with pytest.raises(ColfFormatError, match="retained equality-delete"):
+        rename_column(p, "k", "key")
+    # full-history CDC still replays (this is what the guard protects)
+    rows = colf_spark.read.format("colf") \
+        .option("readChangeFeed", "true").load(p).collect()
+    assert {r["_change_type"] for r in rows} == {"insert", "delete"}
+
+    vacuum(p, keep_last=1)  # prunes the eq commit from the log
+    rename_column(p, "k", "key")  # now legal
+    assert colf_spark.read.format("colf").load(p).columns == ["key", "v"]

@@ -562,3 +562,30 @@ def test_vacuum_dry_run(colf_spark, tmp_path):
         assert f.read() == log0  # log not pruned
     assert vacuum(path, keep_last=1) == would  # real run matches
     assert len(dataset_files(path)) == 2
+
+
+def test_binpack_skips_fully_masked_sentinel(colf_spark, tmp_path):
+    """Candidates whose rows are ALL MoR-masked produce the writer's
+    0-row sentinel in the scratch dir; binpack must not move it in as
+    a junk live file."""
+    from columnar_format_spark.colf.maintenance import binpack, delete_where
+
+    path = str(tmp_path / "ds")
+    _ints(colf_spark, 0, 5000).coalesce(1).write.format("colf") \
+        .mode("overwrite").save(path)
+    for lo in (5000, 5010):
+        _ints(colf_spark, lo, lo + 10).coalesce(1).write.format("colf") \
+            .mode("append").save(path)
+    delete_where(colf_spark, path, "v >= 5000", mode="mor")
+    sizes = sorted(os.path.getsize(f) for f in dataset_files(path)
+                   if not f.endswith(".colfd"))
+    thr = (sizes[-2] + sizes[-1]) // 2
+
+    stats = binpack(colf_spark, path, smaller_than=thr)
+    assert stats["n_candidates"] == 2
+    assert stats["n_outputs"] == 0  # all candidate rows were masked
+    assert stats["n_live_after"] == 1
+    live = [os.path.basename(f) for f in dataset_files(path)]
+    assert not any("empty" in b for b in
+                   load_snapshots(path)[-1]["files"]), live
+    assert sorted(_vals(_read(colf_spark, path))) == list(range(5000))

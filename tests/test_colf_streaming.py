@@ -554,3 +554,38 @@ def test_stream_reader_byte_capping(spark, tmp_path):
     with _pytest.raises(ColfFormatError, match="maxBytesPerTrigger"):
         _mk_reader(spark, d, readChangeFeed="true",
                    maxBytesPerTrigger="100")
+
+
+def test_stream_sink_embeds_field_ids_on_evolved_dataset(spark, tmp_path):
+    """A micro-batch append to a schema-EVOLVED dataset must embed the
+    table's field IDs (the batch writer's contract): without them the
+    renamed column resolves only through the frozen bootstrap name
+    mapping — which holds the historical name — and every streamed row
+    would silently decode as NULL."""
+    from columnar_format_spark.colf.maintenance import rename_column
+
+    src = str(tmp_path / "esrc")
+    out = str(tmp_path / "eout")
+    ckpt = str(tmp_path / "eckpt")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], "k int, val string")
+    base.coalesce(1).write.format("colf").mode("overwrite").save(out)
+    rename_column(out, "val", "name")
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(5, 10)], "k int, name string")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    q = (
+        spark.readStream.schema("k int, name string").parquet(src)
+        .writeStream.format("colf")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    _drain(q)
+
+    back = spark.read.format("colf").load(out)
+    got = {r["k"]: r["name"] for r in back.collect()}
+    assert got == ({i: f"v{i}" for i in range(5)}
+                   | {i: f"n{i}" for i in range(5, 10)})
+    assert back.filter("name IS NULL").count() == 0
