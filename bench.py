@@ -145,6 +145,10 @@ HEADLINE = [
     "q210_sequence_packing",
     "q211_colf_ndv_stats",
     "q212_colf_cdf_replay",
+    # round-11 additions: sharded metadata-log migration +
+    # stats-driven maintenance planning
+    "q213_colf_metadata_migration",
+    "q214_colf_stats_planning",
 ]
 
 

@@ -18,8 +18,21 @@ sf0.1 sweep 198/198, plus a 50-query window sweep at sf0.1 with
 --dtypes (50/50) and per-query driver-style checks on every query
 added or changed mid-round (three full gate passes this round).
 
-Registry size: 210 queries (q01-q212, no q123/q205; the count is pinned
-live by tests/test_driver_ledger.py). Round-10 additions are q200
+Registry size: 212 queries (q01-q214, no q123/q205; the count is pinned
+live by tests/test_driver_ledger.py). Round-11 additions are q213
+(metadata-log migration: the v1 monolithic `_snapshots.json`/
+`_manifest.json`/`_blooms.json` metadata — O(table) bytes rewritten
+per commit — migrates in place to the sharded v2 layout of per-commit
+delta-log entries, checkpoints, and immutable sidecar shards with the
+logical history bit-identical across the boundary; proven in-query by
+time travel into the legacy era, a CDF replay spanning the migration,
+and a one-new-file commit-cost pin. The v2 layout is the DEFAULT for
+new datasets this round — every other COLF query now exercises it.)
+and q214 (statistics-driven maintenance planning: manifest KMV NDV
+sketches gate merge_into's pruning-vs-scan discovery choice and
+per-file sizes set binpack's output target — the engine consuming its
+own q211 stats, plan-pinned in-query).
+Round-10 additions are q200
 (Change Data Feed: row-level _change_type/_commit_version CDC reads of
 a DML'd table, batch AND streaming — the changelog-stream answer to
 the round-9 refusal on live MoR masks), q201 (rewrite_delete_files:
@@ -148,37 +161,34 @@ WINDOW_SIZE = 50
 
 # Queries whose plan, oracle, or underlying machinery changed this
 # round — they re-prove themselves in the driver window even when they
-# have recent green evidence. Round 10: the commit path itself changed
-# (atomic version claim + locked manifest/bloom merges under every DML
-# and compaction), the branch/WAP delete-state lineage and
-# file_first_versions sequencing were fixed, the streaming source
-# re-checks live masks mid-stream, and changelog machinery gained CDC
-# (q200) — so every DML/maintenance/lineage query re-proves, as does
-# q134 (stream reader) and q184 (changelog).
+# have recent green evidence. Round 11: the metadata layer is being
+# sharded (per-commit manifest deltas + compacted manifest list —
+# verdict r10 item #1), which touches the commit/plan path under every
+# DML, maintenance, time-travel, and CDC query; entries are added here
+# as each machinery change lands. The rest of the window backfills the
+# round-6 evidence cohort (verdict item #4).
 CHANGED_THIS_ROUND = [
-    # round-10 late additions: the stream reader's latestOffset gained
-    # byte capping (q109 exercises the offset plumbing end-to-end) and
-    # the batch/stream writers gained the constraints check
-    "q109_colf_stream_agg",
-    "q70_colf_roundtrip",
-    "q100_scd2_upsert",
+    # the sharded metadata layer replaced the commit path (delta-log
+    # entries + sidecar shards) under every write/DML/maintenance/CDC
+    # operator — the representative set re-proves driver-side; the
+    # full registry is re-gated locally by the sf0.01/sf0.1 sweeps
+    "q70_colf_roundtrip",     # write path (also the r10 bench A/B target)
     "q122_colf_time_travel",
     "q134_colf_incremental_read",
     "q148_colf_delete",
     "q149_colf_merge",
-    "q153_colf_v3_striped",
-    "q155_colf_v3_cow",
-    "q167_colf_targeted_delete",
-    "q182_colf_sorted_maintenance",
     "q184_colf_changelog",
     "q186_colf_wap",
     "q187_colf_branch",
     "q188_colf_update",
     "q189_colf_clustered_maintenance",
     "q195_colf_mor_delete",
-    "q197_colf_mor_update",
-    "q198_colf_eq_delete",
-    "q199_colf_mor_merge",
+    "q198_colf_eq_delete",    # (also the r10 bench A/B target)
+    "q200_colf_cdc_stream",
+    "q206_colf_orphan_cleanup",
+    "q209_colf_binpack",
+    "q211_colf_ndv_stats",
+    "q212_colf_cdf_replay",
 ]
 
 

@@ -450,7 +450,8 @@ def test_corrupt_bloom_sidecar_degrades_to_no_pruning(spark, tmp_path):
     results — blooms can only SKIP I/O, so the degradation is to scan
     every zone-map-surviving file (same contract as a corrupt
     manifest)."""
-    from columnar_format_spark.colf.datasource import blooms_path
+    from columnar_format_spark.colf.datasource import (BLOOMS_DIR_NAME,
+                                                       _shard_files)
 
     register(spark)
     d = str(tmp_path / "ds")
@@ -460,8 +461,9 @@ def test_corrupt_bloom_sidecar_degrades_to_no_pruning(spark, tmp_path):
      .mode("overwrite").save(d))
     want = (spark.read.format("colf").load(d)
             .filter(F.col("k") == 500).collect())
-    with open(blooms_path(d), "w") as f:
-        f.write("{not json")
+    for shard in _shard_files(d, BLOOMS_DIR_NAME):
+        with open(shard, "w") as f:
+            f.write("{not json")
     assert load_blooms(d) == {}
     got = (spark.read.format("colf").load(d)
            .filter(F.col("k") == 500).collect())

@@ -280,9 +280,11 @@ def test_interrupted_rewrite_leaves_reference_dir_readable(spark, tmp_path,
     the listing — then a crash between move and commit leaves readers
     on the bootstrapped version (original rows exactly once), never
     double-counting old + rewritten files."""
+    import shutil
+
     from columnar_format_spark.colf import maintenance as M
     from columnar_format_spark.colf.datasource import (
-        load_snapshots, register, snapshots_path)
+        load_snapshots, log_dir, register)
 
     register(spark)
     d = str(tmp_path / "ds")
@@ -290,7 +292,7 @@ def test_interrupted_rewrite_leaves_reference_dir_readable(spark, tmp_path,
      .repartition(2).write.format("colf").mode("overwrite").save(d))
     # make it LOGLESS, as a dataset assembled by the reference writer
     # would be (the connector always commits a log)
-    os.remove(snapshots_path(d))
+    shutil.rmtree(log_dir(d))
     want = spark.read.format("colf").load(d).count()
 
     real = M.commit_snapshot

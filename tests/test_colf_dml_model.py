@@ -171,3 +171,54 @@ def test_random_dml_sequences_match_pandas_model(colf_spark, tmp_path):
         head = load_snapshots(p)[-1]["version"]
         history[head] = model.copy()
         _check(colf_spark, p, model, f"step {step}: {op}", vname)
+
+
+def test_merge_stats_gate_drives_discovery(colf_spark, tmp_path):
+    """Round-11 stats-driven planning: with NDV sketches on the key,
+    a source covering >= half the table's distinct keys makes
+    merge_into skip the per-file probe (discovery='stats-full-scan');
+    a narrow source keeps metadata pruning; with NO sketches the gate
+    stays out of the way (key_ndv_estimate None, legacy behavior).
+    Results are identical either way — the gate only moves cost."""
+    p = str(tmp_path / "ds")
+    base = colf_spark.range(0, 2000).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 9).cast("int").alias("v"))
+    (base.repartitionByRange(4, "k").write.format("colf")
+     .option("ndvColumns", "k").option("ndvK", "512")
+     .mode("overwrite").save(p))
+
+    wide = base.filter(F.col("k") % 3 != 0).select(
+        "k", (F.col("v") + 100).cast("int").alias("v"))
+    r1 = merge_into(colf_spark, p, wide, ["k"])
+    assert r1["discovery"] == "stats-full-scan"
+    assert r1["key_ndv_estimate"] is not None
+    assert r1["n_replaced_rows"] == wide.count()
+
+    narrow = colf_spark.createDataFrame(
+        [(5, 999), (2001, 1)], "k int, v int")
+    r2 = merge_into(colf_spark, p, narrow, ["k"])
+    assert r2["discovery"] in ("metadata-in", "scan")
+    assert r2["key_ndv_estimate"] is not None
+    assert r2["n_replaced_rows"] == 1  # k=5 replaced, k=2001 inserted
+
+    got = {r["k"]: r["v"] for r in
+           colf_spark.read.format("colf").load(p)
+           .filter("k in (5, 7, 2001, 9)").collect()}
+    assert got == {5: 999, 7: 107, 2001: 1, 9: 0}
+
+    # same merges on an unsketched dataset: gate inert, results equal
+    p2 = str(tmp_path / "ds2")
+    (base.repartitionByRange(4, "k").write.format("colf")
+     .mode("overwrite").save(p2))
+    r3 = merge_into(colf_spark, p2, wide, ["k"])
+    assert r3["key_ndv_estimate"] is None
+    assert r3["discovery"] != "stats-full-scan"
+    assert r3["n_replaced_rows"] == r1["n_replaced_rows"]
+
+    # MoR path honors the same gate
+    r4 = merge_into(colf_spark, p2, wide, ["k"], mode="mor")
+    assert r4["key_ndv_estimate"] is None
+    r5 = merge_into(colf_spark, p, wide, ["k"], mode="mor")
+    assert r5["discovery"] == "stats-full-scan"
+    assert r5["key_ndv_estimate"] is not None

@@ -1,0 +1,287 @@
+"""Sharded metadata layer (round-10 verdict item #1): the v2 log
+(`_log/` per-commit delta entries + derived checkpoints) and the
+sharded manifest/bloom sidecars must make every commit's metadata
+write O(that commit) — independent of table size — while reproducing
+the exact logical history the monolithic v1 format recorded.
+
+The headline test here IS the verdict's done-criterion: a dataset
+with 10,000 live files whose next commit writes the same metadata
+bytes as a 100-file dataset's. Most of these tests drive
+commit_snapshot directly (log-layer unit tests, no Spark session);
+the Spark-visible behavior rides the whole existing suite, which now
+runs on the sharded default."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from columnar_format_spark.colf.datasource import (
+    BLOOMS_DIR_NAME,
+    LOG_CHECKPOINT_EVERY,
+    MANIFEST_DIR_NAME,
+    MANIFEST_NAME,
+    _append_sidecar_shard,
+    _drop_sidecar_keys,
+    _load_sharded_dict,
+    _parse_log_name,
+    commit_snapshot,
+    is_sharded_log,
+    load_manifest,
+    load_snapshots,
+    log_dir,
+    log_fingerprint,
+    write_snapshots,
+)
+from columnar_format_spark.colf.format import ColfFormatError
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _fake_files(n, tag=""):
+    return [f"part-{tag}{i:07d}.colf" for i in range(n)]
+
+
+def _entry_files(path):
+    return sorted(n for n in os.listdir(log_dir(path))
+                  if _parse_log_name(n) and not _parse_log_name(n)[1])
+
+
+def _bootstrap(path, n_files):
+    os.makedirs(path)
+    live = _fake_files(n_files)
+    commit_snapshot(path, live)
+    return live
+
+
+def test_commit_metadata_write_is_o_commit_not_o_table(tmp_path):
+    """THE scale criterion: append 2 files to a 100-file table and to
+    a 10,000-file table — the new commit's metadata bytes must be the
+    same small size in both (the v1 log wrote the full live list per
+    commit: 100x the bytes on the big table)."""
+    sizes = {}
+    for n in (100, 10_000):
+        p = str(tmp_path / f"ds{n}")
+        live = _bootstrap(p, n)
+        before = set(_entry_files(p))
+        commit_snapshot(p, live + _fake_files(2, "new"),
+                        expected_parent=1)
+        new = [f for f in _entry_files(p) if f not in before]
+        assert len(new) == 1  # exactly one new entry file, no rewrites
+        sizes[n] = os.path.getsize(os.path.join(log_dir(p), new[0]))
+        # and the pre-existing entry was NOT rewritten
+        assert before == {_entry_files(p)[0]}
+    # identical up to the ts float's decimal-length jitter
+    assert abs(sizes[10_000] - sizes[100]) <= 16, (
+        f"commit metadata bytes grew with table size: {sizes}")
+    # sanity: the delta is dramatically smaller than a full live list
+    assert sizes[10_000] < 1_000
+
+
+def test_delta_log_reproduces_v1_history_exactly(tmp_path):
+    """Adds, removes, MoR delete-list changes, and eq-delete
+    inheritance all round-trip through the delta encoding: the
+    materialized log equals an independently tracked expected
+    history."""
+    p = str(tmp_path / "ds")
+    os.makedirs(p)
+    live = _fake_files(5)
+    expected = []
+    v = commit_snapshot(p, live)
+    expected.append({"version": v, "files": sorted(live)})
+    # append
+    live += _fake_files(2, "a")
+    v = commit_snapshot(p, live, expected_parent=v)
+    expected.append({"version": v, "files": sorted(live)})
+    # MoR delete: same files, delete sidecars set
+    v = commit_snapshot(p, live, expected_parent=v,
+                        deletes=["d-1.colfd", "d-2.colfd"],
+                        eq_deletes=[{"seq": v + 1, "filters": [
+                            {"col": "k", "op": "<", "value": 3}]}])
+    expected.append({"version": v, "files": sorted(live),
+                     "deletes": ["d-1.colfd", "d-2.colfd"],
+                     "eq_deletes": [{"seq": v, "filters": [
+                         {"col": "k", "op": "<", "value": 3}]}]})
+    expected[-1]["eq_deletes"][0]["seq"] = v  # committed seq
+    # inherit both on a plain append
+    live += _fake_files(1, "b")
+    v = commit_snapshot(p, live, expected_parent=v)
+    expected.append(dict(expected[-1], version=v, files=sorted(live)))
+    # CoW rewrite: files replaced, deletes cleared
+    live = _fake_files(3, "cow")
+    v = commit_snapshot(p, live, expected_parent=v, deletes=[],
+                        eq_deletes=[], data_change=False)
+    expected.append({"version": v, "files": sorted(live),
+                     "data_change": False})
+    got = load_snapshots(p)
+    assert [s["version"] for s in got] == [e["version"] for e in expected]
+    for g, e in zip(got, expected):
+        assert g["files"] == e["files"], g["version"]
+        assert g.get("deletes") == e.get("deletes"), g["version"]
+        eq = [{"seq": x["seq"], "filters": x["filters"]}
+              for x in g.get("eq_deletes") or []]
+        eeq = e.get("eq_deletes") or []
+        assert (eq or None) == (eeq or None), g["version"]
+        assert g.get("data_change") == e.get("data_change")
+
+
+def test_checkpoint_written_and_purely_derived(tmp_path):
+    """Every LOG_CHECKPOINT_EVERY commits a self-contained checkpoint
+    appears; deleting it changes nothing (it is derived, the deltas
+    are authoritative)."""
+    p = str(tmp_path / "ds")
+    os.makedirs(p)
+    live = _fake_files(3)
+    v = commit_snapshot(p, live)
+    for i in range(LOG_CHECKPOINT_EVERY + 2):
+        live = live + _fake_files(1, f"c{i}-")
+        v = commit_snapshot(p, live, expected_parent=v)
+    ck = [n for n in os.listdir(log_dir(p))
+          if (_parse_log_name(n) or (0, False))[1]]
+    assert ck, "no checkpoint written past the checkpoint interval"
+    before = load_snapshots(p)
+    for n in ck:
+        os.remove(os.path.join(log_dir(p), n))
+    assert load_snapshots(p) == before
+
+
+def test_concurrent_version_claim_is_the_entry_file(tmp_path):
+    """Two writers claiming the same version: the O_EXCL entry-file
+    create arbitrates — exactly one wins, the loser gets the
+    documented retryable error (no _commits marker dir needed)."""
+    from columnar_format_spark.colf.datasource import (
+        COMMIT_MARKERS_DIR, _append_sharded_entry)
+
+    p = str(tmp_path / "ds")
+    live = _bootstrap(p, 3)
+    snaps = load_snapshots(p)
+    entry = {"version": 2, "files": sorted(live + ["x.colf"]), "ts": 1.0}
+    _append_sharded_entry(p, snaps, entry, reset=False)
+    with pytest.raises(ColfFormatError, match="concurrent commit"):
+        _append_sharded_entry(p, snaps, dict(entry, ts=2.0), reset=False)
+    # sharded datasets never create the v1 marker dir
+    assert not os.path.isdir(os.path.join(p, COMMIT_MARKERS_DIR))
+
+
+def test_write_snapshots_prune_keeps_log_readable(tmp_path):
+    """The full-rewrite path (vacuum) rewrites kept entries
+    self-contained FIRST, then deletes the pruned ones — and the
+    result reads back identically."""
+    p = str(tmp_path / "ds")
+    os.makedirs(p)
+    live = _fake_files(4)
+    v = commit_snapshot(p, live)
+    for i in range(4):
+        live = live + _fake_files(1, f"k{i}-")
+        v = commit_snapshot(p, live, expected_parent=v)
+    snaps = load_snapshots(p)
+    kept = snaps[-2:]
+    write_snapshots(p, kept)
+    assert [s["version"] for s in load_snapshots(p)] == [4, 5]
+    assert load_snapshots(p) == kept
+    # every surviving entry is self-contained (no dangling base)
+    for n in _entry_files(p):
+        with open(os.path.join(log_dir(p), n)) as f:
+            e = json.load(f)
+        assert "files" in e and "base" not in e
+    # and appends continue cleanly after the prune
+    v = commit_snapshot(p, live + ["tail.colf"], expected_parent=v)
+    assert load_snapshots(p)[-1]["version"] == v
+
+
+def test_sharded_sidecar_append_drop_compact(tmp_path):
+    """Manifest shards: appends are new immutable files, drops rewrite
+    only affected shards, and passing the shard cap folds everything
+    (legacy file included) into one."""
+    p = str(tmp_path / "ds")
+    os.makedirs(p)
+    # a legacy monolithic manifest already present
+    with open(os.path.join(p, MANIFEST_NAME), "w") as f:
+        json.dump({"legacy.colf": {"num_rows": 1}}, f)
+    for i in range(3):
+        _append_sidecar_shard(p, MANIFEST_DIR_NAME,
+                              {f"f{i}.colf": {"num_rows": i}})
+    man = load_manifest(p)
+    assert set(man) == {"legacy.colf", "f0.colf", "f1.colf", "f2.colf"}
+    _drop_sidecar_keys(p, MANIFEST_NAME, MANIFEST_DIR_NAME,
+                       ["f1.colf", "legacy.colf"])
+    assert set(load_manifest(p)) == {"f0.colf", "f2.colf"}
+    # force a compaction by exceeding the cap
+    from columnar_format_spark.colf import datasource as D
+
+    for i in range(D.SIDECAR_COMPACT_SHARDS + 1):
+        _append_sidecar_shard(p, MANIFEST_DIR_NAME,
+                              {f"g{i}.colf": {"num_rows": i}})
+    shards = [n for n in os.listdir(os.path.join(p, MANIFEST_DIR_NAME))
+              if n.startswith("s-")]
+    # folded once the cap tripped; the post-fold appends add a few
+    assert len(shards) <= 3
+    assert not os.path.exists(os.path.join(p, MANIFEST_NAME))
+    assert len(load_manifest(p)) == D.SIDECAR_COMPACT_SHARDS + 1 + 2
+
+
+def test_stale_v1_log_beside_v2_is_ignored(tmp_path):
+    """A crash between migration's _log adoption and the v1 file
+    removal leaves both; `_log/` must win."""
+    p = str(tmp_path / "ds")
+    live = _bootstrap(p, 3)
+    commit_snapshot(p, live + ["extra.colf"], expected_parent=1)
+    with open(os.path.join(p, "_snapshots.json"), "w") as f:
+        json.dump([{"version": 99, "files": ["bogus.colf"]}], f)
+    assert is_sharded_log(p)
+    assert [s["version"] for s in load_snapshots(p)] == [1, 2]
+    assert "bogus.colf" not in load_snapshots(p)[-1]["files"]
+
+
+def test_log_fingerprint_tracks_commits_only(tmp_path):
+    p = str(tmp_path / "ds")
+    live = _bootstrap(p, 3)
+    f0 = log_fingerprint(p)
+    assert log_fingerprint(p) == f0
+    commit_snapshot(p, live + ["y.colf"], expected_parent=1)
+    assert log_fingerprint(p) != f0
+
+
+def test_migrate_and_back_preserve_history(tmp_path):
+    """migrate_log / to_legacy_log round-trip the materialized history
+    bit-for-bit, including branch/staged lineage structure."""
+    from columnar_format_spark.colf.maintenance import (migrate_log,
+                                                        to_legacy_log)
+
+    p = str(tmp_path / "ds")
+    os.makedirs(p)
+    live = _fake_files(4)
+    v = commit_snapshot(p, live)
+    v = commit_snapshot(p, live + ["a2.colf"], expected_parent=v)
+    commit_snapshot(p, live + ["w1.colf"], expected_parent=v,
+                    staged=True, added=["w1.colf"])
+    commit_snapshot(p, live + ["b1.colf"], expected_parent=3,
+                    branch="dev", added=["b1.colf"])
+    sharded_hist = load_snapshots(p)
+    r = to_legacy_log(p)
+    assert r["migrated"] and not is_sharded_log(p)
+    assert load_snapshots(p) == sharded_hist
+    r = migrate_log(p)
+    assert r["migrated"] and is_sharded_log(p)
+    assert load_snapshots(p) == sharded_hist
+    assert migrate_log(p) == {"migrated": False,
+                              "reason": "already sharded"}
+
+
+def test_bloom_sidecar_sharding_roundtrip(tmp_path):
+    p = str(tmp_path / "ds")
+    os.makedirs(p)
+    from columnar_format_spark.colf.datasource import (BLOOMS_NAME,
+                                                       load_blooms,
+                                                       save_blooms)
+
+    _append_sidecar_shard(p, BLOOMS_DIR_NAME,
+                          {"a.colf": {"columns": {"k": {"m": 8}}}})
+    _append_sidecar_shard(p, BLOOMS_DIR_NAME,
+                          {"b.colf": {"columns": {"k": {"m": 8}}}})
+    assert set(load_blooms(p)) == {"a.colf", "b.colf"}
+    save_blooms(p, {"c.colf": {"columns": {}}})  # full replace
+    assert set(load_blooms(p)) == {"c.colf"}
+    assert _load_sharded_dict(p, BLOOMS_NAME, BLOOMS_DIR_NAME) == \
+        load_blooms(p)

@@ -154,13 +154,13 @@ def test_legacy_inference_still_works(colf_spark, tmp_path):
     p = str(tmp_path / "legacy")
     (_df(colf_spark, 0, 200).repartition(2, "a").write.format("colf")
      .option("partitionColumns", "a").mode("overwrite").save(p))
-    import json
+    from columnar_format_spark.colf.datasource import (load_snapshots,
+                                                       write_snapshots)
 
-    sp = os.path.join(p, "_snapshots.json")
-    snaps = json.load(open(sp))
+    snaps = load_snapshots(p)
     for s in snaps:
         s.pop("spec", None)
-    json.dump(snaps, open(sp, "w"))
+    write_snapshots(p, snaps)
     assert current_partition_spec(p) is None
     assert inferred_partition_spec(p) == ["a"]
     assert effective_partition_spec(p) == ["a"]

@@ -130,19 +130,21 @@ def test_pruning_off_option_scans_all_files(spark, ranged_dataset):
 def test_files_without_manifest_entry_survive(ranged_dataset):
     # simulate a foreign .colf dropped into the dataset (e.g. written by
     # the reference writer): absent from the manifest → never pruned
+    from columnar_format_spark.colf.datasource import (
+        MANIFEST_DIR_NAME, _append_sidecar_shard, _drop_sidecar_keys)
+
     m = load_manifest(ranged_dataset)
     victim = sorted(m)[0]
-    stats = m.pop(victim)
-    with open(os.path.join(ranged_dataset, MANIFEST_NAME), "w") as f:
-        json.dump(m, f)
+    stats = m[victim]
+    _drop_sidecar_keys(ranged_dataset, MANIFEST_NAME, MANIFEST_DIR_NAME,
+                       [victim])
     try:
         parts = _reader(ranged_dataset,
                         [EqualTo(("o_orderkey",), -999999)]).partitions()
         assert [os.path.basename(p.file) for p in parts] == [victim]
     finally:
-        m[victim] = stats
-        with open(os.path.join(ranged_dataset, MANIFEST_NAME), "w") as f:
-            json.dump(m, f)
+        _append_sidecar_shard(ranged_dataset, MANIFEST_DIR_NAME,
+                              {victim: stats})
 
 
 def test_compaction_preserves_data_and_manifest(spark, ranged_dataset, tmp_path):

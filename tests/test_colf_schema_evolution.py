@@ -310,9 +310,8 @@ def test_timestamp_as_of_resolves_era_schema(colf_spark, tmp_path):
     """timestampAsOf on an EVOLVED dataset must declare (and read) the
     asOf era's schema, exactly like option snapshot=N — schema() used
     to ignore the option and leak the head schema into the past."""
-    import json
-
-    from columnar_format_spark.colf.datasource import snapshots_path
+    from columnar_format_spark.colf.datasource import (load_snapshots,
+                                                       write_snapshots)
     from columnar_format_spark.colf.maintenance import rename_column
 
     p = str(tmp_path / "ds")
@@ -324,12 +323,10 @@ def test_timestamp_as_of_resolves_era_schema(colf_spark, tmp_path):
         [(10, 1.5)], "k int, score double").coalesce(1) \
         .write.format("colf").mode("append").save(p)
     # pin commit times: v1 @1000, later commits @2000+
-    with open(snapshots_path(p)) as f:
-        snaps = json.load(f)
+    snaps = load_snapshots(p)
     for s in snaps:
         s["ts"] = 1000.0 if s["version"] == 1 else 2000.0 + s["version"]
-    with open(snapshots_path(p), "w") as f:
-        json.dump(snaps, f)
+    write_snapshots(p, snaps)
 
     past = colf_spark.read.format("colf") \
         .option("timestampAsOf", "1500").load(p)
@@ -368,3 +365,77 @@ def test_rename_refused_while_historical_eq_delete_retained(
     vacuum(p, keep_last=1)  # prunes the eq commit from the log
     rename_column(p, "k", "key")  # now legal
     assert colf_spark.read.format("colf").load(p).columns == ["key", "v"]
+
+
+def test_maintenance_survives_rename_of_sketched_column(
+        colf_spark, tmp_path):
+    """Round-10 advice regression: bloom/NDV sidecar keys are PHYSICAL
+    names, so after a metadata-only rename of a sketched column every
+    maintenance rewrite used to fail the writer's unknown-column check
+    (maintenance bricked until sketches were hand-cleared). The names
+    now translate through the field-ID schema; rewrites re-sketch
+    under the NEW name and table_ndv merges mixed-era sketches."""
+    from columnar_format_spark.colf.datasource import load_blooms
+    from columnar_format_spark.colf.maintenance import (
+        compact, delete_where, rename_column, table_ndv)
+
+    p = str(tmp_path / "ds")
+    (colf_spark.range(0, 4000).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 5).cast("int").alias("g"))
+     .repartition(3).write.format("colf")
+     .option("bloomColumns", "k")
+     .option("ndvColumns", "k,g").option("ndvK", "256")
+     .mode("overwrite").save(p))
+    rename_column(p, "k", "key")
+
+    # mixed-era manifests (all files still keyed "k") merge under the
+    # current name
+    nd0 = table_ndv(p, columns=["key"])
+    assert abs(nd0["key"]["estimate"] - 4000) / 4000 < 0.16
+
+    # CoW delete rewrites the touched files — previously ColfFormatError
+    res = delete_where(colf_spark, p, "key < 1000")
+    assert res["n_deleted_rows"] == 1000
+    compact(colf_spark, p, 2, retain=True)
+
+    back = colf_spark.read.format("colf").load(p)
+    assert back.columns == ["key", "g"]
+    assert back.count() == 3000
+    # fresh sketches and blooms live under the NEW physical name
+    nd = table_ndv(p, columns=["key", "g"])
+    assert abs(nd["key"]["estimate"] - 3000) / 3000 < 0.16
+    assert nd["g"] == {"estimate": 5.0, "exact": True, "rsd": 0.0}
+    # live files' blooms carry the NEW name (dead files' entries
+    # linger in the sidecar until vacuum reclaims them)
+    blo = load_blooms(p)
+    live = [os.path.basename(f) for f in live_files(p)]
+    assert live and all("key" in blo[b]["columns"] for b in live)
+
+
+def test_maintenance_survives_drop_of_sketched_column(
+        colf_spark, tmp_path):
+    """Dropping a sketched column must not brick later rewrites: the
+    dead name silently leaves the ndv/bloom option lists, and the
+    dropped column's sketches vanish from table_ndv instead of
+    poisoning its missing-sketch refusal."""
+    from columnar_format_spark.colf.maintenance import (
+        compact, drop_column, table_ndv)
+
+    p = str(tmp_path / "ds")
+    (colf_spark.range(0, 2000).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 7).cast("int").alias("junk"))
+     .repartition(2).write.format("colf")
+     .option("bloomColumns", "junk")
+     .option("ndvColumns", "k,junk").option("ndvK", "256")
+     .mode("overwrite").save(p))
+    drop_column(p, "junk")
+
+    assert sorted(table_ndv(p)) == ["k"]  # junk's sketches are gone
+    compact(colf_spark, p, 1, retain=True)  # previously bricked
+    back = colf_spark.read.format("colf").load(p)
+    assert back.columns == ["k"]
+    assert back.count() == 2000
+    nd = table_ndv(p, columns=["k"])
+    assert abs(nd["k"]["estimate"] - 2000) / 2000 < 0.16

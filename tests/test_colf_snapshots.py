@@ -181,18 +181,33 @@ def test_corrupt_log_raises_not_listing_fallback(colf_spark, tmp_path):
     retained compaction the directory listing is a superset of the
     live set, so silently degrading to listing semantics would
     double-count rows."""
-    from columnar_format_spark.colf.datasource import snapshots_path
+    from columnar_format_spark.colf.datasource import log_dir
 
     path = str(tmp_path / "ds")
     _ints(colf_spark, 0, 20).repartition(4).write.format("colf") \
         .mode("overwrite").save(path)
     compact(colf_spark, path, 2, retain=True)
-    with open(snapshots_path(path), "w") as f:
+    # corrupt one committed v2 log entry in place
+    entries = sorted(n for n in os.listdir(log_dir(path))
+                     if n.endswith(".json") and ".ckpt" not in n)
+    with open(os.path.join(log_dir(path), entries[0]), "w") as f:
         f.write("{not json")
     with pytest.raises(ColfFormatError, match="corrupt metadata log"):
         load_snapshots(path)
     with pytest.raises(Exception, match="corrupt metadata log"):
         _read(colf_spark, path).collect()
+
+
+def test_corrupt_legacy_log_raises_too(tmp_path):
+    """The v1 monolithic-log read path keeps the same refusal."""
+    from columnar_format_spark.colf.datasource import snapshots_path
+
+    path = str(tmp_path / "ds")
+    os.makedirs(path)
+    with open(snapshots_path(path), "w") as f:
+        f.write("{not json")
+    with pytest.raises(ColfFormatError, match="corrupt metadata log"):
+        load_snapshots(path)
 
 
 def test_concurrent_commit_cas_detects_lost_update(tmp_path):
@@ -220,7 +235,7 @@ def test_vacuum_spares_files_newer_than_the_log(colf_spark, tmp_path):
     in-flight uncommitted work, not garbage — vacuum must skip it."""
     import time
 
-    from columnar_format_spark.colf.datasource import snapshots_path
+    from columnar_format_spark.colf.datasource import log_mtime
     from columnar_format_spark.colf.format import (
         ColfColumn, ColfSchema, write_colf)
 
@@ -234,7 +249,7 @@ def test_vacuum_spares_files_newer_than_the_log(colf_spark, tmp_path):
     past = time.time() - 60
     for f in dataset_files(path):
         os.utime(f, (past, past))
-    assert os.path.getmtime(snapshots_path(path)) > past
+    assert log_mtime(path) > past
     inflight = os.path.join(path, "part-inflight.colf")
     write_colf(inflight, ColfSchema(1, [ColfColumn("v", "int32", False)]),
                {"v": [99]})
@@ -282,7 +297,7 @@ def test_vacuum_age_based_retention(colf_spark, tmp_path):
     from pyspark.sql import functions as F
 
     from columnar_format_spark.colf.datasource import (load_snapshots,
-                                                       snapshots_path)
+                                                       write_snapshots)
     from columnar_format_spark.colf.maintenance import vacuum
 
     p = str(tmp_path / "ageds")
@@ -298,7 +313,7 @@ def test_vacuum_age_based_retention(colf_spark, tmp_path):
     snaps = load_snapshots(p)
     for s in snaps[:3]:
         s["ts"] = s["ts"] - 7200
-    _json.dump(snaps, open(snapshots_path(p), "w"))
+    write_snapshots(p, snaps)
     vacuum(p, keep_last=1, older_than_s=3600)
     assert [s["version"] for s in load_snapshots(p)] == [4]
     assert colf_spark.read.format("colf").load(p).count() == 40
@@ -309,7 +324,7 @@ def test_vacuum_age_based_retention(colf_spark, tmp_path):
     snaps = load_snapshots(p)
     for s in snaps:
         s.pop("ts", None)
-    _json.dump(snaps, open(snapshots_path(p), "w"))
+    write_snapshots(p, snaps)
     vacuum(p, keep_last=2, older_than_s=1)
     assert len(load_snapshots(p)) == 2  # keep_last floor, not age
 
@@ -363,8 +378,9 @@ def test_remove_orphan_files_contract(colf_spark, tmp_path):
     os.makedirs(scratch)
     os.utime(scratch, (old_t, old_t))
 
-    with open(snapshots_path(path), "rb") as fh:
-        log0 = fh.read()
+    from columnar_format_spark.colf.datasource import log_fingerprint
+
+    log0 = log_fingerprint(path)
     assert set(remove_orphan_files(path, older_than_s=3600,
                                    dry_run=True)) == \
         {"part-crashed.colf", os.path.basename(scratch)}
@@ -373,8 +389,7 @@ def test_remove_orphan_files_contract(colf_spark, tmp_path):
         {"part-crashed.colf", os.path.basename(scratch)}
     assert not os.path.exists(orphan) and not os.path.isdir(scratch)
     assert os.path.exists(recent)  # grace period
-    with open(snapshots_path(path), "rb") as fh:
-        assert fh.read() == log0  # zero snapshots expired
+    assert log_fingerprint(path) == log0  # zero snapshots expired
     # v1 (history-only files) and the staged files all still read
     assert _vals(_read(colf_spark, path, snapshot=1)) == list(range(20))
     assert _vals(_read(colf_spark, path)) == list(range(20))
@@ -386,13 +401,15 @@ def test_remove_orphan_files_contract(colf_spark, tmp_path):
 def test_remove_orphan_files_logless_is_noop(colf_spark, tmp_path):
     """Without a metadata log the directory listing IS the live set —
     nothing can be an orphan."""
-    from columnar_format_spark.colf.datasource import snapshots_path
+    import shutil
+
+    from columnar_format_spark.colf.datasource import log_dir
     from columnar_format_spark.colf.maintenance import remove_orphan_files
 
     path = str(tmp_path / "ds")
     _ints(colf_spark, 0, 5).coalesce(1).write.format("colf") \
         .mode("overwrite").save(path)
-    os.remove(snapshots_path(path))
+    shutil.rmtree(log_dir(path))
     assert remove_orphan_files(path, older_than_s=0) == []
     assert _vals(_read(colf_spark, path)) == list(range(5))
 
@@ -423,7 +440,11 @@ def test_metadata_tables(colf_spark, tmp_path):
     assert [(r.name, r.version) for r in refs] == [("t1", 1)]
 
     # manifest-less fallback: n_rows read from the file header
-    os.remove(manifest_path(path))
+    import shutil
+
+    from columnar_format_spark.colf.datasource import MANIFEST_DIR_NAME
+
+    shutil.rmtree(os.path.join(path, MANIFEST_DIR_NAME))
     files2 = metadata_table(colf_spark, path, "files").collect()
     assert sum(r.n_rows for r in files2) == 25
 
@@ -456,8 +477,13 @@ def test_binpack_selective_and_noop(colf_spark, tmp_path):
         list(range(5030))
     # one surviving small-ish packed file + the big one: no-op now
     stats2 = binpack(colf_spark, path, smaller_than=thr)
-    assert stats2 == {"n_candidates": 1, "n_outputs": 0,
-                      "n_live_after": 2, "version": None}
+    assert {k: stats2[k] for k in
+            ("n_candidates", "n_outputs", "n_live_after", "version")} \
+        == {"n_candidates": 1, "n_outputs": 0,
+            "n_live_after": 2, "version": None}
+    # with no explicit target the output sizing comes from the live
+    # set's established file sizes (round-11 stats-driven planning)
+    assert stats2["target_from"] == "stats-median-live"
 
 
 def test_ndv_sketches_metadata_only(colf_spark, tmp_path):
@@ -519,13 +545,13 @@ def test_timestamp_as_of(colf_spark, tmp_path):
     _ints(colf_spark, 10, 20).coalesce(1).write.format("colf") \
         .mode("append").save(path)
     # pin commit times to known instants (v1 @1000, v2 @2000)
-    with open(snapshots_path(path)) as f:
-        snaps = json.load(f)
-    for s, ts in zip(sorted(snaps, key=lambda s: s["version"]),
-                     (1000.0, 2000.0)):
+    from columnar_format_spark.colf.datasource import (load_snapshots as
+                                                       _loads, write_snapshots)
+
+    snaps = _loads(path)
+    for s, ts in zip(snaps, (1000.0, 2000.0)):
         s["ts"] = ts
-    with open(snapshots_path(path), "w") as f:
-        json.dump(snaps, f)
+    write_snapshots(path, snaps)
 
     def read_at(ts):
         return colf_spark.read.format("colf") \
@@ -549,17 +575,17 @@ def test_timestamp_as_of(colf_spark, tmp_path):
 def test_vacuum_dry_run(colf_spark, tmp_path):
     """vacuum(dry_run=True) reports the reclaimable set and touches
     nothing — files, manifest, and log all intact."""
+    from columnar_format_spark.colf.datasource import log_fingerprint
+
     path = str(tmp_path / "ds")
     _ints(colf_spark, 0, 20).repartition(4).write.format("colf") \
         .mode("overwrite").save(path)
     compact(colf_spark, path, 2, retain=True)
-    with open(os.path.join(path, "_snapshots.json"), "rb") as f:
-        log0 = f.read()
+    log0 = log_fingerprint(path)
     would = vacuum(path, keep_last=1, dry_run=True)
     assert len(would) == 4
     assert len(dataset_files(path)) == 6  # nothing deleted
-    with open(os.path.join(path, "_snapshots.json"), "rb") as f:
-        assert f.read() == log0  # log not pruned
+    assert log_fingerprint(path) == log0  # log not pruned
     assert vacuum(path, keep_last=1) == would  # real run matches
     assert len(dataset_files(path)) == 2
 

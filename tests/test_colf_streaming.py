@@ -589,3 +589,62 @@ def test_stream_sink_embeds_field_ids_on_evolved_dataset(spark, tmp_path):
     assert got == ({i: f"v{i}" for i in range(5)}
                    | {i: f"n{i}" for i in range(5, 10)})
     assert back.filter("name IS NULL").count() == 0
+
+
+def test_changelog_max_commits_per_trigger(spark, tmp_path):
+    """maxCommitsPerTrigger (round-11): a changelog stream over a
+    table with a commit backlog drains a bounded number of PUBLISHED
+    commits per trigger — the commit is the atomicity unit a change
+    feed cannot split — and delivers exactly the same rows as an
+    uncapped feed. Plain-stream misuse and the existing file/byte-cap
+    refusal both stay loud."""
+    import pytest as _pytest
+
+    from columnar_format_spark.colf.format import ColfFormatError
+
+    d = str(tmp_path / "ds")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(4)], "k int, name string")
+    base.coalesce(1).write.format("colf").mode("overwrite").save(d)
+    for lo in (10, 20, 30):  # 3 more commits: backlog of 4 total
+        spark.createDataFrame(
+            [(lo, f"v{lo}")], "k int, name string") \
+            .coalesce(1).write.format("colf").mode("append").save(d)
+
+    r = _mk_reader(spark, d, readChangeFeed="true",
+                   maxCommitsPerTrigger="1")
+    offs = [r.initialOffset()]
+    seen_rows = 0
+    for _ in range(4):  # one commit per trigger: 4 triggers drain it
+        end = r.latestOffset()
+        assert end["cv"] == offs[-1]["cv"] + 1  # exactly one commit
+        parts = r.partitions(offs[-1], end)
+        for p in parts:
+            for rb in r.read(p):
+                seen_rows += rb.num_rows
+        r.commit(end)
+        offs.append(end)
+    assert r.latestOffset() == offs[-1]  # drained: offset parks
+    assert seen_rows == 7  # 4 base inserts + 3 appended inserts
+
+    # batch of 2 commits per trigger
+    r2 = _mk_reader(spark, d, readChangeFeed="true",
+                    maxCommitsPerTrigger="2")
+    o0 = r2.initialOffset()
+    o1 = r2.latestOffset()
+    assert o1["cv"] == 2
+    r2.partitions(o0, o1)
+    assert r2.latestOffset()["cv"] == 4  # head reached on trigger 2
+
+    # restart semantics: a reader rehydrated from a checkpointed end
+    # (partitions/commit before any latestOffset) never re-admits
+    r3 = _mk_reader(spark, d, readChangeFeed="true",
+                    maxCommitsPerTrigger="1")
+    r3.commit({"cv": 3})
+    assert r3.latestOffset()["cv"] == 4
+
+    with _pytest.raises(ColfFormatError, match="maxCommitsPerTrigger"):
+        _mk_reader(spark, d, maxCommitsPerTrigger="1")  # no changelog
+    with _pytest.raises(ColfFormatError, match="maxCommitsPerTrigger"):
+        _mk_reader(spark, d, readChangeFeed="true",
+                   maxFilesPerTrigger="1")
