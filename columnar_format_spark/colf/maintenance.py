@@ -24,6 +24,7 @@ import uuid
 
 from pyspark.sql import SparkSession
 
+from ..session import local_df
 from .datasource import (
     bloom_columns,
     commit_snapshot,
@@ -1256,7 +1257,7 @@ def rewrite_delete_files(spark: SparkSession, path: str,
 
     positions = paths_df.mapInArrow(_read_sidecars, "file string, pos int")
     live_df = F.broadcast(
-        spark.createDataFrame([(b,) for b in live0], "file string"))
+        local_df(spark, [(b,) for b in live0], "file string"))
     kept = positions.join(live_df, "file", "left_semi")
     # (file, pos) pairs are unique by construction — every MoR commit
     # masks only rows still VISIBLE under the prior masks — so no
@@ -1706,7 +1707,7 @@ def metadata_table(spark: SparkSession, path: str, kind: str):
             rows.append((b, int(n_rows), int(os.path.getsize(f)),
                          len(ent.get("columns") or {}) or None,
                          fseq.get(b)))
-        return spark.createDataFrame(rows, StructType([
+        return local_df(spark, rows, StructType([
             StructField("file", StringType(), False),
             StructField("n_rows", LongType(), False),
             StructField("size_bytes", LongType(), False),
@@ -1718,7 +1719,7 @@ def metadata_table(spark: SparkSession, path: str, kind: str):
                  len(s.get("deletes") or []), bool(s.get("staged")),
                  s.get("branch"), s.get("data_change"))
                 for s in snaps]
-        return spark.createDataFrame(rows, StructType([
+        return local_df(spark, rows, StructType([
             StructField("version", IntegerType(), False),
             StructField("ts", DoubleType(), True),
             StructField("n_files", IntegerType(), False),
@@ -1730,7 +1731,7 @@ def metadata_table(spark: SparkSession, path: str, kind: str):
     if kind == "refs":
         rows = [(n, int(r["version"]))
                 for n, r in sorted(load_refs(path).items())]
-        return spark.createDataFrame(rows, StructType([
+        return local_df(spark, rows, StructType([
             StructField("name", StringType(), False),
             StructField("version", IntegerType(), False),
         ]))
@@ -2506,7 +2507,8 @@ def _merge_into_mor(spark: SparkSession, path: str, source,
                     f"{[dups[0][k] for k in key_cols]} — upsert is "
                     f"ambiguous")
         if small and kstat:
-            keys = spark.createDataFrame(
+            keys = local_df(
+                spark,
                 [tuple(r[kc] for kc in key_cols) for r in kstat],
                 source.select(*key_cols).schema)
             n_source = int(sum(r["n"] for r in kstat))
@@ -2713,7 +2715,8 @@ def merge_into(spark: SparkSession, path: str, source,
             # the anti-join side as a local relation so the rewrite job
             # broadcasts it directly instead of re-shuffling the source
             # through a distinct exchange
-            keys = spark.createDataFrame(
+            keys = local_df(
+                spark,
                 [tuple(r[kc] for kc in key_cols) for r in kstat],
                 source.select(*key_cols).schema)
 

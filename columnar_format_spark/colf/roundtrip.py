@@ -3956,10 +3956,15 @@ def q214_colf_stats_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
             or r2["key_ndv_estimate"] is None:
         raise AssertionError(f"narrow merge lost metadata pruning: {r2}")
 
-    # small-file tail, then stats-sized binpack
+    # small-file tail, then stats-sized binpack. local_df, not
+    # createDataFrame(...).coalesce(1): coalescing a 32-slice local
+    # relation makes one task evaluate every slice sequentially
+    # (~6 s/row on the test box — see session.local_df)
+    from ..session import local_df
+
     for kk in (5000, 5001, 5002):
-        (spark.createDataFrame([(kk, 1, "T")], "k int, n int, st string")
-         .coalesce(1).write.format("colf")
+        (local_df(spark, [(kk, 1, "T")], "k int, n int, st string")
+         .write.format("colf")
          .option("ndvColumns", "k").option("ndvK", "1024")
          .mode("append").save(path))
     from .datasource import live_files as _lf

@@ -1238,8 +1238,10 @@ def q168_ann_index_colf(spark: SparkSession, sf_dir: str) -> DataFrame:
                    for m in range(PQ_M)
                    for k in range(books[m].shape[0])
                    for j in range(books[m].shape[1])])
-        (spark.createDataFrame(rows, "kind string, i int, j int, v double")
-         .coalesce(1).write.format("colf").mode("append").save(d + "/meta"))
+        from ..session import local_df
+
+        (local_df(spark, rows, "kind string, i int, j int, v double")
+         .write.format("colf").mode("append").save(d + "/meta"))
 
     base = stage_once(("ann-index", sf_dir), "colf_annix_", build)
     ix_path, meta_path = base + "/index", base + "/meta"

@@ -51,6 +51,23 @@ def get_spark(app_name: str = "columnar-format-spark",
     return builder.getOrCreate()
 
 
+def local_df(spark: SparkSession, rows, schema):
+    """Single-partition DataFrame from driver-local rows.
+
+    ``spark.createDataFrame(rows, ...)`` parallelizes into
+    ``defaultParallelism`` Python-evaluated slices; following it with
+    ``coalesce(1)`` (the natural way to write one small file) makes
+    ONE task evaluate all 32 slices SEQUENTIALLY at a few hundred ms
+    of Python-runner round-trip each — measured ~6-7 s per one-row
+    write on the 32-core box, vs ~0.5 s through a one-slice
+    parallelize. Driver-local row sets in this engine are bounded
+    (merge key sets <= MERGE_PUSHDOWN_KEYS, test fixtures, metadata
+    tables), so one partition is the right layout anyway — they feed
+    broadcasts or single-file writes."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1), schema)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Load every testdata table in ``sf_dir`` as a DataFrame dict and
     register each as a temp view (so spark.sql can be used too)."""
