@@ -245,6 +245,34 @@ def is_sharded_log(path: str) -> bool:
                for p in (_parse_log_name(n),))
 
 
+# process-level raw-log cache: a v2 log is MANY small files, and the
+# driver loads the log several times per plan (schema, partitions,
+# writer bootstrap) — at 10^4 commits that is 10^4 opens per call
+# without this. Keyed by the _log dir's (mtime_ns, ino): every commit,
+# vacuum rewrite, and migration creates/renames/removes members IN the
+# dir, bumping its mtime. Entries are treated as immutable by all
+# callers (materialization copies every container it hands out).
+_LOG_RAW_CACHE: dict[str, tuple] = {}
+
+
+def _read_log_raw_cached(path: str) -> tuple[dict, dict]:
+    d = log_dir(path)
+    try:
+        st = os.stat(d)
+        key = (st.st_mtime_ns, st.st_ino)
+    except OSError:
+        return _read_log_raw(path)
+    rp = os.path.realpath(path)
+    hit = _LOG_RAW_CACHE.get(rp)
+    if hit is not None and hit[0] == key:
+        return hit[1], hit[2]
+    raw, ckpt = _read_log_raw(path)
+    if len(_LOG_RAW_CACHE) > 64:
+        _LOG_RAW_CACHE.clear()
+    _LOG_RAW_CACHE[rp] = (key, raw, ckpt)
+    return raw, ckpt
+
+
 def _read_log_raw(path: str) -> tuple[dict, dict]:
     """({version: raw entry}, {version: checkpoint entry}) from the
     v2 log dir. Raw entries are deltas or self-contained; checkpoints
@@ -292,24 +320,38 @@ def _materialize_entry(v: int, raw: dict, ckpt: dict, memo: dict) -> dict:
     if e is None:
         ck = ckpt.get(v)
         if ck is not None:
-            memo[v] = ck
-            return ck
+            memo[v] = out = dict(ck)  # copy: raw/ckpt dicts are cached
+            return out
         raise ColfFormatError(
             f"metadata log references version {v} but no entry file "
             f"exists (interrupted vacuum?); run vacuum again or "
             f"restore the entry")
     if "files" in e:  # self-contained
+        # fresh containers: the raw entry may be process-cached and
+        # callers (vacuum, tests) mutate top-level keys / lists
         out = dict(e)
+        out["files"] = list(e["files"])
+        if "deletes" in e:
+            out["deletes"] = list(e["deletes"])
+        if "eq_deletes" in e:
+            out["eq_deletes"] = list(e["eq_deletes"])
     else:
         if v in ckpt:
+            # checkpoint shortcut: the ckpt IS this version fully
+            # materialized — take all three materialized keys from it
+            # (including eq_deletes, which the delta may carry as an
+            # eq_inherit marker the ckpt has already resolved)
             out = dict(e)
+            for k in ("base", "files_add", "files_remove",
+                      "deletes_add", "deletes_remove", "eq_inherit",
+                      "deletes", "eq_deletes"):
+                out.pop(k, None)
             base_full = ckpt[v]
             out["files"] = list(base_full["files"])
             if base_full.get("deletes"):
                 out["deletes"] = list(base_full["deletes"])
-            for k in ("base", "files_add", "files_remove",
-                      "deletes_add", "deletes_remove"):
-                out.pop(k, None)
+            if base_full.get("eq_deletes"):
+                out["eq_deletes"] = list(base_full["eq_deletes"])
             memo[v] = out
             return out
         base = _materialize_entry(e.get("base", 0), raw, ckpt, memo)
@@ -344,8 +386,8 @@ def load_log_raw_entries(path: str) -> list[dict]:
     table_schema, branch/staged flags, version, ts) or the CDC
     planner's add/remove deltas — never ``s["files"]``."""
     if is_sharded_log(path):
-        raw, _ = _read_log_raw(path)
-        return [raw[v] for v in sorted(raw)]
+        raw, _ = _read_log_raw_cached(path)
+        return [dict(raw[v]) for v in sorted(raw)]
     return load_snapshots(path)
 
 
@@ -365,7 +407,7 @@ def load_snapshots(path: str) -> list[dict]:
     if not os.path.isdir(path):
         return []
     if is_sharded_log(path):
-        raw, ckpt = _read_log_raw(path)
+        raw, ckpt = _read_log_raw_cached(path)
         memo: dict = {}
         out = []
         for v in sorted(raw):

@@ -285,3 +285,52 @@ def test_bloom_sidecar_sharding_roundtrip(tmp_path):
     assert set(load_blooms(p)) == {"c.colf"}
     assert _load_sharded_dict(p, BLOOMS_NAME, BLOOMS_DIR_NAME) == \
         load_blooms(p)
+
+
+def test_raw_log_cache_invalidates_on_every_mutation(tmp_path):
+    """The process-level raw-log cache must never serve a stale log:
+    commits, vacuum rewrites, and migrations all mutate the _log dir
+    (create/rename/remove bump its mtime)."""
+    from columnar_format_spark.colf.maintenance import to_legacy_log
+
+    p = str(tmp_path / "ds")
+    live = _bootstrap(p, 3)
+    assert [s["version"] for s in load_snapshots(p)] == [1]
+    v = commit_snapshot(p, live + ["b.colf"], expected_parent=1)
+    assert [s["version"] for s in load_snapshots(p)] == [1, 2]
+    snaps = load_snapshots(p)
+    write_snapshots(p, snaps[-1:])  # vacuum-style prune
+    assert [s["version"] for s in load_snapshots(p)] == [2]
+    commit_snapshot(p, live, expected_parent=v)
+    assert [s["version"] for s in load_snapshots(p)] == [2, 3]
+    # mutating a RETURNED entry must not poison later loads
+    got = load_snapshots(p)
+    got[-1]["files"].append("poison.colf")
+    got[-1]["version"] = 999
+    fresh = load_snapshots(p)
+    assert fresh[-1]["version"] == 3
+    assert "poison.colf" not in fresh[-1]["files"]
+    to_legacy_log(p)
+    assert [s["version"] for s in load_snapshots(p)] == [2, 3]
+
+
+def test_checkpoint_resolves_eq_inherit(tmp_path):
+    """A checkpointed version whose delta entry carries eq_inherit
+    must materialize the checkpoint's resolved eq_deletes (and never
+    leak the marker key)."""
+    p = str(tmp_path / "ds")
+    os.makedirs(p)
+    live = _fake_files(3)
+    v = commit_snapshot(p, live)
+    v = commit_snapshot(p, live, expected_parent=v,
+                        eq_deletes=[{"seq": 0, "filters": [
+                            {"col": "k", "op": "<", "value": 5}]}])
+    # drive to the checkpoint boundary with inheriting appends
+    while v % LOG_CHECKPOINT_EVERY != 0:
+        live = live + _fake_files(1, f"x{v}-")
+        v = commit_snapshot(p, live, expected_parent=v)
+    snaps = load_snapshots(p)
+    at_ckpt = next(s for s in snaps if s["version"] == v)
+    assert at_ckpt.get("eq_deletes"), "inheritance lost at checkpoint"
+    assert "eq_inherit" not in at_ckpt
+    assert all("eq_inherit" not in s for s in snaps)
