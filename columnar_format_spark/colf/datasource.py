@@ -237,12 +237,14 @@ def _parse_log_name(name: str):
 
 def is_sharded_log(path: str) -> bool:
     """True when the dataset's authoritative log is the v2 `_log/`
-    directory (at least one committed entry present)."""
+    directory (at least one committed entry present). Served from the
+    raw-log cache: a bare listdir here would put an O(commits) dirent
+    scan in front of every metadata read."""
     d = log_dir(path)
     if not os.path.isdir(d):
         return False
-    return any(p and not p[1] for n in os.listdir(d)
-               for p in (_parse_log_name(n),))
+    raw, _ = _read_log_raw_cached(path)
+    return bool(raw)
 
 
 # process-level raw-log cache: a v2 log is MANY small files, and the
@@ -320,7 +322,12 @@ def _materialize_entry(v: int, raw: dict, ckpt: dict, memo: dict) -> dict:
     if e is None:
         ck = ckpt.get(v)
         if ck is not None:
-            memo[v] = out = dict(ck)  # copy: raw/ckpt dicts are cached
+            # fresh containers: raw/ckpt dicts are process-cached
+            out = dict(ck)
+            for k in ("files", "deletes", "eq_deletes"):
+                if k in out:
+                    out[k] = list(out[k])
+            memo[v] = out
             return out
         raise ColfFormatError(
             f"metadata log references version {v} but no entry file "
@@ -377,18 +384,6 @@ def _materialize_entry(v: int, raw: dict, ckpt: dict, memo: dict) -> dict:
             out.pop(k, None)
     memo[v] = out
     return out
-
-
-def load_log_raw_entries(path: str) -> list[dict]:
-    """Ascending RAW log entries — delta-encoded for a v2 log (no file
-    lists materialized: O(log) cheap), self-contained for v1. For
-    consumers that only read per-snapshot METADATA keys (spec, sort,
-    table_schema, branch/staged flags, version, ts) or the CDC
-    planner's add/remove deltas — never ``s["files"]``."""
-    if is_sharded_log(path):
-        raw, _ = _read_log_raw_cached(path)
-        return [dict(raw[v]) for v in sorted(raw)]
-    return load_snapshots(path)
 
 
 def load_snapshots(path: str) -> list[dict]:
@@ -471,12 +466,25 @@ def _delta_encode_entry(entry: dict, base: dict | None) -> dict:
     return out
 
 
+def _invalidate_log_cache(path: str) -> None:
+    """Drop the raw-log cache entry for ``path``. Called by every
+    IN-PROCESS log mutation: the cache key (dir mtime_ns) comes from
+    the kernel's coarse clock, so two writes inside one tick would
+    otherwise leave the key unchanged and serve a stale log to the
+    next same-process reader (the commit path computes versions from
+    it). Cross-process writers are covered by the mtime key alone —
+    their window is one clock tick, and the O_EXCL entry CAS (not the
+    cache) still arbitrates versions."""
+    _LOG_RAW_CACHE.pop(os.path.realpath(path), None)
+
+
 def _write_log_member(path: str, name: str, obj, excl: bool) -> None:
     import json
     import uuid as _uuid
 
     d = log_dir(path)
     os.makedirs(d, exist_ok=True)
+    _invalidate_log_cache(path)
     target = os.path.join(d, name)
     if excl:
         # O_CREAT|O_EXCL create IS the cross-process commit CAS for a
@@ -507,17 +515,22 @@ def _append_sharded_entry(path: str, snaps: list[dict],
     derived checkpoint. ``snaps`` is the pre-append materialized log
     (empty for reset)."""
     if reset:
+        import shutil
+
         d = log_dir(path)
         if os.path.isdir(d):
-            import shutil
-
             shutil.rmtree(d, ignore_errors=True)
+        _invalidate_log_cache(path)
         # a reset also supersedes any v1 log file left by a legacy
-        # dataset being overwritten
+        # dataset being overwritten — including its _commits markers,
+        # which would otherwise outlive the overwrite and block a
+        # later to_legacy_log lineage's low versions
         try:
             os.remove(snapshots_path(path))
         except OSError:
             pass
+        shutil.rmtree(os.path.join(path, COMMIT_MARKERS_DIR),
+                      ignore_errors=True)
     by_version = {s["version"]: s for s in snaps}
     base = None
     if not reset and snaps:
@@ -579,8 +592,11 @@ def write_snapshots(path: str, snaps: list[dict]) -> None:
                     os.remove(os.path.join(d, n))
                 except OSError:
                     pass
+        _invalidate_log_cache(path)
         return
-    tmp = snapshots_path(path) + ".tmp"
+    # uuid-suffixed tmp: a fixed name lets two processes interleave
+    # open/rename and publish a torn log (same fix as write_refs)
+    tmp = snapshots_path(path) + ".tmp-" + uuid.uuid4().hex[:8]
     with open(tmp, "w") as f:
         json.dump(snaps, f)
     os.rename(tmp, snapshots_path(path))
@@ -1123,11 +1139,14 @@ def _load_sharded_dict(path: str, legacy_file: str, dirname: str) -> dict:
     return out
 
 
-def _append_sidecar_shard(path: str, dirname: str, entries: dict) -> None:
+def _append_sidecar_shard(path: str, dirname: str, entries: dict,
+                          compact: bool = True) -> None:
     """O(commit) sidecar append: one new immutable shard file, no
     lock, no read of existing state. Opportunistically folds shards
     when they pile up (locked; crash-safe because the union is
-    idempotent)."""
+    idempotent). ``compact=False`` for callers that already HOLD the
+    dataset commit lock (migrate_log) — the fold re-acquires the
+    non-reentrant lock and would self-deadlock."""
     import json
 
     if not entries:
@@ -1138,7 +1157,7 @@ def _append_sidecar_shard(path: str, dirname: str, entries: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(entries, f)
     os.rename(tmp, os.path.join(d, f"s-{uuid.uuid4().hex}.json"))
-    if len(_shard_files(path, dirname)) > SIDECAR_COMPACT_SHARDS:
+    if compact and len(_shard_files(path, dirname)) > SIDECAR_COMPACT_SHARDS:
         _compact_sidecar_shards(path, dirname)
 
 
@@ -3677,6 +3696,10 @@ class ColfStreamReader(DataSourceStreamReader):
         # atomicity unit a change feed cannot split, so this is the
         # finest legal cap. 0 = unlimited (head every trigger).
         self._max_commits = int(options.get("maxCommitsPerTrigger", "0"))
+        if self._max_commits < 0:
+            raise ColfFormatError(
+                f"maxCommitsPerTrigger must be >= 1 (0/unset = "
+                f"unlimited), got {self._max_commits}")
         if self._max_commits > 0 and not self._changelog:
             raise ColfFormatError(
                 "maxCommitsPerTrigger applies to readChangeFeed "

@@ -76,10 +76,24 @@ def _physical_name_resolver(path: str):
     current = {f["name"] for f in meta["fields"]}
     mapping = meta.get("name_mapping", {})
     def resolve(c):
-        if c in current:
-            return c
+        # Sidecar keys are physical names without field ids, so when a
+        # bootstrap name was renamed AWAY and later REUSED for a new
+        # column, a key equal to it is genuinely ambiguous (old files
+        # mean the renamed column, new files the reused name). Either
+        # blind precedence mis-attributes one era's sketches to the
+        # other column — wrong NDV feeding the merge gate — so the
+        # ambiguous case resolves to None (conservative: the sketch is
+        # dropped, never lied about). The unambiguous cases follow the
+        # documented old-name -> id -> current-name rule.
         i = mapping.get(c)
-        return by_id.get(i) if i is not None else None
+        mapped = by_id.get(i) if i is not None else None
+        if i is not None and mapped != c and c in current:
+            # bootstrap name renamed-away or dropped, then REUSED for
+            # a new column: ambiguous across file eras
+            return None
+        if mapped is not None:
+            return mapped
+        return c if c in current else None
     return resolve
 
 
@@ -260,7 +274,10 @@ def migrate_log(path: str) -> dict:
                 (BLOOMS_NAME, BLOOMS_DIR_NAME, load_blooms)):
             lf = os.path.join(path, legacy)
             if os.path.exists(lf):
-                _append_sidecar_shard(path, dirname, loader(path))
+                # compact=False: we HOLD the dataset commit lock, and
+                # the opportunistic shard fold re-acquires it
+                _append_sidecar_shard(path, dirname, loader(path),
+                                      compact=False)
                 try:
                     os.remove(lf)
                 except OSError:
@@ -306,6 +323,13 @@ def to_legacy_log(path: str) -> dict:
         shutil.rmtree(log_dir(path), ignore_errors=True)
         for dirname in (MANIFEST_DIR_NAME, BLOOMS_DIR_NAME):
             shutil.rmtree(os.path.join(path, dirname), ignore_errors=True)
+        # stale v1-era markers (from before a sharded overwrite, or
+        # any dead lineage) would block the revived v1 lineage's low
+        # versions — a v2 dataset has no legitimate markers to keep
+        shutil.rmtree(os.path.join(path, "_commits"), ignore_errors=True)
+        from .datasource import _invalidate_log_cache
+
+        _invalidate_log_cache(path)
         return {"migrated": True, "snapshots": len(snaps),
                 "head": snaps[-1]["version"]}
 
@@ -1500,11 +1524,15 @@ def remove_orphan_files(path: str, older_than_s: float = 3 * 86400.0,
     referenced = {b for s in snaps for b in s["files"]}
     referenced |= {d for s in snaps for d in s.get("deletes", [])}
     # crash leftovers from every atomic-rename metadata writer, not
-    # just the manifest's (round-10 advice): blooms, refs, constraints
-    from .datasource import BLOOMS_NAME, CONSTRAINTS_NAME, REFS_NAME
+    # just the manifest's (round-10 advice): blooms, refs,
+    # constraints, and the v1 log file itself
+    from .datasource import (BLOOMS_DIR_NAME, BLOOMS_NAME,
+                             CONSTRAINTS_NAME, LOG_DIR_NAME,
+                             MANIFEST_DIR_NAME, REFS_NAME,
+                             SNAPSHOTS_NAME)
     meta_tmp_prefixes = tuple(
         n + ".tmp" for n in (MANIFEST_NAME, BLOOMS_NAME, REFS_NAME,
-                             CONSTRAINTS_NAME))
+                             CONSTRAINTS_NAME, SNAPSHOTS_NAME))
     removed = []
     for f in os.listdir(path):
         is_meta_tmp = f.startswith(meta_tmp_prefixes)
@@ -1517,6 +1545,32 @@ def remove_orphan_files(path: str, older_than_s: float = 3 * 86400.0,
             removed.append(f)
             if not dry_run:
                 os.remove(fp)
+    # crash leftovers INSIDE the sharded metadata dirs: checkpoint /
+    # shard tmp files (".tmp-" anywhere in the name marks a write that
+    # never reached its rename), and migrate_log's staged `_log.tmp-*`
+    # adoption dirs in the dataset root
+    import shutil as _shutil
+
+    for sub in (LOG_DIR_NAME, MANIFEST_DIR_NAME, BLOOMS_DIR_NAME):
+        sd = os.path.join(path, sub)
+        if not os.path.isdir(sd):
+            continue
+        for f in os.listdir(sd):
+            if ".tmp-" not in f:
+                continue
+            fp = os.path.join(sd, f)
+            if os.path.getmtime(fp) < cutoff:
+                removed.append(f"{sub}/{f}")
+                if not dry_run:
+                    os.remove(fp)
+    for d in os.listdir(path):
+        if not d.startswith(LOG_DIR_NAME + ".tmp-"):
+            continue
+        dp = os.path.join(path, d)
+        if os.path.isdir(dp) and os.path.getmtime(dp) < cutoff:
+            removed.append(d)
+            if not dry_run:
+                _shutil.rmtree(dp, ignore_errors=True)
     # abandoned whole-dataset rewrite scratch dirs live as SIBLINGS of
     # the dataset dir (compact()/rewrite_delete_files write there and
     # swap in; a crash strands the dir)

@@ -334,3 +334,135 @@ def test_checkpoint_resolves_eq_inherit(tmp_path):
     assert at_ckpt.get("eq_deletes"), "inheritance lost at checkpoint"
     assert "eq_inherit" not in at_ckpt
     assert all("eq_inherit" not in s for s in snaps)
+
+
+def test_log_cache_survives_same_tick_writes(tmp_path):
+    """The cache key is the _log dir's mtime, which comes from the
+    kernel's coarse clock — two writes inside one tick would leave it
+    unchanged. Every in-process log write explicitly invalidates, so
+    a read immediately after a write never serves the stale log even
+    if the dir mtime did not move (simulated here by pinning the dir
+    mtime back to its pre-write value)."""
+    p = str(tmp_path / "ds")
+    live = _bootstrap(p, 3)
+    load_snapshots(p)  # populate the cache
+    st = os.stat(log_dir(p))
+    commit_snapshot(p, live + ["b.colf"], expected_parent=1)
+    # force the 'same coarse-clock tick' shape
+    os.utime(log_dir(p), ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert [s["version"] for s in load_snapshots(p)] == [1, 2]
+
+
+def test_overwrite_reset_sweeps_stale_v1_markers(tmp_path):
+    """A sharded reset (overwrite) must clear a legacy lineage's
+    _commits markers: they would otherwise outlive the overwrite and
+    block a later to_legacy_log lineage's low versions."""
+    from columnar_format_spark.colf.datasource import COMMIT_MARKERS_DIR
+    from columnar_format_spark.colf.maintenance import to_legacy_log
+
+    p = str(tmp_path / "ds")
+    os.makedirs(os.path.join(p, COMMIT_MARKERS_DIR))
+    for v in range(1, 6):
+        open(os.path.join(p, COMMIT_MARKERS_DIR, f"v{v:012d}"), "w").close()
+    commit_snapshot(p, _fake_files(2), reset=True)
+    assert not os.path.isdir(os.path.join(p, COMMIT_MARKERS_DIR))
+    # and to_legacy_log leaves a marker-free v1 dataset whose low
+    # versions commit cleanly
+    commit_snapshot(p, _fake_files(3), expected_parent=1)
+    to_legacy_log(p)
+    v = commit_snapshot(p, _fake_files(4), expected_parent=2)
+    assert v == 3
+
+
+def test_orphan_sweep_covers_metadata_dir_tmps(tmp_path):
+    """Crash-leftover tmp files inside _log/_manifests/_blooms and a
+    stranded migrate_log staging dir are swept past the grace period;
+    recent ones and committed members survive."""
+    import time
+
+    from columnar_format_spark.colf.datasource import (BLOOMS_DIR_NAME,
+                                                       MANIFEST_DIR_NAME)
+    from columnar_format_spark.colf.maintenance import remove_orphan_files
+
+    p = str(tmp_path / "ds")
+    _bootstrap(p, 2)
+    _append_sidecar_shard(p, MANIFEST_DIR_NAME, {"a.colf": {"num_rows": 1}})
+    old = time.time() - 7200
+    victims = []
+    for sub in ("_log", MANIFEST_DIR_NAME, BLOOMS_DIR_NAME):
+        os.makedirs(os.path.join(p, sub), exist_ok=True)
+        fp = os.path.join(p, sub, f"x.tmp-dead{sub.strip('_')}")
+        open(fp, "w").close()
+        os.utime(fp, (old, old))
+        victims.append(f"{sub}/{os.path.basename(fp)}")
+    staged = os.path.join(p, "_log.tmp-deadmig")
+    os.makedirs(staged)
+    os.utime(staged, (old, old))
+    recent = os.path.join(p, "_log", "y.tmp-fresh")
+    open(recent, "w").close()
+
+    got = remove_orphan_files(p, older_than_s=3600)
+    assert set(victims) <= set(got) and "_log.tmp-deadmig" in got
+    assert not os.path.isdir(staged)
+    assert os.path.exists(recent)  # grace period
+    assert load_snapshots(p)  # log intact
+    assert load_manifest(p).get("a.colf")  # committed shard intact
+
+
+def test_migrate_log_with_full_sidecar_shards_does_not_deadlock(tmp_path):
+    """migrate_log appends the folded legacy sidecar while HOLDING the
+    dataset commit lock; at the shard-compaction threshold the
+    opportunistic fold used to re-acquire the non-reentrant lock."""
+    import json as _json
+
+    from columnar_format_spark.colf import datasource as D
+    from columnar_format_spark.colf.maintenance import (migrate_log,
+                                                        to_legacy_log)
+
+    p = str(tmp_path / "ds")
+    _bootstrap(p, 2)
+    to_legacy_log(p)
+    # legacy manifest file + a full complement of shards
+    with open(os.path.join(p, MANIFEST_NAME), "w") as f:
+        _json.dump({"legacy.colf": {"num_rows": 1}}, f)
+    for i in range(D.SIDECAR_COMPACT_SHARDS):
+        _append_sidecar_shard(p, MANIFEST_DIR_NAME,
+                              {f"s{i}.colf": {"num_rows": i}},
+                              compact=False)
+    r = migrate_log(p)  # used to hang here
+    assert r["migrated"]
+    assert len(load_manifest(p)) == D.SIDECAR_COMPACT_SHARDS + 1
+
+
+def test_reused_column_name_resolves_conservatively():
+    """A bootstrap name renamed away (or dropped) and later reused for
+    a new column is ambiguous across file eras — the resolver must
+    return None (drop the sketch), never attribute it to either
+    column."""
+    from unittest import mock
+
+    from columnar_format_spark.colf import maintenance as M
+
+    meta = {"fields": [{"id": 2, "name": "y", "type": "int32"},
+                       {"id": 5, "name": "x", "type": "int32"}],
+            "name_mapping": {"x": 1, "y": 2}}
+    with mock.patch.object(M, "_physical_name_resolver",
+                           wraps=M._physical_name_resolver):
+        with mock.patch("columnar_format_spark.colf.datasource."
+                        "current_table_schema", return_value=meta):
+            resolve = M._physical_name_resolver("/nonexistent")
+    # 'x' was bootstrap id 1 (renamed away / dropped) and is now a NEW
+    # column with id 5 -> ambiguous
+    assert resolve("x") is None
+    # 'y' maps to id 2 which is still named y -> itself
+    assert resolve("y") == "y"
+    # a never-mapped current name resolves to itself
+    meta2 = {"fields": [{"id": 1, "name": "k", "type": "int32"},
+                        {"id": 3, "name": "fresh", "type": "int32"}],
+             "name_mapping": {"k": 1, "old": 2}}
+    with mock.patch("columnar_format_spark.colf.datasource."
+                    "current_table_schema", return_value=meta2):
+        resolve = M._physical_name_resolver("/nonexistent")
+    assert resolve("fresh") == "fresh"
+    assert resolve("k") == "k"
+    assert resolve("old") is None  # dropped, not reused

@@ -648,3 +648,16 @@ def test_changelog_max_commits_per_trigger(spark, tmp_path):
     with _pytest.raises(ColfFormatError, match="maxCommitsPerTrigger"):
         _mk_reader(spark, d, readChangeFeed="true",
                    maxFilesPerTrigger="1")
+
+
+def test_max_commits_per_trigger_rejects_negative(spark, tmp_path):
+    import pytest as _pytest
+
+    from columnar_format_spark.colf.format import ColfFormatError
+
+    d = str(tmp_path / "ds")
+    spark.createDataFrame([(1, "a")], "k int, name string") \
+        .write.format("colf").mode("overwrite").save(d)
+    with _pytest.raises(ColfFormatError, match="must be >= 1"):
+        _mk_reader(spark, d, readChangeFeed="true",
+                   maxCommitsPerTrigger="-1")
