@@ -508,12 +508,14 @@ def _write_log_member(path: str, name: str, obj, excl: bool) -> None:
         os.rename(tmp, target)
 
 
-def _append_sharded_entry(path: str, snaps: list[dict],
+def _append_sharded_entry(path: str, base: dict | None,
                           entry: dict, reset: bool) -> None:
     """The v2 commit: ONE O(commit-delta) entry file, O_EXCL-created
     (doubling as the cross-process version CAS), plus a periodic
-    derived checkpoint. ``snaps`` is the pre-append materialized log
-    (empty for reset)."""
+    derived checkpoint. ``base`` is the entry's MATERIALIZED lineage
+    parent (None for reset / first commit) — the caller computes it
+    with a head-only fold, so the commit path never materializes the
+    whole history."""
     if reset:
         import shutil
 
@@ -531,23 +533,7 @@ def _append_sharded_entry(path: str, snaps: list[dict],
             pass
         shutil.rmtree(os.path.join(path, COMMIT_MARKERS_DIR),
                       ignore_errors=True)
-    by_version = {s["version"]: s for s in snaps}
-    base = None
-    if not reset and snaps:
-        if entry.get("branch") is not None:
-            lineage = [s for s in snaps
-                       if s.get("branch") == entry["branch"]]
-            if not lineage:
-                lineage = published_snapshots(snaps)
-            base = lineage[-1] if lineage else None
-        elif entry.get("staged"):
-            base = by_version.get(entry.get("parent"))
-            if base is None:
-                pub = published_snapshots(snaps)
-                base = pub[-1] if pub else None
-        else:
-            pub = published_snapshots(snaps)
-            base = pub[-1] if pub else None
+        base = None
     version = entry["version"]
     try:
         _write_log_member(path, _log_entry_name(version),
@@ -773,8 +759,10 @@ def published_snapshots(snaps: list[dict]) -> list[dict]:
 
 
 def published_head(path: str) -> dict | None:
-    pub = published_snapshots(load_snapshots(path))
-    return pub[-1] if pub else None
+    """head_snapshot by its historical name — head-only
+    materialization, see head_snapshot (defined later in the module,
+    resolved at call time)."""
+    return head_snapshot(path)
 
 
 def commit_snapshot(path: str, live_files: list[str],
@@ -826,8 +814,19 @@ def _commit_snapshot_locked(path, live_files, reset, expected_parent,
                             branch, ff_from, cluster, deletes,
                             eq_deletes, data_change,
                             table_schema) -> int:
-    snaps = [] if reset else load_snapshots(path)
-    current = snaps[-1]["version"] if snaps else 0
+    # Metadata-only view of the log: raw v2 entries (cheap, cached —
+    # no file-list materialization; the commit path at 10^4 commits
+    # must not fold the whole history) or the v1 parse. Only the ONE
+    # lineage-base entry is materialized, below.
+    sharded_existing = (not reset and os.path.isdir(path)
+                        and is_sharded_log(path))
+    if sharded_existing:
+        raw, ckpt = _read_log_raw_cached(path)
+        meta = [raw[v] for v in sorted(raw)]
+    else:
+        raw = ckpt = None
+        meta = [] if reset else load_snapshots(path)
+    current = meta[-1]["version"] if meta else 0
     if not reset and expected_parent is not None and current != expected_parent:
         raise ColfFormatError(
             f"concurrent commit detected at {path}: expected parent "
@@ -841,8 +840,8 @@ def _commit_snapshot_locked(path, live_files, reset, expected_parent,
     # cross-process CAS); an existing v1 log keeps appending v1 (no
     # silent migration — maintenance.migrate_log converts) and needs
     # the separate _commits marker claim.
-    sharded = is_sharded_log(path) or (
-        (reset or not snaps) and LOG_FORMAT_DEFAULT == "sharded"
+    sharded = sharded_existing or (
+        (reset or not meta) and LOG_FORMAT_DEFAULT == "sharded"
         and not (not reset and os.path.exists(snapshots_path(path))))
     if not sharded:
         # a dataset with NO log but leftover markers is a dead
@@ -858,7 +857,7 @@ def _commit_snapshot_locked(path, live_files, reset, expected_parent,
         # once) is the documented adoption trade-off; threads stay
         # serialized by the dataset lock.
         markers_dir = os.path.join(path, COMMIT_MARKERS_DIR)
-        stale_markers = (not reset and not snaps
+        stale_markers = (not reset and not meta
                          and os.path.isdir(markers_dir)
                          and bool(os.listdir(markers_dir)))
         _claim_commit_version(path, version, reset or stale_markers)
@@ -874,7 +873,7 @@ def _commit_snapshot_locked(path, live_files, reset, expected_parent,
         # published lineage; "added" records the delta this staged
         # append introduced so publish_wap can cherry-pick it onto
         # whatever the published head is by then (Iceberg WAP)
-        pub = published_snapshots(snaps)
+        pub = published_snapshots(meta)
         entry["staged"] = True
         entry["parent"] = pub[-1]["version"] if pub else 0
         entry["added"] = sorted(set(added or []))
@@ -904,16 +903,25 @@ def _commit_snapshot_locked(path, live_files, reset, expected_parent,
     # rows a prior MoR delete removed); [] clears explicitly (compact
     # materializes deletes away); a list sets it (the MoR delete
     # commit itself).
-    if (deletes is None or eq_deletes is None) and not reset:
-        lineage = ([s for s in snaps if s.get("branch") == branch]
+    # the lineage BASE entry: same-branch tail for branch commits,
+    # else the published head — materialized head-only (one fold, not
+    # the whole history). It serves BOTH the delete-state inheritance
+    # below and the delta encoding of the sharded append.
+    base_entry: dict | None = None
+    if not reset and meta:
+        lineage = ([s for s in meta if s.get("branch") == branch]
                    if branch is not None else [])
         if not lineage:
-            lineage = published_snapshots(snaps)
+            lineage = published_snapshots(meta)
         if lineage:
-            if deletes is None:
-                deletes = lineage[-1].get("deletes")
-            if eq_deletes is None:
-                eq_deletes = lineage[-1].get("eq_deletes")
+            base_v = lineage[-1]["version"]
+            base_entry = (_materialize_entry(base_v, raw, ckpt, {})
+                          if sharded_existing else lineage[-1])
+    if (deletes is None or eq_deletes is None) and base_entry is not None:
+        if deletes is None:
+            deletes = base_entry.get("deletes")
+        if eq_deletes is None:
+            eq_deletes = base_entry.get("eq_deletes")
     if deletes:
         entry["deletes"] = sorted(set(deletes))
     # EQUALITY deletes (Iceberg v2's other delete flavor): pure
@@ -940,28 +948,64 @@ def _commit_snapshot_locked(path, live_files, reset, expected_parent,
     if sharded:
         # O(commit) append: one delta entry file; never rewrites the
         # rest of the log (round-10 verdict item #1)
-        _append_sharded_entry(path, snaps, entry, reset)
+        _append_sharded_entry(path, base_entry, entry, reset)
     else:
-        snaps.append(entry)
-        write_snapshots(path, snaps)
+        meta.append(entry)
+        write_snapshots(path, meta)
     return version
+
+
+def head_snapshot(path: str) -> dict | None:
+    """The PUBLISHED head, materialized WITHOUT folding the whole
+    history. A v2 log walks only the head's ``base`` chain with the
+    checkpoint short-circuit — O(distance to the nearest checkpoint or
+    self-contained entry), not O(commits x files) — which is what
+    every PLAN pays (schema, partitions, writer bootstrap all start
+    from the head). v1 logs fall back to the full parse. None when no
+    published snapshot exists (empty / staged-only logs)."""
+    if os.path.isdir(path) and is_sharded_log(path):
+        raw, ckpt = _read_log_raw_cached(path)
+        pub = [v for v in sorted(raw)
+               if not raw[v].get("staged")
+               and raw[v].get("branch") is None]
+        if not pub:
+            return None
+        return _materialize_entry(pub[-1], raw, ckpt, {})
+    pub = published_snapshots(load_snapshots(path))
+    return pub[-1] if pub else None
 
 
 def live_files(path: str) -> list[str]:
     """Current live set as full paths: the latest PUBLISHED snapshot
     when the metadata log exists (staged write-audit-publish commits
     are invisible until published), else the directory listing (compat
-    with datasets produced by the reference writer or by hand)."""
-    snaps = load_snapshots(path)
-    pub = published_snapshots(snaps)
-    if pub:
-        return [os.path.join(path, b) for b in pub[-1]["files"]]
-    if snaps:
-        # a log with ONLY staged commits (first-ever write was staged):
-        # the published table is empty — never fall back to the
-        # directory listing, which would leak the staged files
-        return []
-    return dataset_files(path)
+    with datasets produced by the reference writer or by hand).
+    Head-only materialization — never folds the full history."""
+    head = head_snapshot(path)
+    if head is not None:
+        return [os.path.join(path, b) for b in head["files"]]
+    # no published snapshot: either no log at all (directory-listing
+    # semantics) or a staged/branch-only log — the published table is
+    # EMPTY then, never the listing (which would leak staged files)
+    has_log = bool(os.path.isdir(path)
+                   and (is_sharded_log(path) or load_snapshots(path)))
+    return [] if has_log else dataset_files(path)
+
+
+def _published_meta_entries(path: str) -> list[dict]:
+    """Published-lineage entries with METADATA KEYS ONLY — no
+    ``files`` materialization — for the reverse scans of the
+    ``current_*`` getters (spec/sort/cluster/table_schema): raw v2
+    entries carry every metadata key verbatim, so at 10^4 commits a
+    getter reads the cached raw dicts instead of folding the whole
+    file history. READ-ONLY: the returned dicts are the process
+    cache's own objects."""
+    if os.path.isdir(path) and is_sharded_log(path):
+        raw, _ = _read_log_raw_cached(path)
+        return [raw[v] for v in sorted(raw)
+                if not raw[v].get("staged")
+                and raw[v].get("branch") is None]
+    return published_snapshots(load_snapshots(path))
 
 
 def current_partition_spec(path: str) -> list[str] | None:
@@ -971,7 +1015,7 @@ def current_partition_spec(path: str) -> list[str] | None:
     evolve_partition_spec``). ``None`` when no snapshot records one —
     legacy datasets, where callers fall back to
     ``inferred_partition_spec``."""
-    for s in reversed(published_snapshots(load_snapshots(path))):
+    for s in reversed(_published_meta_entries(path)):
         if "spec" in s:
             return list(s["spec"])
         if "inherited_spec" in s:
@@ -1004,9 +1048,9 @@ def current_table_schema(path: str, at_version: int | None = None,
     (maintenance.rename_column / drop_column / widen_column) and kept
     current by appends that add columns. ``None`` for pre-evolution
     datasets, where reads resolve columns by NAME (the union model)."""
-    if snaps is None:
-        snaps = load_snapshots(path)
-    for s in reversed(published_snapshots(snaps)):
+    entries = (published_snapshots(snaps) if snaps is not None
+               else _published_meta_entries(path))
+    for s in reversed(entries):
         if at_version is not None and s["version"] > at_version:
             continue
         if "table_schema" in s:
@@ -1056,7 +1100,7 @@ def current_sort_order(path: str) -> list[str] | None:
     not identity — it exists so maintenance rewrites RE-SORT instead
     of silently destroying the clustering a reader's stripe pruning
     depends on. ``None`` = never recorded."""
-    for s in reversed(published_snapshots(load_snapshots(path))):
+    for s in reversed(_published_meta_entries(path)):
         if "sort" in s:
             return list(s["sort"])
         if "inherited_sort" in s:  # vacuum carry-forward (see spec)
@@ -1072,7 +1116,7 @@ def current_clustering(path: str) -> list[str] | None:
     never re-z-orders); maintenance restores the layout. ``None`` =
     never recorded. Mutually exclusive with the recorded sort order —
     both describe THE layout, so recording one clears the other."""
-    for s in reversed(published_snapshots(load_snapshots(path))):
+    for s in reversed(_published_meta_entries(path)):
         if "cluster" in s:
             return list(s["cluster"])
         if "inherited_cluster" in s:  # vacuum carry-forward

@@ -155,11 +155,11 @@ def test_concurrent_version_claim_is_the_entry_file(tmp_path):
 
     p = str(tmp_path / "ds")
     live = _bootstrap(p, 3)
-    snaps = load_snapshots(p)
+    base = load_snapshots(p)[-1]
     entry = {"version": 2, "files": sorted(live + ["x.colf"]), "ts": 1.0}
-    _append_sharded_entry(p, snaps, entry, reset=False)
+    _append_sharded_entry(p, base, entry, reset=False)
     with pytest.raises(ColfFormatError, match="concurrent commit"):
-        _append_sharded_entry(p, snaps, dict(entry, ts=2.0), reset=False)
+        _append_sharded_entry(p, base, dict(entry, ts=2.0), reset=False)
     # sharded datasets never create the v1 marker dir
     assert not os.path.isdir(os.path.join(p, COMMIT_MARKERS_DIR))
 
@@ -466,3 +466,37 @@ def test_reused_column_name_resolves_conservatively():
     assert resolve("fresh") == "fresh"
     assert resolve("k") == "k"
     assert resolve("old") is None  # dropped, not reused
+
+
+def test_head_snapshot_matches_full_materialization(tmp_path):
+    """head_snapshot (the ckpt-accelerated head-only fold every plan
+    uses) must equal the published head from the full materialization,
+    across staged and branch commits, and stay None for staged-only
+    logs."""
+    from columnar_format_spark.colf.datasource import (head_snapshot,
+                                                       published_snapshots)
+
+    p = str(tmp_path / "ds")
+    os.makedirs(p)
+    live = _fake_files(4)
+    v = commit_snapshot(p, live)
+    for i in range(LOG_CHECKPOINT_EVERY + 3):
+        live = live + _fake_files(1, f"h{i}-")
+        v = commit_snapshot(p, live, expected_parent=v)
+    commit_snapshot(p, live + ["w.colf"], expected_parent=v,
+                    staged=True, added=["w.colf"])
+    commit_snapshot(p, live + ["b.colf"], expected_parent=v + 1,
+                    branch="dev", added=["b.colf"])
+    full = published_snapshots(load_snapshots(p))[-1]
+    assert head_snapshot(p) == full
+    assert "w.colf" not in head_snapshot(p)["files"]
+    assert "b.colf" not in head_snapshot(p)["files"]
+
+    # staged-only log: no published head, live set EMPTY (not listing)
+    from columnar_format_spark.colf.datasource import live_files
+
+    p2 = str(tmp_path / "ds2")
+    os.makedirs(p2)
+    commit_snapshot(p2, ["s.colf"], staged=True, added=["s.colf"])
+    assert head_snapshot(p2) is None
+    assert live_files(p2) == []
