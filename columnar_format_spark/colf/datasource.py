@@ -3794,12 +3794,42 @@ class ColfStreamReader(DataSourceStreamReader):
         offsets. Staged (WAP) and branch commits are excluded: their
         files must reach a streaming consumer only when the publishing
         / fast-forward commit lands them on the published lineage —
-        the same isolation batch reads get."""
-        prev: set[str] = set()
+        the same isolation batch reads get.
+
+        This runs on EVERY latestOffset poll (processingTime triggers
+        poll continuously), so a v2 log folds the raw deltas
+        incrementally — O(commits + files) per poll instead of the
+        full O(commits x files) history materialization. Published
+        delta entries' ``base`` is the previous published version by
+        construction, so ``files_add`` IS the new-file set."""
+        if os.path.isdir(self.path) and is_sharded_log(self.path):
+            raw, _ = _read_log_raw_cached(self.path)
+            out = []
+            prev: set[str] = set()
+            for v in sorted(raw):
+                e = raw[v]
+                if e.get("staged") or e.get("branch") is not None:
+                    continue
+                had_prev = bool(prev)  # the legacy-path baseline rule
+                if "files" in e:  # self-contained (v1 / post-vacuum)
+                    cur = set(e["files"])
+                    new = sorted(cur - prev)
+                    prev = cur
+                else:
+                    new = sorted(e.get("files_add") or [])
+                    prev.difference_update(e.get("files_remove") or ())
+                    prev.update(new)
+                if e.get("data_change") is False and had_prev:
+                    # Delta's dataChange=false skip; the baseline
+                    # exception (first retained commit) keeps its set
+                    new = []
+                out.append((v, new))
+            return out
+        prev2: set[str] = set()
         out = []
         for s in published_snapshots(load_snapshots(self.path)):
             cur = set(s["files"])
-            if s.get("data_change") is False and prev:
+            if s.get("data_change") is False and prev2:
                 # a marked rewrite (compact(retain)/rewrite_delete_
                 # files): its "new" files are reorganizations of rows
                 # already delivered — a tailing stream must NOT
@@ -3809,8 +3839,8 @@ class ColfStreamReader(DataSourceStreamReader):
                 # basis, so a fresh stream takes its full set.
                 out.append((s["version"], []))
             else:
-                out.append((s["version"], sorted(cur - prev)))
-            prev = cur
+                out.append((s["version"], sorted(cur - prev2)))
+            prev2 = cur
         return out
 
     def _offset_files(self, off: dict) -> set[str]:
