@@ -286,7 +286,14 @@ def _read_log_raw(path: str) -> tuple[dict, dict]:
     d = log_dir(path)
     raw: dict[int, dict] = {}
     ckpt: dict[int, dict] = {}
-    for n in sorted(os.listdir(d)):
+    try:
+        members = sorted(os.listdir(d))
+    except FileNotFoundError:
+        # the _log dir vanished between the caller's isdir check and
+        # this read (a racing to_legacy_log / overwrite reset): an
+        # ABSENT log is the defined empty state, not corruption
+        return raw, ckpt
+    for n in members:
         p = _parse_log_name(n)
         if p is None:
             continue
@@ -487,20 +494,26 @@ def _write_log_member(path: str, name: str, obj, excl: bool) -> None:
     _invalidate_log_cache(path)
     target = os.path.join(d, name)
     if excl:
-        # O_CREAT|O_EXCL create IS the cross-process commit CAS for a
-        # v2 log (the Iceberg HadoopTableOperations rename-claim, minus
-        # the separate marker file): exactly one writer materializes
-        # this version.
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        # Atomic publish + CAS: write the full JSON to a hidden tmp
+        # (its name never matches _parse_log_name, so readers skip it),
+        # then hard-link it to the published name. link(2) fails with
+        # FileExistsError exactly like O_CREAT|O_EXCL — the Iceberg
+        # HadoopTableOperations rename-claim — but, unlike creating the
+        # published name and THEN dumping into it, a lock-free reader
+        # listing _log/ mid-commit can never see an empty/partial entry
+        # (which _read_log_raw must treat as corruption), and a writer
+        # crash mid-dump leaves only an ignorable tmp, never a torn
+        # head entry that poisons every subsequent read.
+        tmp = os.path.join(d, ".tmp-" + _uuid.uuid4().hex)
         try:
-            with os.fdopen(fd, "w") as f:
+            with open(tmp, "w") as f:
                 json.dump(obj, f)
-        except BaseException:
+            os.link(tmp, target)
+        finally:
             try:
-                os.remove(target)
+                os.unlink(tmp)
             except OSError:
                 pass
-            raise
     else:
         tmp = target + ".tmp-" + _uuid.uuid4().hex[:8]
         with open(tmp, "w") as f:
@@ -539,6 +552,14 @@ def _append_sharded_entry(path: str, base: dict | None,
         _write_log_member(path, _log_entry_name(version),
                           _delta_encode_entry(entry, base), excl=True)
     except FileExistsError:
+        # drop the raw-log cache BEFORE surfacing the conflict: if the
+        # competing writer is another PROCESS that landed two commits
+        # within one dir-mtime tick, this process's cache key still
+        # matches and would keep serving the stale log — every retry
+        # would recompute the same already-claimed version and wedge
+        # on this error forever. Invalidating here guarantees the
+        # caller's "re-read the live set" sees the competing commit.
+        _invalidate_log_cache(path)
         raise ColfFormatError(
             f"concurrent commit detected at {path}: version {version} "
             f"is already claimed by another writer. The metadata log "
@@ -573,7 +594,9 @@ def write_snapshots(path: str, snaps: list[dict]) -> None:
         for name, obj in keep_data.items():
             _write_log_member(path, name, obj, excl=False)
         for n in os.listdir(d):
-            if _parse_log_name(n) is not None and n not in keep_data:
+            stale_tmp = ".tmp-" in n   # crashed writer's leftover
+            if ((_parse_log_name(n) is not None and n not in keep_data)
+                    or stale_tmp):
                 try:
                     os.remove(os.path.join(d, n))
                 except OSError:
@@ -3877,14 +3900,27 @@ class ColfStreamReader(DataSourceStreamReader):
             return {"cv": self._cdc_start}
         return {"v": 0, "k": 0}
 
+    def _published_versions(self) -> list[int]:
+        """Ascending PUBLISHED version numbers only — the changelog
+        latestOffset poll needs nothing else, so a v2 log answers from
+        the cached raw entries (staged/branch are verbatim raw keys)
+        instead of materializing the whole O(commits x files) history
+        on every trigger."""
+        if os.path.isdir(self.path) and is_sharded_log(self.path):
+            raw, _ = _read_log_raw_cached(self.path)
+            return [v for v in sorted(raw)
+                    if not raw[v].get("staged")
+                    and raw[v].get("branch") is None]
+        return [s["version"]
+                for s in published_snapshots(load_snapshots(self.path))]
+
     def latestOffset(self) -> dict:
         if self._changelog:
-            pub = published_snapshots(load_snapshots(self.path))
-            head_v = pub[-1]["version"] if pub else 0
+            pub = self._published_versions()
+            head_v = pub[-1] if pub else 0
             base = max(self._cdc_start, self._cdc_cursor)
             if self._max_commits > 0:
-                pending = [s["version"] for s in pub
-                           if s["version"] > base]
+                pending = [v for v in pub if v > base]
                 if len(pending) > self._max_commits:
                     end = pending[self._max_commits - 1]
                 else:

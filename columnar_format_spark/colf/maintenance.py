@@ -184,19 +184,36 @@ MERGE_STATS_COVERAGE = 0.5
 
 def _key_ndv_estimate(path: str, key_cols) -> float | None:
     """The table's distinct-key-count estimate from the manifest KMV
-    sketches (max over the key columns — a lower bound on the combined
-    key NDV, which is the conservative side for the coverage gate):
-    ``None`` when any live file lacks a sketch for a key column (no
-    stats -> no stats-driven decision). Zero data I/O — this is the
-    Iceberg Puffin role feeding the ENGINE's own planning, since
-    PySpark 4.1.2 exposes no DataSource stats hook to Catalyst."""
+    sketches: ``None`` when any live file lacks a sketch for a key
+    column (no stats -> no stats-driven decision). Zero data I/O —
+    this is the Iceberg Puffin role feeding the ENGINE's own planning,
+    since PySpark 4.1.2 exposes no DataSource stats hook to Catalyst.
+
+    Multi-column keys take the PRODUCT of per-column estimates, capped
+    at the table's live row count when the manifest records it: the
+    true composite NDV is at most the product (and at most the row
+    count), so this errs HIGH — coverage = source_keys/estimate errs
+    LOW, and the gate prefers the per-file probing pass over skipping
+    it. (The previous max-over-columns was a LOWER bound, which biased
+    the gate the aggressive way: multi-column-key merges skipped
+    metadata pruning on sources covering far under the threshold.)"""
     from .format import ColfFormatError
 
     try:
         nd = table_ndv(path, columns=list(key_cols))
     except (ValueError, ColfFormatError):
         return None
-    return max(v["estimate"] for v in nd.values())
+    est = 1.0
+    for v in nd.values():
+        est *= max(v["estimate"], 1.0)
+    man = load_manifest(path)
+    from .datasource import live_files
+
+    rows = [(man.get(os.path.basename(f)) or {}).get("num_rows")
+            for f in live_files(path)]
+    if rows and all(r is not None for r in rows):
+        est = min(est, float(max(sum(rows), 1)))
+    return est
 
 
 def migrate_log(path: str) -> dict:

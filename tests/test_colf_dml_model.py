@@ -222,3 +222,36 @@ def test_merge_stats_gate_drives_discovery(colf_spark, tmp_path):
     r5 = merge_into(colf_spark, p, wide, ["k"], mode="mor")
     assert r5["discovery"] == "stats-full-scan"
     assert r5["key_ndv_estimate"] is not None
+
+
+def test_multi_column_key_ndv_errs_conservative(colf_spark, tmp_path):
+    """Round-12 advice: the composite-key NDV estimate must err HIGH
+    (row-count-capped product of per-column estimates), so coverage
+    errs LOW and the gate prefers probing. The old max-over-columns
+    was a LOWER bound: a source covering >50% of ONE column's values
+    but a sliver of the composite keys skipped metadata pruning."""
+    from columnar_format_spark.colf.maintenance import _key_ndv_estimate
+
+    p = str(tmp_path / "ds")
+    # 400 rows, a: 20 distinct, b: 20 distinct, composite: 400 distinct
+    base = colf_spark.range(0, 400).select(
+        (F.col("id") % 20).cast("int").alias("a"),
+        (F.col("id") / 20).cast("int").alias("b"),
+        F.col("id").cast("int").alias("v"))
+    (base.repartitionByRange(4, "a", "b").write.format("colf")
+     .option("ndvColumns", "a,b").option("ndvK", "512")
+     .mode("overwrite").save(p))
+    est = _key_ndv_estimate(p, ["a", "b"])
+    # product (exact sketches: 20*20), capped at 400 rows — NOT max=20
+    assert est == pytest.approx(400, rel=0.05)
+
+    # a source with 60% of column `a`'s values but only 12/400
+    # composite keys (3% coverage) must KEEP metadata pruning — under
+    # the old max-over-columns bound it read as 12/20 = 60% coverage
+    # and skipped the probe
+    narrow = base.filter((F.col("b") == 3) & (F.col("a") < 12)) \
+        .select("a", "b", (F.col("v") + 1000).cast("int").alias("v"))
+    assert narrow.count() == 12
+    r = merge_into(colf_spark, p, narrow, ["a", "b"])
+    assert r["discovery"] != "stats-full-scan"
+    assert r["n_replaced_rows"] == 12
