@@ -218,21 +218,32 @@ def log_dir(dataset_dir: str) -> str:
 
 
 def _log_entry_name(version: int, ckpt: bool = False) -> str:
-    return f"v{version:012d}" + (".ckpt.json" if ckpt else ".json")
+    # checkpoints carry the FULL live-file list — the one O(table)
+    # member of the log — so they are zlib-compressed JSON (`.jz`,
+    # the Iceberg manifest-list / Delta checkpoint.parquet role in
+    # miniature). Commit entries stay plain JSON: they are O(commit)
+    # small and debuggability-by-cat matters more than bytes there.
+    return f"v{version:012d}" + (".ckpt.jz" if ckpt else ".json")
 
 
 _LOG_ENTRY_RE = None
 
 
 def _parse_log_name(name: str):
-    """(version, is_ckpt) for a _log/ member, else None."""
+    """(version, is_ckpt) for a _log/ member, else None. Accepts both
+    checkpoint encodings: `.ckpt.jz` (zlib JSON, current) and
+    `.ckpt.json` (plain, written by pre-round-12 builds)."""
     global _LOG_ENTRY_RE
     if _LOG_ENTRY_RE is None:
         import re
 
-        _LOG_ENTRY_RE = re.compile(r"^v(\d{12})(\.ckpt)?\.json$")
+        _LOG_ENTRY_RE = re.compile(r"^v(\d{12})(\.ckpt)?\.(?:json|jz)$")
     m = _LOG_ENTRY_RE.match(name)
-    return (int(m.group(1)), bool(m.group(2))) if m else None
+    if m is None:
+        return None
+    if name.endswith(".jz") and not m.group(2):
+        return None  # compressed form exists only for checkpoints
+    return (int(m.group(1)), bool(m.group(2)))
 
 
 def is_sharded_log(path: str) -> bool:
@@ -257,22 +268,58 @@ def is_sharded_log(path: str) -> bool:
 _LOG_RAW_CACHE: dict[str, tuple] = {}
 
 
+def _log_raw_cache_hit(path: str):
+    """(raw, ckpt) when the process cache holds a CURRENT copy of the
+    path's v2 log, else None — lets head reads choose the bounded
+    cold path (_head_snapshot_cold) instead of forcing the O(commits)
+    full read a cache miss would trigger."""
+    d = log_dir(path)
+    try:
+        st = os.stat(d)
+    except OSError:
+        return None
+    hit = _LOG_RAW_CACHE.get(os.path.realpath(path))
+    if hit is not None and hit[0] == (st.st_mtime_ns, st.st_ino):
+        return hit[1], hit[2]
+    return None
+
+
 def _read_log_raw_cached(path: str) -> tuple[dict, dict]:
+    hit = _log_raw_cache_hit(path)
+    if hit is not None:
+        return hit
     d = log_dir(path)
     try:
         st = os.stat(d)
         key = (st.st_mtime_ns, st.st_ino)
     except OSError:
         return _read_log_raw(path)
-    rp = os.path.realpath(path)
-    hit = _LOG_RAW_CACHE.get(rp)
-    if hit is not None and hit[0] == key:
-        return hit[1], hit[2]
     raw, ckpt = _read_log_raw(path)
     if len(_LOG_RAW_CACHE) > 64:
         _LOG_RAW_CACHE.clear()
-    _LOG_RAW_CACHE[rp] = (key, raw, ckpt)
+    _LOG_RAW_CACHE[os.path.realpath(path)] = (key, raw, ckpt)
     return raw, ckpt
+
+
+def _load_log_member(full: str) -> dict:
+    """Parse one _log/ member by its on-disk encoding: zlib JSON for
+    `.jz` (checkpoints), plain JSON otherwise. Raises OSError /
+    ValueError on a torn or unreadable member — the caller decides
+    whether that is tolerable (derived checkpoints) or corruption
+    (commit entries)."""
+    import json
+    import zlib
+
+    if full.endswith(".jz"):
+        with open(full, "rb") as f:
+            blob = f.read()
+        try:
+            blob = zlib.decompress(blob)
+        except zlib.error as exc:
+            raise ValueError(f"torn compressed member: {exc}") from exc
+        return json.loads(blob.decode("utf-8"))
+    with open(full) as f:
+        return json.load(f)
 
 
 def _read_log_raw(path: str) -> tuple[dict, dict]:
@@ -299,8 +346,7 @@ def _read_log_raw(path: str) -> tuple[dict, dict]:
             continue
         v, is_ckpt = p
         try:
-            with open(os.path.join(d, n)) as f:
-                e = json.load(f)
+            e = _load_log_member(os.path.join(d, n))
             if e.get("version") != v:
                 raise ValueError(f"entry names version {v} but contains "
                                  f"{e.get('version')}")
@@ -439,6 +485,36 @@ def load_snapshots(path: str) -> list[dict]:
         ) from exc
 
 
+def load_snapshots_meta(path: str) -> list[dict]:
+    """Ascending log entries with METADATA KEYS ONLY — ``files`` (and
+    the delete lists) may be ABSENT on v2 delta entries; callers
+    needing file lists materialize the specific versions they want
+    with ``materialize_log_versions``. This is the O(commits) view
+    retention planning (vacuum/compact_log) and head checks read —
+    never O(commits x files). v1 logs return the full entries (they
+    are stored materialized anyway). READ-ONLY: v2 dicts are the
+    process cache's own objects."""
+    if os.path.isdir(path) and is_sharded_log(path):
+        raw, _ = _read_log_raw_cached(path)
+        return [raw[v] for v in sorted(raw)]
+    return load_snapshots(path)
+
+
+def materialize_log_versions(path: str, versions) -> dict[int, dict]:
+    """{version: fully-materialized snapshot entry} for the requested
+    versions only — one shared memoized fold, so a contiguous tail
+    costs one chain walk, not one per version."""
+    versions = list(versions)
+    if os.path.isdir(path) and is_sharded_log(path):
+        raw, ckpt = _read_log_raw_cached(path)
+        memo: dict = {}
+        return {v: _materialize_entry(v, raw, ckpt, memo)
+                for v in versions}
+    want = set(versions)
+    return {s["version"]: s for s in load_snapshots(path)
+            if s["version"] in want}
+
+
 def _delta_encode_entry(entry: dict, base: dict | None) -> dict:
     """The v2 delta form of a self-contained entry against ``base``
     (None = encode self-contained). Round-trips exactly through
@@ -482,7 +558,56 @@ def _invalidate_log_cache(path: str) -> None:
     it). Cross-process writers are covered by the mtime key alone —
     their window is one clock tick, and the O_EXCL entry CAS (not the
     cache) still arbitrates versions."""
-    _LOG_RAW_CACHE.pop(os.path.realpath(path), None)
+    rp = os.path.realpath(path)
+    _LOG_RAW_CACHE.pop(rp, None)
+    _HEAD_CACHE.pop(rp, None)
+
+
+# materialized-PUBLISHED-HEAD cache, same (mtime_ns, ino) keying and
+# invalidation discipline as _LOG_RAW_CACHE. The head is what every
+# plan and every commit's base fold needs; rematerializing it from the
+# nearest checkpoint is O(checkpoint distance x live files) — ~200 ms
+# per commit on a 10^5-file table — while the SEQUENTIAL case (commit
+# after commit, plan after commit) can reuse the entry the previous
+# commit just built. Entries are treated as immutable; head_snapshot
+# hands out copies.
+_HEAD_CACHE: dict[str, tuple] = {}
+
+
+def _head_cache_get(path: str) -> dict | None:
+    d = log_dir(path)
+    try:
+        st = os.stat(d)
+    except OSError:
+        return None
+    hit = _HEAD_CACHE.get(os.path.realpath(path))
+    if hit is not None and hit[0] == (st.st_mtime_ns, st.st_ino):
+        return hit[1]
+    return None
+
+
+def _head_cache_put(path: str, head: dict) -> None:
+    try:
+        st = os.stat(log_dir(path))
+    except OSError:
+        return
+    if len(_HEAD_CACHE) > 64:
+        _HEAD_CACHE.clear()
+    _HEAD_CACHE[os.path.realpath(path)] = (
+        (st.st_mtime_ns, st.st_ino), head)
+
+
+def _copy_snapshot_entry(e: dict) -> dict:
+    """Fresh top-level containers for a snapshot entry handed to
+    callers (they mutate lists/keys; the caches must not see it)."""
+    out = dict(e)
+    if "files" in out:
+        out["files"] = list(out["files"])
+    if "deletes" in out:
+        out["deletes"] = list(out["deletes"])
+    if "eq_deletes" in out:
+        out["eq_deletes"] = list(out["eq_deletes"])
+    return out
 
 
 def _write_log_member(path: str, name: str, obj, excl: bool) -> None:
@@ -516,19 +641,36 @@ def _write_log_member(path: str, name: str, obj, excl: bool) -> None:
                 pass
     else:
         tmp = target + ".tmp-" + _uuid.uuid4().hex[:8]
-        with open(tmp, "w") as f:
-            json.dump(obj, f)
+        if name.endswith(".jz"):
+            import zlib
+
+            with open(tmp, "wb") as f:
+                f.write(zlib.compress(
+                    json.dumps(obj, separators=(",", ":")).encode("utf-8")))
+        else:
+            with open(tmp, "w") as f:
+                json.dump(obj, f)
         os.rename(tmp, target)
 
 
 def _append_sharded_entry(path: str, base: dict | None,
-                          entry: dict, reset: bool) -> None:
+                          entry: dict, reset: bool,
+                          cache_seed: tuple | None = None) -> None:
     """The v2 commit: ONE O(commit-delta) entry file, O_EXCL-created
     (doubling as the cross-process version CAS), plus a periodic
     derived checkpoint. ``base`` is the entry's MATERIALIZED lineage
     parent (None for reset / first commit) — the caller computes it
     with a head-only fold, so the commit path never materializes the
-    whole history."""
+    whole history.
+
+    ``cache_seed`` is the (raw, ckpt) pair the caller's version
+    computation read: after a successful append the raw-log cache is
+    refreshed IN PLACE with the new entry, so a commit-heavy workload
+    pays O(1) cache maintenance per commit instead of a full
+    O(commits) re-read on its next log access. The residual window
+    (another process committing between our write and the dir stat)
+    is the documented one-tick staleness the mtime key already had —
+    and a commit retry recovers via the failed-CAS invalidation."""
     if reset:
         import shutil
 
@@ -547,10 +689,12 @@ def _append_sharded_entry(path: str, base: dict | None,
         shutil.rmtree(os.path.join(path, COMMIT_MARKERS_DIR),
                       ignore_errors=True)
         base = None
+        cache_seed = ({}, {})
     version = entry["version"]
+    delta = _delta_encode_entry(entry, base)
     try:
-        _write_log_member(path, _log_entry_name(version),
-                          _delta_encode_entry(entry, base), excl=True)
+        _write_log_member(path, _log_entry_name(version), delta,
+                          excl=True)
     except FileExistsError:
         # drop the raw-log cache BEFORE surfacing the conflict: if the
         # competing writer is another PROCESS that landed two commits
@@ -565,30 +709,81 @@ def _append_sharded_entry(path: str, base: dict | None,
             f"is already claimed by another writer. The metadata log "
             f"is single-writer; re-read the live set and retry the "
             f"commit.") from None
-    if version % LOG_CHECKPOINT_EVERY == 0:
+    is_ckpt_commit = version % LOG_CHECKPOINT_EVERY == 0
+    if is_ckpt_commit:
         # derived, non-atomic-with-commit: a crash here just means the
         # next reader folds a few more deltas
         _write_log_member(path, _log_entry_name(version, ckpt=True),
                           entry, excl=False)
+    if cache_seed is not None:
+        new_raw = dict(cache_seed[0])
+        new_raw[version] = delta
+        new_ckpt = cache_seed[1]
+        if is_ckpt_commit:
+            new_ckpt = dict(new_ckpt)
+            new_ckpt[version] = dict(entry)
+        try:
+            st = os.stat(log_dir(path))
+            _LOG_RAW_CACHE[os.path.realpath(path)] = (
+                (st.st_mtime_ns, st.st_ino), new_raw, new_ckpt)
+        except OSError:
+            pass
+
+
+def _delta_encode_history(snaps: list[dict]) -> dict[str, dict]:
+    """``{member_name: obj}`` re-encoding a FULL materialized history
+    in the v2 delta form, with the SAME base choice as the live commit
+    path (published entries base on the previous published version —
+    the invariant the streaming incremental fold relies on; staged
+    entries base on their parent; branch commits chain per branch).
+    The first entry of each chain has no base and stays self-contained
+    — the replay basis. A head checkpoint is included so head reads
+    stay O(1) folds.
+
+    This keeps the log's AT-REST size O(files + commits), not
+    O(commits x files): the pre-round-12 rewrite stored every kept
+    entry self-contained, so a vacuum retaining 100 versions of a
+    10^5-file table wrote 100 full file lists."""
+    snaps = sorted(snaps, key=lambda s: s["version"])
+    by_branch: dict = {}
+    pub_prev = None
+    by_version = {s["version"]: s for s in snaps}
+    out: dict[str, dict] = {}
+    for s in snaps:
+        if s.get("branch") is not None:
+            base = by_branch.get(s["branch"])
+            if base is None:
+                pubs = [p for p in published_snapshots(snaps)
+                        if p["version"] < s["version"]]
+                base = pubs[-1] if pubs else None
+            by_branch[s["branch"]] = s
+        elif s.get("staged"):
+            base = by_version.get(s.get("parent")) or pub_prev
+        else:
+            base = pub_prev
+            pub_prev = s
+        out[_log_entry_name(s["version"])] = _delta_encode_entry(s, base)
+    if snaps:
+        head = snaps[-1]
+        out[_log_entry_name(head["version"], ckpt=True)] = dict(head)
+    return out
 
 
 def write_snapshots(path: str, snaps: list[dict]) -> None:
     """FULL log rewrite (vacuum's prune, migration, tests). For a v2
-    log every kept entry is first rewritten SELF-CONTAINED (so the log
-    is readable at every intermediate state), then entries outside the
-    kept set are deleted — a crash mid-way leaves extra readable
-    versions for the next vacuum, never a broken base chain."""
+    log the kept entries are rewritten in ASCENDING version order as
+    delta entries over kept bases (oldest self-contained), then
+    entries outside the kept set are deleted — at every intermediate
+    state each entry's base chain resolves (a new entry's base is an
+    already-rewritten kept entry; an old entry's base is a pruned
+    entry that still exists until the delete phase), so a crash
+    mid-way leaves extra readable versions for the next vacuum, never
+    a broken chain."""
     import json
 
     if is_sharded_log(path) or (not os.path.exists(snapshots_path(path))
                                 and LOG_FORMAT_DEFAULT == "sharded"):
-        keep_data = {}
-        for s in snaps:
-            keep_data[_log_entry_name(s["version"])] = dict(s)
-        head = max((s["version"] for s in snaps), default=0)
-        if head:
-            hs = next(s for s in snaps if s["version"] == head)
-            keep_data[_log_entry_name(head, ckpt=True)] = dict(hs)
+        keep_data = _delta_encode_history(snaps)
         d = log_dir(path)
         os.makedirs(d, exist_ok=True)
         for name, obj in keep_data.items():
@@ -938,8 +1133,17 @@ def _commit_snapshot_locked(path, live_files, reset, expected_parent,
             lineage = published_snapshots(meta)
         if lineage:
             base_v = lineage[-1]["version"]
-            base_entry = (_materialize_entry(base_v, raw, ckpt, {})
-                          if sharded_existing else lineage[-1])
+            if sharded_existing:
+                # the published head is usually cached materialized
+                # (the previous commit put it there) — the fold from
+                # the nearest checkpoint is the cold fallback
+                h = (_head_cache_get(path) if branch is None else None)
+                base_entry = (h if h is not None
+                              and h.get("version") == base_v
+                              else _materialize_entry(base_v, raw,
+                                                      ckpt, {}))
+            else:
+                base_entry = lineage[-1]
     if (deletes is None or eq_deletes is None) and base_entry is not None:
         if deletes is None:
             deletes = base_entry.get("deletes")
@@ -971,11 +1175,105 @@ def _commit_snapshot_locked(path, live_files, reset, expected_parent,
     if sharded:
         # O(commit) append: one delta entry file; never rewrites the
         # rest of the log (round-10 verdict item #1)
-        _append_sharded_entry(path, base_entry, entry, reset)
+        _append_sharded_entry(
+            path, base_entry, entry, reset,
+            cache_seed=(raw, ckpt) if sharded_existing else ({}, {}))
+        # refresh the materialized-head cache: a published commit's
+        # entry IS the new head, fully materialized (we just built
+        # it); a staged commit leaves the published head at its base.
+        # Branch commits just drop the cache (head unchanged but the
+        # re-key is not worth special-casing a rare path — the next
+        # head read is the bounded cold walk).
+        if not staged and branch is None:
+            _head_cache_put(path, entry)
+        elif staged and base_entry is not None:
+            _head_cache_put(path, base_entry)
     else:
         meta.append(entry)
         write_snapshots(path, meta)
     return version
+
+
+_NO_SHARDED = object()   # _head_snapshot_cold: "no committed v2 log"
+
+
+def _head_snapshot_cold(path: str):
+    """COLD-cache head read with BOUNDED I/O: one listdir, then opens
+    only along the head's base chain — O(staged tail + distance to
+    the nearest checkpoint/self-contained entry), never O(commits)
+    entry-file opens. This is what a fresh driver process pays on its
+    FIRST plan against a long-lived log (10^5 commits would otherwise
+    be 10^5 small-file opens before the first byte of data), and it
+    deliberately does NOT warm the raw-log cache — full-history
+    consumers (time travel, CDC, vacuum) pay their own full read.
+    Returns the materialized head dict, None (staged/branch-only
+    log), or _NO_SHARDED (no committed v2 entries)."""
+    d = log_dir(path)
+    try:
+        names = os.listdir(d)
+    except FileNotFoundError:
+        return _NO_SHARDED
+    entry_names: dict[int, str] = {}
+    ckpt_names: dict[int, str] = {}
+    for n in names:
+        p = _parse_log_name(n)
+        if p is not None:
+            (ckpt_names if p[1] else entry_names)[p[0]] = n
+    if not entry_names:
+        return _NO_SHARDED
+
+    def load(v: int, is_ckpt: bool):
+        name = (ckpt_names if is_ckpt else entry_names)[v]
+        full = os.path.join(d, name)
+        try:
+            e = _load_log_member(full)
+            if e.get("version") != v:
+                raise ValueError(f"entry names version {v} but "
+                                 f"contains {e.get('version')}")
+            return e
+        except (OSError, ValueError, KeyError, TypeError) as exc:
+            if is_ckpt:
+                return None  # derived; a bad one is ignorable
+            raise ColfFormatError(
+                f"corrupt metadata log entry at {full}: {exc}; "
+                f"refusing to fall back to the directory listing. "
+                f"Restore the entry or delete the _log dir to "
+                f"explicitly adopt listing semantics.") from exc
+
+    raw: dict[int, dict] = {}
+    ckpt: dict[int, dict] = {}
+    head_v = None
+    for v in sorted(entry_names, reverse=True):   # skip the staged tail
+        e = load(v, False)
+        raw[v] = e
+        if not e.get("staged") and e.get("branch") is None:
+            head_v = v
+            break
+    if head_v is None:
+        return None
+    # prefetch the head's base chain (checkpoint short-circuit), then
+    # hand the partial dicts to the one materialization routine
+    v = head_v
+    while True:
+        e = raw[v]
+        if "files" in e:
+            break
+        c = load(v, True) if v in ckpt_names else None
+        if c is not None:
+            ckpt[v] = c
+            break
+        b = e.get("base", 0)
+        if b == 0:
+            break
+        if b not in raw:
+            if b not in entry_names:
+                raise ColfFormatError(
+                    f"metadata log references version {b} but no "
+                    f"entry file exists (interrupted vacuum?); run "
+                    f"vacuum again or restore the entry")
+            raw[b] = load(b, False)
+        v = b
+    return _materialize_entry(head_v, raw, ckpt, {})
 
 
 def head_snapshot(path: str) -> dict | None:
@@ -984,16 +1282,32 @@ def head_snapshot(path: str) -> dict | None:
     checkpoint short-circuit — O(distance to the nearest checkpoint or
     self-contained entry), not O(commits x files) — which is what
     every PLAN pays (schema, partitions, writer bootstrap all start
-    from the head). v1 logs fall back to the full parse. None when no
-    published snapshot exists (empty / staged-only logs)."""
-    if os.path.isdir(path) and is_sharded_log(path):
-        raw, ckpt = _read_log_raw_cached(path)
-        pub = [v for v in sorted(raw)
-               if not raw[v].get("staged")
-               and raw[v].get("branch") is None]
-        if not pub:
-            return None
-        return _materialize_entry(pub[-1], raw, ckpt, {})
+    from the head). With a COLD raw-log cache it further bounds the
+    I/O itself (_head_snapshot_cold): opens only the chain's members
+    instead of every entry file. v1 logs fall back to the full parse.
+    None when no published snapshot exists (empty/staged-only logs)."""
+    if os.path.isdir(path):
+        h = _head_cache_get(path)
+        if h is not None:
+            return _copy_snapshot_entry(h)
+        cached = _log_raw_cache_hit(path)
+        if cached is None and os.path.isdir(log_dir(path)):
+            got = _head_snapshot_cold(path)
+            if got is not _NO_SHARDED:
+                if got is not None:
+                    _head_cache_put(path, got)
+                    return _copy_snapshot_entry(got)
+                return None
+        elif cached is not None and cached[0]:
+            raw, ckpt = cached
+            pub = [v for v in sorted(raw)
+                   if not raw[v].get("staged")
+                   and raw[v].get("branch") is None]
+            if not pub:
+                return None
+            got = _materialize_entry(pub[-1], raw, ckpt, {})
+            _head_cache_put(path, got)
+            return _copy_snapshot_entry(got)
     pub = published_snapshots(load_snapshots(path))
     return pub[-1] if pub else None
 

@@ -236,9 +236,8 @@ def migrate_log(path: str) -> dict:
 
     from .datasource import (BLOOMS_DIR_NAME, BLOOMS_NAME,
                              MANIFEST_DIR_NAME, _append_sidecar_shard,
-                             _delta_encode_entry, _log_entry_name,
                              dataset_commit_lock, is_sharded_log, log_dir,
-                             published_snapshots, snapshots_path)
+                             snapshots_path)
     from .format import ColfFormatError
 
     with dataset_commit_lock(path):
@@ -253,33 +252,21 @@ def migrate_log(path: str) -> dict:
         staging = log_dir(path) + f".tmp-{uuid.uuid4().hex[:8]}"
         os.makedirs(staging)
         import json as _json
+        import zlib as _zlib
 
         # re-derive each entry's delta against its lineage base —
-        # identical base choice to the live commit path
-        by_branch: dict = {}
-        pub_prev = None
-        by_version = {s["version"]: s for s in snaps}
-        for s in snaps:
-            if s.get("branch") is not None:
-                base = by_branch.get(s["branch"])
-                if base is None:
-                    pubs = [p for p in published_snapshots(snaps)
-                            if p["version"] < s["version"]]
-                    base = pubs[-1] if pubs else None
-                by_branch[s["branch"]] = s
-            elif s.get("staged"):
-                base = by_version.get(s.get("parent")) or pub_prev
+        # identical base choice to the live commit path (shared with
+        # write_snapshots' vacuum rewrite)
+        from .datasource import _delta_encode_history
+
+        for name, obj in _delta_encode_history(snaps).items():
+            if name.endswith(".jz"):
+                with open(os.path.join(staging, name), "wb") as f:
+                    f.write(_zlib.compress(_json.dumps(
+                        obj, separators=(",", ":")).encode("utf-8")))
             else:
-                base = pub_prev
-                pub_prev = s
-            with open(os.path.join(
-                    staging, _log_entry_name(s["version"])), "w") as f:
-                _json.dump(_delta_encode_entry(s, base), f)
-        with open(os.path.join(
-                staging,
-                _log_entry_name(snaps[-1]["version"], ckpt=True)),
-                "w") as f:
-            _json.dump(snaps[-1], f)
+                with open(os.path.join(staging, name), "w") as f:
+                    _json.dump(obj, f)
         os.rename(staging, log_dir(path))  # the adoption point
         try:
             os.remove(snapshots_path(path))
@@ -1337,41 +1324,25 @@ def rewrite_delete_files(spark: SparkSession, path: str,
             "n_dead_entries_dropped": int(n_before - n_after)}
 
 
-def vacuum(path: str, keep_last: int = 1,
-           older_than_s: float | None = None,
-           dry_run: bool = False) -> list[str]:
-    """Physically delete part files referenced only by expired
-    snapshots, keeping the most recent ``keep_last`` versions (and
-    pruning the metadata log to them). Returns the deleted basenames.
-    A dataset without a metadata log has nothing to vacuum.
+def _plan_kept_snapshots(path: str, snaps: list[dict], keep_last: int,
+                         older_than_s: float | None) -> list[dict]:
+    """The retention plan shared by ``vacuum`` and ``compact_log``:
+    the most recent ``keep_last`` snapshots, plus every snapshot
+    younger than ``older_than_s`` (Iceberg's expire_snapshots
+    olderThan contract), plus pinned versions (refs, unpublished
+    staged WAP commits, the published head) — with the current table
+    metadata (spec / sort / cluster / table_schema / eq-delete file
+    sequencing) carried onto the oldest kept PUBLISHED snapshot under
+    ``inherited_*`` keys when its adopting snapshot expires.
 
-    ``older_than_s`` adds AGE-based retention (Iceberg's
-    expire_snapshots(olderThan)): every snapshot committed within the
-    last ``older_than_s`` seconds is ALSO kept, whatever keep_last
-    says — the production contract "any reader that started in the
-    last N hours can still finish". Snapshots from logs predating the
-    commit timestamp (no ``ts`` key) have unknown age and only expire
-    via keep_last. keep_last stays the floor either way.
-
-    Part files NEWER than the latest snapshot are never touched: an
-    in-flight append writes its .colf files before its metadata-log
-    commit, so an unreferenced-but-recent file is likely uncommitted
-    work, not garbage (Iceberg's orphan-file grace period, with the
-    log's mtime as the cutoff).
-
-    ``dry_run=True`` (Delta's VACUUM DRY RUN) returns the reclaimable
-    basenames without deleting anything or pruning the log."""
-    import json
+    ``snaps`` may be the METADATA-ONLY view (load_snapshots_meta):
+    the which-versions-survive decisions read only metadata keys, and
+    the kept entries are then materialized HERE — one bounded chain
+    fold over the survivors, never O(commits x files) over the whole
+    history (the pre-round-12 callers materialized everything first).
+    Returns the kept list fully materialized."""
     import time as _time
 
-    if keep_last < 1:
-        raise ValueError("keep_last must be >= 1")
-    snaps = load_snapshots(path)
-    if not snaps:
-        return []
-    from .datasource import log_mtime as _log_mtime
-
-    log_mtime = _log_mtime(path)
     kept = snaps[-keep_last:]
     if older_than_s is not None:
         cutoff = _time.time() - older_than_s
@@ -1400,6 +1371,12 @@ def vacuum(path: str, keep_last: int = 1,
              if s["version"] in pinned and s["version"] not in kept_v]
     if extra:
         kept = sorted(extra + kept, key=lambda s: s["version"])
+    # the survivors are decided — materialize exactly them (a no-op
+    # for already-materialized v1 entries)
+    from .datasource import materialize_log_versions
+
+    full = materialize_log_versions(path, [s["version"] for s in kept])
+    kept = [full[s["version"]] for s in kept]
     # the partition spec is carried by the snapshot that ADOPTED it —
     # often older than the retention horizon. Expiring that snapshot
     # must not lose the spec (appends would stop inheriting and
@@ -1447,13 +1424,100 @@ def vacuum(path: str, keep_last: int = 1,
             # newer than the deletes that mask them (resurrected
             # rows). Carry the true first versions of every kept file
             # forward — file_first_versions reads them back with
-            # precedence. Bounded by the kept file count.
+            # precedence. Bounded by the kept file count. (This is
+            # the one branch that must fold the FULL pre-prune
+            # history — eq-delete datasets only.)
             from .datasource import file_first_versions
 
-            true_fseq = file_first_versions(snaps)  # full pre-prune log
+            hist = materialize_log_versions(
+                path, [s["version"] for s in snaps])
+            true_fseq = file_first_versions(
+                [hist[v] for v in sorted(hist)])
             kept_files = {b for s in kept for b in s["files"]}
             kept[i0] = dict(kept[i0], inherited_fseq={
                 b: true_fseq[b] for b in kept_files if b in true_fseq})
+    return kept
+
+
+def compact_log(path: str, keep_last: int = 1,
+                older_than_s: float | None = None) -> dict:
+    """METADATA-ONLY log retention (Delta's delta.logRetentionDuration
+    cleanup, round-12 verdict item #1a): fold history older than the
+    retention horizon into the retained lineage — the oldest kept
+    entry is rewritten self-contained (the replay basis), newer kept
+    entries stay delta-encoded, a fresh compressed head checkpoint is
+    written — and PRUNE the expired entries, so the log's at-rest
+    entry count and the cold full-read cost are bounded by RETENTION,
+    not table age.
+
+    Data files are NOT touched (that is ``vacuum``'s job): files
+    referenced only by expired snapshots become unreferenced garbage
+    that a later vacuum / remove_orphan_files reclaims. Time travel
+    to pruned versions is lost — the same contract as vacuum's log
+    prune and Delta's log cleanup. Same retention/pinning semantics
+    as vacuum: refs, unpublished WAP commits, the published head and
+    age-young snapshots all survive; current table metadata is
+    carried forward under ``inherited_*`` keys."""
+    from .datasource import dataset_commit_lock
+    from .format import ColfFormatError
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    from .datasource import load_snapshots_meta
+
+    snaps = load_snapshots_meta(path)
+    if not snaps:
+        return {"pruned": 0, "kept": 0}
+    kept = _plan_kept_snapshots(path, snaps, keep_last, older_than_s)
+    with dataset_commit_lock(path):
+        # the prune is a read-modify-write of the log: refuse
+        # (retryable) if a writer committed since we planned
+        head_now = load_snapshots_meta(path)[-1]["version"]
+        if head_now != snaps[-1]["version"]:
+            raise ColfFormatError(
+                f"concurrent commit detected at {path}: compact_log "
+                f"planned against version {snaps[-1]['version']} but "
+                f"the log is at {head_now}. Retry.")
+        write_snapshots(path, kept)
+    return {"pruned": len(snaps) - len(kept), "kept": len(kept),
+            "head": head_now}
+
+
+def vacuum(path: str, keep_last: int = 1,
+           older_than_s: float | None = None,
+           dry_run: bool = False) -> list[str]:
+    """Physically delete part files referenced only by expired
+    snapshots, keeping the most recent ``keep_last`` versions (and
+    pruning the metadata log to them). Returns the deleted basenames.
+    A dataset without a metadata log has nothing to vacuum.
+
+    ``older_than_s`` adds AGE-based retention (Iceberg's
+    expire_snapshots(olderThan)): every snapshot committed within the
+    last ``older_than_s`` seconds is ALSO kept, whatever keep_last
+    says — the production contract "any reader that started in the
+    last N hours can still finish". Snapshots from logs predating the
+    commit timestamp (no ``ts`` key) have unknown age and only expire
+    via keep_last. keep_last stays the floor either way.
+
+    Part files NEWER than the latest snapshot are never touched: an
+    in-flight append writes its .colf files before its metadata-log
+    commit, so an unreferenced-but-recent file is likely uncommitted
+    work, not garbage (Iceberg's orphan-file grace period, with the
+    log's mtime as the cutoff).
+
+    ``dry_run=True`` (Delta's VACUUM DRY RUN) returns the reclaimable
+    basenames without deleting anything or pruning the log."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    from .datasource import load_snapshots_meta
+
+    snaps = load_snapshots_meta(path)
+    if not snaps:
+        return []
+    from .datasource import log_mtime as _log_mtime
+
+    log_mtime = _log_mtime(path)
+    kept = _plan_kept_snapshots(path, snaps, keep_last, older_than_s)
     referenced = {b for s in kept for b in s["files"]}
     # position-delete sidecars referenced by kept snapshots must
     # survive (their absence would silently resurrect deleted rows);
@@ -1487,7 +1551,7 @@ def vacuum(path: str, keep_last: int = 1,
         # log: refuse (retryable) if a writer committed since we
         # planned which snapshots survive, else we'd silently drop its
         # commit from the history we write back
-        head_now = load_snapshots(path)[-1]["version"]
+        head_now = load_snapshots_meta(path)[-1]["version"]
         if head_now != snaps[-1]["version"]:
             raise ColfFormatError(
                 f"concurrent commit detected at {path}: vacuum planned "

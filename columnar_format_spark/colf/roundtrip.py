@@ -3987,3 +3987,152 @@ def q214_colf_stats_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(F.col("k").cast("bigint")).alias("key_sum"),
         F.sum(F.col("n").cast("bigint")).alias("n_sum"))
+
+
+@register(
+    "q215_colf_log_compaction",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    s1 AS (  -- v2 append: shifted 'P' rows
+      SELECT o_orderkey, o_orderstatus FROM orders
+      UNION ALL
+      SELECT o_orderkey + mx.m + 1, 'P' FROM orders, mx
+      WHERE o_orderkey % 30 = 2),
+    s2 AS (  -- v3 MoR delete: %7==0 'F' rows out
+      SELECT o_orderkey, o_orderstatus FROM s1
+      WHERE NOT (o_orderkey % 7 = 0 AND o_orderstatus = 'F')),
+    s3 AS (  -- v4 MoR update: %60==5 -> 'M'
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 60 = 5 THEN 'M'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM s2),
+    s4 AS (  -- v5 append: doubly-shifted 'Q' rows
+      SELECT o_orderkey, o_orderstatus FROM s3
+      UNION ALL
+      SELECT o_orderkey + 2 * mx.m + 2, 'Q' FROM orders, mx
+      WHERE o_orderkey % 45 = 7)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM s4 GROUP BY o_orderstatus
+    """,
+)
+def q215_colf_log_compaction(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """METADATA-LOG COMPACTION (round-12 verdict item #1): bounding
+    the log's AT-REST cost by RETENTION, not table age.
+    ``maintenance.compact_log`` is Delta's log-retention cleanup as a
+    first-class op: history older than the horizon folds into the
+    retained lineage — the oldest kept entry rewritten self-contained
+    (the replay basis), newer kept entries kept delta-encoded, a fresh
+    zlib-compressed head checkpoint — and the expired entry files are
+    pruned. Data files are untouched (vacuum's job); time travel to
+    pruned versions is LOST loudly, retained versions stay
+    bit-identical.
+
+    The query builds a 5-commit DML history (append, MoR delete, MoR
+    update, append — merge-on-read so the changelog can replay them), compacts to the last 3 versions, and asserts
+    IN-QUERY: (1) exactly 2 entries pruned / 3 kept on disk, (2) the
+    head checkpoint is the compressed `.ckpt.jz` form, (3) time travel
+    to a retained version is bit-identical across the compaction,
+    (4) time travel to a pruned version fails loudly (Delta's
+    out-of-retention contract), never serves stale data, (5) a CDF
+    replay from version 0 across the compacted basis reconstructs the
+    head exactly (the retained basis replays as inserts), (6) the next
+    commit appends exactly ONE new O(commit) entry file. The oracle
+    recomputes the final state relationally.
+
+    Scale: with unbounded commit counts (streaming ingest at 100 TB:
+    10^5-10^6 commits/year), the raw-entry count — and with it every
+    cold full-log read — is bounded by the retention policy;
+    tests/test_colf_metadata_at_rest.py pins the 10^5-file /
+    10^3-commit bounds (cold head opens <= chain, checkpoint < 25% of
+    raw, post-compaction entries == keep_last)."""
+    import os
+
+    from .datasource import (_parse_log_name, cdf_replay, head_snapshot,
+                             load_snapshots, log_dir)
+    from .datasource import register as register_ds
+    from .maintenance import compact_log, delete_where, update_where
+
+    register_ds(spark)
+    tmpl = _stage_cdc_orders(spark, sf_dir)
+    path = run_dir(("colf-log-compaction-run", sf_dir),
+                   "colf_logcompact_") + "/ds"
+    clone_dataset(tmpl + "/ds", path)
+    mx = _CDC_MAXKEY[sf_dir]
+
+    orders = table(spark, sf_dir, "orders")
+    (orders.filter(F.col("o_orderkey") % 30 == 2)
+     .select((F.col("o_orderkey") + mx + 1).cast("int")
+             .alias("o_orderkey"),
+             F.lit("P").alias("o_orderstatus"))
+     .coalesce(1).write.format("colf").mode("append").save(path))   # v2
+    delete_where(spark, path,
+                 "o_orderkey % 7 = 0 AND o_orderstatus = 'F'",
+                 mode="mor")                                        # v3
+    update_where(spark, path, {"o_orderstatus": "'M'"},
+                 "o_orderkey % 60 = 5", mode="mor")                 # v4
+    (orders.filter(F.col("o_orderkey") % 45 == 7)
+     .select((F.col("o_orderkey") + 2 * mx + 2).cast("int")
+             .alias("o_orderkey"),
+             F.lit("Q").alias("o_orderstatus"))
+     .coalesce(1).write.format("colf").mode("append").save(path))   # v5
+
+    def read_v(v: int):
+        return (spark.read.format("colf")
+                .option("snapshot", str(v)).load(path))
+
+    v4_before = read_v(4).groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("s")).collect()[0]
+    head_before = head_snapshot(path)
+
+    r = compact_log(path, keep_last=3)
+    if r["pruned"] != 2 or r["kept"] != 3:
+        raise AssertionError(f"compact_log plan wrong: {r}")
+    members = os.listdir(log_dir(path))
+    entries = [n for n in members
+               for p in (_parse_log_name(n),) if p and not p[1]]
+    if len(entries) != 3:
+        raise AssertionError(f"at-rest entries not bounded: {entries}")
+    if not any(n.endswith(".ckpt.jz") for n in members):
+        raise AssertionError("no compressed head checkpoint")
+    if head_snapshot(path) != head_before:
+        raise AssertionError("compaction changed the head")
+    if [s["version"] for s in load_snapshots(path)] != [3, 4, 5]:
+        raise AssertionError("retained versions wrong")
+
+    v4_after = read_v(4).groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("s")).collect()[0]
+    if v4_after != v4_before:
+        raise AssertionError("retained version changed by compaction")
+    try:
+        read_v(2).count()
+        raise AssertionError("pruned version served data")
+    except AssertionError:
+        raise
+    except Exception:
+        pass  # the loud out-of-retention failure is the contract
+
+    replayed = cdf_replay(spark, path)
+    head = spark.read.format("colf").load(path)
+    if replayed.exceptAll(head).count() != 0 \
+            or head.exceptAll(replayed).count() != 0:
+        raise AssertionError(
+            "CDF replay across the compacted basis != head")
+
+    n0 = len(entries)
+    (orders.limit(0).select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        F.col("o_orderstatus"))
+     .coalesce(1).write.format("colf").mode("append").save(path))   # v6
+    entries_after = [n for n in os.listdir(log_dir(path))
+                     for p in (_parse_log_name(n),) if p and not p[1]]
+    if len(entries_after) != n0 + 1:
+        raise AssertionError("post-compaction commit not O(commit)")
+
+    return head.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_orderkey").cast("bigint")).alias("key_sum"))

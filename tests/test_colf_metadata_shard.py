@@ -165,9 +165,12 @@ def test_concurrent_version_claim_is_the_entry_file(tmp_path):
 
 
 def test_write_snapshots_prune_keeps_log_readable(tmp_path):
-    """The full-rewrite path (vacuum) rewrites kept entries
-    self-contained FIRST, then deletes the pruned ones — and the
-    result reads back identically."""
+    """The full-rewrite path (vacuum/compact_log) re-encodes the kept
+    history DELTA-PRESERVING — the oldest kept entry self-contained
+    (the replay basis), newer kept entries as deltas over KEPT bases
+    (round-12: the previous rewrite stored every kept entry
+    self-contained, i.e. O(kept x files) at rest) — then deletes the
+    pruned ones. The result reads back identically."""
     p = str(tmp_path / "ds")
     os.makedirs(p)
     live = _fake_files(4)
@@ -180,11 +183,17 @@ def test_write_snapshots_prune_keeps_log_readable(tmp_path):
     write_snapshots(p, kept)
     assert [s["version"] for s in load_snapshots(p)] == [4, 5]
     assert load_snapshots(p) == kept
-    # every surviving entry is self-contained (no dangling base)
+    by_v = {}
     for n in _entry_files(p):
         with open(os.path.join(log_dir(p), n)) as f:
             e = json.load(f)
-        assert "files" in e and "base" not in e
+        by_v[e["version"]] = e
+    # oldest kept: self-contained replay basis; newer: delta whose
+    # base is a KEPT version (no dangling chain)
+    assert "files" in by_v[4] and "base" not in by_v[4]
+    assert "files" not in by_v[5] and by_v[5]["base"] == 4
+    # the at-rest prune is O(files + deltas): v5 stores ONE added file
+    assert by_v[5].get("files_add") == ["part-k3-0000000.colf"]
     # and appends continue cleanly after the prune
     v = commit_snapshot(p, live + ["tail.colf"], expected_parent=v)
     assert load_snapshots(p)[-1]["version"] == v

@@ -187,11 +187,19 @@ def test_corrupt_log_raises_not_listing_fallback(colf_spark, tmp_path):
     _ints(colf_spark, 0, 20).repartition(4).write.format("colf") \
         .mode("overwrite").save(path)
     compact(colf_spark, path, 2, retain=True)
-    # corrupt one committed v2 log entry in place
+    # corrupt one committed v2 log entry in place — an OUT-OF-BAND
+    # mutation (no dir-mtime bump), so clear the process caches to
+    # model the fresh reader that encounters the torn file (the warm
+    # cache legitimately keeps serving the pre-corruption log)
+    from columnar_format_spark.colf.datasource import (_HEAD_CACHE,
+                                                       _LOG_RAW_CACHE)
+
     entries = sorted(n for n in os.listdir(log_dir(path))
                      if n.endswith(".json") and ".ckpt" not in n)
     with open(os.path.join(log_dir(path), entries[0]), "w") as f:
         f.write("{not json")
+    _LOG_RAW_CACHE.clear()
+    _HEAD_CACHE.clear()
     with pytest.raises(ColfFormatError, match="corrupt metadata log"):
         load_snapshots(path)
     with pytest.raises(Exception, match="corrupt metadata log"):
