@@ -1811,7 +1811,11 @@ def metadata_table(spark: SparkSession, path: str, kind: str):
     - ``snapshots``: one row per log commit — ``(version, ts,
       n_files, n_delete_files, staged, branch, data_change)``; staged
       WAP commits and branch commits appear flagged, exactly as the
-      CLI ``snapshots`` command annotates them.
+      CLI ``snapshots`` command annotates them. SUMMARY-ONLY by
+      construction (round-12): counts fold along the v2 delta chains
+      (snapshot_summaries), so the table is O(commits) driver-side
+      even at 10^5 files x 10^4 commits — full file lists for a
+      specific version come from materialize_log_versions on demand.
     - ``refs``: one row per named ref — ``(name, version)``.
 
     Everything here is metadata-sized (file count, commit count, ref
@@ -1824,13 +1828,13 @@ def metadata_table(spark: SparkSession, path: str, kind: str):
                                    LongType, StringType, StructField,
                                    StructType)
 
-    from .datasource import file_first_versions, live_files
+    from .datasource import (live_file_first_versions, live_files,
+                             snapshot_summaries)
     from .format import read_header
 
-    snaps = load_snapshots(path)
     if kind == "files":
         man = load_manifest(path)
-        fseq = file_first_versions(snaps)
+        fseq = live_file_first_versions(path)
         rows = []
         for f in live_files(path):
             b = os.path.basename(f)
@@ -1850,10 +1854,12 @@ def metadata_table(spark: SparkSession, path: str, kind: str):
             StructField("first_version", IntegerType(), True),
         ]))
     if kind == "snapshots":
-        rows = [(int(s["version"]), s.get("ts"), len(s["files"]),
-                 len(s.get("deletes") or []), bool(s.get("staged")),
-                 s.get("branch"), s.get("data_change"))
-                for s in snaps]
+        # summary fold — O(commits) even on a v2 log, never the
+        # O(commits x files) full-history materialization
+        rows = [(int(s["version"]), s["ts"], int(s["n_files"]),
+                 int(s["n_delete_files"]), s["staged"], s["branch"],
+                 s["data_change"])
+                for s in snapshot_summaries(path)]
         return local_df(spark, rows, StructType([
             StructField("version", IntegerType(), False),
             StructField("ts", DoubleType(), True),

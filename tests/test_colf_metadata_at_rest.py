@@ -177,3 +177,54 @@ def test_compact_log_refuses_concurrent_commit(tmp_path):
     r = compact_log(p, keep_last=2)
     assert r["head"] == 6
     assert load_snapshots(p)[-1]["files"] == ["a.colf", "late.colf"]
+
+
+def test_snapshot_summaries_never_materialize(big_log, monkeypatch):
+    """The snapshots metadata table's backing fold (round-12 verdict
+    item on metadata tables): O(commits) count arithmetic along the
+    delta chains — proven structurally by making full materialization
+    explode."""
+    from columnar_format_spark.colf.datasource import snapshot_summaries
+
+    p, live = big_log
+
+    def bomb(*a, **k):
+        raise AssertionError("snapshot_summaries materialized a "
+                             "file list")
+
+    monkeypatch.setattr(ds, "_materialize_entry", bomb)
+    rows = snapshot_summaries(p)
+    # versions may have been compacted by the earlier test in this
+    # module; every surviving row's count must be exact
+    assert rows, "no summaries"
+    for r in rows:
+        expect = r["version"] * FILES_PER_COMMIT
+        if r["version"] > N_COMMITS:       # the post-compaction append
+            expect = N_FILES + 1
+        assert r["n_files"] == expect, r
+        assert r["staged"] is False and r["branch"] is None
+
+
+def test_live_file_first_versions_matches_full_fold(tmp_path):
+    """The O(files + commits) raw fold must agree with the reference
+    full-history fold on a mixed history: appends, a staged WAP
+    commit, a vacuum prune with inherited_fseq-style carry."""
+    from columnar_format_spark.colf.datasource import (
+        file_first_versions, live_file_first_versions, write_snapshots)
+
+    p = str(tmp_path / "ds")
+    os.makedirs(p)
+    commit_snapshot(p, ["a.colf"])
+    commit_snapshot(p, ["a.colf", "b.colf"], expected_parent=1)
+    commit_snapshot(p, ["a.colf", "b.colf", "w.colf"], staged=True,
+                    added=["w.colf"])
+    commit_snapshot(p, ["a.colf", "b.colf", "c.colf"])
+    assert live_file_first_versions(p) == \
+        file_first_versions(load_snapshots(p))
+    # prune to the tail with a carried fseq — precedence must hold
+    kept = [s for s in load_snapshots(p) if s["version"] >= 4]
+    kept[0] = dict(kept[0], inherited_fseq={"a.colf": 1, "b.colf": 2})
+    write_snapshots(p, kept)
+    got = live_file_first_versions(p)
+    assert got == file_first_versions(load_snapshots(p))
+    assert got["a.colf"] == 1 and got["b.colf"] == 2
