@@ -18,7 +18,7 @@ sf0.1 sweep 198/198, plus a 50-query window sweep at sf0.1 with
 --dtypes (50/50) and per-query driver-style checks on every query
 added or changed mid-round (three full gate passes this round).
 
-Registry size: 213 queries (q01-q215, no q123/q205; the count is pinned
+Registry size: 214 queries (q01-q216, no q123/q205; the count is pinned
 live by tests/test_driver_ledger.py). Round-11 additions are q213
 (metadata-log migration: the v1 monolithic `_snapshots.json`/
 `_manifest.json`/`_blooms.json` metadata — O(table) bytes rewritten

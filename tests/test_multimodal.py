@@ -35,11 +35,23 @@ def test_extract_features_fake_codec(blobs):
         assert len(r["checksum"]) == 32
 
 
-def test_decode_stub_raises():
-    from columnar_format_spark.functions.multimodal import decode_image_stub
+def test_decode_image_dispatch():
+    """The former stub is a real dispatcher now (round-12): PNG and
+    P6 decode for real; DCT formats raise a NAMED error; junk raises
+    — never faked dimensions."""
+    import numpy as np
 
-    with pytest.raises(NotImplementedError):
-        decode_image_stub(b"\x00\x01")
+    from columnar_format_spark.functions.multimodal import (decode_image,
+                                                            encode_png,
+                                                            encode_ppm)
+
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    assert decode_image(encode_png(img)) == (6, 4)
+    assert decode_image(encode_ppm(img)) == (6, 4)
+    with pytest.raises(ValueError, match="JPEG"):
+        decode_image(b"\xff\xd8\xff\xe0junkjunk")
+    with pytest.raises(ValueError, match="unrecognized"):
+        decode_image(b"\x00\x01\x02\x03\x04\x05\x06\x07")
 
 
 def test_frame_sample(blobs):
@@ -67,12 +79,47 @@ def test_resize_images(blobs):
     assert all(bytes(r["resized"]) == again[r["doc_id"]] for r in rows)
 
 
-def test_resize_real_codec_hook_raises(blobs):
-    from columnar_format_spark.functions.multimodal import decode_image_stub
-    import pytest as _pytest
+def test_png_codec_roundtrip_filters_and_errors():
+    """The pure numpy+zlib PNG codec: exact pixel round-trip under
+    BOTH filter modes (mixed cycles all five PNG filter types), chunk
+    CRC enforcement, and named refusals for unsupported variants."""
+    import struct
+    import zlib
 
-    with _pytest.raises(NotImplementedError):
-        decode_image_stub(b"\x00")
+    import numpy as np
+
+    from columnar_format_spark.functions.multimodal import (PNG_SIG,
+                                                            _png_chunk,
+                                                            decode_png,
+                                                            encode_png)
+
+    rng = np.random.RandomState(42)
+    for h, w in [(1, 1), (2, 3), (7, 5), (16, 31), (9, 1), (6, 64)]:
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        for mode in ("mixed", "none"):
+            blob = encode_png(img, mode)
+            assert blob[:8] == PNG_SIG
+            dw, dh, dec = decode_png(blob)
+            assert (dw, dh) == (w, h)
+            assert np.array_equal(dec, img), (h, w, mode)
+    blob = encode_png(rng.randint(0, 256, (5, 7, 3), dtype=np.uint8))
+    # every single-byte corruption of the IDAT body must fail loudly
+    for off in (-20, -17, 40):
+        torn = bytearray(blob)
+        torn[off] ^= 0x01
+        with pytest.raises(ValueError):
+            decode_png(bytes(torn))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x89PNX" + blob[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(blob[:20])
+    # an unsupported variant (grayscale IHDR) is refused by NAME
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0)
+    gray = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(3 * 4)))
+            + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png(gray)
 
 
 def test_ppm_codec_roundtrip_and_errors():
