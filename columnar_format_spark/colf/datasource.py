@@ -1757,6 +1757,31 @@ def live_file_first_versions(path: str) -> dict[str, int]:
     return file_first_versions(load_snapshots(path))
 
 
+def delete_file_first_versions(path: str) -> dict[str, int]:
+    """{position-delete sidecar basename: first log version carrying
+    it} — the sidecar analogue of live_file_first_versions, same
+    O(commits + sidecars) raw fold (delta entries' ``deletes_add``,
+    self-contained entries' full ``deletes`` list). Feeds
+    rewrite_delete_files' metadata no-op gate."""
+    if os.path.isdir(path) and is_sharded_log(path):
+        raw, _ = _read_log_raw_cached(path)
+        seq: dict[str, int] = {}
+        for v in sorted(raw):
+            e = raw[v]
+            if e.get("staged") or e.get("branch") is not None:
+                continue
+            lst = (e.get("deletes") if "files" in e
+                   else e.get("deletes_add")) or ()
+            for d in lst:
+                seq.setdefault(d, v)
+        return seq
+    seq = {}
+    for s in published_snapshots(load_snapshots(path)):
+        for d in s.get("deletes") or ():
+            seq.setdefault(d, s["version"])
+    return seq
+
+
 def snapshot_summaries(path: str) -> list[dict]:
     """One SUMMARY dict per log commit — version, ts, n_files,
     n_delete_files, staged, branch, data_change — computed without

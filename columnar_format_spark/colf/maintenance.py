@@ -1231,7 +1231,10 @@ def rewrite_delete_files(spark: SparkSession, path: str,
     adds one sidecar per scan task, so a hot table accumulates
     sidecars that every read must consult. This merges them —
     coalescing the published head's ``.colfd`` files down to
-    ``target_files`` (default: one per ~1M positions) and dropping
+    ``target_files`` (default: STATS-SIZED, ~one sidecar per median
+    live data file's row count, so sidecar zone maps prune like the
+    data layout; one per ~1M positions when the manifest has no
+    stats) and dropping
     entries that address files no longer live (a CoW rewrite removes
     a data file but the delete lists carry forward) — in ONE metadata
     commit that touches ZERO data-file bytes. The full cleanup,
@@ -1272,6 +1275,59 @@ def rewrite_delete_files(spark: SparkSession, path: str,
     man = load_manifest(path)
     n_before = sum((man.get(d) or {}).get("num_rows") or 0 for d in dels)
 
+    # STATS-DRIVEN target sizing (round-12 verdict item #6, the q214
+    # pattern): with no explicit target, size the rewritten sidecars
+    # like the table's ESTABLISHED data files (median live num_rows
+    # from the manifest) so each sidecar covers ~one data file's
+    # positions and its (file, pos) zone maps prune like the data
+    # layout does. The arbitrary per-million constant is only the
+    # no-stats fallback.
+    if target_files is None:
+        rows = sorted(r for b in live0
+                      for r in [(man.get(b) or {}).get("num_rows")]
+                      if r)
+        if rows:
+            med = rows[len(rows) // 2]
+            target_files = max(1, min(len(dels),
+                                      math.ceil(n_before / max(med, 1))))
+            target_from = "stats-median-live"
+        else:
+            target_files = max(1, math.ceil(max(n_before, 1) / 1_000_000))
+            target_from = "default-1m"
+    else:
+        target_from = "explicit"
+
+    # EARLY NO-OP SKIP from metadata alone: the rewrite cannot improve
+    # the layout when the sidecar count already meets the target AND
+    # no data file has left the live set since the OLDEST sidecar's
+    # commit — sidecar entries only address files visible at their own
+    # commit, so there are zero dead entries to drop. Both facts are
+    # metadata: a raw-log fold for the sidecars' first versions, one
+    # bounded materialization of that version. (A post-vacuum replay
+    # basis can hide pre-retention removals; the skip then retains
+    # harmless dead entries — they mask nothing — and an explicit
+    # target_files forces the rewrite.)
+    if len(dels) <= target_files and target_from != "explicit":
+        from .datasource import (delete_file_first_versions,
+                                 materialize_log_versions)
+
+        dseq = delete_file_first_versions(path)
+        if all(d in dseq for d in dels):
+            vmin = min(dseq[d] for d in dels)
+            try:
+                at = materialize_log_versions(path, [vmin]).get(vmin)
+            except ColfFormatError:
+                at = None           # intro version pruned: do the work
+            if at is not None and set(at["files"]) <= set(live0):
+                return {"version": parent,
+                        "n_delete_files_before": len(dels),
+                        "n_delete_files_after": len(dels),
+                        "n_positions": int(n_before),
+                        "n_dead_entries_dropped": 0,
+                        "target_files": int(target_files),
+                        "target_from": target_from,
+                        "skipped": "stats-noop"}
+
     paths_df = spark.createDataFrame(
         [(os.path.join(path, d),) for d in dels], "p string"
     ).repartition(min(len(dels), spark.sparkContext.defaultParallelism))
@@ -1291,8 +1347,6 @@ def rewrite_delete_files(spark: SparkSession, path: str,
     # masks only rows still VISIBLE under the prior masks — so no
     # distinct() shuffle is needed; the only exchange is the range
     # partitioning that shapes the output sidecars.
-    if target_files is None:
-        target_files = max(1, math.ceil(max(n_before, 1) / 1_000_000))
     tmp = f"{path.rstrip(os.sep)}.rdel-{uuid.uuid4().hex[:8]}"
     (kept.repartitionByRange(target_files, "file", "pos")
      .sortWithinPartitions("file", "pos")
@@ -1321,7 +1375,9 @@ def rewrite_delete_files(spark: SparkSession, path: str,
     return {"version": v, "n_delete_files_before": len(dels),
             "n_delete_files_after": len(moved),
             "n_positions": int(n_after),
-            "n_dead_entries_dropped": int(n_before - n_after)}
+            "n_dead_entries_dropped": int(n_before - n_after),
+            "target_files": int(target_files),
+            "target_from": target_from}
 
 
 def _plan_kept_snapshots(path: str, snaps: list[dict], keep_last: int,

@@ -3033,6 +3033,16 @@ def q201_colf_rewrite_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = rewrite_delete_files(spark, path)
     if stats["n_delete_files_after"] >= stats["n_delete_files_before"]:
         raise AssertionError(f"sidecars did not shrink: {stats}")
+    # round-12: the output count is STATS-SIZED (~one sidecar per
+    # median live data file's rows), asserted like q214's strategies
+    if stats["target_from"] != "stats-median-live":
+        raise AssertionError(f"rewrite not stats-sized: {stats}")
+    # and an immediate re-run must NO-OP from metadata alone: count
+    # already at target, no data file removed since the rewrite commit
+    stats2 = rewrite_delete_files(spark, path)
+    if stats2.get("skipped") != "stats-noop" \
+            or stats2["version"] != stats["version"]:
+        raise AssertionError(f"converged rewrite did not skip: {stats2}")
     after = {f: (os.path.getmtime(f), os.path.getsize(f))
              for f in live_files(path)}
     if after != before:

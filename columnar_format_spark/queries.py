@@ -161,34 +161,27 @@ WINDOW_SIZE = 50
 
 # Queries whose plan, oracle, or underlying machinery changed this
 # round — they re-prove themselves in the driver window even when they
-# have recent green evidence. Round 11: the metadata layer is being
-# sharded (per-commit manifest deltas + compacted manifest list —
-# verdict r10 item #1), which touches the commit/plan path under every
-# DML, maintenance, time-travel, and CDC query; entries are added here
-# as each machinery change lands. The rest of the window backfills the
-# round-6 evidence cohort (verdict item #4).
+# have recent green evidence. Round 12: the commit publish went atomic
+# (tmp + os.link CAS) with in-place cache seeding and a materialized-
+# head cache; checkpoints compressed (.ckpt.jz); vacuum/migration
+# rewrites are delta-preserving; retention planning reads the metadata
+# view; the snapshots/files metadata tables fold summaries instead of
+# materializing history; rewrite_delete_files is stats-sized with a
+# metadata no-op gate; the merge NDV gate uses a row-capped product
+# for multi-column keys. The representative set re-proves driver-side
+# (the full registry is re-gated locally by the sf0.01/sf0.1 sweeps);
+# the REST of the window deliberately backfills the round-6/7
+# evidence cohort (r11 verdict item #3 — q88/q89/q92-q94 and the
+# 44-query r7 set lead the backfill by oldest-evidence order).
 CHANGED_THIS_ROUND = [
-    # the sharded metadata layer replaced the commit path (delta-log
-    # entries + sidecar shards) under every write/DML/maintenance/CDC
-    # operator — the representative set re-proves driver-side; the
-    # full registry is re-gated locally by the sf0.01/sf0.1 sweeps
-    "q70_colf_roundtrip",     # write path (also the r10 bench A/B target)
-    "q122_colf_time_travel",
-    "q134_colf_incremental_read",
-    "q148_colf_delete",
-    "q149_colf_merge",
-    "q184_colf_changelog",
-    "q186_colf_wap",
-    "q187_colf_branch",
-    "q188_colf_update",
-    "q189_colf_clustered_maintenance",
-    "q195_colf_mor_delete",
-    "q198_colf_eq_delete",    # (also the r10 bench A/B target)
-    "q200_colf_cdc_stream",
-    "q206_colf_orphan_cleanup",
-    "q209_colf_binpack",
-    "q211_colf_ndv_stats",
-    "q212_colf_cdf_replay",
+    "q70_colf_roundtrip",     # write/commit path (atomic publish)
+    "q122_colf_time_travel",  # materialize-on-demand paths
+    "q149_colf_merge",        # NDV-gate estimate change
+    "q200_colf_cdc_stream",   # changelog latestOffset raw-entry fold
+    "q201_colf_rewrite_deletes",  # stats-sized target + no-op gate
+    "q207_colf_metadata_tables",  # summary folds
+    "q213_colf_metadata_migration",  # shared delta-history encoder
+    "q214_colf_stats_planning",      # stats gate changes
 ]
 
 
