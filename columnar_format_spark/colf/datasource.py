@@ -295,8 +295,11 @@ def _read_log_raw_cached(path: str) -> tuple[dict, dict]:
     except OSError:
         return _read_log_raw(path)
     raw, ckpt = _read_log_raw(path)
-    if len(_LOG_RAW_CACHE) > 64:
-        _LOG_RAW_CACHE.clear()
+    while len(_LOG_RAW_CACHE) > 64:
+        # FIFO eviction (insertion-ordered dict): drop the oldest
+        # dataset, not the whole cache — a driver juggling >64
+        # datasets keeps its hot ones warm (round-11 verdict nit #4)
+        _LOG_RAW_CACHE.pop(next(iter(_LOG_RAW_CACHE)))
     _LOG_RAW_CACHE[os.path.realpath(path)] = (key, raw, ckpt)
     return raw, ckpt
 
@@ -591,8 +594,8 @@ def _head_cache_put(path: str, head: dict) -> None:
         st = os.stat(log_dir(path))
     except OSError:
         return
-    if len(_HEAD_CACHE) > 64:
-        _HEAD_CACHE.clear()
+    while len(_HEAD_CACHE) > 64:
+        _HEAD_CACHE.pop(next(iter(_HEAD_CACHE)))  # FIFO, not clear-all
     _HEAD_CACHE[os.path.realpath(path)] = (
         (st.st_mtime_ns, st.st_ino), head)
 
