@@ -19,7 +19,15 @@ sf0.1 sweep 198/198, plus a 50-query window sweep at sf0.1 with
 added or changed mid-round (three full gate passes this round).
 
 Registry size: 214 queries (q01-q216, no q123/q205; the count is pinned
-live by tests/test_driver_ledger.py). Round-11 additions are q213
+live by tests/test_driver_ledger.py). Round-12 additions are q215
+(metadata-log compaction: maintenance.compact_log bounds the log's
+at-rest entry count and cold-read cost by RETENTION — delta-preserving
+rewrite, compressed head checkpoint, loud out-of-retention time
+travel, CDF replay across the compacted basis all proven in-query)
+and q216 (real PNG codec: pure numpy+zlib encode/decode with all five
+PNG filter types and chunk-CRC corruption probes inside Arrow-batched
+mapInPandas — closes the multimodal tier's last stub).
+Round-11 additions are q213
 (metadata-log migration: the v1 monolithic `_snapshots.json`/
 `_manifest.json`/`_blooms.json` metadata — O(table) bytes rewritten
 per commit — migrates in place to the sharded v2 layout of per-commit
