@@ -149,6 +149,9 @@ HEADLINE = [
     # stats-driven maintenance planning
     "q213_colf_metadata_migration",
     "q214_colf_stats_planning",
+    # round-12 additions: metadata-log compaction + the PNG codec
+    "q215_colf_log_compaction",
+    "q216_multimodal_png",
 ]
 
 
