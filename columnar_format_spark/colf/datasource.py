@@ -1957,25 +1957,32 @@ def plan_changelog_partitions(path: str, v_from: int, v_to: int | None,
     planning: the log, the manifest (zone maps prune sidecars per data
     file), and file sequence numbers — no data file is opened on the
     driver, so planning cost is log-sized regardless of table size."""
-    snaps = load_snapshots(path)
-    if not snaps:
+    # Metadata-bounded planning (round 12): the version list, the
+    # retention check, fseq and the table schema all come from the
+    # RAW metadata view; only the versions the batch actually diffs —
+    # the (v_from, v_to] window plus its baseline — materialize their
+    # file lists. A tailing stream's per-trigger plan is O(commits +
+    # the batch's own files), not the O(commits x files) full-history
+    # fold this path paid before (it runs on EVERY micro-batch).
+    meta_entries = load_snapshots_meta(path)
+    if not meta_entries:
         raise ColfFormatError(
             f"readChangeFeed needs a dataset with a metadata log at "
             f"{path} (reference-writer/logless dirs have no commit "
             f"history to replay)")
-    pub = published_snapshots(snaps)
-    fseq = file_first_versions(snaps)
+    pub_vs = [s["version"] for s in meta_entries
+              if not s.get("staged") and s.get("branch") is None]
+    fseq = live_file_first_versions(path)
     manifest = load_manifest(path)
     evo = None
-    meta = current_table_schema(path, snaps=snaps)
+    meta = current_table_schema(path)
     if meta is not None:
         # CDC emits in the table's CURRENT shape (Delta CDF model):
         # historical commits' files resolve by field id
         evo = (tuple((f["id"], f["name"], f["type"])
                      for f in meta["fields"]),
                tuple(meta["name_mapping"].items()))
-    if v_from > 0 and pub and not any(s["version"] <= v_from
-                                      for s in pub):
+    if v_from > 0 and pub_vs and not any(v <= v_from for v in pub_vs):
         # the baseline commit was vacuum-pruned: diffing the first
         # retained snapshot against an EMPTY set would re-deliver the
         # whole retained live set as inserts — silent duplicates at a
@@ -1983,18 +1990,19 @@ def plan_changelog_partitions(path: str, v_from: int, v_to: int | None,
         # error; the consumer must re-bootstrap from a full read.
         raise ColfFormatError(
             f"startingVersion {v_from} predates the retained log at "
-            f"{path} (oldest published: {pub[0]['version']}): the "
+            f"{path} (oldest published: {pub_vs[0]}): the "
             f"baseline needed to diff against was vacuumed, so the "
             f"change feed cannot resume without re-delivering rows. "
             f"Re-bootstrap the consumer from a full snapshot read.")
+    baseline = max((v for v in pub_vs if v <= v_from), default=None)
+    window = [v for v in pub_vs if v > v_from
+              and (v_to is None or v <= v_to)]
+    need = ([baseline] if baseline is not None else []) + window
+    full = materialize_log_versions(path, need)
     parts: list = []
-    prev: dict | None = None
-    for s in pub:
-        if s["version"] <= v_from:
-            prev = s
-            continue
-        if v_to is not None and s["version"] > v_to:
-            break
+    prev = full[baseline] if baseline is not None else None
+    for v in window:
+        s = full[v]
         parts.extend(_commit_change_partitions(
             path, s, prev, fseq, manifest, skip_change_commits, evo))
         prev = s
@@ -2493,7 +2501,10 @@ def _resolve_timestamp_as_of(path: str, ts_opt: str) -> int:
             raise ColfFormatError(
                 f"timestampAsOf {ts_opt!r} is neither epoch seconds "
                 f"nor ISO YYYY-MM-DD[ HH:MM:SS]") from None
-    pub = published_snapshots(load_snapshots(path))
+    # version + ts are metadata keys — never materialize file lists
+    # just to resolve a timestamp
+    pub = [s_ for s_ in load_snapshots_meta(path)
+           if not s_.get("staged") and s_.get("branch") is None]
     cands = [s_ for s_ in pub
              if s_.get("ts") is not None and s_["ts"] <= cutoff]
     if not cands:
@@ -2623,45 +2634,52 @@ class ColfReader(DataSourceReader):
                 self.path, self.cdc_from, self.cdc_to,
                 self.skip_change_commits)
             return parts or [ColfInputPartition(None)]
+        # every branch below is metadata-BOUNDED (round 12): the live
+        # path reads only the cached/chain-walked head; time travel
+        # and incrementalFrom materialize exactly the one version they
+        # name; nothing on a batch-plan path folds the whole
+        # O(commits x files) history any more (this runs on EVERY
+        # scan plan).
         dels: list[str] = []
         eqs: list[dict] = []
-        all_snaps: list[dict] = []
         if self.snapshot is not None:
-            all_snaps = load_snapshots(self.path)
-            snaps = {s["version"]: s for s in all_snaps}
-            if self.snapshot not in snaps:
+            versions = sorted(s["version"]
+                              for s in load_snapshots_meta(self.path))
+            if self.snapshot not in versions:
                 raise ColfFormatError(
                     f"snapshot {self.snapshot} not found in {self.path} "
-                    f"(available: {sorted(snaps) or 'none'}); it may have "
+                    f"(available: {versions or 'none'}); it may have "
                     f"been vacuumed")
-            files = [os.path.join(self.path, b)
-                     for b in snaps[self.snapshot]["files"]]
+            snap = materialize_log_versions(
+                self.path, [self.snapshot])[self.snapshot]
+            files = [os.path.join(self.path, b) for b in snap["files"]]
             missing = [f for f in files if not os.path.exists(f)]
             if missing:
                 raise ColfFormatError(
                     f"snapshot {self.snapshot} references vacuumed files: "
                     f"{[os.path.basename(f) for f in missing]}")
-            dels = snaps[self.snapshot].get("deletes") or []
-            eqs = snaps[self.snapshot].get("eq_deletes") or []
+            dels = snap.get("deletes") or []
+            eqs = snap.get("eq_deletes") or []
         else:
             files = live_files(self.path)
-            all_snaps = load_snapshots(self.path)
-            pub = published_snapshots(all_snaps)
-            head = pub[-1] if pub else None
+            head = head_snapshot(self.path)
             dels = (head.get("deletes") or []) if head else []
             eqs = (head.get("eq_deletes") or []) if head else []
         # equality deletes mask by SEQUENCE: only files first committed
         # before the delete's version are affected (a later append may
         # legally re-introduce matching rows)
-        file_seq = file_first_versions(all_snaps) if eqs else {}
+        file_seq = live_file_first_versions(self.path) if eqs else {}
         if self.incremental_from is not None:
-            snaps = {s["version"]: s for s in load_snapshots(self.path)}
-            if self.incremental_from not in snaps:
+            versions = sorted(s["version"]
+                              for s in load_snapshots_meta(self.path))
+            if self.incremental_from not in versions:
                 raise ColfFormatError(
                     f"incrementalFrom version {self.incremental_from} not "
                     f"found in {self.path} (available: "
-                    f"{sorted(snaps) or 'none'})")
-            seen = set(snaps[self.incremental_from]["files"])
+                    f"{versions or 'none'})")
+            seen = set(materialize_log_versions(
+                self.path,
+                [self.incremental_from])[self.incremental_from]["files"])
             files = [f for f in files if os.path.basename(f) not in seen]
         if self.only_files is not None:
             unknown = self.only_files - {os.path.basename(f) for f in files}
@@ -2680,8 +2698,7 @@ class ColfReader(DataSourceReader):
         # read's snapshot (time travel sees the schema of its era) and
         # carry it on every partition; None keeps the by-name fast path
         evo = None
-        meta = current_table_schema(self.path, at_version=self.snapshot,
-                                    snaps=all_snaps)
+        meta = current_table_schema(self.path, at_version=self.snapshot)
         if meta is not None:
             evo = (tuple((f["id"], f["name"], f["type"])
                          for f in meta["fields"]),
@@ -3996,14 +4013,14 @@ class ColfWriter(DataSourceArrowWriter):
                 raise ColfFormatError(
                     f"branch '{self.branch}' disappeared from "
                     f"{self.path} between plan and commit")
-            snaps = load_snapshots(self.path)
-            by_v = {s["version"]: s for s in snaps}
-            head = by_v.get(ref["version"])
-            if head is None:
+            meta = load_snapshots_meta(self.path)
+            if not any(s["version"] == ref["version"] for s in meta):
                 raise ColfFormatError(
                     f"branch '{self.branch}' head version "
                     f"{ref['version']} was vacuumed from the log")
-            parent = snaps[-1]["version"] if snaps else 0
+            head = materialize_log_versions(
+                self.path, [ref["version"]])[ref["version"]]
+            parent = meta[-1]["version"] if meta else 0
             prior = list(head["files"])
             # a branch commit inherits delete state from the BRANCH
             # HEAD (the fork-point snapshot on the first branch
@@ -4018,8 +4035,8 @@ class ColfWriter(DataSourceArrowWriter):
             branch_deletes = list(head.get("deletes") or [])
             branch_eq_deletes = list(head.get("eq_deletes") or [])
         else:
-            snaps = load_snapshots(self.path)
-            parent = snaps[-1]["version"] if snaps else 0
+            meta = load_snapshots_meta(self.path)
+            parent = meta[-1]["version"] if meta else 0
             prior = [os.path.basename(f) for f in live_files(self.path)]
         if self.overwrite and os.path.isdir(self.path):
             for f in os.listdir(self.path):
@@ -4555,9 +4572,11 @@ class ColfStreamArrowWriter(DataSourceStreamArrowWriter):
             _merge_bloom_sidecar(self.path, messages)
             # every micro-batch is a metadata-log commit too, so batch
             # readers can time-travel across stream appends; the CAS
-            # parent makes a concurrent batch writer fail loudly
-            snaps = load_snapshots(self.path)
-            parent = snaps[-1]["version"] if snaps else 0
+            # parent makes a concurrent batch writer fail loudly.
+            # Metadata view only — a per-micro-batch full history
+            # fold would make sink latency grow with table age.
+            meta = load_snapshots_meta(self.path)
+            parent = meta[-1]["version"] if meta else 0
             commit_snapshot(self.path, [
                 os.path.basename(f) for f in live_files(self.path)
             ] + [os.path.basename(f) for f in batch_files],
@@ -4615,8 +4634,12 @@ class ColfDataSource(DataSource):
             # the identical reason)
             snap_opt = _resolve_timestamp_as_of(path, ts_opt)
         if snap_opt is not None:
-            snaps = {s["version"]: s for s in load_snapshots(path)}
-            snap = snaps.get(int(snap_opt))
+            # materialize only the named version (bounded chain walk);
+            # a missing version keeps the reader's own not-found error
+            vs = {s["version"] for s in load_snapshots_meta(path)}
+            snap = (materialize_log_versions(
+                path, [int(snap_opt)])[int(snap_opt)]
+                if int(snap_opt) in vs else None)
             files = ([os.path.join(path, b) for b in snap["files"]]
                      if snap else [])
         else:

@@ -257,3 +257,44 @@ def test_cdc_refuses_vacuumed_baseline(colf_spark, ds):
     rows = _cdc(colf_spark, ds, startingVersion=0).collect()
     assert all(r["_change_type"] == "insert" for r in rows)
     assert len(rows) == 260
+
+
+def test_changelog_planning_is_metadata_bounded(colf_spark, ds,
+                                                monkeypatch):
+    """Round 12: a changelog plan materializes ONLY the batch window's
+    versions + its baseline — never the full O(commits x files)
+    history fold (it runs on every micro-batch poll). Pinned
+    structurally: full-history load_snapshots bombs, the plan still
+    works, and the materialize call asks for exactly the needed
+    versions."""
+    import columnar_format_spark.colf.datasource as dsm
+    from columnar_format_spark.colf.datasource import (
+        materialize_log_versions, plan_changelog_partitions)
+
+    for lo in (200, 240, 280):
+        _df(colf_spark, lo, lo + 40).coalesce(1).write.format("colf") \
+            .mode("append").save(ds)
+    head = load_snapshots(ds)[-1]["version"]
+    assert head == 4
+
+    asked = []
+    real = materialize_log_versions
+
+    def spying(path, versions):
+        asked.append(sorted(versions))
+        return real(path, versions)
+
+    def bomb(path):
+        raise AssertionError("changelog plan folded the full history")
+
+    monkeypatch.setattr(dsm, "materialize_log_versions", spying)
+    monkeypatch.setattr(dsm, "load_snapshots", bomb)
+    # a tailing trigger: one new commit against its baseline
+    parts = plan_changelog_partitions(ds, head - 1, head)
+    assert asked == [[head - 1, head]]
+    assert parts, "the tail commit's insert partitions are missing"
+    # and a bootstrap from 0 asks for every published version once
+    asked.clear()
+    parts0 = plan_changelog_partitions(ds, 0, None)
+    assert asked == [[1, 2, 3, 4]]
+    assert len(parts0) >= len(parts)
