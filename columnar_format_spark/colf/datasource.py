@@ -304,6 +304,19 @@ def _read_log_raw_cached(path: str) -> tuple[dict, dict]:
     return raw, ckpt
 
 
+def _encode_log_member(name: str, obj) -> bytes:
+    """The on-disk encoding of a _log/ member, decided by its NAME:
+    zlib-compressed compact JSON for `.jz` checkpoints, plain JSON
+    otherwise — _load_log_member's exact inverse, shared by the live
+    writer (_write_log_member) and migrate_log's staging loop so the
+    wire format cannot drift between them."""
+    import json
+    import zlib
+
+    blob = json.dumps(obj, separators=(",", ":")).encode("utf-8")
+    return zlib.compress(blob) if name.endswith(".jz") else blob
+
+
 def _load_log_member(full: str) -> dict:
     """Parse one _log/ member by its on-disk encoding: zlib JSON for
     `.jz` (checkpoints), plain JSON otherwise. Raises OSError /
@@ -503,16 +516,29 @@ def load_snapshots_meta(path: str) -> list[dict]:
     return load_snapshots(path)
 
 
-def materialize_log_versions(path: str, versions) -> dict[int, dict]:
+def materialize_log_versions(path: str, versions,
+                             skip_broken: bool = False) -> dict[int, dict]:
     """{version: fully-materialized snapshot entry} for the requested
     versions only — one shared memoized fold, so a contiguous tail
-    costs one chain walk, not one per version."""
+    costs one chain walk, not one per version.
+
+    ``skip_broken=True`` drops versions whose base chain was pruned
+    mid-vacuum (the same orphan tolerance load_snapshots has, minus
+    its head-must-materialize rule, which is the caller's to enforce)
+    instead of raising — retention planning and summaries must keep
+    working on a dataset whose recovery is 'run vacuum again'."""
     versions = list(versions)
     if os.path.isdir(path) and is_sharded_log(path):
         raw, ckpt = _read_log_raw_cached(path)
         memo: dict = {}
-        return {v: _materialize_entry(v, raw, ckpt, memo)
-                for v in versions}
+        out: dict[int, dict] = {}
+        for v in versions:
+            try:
+                out[v] = _materialize_entry(v, raw, ckpt, memo)
+            except ColfFormatError:
+                if not skip_broken:
+                    raise
+        return out
     want = set(versions)
     return {s["version"]: s for s in load_snapshots(path)
             if s["version"] in want}
@@ -577,27 +603,39 @@ def _invalidate_log_cache(path: str) -> None:
 _HEAD_CACHE: dict[str, tuple] = {}
 
 
-def _head_cache_get(path: str) -> dict | None:
-    d = log_dir(path)
+def _log_dir_key(path: str):
+    """The (mtime_ns, ino) cache key of the _log dir RIGHT NOW, or
+    None when it does not exist."""
     try:
-        st = os.stat(d)
+        st = os.stat(log_dir(path))
     except OSError:
         return None
+    return (st.st_mtime_ns, st.st_ino)
+
+
+def _head_cache_get(path: str) -> dict | None:
+    key = _log_dir_key(path)
+    if key is None:
+        return None
     hit = _HEAD_CACHE.get(os.path.realpath(path))
-    if hit is not None and hit[0] == (st.st_mtime_ns, st.st_ino):
+    if hit is not None and hit[0] == key:
         return hit[1]
     return None
 
 
-def _head_cache_put(path: str, head: dict) -> None:
-    try:
-        st = os.stat(log_dir(path))
-    except OSError:
+def _head_cache_put(path: str, head: dict, key) -> None:
+    """Store under a key the CALLER captured BEFORE computing the
+    head: a cross-process commit landing mid-compute then simply makes
+    the entry stale-keyed (next read recomputes) instead of pinning an
+    outdated head under the post-commit key — the stat-before-read
+    discipline _read_log_raw_cached follows. The commit path passes a
+    key captured right after its own append (its residual window is
+    the same one-tick the raw-cache seed documents)."""
+    if key is None:
         return
     while len(_HEAD_CACHE) > 64:
         _HEAD_CACHE.pop(next(iter(_HEAD_CACHE)))  # FIFO, not clear-all
-    _HEAD_CACHE[os.path.realpath(path)] = (
-        (st.st_mtime_ns, st.st_ino), head)
+    _HEAD_CACHE[os.path.realpath(path)] = (key, head)
 
 
 def _copy_snapshot_entry(e: dict) -> dict:
@@ -614,7 +652,6 @@ def _copy_snapshot_entry(e: dict) -> dict:
 
 
 def _write_log_member(path: str, name: str, obj, excl: bool) -> None:
-    import json
     import uuid as _uuid
 
     d = log_dir(path)
@@ -634,8 +671,8 @@ def _write_log_member(path: str, name: str, obj, excl: bool) -> None:
         # head entry that poisons every subsequent read.
         tmp = os.path.join(d, ".tmp-" + _uuid.uuid4().hex)
         try:
-            with open(tmp, "w") as f:
-                json.dump(obj, f)
+            with open(tmp, "wb") as f:
+                f.write(_encode_log_member(name, obj))
             os.link(tmp, target)
         finally:
             try:
@@ -644,15 +681,8 @@ def _write_log_member(path: str, name: str, obj, excl: bool) -> None:
                 pass
     else:
         tmp = target + ".tmp-" + _uuid.uuid4().hex[:8]
-        if name.endswith(".jz"):
-            import zlib
-
-            with open(tmp, "wb") as f:
-                f.write(zlib.compress(
-                    json.dumps(obj, separators=(",", ":")).encode("utf-8")))
-        else:
-            with open(tmp, "w") as f:
-                json.dump(obj, f)
+        with open(tmp, "wb") as f:
+            f.write(_encode_log_member(name, obj))
         os.rename(tmp, target)
 
 
@@ -791,12 +821,25 @@ def write_snapshots(path: str, snaps: list[dict]) -> None:
         os.makedirs(d, exist_ok=True)
         for name, obj in keep_data.items():
             _write_log_member(path, name, obj, excl=False)
+        import time as _time
+
         for n in os.listdir(d):
-            stale_tmp = ".tmp-" in n   # crashed writer's leftover
-            if ((_parse_log_name(n) is not None and n not in keep_data)
-                    or stale_tmp):
+            full = os.path.join(d, n)
+            if ".tmp-" in n:
+                # a crashed writer's leftover — but ONLY past a grace
+                # period: the dataset lock is in-process, so another
+                # PROCESS may be mid-atomic-publish right now, and
+                # sweeping its seconds-old tmp would fail its os.link
+                # with an un-retryable FileNotFoundError
                 try:
-                    os.remove(os.path.join(d, n))
+                    if _time.time() - os.path.getmtime(full) > 3600:
+                        os.remove(full)
+                except OSError:
+                    pass
+                continue
+            if _parse_log_name(n) is not None and n not in keep_data:
+                try:
+                    os.remove(full)
                 except OSError:
                     pass
         _invalidate_log_cache(path)
@@ -1187,10 +1230,11 @@ def _commit_snapshot_locked(path, live_files, reset, expected_parent,
         # Branch commits just drop the cache (head unchanged but the
         # re-key is not worth special-casing a rare path — the next
         # head read is the bounded cold walk).
+        key_now = _log_dir_key(path)
         if not staged and branch is None:
-            _head_cache_put(path, entry)
+            _head_cache_put(path, entry, key_now)
         elif staged and base_entry is not None:
-            _head_cache_put(path, base_entry)
+            _head_cache_put(path, base_entry, key_now)
     else:
         meta.append(entry)
         write_snapshots(path, meta)
@@ -1293,12 +1337,13 @@ def head_snapshot(path: str) -> dict | None:
         h = _head_cache_get(path)
         if h is not None:
             return _copy_snapshot_entry(h)
+        key0 = _log_dir_key(path)   # BEFORE reading (see _head_cache_put)
         cached = _log_raw_cache_hit(path)
         if cached is None and os.path.isdir(log_dir(path)):
             got = _head_snapshot_cold(path)
             if got is not _NO_SHARDED:
                 if got is not None:
-                    _head_cache_put(path, got)
+                    _head_cache_put(path, got, key0)
                     return _copy_snapshot_entry(got)
                 return None
         elif cached is not None and cached[0]:
@@ -1309,7 +1354,7 @@ def head_snapshot(path: str) -> dict | None:
             if not pub:
                 return None
             got = _materialize_entry(pub[-1], raw, ckpt, {})
-            _head_cache_put(path, got)
+            _head_cache_put(path, got, key0)
             return _copy_snapshot_entry(got)
     pub = published_snapshots(load_snapshots(path))
     return pub[-1] if pub else None
@@ -1836,7 +1881,15 @@ def snapshot_summaries(path: str) -> list[dict]:
     out = []
     for v in sorted(raw):
         e = raw[v]
-        nf, nd = count(v)
+        try:
+            nf, nd = count(v)
+        except ColfFormatError:
+            # orphaned entry (interrupted vacuum pruned its base):
+            # load_snapshots skips these too — the head must still
+            # count, matching its head-must-materialize rule
+            if v == max(raw):
+                raise
+            continue
         out.append({"version": v, "ts": e.get("ts"), "n_files": nf,
                     "n_delete_files": nd,
                     "staged": bool(e.get("staged")),

@@ -200,19 +200,15 @@ def _key_ndv_estimate(path: str, key_cols) -> float | None:
     from .format import ColfFormatError
 
     try:
-        nd = table_ndv(path, columns=list(key_cols))
+        nd, total_rows = table_ndv(path, columns=list(key_cols),
+                                   include_rows=True)
     except (ValueError, ColfFormatError):
         return None
     est = 1.0
     for v in nd.values():
         est *= max(v["estimate"], 1.0)
-    man = load_manifest(path)
-    from .datasource import live_files
-
-    rows = [(man.get(os.path.basename(f)) or {}).get("num_rows")
-            for f in live_files(path)]
-    if rows and all(r is not None for r in rows):
-        est = min(est, float(max(sum(rows), 1)))
+    if total_rows is not None:
+        est = min(est, float(max(total_rows, 1)))
     return est
 
 
@@ -251,22 +247,14 @@ def migrate_log(path: str) -> dict:
                 f"through the connector first)")
         staging = log_dir(path) + f".tmp-{uuid.uuid4().hex[:8]}"
         os.makedirs(staging)
-        import json as _json
-        import zlib as _zlib
-
         # re-derive each entry's delta against its lineage base —
-        # identical base choice to the live commit path (shared with
-        # write_snapshots' vacuum rewrite)
-        from .datasource import _delta_encode_history
+        # identical base choice AND wire encoding to the live commit
+        # path (shared with write_snapshots' vacuum rewrite)
+        from .datasource import _delta_encode_history, _encode_log_member
 
         for name, obj in _delta_encode_history(snaps).items():
-            if name.endswith(".jz"):
-                with open(os.path.join(staging, name), "wb") as f:
-                    f.write(_zlib.compress(_json.dumps(
-                        obj, separators=(",", ":")).encode("utf-8")))
-            else:
-                with open(os.path.join(staging, name), "w") as f:
-                    _json.dump(obj, f)
+            with open(os.path.join(staging, name), "wb") as f:
+                f.write(_encode_log_member(name, obj))
         os.rename(staging, log_dir(path))  # the adoption point
         try:
             os.remove(snapshots_path(path))
@@ -1298,27 +1286,30 @@ def rewrite_delete_files(spark: SparkSession, path: str,
         target_from = "explicit"
 
     # EARLY NO-OP SKIP from metadata alone: the rewrite cannot improve
-    # the layout when the sidecar count already meets the target AND
-    # no data file has left the live set since the OLDEST sidecar's
-    # commit — sidecar entries only address files visible at their own
-    # commit, so there are zero dead entries to drop. Both facts are
-    # metadata: a raw-log fold for the sidecars' first versions, one
-    # bounded materialization of that version. (A post-vacuum replay
-    # basis can hide pre-retention removals; the skip then retains
-    # harmless dead entries — they mask nothing — and an explicit
-    # target_files forces the rewrite.)
+    # the layout when the sidecar count already meets the target AND,
+    # for EVERY sidecar, no data file visible at ITS OWN commit has
+    # since left the live set — sidecar entries only address files
+    # visible at their commit, so that per-sidecar check proves zero
+    # dead entries (checking only the oldest sidecar would miss a
+    # later sidecar masking a file a CoW rewrite then removed). All
+    # metadata: a raw-log fold for the sidecars' first versions plus
+    # one shared materialization of those versions, bounded by the
+    # (already <= target) sidecar count. (A post-vacuum replay basis
+    # can hide pre-retention removals; the skip then retains harmless
+    # dead entries — they mask nothing — and an explicit target_files
+    # forces the rewrite.)
     if len(dels) <= target_files and target_from != "explicit":
         from .datasource import (delete_file_first_versions,
                                  materialize_log_versions)
 
         dseq = delete_file_first_versions(path)
         if all(d in dseq for d in dels):
-            vmin = min(dseq[d] for d in dels)
-            try:
-                at = materialize_log_versions(path, [vmin]).get(vmin)
-            except ColfFormatError:
-                at = None           # intro version pruned: do the work
-            if at is not None and set(at["files"]) <= set(live0):
+            need = sorted({dseq[d] for d in dels})
+            ats = materialize_log_versions(path, need, skip_broken=True)
+            live_set = set(live0)
+            if (all(v in ats for v in need)   # pruned intro: do the work
+                    and all(set(ats[v]["files"]) <= live_set
+                            for v in need)):
                 return {"version": parent,
                         "n_delete_files_before": len(dels),
                         "n_delete_files_after": len(dels),
@@ -1428,11 +1419,22 @@ def _plan_kept_snapshots(path: str, snaps: list[dict], keep_last: int,
     if extra:
         kept = sorted(extra + kept, key=lambda s: s["version"])
     # the survivors are decided — materialize exactly them (a no-op
-    # for already-materialized v1 entries)
+    # for already-materialized v1 entries). skip_broken: an entry
+    # orphaned by an interrupted vacuum simply stays pruned — the
+    # recovery for that state IS re-running vacuum/compact_log, so
+    # the planner must tolerate it (load_snapshots' rule); the head
+    # itself failing to materialize is real corruption and raises.
     from .datasource import materialize_log_versions
+    from .format import ColfFormatError
 
-    full = materialize_log_versions(path, [s["version"] for s in kept])
-    kept = [full[s["version"]] for s in kept]
+    kept_vs = [s["version"] for s in kept]
+    full = materialize_log_versions(path, kept_vs, skip_broken=True)
+    if kept_vs and max(kept_vs) not in full:
+        raise ColfFormatError(
+            f"the head snapshot {max(kept_vs)} at {path} does not "
+            f"materialize (broken base chain); restore the missing "
+            f"log entries")
+    kept = [full[v] for v in kept_vs if v in full]
     # the partition spec is carried by the snapshot that ADOPTED it —
     # often older than the retention horizon. Expiring that snapshot
     # must not lose the spec (appends would stop inheriting and
@@ -1486,7 +1488,7 @@ def _plan_kept_snapshots(path: str, snaps: list[dict], keep_last: int,
             from .datasource import file_first_versions
 
             hist = materialize_log_versions(
-                path, [s["version"] for s in snaps])
+                path, [s["version"] for s in snaps], skip_broken=True)
             true_fseq = file_first_versions(
                 [hist[v] for v in sorted(hist)])
             kept_files = {b for s in kept for b in s["files"]}
@@ -1803,7 +1805,8 @@ def drop_constraint(path: str, name: str) -> None:
         write_constraints(path, cur)
 
 
-def table_ndv(path: str, columns: list[str] | None = None) -> dict:
+def table_ndv(path: str, columns: list[str] | None = None,
+              include_rows: bool = False):
     """Distinct-value estimates for the table's sketch-carrying
     columns, from METADATA alone (the Iceberg Puffin theta-sketch
     role): per-file KMV sketches recorded by the writer
@@ -1820,8 +1823,9 @@ def table_ndv(path: str, columns: list[str] | None = None) -> dict:
     from .datasource import kmv_merge_estimate, live_files
 
     man = load_manifest(path)
+    live = live_files(path)
     live_kmv = [(man.get(os.path.basename(f)) or {}).get("kmv") or {}
-                for f in live_files(path)]
+                for f in live]
     # fold PHYSICAL sketch keys onto the current table schema's names
     # (field-ID rule): a renamed column's old- and new-era sketches
     # merge under the new name (the values — hence the hashes — are
@@ -1851,7 +1855,17 @@ def table_ndv(path: str, columns: list[str] | None = None) -> dict:
         raise ValueError(
             f"columns {sorted(missing)} lack sketches in some live "
             f"files at {path}; rewrite them (compact) to backfill")
-    return {c: kmv_merge_estimate(sk) for c, sk in per_col.items()}
+    nd = {c: kmv_merge_estimate(sk) for c, sk in per_col.items()}
+    if include_rows:
+        # the live row total from the SAME manifest walk (None when
+        # any live file lacks stats) — callers capping NDV estimates
+        # must not pay a second O(table) manifest parse for it
+        rows = [(man.get(os.path.basename(f)) or {}).get("num_rows")
+                for f in live]
+        total = (int(sum(rows)) if rows and all(r is not None
+                                                for r in rows) else None)
+        return nd, total
+    return nd
 
 
 def metadata_table(spark: SparkSession, path: str, kind: str):

@@ -448,13 +448,21 @@ def decode_png(blob: bytes):
         pos += 12 + length
     if ihdr is None:
         raise ValueError("PNG without IHDR")
+    if not idat:
+        raise ValueError("PNG without IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
     if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
         raise ValueError(
             f"unsupported PNG variant (depth={depth} color={color} "
             f"interlace={interlace}); this decoder covers 8-bit "
             f"truecolor non-interlaced")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # the contract is ValueError for every malformed input — a
+        # CRC-intact but non-zlib IDAT must not leak zlib.error
+        # through decode_image into Arrow-batch tasks
+        raise ValueError(f"PNG IDAT is not a zlib stream: {exc}") from exc
     bpp, stride = 3, w * 3
     if len(raw) != h * (stride + 1):
         raise ValueError(

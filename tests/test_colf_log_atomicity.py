@@ -38,19 +38,19 @@ def test_crashed_dump_leaves_no_torn_published_entry(tmp_path, monkeypatch):
     p = str(tmp_path / "ds")
     _bootstrap(p, ["a.colf"])
 
-    real_dump = json.dump
+    import columnar_format_spark.colf.datasource as ds
+
     calls = {"n": 0}
 
-    def torn_dump(obj, f, **kw):
+    def torn_encode(name, obj):
         calls["n"] += 1
-        f.write('{"version": 2, "fi')  # partial bytes, then die
         raise OSError("simulated crash mid-serialize")
 
-    monkeypatch.setattr(json, "dump", torn_dump)
+    monkeypatch.setattr(ds, "_encode_log_member", torn_encode)
     with pytest.raises(OSError, match="mid-serialize"):
         commit_snapshot(p, ["a.colf", "b.colf"], expected_parent=1)
-    monkeypatch.setattr(json, "dump", real_dump)
-    assert calls["n"] == 1
+    monkeypatch.undo()
+    assert calls["n"] == 1  # the encoder died exactly once, mid-commit
 
     # the published name must not exist; no member of _log/ is torn
     members = os.listdir(log_dir(p))
@@ -91,14 +91,22 @@ def test_stale_tmp_is_ignored_by_readers_and_swept_by_vacuum(tmp_path):
     _bootstrap(p, ["a.colf"])
     # a crashed writer's leftovers: hidden tmp + the rename-path's tmp
     for n in (".tmp-deadbeef", "v000000000009.json.tmp-deadbeef"):
-        with open(os.path.join(log_dir(p), n), "w") as f:
+        full = os.path.join(log_dir(p), n)
+        with open(full, "w") as f:
             f.write('{"version": 9, "fi')  # torn — must never parse
+        os.utime(full, (1, 1))             # crashed long ago
+    # plus a FRESH tmp: another process mid-atomic-publish RIGHT NOW —
+    # the sweep must leave it alone or its os.link dies
+    fresh = os.path.join(log_dir(p), ".tmp-inflight")
+    with open(fresh, "w") as f:
+        f.write('{"version": 2, "fi')
     assert [s["version"] for s in load_snapshots(p)] == [1]
     assert head_snapshot(p)["files"] == ["a.colf"]
-    # the full-rewrite path (vacuum/migration) sweeps stale tmps
+    # the full-rewrite path (vacuum/migration) sweeps tmps past the
+    # grace period only
     write_snapshots(p, load_snapshots(p))
     left = [n for n in os.listdir(log_dir(p)) if ".tmp-" in n]
-    assert left == []
+    assert left == [".tmp-inflight"]
 
 
 def test_cas_still_detects_concurrent_commit_and_cleans_tmp(tmp_path):

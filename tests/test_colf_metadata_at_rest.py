@@ -228,3 +228,36 @@ def test_live_file_first_versions_matches_full_fold(tmp_path):
     got = live_file_first_versions(p)
     assert got == file_first_versions(load_snapshots(p))
     assert got["a.colf"] == 1 and got["b.colf"] == 2
+
+
+def test_orphaned_entries_tolerated_by_summaries_and_retention(tmp_path):
+    """Interrupted-vacuum recovery (round-12 review finding): entries
+    whose base chain was pruned mid-vacuum must not fail the snapshots
+    summary fold, and the recovery vacuum/compact_log itself must plan
+    around them — load_snapshots' orphan tolerance, everywhere."""
+    from columnar_format_spark.colf.datasource import (
+        _log_entry_name, snapshot_summaries, write_snapshots)
+
+    p = str(tmp_path / "ds")
+    os.makedirs(p)
+    v = commit_snapshot(p, ["a.colf"])
+    for i in range(4):
+        v = commit_snapshot(p, [f"a.colf", f"b{i}.colf"],
+                            expected_parent=v)
+    # prune to the tail, then fake the interrupted state: a leftover
+    # delta entry whose base (v1) no longer exists
+    write_snapshots(p, [s for s in load_snapshots(p)
+                        if s["version"] >= 4])
+    orphan = os.path.join(log_dir(p), _log_entry_name(2))
+    with open(orphan, "w") as f:
+        json.dump({"version": 2, "base": 1, "files_add": ["x.colf"]}, f)
+    ds._invalidate_log_cache(p)
+
+    assert [s["version"] for s in load_snapshots(p)] == [4, 5]
+    # summaries: orphan skipped, not fatal (metadata_table backing)
+    assert [r["version"] for r in snapshot_summaries(p)] == [4, 5]
+    # retention planning spanning the orphan: drops it and succeeds
+    r = compact_log(p, keep_last=4)
+    assert [s["version"] for s in load_snapshots(p)] == [4, 5]
+    assert not os.path.exists(orphan)   # the recovery pruned it
+    assert r["kept"] == 2
