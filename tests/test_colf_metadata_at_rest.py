@@ -261,3 +261,137 @@ def test_orphaned_entries_tolerated_by_summaries_and_retention(tmp_path):
     assert [s["version"] for s in load_snapshots(p)] == [4, 5]
     assert not os.path.exists(orphan)   # the recovery pruned it
     assert r["kept"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-resolved carried metadata (round-12 verdict item #3): the
+# current_* getters (spec / sort / cluster / table_schema) on a COLD
+# cache must open O(entries since the newest checkpoint), never the
+# whole raw log — checkpoints store the getters' reverse-scan result
+# as-of their version under "resolved_meta".
+# ---------------------------------------------------------------------------
+
+META_COMMITS = 66   # three checkpoints (20/40/60) + a 6-entry tail
+
+
+@pytest.fixture(scope="module")
+def meta_log(tmp_path_factory):
+    from columnar_format_spark.colf.datasource import commit_snapshot
+
+    p = str(tmp_path_factory.mktemp("meta-cold") / "ds")
+    os.makedirs(p)
+    schema = {"fields": [{"id": 1, "name": "a", "type": "int32"}],
+              "name_mapping": {"a": 1}}
+    live, v = [], None
+    for i in range(1, META_COMMITS + 1):
+        live = live + [f"f-{i:03d}.colf"]
+        kw = {}
+        if i == 7:
+            kw["spec"] = ["region"]
+        if i == 9:
+            kw["sort"] = ["ts"]
+        if i == 33:
+            kw["table_schema"] = schema
+        v = commit_snapshot(p, live, expected_parent=v, **kw)
+    # unpublished tail: staged + branch commits must neither answer
+    # the getters nor break the bounded walk
+    commit_snapshot(p, live + ["w.colf"], staged=True, added=["w.colf"])
+    commit_snapshot(p, live + ["b.colf"], branch="dev", added=["b.colf"])
+    return p, schema
+
+
+def test_cold_meta_getters_opens_are_bounded(meta_log, monkeypatch):
+    """THE bound: each cold current_* getter opens at most the entries
+    since the newest checkpoint plus that checkpoint — at 10^5 commits
+    the old full reverse scan would be 10^5 opens per getter."""
+    from columnar_format_spark.colf.datasource import (
+        current_clustering, current_partition_spec, current_sort_order,
+        current_table_schema)
+
+    p, schema = meta_log
+    real = ds._load_log_member
+
+    def counting(full):
+        opens.append(os.path.basename(full))
+        return real(full)
+
+    monkeypatch.setattr(ds, "_load_log_member", counting)
+    for getter, want in ((current_partition_spec, ["region"]),
+                         (current_sort_order, ["ts"]),
+                         (current_clustering, None),
+                         (current_table_schema, schema)):
+        _cold()
+        ds._SIDECAR_CACHE.clear()
+        opens = []
+        assert getter(p) == want
+        # tail since ckpt 60 (6 published + 2 unpublished) + the ckpt
+        assert len(opens) <= LOG_CHECKPOINT_EVERY, (getter, opens)
+        assert any(n.endswith(".ckpt.jz") for n in opens), getter
+    # the bounded walk deliberately does NOT warm the raw-log cache
+    assert os.path.realpath(p) not in _LOG_RAW_CACHE
+
+
+def test_cold_meta_getters_match_warm(meta_log):
+    """Parity: the bounded cold walk and the warm full reverse scan
+    answer identically for all four slots."""
+    from columnar_format_spark.colf.datasource import (
+        current_clustering, current_partition_spec, current_sort_order,
+        current_table_schema, load_snapshots)
+
+    p, _ = meta_log
+    getters = (current_partition_spec, current_sort_order,
+               current_clustering, current_table_schema)
+    _cold()
+    cold_vals = [g(p) for g in getters]
+    load_snapshots(p)   # warms the raw cache -> in-memory scan path
+    assert os.path.realpath(p) in _LOG_RAW_CACHE
+    assert [g(p) for g in getters] == cold_vals
+
+
+def test_vacuum_rewrite_checkpoint_resolves_meta(tmp_path):
+    """compact_log's rewritten head checkpoint must carry
+    resolved_meta too (the vacuum path writes checkpoints through
+    _delta_encode_history, not the live commit path), so the getters
+    stay bounded — and correct via the inherited_* carry-forward —
+    after retention pruned the adopting snapshots."""
+    from columnar_format_spark.colf.datasource import (
+        _load_log_member, commit_snapshot, current_partition_spec,
+        current_sort_order)
+
+    p = str(tmp_path / "ds")
+    os.makedirs(p)
+    v = commit_snapshot(p, ["a.colf"], spec=["region"])
+    v = commit_snapshot(p, ["a.colf", "b.colf"], expected_parent=v,
+                        sort=["ts"])
+    for i in range(24):
+        v = commit_snapshot(p, ["a.colf", "b.colf", f"c{i}.colf"],
+                            expected_parent=v)
+    compact_log(p, keep_last=5)
+    d = log_dir(p)
+    cks = sorted(n for n in os.listdir(d)
+                 if _parse_log_name(n) and _parse_log_name(n)[1])
+    rm = _load_log_member(os.path.join(d, cks[-1]))["resolved_meta"]
+    assert rm["spec"] == ["region"] and rm["sort"] == ["ts"]
+    _cold()
+    assert current_partition_spec(p) == ["region"]
+    assert current_sort_order(p) == ["ts"]
+
+
+def test_meta_getters_on_big_log_stay_bounded(big_log, monkeypatch):
+    """On the 1,003-commit dataset a cold getter whose slot was NEVER
+    recorded still answers (None) after opening only the post-
+    checkpoint tail — the resolved checkpoint proves the absence."""
+    from columnar_format_spark.colf.datasource import current_sort_order
+
+    p, _ = big_log
+    _cold()
+    opens = []
+    real = ds._load_log_member
+
+    def counting(full):
+        opens.append(os.path.basename(full))
+        return real(full)
+
+    monkeypatch.setattr(ds, "_load_log_member", counting)
+    assert current_sort_order(p) is None
+    assert len(opens) <= LOG_CHECKPOINT_EVERY + 2, opens
