@@ -1294,22 +1294,32 @@ def rewrite_delete_files(spark: SparkSession, path: str,
     # later sidecar masking a file a CoW rewrite then removed). All
     # metadata: a raw-log fold for the sidecars' first versions plus
     # one shared materialization of those versions, bounded by the
-    # (already <= target) sidecar count. (A post-vacuum replay basis
-    # can hide pre-retention removals; the skip then retains harmless
-    # dead entries — they mask nothing — and an explicit target_files
-    # forces the rewrite.)
+    # (already <= target) sidecar count. A post-vacuum replay basis
+    # can hide pre-retention removals, so a sidecar whose RECORDED
+    # intro is the oldest retained version (where the true intro may
+    # have been pruned) is verified DIRECTLY instead — one file-column
+    # read of that sidecar (round-12 verdict item #7; previously the
+    # skip just retained harmless dead entries there).
     if len(dels) <= target_files and target_from != "explicit":
-        from .datasource import (delete_file_first_versions,
+        from .datasource import (_published_meta_entries,
+                                 delete_file_first_versions,
                                  materialize_log_versions)
 
         dseq = delete_file_first_versions(path)
         if all(d in dseq for d in dels):
-            need = sorted({dseq[d] for d in dels})
+            pub = _published_meta_entries(path)
+            oldest = pub[0]["version"] if pub else None
+            suspect = [d for d in dels if dseq[d] == oldest]
+            need = sorted({dseq[d] for d in dels if dseq[d] != oldest})
             ats = materialize_log_versions(path, need, skip_broken=True)
             live_set = set(live0)
             if (all(v in ats for v in need)   # pruned intro: do the work
                     and all(set(ats[v]["files"]) <= live_set
-                            for v in need)):
+                            for v in need)
+                    and all(set(read_columns_arrow(
+                                os.path.join(path, d),
+                                ["file"])["file"].to_pylist()) <= live_set
+                            for d in suspect)):
                 return {"version": parent,
                         "n_delete_files_before": len(dels),
                         "n_delete_files_after": len(dels),
