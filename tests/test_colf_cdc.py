@@ -298,3 +298,48 @@ def test_changelog_planning_is_metadata_bounded(colf_spark, ds,
     parts0 = plan_changelog_partitions(ds, 0, None)
     assert asked == [[1, 2, 3, 4]]
     assert len(parts0) >= len(parts)
+
+
+def test_single_huge_commit_microbatch_is_parallel_not_a_stall(
+        colf_spark, tmp_path):
+    """The changelog's rate-limit floor is ONE COMMIT per micro-batch
+    (maxCommitsPerTrigger; splitting a commit would tear its
+    atomicity — Delta CDF has the same floor). The carried round-11/12
+    concern was a consumer STALL on one huge commit. Measured here at
+    a 100k-row single-commit write: the plan fans out to one partition
+    per file/stripe WITHIN the commit (no single-task convoy), and the
+    availableNow pass over the commit clears in seconds. Pins the
+    close-as-not-needed decision for per-commit sub-offset chunking:
+    intra-commit parallelism is already file/stripe-grained; only the
+    OFFSET granularity is commit-level."""
+    import time
+
+    from columnar_format_spark.colf.datasource import (
+        plan_changelog_partitions)
+
+    p = str(tmp_path / "bigcommit")
+    _df(colf_spark, 0, 100_000).repartition(4).write.format("colf") \
+        .option("version", "3").option("stripeRows", "8192") \
+        .mode("overwrite").save(p)
+    assert load_snapshots(p)[-1]["version"] == 1
+
+    # structural: the single commit plans to many executor partitions
+    parts = plan_changelog_partitions(p, 0, 1, False)
+    assert len(parts) >= 12, f"one-task convoy: {len(parts)} partitions"
+
+    out = str(tmp_path / "out")
+    t0 = time.monotonic()
+    q = (colf_spark.readStream.format("colf")
+         .option("readChangeFeed", "true")
+         .option("maxCommitsPerTrigger", "1").load(p)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    wall = time.monotonic() - t0
+    got = colf_spark.read.parquet(out)
+    assert got.count() == 100_000
+    assert got.select("_change_type").distinct().collect()[0][0] == "insert"
+    # the measurement: a 100k-row commit is one micro-batch and far
+    # from a stall (generous bound; observed single-digit seconds)
+    assert wall < 90, f"single-commit micro-batch took {wall:.1f}s"
