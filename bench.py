@@ -155,8 +155,41 @@ HEADLINE = [
 ]
 
 
+def _host_calibration() -> dict:
+    """Drift control (round-12 verdict item #8): a deterministic
+    single-threaded CPU probe (zlib over a fixed pseudo-random 16 MB
+    buffer + one 768^2 matmul, min of 3) plus the 1-minute load
+    average, recorded at bench START and END. Rounds 10-12 each saw
+    >30% per-query inflation that only a manual interleaved git-
+    archive A/B could refute as host drift; with this, a headline
+    delta that tracks the probe delta is drift by the artifact's own
+    evidence, and only probe-flat deltas need an A/B."""
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    blob = rng.integers(0, 256, 16 << 20, dtype=np.uint8).tobytes()
+    a = rng.standard_normal((768, 768))
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        zlib.compress(blob, 6)
+        (a @ a).sum()
+        return time.perf_counter() - t0
+
+    one()  # warm the allocator/caches like every other measurement
+    probe = round(min(one(), one(), one()), 4)
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    return {"cpu_probe_sec": probe, "loadavg_1m": load1}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    host_start = _host_calibration()
     from columnar_format_spark.session import get_spark
     import columnar_format_spark.queries  # noqa: F401
     from columnar_format_spark.registry import QUERIES
@@ -210,6 +243,8 @@ def main() -> None:
         "colf_float_bloom": bench_colf_float_bloom(spark, sf_dir),
         "colf_prefix_bloom": bench_colf_prefix_bloom(spark, sf_dir),
         "colf_bloom_write_cost": bench_colf_bloom_write_cost(spark, sf_dir),
+        "host": {"start": host_start, "end": _host_calibration(),
+                 "cpus": os.cpu_count()},
     }
     # Full per-query map + pruning micro-benches to a sibling file; the
     # PRINTED line must stay compact — the driver records only a bounded
@@ -237,6 +272,7 @@ def main() -> None:
             "bloom_write_cost":
                 detail["colf_bloom_write_cost"]["bloom_write_overhead"],
         },
+        "host": detail["host"],
         "detail": "BENCH_DETAIL.json",
     }
     out = json.dumps(line, separators=(",", ":"))

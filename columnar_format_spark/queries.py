@@ -169,27 +169,25 @@ WINDOW_SIZE = 50
 
 # Queries whose plan, oracle, or underlying machinery changed this
 # round — they re-prove themselves in the driver window even when they
-# have recent green evidence. Round 12: the commit publish went atomic
-# (tmp + os.link CAS) with in-place cache seeding and a materialized-
-# head cache; checkpoints compressed (.ckpt.jz); vacuum/migration
-# rewrites are delta-preserving; retention planning reads the metadata
-# view; the snapshots/files metadata tables fold summaries instead of
-# materializing history; rewrite_delete_files is stats-sized with a
-# metadata no-op gate; the merge NDV gate uses a row-capped product
-# for multi-column keys. The representative set re-proves driver-side
-# (the full registry is re-gated locally by the sf0.01/sf0.1 sweeps);
-# the REST of the window deliberately backfills the round-6/7
-# evidence cohort (r11 verdict item #3 — q88/q89/q92-q94 and the
-# 44-query r7 set lead the backfill by oldest-evidence order).
+# have recent green evidence. Round 13: the manifest/bloom sidecar
+# union is process-cached with in-place refresh on append (every
+# pruning plan and maintenance estimate reads through it); checkpoints
+# resolve the carried-metadata slots so the cold current_* getters
+# (spec/sort/cluster/table_schema) take a bounded walk;
+# rewrite_delete_files' no-op gate verifies post-vacuum sidecars
+# directly; column-block corruption errors wrap with column context.
+# The representative set re-proves driver-side (the full registry is
+# re-gated locally by the sf0.01/sf0.1 sweeps); the REST of the window
+# backfills the round-8 evidence cohort, the oldest after folding r12
+# (r12 verdict item #2).
 CHANGED_THIS_ROUND = [
-    "q70_colf_roundtrip",     # write/commit path (atomic publish)
-    "q122_colf_time_travel",  # materialize-on-demand paths
-    "q149_colf_merge",        # NDV-gate estimate change
-    "q200_colf_cdc_stream",   # changelog latestOffset raw-entry fold
-    "q201_colf_rewrite_deletes",  # stats-sized target + no-op gate
-    "q207_colf_metadata_tables",  # summary folds
-    "q213_colf_metadata_migration",  # shared delta-history encoder
-    "q214_colf_stats_planning",      # stats gate changes
+    "q76_colf_zonemap_pruning",   # manifest reads via the new cache
+    "q164_colf_bloom_lookup",     # bloom sidecar via the new cache
+    "q173_colf_bounds_merge",     # maintenance manifest estimates
+    "q179_colf_spec_evolution",   # checkpoint-resolved spec getter
+    "q202_colf_schema_evolution",  # checkpoint-resolved table schema
+    "q201_colf_rewrite_deletes",  # post-vacuum gate verification
+    "q70_colf_roundtrip",         # resolved_meta in live checkpoints
 ]
 
 
