@@ -152,6 +152,8 @@ HEADLINE = [
     # round-12 additions: metadata-log compaction + the PNG codec
     "q215_colf_log_compaction",
     "q216_multimodal_png",
+    # round-13 addition: the baseline JPEG codec
+    "q217_multimodal_jpeg",
 ]
 
 

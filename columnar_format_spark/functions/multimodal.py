@@ -3,12 +3,14 @@ columns with typed metadata, processed via Arrow-batched mapInPandas.
 
 External media libraries (PIL/ffmpeg/torchaudio) are NOT in this
 container — so the codecs that CAN be real without them ARE real,
-in pure numpy + stdlib zlib: PNG (encode_png/decode_png — full filter
-reconstruction, CRC validation), binary P6 PPM, RIFF PCM16 WAV, and
-YUV4MPEG2 video. ``decode_image`` dispatches on the signature; only
-DCT-family formats (JPEG) raise, naming the missing dependency.
-``fake_decode`` remains as the deterministic stand-in where tests
-want dimensions without codec cost.
+in pure numpy + stdlib: PNG (encode_png/decode_png — full filter
+reconstruction, CRC validation), baseline JFIF JPEG (jpeg.py — full
+DCT/quantization/Huffman pipeline, round 13), binary P6 PPM, RIFF
+PCM16 WAV, and YUV4MPEG2 video. ``decode_image`` dispatches on the
+signature; only genuinely out-of-class streams (progressive JPEG,
+palette PNG, ...) raise, naming the feature. ``fake_decode`` remains
+as the deterministic stand-in where tests want dimensions without
+codec cost.
 
 Scale: mapInPandas streams Arrow batches, so peak memory per task is
 one batch (spark.sql.execution.arrow.maxRecordsPerBatch), not one
@@ -50,23 +52,24 @@ def synthesize_blobs(documents: DataFrame) -> DataFrame:
 
 
 def decode_image(blob: bytes) -> tuple[int, int]:
-    """Image decode by signature dispatch — REAL codecs, no stub
-    (round-12: the former NotImplementedError hook is closed): PNG
-    (pure zlib + filter reconstruction, decode_png below) and binary
-    P6 PPM (decode_ppm). Returns (width, height); JPEG and other
-    DCT-family formats genuinely need an external codec and raise
-    ValueError naming the format, never silently fake dimensions."""
+    """Image decode by signature dispatch — REAL codecs, no stub:
+    PNG (pure zlib + filter reconstruction, decode_png below),
+    baseline JFIF JPEG (jpeg.py: Huffman + dequant + IDCT, round 13 —
+    the last "needs an external codec" branch is gone), and binary
+    P6 PPM (decode_ppm). Returns (width, height); streams outside
+    the supported classes (progressive JPEG, palette PNG, ...) raise
+    ValueError naming the feature, never silently fake dimensions."""
     if blob[:8] == PNG_SIG:
         w, h, _ = decode_png(blob)
         return w, h
     if blob[:2] == b"P6":
         w, h, _ = decode_ppm(blob)
         return w, h
-    if blob[:3] == b"\xff\xd8\xff":
-        raise ValueError(
-            "JPEG needs an external DCT codec (PIL/libjpeg), not "
-            "installed in this environment; re-encode to PNG/PPM or "
-            "plug a codec into extract_features(decode=...)")
+    if blob[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        w, h, _ = decode_jpeg(blob)
+        return w, h
     raise ValueError(f"unrecognized image signature {blob[:8]!r}")
 
 
@@ -584,6 +587,91 @@ def q216_multimodal_png(spark, sf_dir: str):
         F.count(F.lit(1)).cast("bigint").alias("n_images"),
         F.sum("pixels").cast("bigint").alias("total_pixels"),
         F.sum("pixels_half").cast("bigint").alias("total_pixels_half"),
+        F.min("ok").alias("roundtrip_ok")))
+
+
+@register(
+    "q217_multimodal_jpeg",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM((16 + doc_id % 17) * (8 + doc_id % 9)) AS BIGINT)
+             AS total_pixels,
+           true AS roundtrip_ok
+    FROM documents WHERE doc_id < 240
+    GROUP BY source
+    """,
+)
+def q217_multimodal_jpeg(spark, sf_dir: str):
+    """BASELINE JPEG in the multimodal tier (round-13, closing
+    decode_image's last "needs an external codec" branch): smooth
+    deterministic gradients are ENCODED to standard baseline JFIF
+    (jpeg.py — level shift, 8x8 DCT, Annex-K quantization at q90,
+    Annex-K Huffman entropy coding with byte stuffing), shipped
+    through the BinaryType column, and DECODED by the same module's
+    full inverse pipeline — all inside Arrow-batched mapInPandas.
+    JPEG is LOSSY: correctness is exact dimensions + bounded
+    reconstruction error (mean<=4, max<=48 at q90 on smooth content),
+    a grayscale single-component roundtrip, and a truncated stream
+    that must raise — any surprise turns roundtrip_ok false, which
+    the oracle pins true.
+
+    Scale: identical posture to q216 — encode/decode never leave the
+    executor (pure map over Arrow batches, peak memory one batch);
+    the aggregate ships 3 values per source. A production 100-TB
+    decode stage would swap libjpeg-turbo into extract_features
+    (decode=...); the format handling this proves is the same."""
+    from ..registry import table
+    from .jpeg import decode_jpeg, encode_jpeg
+
+    docs = (table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 240).select("doc_id", "source"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                w = 16 + int(doc_id) % 17
+                h = 8 + int(doc_id) % 9
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                r = np.broadcast_to((x * 255 // max(w - 1, 1))[None, :],
+                                    (h, w))
+                g = np.broadcast_to((y * 255 // max(h - 1, 1))[:, None],
+                                    (h, w))
+                b = (x[None, :] + y[:, None]) * 255 // max(w + h - 2, 1)
+                img = np.stack([r, g, b], axis=2).astype(np.uint8)
+                blob = encode_jpeg(img, quality=90)
+
+                dw, dh, dec = decode_jpeg(blob)     # REAL decode
+                err = np.abs(dec.astype(np.int64) - img.astype(np.int64))
+                gray = img[:, :, 1]
+                gw, gh, gdec = decode_jpeg(encode_jpeg(gray, quality=90))
+                ok = (
+                    (dw, dh) == (w, h)
+                    and dec.shape == img.shape
+                    and float(err.mean()) <= 4.0
+                    and int(err.max()) <= 48
+                    and (gw, gh) == (w, h)
+                    and gdec.shape == (h, w)
+                )
+                # integrity: JPEG has no CRC — a truncated stream must
+                # fail loudly, never return partial pixels
+                try:
+                    decode_jpeg(blob[: len(blob) * 2 // 3])
+                    ok = False               # truncation went unnoticed
+                except ValueError:
+                    pass
+                rows.append((source, w * h, bool(ok)))
+            yield pd.DataFrame(rows, columns=[
+                "source", "pixels", "ok"])
+
+    feats = docs.mapInPandas(run, "source string, pixels long, ok boolean")
+    return (feats.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum("pixels").cast("bigint").alias("total_pixels"),
         F.min("ok").alias("roundtrip_ok")))
 
 

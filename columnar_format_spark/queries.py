@@ -18,8 +18,14 @@ sf0.1 sweep 198/198, plus a 50-query window sweep at sf0.1 with
 --dtypes (50/50) and per-query driver-style checks on every query
 added or changed mid-round (three full gate passes this round).
 
-Registry size: 214 queries (q01-q216, no q123/q205; the count is pinned
-live by tests/test_driver_ledger.py). Round-12 additions are q215
+Registry size: 215 queries (q01-q217, no q123/q205; the count is pinned
+live by tests/test_driver_ledger.py). The round-13 addition is q217
+(baseline JFIF JPEG: the full public DCT pipeline — level shift, 8x8
+orthonormal DCT, Annex-K quantization and Huffman tables, byte-stuffed
+entropy coding — encode AND decode in pure numpy+stdlib inside
+Arrow-batched mapInPandas, with lossy-bounded roundtrip checks and a
+truncation probe; closes decode_image's last "needs an external
+codec" branch). Round-12 additions are q215
 (metadata-log compaction: maintenance.compact_log bounds the log's
 at-rest entry count and cold-read cost by RETENTION — delta-preserving
 rewrite, compressed head checkpoint, loud out-of-retention time

@@ -197,3 +197,103 @@ def test_y4m_codec_roundtrip_and_errors():
         decode_y4m(blob.replace(b"C444", b"C420"))     # subsampled
     with pytest.raises(ValueError, match="frames"):
         encode_y4m(np.zeros((2, 4, 4), dtype=np.uint8), 24)  # no planes
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (round 13, jpeg.py): lossy-bounded roundtrips,
+# grayscale, edge shapes, loud rejection of everything out of class.
+# ---------------------------------------------------------------------------
+
+
+def _gradient(h, w):
+    import numpy as np
+
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    r = np.broadcast_to((x * 255 // max(w - 1, 1))[None, :], (h, w))
+    g = np.broadcast_to((y * 255 // max(h - 1, 1))[:, None], (h, w))
+    b = (x[None, :] + y[:, None]) * 255 // max(w + h - 2, 1)
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_bounded_error():
+    import numpy as np
+
+    from columnar_format_spark.functions.jpeg import (decode_jpeg,
+                                                      encode_jpeg)
+
+    img = _gradient(23, 37)
+    blob = encode_jpeg(img, quality=90)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    w, h, dec = decode_jpeg(blob)
+    assert (w, h) == (37, 23) and dec.shape == img.shape
+    err = np.abs(dec.astype(np.int64) - img.astype(np.int64))
+    assert float(err.mean()) <= 4.0 and int(err.max()) <= 48, \
+        (err.mean(), err.max())
+    # flat color survives exactly (DC-only blocks)
+    flat = np.full((16, 24, 3), 77, np.uint8)
+    _, _, d2 = decode_jpeg(encode_jpeg(flat, 90))
+    assert np.array_equal(d2, flat)
+
+
+def test_jpeg_grayscale_and_edge_shapes():
+    import numpy as np
+
+    from columnar_format_spark.functions.jpeg import (decode_jpeg,
+                                                      encode_jpeg)
+
+    rng = np.random.default_rng(11)
+    g = _gradient(17, 19)[:, :, 0]
+    w, h, dec = decode_jpeg(encode_jpeg(g, 92))
+    assert (w, h) == (19, 17) and dec.shape == (17, 19)
+    for shape in [(1, 1, 3), (8, 8, 3), (9, 16, 3), (1, 300, 3)]:
+        im = rng.integers(0, 256, shape).astype(np.uint8)
+        ww, hh, dd = decode_jpeg(encode_jpeg(im, 85))
+        assert (ww, hh) == (shape[1], shape[0]) and dd.shape == im.shape
+
+
+def test_jpeg_rejects_out_of_class_and_truncation():
+    import numpy as np
+    import pytest as _pt
+
+    from columnar_format_spark.functions.jpeg import (decode_jpeg,
+                                                      encode_jpeg)
+
+    blob = encode_jpeg(_gradient(12, 20), 90)
+    with _pt.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02")              # not a JPEG
+    with _pt.raises(ValueError):
+        decode_jpeg(blob[: len(blob) // 2])       # truncated
+    with _pt.raises(ValueError, match="progressive|non-baseline"):
+        # flip SOF0 (0xffc0) to SOF2 progressive (0xffc2)
+        i = blob.index(b"\xff\xc0")
+        decode_jpeg(blob[:i] + b"\xff\xc2" + blob[i + 2:])
+    # subsampling rejection: patch the SOF sampling byte 0x11 -> 0x22
+    i = blob.index(b"\xff\xc0")
+    seg = bytearray(blob)
+    seg[i + 2 + 2 + 6 + 1] = 0x22     # first component h/v factors
+    with _pt.raises(ValueError, match="subsampling"):
+        decode_jpeg(bytes(seg))
+    # decode_image dispatches JPEG by signature now
+    from columnar_format_spark.functions.multimodal import decode_image
+
+    assert decode_image(blob) == (20, 12)
+
+
+def test_jpeg_quality_monotonic():
+    """Lower quality -> smaller stream, larger error (sanity that the
+    quality scaling actually reaches the quantizer)."""
+    import numpy as np
+
+    from columnar_format_spark.functions.jpeg import (decode_jpeg,
+                                                      encode_jpeg)
+
+    img = _gradient(32, 48)
+    b90 = encode_jpeg(img, 90)
+    b20 = encode_jpeg(img, 20)
+    assert len(b20) < len(b90)
+    _, _, d90 = decode_jpeg(b90)
+    _, _, d20 = decode_jpeg(b20)
+    e90 = np.abs(d90.astype(int) - img.astype(int)).mean()
+    e20 = np.abs(d20.astype(int) - img.astype(int)).mean()
+    assert e20 > e90
