@@ -374,6 +374,9 @@ def decode_jpeg(blob: bytes):
             raise ValueError(f"bad marker alignment at {pos}")
         marker = blob[pos + 1]
         pos += 2
+        if marker == 0xFF:
+            pos -= 1                       # fill byte (T.81 B.1.1.2)
+            continue
         if marker == 0xD9:
             raise ValueError("EOI before SOS (no image data)")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
