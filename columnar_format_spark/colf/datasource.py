@@ -1212,6 +1212,14 @@ def _commit_snapshot_locked(path, live_files, reset, expected_parent,
         # view (like staged), its delta recorded for fast-forward
         entry["branch"] = branch
         entry["added"] = sorted(set(added or []))
+    if branch == "":
+        # an empty branch NAME would straddle the two published-ness
+        # conventions (`is None` on raw v2 entries vs falsy on
+        # materialized snapshots) — reject it at the one chokepoint
+        # instead of letting the ambiguity reach the on-disk log
+        raise ColfFormatError(
+            "branch name must be non-empty (pass branch=None for a "
+            "published commit)")
     if ff_from is not None:
         entry["ff_from"] = ff_from  # fast-forward provenance
     if spec is not None:
@@ -1459,20 +1467,28 @@ def _published_meta_entries(path: str) -> list[dict]:
 
 _META_COLD_FALLBACK = object()
 
+# memoized cold-walk results: {realpath: (log-dir key, {slot: value})}
+# — one walk resolves ALL four slots, so a plan reading spec + sort +
+# cluster + schema pays one bounded walk, not four, and repeated cold
+# getters on an unchanged log are dict lookups (review finding r13:
+# the unmemoized walk re-opened the tail + re-parsed the O(live files)
+# checkpoint per call)
+_META_COLD_CACHE: dict[str, tuple] = {}
 
-def _meta_slot_cold(path: str, slot: str, inh: str):
-    """BOUNDED cold read of one carried-metadata slot from a sharded
+
+def _meta_slots_cold(path: str):
+    """BOUNDED cold read of ALL carried-metadata slots from a sharded
     log: one listdir, then entry opens newest-first only until a
     checkpoint carrying ``resolved_meta`` — O(entries since that
     checkpoint + staged tail), never O(commits), the
     _head_snapshot_cold discipline for the current_* getters. Like it,
-    deliberately does NOT warm the raw-log cache. Returns the slot
-    value (None = never recorded — also correct for pre-resolved-
-    checkpoint logs, where the walk simply scans every entry, exactly
-    the set the full read scans) or _META_COLD_FALLBACK when the walk
-    cannot answer (no committed v2 log, or an unreadable member — the
-    caller's full read then answers, or raises, the one canonical
-    way)."""
+    deliberately does NOT warm the raw-log cache. Returns {slot:
+    value-or-None} or _META_COLD_FALLBACK when the walk cannot answer
+    cheaply: no committed v2 log, an unreadable/misnamed member (the
+    full read then answers, or raises, the one canonical way), or a
+    pre-resolved-checkpoint log where the walk would degrade to
+    O(commits) opens — there the single CACHED full read is strictly
+    better."""
     d = log_dir(path)
     try:
         names = os.listdir(d)
@@ -1486,40 +1502,67 @@ def _meta_slot_cold(path: str, slot: str, inh: str):
             (ckpt_names if p[1] else entry_names)[p[0]] = n
     if not entry_names:
         return _META_COLD_FALLBACK
+    out: dict = {}
+    walked = 0
     for v in sorted(entry_names, reverse=True):
+        walked += 1
+        if walked > 2 * LOG_CHECKPOINT_EVERY:
+            # no resolved checkpoint in reach (pre-round-13 log):
+            # bail to the full cached read instead of opening every
+            # entry uncached on every call
+            return _META_COLD_FALLBACK
         try:
             e = _load_log_member(os.path.join(d, entry_names[v]))
-        except (OSError, ValueError):
-            return _META_COLD_FALLBACK
+            if e.get("version") != v:
+                raise ValueError("version/filename mismatch")
+        except (OSError, ValueError, KeyError, TypeError,
+                AttributeError):
+            return _META_COLD_FALLBACK  # full read raises canonically
         if not e.get("staged") and e.get("branch") is None:
-            if slot in e:
-                return e[slot]
-            if inh in e:
-                return e[inh]
+            for slot, inh in _META_SLOTS:
+                if slot not in out:
+                    if slot in e:
+                        out[slot] = e[slot]
+                    elif inh in e:
+                        out[slot] = e[inh]
+            if len(out) == len(_META_SLOTS):
+                return {s: out.get(s) for s, _ in _META_SLOTS}
         if v in ckpt_names:
             # every published entry newer than v was already scanned,
-            # so the checkpoint's published-as-of-v resolution IS the
-            # answer (staged/branch checkpoints included: their
-            # resolved_meta excludes the unpublished entry itself)
+            # so the checkpoint's published-as-of-v resolution fills
+            # the remaining slots (staged/branch checkpoints included:
+            # their resolved_meta excludes the unpublished entry)
             try:
                 c = _load_log_member(os.path.join(d, ckpt_names[v]))
             except (OSError, ValueError):
                 c = None  # derived; a bad one just lengthens the walk
-            if c is not None and "resolved_meta" in c:
-                return c["resolved_meta"].get(slot)
-    return None
+            if isinstance(c, dict) and isinstance(
+                    c.get("resolved_meta"), dict):
+                rm = c["resolved_meta"]
+                return {s: out.get(s, rm.get(s)) for s, _ in _META_SLOTS}
+    return {s: out.get(s) for s, _ in _META_SLOTS}
 
 
 def _current_meta_slot(path: str, slot: str, inh: str):
     """Newest PUBLISHED value of one carried-metadata slot. Warm raw
     cache → in-memory reverse scan (unchanged cost); cold sharded log
-    → the bounded checkpoint walk; v1 logs / unreadable members → the
-    full read."""
-    if os.path.isdir(path) and _log_raw_cache_hit(path) is None \
-            and os.path.isdir(log_dir(path)):
-        got = _meta_slot_cold(path, slot, inh)
-        if got is not _META_COLD_FALLBACK:
-            return got
+    → the bounded checkpoint walk, memoized on the log dir's stat key
+    for all four slots at once; v1 logs / unreadable members /
+    pre-resolved-checkpoint logs → the full cached read."""
+    if os.path.isdir(path) and _log_raw_cache_hit(path) is None:
+        key = _log_dir_key(path)
+        if key is not None:
+            rp = os.path.realpath(path)
+            hit = _META_COLD_CACHE.get(rp)
+            if hit is not None and hit[0] == key:
+                return hit[1][slot]
+            got = _meta_slots_cold(path)
+            if got is not _META_COLD_FALLBACK:
+                _META_COLD_CACHE.pop(rp, None)
+                while len(_META_COLD_CACHE) > 64:
+                    _META_COLD_CACHE.pop(next(iter(_META_COLD_CACHE)))
+                _META_COLD_CACHE[rp] = (key, got)
+                return got[slot]
     for s in reversed(_published_meta_entries(path)):
         if slot in s:
             return s[slot]
@@ -1717,14 +1760,29 @@ def _sidecar_key(path: str, legacy_file: str, dirname: str):
     return tuple(parts)
 
 
+# total parsed entries the sidecar cache may hold across all
+# datasets: the unit the feature is sized in (one manifest entry ≈
+# a few hundred bytes parsed), so 2M entries ≈ low hundreds of MB —
+# a dataset-count-only cap would let 64 10^5-file manifests pin
+# gigabytes (review finding r13)
+SIDECAR_CACHE_MAX_ENTRIES = 2_000_000
+
+
 def _sidecar_cache_put(ck: tuple, key: tuple, value: dict) -> None:
     # pop-before-put: re-caching a hot dataset moves it to the back of
     # the eviction order (LRU-by-write, not FIFO-by-first-insertion —
-    # round-12 verdict nit #2)
+    # round-12 verdict nit #2); bounded by dataset count AND total
+    # parsed entries
     _SIDECAR_CACHE.pop(ck, None)
-    while len(_SIDECAR_CACHE) > 64:
-        _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
-    _SIDECAR_CACHE[ck] = (key, value)
+    total = len(value)
+    for _, v in _SIDECAR_CACHE.values():
+        total += len(v)
+    while _SIDECAR_CACHE and (len(_SIDECAR_CACHE) > 64
+                              or total > SIDECAR_CACHE_MAX_ENTRIES):
+        _, old = _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
+        total -= len(old)
+    if len(value) <= SIDECAR_CACHE_MAX_ENTRIES:
+        _SIDECAR_CACHE[ck] = (key, value)
 
 
 def _load_sharded_dict(path: str, legacy_file: str, dirname: str) -> dict:

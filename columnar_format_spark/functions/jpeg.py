@@ -183,6 +183,10 @@ def encode_jpeg(arr, quality: int = 90) -> bytes:
     h, w = a.shape[:2]
     if h < 1 or w < 1:
         raise ValueError("empty image")
+    if h > 65535 or w > 65535:
+        raise ValueError(
+            f"image {w}x{h} exceeds the JPEG 16-bit dimension limit "
+            f"(65535)")
     if gray:
         planes = [a.astype(np.float64) - 128.0]
     else:
@@ -319,7 +323,13 @@ class _BitReader:
         if self.n == 0:
             self._fill()
         self.n -= 1
-        return (self.acc >> self.n) & 1
+        v = (self.acc >> self.n) & 1
+        # mask consumed bits NOW: an unmasked accumulator grows by 8
+        # bits per scan byte and turns every shift into bignum work —
+        # O(scan^2) decode (the writer's put() masks for the same
+        # reason)
+        self.acc &= (1 << self.n) - 1
+        return v
 
     def bits(self, k: int) -> int:
         v = 0
@@ -413,6 +423,10 @@ def decode_jpeg(blob: bytes):
             prec, fh, fw, nf = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError(f"{prec}-bit precision not supported")
+            if nf not in (1, 3):
+                raise ValueError(
+                    f"{nf}-component JPEG not supported (grayscale or "
+                    f"YCbCr only; CMYK/YCCK need a 4-plane transform)")
             comps = []
             for ci in range(nf):
                 cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
@@ -477,10 +491,24 @@ def decode_jpeg(blob: bytes):
                     raise ValueError("AC run past block end")
                 blk[k] = _extend(br.bits(s), s)
                 k += 1
-    # the stream must close with EOI (possibly after pad bits)
-    rest = blob[br.pos:]
-    if b"\xff\xd9" not in rest[:4]:
-        raise ValueError("missing EOI after scan")
+    # the stream must close with EOI — tolerate any number of 0xFF
+    # fill bytes (T.81 B.1.1.2) and trailing COM/APPn segments
+    p = br.pos
+    while True:
+        while p < len(blob) and blob[p] == 0xFF \
+                and p + 1 < len(blob) and blob[p + 1] == 0xFF:
+            p += 1                        # fill byte run
+        if p + 2 > len(blob) or blob[p] != 0xFF:
+            raise ValueError("missing EOI after scan")
+        m = blob[p + 1]
+        if m == 0xD9:
+            break                          # EOI
+        if 0xE0 <= m <= 0xEF or m == 0xFE:  # trailing APPn/COM
+            if p + 4 > len(blob):
+                raise ValueError("truncated trailing segment")
+            p += 2 + struct.unpack(">H", blob[p + 2:p + 4])[0]
+            continue
+        raise ValueError(f"unexpected marker 0xff{m:02x} after scan")
 
     for ci, (cid, tq) in enumerate(comps):
         deq = np.zeros((bh * bwid, 64), dtype=np.float64)

@@ -57,6 +57,7 @@ def big_log(tmp_path_factory):
 def _cold():
     _LOG_RAW_CACHE.clear()
     _HEAD_CACHE.clear()
+    ds._META_COLD_CACHE.clear()
 
 
 def test_cold_head_snapshot_opens_are_bounded(big_log, monkeypatch):
@@ -395,3 +396,31 @@ def test_meta_getters_on_big_log_stay_bounded(big_log, monkeypatch):
     monkeypatch.setattr(ds, "_load_log_member", counting)
     assert current_sort_order(p) is None
     assert len(opens) <= LOG_CHECKPOINT_EVERY + 2, opens
+
+
+def test_cold_meta_getters_memoize_across_slots(meta_log, monkeypatch):
+    """One cold walk resolves ALL four slots: after the first getter,
+    the remaining three (and repeats) answer from the memo with ZERO
+    member opens — per-getter re-walks would re-parse the O(live
+    files) checkpoint four times per plan (round-13 review
+    finding)."""
+    from columnar_format_spark.colf.datasource import (
+        current_clustering, current_partition_spec, current_sort_order,
+        current_table_schema)
+
+    p, schema = meta_log
+    _cold()
+    assert current_partition_spec(p) == ["region"]   # pays the walk
+    opens = []
+    real = ds._load_log_member
+
+    def counting(full):
+        opens.append(os.path.basename(full))
+        return real(full)
+
+    monkeypatch.setattr(ds, "_load_log_member", counting)
+    assert current_sort_order(p) == ["ts"]
+    assert current_clustering(p) is None
+    assert current_table_schema(p) == schema
+    assert current_partition_spec(p) == ["region"]
+    assert opens == [], opens
