@@ -1962,8 +1962,11 @@ def _load_delete_file(fp: str):
     out = {f: np.unique(np.asarray(ps, dtype=np.int64))
            for f, ps in zip(grouped["file"].to_pylist(),
                             grouped["pos_list"].to_pylist())}
-    if len(_DELETE_FILE_CACHE) > 64:
-        _DELETE_FILE_CACHE.clear()
+    while len(_DELETE_FILE_CACHE) > 64:
+        # evict oldest-inserted only (sidecars are immutable, so any
+        # retained entry stays valid) — a wholesale clear() would
+        # throw away 64 warm decodes to admit one
+        _DELETE_FILE_CACHE.pop(next(iter(_DELETE_FILE_CACHE)))
     _DELETE_FILE_CACHE[fp] = out
     return out
 
