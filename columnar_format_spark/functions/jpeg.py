@@ -11,10 +11,12 @@ run-length entropy coding with 0xFF byte stuffing, and the JFIF
 segment layout (SOI / APP0 / DQT / SOF0 / DHT / SOS / EOI).
 
 Scope (encoder and decoder symmetric): 8-bit baseline sequential,
-interleaved single scan, 4:4:4 (no chroma subsampling), grayscale or
-RGB, no restart markers, no progressive/arithmetic modes. Anything
-outside that class raises ValueError naming the feature — never
-garbage pixels. The entropy loops are plain Python over 8x8 blocks:
+interleaved single scan, grayscale or YCbCr RGB with sampling factors
+1 or 2 per axis — 4:4:4, 4:2:2, 4:4:0 and 4:2:0 (the common camera
+layout; chroma box-averaged down on encode, nearest-neighbor
+upsampled on decode) — no restart markers, no progressive/arithmetic
+modes. Anything outside that class raises ValueError naming the
+feature — never garbage pixels. The entropy loops are plain Python over 8x8 blocks:
 right for the executor-side feature probes this ships in (small
 assets inside Arrow batches), not a throughput library — a real
 100-TB decode stage would plug libjpeg-turbo into
@@ -170,10 +172,66 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def encode_jpeg(arr, quality: int = 90) -> bytes:
+_SUBSAMPLING = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+
+
+def _box_down(p, fx: int, fy: int):
+    """Box-average downsample by (fx, fy) with edge padding to whole
+    boxes — the JFIF chroma downsample."""
+    import numpy as np
+
+    if fx == 1 and fy == 1:
+        return p
+    h, w = p.shape
+    H, W = -(-h // fy) * fy, -(-w // fx) * fx
+    pad = np.pad(p, ((0, H - h), (0, W - w)), mode="edge")
+    return pad.reshape(H // fy, fy, W // fx, fx).mean(axis=(1, 3))
+
+
+def _encode_block(bw: "_BitWriter", blk, pred: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    """Entropy-code one zigzagged quantized block; returns the new DC
+    predictor (T.81 F.1.2: DC differential + AC run/size with
+    ZRL/EOB)."""
+    dc = int(blk[0])
+    s, bits_v = _magnitude(dc - pred)
+    code, ln = dc_codes[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(bits_v, s)
+    nz = [k for k in range(1, 64) if blk[k]]
+    last_nz = nz[-1] if nz else 0
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]           # ZRL
+            bw.put(code, ln)
+            run -= 16
+        s, bits_v = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(bits_v, s)
+        run = 0
+    if last_nz != 63:
+        code, ln = ac_codes[0x00]               # EOB
+        bw.put(code, ln)
+    return dc
+
+
+def encode_jpeg(arr, quality: int = 90,
+                subsampling: str = "4:4:4") -> bytes:
     """uint8 array of shape (h, w, 3) RGB or (h, w) grayscale ->
-    standard baseline JFIF bytes (4:4:4, single interleaved scan,
-    Annex-K Huffman tables). Decodable by any JPEG decoder."""
+    standard baseline JFIF bytes (single interleaved scan, Annex-K
+    Huffman tables). ``subsampling`` picks the chroma layout:
+    "4:4:4" (default, full-resolution chroma), "4:2:2" (chroma
+    halved horizontally), or "4:2:0" (halved both ways — the common
+    camera layout); luma carries the matching 2x1/2x2 sampling
+    factors and the scan interleaves h*v luma blocks per MCU.
+    Decodable by any JPEG decoder."""
     import numpy as np
 
     a = np.ascontiguousarray(arr, dtype=np.uint8)
@@ -187,16 +245,30 @@ def encode_jpeg(arr, quality: int = 90) -> bytes:
         raise ValueError(
             f"image {w}x{h} exceeds the JPEG 16-bit dimension limit "
             f"(65535)")
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(
+            f"subsampling must be one of {sorted(_SUBSAMPLING)}, "
+            f"got {subsampling!r}")
+    sx, sy = _SUBSAMPLING[subsampling]
+
+    # components: (level-shifted plane, h-factor, v-factor, quant tbl,
+    # huffman tbl)
     if gray:
-        planes = [a.astype(np.float64) - 128.0]
+        comps = [(a.astype(np.float64) - 128.0, 1, 1, 0, 0)]
     else:
         r = a[:, :, 0].astype(np.float64)
         g = a[:, :, 1].astype(np.float64)
         b = a[:, :, 2].astype(np.float64)
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        comps = [(y - 128.0, sx, sy, 0, 0),
+                 (_box_down(cb, sx, sy), 1, 1, 1, 1),
+                 (_box_down(cr, sx, sy), 1, 1, 1, 1)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
 
     qt = [_scaled_quant(QUANT_LUMA, quality),
           _scaled_quant(QUANT_CHROMA, quality)]
@@ -206,55 +278,32 @@ def encode_jpeg(arr, quality: int = 90) -> bytes:
     ac_codes = [_build_huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS),
                 _build_huffman_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
 
-    # pad each plane to 8-multiples by edge replication, block, DCT,
-    # quantize, zigzag — vectorized; only entropy coding loops
-    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    # per component: pad the plane to its MCU-aligned block grid by
+    # edge replication, block, DCT, quantize, zigzag — vectorized;
+    # only entropy coding loops
     zz = np.asarray(ZIGZAG)
-    comp_blocks = []
-    for ci, p in enumerate(planes):
-        pad = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
-        blocks = (pad.reshape(ph // 8, 8, pw // 8, 8)
+    comp_zz = []
+    for p, hi, vi, tq, _th in comps:
+        by, bx = mcuy * vi, mcux * hi
+        ph, pw_ = by * 8, bx * 8
+        pad = np.pad(p, ((0, ph - p.shape[0]), (0, pw_ - p.shape[1])),
+                     mode="edge")
+        blocks = (pad.reshape(by, 8, bx, 8)
                   .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
         coef = np.einsum("ij,njk,lk->nil", C, blocks, C)
-        q = qt[0 if ci == 0 else 1].astype(np.float64)
-        quant = np.round(coef / q).astype(np.int64)
-        comp_blocks.append(quant.reshape(-1, 64)[:, zz])
+        quant = np.round(coef / qt[tq].astype(np.float64)).astype(np.int64)
+        comp_zz.append(quant.reshape(by, bx, 64)[:, :, zz])
 
     bw = _BitWriter()
-    n_blocks = comp_blocks[0].shape[0]
-    preds = [0] * len(planes)
-    for bi in range(n_blocks):      # interleaved 4:4:4 MCU = 1 block/comp
-        for ci in range(len(planes)):
-            tsel = 0 if ci == 0 else 1
-            blk = comp_blocks[ci][bi]
-            diff = int(blk[0]) - preds[ci]
-            preds[ci] = int(blk[0])
-            s, bits_v = _magnitude(diff)
-            code, ln = dc_codes[tsel][s]
-            bw.put(code, ln)
-            if s:
-                bw.put(bits_v, s)
-            run = 0
-            last_nz = 0
-            nz = [k for k in range(1, 64) if blk[k]]
-            last_nz = nz[-1] if nz else 0
-            for k in range(1, last_nz + 1):
-                v = int(blk[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, ln = ac_codes[tsel][0xF0]   # ZRL
-                    bw.put(code, ln)
-                    run -= 16
-                s, bits_v = _magnitude(v)
-                code, ln = ac_codes[tsel][(run << 4) | s]
-                bw.put(code, ln)
-                bw.put(bits_v, s)
-                run = 0
-            if last_nz != 63:
-                code, ln = ac_codes[tsel][0x00]       # EOB
-                bw.put(code, ln)
+    preds = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (_p, hi, vi, _tq, th) in enumerate(comps):
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        preds[ci] = _encode_block(
+                            bw, comp_zz[ci][my * vi + byy, mx * hi + bxx],
+                            preds[ci], dc_codes[th], ac_codes[th])
     scan = bw.flush()
 
     # segments
@@ -263,10 +312,10 @@ def encode_jpeg(arr, quality: int = 90) -> bytes:
     for ti in range(1 if gray else 2):
         out += _seg(0xFFDB, bytes([ti]) + bytes(
             int(qt[ti].reshape(-1)[z]) for z in ZIGZAG))
-    nf = 1 if gray else 3
+    nf = len(comps)
     sof = struct.pack(">BHHB", 8, h, w, nf)
-    for ci in range(nf):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    for ci, (_p, hi, vi, tq, _th) in enumerate(comps):
+        sof += bytes([ci + 1, (hi << 4) | vi, tq])
     out += _seg(0xFFC0, sof)                           # SOF0 baseline
     for tc, th, bits, vals in (
             (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -364,10 +413,12 @@ def _extend(v: int, s: int) -> int:
 def decode_jpeg(blob: bytes):
     """Standard baseline JFIF bytes -> (w, h, uint8 array): (h, w, 3)
     RGB for 3-component images, (h, w) for grayscale. Supports the
-    encoder's class — baseline sequential, 8-bit, 4:4:4, single
-    interleaved scan, no restart markers — and raises ValueError
-    naming any feature outside it (progressive, subsampled,
-    arithmetic, 16-bit DQT), never garbage pixels."""
+    baseline sequential class with sampling factors 1 or 2 per axis —
+    4:4:4, 4:2:2, 4:4:0 and 4:2:0 (the common camera layout; chroma
+    upsampled nearest-neighbor) — single interleaved scan, no restart
+    markers. Raises ValueError naming any feature outside that class
+    (progressive, arithmetic, 16-bit DQT, factors > 2, 2/4-component
+    color transforms), never garbage pixels."""
     import numpy as np
 
     if blob[:2] != b"\xff\xd8":
@@ -430,10 +481,17 @@ def decode_jpeg(blob: bytes):
             comps = []
             for ci in range(nf):
                 cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
-                if hv != 0x11:
+                hi, vi = hv >> 4, hv & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(
-                        "chroma subsampling not supported (4:4:4 only)")
-                comps.append((cid, tq))
+                        f"sampling factors {hi}x{vi} not supported "
+                        f"(1 or 2 per axis: 4:4:4/4:2:2/4:4:0/4:2:0)")
+                comps.append((cid, hi, vi, tq))
+            if nf == 1:
+                # a single component is never subsampled relative to
+                # itself — normalize so the MCU grid is 8x8
+                cid, _hi, _vi, tq = comps[0]
+                comps = [(cid, 1, 1, tq)]
             frame = (fw, fh, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -457,40 +515,52 @@ def decode_jpeg(blob: bytes):
 
     C = _dct_matrix()
     zz = np.asarray(ZIGZAG)
-    ph, pw = (fh + 7) & ~7, (fw + 7) & ~7
-    bh, bwid = ph // 8, pw // 8
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
     br = _BitReader(blob, pos)
-    planes = []
-    coefs = [np.zeros((bh * bwid, 64), dtype=np.int64) for _ in comps]
+    coefs = []
+    grids = []
+    for cid, hi, vi, tq in comps:
+        by, bx = mcuy * vi, mcux * hi
+        grids.append((by, bx))
+        coefs.append(np.zeros((by * bx, 64), dtype=np.int64))
     preds = [0] * len(comps)
-    for bi in range(bh * bwid):
-        for ci, (cid, tq) in enumerate(comps):
-            scid, td, ta = scan_comps[ci]
-            if scid != cid:
-                raise ValueError("scan/frame component order mismatch")
-            dc_tab = huff.get((0, td))
-            ac_tab = huff.get((1, ta))
-            if dc_tab is None or ac_tab is None or tq not in qt:
-                raise ValueError("missing Huffman/quant table")
-            s = _huff_decode(br, dc_tab)
-            diff = _extend(br.bits(s), s) if s else 0
-            preds[ci] += diff
-            blk = coefs[ci][bi]
-            blk[0] = preds[ci]
-            k = 1
-            while k < 64:
-                rs = _huff_decode(br, ac_tab)
-                r, s = rs >> 4, rs & 0xF
-                if s == 0:
-                    if r == 15:
-                        k += 16            # ZRL
-                        continue
-                    break                  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                blk[k] = _extend(br.bits(s), s)
-                k += 1
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, hi, vi, tq) in enumerate(comps):
+                scid, td, ta = scan_comps[ci]
+                if scid != cid:
+                    raise ValueError(
+                        "scan/frame component order mismatch")
+                dc_tab = huff.get((0, td))
+                ac_tab = huff.get((1, ta))
+                if dc_tab is None or ac_tab is None or tq not in qt:
+                    raise ValueError("missing Huffman/quant table")
+                _by, bx = grids[ci]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        bi = (my * vi + byy) * bx + (mx * hi + bxx)
+                        blk = coefs[ci][bi]
+                        s = _huff_decode(br, dc_tab)
+                        diff = _extend(br.bits(s), s) if s else 0
+                        preds[ci] += diff
+                        blk[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, ac_tab)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16    # ZRL
+                                    continue
+                                break          # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            blk[k] = _extend(br.bits(s), s)
+                            k += 1
     # the stream must close with EOI — tolerate any number of 0xFF
     # fill bytes (T.81 B.1.1.2) and trailing COM/APPn segments
     p = br.pos
@@ -510,14 +580,25 @@ def decode_jpeg(blob: bytes):
             continue
         raise ValueError(f"unexpected marker 0xff{m:02x} after scan")
 
-    for ci, (cid, tq) in enumerate(comps):
-        deq = np.zeros((bh * bwid, 64), dtype=np.float64)
+    planes = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        by, bx = grids[ci]
+        deq = np.zeros((by * bx, 64), dtype=np.float64)
         deq[:, zz] = coefs[ci] * qt[tq].reshape(-1)[zz][None, :]
         blocks = deq.reshape(-1, 8, 8)
         pix = np.einsum("ji,njk,kl->nil", C, blocks, C)
-        plane = (pix.reshape(bh, bwid, 8, 8).transpose(0, 2, 1, 3)
-                 .reshape(ph, pw))[:fh, :fw] + 128.0
-        planes.append(plane)
+        plane = (pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(by * 8, bx * 8))
+        # crop to the component's own dimensions, then upsample
+        # nearest-neighbor to full frame resolution
+        ch = -(-fh * vi // vmax)
+        cw = -(-fw * hi // hmax)
+        plane = plane[:ch, :cw] + 128.0
+        if vi != vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        if hi != hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        planes.append(plane[:fh, :fw])
     if len(planes) == 1:
         out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return fw, fh, out

@@ -649,6 +649,12 @@ def q217_multimodal_jpeg(spark, sf_dir: str):
                 err = np.abs(dec.astype(np.int64) - img.astype(np.int64))
                 gray = img[:, :, 1]
                 gw, gh, gdec = decode_jpeg(encode_jpeg(gray, quality=90))
+                # the camera layout: 4:2:0 chroma subsampling (2x2
+                # luma blocks per MCU, chroma at quarter resolution)
+                sw, sh, sdec = decode_jpeg(
+                    encode_jpeg(img, quality=90, subsampling="4:2:0"))
+                serr = np.abs(sdec.astype(np.int64)
+                              - img.astype(np.int64))
                 ok = (
                     (dw, dh) == (w, h)
                     and dec.shape == img.shape
@@ -656,6 +662,9 @@ def q217_multimodal_jpeg(spark, sf_dir: str):
                     and int(err.max()) <= 48
                     and (gw, gh) == (w, h)
                     and gdec.shape == (h, w)
+                    and (sw, sh) == (w, h)
+                    and float(serr.mean()) <= 12.0
+                    and int(serr.max()) <= 48
                 )
                 # integrity: JPEG has no CRC — a truncated stream must
                 # fail loudly, never return partial pixels

@@ -268,11 +268,12 @@ def test_jpeg_rejects_out_of_class_and_truncation():
         # flip SOF0 (0xffc0) to SOF2 progressive (0xffc2)
         i = blob.index(b"\xff\xc0")
         decode_jpeg(blob[:i] + b"\xff\xc2" + blob[i + 2:])
-    # subsampling rejection: patch the SOF sampling byte 0x11 -> 0x22
+    # sampling-factor rejection: factors of 1 or 2 per axis are the
+    # supported class (4:4:4/4:2:2/4:4:0/4:2:0); 3x3 must raise by name
     i = blob.index(b"\xff\xc0")
     seg = bytearray(blob)
-    seg[i + 2 + 2 + 6 + 1] = 0x22     # first component h/v factors
-    with _pt.raises(ValueError, match="subsampling"):
+    seg[i + 2 + 2 + 6 + 1] = 0x33     # first component h/v factors
+    with _pt.raises(ValueError, match="sampling factors"):
         decode_jpeg(bytes(seg))
     # decode_image dispatches JPEG by signature now
     from columnar_format_spark.functions.multimodal import decode_image
@@ -297,3 +298,36 @@ def test_jpeg_quality_monotonic():
     e90 = np.abs(d90.astype(int) - img.astype(int)).mean()
     e20 = np.abs(d20.astype(int) - img.astype(int)).mean()
     assert e20 > e90
+
+
+def test_jpeg_chroma_subsampling_roundtrips():
+    """4:2:2 and 4:2:0 (the common camera layout): chroma box-averaged
+    down, luma carrying 2x1/2x2 sampling factors, the scan
+    interleaving h*v luma blocks per MCU — decoded with per-component
+    MCU block mapping + nearest-neighbor chroma upsampling. Bounded
+    error (subsampling loses more chroma detail than 4:4:4), exact on
+    flat color, exact dimensions at every odd/edge shape."""
+    import numpy as np
+
+    from columnar_format_spark.functions.jpeg import (decode_jpeg,
+                                                      encode_jpeg)
+
+    for sub, mean_cap, max_cap in (("4:2:2", 6.0, 24),
+                                   ("4:2:0", 9.0, 32)):
+        for shape in [(23, 37), (16, 16), (17, 19), (1, 1), (9, 33)]:
+            img = _gradient(*shape)
+            blob = encode_jpeg(img, 90, subsampling=sub)
+            w, h, dec = decode_jpeg(blob)
+            assert (w, h) == (shape[1], shape[0]) and dec.shape == img.shape
+            err = np.abs(dec.astype(np.int64) - img.astype(np.int64))
+            assert float(err.mean()) <= mean_cap, (sub, shape, err.mean())
+            assert int(err.max()) <= max_cap, (sub, shape, err.max())
+        flat = np.full((20, 22, 3), 77, np.uint8)
+        _, _, d2 = decode_jpeg(encode_jpeg(flat, 90, subsampling=sub))
+        assert np.array_equal(d2, flat)
+    # subsampled streams are smaller than 4:4:4 on chroma-rich content
+    img = _gradient(64, 96)
+    assert len(encode_jpeg(img, 90, subsampling="4:2:0")) < \
+        len(encode_jpeg(img, 90, subsampling="4:4:4"))
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(img, 90, subsampling="4:1:1")
