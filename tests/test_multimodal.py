@@ -331,3 +331,34 @@ def test_jpeg_chroma_subsampling_roundtrips():
         len(encode_jpeg(img, 90, subsampling="4:4:4"))
     with pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(img, 90, subsampling="4:1:1")
+
+
+def test_jpeg_decodes_real_third_party_file():
+    """Cross-IMPLEMENTATION validation (the COLF reference-compat
+    pattern applied to JPEG): CPython ships a real 16x16 baseline
+    4:2:0 JPEG (luma factors 2x2, chroma 1x1 — written by a real
+    encoder, not ours) as a test fixture; our decoder must parse its
+    tables, interleave, and subsampling and produce plausible pixels.
+    Skipped when no CPython test fixture is present on the host."""
+    import glob
+
+    import numpy as np
+
+    from columnar_format_spark.functions.jpeg import decode_jpeg
+
+    candidates = (
+        glob.glob("/root/.pyenv/versions/*/lib/python*/test/"
+                  "test_email/data/python.jpg")
+        + glob.glob("/root/.pyenv/versions/*/lib/python*/test/"
+                    "imghdrdata/python.jpg"))
+    if not candidates:
+        pytest.skip("no CPython JPEG fixture on this host")
+    blob = open(sorted(candidates)[0], "rb").read()
+    assert blob[:3] == b"\xff\xd8\xff"
+    w, h, arr = decode_jpeg(blob)
+    assert (w, h) == (16, 16) and arr.shape == (16, 16, 3)
+    # the Python-logo fixture: black border, colored center — pin
+    # loose content stats so a scrambled MCU mapping cannot pass
+    assert int(arr[0, 0].max()) <= 16 and int(arr[-1, 0].max()) <= 16
+    assert 80.0 <= float(arr.mean()) <= 105.0, float(arr.mean())
+    assert float(arr[8].mean()) > 120.0     # bright center row
