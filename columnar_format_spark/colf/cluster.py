@@ -18,15 +18,41 @@ from pyspark.sql import functions as F
 RANK_BITS = 8  # 256 equal-population buckets per dimension
 
 
+def _dbl_lit(x: float) -> str:
+    """Exact DOUBLE literal for a SQL expression string: repr() is the
+    shortest round-trip form and Java's parseDouble reproduces the
+    identical IEEE value. String-building the expression matters on
+    the driver: a py4j call per F.lit() made a 255-cut bucket
+    expression ~500 gateway round trips (~10 s measured on the bench
+    box); one expr() string is a single round trip."""
+    if x != x or x in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite cut point {x}")
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
 def rank_cuts(df: DataFrame, cols: list[str],
               bits: int = RANK_BITS) -> list[list[float]]:
     """Per-dimension equal-population cut points from ONE distributed
-    approxQuantile pass (multi-column form: every sketch built in a
-    single scan). Driver receives (2**bits - 1) doubles per column —
-    metadata-sized at any corpus scale."""
+    percentile pass (every sketch built in a single scan). Driver
+    receives (2**bits - 1) doubles per column — metadata-sized at any
+    corpus scale.
+
+    Uses percentile_approx in a single agg row instead of
+    DataFrame.approxQuantile: same QuantileSummaries sketch (accuracy
+    1000 = approxQuantile's 0.001 relative error), but the cuts come
+    back in ONE collected row instead of per-element py4j unmarshalling
+    (which cost ~5 s per call on the bench box). Cut placement steers
+    layout quality only, never results."""
     n = (1 << bits) - 1
-    probs = [(i + 1) / (n + 1) for i in range(n)]
-    return df.stat.approxQuantile(list(cols), probs, 0.001)
+    probs = ", ".join(_dbl_lit((i + 1) / (n + 1)) for i in range(n))
+    aggs = [
+        F.expr(f"percentile_approx(CAST(`{c}` AS DOUBLE), "
+               f"array({probs}), 1000)").alias(f"_cuts_{i}")
+        for i, c in enumerate(cols)
+    ]
+    row = df.agg(*aggs).first()
+    return [list(row[i]) if row[i] is not None else []
+            for i in range(len(cols))]
 
 
 def rank_bucket(col: str, cuts: list[float]) -> F.Column:
@@ -34,8 +60,11 @@ def rank_bucket(col: str, cuts: list[float]) -> F.Column:
     higher-order filter over the literal cut array. Monotone in the
     value, so range predicates on the original column stay range
     predicates in the rank domain."""
-    arr = F.array(*[F.lit(float(c)) for c in cuts])
-    return F.size(F.filter(arr, lambda c: F.col(col).cast("double") >= c))
+    if not cuts:
+        return F.lit(0)  # empty input: every row lands in bucket 0
+    arr = ", ".join(_dbl_lit(c) for c in cuts)
+    return F.expr(f"size(filter(array({arr}), "
+                  f"c -> CAST(`{col}` AS DOUBLE) >= c))")
 
 
 def interleave_ranks(cols: list[str], bits: int = RANK_BITS) -> F.Column:
