@@ -456,9 +456,14 @@ def _int_coded(spark: SparkSession, sf_dir: str):
         .select("vec_id", qvec(F.col("embedding")).alias("qv"))
         .withColumn("nrm", int_norm(F.col("qv")))
         .filter(F.col("nrm") > 0)
+        # every caller branches e and coded into 2+ subtrees (query
+        # side vs corpus side): materialize the quantization and the
+        # LSH coding once instead of once per subtree
+        .localCheckpoint()
     )
     coded = e.select("vec_id", "qv", "nrm",
-                     F.posexplode(int_codes("qv")).alias("tbl", "code"))
+                     F.posexplode(int_codes("qv")).alias("tbl", "code")) \
+        .localCheckpoint()
     return e, coded
 
 
@@ -825,6 +830,10 @@ def q165_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", qvec(F.col("embedding")).alias("qv"))
         .withColumn("nrm", int_norm(F.col("qv")))
         .filter(F.col("nrm") > 0)
+        # six subtrees consume e (fit sample, codes, query rows, both
+        # rerank sides, corpus count): materialize the projection once
+        # instead of re-running the scan + int-quantization per subtree
+        .localCheckpoint()
     )
     # deterministic sample to the driver for the codebook fit, hard-capped
     # at CODEBOOK_SAMPLE_CAP rows so the collect is O(1) in corpus size;
@@ -1013,6 +1022,9 @@ def q166_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", qvec(F.col("embedding")).alias("qv"))
         .withColumn("nrm", int_norm(F.col("qv")))
         .filter(F.col("nrm") > 0)
+        # materialized once: fit sample, encode, query rows, both
+        # rerank sides and the corpus count all branch from e
+        .localCheckpoint()
     )
     # identical fit computation (same sample rule, same fixed-seed
     # kmeans, same residual books) as q168's persisted index — share
@@ -1048,7 +1060,10 @@ def q166_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     coded = (e.select("vec_id", "nrm", encode("embedding").alias("ix"))
              .select("vec_id", "nrm", F.col("ix.cluster").alias("cluster"),
-                     F.col("ix.codes").alias("codes")))
+                     F.col("ix.codes").alias("codes"))
+             # the candidate count and the ADC scan both consume the
+             # codes: encode once, not once per subtree
+             .localCheckpoint())
 
     # query-side driver arrays: probed lists, per-query LUTs, q·centroid
     qrows = (e.filter(F.col("vec_id") < N_QUERIES)
@@ -1539,7 +1554,10 @@ def q192_ann_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("vec_id", "embedding",
                  qvec(F.col("embedding")).alias("qv"))
          .withColumn("nrm", int_norm(F.col("qv")))
-         .filter(F.col("nrm") > 0))
+         .filter(F.col("nrm") > 0)
+         # count, PCA fit, projection, both rerank sides and the
+         # corpus count all branch from e: materialize it once
+         .localCheckpoint())
     n_corpus_v = e.count()
     cand_cap = max(PCA_ANN_CAND_MIN, n_corpus_v // PCA_ANN_CAND_FRAC)
     _, mean, comps, _ = _pca_fit(e, 64, PCA_ANN_K)
@@ -1562,7 +1580,8 @@ def q192_ann_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "red": [r.tolist() for r in z]})
 
     red = e.select("vec_id", "embedding").mapInPandas(
-        project, "vec_id long, red array<double>")
+        project, "vec_id long, red array<double>") \
+        .localCheckpoint()  # query side + scan side both read it
     from pyspark.sql import Window
 
     qr = (red.filter(F.col("vec_id") < N_QUERIES)
