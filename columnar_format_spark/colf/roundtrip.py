@@ -2878,35 +2878,46 @@ def q200_colf_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .maintenance import delete_where, merge_into
 
     register_ds(spark)
-    tmpl = _stage_cdc_orders(spark, sf_dir)
+
+    def build(d: str) -> None:
+        # the feed INPUT — a metadata-replayable 3-commit MoR/equality
+        # DML history (each commit's pure-metadata contract asserted at
+        # build) — staged once per process; the operators under test
+        # (the CDF stream, the one-commit-per-trigger rate-limited
+        # drain) run per invocation on a fresh clone
+        base = _stage_cdc_orders(spark, sf_dir)
+        clone_dataset(base + "/ds", d + "/ds")
+        mx = _CDC_MAXKEY[sf_dir]
+        # v2: MoR position delete (sidecars + one metadata commit)
+        s2 = delete_where(
+            spark, d + "/ds",
+            f"o_orderkey <= {mx // 4} AND o_orderstatus = 'O'", mode="mor")
+        if s2["mode"] != "merge-on-read" or s2["n_rewritten_files"]:
+            raise AssertionError(f"expected a pure metadata commit: {s2}")
+        # v3: MoR MERGE — update every %50==3 key to status 'M', insert
+        # fresh keys shifted above the key space
+        o = table(spark, sf_dir, "orders")
+        src = (o.filter(F.col("o_orderkey") % 50 == 3)
+               .select(F.col("o_orderkey").cast("int").alias("o_orderkey"),
+                       F.lit("M").alias("o_orderstatus"))
+               .unionAll(
+                   o.filter(F.col("o_orderkey") % 50 == 7)
+                   .select((F.col("o_orderkey") + (mx + 1)).cast("int")
+                           .alias("o_orderkey"),
+                           F.lit("M").alias("o_orderstatus"))))
+        s3 = merge_into(spark, d + "/ds", src, ["o_orderkey"], mode="mor")
+        if s3["n_rewritten_files"]:
+            raise AssertionError(f"MoR merge rewrote data files: {s3}")
+        # v4: equality delete — pure predicate metadata, zero scans
+        delete_where(
+            spark, d + "/ds",
+            f"o_orderkey > {3 * (mx // 4)} AND o_orderstatus = 'F'",
+            mode="eq")
+
+    tmpl = stage_once(("colf-cdcstream-tmpl", sf_dir),
+                      "colf_cdcstream_tmpl_", build)
     path = run_dir(("colf-cdcstream-run", sf_dir), "colf_cdcstream_") + "/ds"
     clone_dataset(tmpl + "/ds", path)
-    mx = _CDC_MAXKEY[sf_dir]
-
-    # v2: MoR position delete (sidecars + one metadata commit)
-    s2 = delete_where(
-        spark, path,
-        f"o_orderkey <= {mx // 4} AND o_orderstatus = 'O'", mode="mor")
-    if s2["mode"] != "merge-on-read" or s2["n_rewritten_files"]:
-        raise AssertionError(f"expected a pure metadata commit: {s2}")
-    # v3: MoR MERGE — update every %50==3 key to status 'M', insert
-    # fresh keys shifted above the key space
-    o = table(spark, sf_dir, "orders")
-    src = (o.filter(F.col("o_orderkey") % 50 == 3)
-           .select(F.col("o_orderkey").cast("int").alias("o_orderkey"),
-                   F.lit("M").alias("o_orderstatus"))
-           .unionAll(
-               o.filter(F.col("o_orderkey") % 50 == 7)
-               .select((F.col("o_orderkey") + (mx + 1)).cast("int")
-                       .alias("o_orderkey"),
-                       F.lit("M").alias("o_orderstatus"))))
-    s3 = merge_into(spark, path, src, ["o_orderkey"], mode="mor")
-    if s3["n_rewritten_files"]:
-        raise AssertionError(f"MoR merge rewrote data files: {s3}")
-    # v4: equality delete — pure predicate metadata, zero scans
-    delete_where(
-        spark, path,
-        f"o_orderkey > {3 * (mx // 4)} AND o_orderstatus = 'F'", mode="eq")
 
     cdc = (spark.readStream.format("colf")
            .option("readChangeFeed", "true").load(path))
@@ -3009,19 +3020,27 @@ def q201_colf_rewrite_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .maintenance import delete_where, rewrite_delete_files, update_where
 
     register_ds(spark)
-    tmpl = _stage_cdc_orders(spark, sf_dir)
+
+    def build(d: str) -> None:
+        # the rewrite INPUT — three MoR DML commits' accumulated
+        # sidecars — staged once per process; the operators under test
+        # (rewrite_delete_files and its stats-noop gate) run per
+        # invocation on a fresh clone
+        base = _stage_cdc_orders(spark, sf_dir)
+        clone_dataset(base + "/ds", d + "/ds")
+        mx = _CDC_MAXKEY[sf_dir]
+        delete_where(spark, d + "/ds",
+                     f"o_orderkey <= {mx // 4} AND o_orderstatus = 'O'",
+                     mode="mor")
+        update_where(spark, d + "/ds", {"o_orderstatus": "'U'"},
+                     "o_orderkey % 50 = 3", mode="mor")
+        delete_where(spark, d + "/ds",
+                     f"o_orderkey > {3 * (mx // 4)} AND o_orderstatus = 'F'",
+                     mode="mor")
+
+    tmpl = stage_once(("colf-rdel-tmpl", sf_dir), "colf_rdel_tmpl_", build)
     path = run_dir(("colf-rdel-run", sf_dir), "colf_rdel_") + "/ds"
     clone_dataset(tmpl + "/ds", path)
-    mx = _CDC_MAXKEY[sf_dir]
-
-    delete_where(spark, path,
-                 f"o_orderkey <= {mx // 4} AND o_orderstatus = 'O'",
-                 mode="mor")
-    update_where(spark, path, {"o_orderstatus": "'U'"},
-                 "o_orderkey % 50 = 3", mode="mor")
-    delete_where(spark, path,
-                 f"o_orderkey > {3 * (mx // 4)} AND o_orderstatus = 'F'",
-                 mode="mor")
     dels_before = load_snapshots(path)[-1].get("deletes") or []
     if len(dels_before) < 3:
         raise AssertionError(
