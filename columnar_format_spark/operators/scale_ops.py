@@ -252,9 +252,12 @@ def _rank_bucket(col: str, cuts: list[float]) -> F.Column:
     JVM-side higher-order filter over the literal cut array — no UDF,
     no join. O(2**bits) branch-free compares per row inside codegen;
     monotone in the value, so range predicates on the original column
-    stay range predicates in the rank domain."""
-    arr = F.array(*[F.lit(float(c)) for c in cuts])
-    return F.size(F.filter(arr, lambda c: F.col(col).cast("double") >= c))
+    stay range predicates in the rank domain. Built as ONE expr()
+    string (a py4j call per F.lit() made a 255-cut array ~255 gateway
+    round trips — the colf.cluster fix, applied here too)."""
+    from ..colf.cluster import rank_bucket
+
+    return rank_bucket(col, cuts)
 
 
 @register(
