@@ -1329,8 +1329,10 @@ def rewrite_delete_files(spark: SparkSession, path: str,
                         "target_from": target_from,
                         "skipped": "stats-noop"}
 
-    paths_df = spark.createDataFrame(
-        [(os.path.join(path, d),) for d in dels], "p string"
+    from ..session import local_df
+
+    paths_df = local_df(
+        spark, [(os.path.join(path, d),) for d in dels], "p string"
     ).repartition(min(len(dels), spark.sparkContext.defaultParallelism))
 
     def _read_sidecars(batches):

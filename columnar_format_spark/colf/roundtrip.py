@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register, table
+from ..session import local_df
 from ..staging import clone_dataset, run_dir, stage_once
 
 
@@ -1366,7 +1367,7 @@ def q172_metadata_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.append((col, n_rows, nulls,
                     str(min(mins)) if mins else None,
                     str(max(maxs)) if maxs else None))
-    return spark.createDataFrame(out, StructType([
+    return local_df(spark, out, StructType([
         StructField("col_name", StringType(), False),
         StructField("n_rows", LongType(), False),
         StructField("null_count", LongType(), False),
@@ -1493,8 +1494,8 @@ def q174_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"partition tuple or row count in the manifest")
         key = part["o_orderpriority"]
         totals[key] = totals.get(key, 0) + entry["num_rows"]
-    return spark.createDataFrame(
-        sorted(totals.items()),
+    return local_df(
+        spark, sorted(totals.items()),
         StructType([StructField("o_orderpriority", StringType(), False),
                     StructField("n_rows", LongType(), False)]))
 
@@ -1795,7 +1796,7 @@ def q181_partition_stats_evolved(spark: SparkSession,
         (col, val), = part.items()
         totals[(col, val)] = totals.get((col, val), 0) + entry["num_rows"]
     rows = sorted((c, v, n) for (c, v), n in totals.items())
-    return spark.createDataFrame(rows, StructType([
+    return local_df(spark, rows, StructType([
         StructField("spec", StringType(), False),
         StructField("part_value", StringType(), False),
         StructField("n_rows", LongType(), False)]))
@@ -2671,16 +2672,26 @@ def q198_colf_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("equality delete wrote files")
     if not load_snapshots(path)[-1].get("eq_deletes"):
         raise AssertionError("commit carries no equality predicate")
-    # masking holds under a projection excluding the predicate columns
-    n_proj = (spark.read.format("colf").option("columns", "o_orderkey")
-              .load(path).count())
-    n_full = spark.read.format("colf").load(path).count()
+    # three same-state proofs in ONE action (a union of labelled 1-row
+    # counts): the projection-independence of the mask, the full count,
+    # and the pre-delete snapshot count
+    def one(df, k):
+        return df.agg(F.count(F.lit(1)).alias("n")) \
+            .select(F.lit(k).alias("k"), "n")
+
+    counts = dict(
+        (r["k"], r["n"]) for r in
+        one(spark.read.format("colf").option("columns", "o_orderkey")
+            .load(path), "proj")
+        .unionAll(one(spark.read.format("colf").load(path), "full"))
+        .unionAll(one(spark.read.format("colf").option("snapshot", "1")
+                      .option("columns", "o_orderkey").load(path), "v1"))
+        .collect())
+    n_proj, n_full, n_v1 = counts["proj"], counts["full"], counts["v1"]
     if n_proj != n_full:
         raise AssertionError(
             f"projected scan saw {n_proj} rows, full scan {n_full} — "
             f"the mask must not depend on the projection")
-    n_v1 = (spark.read.format("colf").option("snapshot", "1")
-            .option("columns", "o_orderkey").load(path).count())
     if n_full >= n_v1:
         raise AssertionError("the equality delete masked nothing")
     # sequence semantics: appended rows MATCHING the predicate survive
@@ -3709,7 +3720,7 @@ def q211_colf_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import (BooleanType, LongType, StringType,
                                    StructField, StructType)
 
-    return spark.createDataFrame(rows, StructType([
+    return local_df(spark, rows, StructType([
         StructField("col_name", StringType(), False),
         StructField("n_exact", LongType(), False),
         StructField("sketch_exact", BooleanType(), False),

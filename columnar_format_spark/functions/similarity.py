@@ -1081,7 +1081,12 @@ def q166_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     qpos_of = {int(q): i for i, q in enumerate(qids)}
 
     # probe plan as a tiny broadcast DF: (qid, cluster)
-    probe_df = F.broadcast(spark.createDataFrame(
+    from ..session import local_df
+
+    # local_df, not createDataFrame: a bare local relation evaluates
+    # as defaultParallelism Python slices (see session.local_df)
+    probe_df = F.broadcast(local_df(
+        spark,
         [(int(qids[i]), int(c)) for i in range(len(qids))
          for c in probes[i]], "qid int, cluster int"))
 
@@ -1201,6 +1206,9 @@ def q168_ann_index_colf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", qvec(F.col("embedding")).alias("qv"))
         .withColumn("nrm", int_norm(F.col("qv")))
         .filter(F.col("nrm") > 0)
+        # fit sample, query rows and both rerank sides branch from e:
+        # materialize the quantization once (the q165/q166 pattern)
+        .localCheckpoint()
     )
     # the codebook fit is deterministic (fixed sample rule + fixed-seed
     # kmeans), so memoize it per sf_dir alongside the staged index —
@@ -1307,7 +1315,12 @@ def q168_ann_index_colf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ix = (spark.read.format("colf").load(ix_path)
           .filter(F.col("cluster").isin(probed_clusters)))
-    probe_df = F.broadcast(spark.createDataFrame(
+    from ..session import local_df
+
+    # local_df, not createDataFrame: a bare local relation evaluates
+    # as defaultParallelism Python slices (see session.local_df)
+    probe_df = F.broadcast(local_df(
+        spark,
         [(int(qids[i]), int(c)) for i in range(len(qids))
          for c in probes[i]], "qid int, cluster int"))
 
@@ -1499,7 +1512,10 @@ def q190_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction_ok = bool(
         abs(mse - resid_eigensum) <= PCA_TOL * max(1.0, total_var))
 
-    return spark.createDataFrame(
+    from ..session import local_df
+
+    return local_df(
+        spark,
         [(int(n), d, PCA_K, int(n_projected), orthonormal_ok,
           variance_order_ok, variance_share_ok, reconstruction_ok)],
         "n_vectors long, d_in long, d_out long, n_projected long, "

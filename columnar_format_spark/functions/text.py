@@ -412,8 +412,10 @@ def q68_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mixture costs one scan regardless of how many sources exist.
     """
     d = table(spark, sf_dir, "documents")
-    rates = d.sparkSession.createDataFrame(
-        sorted(MIX_RATES.items()), "source string, rate int")
+    from ..session import local_df
+
+    rates = local_df(d.sparkSession,
+                     sorted(MIX_RATES.items()), "source string, rate int")
     return (
         d.join(F.broadcast(rates), "source")
         .filter(doc_bucket() < F.col("rate"))

@@ -233,7 +233,10 @@ def q97_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape as q16's banding.
     """
     o = table(spark, sf_dir, "orders")
-    promos = spark.createDataFrame(
+    from ..session import local_df
+
+    promos = local_df(
+        spark,
         [(n, f"{s} 00:00:00", f"{e} 00:00:00") for n, s, e in PROMOS],
         "promo string, p_start string, p_end string",
     ).select(
