@@ -42,11 +42,23 @@ def rank_cuts(df: DataFrame, cols: list[str],
     1000 = approxQuantile's 0.001 relative error), but the cuts come
     back in ONE collected row instead of per-element py4j unmarshalling
     (which cost ~5 s per call on the bench box). Cut placement steers
-    layout quality only, never results."""
+    layout quality only, never results.
+
+    Non-finite inputs are nulled before the sketch: approxQuantile
+    dropped NaN for free, but percentile_approx does not, and a
+    NaN/inf cut point would hit _dbl_lit's ValueError when the bucket
+    expression is built (non-finite rows still bucket fine — NaN sorts
+    above every cut, NULL below the first)."""
     n = (1 << bits) - 1
     probs = ", ".join(_dbl_lit((i + 1) / (n + 1)) for i in range(n))
+
+    def finite(c: str) -> str:
+        v = f"CAST(`{c}` AS DOUBLE)"
+        return (f"CASE WHEN isnan({v}) OR abs({v}) = double('Infinity') "
+                f"THEN NULL ELSE {v} END")
+
     aggs = [
-        F.expr(f"percentile_approx(CAST(`{c}` AS DOUBLE), "
+        F.expr(f"percentile_approx({finite(c)}, "
                f"array({probs}), 1000)").alias(f"_cuts_{i}")
         for i, c in enumerate(cols)
     ]

@@ -1779,6 +1779,22 @@ def add_constraint(spark: SparkSession, path: str, name: str,
     df = spark.read.format("colf").load(path)
     from pyspark.sql import functions as F
 
+    # Project the validation scan to the columns the condition
+    # references (r14, guide §2.3: the Python DataSource API has no
+    # column pruning, so the bare read decodes EVERY column). A
+    # conservative identifier-intersection against the schema — a
+    # quoted literal that happens to name a column only widens the
+    # projection, never narrows it; backquoted identifiers fall back
+    # to the full read.
+    if "`" not in condition:
+        import re as _re
+
+        idents = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", condition))
+        need = [c for c in df.columns if c in idents]
+        if need and len(need) < len(df.columns):
+            df = (spark.read.format("colf")
+                  .option("columns", ",".join(need)).load(path))
+
     # violation = condition IS FALSE (NULL satisfies, SQL standard);
     # one scan yields both the violation count and the audited total
     n_rows, n_bad = df.agg(
@@ -2054,6 +2070,55 @@ def _visible_rows(spark: SparkSession, path: str, touched: list[str],
         dmap = delete_positions_map(path, head["deletes"])
         total -= sum(len(dmap.get(b, ())) for b in touched)
     return total
+
+
+def visible_count(spark: SparkSession, path: str,
+                  snapshot: int | None = None) -> int:
+    """VISIBLE row count of a snapshot served from METADATA — the
+    count()-fast-path the r13 verdict asked for (§6: the Python
+    DataSource API has no column pruning, so a bare ``count()`` reads
+    and decodes EVERY column of every live file at a ~0.5 s/action
+    floor; the manifest already carries exact per-file row counts and
+    the position-delete sidecars are driver-readable).
+
+    Returns manifest-row-count arithmetic minus position-delete masks
+    for the published head (default) or a time-travel ``snapshot``
+    version. Falls back to a single-column reader count when equality
+    deletes are live (predicates defeat metadata arithmetic) or a
+    manifest row count is missing. Query fixtures use this for
+    BASELINE captures; the post-operation proof read stays a real
+    reader count, so "unchanged across the op" asserts now cross-check
+    the reader against manifest arithmetic instead of comparing two
+    reader passes."""
+    from .datasource import (delete_positions_map, materialize_log_versions,
+                             published_head)
+
+    if snapshot is None:
+        snap = published_head(path)
+    else:
+        snap = materialize_log_versions(path, [int(snapshot)]) \
+            .get(int(snapshot))
+    if snap is None:
+        snap = {"files": [os.path.basename(f)
+                          for f in live_files(path)]}
+    man = load_manifest(path)
+    files = snap.get("files") or []
+    if (not snap.get("eq_deletes")
+            and all(man.get(b, {}).get("num_rows") is not None
+                    for b in files)):
+        total = sum(man[b]["num_rows"] for b in files)
+        if snap.get("deletes"):
+            dmap = delete_positions_map(path, snap["deletes"])
+            total -= sum(len(dmap.get(b, ())) for b in files)
+        return int(total)
+    rd = spark.read.format("colf")
+    if snapshot is not None:
+        rd = rd.option("snapshot", str(int(snapshot)))
+    cols = dataset_logical_columns(
+        path, [os.path.join(path, b) for b in files]) if files else None
+    if cols:
+        rd = rd.option("columns", cols[0].name)
+    return rd.load(path).count()
 
 
 def _plan_candidates(path: str, flts, live0: list[str]):
@@ -2959,6 +3024,23 @@ def merge_into(spark: SparkSession, path: str, source,
         if stats_skip:
             n_source = int(sum(r["n"] for r in kstat))
             discovery = "stats-full-scan"
+            # r13 verdict item #1 (fuse discovery+rewrite): the gate
+            # just concluded per-file pruning cannot skip meaningful
+            # I/O, so a separate discovery pass would read the whole
+            # key column only to (almost always) name every live file.
+            # Skip it: rewrite the live set directly — the survivor
+            # anti join in the ONE write job still decides exact
+            # membership — and take n_replaced from the same manifest
+            # arithmetic the metadata-planned paths use. A file with
+            # zero matches gets a byte-equal rewrite instead of being
+            # kept, which the stats gate already priced as cheaper
+            # than probing; results are identical.
+            man_s = load_manifest(path)
+            if all(man_s.get(b, {}).get("num_rows") is not None
+                   for b in live0):
+                touched = list(live0)
+                rows_before = _visible_rows(spark, path, touched,
+                                            man_s, key_cols[0])
         if small and not stats_skip:
             # metadata-only discovery (the CDC-upsert regime): per-
             # column IN filters over the reader's OWN planning prune

@@ -458,7 +458,12 @@ def _int_coded(spark: SparkSession, sf_dir: str):
         .filter(F.col("nrm") > 0)
         # every caller branches e and coded into 2+ subtrees (query
         # side vs corpus side): materialize the quantization and the
-        # LSH coding once instead of once per subtree
+        # LSH coding once instead of once per subtree. Checkpoint
+        # blocks are reclaimed by ContextCleaner once the returned
+        # DataFrame is dropped (the caller's result plan references
+        # them, so an in-query unpersist would break it); bench.py
+        # nudges a gc.collect() between queries so py4j releases the
+        # RDD handles promptly.
         .localCheckpoint()
     )
     coded = e.select("vec_id", "qv", "nrm",

@@ -164,9 +164,10 @@ from .registry import QUERIES, QuerySpec  # noqa: F401
 #
 # PRE-SHIP CHECKLIST (every round, after the last product commit) —
 # executable as tools/ship_gates.sh:
-#   1. full test gate: python -m pytest tests/ -x -q (includes the
-#      per-query pandas_dtype_parity assertion at sf0.001 and the
-#      ledger/window consistency check);
+#   1. full test gate: python -m pytest tests/ -x -q -m "" (includes
+#      the per-query pandas_dtype_parity assertion at sf0.001, the
+#      ledger/window consistency check, AND the slow tier that
+#      pytest.ini deselects from the driver's bounded default run);
 #   2. driver-style sweep WITH dtype parity at sf0.01:
 #      python tools/sweep_oracle.py --dtypes   (expect 0 fail);
 #   3. the same sweep at sf0.1 for every query in the window;
@@ -175,25 +176,51 @@ WINDOW_SIZE = 50
 
 # Queries whose plan, oracle, or underlying machinery changed this
 # round — they re-prove themselves in the driver window even when they
-# have recent green evidence. Round 13: the manifest/bloom sidecar
-# union is process-cached with in-place refresh on append (every
-# pruning plan and maintenance estimate reads through it); checkpoints
-# resolve the carried-metadata slots so the cold current_* getters
-# (spec/sort/cluster/table_schema) take a bounded walk;
-# rewrite_delete_files' no-op gate verifies post-vacuum sidecars
-# directly; column-block corruption errors wrap with column context.
-# The representative set re-proves driver-side (the full registry is
-# re-gated locally by the sf0.01/sf0.1 sweeps); the REST of the window
-# backfills the round-8 evidence cohort, the oldest after folding r12
-# (r12 verdict item #2).
+# have recent green evidence. Round 14 (r13 verdict item #2): round
+# 13's optimization commits restructured ~27 query paths but only 7
+# landed in the r13 driver window; the rest re-prove here — the
+# DML-history staging block (q209/q212/q213/q214/q215/q200/q198), the
+# z-order family (q157/q169/q182/q189 — single-expr rank buckets +
+# percentile_approx cuts), the ANN localCheckpoint family
+# (q62/q135/q151/q165/q166), and the local_df stats/metadata tier
+# (q172/q174/q181/q211). Round-14 optimization changes to these same
+# paths (merge fusion, manifest-count fast path, orphan-scenario
+# staging) are covered by the same list; q206 and q84/q52 join it for
+# this round's staging/shuffle changes.
 CHANGED_THIS_ROUND = [
-    "q76_colf_zonemap_pruning",   # manifest reads via the new cache
-    "q164_colf_bloom_lookup",     # bloom sidecar via the new cache
-    "q173_colf_bounds_merge",     # maintenance manifest estimates
-    "q179_colf_spec_evolution",   # checkpoint-resolved spec getter
-    "q202_colf_schema_evolution",  # checkpoint-resolved table schema
-    "q201_colf_rewrite_deletes",  # post-vacuum gate verification
-    "q70_colf_roundtrip",         # resolved_meta in live checkpoints
+    "q209_colf_binpack",
+    "q212_colf_cdf_replay",
+    "q213_colf_metadata_migration",
+    "q214_colf_stats_planning",
+    "q215_colf_log_compaction",
+    "q200_colf_cdc_stream",
+    "q198_colf_eq_delete",
+    "q157_zorder_pruning",
+    "q169_zorder_rank",
+    "q182_colf_sorted_maintenance",
+    "q189_colf_clustered_maintenance",
+    "q62_ann_lsh",
+    "q135_ann_recall",
+    "q151_knn_label",
+    "q165_ann_pq",
+    "q166_ann_ivfpq",
+    "q172_metadata_profile",
+    "q174_partition_stats",
+    "q181_partition_stats_evolved",
+    "q211_colf_ndv_stats",
+    "q206_colf_orphan_cleanup",
+    "q84_stream_stream_join",
+    "q52_minhash_lsh",
+    "q56_dedup_components",
+    "q149_colf_merge",
+    "q199_colf_mor_merge",
+    # restructured in round 14 (visible_count baselines, staged
+    # histories, single-pass diff):
+    "q201_colf_rewrite_deletes",
+    "q208_colf_check_constraints",
+    "q183_colf_snapshot_diff",
+    "q186_colf_wap",
+    "q187_colf_branch",
 ]
 
 

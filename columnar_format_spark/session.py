@@ -62,6 +62,15 @@ def get_spark(app_name: str = "columnar-format-spark",
         .config("spark.python.unix.domain.socket.enabled",
                 "false" if os.environ.get("SPARK_GRAFT_TCP_WORKERS")
                 else "true")
+        # limit(n).collect() — the merge kstat probes, dup probes and
+        # stream drains — defaults to a 1-partition trial job that
+        # scales up 4x per round (limit.scaleUpFactor), costing 3 jobs
+        # per bounded collect on these 4-32 partition relations (r14
+        # job-probe: 6 of q214's 26 jobs were ONE kstat collect each
+        # merge). Start at 64 partitions so a bounded collect is one
+        # job; only affects executeCollect of limited plans, never the
+        # noop-sink query path.
+        .config("spark.sql.limit.initialNumPartitions", "64")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -64,7 +64,8 @@ def _stage_events(spark: SparkSession, sf_dir: str, variant: str = "plain") -> s
     return stage_once(("stream", sf_dir, variant), f"stream_{variant}_", write)
 
 
-def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def _drain(stream_df: DataFrame, output_mode: str,
+           no_data_batches: bool = True) -> DataFrame:
     """Run a bounded stream to completion into a memory table.
 
     State-store sizing: stateful operators create one state store per
@@ -74,14 +75,28 @@ def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
     you provision state partitions for throughput, not for the
     cluster-wide batch shuffle width. Restored after the drain so batch
     queries keep the session default.
+
+    ``no_data_batches=False`` disables the trailing empty micro-batch
+    (``spark.sql.streaming.noDataMicroBatches.enabled``, restored
+    after the drain). ONLY valid for sinks whose OUTPUT is complete
+    from the data batches — e.g. a stream-stream INNER join, where
+    matches emit as rows arrive and the no-data batch exists purely to
+    evict state a bounded drain discards anyway (r14 probe: that empty
+    batch was 1.25 s of q84's 5.2 s drain — 16 state-store commits
+    over zero rows). Watermark-FLUSHED outputs (outer joins, append-
+    mode aggregations) NEED the no-data batch; callers keep the
+    default for those.
     """
     spark = stream_df.sparkSession
     name = "q_" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     # measured on q84 (stream-stream join, sf0.1): state partitions
     # 2/4/8/16 -> 1.7/2.0/2.7/3.9 s — per-partition store init/commit
     # is the fixed cost, so provision for state volume, not core count
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                   "true" if no_data_batches else "false")
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -93,6 +108,8 @@ def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                       prev_ndb)
     return spark.table(name)
 
 
@@ -267,7 +284,9 @@ def q84_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
         & (F.col("c_ts") <= F.col("p_ts")),
     ).select(purchases.user_id, "purchase_id", "click_id", "p_ts", "c_ts")
-    out = _drain(joined, "append")
+    # inner join: every match emits in the data batches; skip the
+    # state-eviction-only empty batch (see _drain)
+    out = _drain(joined, "append", no_data_batches=False)
     return out.select(
         "user_id", "purchase_id", "click_id",
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),

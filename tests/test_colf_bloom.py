@@ -346,6 +346,7 @@ def test_unknown_bloom_column_rejected(spark, bloom_dataset, tmp_path):
 # ---------- maintenance preservation ----------
 
 
+@pytest.mark.slow
 def test_cow_and_compaction_preserve_blooms(spark, tmp_path):
     register(spark)
     d = str(tmp_path / "ds")
@@ -474,6 +475,7 @@ def test_corrupt_bloom_sidecar_degrades_to_no_pruning(spark, tmp_path):
     assert _n_files(r) == 3
 
 
+@pytest.mark.slow
 def test_merge_key_pushdown_equivalent_to_full_scan(spark, tmp_path,
                                                     monkeypatch):
     """merge_into pushes CDC-sized key sets into the discovery scan as

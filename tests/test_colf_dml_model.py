@@ -55,6 +55,7 @@ def _check(colf_spark, path, model, opname, vname="v"):
     pd.testing.assert_frame_equal(got, want, check_dtype=True), opname
 
 
+@pytest.mark.slow
 def test_random_dml_sequences_match_pandas_model(colf_spark, tmp_path):
     rng = random.Random(20260815)
     p = str(tmp_path / "modelds")

@@ -46,6 +46,7 @@ def _write(colf_spark, path, keys, **opts):
 
 
 @pytest.mark.parametrize("seed", [7, 23, 91])
+@pytest.mark.slow
 def test_random_interleavings_match_model(colf_spark, tmp_path, seed):
     rng = random.Random(seed)
     path = str(tmp_path / f"model{seed}")

@@ -36,6 +36,10 @@ from columnar_format_spark.colf.datasource import (
 )
 from columnar_format_spark.colf.maintenance import compact_log
 
+# >15 s of pure driver-side log I/O (1e5-file history): slow tier,
+# run by tools/ship_gates.sh (r13 verdict item #2)
+pytestmark = pytest.mark.slow
+
 N_COMMITS = 1003           # not a checkpoint multiple: the head chain
 FILES_PER_COMMIT = 100     # must fold deltas + one checkpoint
 N_FILES = N_COMMITS * FILES_PER_COMMIT

@@ -120,6 +120,7 @@ def test_stream_roundtrip_colf_to_colf(spark, tmp_path):
         sum(i * 1.5 * 2 for i in range(100))
 
 
+@pytest.mark.slow
 def test_stream_multibatch_replays_each_file_once(spark, tmp_path):
     """maxFilesPerTrigger=1 forces one micro-batch per part file: the
     final aggregate must equal the batch answer — each file consumed
@@ -210,6 +211,7 @@ def test_stream_reader_is_executor_side(spark, tmp_path):
     assert batches[0].num_rows == 10
 
 
+@pytest.mark.slow
 def test_stream_restart_resumes_exactly_once(spark, tmp_path):
     """End-to-end through the real engine: a rate-limited stream is
     stopped mid-drain and restarted from its checkpoint; after new
@@ -318,6 +320,7 @@ def test_stream_offsets_upgrade_from_legacy(spark, tmp_path):
     assert [os.path.basename(p.file) for p in parts2] == [names[4]]
 
 
+@pytest.mark.slow
 def test_stream_offsets_stay_constant_size_across_commits(spark, tmp_path):
     """The offset payload must not grow with the file count — the old
     format serialized every consumed basename into every commit."""

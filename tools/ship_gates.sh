@@ -9,8 +9,10 @@ cd "$(dirname "$0")/.."
 echo "== gate 0/4: ledger/window consistency =="
 python tools/ledger.py --check || { echo "LEDGER RED"; exit 1; }
 
-echo "== gate 1/4: full pytest =="
-out=$(python -m pytest tests/ -q 2>&1 | tail -2)
+echo "== gate 1/4: full pytest (INCLUDING the slow tier) =="
+# pytest.ini deselects `slow` by default so the driver's bounded run
+# completes (r13 verdict item #2); the ship gate runs everything.
+out=$(python -m pytest tests/ -q -m "" 2>&1 | tail -2)
 echo "$out"
 echo "$out" | grep -qiE "failed|error" && { echo "PYTEST RED"; exit 1; }
 echo "$out" | grep -qE "[0-9]+ passed" || { echo "PYTEST RED"; exit 1; }
